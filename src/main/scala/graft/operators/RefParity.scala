@@ -1,0 +1,244 @@
+package graft.operators
+
+import java.io.{File, PrintWriter}
+import java.sql.Date
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Query
+import graft.Query.SnapshotDate
+import graft.sources.Tables
+
+/** Reference-parity operators (SURVEY.md §2), re-expressed Spark-first over
+  * the harness star schema.
+  *
+  * The reference (/root/reference/app.py) is scan → clean → enrich with two
+  * tiny dims → project → append. Each §2 row maps to a declarative Spark
+  * primitive here; none needs custom Catalyst code. Coverage map:
+  *
+  *  - S1 partition pruning (app.py:26)      → `ref_csv_ingest` path construction
+  *  - S2 file-name pruning (app.py:27)      → `ref_csv_ingest` pathGlobFilter
+  *  - S3 CSV scan w/ header (app.py:28-29)  → `ref_csv_ingest` explicit-schema csv read
+  *  - S4 multi-file UNION ALL (app.py:29)   → `ref_csv_ingest` multi-file read,
+  *                                            `ref_union_by_name` unionByName
+  *  - S5/S6 dim scan w/ pushdown (140,143)  → `ref_star_enrich` pruned dim reads
+  *  - K1 bulk append (195-197)              → Verify's parquet write of every query
+  *  - P1 contains-filter (43)               → `ref_star_enrich`
+  *  - P2/P3 rename + column pin (44-52,…)   → `ref_star_enrich` UPPER_CASE contract
+  *  - P4 constant snapshot date (57,84,101) → `ref_star_enrich` (literal, §7.4)
+  *  - F1 concat literal (54,83,102)         → `ref_clean_strict_cast` money string
+  *  - F2 thousands-separator strip (71)     → `ref_clean_strict_cast` translate
+  *  - F3 strict cast str→int (53,82)        → `ref_clean_strict_cast` (ANSI on)
+  *  - F4 strict cast str→double (71)        → `ref_clean_strict_cast`
+  *  - F5 current date (57,…)                → fixed literal (determinism, §7.4)
+  *  - J1 inner equi-join, shared key (151-153)    → `ref_star_enrich` orders join
+  *  - J2 inner equi-join, differing keys (156-164)→ `ref_star_enrich` customer join
+  *
+  * Scale notes (100 TB): both dim joins are explicit `broadcast()` — the
+  * reference's dims are 3 rows and 1 row; at scale any dim under the
+  * broadcast threshold avoids a shuffle entirely, and AQE converts the rest
+  * to shuffled hash / sort-merge with skew splitting. The fact scan carries
+  * its filter into the parquet reader (PushedFilters) and reads only the
+  * projected columns (ReadSchema) — verified in RefParitySpec.
+  */
+object RefParity {
+
+  /** Flagship: the reference's star-join enrichment shape (app.py:106-199)
+    * on the harness tables. lineitem = fact CSVs, orders/customer = the two
+    * dimensions, SNAPSHOT_DATE = the run-date constant, UPPER_CASE = the
+    * warehouse contract (SURVEY.md §1.3).
+    */
+  def starEnrich(spark: SparkSession, sfDir: String): DataFrame = {
+    // P1: substring predicate (app.py:43). Pushed to the parquet scan.
+    val fact = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_returnflag").contains("N"))
+    // S5-analog: dim scan with projection pushed down (app.py:140).
+    // J1: shared-key inner equi-join against a broadcast dim (app.py:151-153).
+    val dimOrders = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+    // J2: differing-key-name inner equi-join (app.py:156-164); the right key
+    // is dropped after the join exactly like the reference drops DATE.
+    val dimCust = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    fact
+      .join(broadcast(dimOrders), Seq("l_orderkey"), "inner")
+      .join(broadcast(dimCust), col("o_custkey") === col("c_custkey"), "inner")
+      .drop("c_custkey")
+      // P4: constant snapshot date — fixed literal, not current_date() (§7.4)
+      .withColumn("SNAPSHOT_DATE", lit(Date.valueOf(SnapshotDate)))
+      // P2+P3: rename to the UPPER_CASE warehouse contract and pin columns
+      .select(
+        col("l_orderkey").as("ORDER_KEY"),
+        col("l_linenumber").as("LINE_NUMBER"),
+        col("l_quantity").as("QUANTITY"),
+        col("l_extendedprice").as("EXTENDED_PRICE"),
+        col("o_custkey").as("CUSTOMER_ID"),
+        col("c_mktsegment").as("MKT_SEGMENT"),
+        col("SNAPSHOT_DATE"))
+      // (l_orderkey, l_linenumber) is NOT unique in the harness data —
+      // extend the sort to a total order for byte-stable output (§7.4)
+      .orderBy("ORDER_KEY", "LINE_NUMBER", "QUANTITY", "EXTENDED_PRICE")
+  }
+
+  private val starEnrichOracle =
+    s"""SELECT l.l_orderkey AS "ORDER_KEY", l.l_linenumber AS "LINE_NUMBER",
+       | l.l_quantity AS "QUANTITY", l.l_extendedprice AS "EXTENDED_PRICE",
+       | o.o_custkey AS "CUSTOMER_ID", c.c_mktsegment AS "MKT_SEGMENT",
+       | DATE '$SnapshotDate' AS "SNAPSHOT_DATE"
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |WHERE contains(l.l_returnflag, 'N')
+       |ORDER BY 1, 2, 3, 4""".stripMargin
+
+  /** S1-S4: the reference's S3 CSV lake read — list a date-partitioned
+    * prefix, keep only files of one dataset category, parse CSVs with a
+    * header, union them (app.py:13-30). Here: a staged local CSV lake, path
+    * construction = partition pruning, `pathGlobFilter` = file-name pruning,
+    * one multi-path csv read = the implicit UNION ALL.
+    *
+    * The staged lake contains a decoy category file and a stale date
+    * partition; both hold poison rows, so a pruning bug fails the oracle.
+    */
+  def csvIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = stageCsvLake(spark, sfDir)
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType)))
+    spark.read
+      .schema(schema)                          // explicit contract (§1.4)
+      .option("header", "true")
+      .option("pathGlobFilter", "*nation*")    // S2: category pruning
+      .csv(s"$root/cost_of_living/$SnapshotDate") // S1: partition pruning
+      .orderBy("n_nationkey")
+  }
+
+  /** Stages a tiny deterministic CSV "lake" (fixture prep, not a distributed
+    * op — 25 rows). Layout mirrors the reference's S3 keyspace
+    * (`real_estate/cost_of_living/{extract_date}/{dataset}.csv`, app.py:26).
+    */
+  private def stageCsvLake(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+      val root = new File(sys.props("java.io.tmpdir"), s"graft_csv_lake_$tag")
+      val done = new File(root, ".staged")
+      if (!done.exists()) {
+        val part = new File(root, s"cost_of_living/$SnapshotDate")
+        part.mkdirs()
+        val rows = Tables(spark, sfDir, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .collect()
+          .map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+          .sortBy(_._1)
+        def write(f: File, rs: Seq[(Int, String, Int)]): Unit = {
+          val w = new PrintWriter(f)
+          try {
+            w.println("n_nationkey,n_name,n_regionkey")
+            rs.foreach { case (k, n, rk) => w.println(s"$k,$n,$rk") }
+          } finally w.close()
+        }
+        write(new File(part, "nation_part0.csv"), rows.filter(_._1 < 13).toSeq)
+        write(new File(part, "nation_part1.csv"), rows.filter(_._1 >= 13).toSeq)
+        // decoy dataset in the same partition — S2 must exclude it
+        write(new File(part, "salaries_decoy.csv"), Seq((999, "DECOY_CATEGORY", 99)))
+        // stale extract-date partition — S1 must exclude it
+        val stale = new File(root, "cost_of_living/2020-01-01")
+        stale.mkdirs()
+        write(new File(stale, "nation_stale.csv"), Seq((998, "DECOY_STALE", 98)))
+        done.createNewFile()
+      }
+      root.getAbsolutePath
+    }
+
+  /** S4 standalone: UNION ALL by column name across branches whose column
+    * order differs and one of which is missing a column (pandas concat outer
+    * alignment, app.py:29 — missing columns become NULL).
+    */
+  def unionByName(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    val a = li.filter(col("l_returnflag") === "A")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    // reordered columns + missing l_quantity: unionByName must align & pad
+    val r = li.filter(col("l_returnflag") === "R")
+      .select(col("l_linenumber"), col("l_orderkey"))
+    a.unionByName(r, allowMissingColumns = true)
+      .orderBy(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").asc_nulls_first)
+  }
+
+  private val unionByNameOracle =
+    """SELECT l_orderkey, l_linenumber, l_quantity
+      |FROM lineitem WHERE l_returnflag = 'A'
+      |UNION ALL
+      |SELECT l_orderkey, l_linenumber, NULL AS l_quantity
+      |FROM lineitem WHERE l_returnflag = 'R'
+      |ORDER BY 1, 2, 3 NULLS FIRST""".stripMargin
+
+  /** F1-F4: the reference's string-cleaning surface. Builds the reference's
+    * `"1,234.56"`-style money strings deterministically from c_acctbal
+    * (concat, F1), strips the thousands separator (translate, F2 —
+    * app.py:71's `x.replace(",","")`), strict-casts back to double (F4, ANSI
+    * mode = pandas astype raise semantics), and strict-casts the digits of
+    * c_name to the customer key (F3). No UDFs — every step is a codegen'd
+    * built-in (SURVEY.md §2.3).
+    */
+  def cleanStrictCast(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = round(col("c_acctbal") * 100).cast(LongType)
+    val absC = abs(cents)
+    val whole = (absC / 100).cast(LongType)
+    val frac = lpad((absC % 100).cast(StringType), 2, "0")
+    val sign = when(cents < 0, "-").otherwise("")
+    val grouped = when(whole >= 1000,
+        concat((whole / 1000).cast(LongType).cast(StringType), lit(","),
+          lpad((whole % 1000).cast(StringType), 3, "0")))
+      .otherwise(whole.cast(StringType))
+    val moneyStr = concat(sign, grouped, lit("."), frac)             // F1
+    Tables(spark, sfDir, "customer")
+      .select(
+        col("c_custkey"),
+        moneyStr.as("money_str"),
+        translate(moneyStr, ",", "").cast(DoubleType).as("amount"),  // F2+F4
+        regexp_replace(col("c_name"), "[^0-9]", "")
+          .cast(LongType).as("parsed_key"))                          // F3
+      .orderBy("c_custkey")
+  }
+
+  private val cleanStrictCastOracle =
+    """SELECT c_custkey,
+      |  CASE WHEN cents < 0 THEN '-' ELSE '' END ||
+      |  CASE WHEN whole >= 1000
+      |       THEN CAST(whole // 1000 AS VARCHAR) || ',' || lpad(CAST(whole % 1000 AS VARCHAR), 3, '0')
+      |       ELSE CAST(whole AS VARCHAR) END ||
+      |  '.' || lpad(CAST(absc % 100 AS VARCHAR), 2, '0') AS money_str,
+      |  CAST(replace(
+      |    CASE WHEN cents < 0 THEN '-' ELSE '' END ||
+      |    CASE WHEN whole >= 1000
+      |         THEN CAST(whole // 1000 AS VARCHAR) || ',' || lpad(CAST(whole % 1000 AS VARCHAR), 3, '0')
+      |         ELSE CAST(whole AS VARCHAR) END ||
+      |    '.' || lpad(CAST(absc % 100 AS VARCHAR), 2, '0'), ',', '') AS DOUBLE) AS amount,
+      |  CAST(regexp_replace(c_name, '[^0-9]', '', 'g') AS BIGINT) AS parsed_key
+      |FROM (SELECT c_custkey, c_name, cents, abs(cents) AS absc, abs(cents) // 100 AS whole
+      |      FROM (SELECT c_custkey, c_name,
+      |                   CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |            FROM customer))
+      |ORDER BY c_custkey""".stripMargin
+
+  val queries: Seq[Query] = Seq(
+    Query("ref_star_enrich",
+      "reference flagship: filter→broadcast star join×2→const date→contract projection",
+      starEnrich, Some(starEnrichOracle)),
+    Query("ref_csv_ingest",
+      "S1-S4: partition-pruned, glob-filtered, multi-file CSV ingest with explicit schema",
+      csvIngest,
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY 1")),
+    Query("ref_union_by_name",
+      "S4: union-by-name with reordered and missing columns (pandas concat semantics)",
+      unionByName, Some(unionByNameOracle)),
+    Query("ref_clean_strict_cast",
+      "F1-F4: concat / thousands-strip / ANSI strict casts, all codegen'd built-ins",
+      cleanStrictCast, Some(cleanStrictCastOracle)),
+  )
+}

@@ -1,0 +1,381 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Query
+import graft.functions.Exact._
+import graft.sources.Tables
+
+/** Relational capabilities the reference lacks entirely (SURVEY.md §2.5 —
+  * "explicit absences") and the engine gains from Catalyst: hash
+  * aggregation with map-side partials, rollup, distinct/approx-distinct,
+  * window functions, top-k, set ops, semi/anti/outer joins, JSON/date
+  * scalars, explode. One named query + DuckDB oracle per capability
+  * (SURVEY.md §7.3).
+  *
+  * Scale notes (100 TB):
+  *  - every groupBy here is a partial (map-side) + final hash aggregate —
+  *    the shuffle carries pre-combined partials, not raw rows;
+  *  - group-by keys are low-cardinality (flags, segments, months), so the
+  *    shuffle after partial aggregation is tiny regardless of input size;
+  *  - window functions shuffle once on the partition key and sort within —
+  *    keys are `user_id`/`custkey` (high cardinality ⇒ even spread; a skewed
+  *    key would need salting, not needed for these);
+  *  - top-k uses Spark's TakeOrderedAndProject (per-partition heaps, no
+  *    global sort of the full input);
+  *  - semi/anti joins broadcast the key side when small, else shuffle on
+  *    the join key — never a cartesian.
+  */
+object Relational {
+
+  // ---- aggregation ----------------------------------------------------
+
+  /** TPC-H Q1-shaped pricing summary: multi-aggregate hash aggregation with
+    * exact decimal-routed sums (see [[graft.functions.Exact]]).
+    */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val one = lit(1).cast(DecimalType(18, 2))
+    Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .cast(DoubleType).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val pricingSummaryOracle =
+    s"""SELECT l_returnflag, l_linestatus,
+       | ${sqlDsum("l_quantity")} AS sum_qty,
+       | ${sqlDsum("l_extendedprice")} AS sum_base_price,
+       | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+       |          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       |   AS sum_disc_price,
+       | ${sqlDavg("l_quantity")} AS avg_qty,
+       | ${sqlDavg("l_discount")} AS avg_disc,
+       | CAST(count(*) AS BIGINT) AS count_order
+       |FROM lineitem
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Exact distinct count per group (shuffles distinct pairs, then counts). */
+  def distinctUsers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  private val distinctUsersOracle =
+    """SELECT event_type,
+      | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      | CAST(count(*) AS BIGINT) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** HLL-sketch distinct (approx_count_distinct): the 100 TB path — one pass,
+    * constant memory, no distinct shuffle. No DuckDB oracle (sketch values
+    * are engine-specific); correctness bound asserted in RelationalSpec.
+    */
+  def approxDistinctUsers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .orderBy("event_type")
+
+  /** Rollup over (nation, mktsegment) after a broadcast dim join — subtotal
+    * grades via coalesce sentinels (portable across engines, no grouping_id).
+    */
+  def rollupNationSegment(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables(spark, sfDir, "customer")
+    val nation = Tables(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    cust
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+      .select(
+        coalesce(col("n_name"), lit("(all)")).as("nation"),
+        coalesce(col("c_mktsegment"), lit("(all)")).as("segment"),
+        col("n_cust"), col("sum_bal"))
+      .orderBy("nation", "segment")
+  }
+
+  private val rollupOracle =
+    s"""SELECT coalesce(n_name, '(all)') AS nation,
+       | coalesce(c_mktsegment, '(all)') AS segment,
+       | CAST(count(*) AS BIGINT) AS n_cust,
+       | ${sqlDsum("c_acctbal")} AS sum_bal
+       |FROM customer JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY ROLLUP(n_name, c_mktsegment)
+       |ORDER BY nation, segment""".stripMargin
+
+  // ---- window functions -----------------------------------------------
+
+  /** rank/dense_rank/row_number per customer over order value; keeps top 3
+    * per customer. One shuffle on o_custkey, sort within partitions.
+    */
+  def rankOrders(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, sfDir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).cast(LongType).as("rnk"),
+        dense_rank().over(w).cast(LongType).as("drnk"),
+        row_number().over(w).cast(LongType).as("rn"))
+      .filter(col("rnk") <= 3)
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+  }
+
+  private val rankOrdersOracle =
+    """SELECT * FROM (
+      | SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(rank()       OVER w AS BIGINT) AS rnk,
+      |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+      |  CAST(row_number() OVER w AS BIGINT) AS rn
+      | FROM orders
+      | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+      |) WHERE rnk <= 3
+      |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin
+
+  /** lag() per user ordered by event time: per-event delta vs previous
+    * value (double subtraction — bitwise deterministic, no reduction).
+    */
+  def lagDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables(spark, sfDir, "events")
+      .select(
+        col("user_id"), col("event_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"))
+      .withColumn("delta", col("value") - col("prev_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val lagDeltaOracle =
+    """SELECT user_id, event_id, value, prev_value, value - prev_value AS delta
+      |FROM (
+      | SELECT user_id, event_id, value,
+      |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+      | FROM events)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Running total per user (unbounded-preceding frame). The accumulated
+    * column rides DECIMAL so the frame evaluation strategy (sequential vs
+    * segment-tree) can't change the result.
+    */
+  def runningTotal(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, sfDir, "events")
+      .select(
+        col("user_id"), col("event_id"), col("value"),
+        sum(dec(col("value"))).over(w).cast(DoubleType).as("running_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  private val runningTotalOracle =
+    """SELECT user_id, event_id, value,
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+      |   PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |  AS running_value
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ---- sort / top-k ----------------------------------------------------
+
+  /** Global top-k with unique tiebreak: planned as TakeOrderedAndProject
+    * (per-partition heaps + driver merge of k rows — no full sort at scale).
+    */
+  def topkCustomers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      .limit(20)
+
+  private val topkOracle =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |ORDER BY c_acctbal DESC, c_custkey LIMIT 20""".stripMargin
+
+  // ---- set ops ---------------------------------------------------------
+
+  /** INTERSECT / EXCEPT over key sets, tagged and unioned into one result. */
+  def setOpsSegments(spark: SparkSession, sfDir: String): DataFrame = {
+    val building = Tables(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val withOrders = Tables(spark, sfDir, "orders")
+      .select(col("o_custkey").as("c_custkey"))
+    building.intersect(withOrders).withColumn("tag", lit("both"))
+      .unionByName(
+        building.except(withOrders).withColumn("tag", lit("building_only")))
+      .orderBy("tag", "c_custkey")
+  }
+
+  private val setOpsOracle =
+    """SELECT c_custkey, 'both' AS tag FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders)
+      |UNION ALL
+      |SELECT c_custkey, 'building_only' AS tag FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders)
+      |ORDER BY tag, c_custkey""".stripMargin
+
+  // ---- join shapes beyond the reference's inner equi-join ---------------
+
+  /** left-semi (EXISTS) and left-anti (NOT EXISTS), tagged + unioned. */
+  def semiAntiJoins(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    val orderKeys = Tables(spark, sfDir, "orders").select(col("o_custkey"))
+    cust.join(orderKeys, cust("c_custkey") === orderKeys("o_custkey"), "left_semi")
+      .withColumn("tag", lit("has_orders"))
+      .unionByName(
+        cust.join(orderKeys, cust("c_custkey") === orderKeys("o_custkey"), "left_anti")
+          .withColumn("tag", lit("no_orders")))
+      .orderBy("c_custkey")
+  }
+
+  private val semiAntiOracle =
+    """SELECT c_custkey, c_name, 'has_orders' AS tag FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |UNION ALL
+      |SELECT c_custkey, c_name, 'no_orders' AS tag FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-outer join + grouped count(col) — NULL-preserving join semantics. */
+  def outerJoinCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val nation = Tables(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val supp = Tables(spark, sfDir, "supplier")
+      .select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal"))
+    nation
+      .join(supp, nation("n_nationkey") === supp("s_nationkey"), "left_outer")
+      .groupBy(col("n_name"))
+      .agg(
+        count(col("s_suppkey")).as("n_suppliers"),
+        dsum(col("s_acctbal")).as("sum_bal"))
+      .orderBy("n_name")
+  }
+
+  private val outerJoinOracle =
+    s"""SELECT n_name,
+       | CAST(count(s_suppkey) AS BIGINT) AS n_suppliers,
+       | ${sqlDsum("s_acctbal")} AS sum_bal
+       |FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ---- scalar functions -------------------------------------------------
+
+  /** Date/time scalars: truncation to month + per-month aggregates. */
+  def monthlyOrders(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "orders")
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("month")
+
+  private val monthlyOrdersOracle =
+    s"""SELECT date_trunc('month', o_orderdate) AS month,
+       | CAST(count(*) AS BIGINT) AS n_orders,
+       | ${sqlDsum("o_totalprice")} AS sum_price
+       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** JSON extraction (get_json_object) + strict string→int cast, aggregated.
+    * The reference's F3 strict-cast semantics apply to the extracted field.
+    */
+  def jsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "events")
+      .withColumn("k",
+        get_json_object(col("props"), "$.k").cast(IntegerType))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n"),
+        sum(col("k")).cast(LongType).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  private val jsonExtractOracle =
+    """SELECT event_type,
+      | CAST(count(k) AS BIGINT) AS n,
+      | CAST(sum(k) AS BIGINT) AS sum_k,
+      | min(k) AS min_k, max(k) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Generator/UDTF axis: split + explode into a token relation, then the
+    * top-50 token frequencies under a total order.
+    */
+  def explodeTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(50)
+
+  private val explodeTokensOracle =
+    """SELECT token, CAST(count(*) AS BIGINT) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin
+
+  val queries: Seq[Query] = Seq(
+    Query("agg_pricing_summary",
+      "TPC-H Q1-shaped multi-aggregate hash agg, decimal-exact sums",
+      pricingSummary, Some(pricingSummaryOracle)),
+    Query("agg_distinct_users",
+      "exact countDistinct per group", distinctUsers, Some(distinctUsersOracle)),
+    Query("agg_approx_distinct",
+      "HLL approx_count_distinct (sketch path for 100 TB; no oracle)",
+      approxDistinctUsers, None),
+    Query("agg_rollup",
+      "ROLLUP(nation, segment) subtotals after broadcast dim join",
+      rollupNationSegment, Some(rollupOracle)),
+    Query("win_rank_orders",
+      "rank/dense_rank/row_number per customer, top-3 filter",
+      rankOrders, Some(rankOrdersOracle)),
+    Query("win_lag_delta",
+      "lag() per user by event time; per-event delta",
+      lagDelta, Some(lagDeltaOracle)),
+    Query("win_running_total",
+      "running sum per user (unbounded-preceding frame), decimal-exact",
+      runningTotal, Some(runningTotalOracle)),
+    Query("sort_topk_customers",
+      "global top-20 with unique tiebreak (TakeOrderedAndProject)",
+      topkCustomers, Some(topkOracle)),
+    Query("set_ops_segments",
+      "INTERSECT / EXCEPT over key sets, tagged union",
+      setOpsSegments, Some(setOpsOracle)),
+    Query("join_semi_anti",
+      "left-semi (EXISTS) + left-anti (NOT EXISTS) joins",
+      semiAntiJoins, Some(semiAntiOracle)),
+    Query("join_outer_counts",
+      "left-outer join with NULL-preserving grouped counts",
+      outerJoinCounts, Some(outerJoinOracle)),
+    Query("scalar_datetime",
+      "date_trunc month rollup of orders", monthlyOrders, Some(monthlyOrdersOracle)),
+    Query("scalar_json_extract",
+      "get_json_object + strict int cast, aggregated per event type",
+      jsonExtract, Some(jsonExtractOracle)),
+    Query("explode_tokens",
+      "split+explode token relation, top-50 frequencies",
+      explodeTokens, Some(explodeTokensOracle)),
+  )
+}

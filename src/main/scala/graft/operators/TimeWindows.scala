@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Query
+import graft.functions.Exact._
+import graft.sources.Tables
+
+/** Event-time windowing in batch: tumbling / sliding windows, classic
+  * lag+cumsum sessionization, and Spark's native session_window operator.
+  * The streaming twin of the tumbling query lives in
+  * [[graft.streaming.StreamingOps]] — same semantics via readStream.
+  *
+  * Scale notes (100 TB): window assignment (`window()`, `session_window()`)
+  * is a per-row expression, so the only shuffle is the groupBy on
+  * (window, key) — pre-aggregated map-side. Sessionization shuffles once on
+  * `user_id`; at 100 TB a hot user would need salted two-phase
+  * sessionization, but the per-user ordering requirement makes user_id the
+  * natural partition key.
+  */
+object TimeWindows {
+
+  /** Tumbling 10-minute windows per event type. */
+  def tumbling(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("wstart"), col("window.end").as("wend"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("wstart", "event_type")
+
+  private val tumblingOracle =
+    s"""SELECT wstart, wstart + INTERVAL '10 minutes' AS wend, event_type,
+       | CAST(count(*) AS BIGINT) AS n,
+       | ${sqlDsum("value")} AS sum_value
+       |FROM (SELECT time_bucket(INTERVAL '10 minutes', ts) AS wstart, event_type, value
+       |      FROM events)
+       |GROUP BY wstart, event_type
+       |ORDER BY wstart, event_type""".stripMargin
+
+  /** Sliding windows: 10-minute length, 5-minute slide — each event lands in
+    * two windows. The oracle assigns both containing windows via unnest.
+    */
+  def sliding(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(
+        col("window.start").as("wstart"), col("window.end").as("wend"),
+        col("n"), col("n_users"))
+      .orderBy("wstart")
+
+  private val slidingOracle =
+    """SELECT wstart, wstart + INTERVAL '10 minutes' AS wend,
+      | CAST(count(*) AS BIGINT) AS n,
+      | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM (SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+      |                     time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+      |        AS wstart,
+      |       user_id
+      |      FROM events)
+      |GROUP BY wstart
+      |ORDER BY wstart""".stripMargin
+
+  /** Classic sessionization: lag() gap detection + running-sum session ids,
+    * sessions split when the gap is ≥ 30 minutes.
+    */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val runningFlags = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, sfDir, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byTime))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull
+          .or(col("ts") >= col("prev_ts") + expr("INTERVAL '30' MINUTE")), 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(runningFlags))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  private val sessionizeOracle =
+    """SELECT user_id, session_seq,
+      | CAST(count(*) AS BIGINT) AS n_events,
+      | min(ts) AS session_start, max(ts) AS session_end
+      |FROM (
+      | SELECT user_id, ts,
+      |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      | FROM (
+      |  SELECT user_id, ts, event_id,
+      |   CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL '30 minutes'
+      |        THEN 1 ELSE 0 END AS new_session
+      |  FROM (SELECT user_id, ts, event_id,
+      |         lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |        FROM events)))
+      |GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  /** Spark's native session_window operator (gap-merged windows as a
+    * first-class grouping expression). Oracle reconstructs the same sessions
+    * with lag+cumsum: start = min(ts), end = max(ts) + gap.
+    */
+  def sessionWindowNative(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  private val sessionWindowOracle =
+    s"""SELECT user_id,
+       | min(ts) AS session_start,
+       | max(ts) + INTERVAL '30 minutes' AS session_end,
+       | CAST(count(*) AS BIGINT) AS n_events,
+       | ${sqlDsum("value")} AS sum_value
+       |FROM (
+       | SELECT user_id, ts, value,
+       |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+       | FROM (
+       |  SELECT user_id, ts, event_id, value,
+       |   CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL '30 minutes'
+       |        THEN 1 ELSE 0 END AS new_session
+       |  FROM (SELECT user_id, ts, event_id, value,
+       |         lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+       |        FROM events)))
+       |GROUP BY user_id, session_seq
+       |ORDER BY user_id, session_start""".stripMargin
+
+  val queries: Seq[Query] = Seq(
+    Query("win_time_tumbling",
+      "tumbling 10-min event-time windows per event type",
+      tumbling, Some(tumblingOracle)),
+    Query("win_time_sliding",
+      "sliding 10-min/5-min windows with distinct users",
+      sliding, Some(slidingOracle)),
+    Query("win_sessionize",
+      "lag+cumsum sessionization, 30-min gap",
+      sessionize, Some(sessionizeOracle)),
+    Query("win_session_window",
+      "native session_window operator, 30-min gap",
+      sessionWindowNative, Some(sessionWindowOracle)),
+  )
+}
