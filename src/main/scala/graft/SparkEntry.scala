@@ -14,7 +14,12 @@ object SparkEntry {
   private[graft] val registry: Seq[Query] =
     RefParity.queries ++
       Relational.queries ++
-      TimeWindows.queries
+      TimeWindows.queries ++
+      Dedup.queries ++
+      Similarity.queries ++
+      TextAnalysis.queries ++
+      Multimodal.queries ++
+      graft.streaming.StreamingOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

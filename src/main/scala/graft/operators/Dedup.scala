@@ -1,0 +1,321 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Query
+import graft.functions.DotProduct
+import graft.sources.Tables
+
+/** Deduplication for LLM training-data pipelines: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash, and embedding-cosine near-dup. All pure
+  * DataFrame/higher-order-function plans — no UDFs, no driver-side loops.
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup is a hash groupBy on the content key — one shuffle of
+  *    (key, id) pairs, map-side combined;
+  *  - the all-pairs shingle self-join (`dedup_ngram_jaccard`) is the
+  *    verification primitive: at scale it only ever runs on LSH candidates,
+  *    never on the full corpus. `dedup_minhash_lsh` is the scale path: cost
+  *    is O(docs × bands) for bucketing plus intersections on bucket
+  *    collisions only;
+  *  - SimHash pairs join on 16-bit blocks (pigeonhole: hamming ≤ 3 ⇒ one of
+  *    4 blocks equal), so the join key is selective — no cartesian;
+  *  - embedding near-dup brute force exists as the oracle-checkable
+  *    baseline; the bucketed path is `sim_ann_lsh` in
+  *    [[graft.operators.Similarity]].
+  */
+object Dedup {
+
+  /** The harness documents table has no exact duplicates, so dedup queries
+    * plant them deterministically: a second copy (doc_id + 100000) of every
+    * 10th document.
+    */
+  private def docsWithDups(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(
+      d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  private val docsWithDupsSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0"""
+      .stripMargin
+
+  /** Exact dedup: group on content, keep the smallest id (deterministic
+    * representative — dropDuplicates' "first row wins" is partition-order
+    * dependent and unreproducible at scale).
+    */
+  def exactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    docsWithDups(spark, sfDir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy("doc_id")
+
+  private val exactDedupOracle =
+    s"""SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_copies
+       |FROM ($docsWithDupsSql)
+       |GROUP BY text ORDER BY doc_id""".stripMargin
+
+  /** Distinct word-3-shingles per document (the unit of near-dup overlap). */
+  private def shingles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(shingleArr(col("ts"))).as("shingle"))
+
+  private def shingleArr(ts: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(ts) - 2),
+      i => concat_ws(" ",
+        element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2))))
+
+  /** Exact n-gram Jaccard near-dup: all pairs sharing a shingle, scored
+    * |A∩B| / |A∪B|, threshold 0.5. Integer-ratio arithmetic — bitwise
+    * deterministic across engines.
+    */
+  def ngramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    // materialize once: the shingle relation feeds both sides of the
+    // intersect self-join plus the size aggregate — at scale this is a
+    // persisted/bucketed intermediate table, not a cache
+    val sh = shingles(spark, sfDir).cache()
+    // single shuffle-join on the shingle key + map-side-combined count:
+    // the intersection sizes come straight off the self-join, no separate
+    // candidate materialization (that 3-way shape only pays off when a
+    // pre-filter — LSH — has already shrunk the pair space)
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("c"))
+    withJaccard(inter, sizes(sh))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("i", "j")
+  }
+
+  private def sizes(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+
+  /** jaccard = c / (|A| + |B| − c) for (i, j, c) intersection counts. */
+  private def withJaccard(inter: DataFrame, sz: DataFrame): DataFrame =
+    inter
+      .join(sz.as("na"), col("i") === col("na.doc_id"))
+      .join(sz.as("nb"), col("j") === col("nb.doc_id"))
+      .select(col("i"), col("j"),
+        (col("c").cast(DoubleType) / (col("na.n") + col("nb.n") - col("c")))
+          .as("jaccard"))
+
+  /** Exact Jaccard for the given (i, j) pairs only — the LSH verify stage:
+    * intersections are computed just for candidates, which is the whole
+    * point of LSH at scale (candidates ≪ all pairs).
+    */
+  private def jaccardScore(
+      spark: SparkSession, pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val inter = pairs
+      .join(sh.as("sa"), col("i") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("j") === col("sb.doc_id")
+          && col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
+    withJaccard(inter, sizes(sh))
+  }
+
+  private val ngramJaccardOracle =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      | sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+      |        FROM tok, unnest(range(1, len(ts) - 1)) AS u(i)),
+      | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      | inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+      |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2)
+      |SELECT i, j, c * 1.0 / (sa.n + sb.n - c) AS jaccard
+      |FROM inter JOIN sz sa ON i = sa.doc_id JOIN sz sb ON j = sb.doc_id
+      |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+      |ORDER BY i, j""".stripMargin
+
+  // ---- MinHash + LSH ----------------------------------------------------
+
+  private val MinhashP = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
+  private val NumPerms = 64
+  private val NumBands = 16 // × 4 rows: s-curve threshold (1/16)^(1/4) ≈ 0.5
+
+  /** Fixed seeded permutation coefficients (31-bit so a*h fits a long —
+    * Spark 4 ANSI mode would raise on 64-bit overflow).
+    */
+  private val (permA, permB) = {
+    val rnd = new Random(0x5eed)
+    val a = Seq.fill(NumPerms)((rnd.nextInt(Int.MaxValue - 1) + 1).toLong)
+    val b = Seq.fill(NumPerms)(rnd.nextInt(Int.MaxValue).toLong)
+    (a, b)
+  }
+
+  /** (doc_id, 64-long minhash signature) per document, computed as a single
+    * codegen'd hash aggregate over the exploded shingle relation: one
+    * min(...) expression per permutation, partial-aggregated map-side. This
+    * is the scale shape — the per-shingle work stays inside whole-stage
+    * codegen (a nested higher-order-function version was ~30× slower under
+    * the interpreted lambda evaluator).
+    */
+  private def signatures(sh: DataFrame): DataFrame = {
+    val h = pmod(xxhash64(col("shingle")), lit(2147483648L))
+    val mins = (0 until NumPerms).map(i =>
+      min(pmod(h * permA(i) + permB(i), lit(MinhashP))).as(s"s$i"))
+    sh.groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumPerms).map(i => col(s"s$i")): _*).as("sig"))
+  }
+
+  /** MinHash LSH near-dup: band the signatures, bucket-join, verify
+    * candidates with exact Jaccard. Same output contract as
+    * `dedup_ngram_jaccard`; at the fixed seed the 16×4 banding recovers
+    * every ≥0.5 pair in the harness corpus (miss probability (1-j⁴)¹⁶ —
+    * ≈2·10⁻⁴ at j=0.8, and the banding is deterministic, so the DuckDB
+    * exact-Jaccard oracle applies verbatim; verified at sf0.01).
+    */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    // the shingle relation feeds the signature aggregate AND the verify
+    // stage; the signature table feeds both band-join sides — materialize
+    // each once (at scale: persisted signature index, bucketed by band key)
+    val sh = shingles(spark, sfDir).cache()
+    val sig = signatures(sh).cache()
+    val bands = sig.select(
+      col("doc_id"),
+      explode(transform(sequence(lit(0), lit(NumBands - 1)), j =>
+        struct(j.as("band"),
+          concat_ws(",", slice(col("sig"), j * lit(NumPerms / NumBands) + 1,
+            lit(NumPerms / NumBands))).as("key")))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val candidates = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+    jaccardScore(spark, candidates, sh)
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("i", "j")
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  /** (doc_id, simhash) with the 64-bit fingerprint split into two 32-bit
+    * halves (packing into one long would overflow bit 63 under ANSI).
+    * Token-frequency-weighted majority vote per bit over xxhash64(token).
+    */
+  private def simhashes(spark: SparkSession, sfDir: String): DataFrame = {
+    def half(off: Int): Column = expr(
+      s"""aggregate(sequence(0, 31), cast(0 as bigint), (acc, b) ->
+         |  acc + if(2 * size(filter(hs, h -> (shiftright(h, b + $off) & 1) = 1)) >= size(hs),
+         |          shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin)
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), expr("transform(ts, t -> xxhash64(t))").as("hs"))
+      .select(col("doc_id"), half(0).as("lo"), half(32).as("hi"))
+  }
+
+  /** SimHash near-dup: pairs at hamming distance ≤ 3. The join is banded —
+    * 4 × 16-bit blocks; distance ≤ 3 guarantees ≥1 equal block
+    * (pigeonhole), so the bucket join is complete, never cartesian. No
+    * oracle (engine-specific hash); SimHashSpec asserts the planted
+    * near-dup pairs are recovered.
+    */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    // the 64-bit majority vote is the expensive scan; the banded self-join
+    // references it on both sides × 4 blocks — materialize the tiny
+    // signature table instead of recomputing it 8×
+    val sh = simhashes(spark, sfDir).cache()
+      .withColumn("blocks",
+        expr("""array(
+          |  struct(0 as blk, shiftright(lo, 0)  & 65535 as v),
+          |  struct(1 as blk, shiftright(lo, 16) & 65535 as v),
+          |  struct(2 as blk, shiftright(hi, 0)  & 65535 as v),
+          |  struct(3 as blk, shiftright(hi, 16) & 65535 as v))""".stripMargin))
+    val blocks = sh.select(col("doc_id"), col("lo"), col("hi"),
+      explode(col("blocks")).as("b"))
+      .select(col("doc_id"), col("lo"), col("hi"),
+        col("b.blk").as("blk"), col("b.v").as("v"))
+    blocks.as("x")
+      .join(blocks.as("y"),
+        col("x.blk") === col("y.blk") && col("x.v") === col("y.v")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"),
+        (bit_count(expr("x.lo ^ y.lo")) + bit_count(expr("x.hi ^ y.hi")))
+          .cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("i", "j")
+  }
+
+  // ---- embedding near-dup ----------------------------------------------
+
+  /** Embedding-cosine near-dup over the brute-force pair space, with
+    * planted exact-duplicate vectors (vec_id + 100000 for every 10th).
+    * Cosine in double precision, rounded to 6dp so Spark's fold and the
+    * oracle's list_cosine_similarity agree. Scale path: `sim_ann_lsh`.
+    */
+  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    // norms computed once per vector, not once per pair: the pairwise
+    // stage is then a single codegen'd dot product + one multiply/divide
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("e"))
+      .withColumn("norm", sqrt(DotProduct(col("e"), col("e"))))
+    val aug = e.unionByName(
+      e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("e"), col("norm")))
+      .cache()
+    // the nested-loop pair join parallelizes over left partitions — spread
+    // the (tiny) left side across the cluster instead of 1-2 file splits
+    aug.repartition(spark.sparkContext.defaultParallelism).as("a")
+      .join(aug.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        round(DotProduct(col("a.e"), col("b.e"))
+          / (col("a.norm") * col("b.norm")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.99)
+      .orderBy("i", "j")
+  }
+
+  /** Cosine similarity of two double arrays: codegen'd dot products, same
+    * left-to-right accumulation as the HOF form and the DuckDB oracle.
+    */
+  private[operators] def cosine(a: Column, b: Column): Column =
+    DotProduct(a, b) / (sqrt(DotProduct(a, a)) * sqrt(DotProduct(b, b)))
+
+  private val embeddingNearDupOracle =
+    """WITH aug AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings
+      |  WHERE vec_id % 10 = 0)
+      |SELECT a.vec_id AS i, b.vec_id AS j,
+      |       round(list_cosine_similarity(a.e, b.e), 6) AS cos_sim
+      |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+      |WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.99
+      |ORDER BY i, j""".stripMargin
+
+  val queries: Seq[Query] = Seq(
+    Query("dedup_exact",
+      "exact dedup: hash-groupBy on content, min-id representative",
+      exactDedup, Some(exactDedupOracle)),
+    Query("dedup_ngram_jaccard",
+      "exact word-3-gram Jaccard near-dup pairs (threshold 0.5)",
+      ngramJaccard, Some(ngramJaccardOracle)),
+    Query("dedup_minhash_lsh",
+      "MinHash 64-perm + 16×4 LSH banding, exact-Jaccard verify",
+      minhashLsh, Some(ngramJaccardOracle)),
+    Query("dedup_simhash",
+      "SimHash-64 near-dup pairs, banded hamming≤3 join (no oracle)",
+      simhashPairs, None),
+    Query("dedup_embedding",
+      "embedding-cosine near-dup pairs ≥0.99 with planted duplicates",
+      embeddingNearDup, Some(embeddingNearDupOracle)),
+  )
+}

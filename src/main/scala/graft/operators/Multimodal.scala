@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Query
+import graft.sources.Tables
+
+/** Opaque media record: blob payload + typed metadata — the column model
+  * for image/audio/video at 100 TB (binary column, never parsed by
+  * Catalyst; metadata columns carry everything the planner needs to prune).
+  */
+case class MediaRecord(doc_id: Long, payload: Array[Byte])
+
+/** Per-record features produced by the (stubbed) decoder. */
+case class MediaFeatures(
+    doc_id: Long,
+    n_bytes: Int,
+    n_frames: Int,
+    mean_byte: Double,
+    feat_norm: Double)
+
+/** Multimodal-column plumbing: binary payloads with typed metadata, frame
+  * sampling, and batch feature extraction through a typed Dataset.
+  *
+  * The real decode (JPEG/PNG/audio codecs) is STUBBED — those libraries
+  * aren't in this container — with a deterministic fake: per-64-byte-"frame"
+  * byte statistics. Everything Spark-side is real and tested: the schema
+  * (binary + metadata), the `Dataset[MediaRecord] → Dataset[MediaFeatures]`
+  * mapPartitions batch shape (the Scala analog of mapInPandas: one decoder
+  * instantiation per partition, streamed batches, no per-row setup), and
+  * the partitioning story — payloads stay columnar/compressed in parquet,
+  * the decode stage is embarrassingly parallel, and feature rows are tiny
+  * relative to payloads so the post-decode shuffle is cheap.
+  */
+object Multimodal {
+
+  private val FrameBytes = 64
+
+  /** Payload + metadata projection: byte length, frame count, content
+    * fingerprint. Oracle-checked (DuckDB sees the same text→blob encoding).
+    */
+  def binaryMeta(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        col("text").cast(BinaryType).as("payload"),
+        col("lang").as("meta_lang"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast(LongType).as("n_bytes"),
+        ((length(col("payload")) + FrameBytes - 1) / FrameBytes)
+          .cast(LongType).as("n_frames"),
+        md5(col("payload")).as("content_md5"),
+        col("meta_lang"))
+      .orderBy("doc_id")
+
+  private val binaryMetaOracle =
+    s"""SELECT doc_id,
+       | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       | CAST((octet_length(encode(text)) + ${FrameBytes - 1}) // $FrameBytes AS BIGINT)
+       |   AS n_frames,
+       | md5(text) AS content_md5,
+       | lang AS meta_lang
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Frame sampling: split the payload into fixed-size frames, keep every
+    * 4th (declaratively — slice/transform over the binary, no UDF), and
+    * fingerprint each sampled frame.
+    */
+  def frameSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""filter(transform(sequence(0, (length(payload) - 1) div $FrameBytes),
+             |                 i -> substring(payload, i * $FrameBytes + 1, $FrameBytes)),
+             |       (f, i) -> i % 4 = 0)""".stripMargin)))
+      .select(
+        col("doc_id"),
+        col("pos").cast(LongType).as("sample_idx"),
+        length(col("col")).cast(LongType).as("frame_bytes"),
+        md5(col("col")).as("frame_md5"))
+      .orderBy("doc_id", "sample_idx")
+
+  /** Batch feature extraction through the typed-Dataset boundary. The
+    * decoder stub is deterministic (per-frame mean byte value; L2 norm of
+    * the frame-mean vector). No oracle — DuckDB has no frame model; checked
+    * value-exactly in MultimodalSpec.
+    */
+  def featureExtract(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val records: Dataset[MediaRecord] =
+      Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+        .as[MediaRecord]
+    records
+      .mapPartitions { iter =>
+        // one "decoder" per partition — the stub for codec init cost
+        val decoder = new StubDecoder(FrameBytes)
+        iter.map(decoder.decode)
+      }
+      .toDF()
+      .select(col("doc_id"), col("n_bytes"), col("n_frames"),
+        round(col("mean_byte"), 6).as("mean_byte"),
+        round(col("feat_norm"), 6).as("feat_norm"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Seq[Query] = Seq(
+    Query("mm_binary_meta",
+      "binary payload + typed metadata projection with fingerprints",
+      binaryMeta, Some(binaryMetaOracle)),
+    Query("mm_frame_sample",
+      "declarative fixed-size frame split + every-4th sampling",
+      frameSample, None),
+    Query("mm_feature_extract",
+      "typed-Dataset mapPartitions batch feature extraction (stub decoder)",
+      featureExtract, None),
+  )
+}
+
+/** Deterministic stand-in for a media codec: "decodes" a payload into
+  * per-frame byte means. Real codecs slot in here without touching the
+  * Spark plumbing.
+  */
+final class StubDecoder(frameBytes: Int) extends Serializable {
+  def decode(r: MediaRecord): MediaFeatures = {
+    val frames = r.payload.grouped(frameBytes).toArray
+    val means = frames.map(f => f.map(_ & 0xff).sum.toDouble / f.length)
+    MediaFeatures(
+      doc_id = r.doc_id,
+      n_bytes = r.payload.length,
+      n_frames = frames.length,
+      mean_byte = if (r.payload.isEmpty) 0.0
+        else r.payload.map(_ & 0xff).sum.toDouble / r.payload.length,
+      feat_norm = math.sqrt(means.map(m => m * m).sum))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Query
+import graft.functions.RollingHash
+import graft.sources.Tables
+
+/** Text analysis for LLM training-data curation: language ID (stopword
+  * heuristic), quality scoring, token counting (whitespace + BPE-ish
+  * regex), and document fingerprinting. All per-row scalar pipelines —
+  * embarrassingly parallel, no shuffle except the final presentation sort;
+  * at 100 TB these run as a single scan stage inside whole-stage codegen.
+  */
+object TextAnalysis {
+
+  private val Stopwords = Seq("the", "a", "an", "of", "and", "in", "to", "is")
+
+  /** Per-document stats + quality score + n-gram-heuristic language ID.
+    * Ratios are int/int divisions (deterministic IEEE); the composite score
+    * is rounded to 6dp.
+    */
+  def statsQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val ts = split(col("text"), " ")
+    val nTokens = size(ts).cast(LongType)
+    val nDistinct = size(array_distinct(ts)).cast(LongType)
+    val nChars = length(col("text")).cast(LongType)
+    // chars excluding the single separator spaces
+    val nLetters = (nChars - (nTokens - 1)).cast(DoubleType)
+    val nStop = size(filter(ts, t => t.isin(Stopwords: _*))).cast(LongType)
+    val stopRatio = nStop.cast(DoubleType) / nTokens
+    val avgTokLen = nLetters / nTokens
+    val ttr = nDistinct.cast(DoubleType) / nTokens // type-token ratio
+    val quality = round(
+      lit(0.5) * stopRatio + lit(0.3) * ttr
+        + lit(0.2) * (avgTokLen / (avgTokLen + lit(1.0))), 6)
+    Tables(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        nTokens.as("n_tokens"),
+        nDistinct.as("n_distinct"),
+        nStop.as("n_stopwords"),
+        round(stopRatio, 6).as("stopword_ratio"),
+        round(avgTokLen, 6).as("avg_token_len"),
+        quality.as("quality_score"),
+        when(stopRatio >= 0.02, "en").otherwise("und").as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  private val stopList = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  private val statsQualityOracle =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      t -> list_contains($stopList, t))) AS BIGINT) AS n_stopwords,
+       |    CAST(length(text) AS BIGINT) AS n_chars
+       |  FROM documents)
+       |SELECT doc_id, n_tokens, n_distinct, n_stopwords,
+       |  round(n_stopwords * 1.0 / n_tokens, 6) AS stopword_ratio,
+       |  round((n_chars - (n_tokens - 1)) * 1.0 / n_tokens, 6) AS avg_token_len,
+       |  round(0.5 * (n_stopwords * 1.0 / n_tokens)
+       |      + 0.3 * (n_distinct * 1.0 / n_tokens)
+       |      + 0.2 * (((n_chars - (n_tokens - 1)) * 1.0 / n_tokens)
+       |               / (((n_chars - (n_tokens - 1)) * 1.0 / n_tokens) + 1.0)), 6)
+       |    AS quality_score,
+       |  CASE WHEN n_stopwords * 1.0 / n_tokens >= 0.02 THEN 'en' ELSE 'und' END
+       |    AS lang_pred
+       |FROM base ORDER BY doc_id""".stripMargin
+
+  /** Token counting two ways: whitespace split and a BPE-ish regex
+    * tokenizer (letter runs / digit runs / single other chars).
+    */
+  def tokenCount(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast(LongType).as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
+  private val tokenCountOracle =
+    """SELECT doc_id,
+      | CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+      |   AS n_bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprints: md5 (cryptographic) + polynomial rolling hash
+    * via the native codegen'd [[graft.functions.RollingHash]] expression.
+    * The rolling fold starts at the first byte to match DuckDB's
+    * list_reduce, making even the custom expression oracle-checkable.
+    */
+  def fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("md5_hex"),
+        RollingHash(col("text")).as("rolling_hash"))
+      .orderBy("doc_id")
+
+  private val fingerprintOracle =
+    """SELECT doc_id, md5(text) AS md5_hex,
+      | list_reduce(list_transform(string_split(text, ''),
+      |               c -> CAST(unicode(c) AS BIGINT)),
+      |             (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_hash
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Seq[Query] = Seq(
+    Query("text_stats_quality",
+      "per-doc token stats, quality score, stopword-heuristic language ID",
+      statsQuality, Some(statsQualityOracle)),
+    Query("text_token_count",
+      "whitespace + BPE-ish regex token counts",
+      tokenCount, Some(tokenCountOracle)),
+    Query("text_fingerprint",
+      "md5 + codegen'd polynomial rolling-hash fingerprints",
+      fingerprint, Some(fingerprintOracle)),
+  )
+}

@@ -35,7 +35,7 @@ object Tables {
     * same column to microseconds on read, so we floor-divide to micros and
     * expose TIMESTAMP_NTZ (naive, like the rest of the harness timestamps).
     */
-  private def normalizeEventTs(df: DataFrame): DataFrame =
+  def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts",

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+
+  test("dedup_exact finds exactly the planted duplicates") {
+    val df = run("dedup_exact", SfOracle)
+    assert(df.count() == 500, "one representative per distinct text")
+    assert(df.filter(col("n_copies") === 2).count() == 50,
+      "every 10th doc was planted as a duplicate")
+    assert(df.filter(col("doc_id") >= 100000).count() == 0,
+      "representative must be the min id, never the planted copy")
+  }
+
+  test("ngram jaccard finds the 25 planted near-dup pairs at sf0.01") {
+    val df = run("dedup_ngram_jaccard", SfOracle)
+    assert(df.count() == 25)
+    val bad = df.filter(col("jaccard") < 0.5 || col("jaccard") > 1.0).count()
+    assert(bad == 0)
+  }
+
+  test("minhash LSH recovers every exact-jaccard pair (100% recall at seed)") {
+    val exact = run("dedup_ngram_jaccard", SfOracle)
+      .select(col("i"), col("j")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = run("dedup_minhash_lsh", SfOracle)
+      .select(col("i"), col("j")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact,
+      s"LSH candidates must verify to the exact pair set; missing=${exact -- lsh}")
+  }
+
+  test("simhash near-dup pairs overlap the jaccard near-dup pairs") {
+    val jac = run("dedup_ngram_jaccard", SfOracle)
+      .select(col("i"), col("j")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sim = run("dedup_simhash", SfOracle)
+      .select(col("i"), col("j")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.nonEmpty, "simhash must find near-dup pairs")
+    val overlap = (sim & jac).size.toDouble / sim.size
+    assert(overlap >= 0.5,
+      s"simhash pairs should mostly be true near-dups; precision=$overlap")
+  }
+
+  test("embedding near-dup finds exactly the planted duplicate vectors") {
+    val df = run("dedup_embedding", SfOracle)
+    assert(df.count() == 50)
+    assert(df.filter(col("j") =!= col("i") + 100000).count() == 0,
+      "only planted copies should clear cos ≥ 0.99 on random vectors")
+    assert(df.filter(col("cos_sim") =!= 1.0).count() == 0)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkTestBase {
+
+  test("agg_pricing_summary covers every (returnflag, linestatus) group") {
+    val df = run("agg_pricing_summary")
+    assert(df.count() == 6) // 3 flags × 2 statuses in the generator
+    assert(df.filter(col("sum_qty") <= 0).count() == 0)
+  }
+
+  test("approx distinct is within the configured 2% rsd of exact") {
+    val exact = run("agg_distinct_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = run("agg_approx_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n < 0.1,
+        s"$k: approx $a vs exact $n drifted > 10%")
+    }
+  }
+
+  test("rollup grand-total row equals the full customer count") {
+    val total = run("agg_rollup")
+      .filter(col("nation") === "(all)" && col("segment") === "(all)")
+      .collect()
+    assert(total.length == 1)
+    val nCust = spark.read.parquet(s"$Sf/customer.parquet").count()
+    assert(total.head.getAs[Long]("n_cust") == nCust)
+  }
+
+  test("win_rank_orders keeps at most 3 ranks per customer") {
+    val over = run("win_rank_orders").groupBy(col("o_custkey"))
+      .agg(max(col("rnk")).as("m")).filter(col("m") > 3).count()
+    assert(over == 0)
+  }
+
+  test("semi and anti joins partition the customer set") {
+    val df = run("join_semi_anti")
+    val nCust = spark.read.parquet(s"$Sf/customer.parquet").count()
+    assert(df.count() == nCust)
+    assert(df.select(col("c_custkey")).distinct().count() == nCust)
+  }
+
+  test("top-k plan avoids a global sort (TakeOrderedAndProject)") {
+    val plan = run("sort_topk_customers").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "limit-under-sort must plan as per-partition heaps, not a full sort")
+  }
+
+  test("running total is monotone for non-negative values per user") {
+    val bad = run("win_running_total")
+      .withColumn("prev", lag(col("running_value"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("event_id"))))
+      .filter(col("prev").isNotNull && col("running_value") < col("prev"))
+      .join(
+        spark.read.parquet(s"$Sf/events.parquet").filter(col("value") < 0)
+          .select(col("event_id")),
+        Seq("event_id"), "left_anti")
+      .count()
+    assert(bad == 0)
+  }
+}

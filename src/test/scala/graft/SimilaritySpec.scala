@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkTestBase {
+
+  test("brute-force top-10 is sorted and correctly sized") {
+    val rows = run("sim_topk_bruteforce", SfOracle).collect()
+    assert(rows.length == 10)
+    val sims = rows.map(_.getAs[Double]("cos_sim"))
+    assert(sims.sameElements(sims.sorted.reverse), "descending similarity")
+    assert(!rows.exists(_.getAs[Long]("vec_id") == 0L), "probe excluded")
+  }
+
+  test("ANN returns 10 candidates and overlaps the true top-10") {
+    val truth = run("sim_topk_bruteforce", SfOracle).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val ann = run("sim_ann_lsh", SfOracle).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(ann.size == 10)
+    val recall = (ann & truth).size
+    // deterministic at the fixed seed; random-gaussian corpus gives partial
+    // recall by construction (documented ANN tradeoff)
+    assert(recall >= 2, s"ANN should recover part of the true top-10, got $recall")
+  }
+
+  test("ANN candidates carry exact cosine scores consistent with brute force") {
+    val bySim = run("sim_topk_bruteforce", SfOracle).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+    val annRows = run("sim_ann_lsh", SfOracle).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim"))
+    annRows.foreach { case (id, s) =>
+      bySim.get(id).foreach(t => assert(t == s,
+        s"vec $id: ANN score $s != brute-force score $t"))
+    }
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.RollingHash
+import graft.operators.{MediaRecord, StubDecoder}
+
+class TextMultimodalSpec extends SparkTestBase {
+
+  test("RollingHash matches a hand-computed fold (and the oracle's list_reduce)") {
+    import spark.implicits._
+    // "abc": acc = 97; (97*31+98) % (2^31-1) = 3105; (3105*31+99) = 96354
+    val got = Seq("abc").toDF("s")
+      .select(RollingHash(col("s")).as("h")).head().getLong(0)
+    assert(got == 96354L)
+  }
+
+  test("RollingHash interpreted and codegen paths agree") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$Sf/documents.parquet").select(col("text"))
+    val viaPlan = df.select(RollingHash(col("text")).as("h"))
+      .collect().map(_.getLong(0))
+    val viaEval = df.collect().map { r =>
+      val bytes = r.getString(0).getBytes("UTF-8")
+      var acc = if (bytes.nonEmpty) (bytes(0) & 0xff).toLong else 0L
+      bytes.drop(1).foreach(b => acc = (acc * 31 + (b & 0xff)) % RollingHash.Mod)
+      acc
+    }
+    assert(viaPlan.sameElements(viaEval))
+  }
+
+  test("text stats are internally consistent") {
+    val bad = run("text_stats_quality")
+      .filter(col("n_distinct") > col("n_tokens")
+        || col("n_stopwords") > col("n_tokens")
+        || col("stopword_ratio") < 0 || col("stopword_ratio") > 1
+        || col("quality_score") < 0 || col("quality_score") > 1)
+      .count()
+    assert(bad == 0)
+  }
+
+  test("word-salad corpus: BPE-ish token count equals whitespace count") {
+    // the harness documents are lowercase letter runs + single spaces, so
+    // the regex tokenizer must agree exactly with the whitespace split
+    val bad = run("text_token_count")
+      .filter(col("n_bpe_tokens") =!= col("n_ws_tokens")).count()
+    assert(bad == 0)
+  }
+
+  test("StubDecoder is deterministic and exact on a known payload") {
+    val payload = Array.tabulate(130)(i => (i % 251).toByte) // 3 frames: 64+64+2
+    val f = new StubDecoder(64).decode(MediaRecord(7L, payload))
+    assert(f.doc_id == 7L && f.n_bytes == 130 && f.n_frames == 3)
+    val m1 = (0 until 64).map(_ % 251).sum / 64.0
+    val m2 = (64 until 128).map(_ % 251).sum / 64.0
+    val m3 = (128 until 130).map(_ % 251).sum / 2.0
+    assert(math.abs(f.feat_norm
+      - math.sqrt(m1 * m1 + m2 * m2 + m3 * m3)) < 1e-12)
+  }
+
+  test("mm_frame_sample keeps every 4th frame") {
+    val meta = run("mm_binary_meta").select(col("doc_id"), col("n_frames"))
+    val sampled = run("mm_frame_sample")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sampled"))
+    val bad = meta.join(sampled, "doc_id")
+      .filter(col("n_sampled") =!= ceil(col("n_frames") / 4.0).cast("long"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("streaming tumbling result equals the batch tumbling result") {
+    val batch = run("win_time_tumbling").collect().map(_.toString).sorted
+    val stream = run("stream_tumbling_counts").collect().map(_.toString).sorted
+    assert(stream.sameElements(batch),
+      "AvailableNow streaming over the same files must equal batch")
+  }
+}
