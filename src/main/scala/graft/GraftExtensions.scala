@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProduct, RollingHash}
+
+/** Session extension registering the engine's native expressions for SQL
+  * use (`SELECT rolling_hash(text), dot_product(a, b) ...`). Enable with
+  * `spark.sql.extensions=graft.GraftExtensions` — the harness mains
+  * (Verify/Bench) and the test base do. This is the standard injection
+  * point for custom Catalyst pieces; if a whole-operator extension ever
+  * becomes necessary (none is for the reference surface — SURVEY.md §4.2),
+  * its Rule/Strategy would register here too.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(extensions: SparkSessionExtensions): Unit = {
+    extensions.injectFunction((
+      FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "rolling_hash(str) takes one argument")
+        RollingHash(exprs.head)
+      }))
+    extensions.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "dot_product(a, b) takes two arguments")
+        DotProduct(exprs.head, exprs(1))
+      }))
+  }
+}

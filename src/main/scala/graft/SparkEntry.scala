@@ -13,6 +13,7 @@ object SparkEntry {
 
   private[graft] val registry: Seq[Query] =
     RefParity.queries ++
+      RefPipeline.queries ++
       Relational.queries ++
       TimeWindows.queries ++
       Dedup.queries ++

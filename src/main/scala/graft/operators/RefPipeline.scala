@@ -1,0 +1,276 @@
+package graft.operators
+
+import java.io.{File, PrintWriter}
+import java.sql.Date
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Query
+import graft.Query.SnapshotDate
+import graft.sources.Tables
+
+/** The reference's three fact pipelines, re-expressed as composable
+  * `DataFrame => DataFrame` library functions — the drop-in surface for a
+  * user of the reference (app.py:33-103 transforms, app.py:140-199
+  * enrichment and projections). A reference user switches by pointing these
+  * at their CSV lake and warehouse connections; semantics are preserved
+  * column-for-column:
+  *
+  *  - living_wage (app.py:33-58): keep rows whose wage_level contains
+  *    "LIVING" (P1), rename to the UPPER_CASE warehouse contract (P2),
+  *    strict-cast NUMBER_OF_CHILDREN to int (F3), suffix " COUNTY" (F1),
+  *    constant SNAPSHOT_DATE (P4).
+  *  - annual_expense (app.py:61-85): strip thousands separators from
+  *    usd_amount and strict-cast to double (F2+F4), then as above.
+  *  - typical_salary (app.py:88-103): rename + suffix + snapshot only.
+  *  - enrich (app.py:151-169): inner join dim_location on COUNTY (J1 —
+  *    unmatched counties silently dropped, like pandas merge), inner join
+  *    dim_date on SNAPSHOT_DATE = DATE (J2 — empty dim ⇒ empty load),
+  *    drop DATE, rename DATE_ID → SNAPSHOT_DATE_ID.
+  *  - factX projections (app.py:172-192): exact output column pins.
+  *
+  * Intentional divergence (documented per FIXTURES.md §B.4): pandas raises
+  * on a boolean mask over a null wage_level; Spark's filter drops null rows.
+  * Dropping is the right distributed semantics (a poison row must not kill
+  * a 100 TB load); LivingWage keeps it and the spec pins it down.
+  *
+  * Scale: both dims broadcast (3 rows / 1 row in the reference; any
+  * sub-threshold dim at 100 TB); the fact scan is one pass, all transforms
+  * are per-row codegen'd expressions, and the sink append is an
+  * embarrassingly parallel write.
+  */
+object RefPipeline {
+
+  val snapshot: Date = Date.valueOf(SnapshotDate)
+
+  // ---- CSV contracts (FIXTURES.md §B.1; header-inferred in the reference,
+  // pinned here — deterministic at scale, §1.4) ----
+
+  val livingWageSchema: StructType = StructType(Seq(
+    StructField("wage_level", StringType),
+    StructField("num_children", StringType), // arrives stringly; F3 casts
+    StructField("num_adults", IntegerType),
+    StructField("num_working", IntegerType),
+    StructField("county", StringType),
+    StructField("usd_amount", DoubleType)))
+
+  val expensesSchema: StructType = StructType(Seq(
+    StructField("expense_category", StringType),
+    StructField("num_children", StringType),
+    StructField("num_adults", IntegerType),
+    StructField("num_working", IntegerType),
+    StructField("county", StringType),
+    StructField("usd_amount", StringType))) // "1,234.56" — F2+F4 repair
+
+  val salariesSchema: StructType = StructType(Seq(
+    StructField("occupational_area", StringType),
+    StructField("typical_annual_salary", DoubleType),
+    StructField("county", StringType)))
+
+  // ---- transforms (app.py:33-103) ----
+
+  /** app.py:33-58 — transform_living_wage_df. */
+  def transformLivingWage(df: DataFrame): DataFrame =
+    df.filter(col("wage_level").contains("LIVING"))                    // P1
+      .select(
+        col("num_adults").as("NUMBER_OF_ADULTS"),                      // P2
+        col("num_children").cast(IntegerType)
+          .as("NUMBER_OF_CHILDREN"),                                   // F3
+        col("num_working").as("NUMBER_OF_WORKING_ADULTS"),
+        col("usd_amount").as("HOURLY_WAGE"),
+        concat(col("county"), lit(" COUNTY")).as("COUNTY"))            // F1
+      .withColumn("SNAPSHOT_DATE", lit(snapshot))                      // P4
+
+  /** app.py:61-85 — transform_annual_expenses_df. */
+  def transformExpenses(df: DataFrame): DataFrame =
+    df.select(
+        col("expense_category").as("CATEGORY"),
+        col("num_children").cast(IntegerType).as("NUMBER_OF_CHILDREN"),
+        translate(col("usd_amount"), ",", "")
+          .cast(DoubleType).as("AMOUNT"),                              // F2+F4
+        col("num_adults").as("NUMBER_OF_ADULTS"),
+        col("num_working").as("NUMBER_OF_WORKING_ADULTS"),
+        concat(col("county"), lit(" COUNTY")).as("COUNTY"))
+      .withColumn("SNAPSHOT_DATE", lit(snapshot))
+
+  /** app.py:88-103 — transform_typical_salaries_df. */
+  def transformSalaries(df: DataFrame): DataFrame =
+    df.select(
+        col("occupational_area").as("OCCUPATION"),
+        col("typical_annual_salary").as("SALARY"),
+        concat(col("county"), lit(" COUNTY")).as("COUNTY"))
+      .withColumn("SNAPSHOT_DATE", lit(snapshot))
+
+  /** app.py:151-169 — the two-dim star enrichment shared by all facts. */
+  def enrich(fact: DataFrame, dimLocation: DataFrame, dimDate: DataFrame)
+      : DataFrame =
+    fact
+      .join(broadcast(dimLocation), Seq("COUNTY"), "inner")            // J1
+      .join(broadcast(dimDate),
+        col("SNAPSHOT_DATE") === col("DATE"), "inner")                 // J2
+      .drop("DATE")
+      .withColumnRenamed("DATE_ID", "SNAPSHOT_DATE_ID")
+
+  /** app.py:172-192 — exact output column pins (FIXTURES.md §B.3). */
+  def factLivingWage(enriched: DataFrame): DataFrame =
+    enriched.select("NUMBER_OF_ADULTS", "NUMBER_OF_CHILDREN",
+      "NUMBER_OF_WORKING_ADULTS", "HOURLY_WAGE", "SNAPSHOT_DATE_ID",
+      "LOCATION_ID")
+
+  def factAnnualExpense(enriched: DataFrame): DataFrame =
+    enriched.select("CATEGORY", "NUMBER_OF_CHILDREN", "AMOUNT",
+      "NUMBER_OF_ADULTS", "NUMBER_OF_WORKING_ADULTS", "SNAPSHOT_DATE_ID",
+      "LOCATION_ID")
+
+  def factTypicalSalary(enriched: DataFrame): DataFrame =
+    enriched.select("OCCUPATION", "SALARY", "SNAPSHOT_DATE_ID",
+      "LOCATION_ID")
+
+  // ---- staged fixture lake (reference-shaped CSVs derived
+  //      deterministically from the harness tables) ----
+
+  /** Stages the three CSV datasets + the two warehouse dims under a local
+    * "lake" laid out like the reference's S3 keyspace. Content derives from
+    * the harness supplier/nation/part tables so it is deterministic per
+    * sfDir. Fixture prep (≤2000 rows), not a distributed op.
+    */
+  def stageLake(spark: SparkSession, sfDir: String): String = synchronized {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val root = new File(sys.props("java.io.tmpdir"), s"graft_ref_lake_$tag")
+    val done = new File(root, ".staged")
+    if (!done.exists()) {
+      val part = new File(root, s"cost_of_living/$SnapshotDate")
+      part.mkdirs()
+      def writeCsv(name: String, header: String, rows: Seq[String]): Unit = {
+        val w = new PrintWriter(new File(part, name))
+        try { w.println(header); rows.foreach(w.println) } finally w.close()
+      }
+      val nations = Tables(spark, sfDir, "nation")
+        .select("n_nationkey", "n_name").collect()
+        .map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+      val supp = Tables(spark, sfDir, "supplier")
+        .select("s_suppkey", "s_nationkey", "s_acctbal").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+      val byKey = nations.toMap
+      // living_wage: two wage levels; only LIVING rows survive P1
+      writeCsv("living_wage_0.csv",
+        "wage_level,num_children,num_adults,num_working,county,usd_amount",
+        supp.toSeq.map { case (k, nk, bal) =>
+          val lvl = if (k % 2 == 0) "LIVING WAGE" else "MINIMUM WAGE"
+          s"$lvl,${k % 4},${1 + (k % 2)},${1 + (k % 3)},${byKey(nk)},${math.abs(bal) / 100}"
+        })
+      // expenses: money strings with thousands separators (F2 fodder)
+      writeCsv("expenses_0.csv",
+        "expense_category,num_children,num_adults,num_working,county,usd_amount",
+        supp.toSeq.map { case (k, nk, bal) =>
+          val cents = math.abs(math.round(bal * 100))
+          val whole = cents / 100
+          val money =
+            if (whole >= 1000) s"${whole / 1000},${"%03d".format(whole % 1000)}.${"%02d".format(cents % 100)}"
+            else s"$whole.${"%02d".format(cents % 100)}"
+          s"cat${k % 5},${k % 4},${1 + (k % 2)},${1 + (k % 3)},${byKey(nk)},\"$money\""
+        })
+      // typical_salaries
+      writeCsv("typical_salaries_0.csv",
+        "occupational_area,typical_annual_salary,county",
+        supp.toSeq.map { case (k, nk, bal) =>
+          s"occ${k % 7},${math.abs(bal) * 10},${byKey(nk)}"
+        })
+      // dim_location: only nations of region 1 are "in state" (S5's
+      // WHERE state filter) — unmatched counties drop in J1, like app.py
+      val dimLoc = Tables(spark, sfDir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).sortBy(_._1)
+      val w = new PrintWriter(new File(root, "dim_location.csv"))
+      try {
+        w.println("LOCATION_ID,COUNTY,STATE")
+        dimLoc.foreach { case (k, n, rk) =>
+          w.println(s"$k,$n COUNTY,${if (rk == 1) "DE" else "XX"}")
+        }
+      } finally w.close()
+      val w2 = new PrintWriter(new File(root, "dim_date.csv"))
+      try {
+        w2.println("DATE_ID,DATE")
+        w2.println(s"20260812,$SnapshotDate")
+      } finally w2.close()
+      done.createNewFile()
+    }
+    root.getAbsolutePath
+  }
+
+  /** S5-analog: dim_location scan with the state filter pushed down. */
+  def dimLocation(spark: SparkSession, root: String): DataFrame =
+    spark.read
+      .schema(StructType(Seq(
+        StructField("LOCATION_ID", LongType),
+        StructField("COUNTY", StringType),
+        StructField("STATE", StringType))))
+      .option("header", "true").csv(s"$root/dim_location.csv")
+      .filter(col("STATE") === "DE")
+      .select("LOCATION_ID", "COUNTY")
+
+  /** S6-analog: single-row dim_date lookup by the run-date literal. */
+  def dimDate(spark: SparkSession, root: String): DataFrame =
+    spark.read
+      .schema(StructType(Seq(
+        StructField("DATE_ID", LongType),
+        StructField("DATE", DateType))))
+      .option("header", "true").csv(s"$root/dim_date.csv")
+      .filter(col("DATE") === lit(snapshot))
+
+  private def readDataset(
+      spark: SparkSession, root: String, glob: String, schema: StructType)
+      : DataFrame =
+    spark.read.schema(schema).option("header", "true")
+      .option("pathGlobFilter", glob)
+      .csv(s"$root/cost_of_living/$SnapshotDate")
+
+  /** End-to-end pipeline per dataset, exactly main()'s wiring
+    * (app.py:106-199): extract → transform → enrich → project.
+    */
+  def livingWagePipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = stageLake(spark, sfDir)
+    factLivingWage(enrich(
+      transformLivingWage(
+        readDataset(spark, root, "*living_wage*", livingWageSchema)),
+      dimLocation(spark, root), dimDate(spark, root)))
+      .orderBy("LOCATION_ID", "HOURLY_WAGE", "NUMBER_OF_CHILDREN",
+        "NUMBER_OF_ADULTS", "NUMBER_OF_WORKING_ADULTS")
+  }
+
+  def annualExpensePipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = stageLake(spark, sfDir)
+    factAnnualExpense(enrich(
+      transformExpenses(
+        readDataset(spark, root, "*expenses*", expensesSchema)),
+      dimLocation(spark, root), dimDate(spark, root)))
+      .orderBy("LOCATION_ID", "CATEGORY", "AMOUNT", "NUMBER_OF_CHILDREN",
+        "NUMBER_OF_ADULTS", "NUMBER_OF_WORKING_ADULTS")
+  }
+
+  def typicalSalaryPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = stageLake(spark, sfDir)
+    factTypicalSalary(enrich(
+      transformSalaries(
+        readDataset(spark, root, "*typical_salaries*", salariesSchema)),
+      dimLocation(spark, root), dimDate(spark, root)))
+      .orderBy("LOCATION_ID", "OCCUPATION", "SALARY")
+  }
+
+  // No DuckDB oracle: these read the staged reference-shaped CSV lake,
+  // which the driver's oracle engine doesn't mount (it only sees the ten
+  // harness tables). RefPipelineSpec pins the semantics value-exactly.
+  val queries: Seq[Query] = Seq(
+    Query("ref_pipeline_living_wage",
+      "faithful living_wage fact pipeline over reference-shaped CSVs",
+      livingWagePipeline, None),
+    Query("ref_pipeline_annual_expense",
+      "faithful annual_expense fact pipeline (comma-strip + strict casts)",
+      annualExpensePipeline, None),
+    Query("ref_pipeline_typical_salary",
+      "faithful typical_salary fact pipeline",
+      typicalSalaryPipeline, None),
+  )
+}

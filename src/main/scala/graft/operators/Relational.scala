@@ -117,6 +117,50 @@ object Relational {
        |GROUP BY ROLLUP(n_name, c_mktsegment)
        |ORDER BY nation, segment""".stripMargin
 
+  /** CUBE over (orderstatus, orderpriority): all four grouping grades. */
+  def cubeOrderStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy("status", "priority")
+
+  private val cubeOracle =
+    s"""SELECT coalesce(o_orderstatus, '(all)') AS status,
+       | coalesce(o_orderpriority, '(all)') AS priority,
+       | CAST(count(*) AS BIGINT) AS n_orders,
+       | ${sqlDsum("o_totalprice")} AS sum_price
+       |FROM orders
+       |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       |ORDER BY status, priority""".stripMargin
+
+  /** Multiset set ops (INTERSECT ALL / EXCEPT ALL) over order keys of two
+    * line-status slices — duplicates preserved per multiset semantics.
+    */
+  def setOpsAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+    val o = li.filter(col("l_linestatus") === "O").select(col("l_orderkey"))
+    val f = li.filter(col("l_linestatus") === "F").select(col("l_orderkey"))
+    o.intersectAll(f).withColumn("tag", lit("both"))
+      .unionByName(o.exceptAll(f).withColumn("tag", lit("open_only")))
+      .orderBy("tag", "l_orderkey")
+  }
+
+  private val setOpsAllOracle =
+    """SELECT l_orderkey, 'both' AS tag FROM (
+      |  SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'O'
+      |  INTERSECT ALL
+      |  SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F')
+      |UNION ALL
+      |SELECT l_orderkey, 'open_only' AS tag FROM (
+      |  SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'O'
+      |  EXCEPT ALL
+      |  SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F')
+      |ORDER BY tag, l_orderkey""".stripMargin
+
   // ---- window functions -----------------------------------------------
 
   /** rank/dense_rank/row_number per customer over order value; keeps top 3
@@ -348,6 +392,12 @@ object Relational {
     Query("agg_rollup",
       "ROLLUP(nation, segment) subtotals after broadcast dim join",
       rollupNationSegment, Some(rollupOracle)),
+    Query("agg_cube",
+      "CUBE(status, priority) over orders",
+      cubeOrderStats, Some(cubeOracle)),
+    Query("set_ops_all",
+      "INTERSECT ALL / EXCEPT ALL multiset ops over order keys",
+      setOpsAll, Some(setOpsAllOracle)),
     Query("win_rank_orders",
       "rank/dense_rank/row_number per customer, top-3 filter",
       rankOrders, Some(rankOrdersOracle)),

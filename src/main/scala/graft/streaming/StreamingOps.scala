@@ -1,15 +1,30 @@
 package graft.streaming
 
+import java.time.Instant
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.TimestampNTZType
 
 import graft.Query
 import graft.functions.Exact._
 import graft.sources.Tables
+
+/** Typed event row for the stateful stream (Instant keeps microseconds —
+  * java.sql.Timestamp#getTime would truncate to millis and break tie-sorts).
+  */
+case class StreamEvent(user_id: Long, event_id: Long, ts: Instant)
+
+/** Carry-over state per user: sessions emitted so far (correct numbering
+  * across micro-batches in a long-running deployment).
+  */
+case class SessionizerState(sessionsEmitted: Long)
+
+case class SessionRow(
+    user_id: Long, session_seq: Long, n_events: Long,
+    session_start: Instant, session_end: Instant)
 
 /** Structured Streaming twins of the batch event-time operators: the same
   * tumbling-window aggregation declared over `readStream`, driven to
@@ -76,9 +91,102 @@ object StreamingOps {
        |GROUP BY wstart, event_type
        |ORDER BY wstart, event_type""".stripMargin
 
+  /** Stateful sessionization with flatMapGroupsWithState: per-user custom
+    * state, 30-minute gap splits — the arbitrary-state API the windowed
+    * operators can't express. Under Trigger.AvailableNow every user's
+    * events arrive in one group invocation, so emitting all sessions at
+    * batch end reproduces the batch `win_sessionize` result exactly and
+    * shares its DuckDB oracle (a second batch/streaming consistency gate).
+    * In a continuous deployment the open tail session would stay in state
+    * and flush on event-time timeout instead; the state type already
+    * carries the cross-batch session numbering for that.
+    */
+  def sessionizeStateful(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val path = s"$sfDir/events.parquet"
+    val batchSchema = spark.read.parquet(path).schema
+    val events = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .as[StreamEvent]
+
+    val gapMicros = 30L * 60 * 1000000
+
+    val sessions = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionizerState, SessionRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[StreamEvent],
+         state: GroupState[SessionizerState]) =>
+          val base = state.getOption.map(_.sessionsEmitted).getOrElse(0L)
+          // state functions receive events unordered — order within the
+          // batch before gap detection (micros-precision tie-break on id)
+          val sorted = evs.toArray.sortBy(e =>
+            (e.ts.getEpochSecond * 1000000 + e.ts.getNano / 1000, e.event_id))
+          val out = Seq.newBuilder[SessionRow]
+          var seq = base
+          var start: StreamEvent = null
+          var last: StreamEvent = null
+          var n = 0L
+          def micros(i: Instant): Long =
+            i.getEpochSecond * 1000000 + i.getNano / 1000
+          def close(): Unit = if (start != null) {
+            seq += 1
+            out += SessionRow(uid, seq, n, start.ts, last.ts)
+          }
+          sorted.foreach { e =>
+            if (start == null || micros(e.ts) - micros(last.ts) >= gapMicros) {
+              close(); start = e; last = e; n = 1L
+            } else { last = e; n += 1L }
+          }
+          close()
+          state.update(SessionizerState(seq))
+          out.result().iterator
+      }
+
+    val name = s"graft_stream_sessionize_${sinkId.incrementAndGet()}"
+    val q = sessions.toDF().writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        col("session_start").cast(TimestampNTZType).as("session_start"),
+        col("session_end").cast(TimestampNTZType).as("session_end"))
+      .orderBy("user_id", "session_seq")
+  }
+
+  // same result contract as the batch win_sessionize query
+  private val sessionizeStatefulOracle =
+    """SELECT user_id, session_seq,
+      | CAST(count(*) AS BIGINT) AS n_events,
+      | min(ts) AS session_start, max(ts) AS session_end
+      |FROM (
+      | SELECT user_id, ts,
+      |  CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      | FROM (
+      |  SELECT user_id, ts, event_id,
+      |   CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL '30 minutes'
+      |        THEN 1 ELSE 0 END AS new_session
+      |  FROM (SELECT user_id, ts, event_id,
+      |         lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |        FROM events)))
+      |GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("stream_tumbling_counts",
       "Structured Streaming tumbling windows (AvailableNow; equals batch)",
       tumblingStream, Some(tumblingStreamOracle)),
+    Query("stream_sessionize_stateful",
+      "flatMapGroupsWithState sessionization (AvailableNow; equals batch)",
+      sessionizeStateful, Some(sessionizeStatefulOracle)),
   )
 }

@@ -18,6 +18,7 @@ trait SparkTestBase extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .getOrCreate()
 
   def run(name: String, sf: String = Sf): org.apache.spark.sql.DataFrame =

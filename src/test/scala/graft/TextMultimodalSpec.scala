@@ -15,6 +15,15 @@ class TextMultimodalSpec extends SparkTestBase {
     assert(got == 96354L)
   }
 
+  test("extensions register the native expressions for SQL use") {
+    val h = spark.sql("SELECT rolling_hash('abc') AS h").head().getLong(0)
+    assert(h == 96354L)
+    val d = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0)
+    assert(d == 11.0)
+  }
+
   test("RollingHash interpreted and codegen paths agree") {
     import spark.implicits._
     val df = spark.read.parquet(s"$Sf/documents.parquet").select(col("text"))
