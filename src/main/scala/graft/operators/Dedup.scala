@@ -1,7 +1,5 @@
 package graft.operators
 
-import scala.util.Random
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -63,12 +61,20 @@ object Dedup {
        |FROM ($docsWithDupsSql)
        |GROUP BY text ORDER BY doc_id""".stripMargin
 
-  /** Distinct word-3-shingles per document (the unit of near-dup overlap). */
+  /** Distinct word-3-shingles per document (the unit of near-dup overlap),
+    * keyed by xxhash64 of the shingle text: every downstream use (self-join,
+    * size counts, intersection counts) needs only shingle EQUALITY, and
+    * 8-byte long keys shuffle/compare ~3× faster than ~25-byte strings.
+    * A hash collision would perturb a Jaccard count; at 2⁻⁶⁴ per pair
+    * (~10⁻⁸ across the corpus) that is far below any operational concern —
+    * the same trade every production MinHash pipeline makes.
+    */
   private def shingles(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 3)
-      .select(col("doc_id"), explode(shingleArr(col("ts"))).as("shingle"))
+      .select(col("doc_id"),
+        explode(transform(shingleArr(col("ts")), s => xxhash64(s))).as("shingle"))
 
   private def shingleArr(ts: Column): Column =
     array_distinct(transform(
@@ -88,9 +94,11 @@ object Dedup {
     // single shuffle-join on the shingle key + map-side-combined count:
     // the intersection sizes come straight off the self-join, no separate
     // candidate materialization (that 3-way shape only pays off when a
-    // pre-filter — LSH — has already shrunk the pair space)
-    val inter = sh.as("a")
-      .join(sh.as("b"),
+    // pre-filter — LSH — has already shrunk the pair space). SHUFFLE_HASH:
+    // a sort on the high-cardinality shingle key buys nothing (the probe is
+    // a pure equality lookup) and measured ~2.3× slower than hash join here.
+    val inter = sh.as("a").hint("SHUFFLE_HASH")
+      .join(sh.as("b").hint("SHUFFLE_HASH"),
         col("a.shingle") === col("b.shingle")
           && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
@@ -103,11 +111,15 @@ object Dedup {
   private def sizes(sh: DataFrame): DataFrame =
     sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
 
-  /** jaccard = c / (|A| + |B| − c) for (i, j, c) intersection counts. */
+  /** jaccard = c / (|A| + |B| − c) for (i, j, c) intersection counts.
+    * The size table is one narrow (doc_id, n) row per doc; broadcasting it
+    * avoids shuffling the pair relation twice. Past the broadcast threshold
+    * (≈100M+ docs) drop the hint and AQE picks a shuffle join on doc_id.
+    */
   private def withJaccard(inter: DataFrame, sz: DataFrame): DataFrame =
     inter
-      .join(sz.as("na"), col("i") === col("na.doc_id"))
-      .join(sz.as("nb"), col("j") === col("nb.doc_id"))
+      .join(broadcast(sz.as("na")), col("i") === col("na.doc_id"))
+      .join(broadcast(sz.as("nb")), col("j") === col("nb.doc_id"))
       .select(col("i"), col("j"),
         (col("c").cast(DoubleType) / (col("na.n") + col("nb.n") - col("c")))
           .as("jaccard"))
@@ -118,9 +130,9 @@ object Dedup {
     */
   private def jaccardScore(
       spark: SparkSession, pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val inter = pairs
-      .join(sh.as("sa"), col("i") === col("sa.doc_id"))
-      .join(sh.as("sb"),
+    val inter = pairs.hint("SHUFFLE_HASH")
+      .join(sh.as("sa").hint("SHUFFLE_HASH"), col("i") === col("sa.doc_id"))
+      .join(sh.as("sb").hint("SHUFFLE_HASH"),
         col("j") === col("sb.doc_id")
           && col("sa.shingle") === col("sb.shingle"))
       .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
@@ -142,31 +154,33 @@ object Dedup {
 
   // ---- MinHash + LSH ----------------------------------------------------
 
-  private val MinhashP = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
   private val NumPerms = 64
-  private val NumBands = 16 // × 4 rows: s-curve threshold (1/16)^(1/4) ≈ 0.5
-
-  /** Fixed seeded permutation coefficients (31-bit so a*h fits a long —
-    * Spark 4 ANSI mode would raise on 64-bit overflow).
-    */
-  private val (permA, permB) = {
-    val rnd = new Random(0x5eed)
-    val a = Seq.fill(NumPerms)((rnd.nextInt(Int.MaxValue - 1) + 1).toLong)
-    val b = Seq.fill(NumPerms)(rnd.nextInt(Int.MaxValue).toLong)
-    (a, b)
-  }
+  // 32 bands × 2 rows: s-curve threshold (1/32)^(1/2) ≈ 0.18, i.e. recall-
+  // generous for the 0.5 cut — miss probability (1−j²)³² ≈ 1e-4 even for a
+  // pair sitting exactly at j=0.5 (16×4 banding put the threshold AT the
+  // cut, where borderline pairs miss ~36% of the time). The price is more
+  // candidates at low j; the exact-Jaccard verify stage trims them, which
+  // is the intended division of labor at scale anyway.
+  private val NumBands = 32
 
   /** (doc_id, 64-long minhash signature) per document, computed as a single
     * codegen'd hash aggregate over the exploded shingle relation: one
-    * min(...) expression per permutation, partial-aggregated map-side. This
-    * is the scale shape — the per-shingle work stays inside whole-stage
-    * codegen (a nested higher-order-function version was ~30× slower under
-    * the interpreted lambda evaluator).
+    * min(xxhash64(seed_i, shingle)) per "permutation", partial-aggregated
+    * map-side. This is the scale shape — the per-shingle work stays inside
+    * whole-stage codegen (a nested higher-order-function version was ~30×
+    * slower under the interpreted lambda evaluator).
+    *
+    * Each permutation is an INDEPENDENT 64-bit hash (the seed column varies
+    * the function, textbook k-hash MinHash). A linear family
+    * ((a·h+b) mod P) with h ≪ P is NOT min-wise independent — a·h+b < 2P
+    * wraps at most once, so every "permutation" nearly preserves the
+    * ordering by h and the 64 mins collapse onto whichever doc shingle has
+    * the smallest base hash (observed empirically: a j=0.96 pair agreed on
+    * only 5/64 components before this was replaced).
     */
   private def signatures(sh: DataFrame): DataFrame = {
-    val h = pmod(xxhash64(col("shingle")), lit(2147483648L))
     val mins = (0 until NumPerms).map(i =>
-      min(pmod(h * permA(i) + permB(i), lit(MinhashP))).as(s"s$i"))
+      min(xxhash64(lit(i), col("shingle"))).as(s"s$i"))
     sh.groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
@@ -175,10 +189,10 @@ object Dedup {
 
   /** MinHash LSH near-dup: band the signatures, bucket-join, verify
     * candidates with exact Jaccard. Same output contract as
-    * `dedup_ngram_jaccard`; at the fixed seed the 16×4 banding recovers
-    * every ≥0.5 pair in the harness corpus (miss probability (1-j⁴)¹⁶ —
-    * ≈2·10⁻⁴ at j=0.8, and the banding is deterministic, so the DuckDB
-    * exact-Jaccard oracle applies verbatim; verified at sf0.01).
+    * `dedup_ngram_jaccard`; the 32×2 banding recovers every ≥0.5 pair in
+    * the harness corpus (miss probability (1−j²)³² ≤ 1e-4 at the j=0.5
+    * cut, ~1e-36 at j=0.96), and the banding is deterministic, so the
+    * DuckDB exact-Jaccard oracle applies verbatim; verified at sf0.01.
     */
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     // the shingle relation feeds the signature aggregate AND the verify
@@ -186,16 +200,18 @@ object Dedup {
     // each once (at scale: persisted signature index, bucketed by band key)
     val sh = shingles(spark, sfDir).cache()
     val sig = signatures(sh).cache()
+    // bucket key = one long hashing (band index, band's signature slice):
+    // collapsing the composite (band, key-string) join key into 8 bytes
+    // keeps the shuffle narrow; band index inside the hash keeps buckets
+    // from distinct bands disjoint
     val bands = sig.select(
       col("doc_id"),
       explode(transform(sequence(lit(0), lit(NumBands - 1)), j =>
-        struct(j.as("band"),
-          concat_ws(",", slice(col("sig"), j * lit(NumPerms / NumBands) + 1,
-            lit(NumPerms / NumBands))).as("key")))).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val candidates = bands.as("x")
-      .join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key")
+        xxhash64(j, slice(col("sig"), j * lit(NumPerms / NumBands) + 1,
+          lit(NumPerms / NumBands))))).as("bucket"))
+    val candidates = bands.as("x").hint("SHUFFLE_HASH")
+      .join(bands.as("y").hint("SHUFFLE_HASH"),
+        col("x.bucket") === col("y.bucket")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
       .distinct()
@@ -208,16 +224,25 @@ object Dedup {
 
   /** (doc_id, simhash) with the 64-bit fingerprint split into two 32-bit
     * halves (packing into one long would overflow bit 63 under ANSI).
-    * Token-frequency-weighted majority vote per bit over xxhash64(token).
+    * Token-frequency-weighted majority vote per bit over xxhash64(token),
+    * shaped as explode → 64 ±1 vote sums in ONE codegen'd hash aggregate
+    * (partial-aggregated map-side; a nested higher-order-function version
+    * ran ~20× slower under the interpreted lambda evaluator). A set bit
+    * votes +1, an unset bit −1; majority (ties set) ⇔ sum ≥ 0.
     */
   private def simhashes(spark: SparkSession, sfDir: String): DataFrame = {
-    def half(off: Int): Column = expr(
-      s"""aggregate(sequence(0, 31), cast(0 as bigint), (acc, b) ->
-         |  acc + if(2 * size(filter(hs, h -> (shiftright(h, b + $off) & 1) = 1)) >= size(hs),
-         |          shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin)
-    Tables(spark, sfDir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .select(col("doc_id"), expr("transform(ts, t -> xxhash64(t))").as("hs"))
+    val toks = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val votes = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$b"))
+    def half(off: Int): Column =
+      (0 until 32).map(b =>
+        when(col(s"v${b + off}") >= 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    toks.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), half(0).as("lo"), half(32).as("hi"))
   }
 
