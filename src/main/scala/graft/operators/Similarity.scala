@@ -6,7 +6,10 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import org.apache.spark.sql.expressions.Window
+
 import graft.Query
+import graft.functions.DotProduct
 import graft.sources.Tables
 
 /** Similarity search over an embedding column (ARRAY<FLOAT>, 64-dim).
@@ -19,9 +22,11 @@ import graft.sources.Tables
   *  - `sim_ann_lsh`: random-hyperplane (sign) LSH — vectors bucketed by a
   *    16-bit signature; the probe searches only its bucket and hamming≤1
   *    neighbors (multiprobe). At 100 TB the bucketed table is the index:
-  *    pre-partitioned by signature, a probe touches 17 of 65536 buckets
-  *    (~0.03% of the corpus). IVF would replace random planes with k-means
-  *    centroids; the plumbing (bucket → prune → exact re-rank) is identical.
+  *    pre-partitioned by signature, a probe touches a few buckets only;
+  *  - `sim_ann_ivf`: inverted-file (IVF-flat) — vectors assigned to coarse
+  *    centroid lists, probe searches its nprobe nearest lists, exact cosine
+  *    re-rank. Deterministic end to end, so unlike most ANN it carries a
+  *    full DuckDB oracle.
   */
 object Similarity {
 
@@ -70,21 +75,16 @@ object Similarity {
     * measures recall against `sim_topk_bruteforce`.
     */
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val planesLit = typedLit(planes)
-    // 16-bit signature: bit k = sign(v · plane_k); the packed value stays
-    // < 2^16 — no overflow under ANSI.
-    val signature = expr(
-      s"""aggregate(sequence(0, ${NumPlanes - 1}), cast(0 as bigint), (acc, k) ->
-         |  acc + if(aggregate(zip_with(e, element_at(planes, k + 1),
-         |                              (p, q) -> p * q),
-         |                     cast(0.0 as double), (a2, v) -> a2 + v) > 0,
-         |           shiftleft(cast(1 as bigint), k), cast(0 as bigint)))"""
-        .stripMargin)
+    // signature: bit k = sign(v · plane_k), each dot a codegen'd DotProduct
+    // against a literal plane (the nested higher-order-function form paid an
+    // interpreted lambda call per element per plane); the packed value stays
+    // < 2^16 — no overflow under ANSI
+    val signature = (0 until NumPlanes).map(k =>
+      when(DotProduct(col("e"), typedLit(planes(k))) > 0, lit(1L << k))
+        .otherwise(lit(0L))).reduce(_ + _)
     val e = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
-      .withColumn("planes", planesLit)
       .withColumn("bucket", signature)
-      .drop("planes")
     val probe = e.filter(col("vec_id") === 0)
       .select(col("e").as("probe"), col("bucket").as("pbucket"))
     e.filter(col("vec_id") =!= 0)
@@ -96,12 +96,90 @@ object Similarity {
       .limit(10)
   }
 
+  // ---- IVF ---------------------------------------------------------------
+
+  /** Every-100th vector doubles as a coarse centroid: deterministic, and at
+    * harness scale a fair stand-in for offline k-means (IVF quality depends
+    * on centroid placement; the PLAN — assign, prune to nprobe lists,
+    * exact re-rank — is identical and is what this query exercises).
+    */
+  private val CentEvery = 100
+  private val NProbe = 2
+
+  /** IVF-flat ANN: vectors are assigned to their nearest coarse centroid
+    * (inverted lists); the probe searches only its `NProbe` nearest lists
+    * and re-ranks candidates by exact cosine. Fully deterministic (cosines
+    * rounded to 6dp before every argmax, centroid-id tie-breaks), so the
+    * same inverted-file logic is a DuckDB oracle.
+    *
+    * 100 TB shape: centroids come from offline k-means (tiny, broadcast);
+    * assignment is one broadcast-join scan; the corpus is then WRITTEN
+    * partitioned by list id, so a probe's scan prunes to nprobe partitions
+    * (partition pruning does the candidate cut, not a runtime filter).
+    */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val cents = e.filter(pmod(col("vec_id"), lit(CentEvery)) === 1)
+      .select(col("vec_id").as("cent_id"), col("e").as("c"))
+    val sims = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("e"), col("cent_id"),
+        round(Dedup.cosine(col("e"), col("c")), 6).as("sim"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("cent_id"))
+    val assigned = sims
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("cent_id"))
+    // probe's nprobe nearest centroid lists (a handful of rows; the global
+    // window is a single tiny partition by construction)
+    val probeCents = sims.filter(col("vec_id") === 0)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("sim").desc, col("cent_id"))))
+      .filter(col("rn") <= NProbe)
+      .select(col("cent_id"))
+    val probe = e.filter(col("vec_id") === 0).select(col("e").as("probe"))
+    assigned.filter(col("vec_id") =!= 0)
+      .join(broadcast(probeCents), Seq("cent_id"))
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(Dedup.cosine(col("e"), col("probe")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val annIvfOracle =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id % $CentEvery = 1),
+       |sims AS (SELECT e.vec_id, c.cent_id,
+       |           round(list_cosine_similarity(e.v, c.cv), 6) AS sim
+       |         FROM e CROSS JOIN c),
+       |assigned AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT vec_id, cent_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+       |    FROM sims) WHERE rn = 1),
+       |pc AS (
+       |  SELECT cent_id FROM (
+       |    SELECT cent_id, row_number() OVER (ORDER BY sim DESC, cent_id) AS rn
+       |    FROM sims WHERE vec_id = 0) WHERE rn <= $NProbe),
+       |probe AS (SELECT v FROM e WHERE vec_id = 0)
+       |SELECT e.vec_id, round(list_cosine_similarity(e.v, probe.v), 6) AS cos_sim
+       |FROM e JOIN assigned a ON e.vec_id = a.vec_id
+       |JOIN pc ON a.cent_id = pc.cent_id
+       |CROSS JOIN probe
+       |WHERE e.vec_id <> 0
+       |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("sim_topk_bruteforce",
       "exact cosine top-10 vs broadcast probe (TakeOrderedAndProject)",
       topkBruteforce, Some(topkOracle)),
     Query("sim_ann_lsh",
-      "sign-LSH bucketed ANN top-10 with hamming≤1 multiprobe (no oracle)",
+      "sign-LSH bucketed ANN top-10 with hamming≤2 multiprobe (no oracle)",
       annLsh, None),
+    Query("sim_ann_ivf",
+      "IVF-flat ANN: nearest-centroid lists, nprobe=2, exact re-rank",
+      annIvf, Some(annIvfOracle)),
   )
 }

@@ -24,6 +24,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 2, s"ANN should recover part of the true top-10, got $recall")
   }
 
+  test("IVF returns 10 candidates, sorted, with scores matching brute force") {
+    val bySim = run("sim_topk_bruteforce", SfOracle).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+    val rows = run("sim_ann_ivf", SfOracle).collect()
+    assert(rows.length == 10)
+    val sims = rows.map(_.getAs[Double]("cos_sim"))
+    assert(sims.sameElements(sims.sorted.reverse), "descending similarity")
+    assert(!rows.exists(_.getAs[Long]("vec_id") == 0L), "probe excluded")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      bySim.get(id).foreach(t => assert(t == r.getAs[Double]("cos_sim"),
+        s"vec $id: IVF score != brute-force score"))
+    }
+  }
+
   test("ANN candidates carry exact cosine scores consistent with brute force") {
     val bySim = run("sim_topk_bruteforce", SfOracle).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
