@@ -380,6 +380,108 @@ object Relational {
       |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
       |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin
 
+  // ---- as-of join -------------------------------------------------------
+
+  /** As-of join, an operator Spark has no primitive for: attach to every
+    * event the user's most recent click at-or-before it.
+    *
+    * Implemented the scale-first way — tag reference and probe rows, UNION,
+    * one window per key ordered by (time, tag) carrying `last(ref,
+    * ignoreNulls)` forward — instead of a per-row range join: one shuffle on
+    * the key, linear scan within partitions, no candidate blow-up. (A
+    * backward range join explodes to |events|×|clicks-per-user| candidates
+    * before picking max ts; the union trick is O(n log n) per key.) The
+    * reference stream is deduped to one row per (user, ts) (max event_id)
+    * so the as-of pick is deterministic in both engines; DuckDB expresses
+    * the same operator natively as ASOF LEFT JOIN.
+    */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+    val refStructType = "struct<ts:timestamp_ntz,id:bigint>"
+    val refs = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("ref_event_id"))
+      .select(col("user_id"), col("ts"), lit(0).as("tag"),
+        lit(null).cast(LongType).as("event_id"),
+        lit(null).cast(StringType).as("event_type"),
+        struct(col("ts").as("ts"), col("ref_event_id").as("id")).as("ref"))
+    val probes = ev.select(col("user_id"), col("ts"), lit(1).as("tag"),
+      col("event_id"), col("event_type"),
+      lit(null).cast(refStructType).as("ref"))
+    // refs sort before probes at equal ts (tag 0 < 1) ⇒ "at or before"
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    refs.unionByName(probes)
+      .withColumn("asof", last(col("ref"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("asof.ts").as("last_click_ts"),
+        col("asof.id").as("last_click_event_id"))
+      .orderBy("event_id")
+  }
+
+  private val asofJoinOracle =
+    """WITH refs AS (
+      |  SELECT user_id, ts, max(event_id) AS ref_id FROM events
+      |  WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, e.ts, e.event_type,
+      |       r.ts AS last_click_ts, r.ref_id AS last_click_event_id
+      |FROM events e ASOF LEFT JOIN refs r
+      |  ON e.user_id = r.user_id AND e.ts >= r.ts
+      |ORDER BY e.event_id""".stripMargin
+
+  // ---- pivot ------------------------------------------------------------
+
+  /** Pivot (long→wide) with an explicit value list — the explicit list keeps
+    * the output schema static, which is the only scalable form (a
+    * values-discovering pivot needs an extra pass to collect the domain).
+    */
+  def pivotOrderStatus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(dsum(col("o_totalprice")))
+      .select(col("o_orderpriority"),
+        col("F").as("sum_f"), col("O").as("sum_o"), col("P").as("sum_p"))
+      .orderBy("o_orderpriority")
+
+  private val pivotOracle =
+    """SELECT o_orderpriority,
+      | CAST(sum(CASE WHEN o_orderstatus = 'F'
+      |           THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_f,
+      | CAST(sum(CASE WHEN o_orderstatus = 'O'
+      |           THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_o,
+      | CAST(sum(CASE WHEN o_orderstatus = 'P'
+      |           THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- percentiles ------------------------------------------------------
+
+  /** Exact interpolated percentiles per group. `percentile` sorts within
+    * the aggregate — fine at any scale for bounded groups since the shuffle
+    * carries (group, value) pairs; an unbounded-cardinality column would use
+    * approx_percentile (t-digest) instead, the same trade as
+    * `agg_approx_distinct`. Rounded to 6dp: Spark interpolates
+    * (1−g)·a + g·b, DuckDB a + g·(b−a) — algebraically equal, last-bit
+    * different.
+    */
+  def percentilesQuantity(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_quantity"), lit(0.25)), 6).as("p25"),
+        round(percentile(col("l_quantity"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("l_quantity"), lit(0.75)), 6).as("p75"))
+      .orderBy("l_returnflag")
+
+  private val percentilesOracle =
+    """SELECT l_returnflag,
+      | round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+      | round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+      | round(quantile_cont(l_quantity, 0.75), 6) AS p75
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("agg_pricing_summary",
       "TPC-H Q1-shaped multi-aggregate hash agg, decimal-exact sums",
@@ -427,5 +529,14 @@ object Relational {
     Query("explode_tokens",
       "split+explode token relation, top-50 frequencies",
       explodeTokens, Some(explodeTokensOracle)),
+    Query("join_asof",
+      "as-of join (latest click ≤ event) via tagged union + window",
+      asofJoin, Some(asofJoinOracle)),
+    Query("agg_pivot",
+      "pivot long→wide with explicit value list, decimal-exact sums",
+      pivotOrderStatus, Some(pivotOracle)),
+    Query("agg_percentiles",
+      "exact interpolated percentiles per group",
+      percentilesQuantity, Some(percentilesOracle)),
   )
 }

@@ -181,6 +181,80 @@ object StreamingOps {
       |GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  /** Streaming exact dedup: the stream is deliberately doubled (two file
+    * sources over the same data, unioned — every event arrives twice), then
+    * `dropDuplicates(event_id)` keeps state per key and emits each exactly
+    * once. The sink holds the deduped stream; a batch aggregation over it
+    * (counts + exact sums per type) proves every duplicate was dropped —
+    * the oracle is the plain single-copy batch aggregate. In production the
+    * dedup state is bounded with `dropDuplicatesWithinWatermark` (at-least-
+    * once sources redeliver within a bounded window, so unbounded key state
+    * is unnecessary); AvailableNow over a finite corpus has no watermark to
+    * advance, so the unbounded form is the deterministic test shape.
+    */
+  def dedupStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def src() = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val doubled = src().union(src())
+    val deduped = doubled.dropDuplicates("event_id")
+    val name = s"graft_stream_dedup_${sinkId.incrementAndGet()}"
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  private val dedupStreamOracle =
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       | ${sqlDsum("value")} AS sum_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Stream–static join: the event stream enriched against the static
+    * customer dimension (broadcast per micro-batch — the static side is
+    * planned like any batch relation, so the broadcast-hash-join shape is
+    * identical to the batch plan), aggregated per market segment in
+    * complete mode. Oracle: same join+aggregate in batch SQL.
+    */
+  def enrichStatic(spark: SparkSession, sfDir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val ev = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val cust = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = ev.join(broadcast(cust), ev("user_id") === cust("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    val name = s"graft_stream_enrich_${sinkId.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("c_mktsegment")
+  }
+
+  private val enrichStaticOracle =
+    s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       | ${sqlDsum("value")} AS sum_value
+       |FROM events JOIN customer ON user_id = c_custkey
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("stream_tumbling_counts",
       "Structured Streaming tumbling windows (AvailableNow; equals batch)",
@@ -188,5 +262,11 @@ object StreamingOps {
     Query("stream_sessionize_stateful",
       "flatMapGroupsWithState sessionization (AvailableNow; equals batch)",
       sessionizeStateful, Some(sessionizeStatefulOracle)),
+    Query("stream_dedup_exact",
+      "streaming dropDuplicates over a doubled stream (equals single-copy)",
+      dedupStream, Some(dedupStreamOracle)),
+    Query("stream_enrich_static",
+      "stream-static broadcast join + complete-mode aggregation",
+      enrichStatic, Some(enrichStaticOracle)),
   )
 }

@@ -50,6 +50,41 @@ class RelationalSpec extends SparkTestBase {
       "limit-under-sort must plan as per-partition heaps, not a full sort")
   }
 
+  test("as-of join matches are at-or-before, and click events match themselves") {
+    val df = run("join_asof").cache()
+    val nEvents = spark.read.parquet(s"$Sf/events.parquet").count()
+    assert(df.count() == nEvents, "left as-of keeps every probe row")
+    assert(df.filter(col("last_click_ts") > col("ts")).count() == 0,
+      "an as-of match must not come from the future")
+    // a click whose (user, ts) is unique matches itself
+    val selfMiss = df.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(count(lit(1)).as("c"), max(col("last_click_ts")).as("m"))
+      .filter(col("c") === 1 && col("m") =!= col("ts"))
+      .count()
+    assert(selfMiss == 0, "unique click rows must as-of-match themselves")
+    df.unpersist()
+  }
+
+  test("pivot columns partition the unpivoted total") {
+    val df = run("agg_pivot")
+    assert(df.count() == 5) // five order priorities
+    val pivotTotal = df.select(
+      sum(coalesce(col("sum_f"), lit(0.0)) + coalesce(col("sum_o"), lit(0.0))
+        + coalesce(col("sum_p"), lit(0.0))).as("t")).collect().head.getDouble(0)
+    val direct = spark.read.parquet(s"$Sf/orders.parquet")
+      .select(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"))
+      .collect().head.getDouble(0)
+    assert(math.abs(pivotTotal - direct) < 1e-6,
+      s"pivot cells must partition the total: $pivotTotal vs $direct")
+  }
+
+  test("percentiles are ordered within each group") {
+    val bad = run("agg_percentiles")
+      .filter(col("p25") > col("p50") || col("p50") > col("p75")).count()
+    assert(bad == 0)
+  }
+
   test("running total is monotone for non-negative values per user") {
     val bad = run("win_running_total")
       .withColumn("prev", lag(col("running_value"), 1).over(
