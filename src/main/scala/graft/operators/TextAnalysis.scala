@@ -21,6 +21,15 @@ object TextAnalysis {
   /** Per-document stats + quality score + n-gram-heuristic language ID.
     * Ratios are int/int divisions (deterministic IEEE); the composite score
     * is rounded to 6dp.
+    *
+    * The stopword count is a codegen'd regexp rather than a
+    * `filter(ts, lambda)` higher-order function: one HOF in the projection
+    * forces the WHOLE Project to interpreted evaluation (HOFs have no
+    * doGenCode), which also loses codegen's subexpression elimination — the
+    * repeated `split(text)` was then re-evaluated once per output column.
+    * With every expression codegen-able the scan→project pipeline is a
+    * single WholeStageCodegen stage (asserted in PlanSpec) and split() runs
+    * once per row.
     */
   def statsQuality(spark: SparkSession, sfDir: String): DataFrame = {
     val ts = split(col("text"), " ")
@@ -29,7 +38,12 @@ object TextAnalysis {
     val nChars = length(col("text")).cast(LongType)
     // chars excluding the single separator spaces
     val nLetters = (nChars - (nTokens - 1)).cast(DoubleType)
-    val nStop = size(filter(ts, t => t.isin(Stopwords: _*))).cast(LongType)
+    // a token equals a stopword iff it is space/edge-delimited in the raw
+    // text (tokens are single-space splits, so the forms are equivalent;
+    // the oracle keeps the list_filter spelling)
+    val stopRe = "(?:^| )(?:" + Stopwords.mkString("|") + ")(?= |$)"
+    val nStop = size(regexp_extract_all(col("text"), lit(stopRe), lit(0)))
+      .cast(LongType)
     val stopRatio = nStop.cast(DoubleType) / nTokens
     val avgTokLen = nLetters / nTokens
     val ttr = nDistinct.cast(DoubleType) / nTokens // type-token ratio

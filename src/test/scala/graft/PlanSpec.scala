@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the properties that make these plans survive a
+  * 100 TB scale-up are pinned here so a refactor can't silently lose them —
+  * filter/column pushdown into the parquet scan, broadcast joins for small
+  * dims, per-partition top-k heaps, and whole-stage codegen in scan-heavy
+  * pipelines.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("star enrich joins broadcast the dimension sides") {
+    val p = plan(run("ref_star_enrich"))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "dim joins must not degrade to sort-merge at this size")
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    val df = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .filter(col("l_quantity") > 40)
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]"),
+      s"filter must be pushed into the scan:\n$p")
+  }
+
+  test("column pruning: projection reaches the scan's ReadSchema") {
+    val df = run("text_token_count")
+    val p = plan(df)
+    // the documents table carries text + lang + doc_id; token counting must
+    // not read lang
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan must prune to the projected columns:\n$p")
+  }
+
+  test("top-k plans as per-partition heaps, never a global sort") {
+    val p = plan(run("sort_topk_customers"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("aggregations are partial (map-side) before the shuffle") {
+    val p = plan(run("agg_pricing_summary"))
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"expected two-phase hash aggregation:\n$p")
+    assert(p.contains("Exchange hashpartitioning"),
+      "final aggregate must consume a hash-partitioned exchange")
+  }
+
+  test("scan-heavy text pipeline stays inside whole-stage codegen") {
+    // AQE only materializes codegen stages once executed — run the action,
+    // then inspect the final adaptive plan
+    val df = run("text_stats_quality")
+    df.collect()
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // formatted mode tags codegen'd operators with "[codegen id : N]"; the
+    // scan→project pipeline must be one codegen stage
+    assert("Project \\[codegen id : \\d+\\]".r.findFirstIn(p).isDefined, p)
+    assert("ColumnarToRow \\[codegen id : 1\\]".r.findFirstIn(p).isDefined,
+      "scan and project must share codegen stage 1:\n" + p)
+  }
+
+  test("minhash bucket join is a hash join on a long key, not sort-merge") {
+    val p = plan(SparkEntry.queries("dedup_minhash_lsh")(spark, SfOracle))
+    assert(p.contains("ShuffledHashJoin"), s"expected shuffled hash join:\n$p")
+  }
+}
