@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -482,6 +482,82 @@ object Relational {
       | round(quantile_cont(l_quantity, 0.75), 6) AS p75
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- grouping sets / SQL entry path -----------------------------------
+
+  /** Explicit GROUPING SETS through the `spark.sql` entry point (rollup and
+    * cube cover the DataFrame spelling; this pins the SQL surface — temp
+    * view + ANSI SQL — that a reference user migrating hand-written SQL
+    * would hit first).
+    */
+  def groupingSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "orders").createOrReplaceTempView("orders_v")
+    spark.sql(
+      s"""SELECT coalesce(o_orderstatus, '(all)') AS status,
+         |       coalesce(o_orderpriority, '(all)') AS priority,
+         |       count(*) AS n,
+         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |         AS sum_price
+         |FROM orders_v
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         |ORDER BY status, priority""".stripMargin)
+  }
+
+  private val groupingSetsOracle =
+    """SELECT coalesce(o_orderstatus, '(all)') AS status,
+      |       coalesce(o_orderpriority, '(all)') AS priority,
+      |       CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |         AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY status, priority""".stripMargin
+
+  // ---- range window frame ------------------------------------------------
+
+  /** Value-based (RANGE) window frame over event time: events in the user's
+    * trailing 30 minutes. RANGE frames are peer-inclusive — ties in `ts`
+    * share a frame — so the result is deterministic without an id tiebreak,
+    * unlike ROWS frames. One shuffle on user_id, sort within partition.
+    */
+  def rangeFrame(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "events")
+      .selectExpr("event_id", "user_id", "ts",
+        """count(*) OVER (PARTITION BY user_id ORDER BY ts
+          | RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW)
+          | AS n_trailing_30m""".stripMargin)
+      .orderBy("event_id")
+
+  private val rangeFrameOracle =
+    """SELECT event_id, user_id, ts,
+      | CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts
+      |   RANGE BETWEEN INTERVAL '30 minutes' PRECEDING AND CURRENT ROW)
+      |   AS BIGINT) AS n_trailing_30m
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---- custom typed UDAF -------------------------------------------------
+
+  /** Quantity-weighted average price per (returnflag, linestatus) via the
+    * typed [[graft.functions.WeightedAvg]] Aggregator — the custom-UDAF
+    * axis, kept bit-deterministic through decimal buffers.
+    */
+  def customUdaf(spark: SparkSession, sfDir: String): DataFrame = {
+    val wavg = udaf(graft.functions.WeightedAvg,
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble))
+    Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val customUdafOracle =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |          * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |   / CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |   AS wavg_price
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("agg_pricing_summary",
       "TPC-H Q1-shaped multi-aggregate hash agg, decimal-exact sums",
@@ -538,5 +614,14 @@ object Relational {
     Query("agg_percentiles",
       "exact interpolated percentiles per group",
       percentilesQuantity, Some(percentilesOracle)),
+    Query("agg_grouping_sets",
+      "explicit GROUPING SETS via the spark.sql entry path",
+      groupingSets, Some(groupingSetsOracle)),
+    Query("win_range_frame",
+      "RANGE interval window frame (trailing 30 min per user)",
+      rangeFrame, Some(rangeFrameOracle)),
+    Query("agg_custom_udaf",
+      "typed Aggregator UDAF: decimal-exact weighted average",
+      customUdaf, Some(customUdafOracle)),
   )
 }

@@ -85,6 +85,37 @@ class RelationalSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("grouping sets emit one row per status, per priority, plus grand total") {
+    val df = run("agg_grouping_sets")
+    assert(df.count() == 3 + 5 + 1) // statuses + priorities + ()
+    val grand = df.filter(col("status") === "(all)" && col("priority") === "(all)")
+    assert(grand.count() == 1)
+    val nOrders = spark.read.parquet(s"$Sf/orders.parquet").count()
+    assert(grand.collect().head.getAs[Long]("n") == nOrders)
+  }
+
+  test("range frame counts at least the current row and is capped by user total") {
+    val df = run("win_range_frame").cache()
+    assert(df.filter(col("n_trailing_30m") < 1).count() == 0)
+    val perUser = spark.read.parquet(s"$Sf/events.parquet")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("total"))
+    val over = df.join(perUser, Seq("user_id"))
+      .filter(col("n_trailing_30m") > col("total")).count()
+    assert(over == 0)
+    df.unpersist()
+  }
+
+  test("weighted-average UDAF sits inside the per-group price range") {
+    val bounds = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
+    val out = run("agg_custom_udaf")
+      .join(bounds, Seq("l_returnflag", "l_linestatus"))
+      .filter(col("wavg_price") < col("lo") || col("wavg_price") > col("hi"))
+      .count()
+    assert(out == 0)
+  }
+
   test("running total is monotone for non-negative values per user") {
     val bad = run("win_running_total")
       .withColumn("prev", lag(col("running_value"), 1).over(
