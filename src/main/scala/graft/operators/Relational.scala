@@ -558,6 +558,91 @@ object Relational {
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // ---- skew: salted two-phase aggregation --------------------------------
+
+  /** Salted aggregation — the skew treatment for a hot group key. Phase 1
+    * aggregates on (key, salt) so a hot key's rows spread over `Salts`
+    * reducers; phase 2 combines the salt partials per key. The result is
+    * identical to the direct aggregate (sums/counts are associative; the
+    * decimal routing keeps the double exact under the extra combine), so
+    * the oracle is the PLAIN group-by — proving the rewrite is
+    * result-transparent is the point. At 100 TB you apply this when one
+    * key holds ≫ a partition's worth of rows (AQE's skew-join splitting
+    * covers joins, not aggregations).
+    */
+  def saltedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val Salts = 16
+    val partial = Tables(spark, sfDir, "lineitem")
+      .withColumn("salt", pmod(col("l_orderkey"), lit(Salts)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(
+        sum(dec(col("l_extendedprice"))).as("p_price"),
+        count(lit(1)).as("p_n"))
+    partial
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("p_price")).cast(DoubleType).as("sum_price"),
+        sum(col("p_n")).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  private val saltedAggOracle =
+    s"""SELECT l_returnflag, ${sqlDsum("l_extendedprice")} AS sum_price,
+       | CAST(count(*) AS BIGINT) AS n
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- bucketing: co-located join ---------------------------------------
+
+  /** Bucketed co-located join: both sides are written bucketed (and
+    * sorted) by the join key, so the join consumes bucket files directly —
+    * NO exchange before the join (asserted in PlanSpec). This is the
+    * at-rest answer to repeated fact×fact joins at 100 TB: pay the
+    * partitioning once at write time, never again at read time. The
+    * bucketed copies live in a temp-location database (the harness has no
+    * metastore); the oracle is the plain join over the original tables —
+    * bucketing must be result-transparent.
+    */
+  def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val loc = s"${sys.props("java.io.tmpdir")}/graft_warehouse"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_tmp LOCATION '$loc'")
+    // a previous SESSION's managed-table location is invisible to this
+    // session's in-memory catalog and blocks the CTAS — drop and clear
+    Seq("orders_b", "lineitem_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_tmp.$t")
+      val dir = java.nio.file.Paths.get(loc, t)
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    val nBuckets = 8
+    Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderpriority")
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_tmp.orders_b")
+    Tables(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_extendedprice")
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_tmp.lineitem_b")
+    spark.table("graft_tmp.lineitem_b")
+      .join(spark.table("graft_tmp.orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val bucketedJoinOracle =
+    s"""SELECT o_orderpriority, ${sqlDsum("l_extendedprice")} AS sum_price,
+       | CAST(count(*) AS BIGINT) AS n
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("agg_pricing_summary",
       "TPC-H Q1-shaped multi-aggregate hash agg, decimal-exact sums",
@@ -623,5 +708,11 @@ object Relational {
     Query("agg_custom_udaf",
       "typed Aggregator UDAF: decimal-exact weighted average",
       customUdaf, Some(customUdafOracle)),
+    Query("agg_salted_skew",
+      "salted two-phase aggregation (hot-key spread), result-transparent",
+      saltedAgg, Some(saltedAggOracle)),
+    Query("join_bucketed",
+      "bucketed co-located join — no exchange at join time",
+      bucketedJoin, Some(bucketedJoinOracle)),
   )
 }

@@ -66,6 +66,43 @@ class PlanSpec extends SparkTestBase {
       "scan and project must share codegen stage 1:\n" + p)
   }
 
+  test("bucketed join reads co-located buckets — no exchange before the join") {
+    // at test scale the dim side would broadcast (which also skips the
+    // exchange, trivially); disable broadcast to expose the co-location
+    // property the bucketing is for
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = run("join_bucketed")
+      df.collect()
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("SortMergeJoin"), p)
+      // the join consumes bucket files directly: no Exchange may appear
+      // below the join — i.e. between the two bucketed scans and the join
+      val joinIdx = p.indexOf("SortMergeJoin")
+      val scanIdx = p.indexOf("Scan parquet spark_catalog.graft_tmp")
+      assert(scanIdx > joinIdx,
+        "bucketed scans must feed the join directly:\n" + p)
+      assert(!p.substring(joinIdx, scanIdx).contains("Exchange"),
+        "bucketed sides must not be re-shuffled before the join:\n" + p)
+      assert(p.contains("Bucketed: true"), p)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("salted aggregation produces the same bytes as the direct aggregate") {
+    val salted = run("agg_salted_skew").collect().map(_.toSeq)
+    val direct = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag").collect().map(_.toSeq)
+    assert(salted.sameElements(direct))
+  }
+
   test("minhash bucket join is a hash join on a long key, not sort-merge") {
     val p = plan(SparkEntry.queries("dedup_minhash_lsh")(spark, SfOracle))
     assert(p.contains("ShuffledHashJoin"), s"expected shuffled hash join:\n$p")
