@@ -76,11 +76,11 @@ object Dedup {
       .select(col("doc_id"),
         explode(transform(shingleArr(col("ts")), s => xxhash64(s))).as("shingle"))
 
-  private def shingleArr(ts: Column): Column =
+  /** Distinct word n-shingles of a token array (as strings). */
+  private def shingleArr(ts: Column, n: Int = 3): Column =
     array_distinct(transform(
-      sequence(lit(1), size(ts) - 2),
-      i => concat_ws(" ",
-        element_at(ts, i), element_at(ts, i + 1), element_at(ts, i + 2))))
+      sequence(lit(1), size(ts) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j)): _*)))
 
   /** Exact n-gram Jaccard near-dup: all pairs sharing a shingle, scored
     * |A∩B| / |A∪B|, threshold 0.5. Integer-ratio arithmetic — bitwise
@@ -279,6 +279,62 @@ object Dedup {
       .orderBy("i", "j")
   }
 
+  // ---- benchmark decontamination ----------------------------------------
+
+  /** Benchmark decontamination — the training-data op that scrubs eval-set
+    * leakage: flag every corpus document sharing at least one word-8-gram
+    * with the benchmark set (8–13-gram overlap is the standard test-set
+    * contamination criterion). Benchmark = docs 0..9; the corpus plants
+    * copies of them (doc_id+100000) so hits exist deterministically.
+    *
+    * Scale shape: benchmark 8-gram sets are tiny relative to the corpus —
+    * the hashed benchmark-gram relation broadcasts, so this is ONE corpus
+    * scan + broadcast semi-join-style aggregation, no corpus shuffle on
+    * gram keys. (A benchmark too large to broadcast falls back to a
+    * shuffle join on the 8-byte gram hash.)
+    */
+  def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 8)
+      .select(col("doc_id"),
+        explode(transform(shingleArr(col("ts"), 8), s => xxhash64(s)))
+          .as("g"))
+    val d = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val corpus = d.filter(col("doc_id") >= 10)
+      .unionByName(d.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val benchGrams = grams(d.filter(col("doc_id") < 10))
+      .select(col("g")).distinct()
+    grams(corpus)
+      .join(broadcast(benchGrams), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
+  private val decontaminateOracle =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id >= 10
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 10),
+      |cg AS (
+      |  SELECT DISTINCT doc_id,
+      |    ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||ts[i+4]
+      |      ||' '||ts[i+5]||' '||ts[i+6]||' '||ts[i+7] AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM corpus),
+      |       unnest(range(1, len(ts) - 6)) AS u(i)),
+      |bg AS (
+      |  SELECT DISTINCT
+      |    ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||ts[i+3]||' '||ts[i+4]
+      |      ||' '||ts[i+5]||' '||ts[i+6]||' '||ts[i+7] AS g
+      |  FROM (SELECT string_split(text, ' ') AS ts FROM documents
+      |        WHERE doc_id < 10),
+      |       unnest(range(1, len(ts) - 6)) AS u(i))
+      |SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      |FROM cg JOIN bg USING (g)
+      |GROUP BY cg.doc_id ORDER BY cg.doc_id""".stripMargin
+
   // ---- embedding near-dup ----------------------------------------------
 
   /** Embedding-cosine near-dup over the brute-force pair space, with
@@ -342,5 +398,8 @@ object Dedup {
     Query("dedup_embedding",
       "embedding-cosine near-dup pairs ≥0.99 with planted duplicates",
       embeddingNearDup, Some(embeddingNearDupOracle)),
+    Query("dedup_decontaminate",
+      "benchmark decontamination: word-8-gram overlap vs eval set",
+      decontaminate, Some(decontaminateOracle)),
   )
 }

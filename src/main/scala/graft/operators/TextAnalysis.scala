@@ -126,6 +126,67 @@ object TextAnalysis {
       |             (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_hash
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** The curation gate itself: keep documents passing the quality
+    * thresholds a training-data pipeline would apply (length band, minimum
+    * stopword rate, lexical diversity). Pure scan→filter — predicate
+    * evaluation is codegen'd per row, and at 100 TB this composes with the
+    * stats projection into the same single pass.
+    */
+  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val ts = split(col("text"), " ")
+    val nTokens = size(ts).cast(LongType)
+    val ttr = size(array_distinct(ts)).cast(DoubleType) / nTokens
+    val stopRe = "(?:^| )(?:" + Stopwords.mkString("|") + ")(?= |$)"
+    val stopRatio = size(regexp_extract_all(col("text"), lit(stopRe), lit(0)))
+      .cast(DoubleType) / nTokens
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), nTokens.as("n_tokens"),
+        round(stopRatio, 6).as("stopword_ratio"), round(ttr, 6).as("ttr"))
+      .filter(col("n_tokens").between(30, 80)
+        && col("stopword_ratio") >= 0.01 && col("ttr") >= 0.4)
+      .orderBy("doc_id")
+  }
+
+  private val qualityFilterOracle =
+    s"""SELECT doc_id, n_tokens, stopword_ratio, ttr FROM (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    round(len(list_filter(string_split(text, ' '),
+       |        t -> list_contains($stopList, t))) * 1.0
+       |      / len(string_split(text, ' ')), 6) AS stopword_ratio,
+       |    round(len(list_distinct(string_split(text, ' '))) * 1.0
+       |      / len(string_split(text, ' ')), 6) AS ttr
+       |  FROM documents)
+       |WHERE n_tokens BETWEEN 30 AND 80
+       |  AND stopword_ratio >= 0.01 AND ttr >= 0.4
+       |ORDER BY doc_id""".stripMargin
+
+  private val RedactWords = Seq("customer", "order", "part")
+  private val redactRe = "\\b(?:" + RedactWords.mkString("|") + ")\\b"
+
+  /** Entity redaction: replace a word set with a placeholder token and
+    * count the replacements — the PII-scrub shape (the pattern here targets
+    * the corpus's entity words; a real pipeline swaps in email/phone/id
+    * regexes, same plan). Fingerprints keep the output narrow; `\b` is
+    * ASCII word-boundary in both engines' regex dialects.
+    */
+  def redact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(redactRe), lit(0)))
+          .cast(LongType).as("n_redacted"),
+        md5(regexp_replace(col("text"), redactRe, "<ENT>"))
+          .as("redacted_md5"))
+      .orderBy("doc_id")
+
+  private val redactOracle =
+    s"""SELECT doc_id,
+       | CAST(len(regexp_extract_all(text, '$redactRe')) AS BIGINT)
+       |   AS n_redacted,
+       | md5(regexp_replace(text, '$redactRe', '<ENT>', 'g')) AS redacted_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("text_stats_quality",
       "per-doc token stats, quality score, stopword-heuristic language ID",
@@ -136,5 +197,11 @@ object TextAnalysis {
     Query("text_fingerprint",
       "md5 + codegen'd polynomial rolling-hash fingerprints",
       fingerprint, Some(fingerprintOracle)),
+    Query("text_quality_filter",
+      "curation gate: length band + stopword rate + lexical diversity",
+      qualityFilter, Some(qualityFilterOracle)),
+    Query("text_redact",
+      "entity redaction with replacement counts and fingerprints",
+      redact, Some(redactOracle)),
   )
 }

@@ -40,6 +40,30 @@ class DedupSpec extends SparkTestBase {
       s"simhash pairs should mostly be true near-dups; precision=$overlap")
   }
 
+  test("decontamination flags every planted benchmark copy") {
+    val df = run("dedup_decontaminate", SfOracle).cache()
+    // the 10 planted copies (benchmark doc_id + 100000) must all be flagged
+    val planted = df.filter(col("doc_id") >= 100000)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(planted == (0L until 10L).map(_ + 100000).toSet,
+      s"planted copies must be contaminated: $planted")
+    // a full copy shares exactly its benchmark doc's distinct 8-grams
+    val gramCounts = spark.read.parquet(s"$SfOracle/documents.parquet")
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select((col("doc_id") + 100000).as("doc_id"),
+        size(array_distinct(expr(
+          """transform(sequence(1, size(ts) - 7), i ->
+            |  concat_ws(' ', slice(ts, i, 8)))""".stripMargin)))
+          .cast("long").as("n_grams"))
+    val wrong = df.filter(col("doc_id") >= 100000)
+      .join(gramCounts, "doc_id")
+      .filter(col("n_shared") =!= col("n_grams"))
+      .count()
+    assert(wrong == 0, "a verbatim copy must share all its 8-grams")
+    df.unpersist()
+  }
+
   test("embedding near-dup finds exactly the planted duplicate vectors") {
     val df = run("dedup_embedding", SfOracle)
     assert(df.count() == 50)

@@ -77,6 +77,30 @@ class TextMultimodalSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("quality filter keeps a strict non-empty subset with passing metrics") {
+    val kept = run("text_quality_filter", SfOracle).cache()
+    val total = spark.read.parquet(s"$SfOracle/documents.parquet").count()
+    assert(kept.count() > 0 && kept.count() < total,
+      "thresholds must be selective but not empty")
+    assert(kept.filter(col("n_tokens") < 30 || col("n_tokens") > 80
+      || col("stopword_ratio") < 0.01 || col("ttr") < 0.4).count() == 0)
+    kept.unpersist()
+  }
+
+  test("redaction counts match the entity occurrences and change the text") {
+    val df = run("text_redact", SfOracle).cache()
+    // redacted text differs from the original exactly when n_redacted > 0
+    val orig = spark.read.parquet(s"$SfOracle/documents.parquet")
+      .select(col("doc_id"), md5(col("text")).as("orig_md5"))
+    val mismatch = df.join(orig, "doc_id")
+      .filter((col("n_redacted") > 0) === (col("redacted_md5") === col("orig_md5")))
+      .count()
+    assert(mismatch == 0)
+    assert(df.filter(col("n_redacted") > 0).count() > 0,
+      "the corpus contains entity words; some docs must be redacted")
+    df.unpersist()
+  }
+
   test("streaming tumbling result equals the batch tumbling result") {
     val batch = run("win_time_tumbling").collect().map(_.toString).sorted
     val stream = run("stream_tumbling_counts").collect().map(_.toString).sorted
