@@ -108,16 +108,60 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // The payload is the UTF-8 encoding of ASCII text, so DuckDB can re-derive
+  // frames and byte statistics from the string column — an independent check
+  // of both the declarative frame split and the typed mapPartitions decode.
+
+  private val frameSampleOracle =
+    s"""SELECT doc_id, CAST(i // 4 AS BIGINT) AS sample_idx,
+       | CAST(length(substr(text, CAST(i AS INTEGER) * $FrameBytes + 1,
+       |                    $FrameBytes)) AS BIGINT) AS frame_bytes,
+       | md5(substr(text, CAST(i AS INTEGER) * $FrameBytes + 1, $FrameBytes))
+       |   AS frame_md5
+       |FROM (SELECT doc_id, text,
+       |        unnest(range(0, (length(text) - 1) // $FrameBytes + 1)) AS i
+       |      FROM documents)
+       |WHERE i % 4 = 0
+       |ORDER BY doc_id, sample_idx""".stripMargin
+
+  private val featureExtractOracle =
+    s"""WITH f AS (
+       |  SELECT doc_id, i,
+       |    substr(text, CAST(i AS INTEGER) * $FrameBytes + 1, $FrameBytes) AS fr
+       |  FROM (SELECT doc_id, text,
+       |          unnest(range(0, (length(text) - 1) // $FrameBytes + 1)) AS i
+       |        FROM documents)),
+       |fm AS (
+       |  SELECT doc_id, i,
+       |    list_reduce(list_transform(string_split(fr, ''),
+       |        c -> CAST(unicode(c) AS BIGINT)), (a, b) -> a + b) * 1.0
+       |      / length(fr) AS m
+       |  FROM f),
+       |norms AS (
+       |  SELECT doc_id,
+       |    sqrt(list_reduce(list_transform(list(m ORDER BY i), x -> x * x),
+       |                     (a, b) -> a + b)) AS feat_norm,
+       |    CAST(count(*) AS INTEGER) AS n_frames
+       |  FROM fm GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(length(d.text) AS INTEGER) AS n_bytes,
+       |  n.n_frames,
+       |  round(list_reduce(list_transform(string_split(d.text, ''),
+       |      c -> CAST(unicode(c) AS BIGINT)), (a, b) -> a + b) * 1.0
+       |    / length(d.text), 6) AS mean_byte,
+       |  round(n.feat_norm, 6) AS feat_norm
+       |FROM documents d JOIN norms n ON d.doc_id = n.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("mm_binary_meta",
       "binary payload + typed metadata projection with fingerprints",
       binaryMeta, Some(binaryMetaOracle)),
     Query("mm_frame_sample",
       "declarative fixed-size frame split + every-4th sampling",
-      frameSample, None),
+      frameSample, Some(frameSampleOracle)),
     Query("mm_feature_extract",
       "typed-Dataset mapPartitions batch feature extraction (stub decoder)",
-      featureExtract, None),
+      featureExtract, Some(featureExtractOracle)),
   )
 }
 

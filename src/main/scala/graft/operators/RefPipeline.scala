@@ -259,18 +259,105 @@ object RefPipeline {
       .orderBy("LOCATION_ID", "OCCUPATION", "SALARY")
   }
 
-  // No DuckDB oracle: these read the staged reference-shaped CSV lake,
-  // which the driver's oracle engine doesn't mount (it only sees the ten
-  // harness tables). RefPipelineSpec pins the semantics value-exactly.
+  // ---- DuckDB oracles over the staged lake ------------------------------
+  //
+  // The staged CSV lake persists on local disk after Verify runs, so the
+  // oracle engine can re-derive each fact pipeline INDEPENDENTLY from the
+  // same reference-shaped CSVs — a second implementation of app.py:33-199's
+  // semantics, checked value-exact. The correctness gate runs at sf0.01
+  // (TESTDATA.md), so the oracle paths pin that lake instance.
+
+  private val OracleLakeRoot: String = {
+    val tag = "/root/testdata/sf0.01".replaceAll("[^A-Za-z0-9.]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_ref_lake_$tag"
+  }
+
+  private val dimsSql =
+    s"""dl AS (
+       |  SELECT LOCATION_ID, COUNTY
+       |  FROM read_csv('$OracleLakeRoot/dim_location.csv', header=true,
+       |    columns={'LOCATION_ID':'BIGINT','COUNTY':'VARCHAR','STATE':'VARCHAR'})
+       |  WHERE STATE = 'DE'),
+       |dd AS (
+       |  SELECT DATE_ID AS SNAPSHOT_DATE_ID, "DATE"
+       |  FROM read_csv('$OracleLakeRoot/dim_date.csv', header=true,
+       |    columns={'DATE_ID':'BIGINT','DATE':'DATE'})
+       |  WHERE "DATE" = DATE '$SnapshotDate')""".stripMargin
+
+  private val livingWageOracle =
+    s"""WITH lw AS (
+       |  SELECT * FROM read_csv(
+       |    '$OracleLakeRoot/cost_of_living/$SnapshotDate/*living_wage*',
+       |    header=true,
+       |    columns={'wage_level':'VARCHAR','num_children':'VARCHAR',
+       |             'num_adults':'INTEGER','num_working':'INTEGER',
+       |             'county':'VARCHAR','usd_amount':'DOUBLE'})),
+       |t AS (
+       |  SELECT num_adults AS NUMBER_OF_ADULTS,
+       |         CAST(num_children AS INTEGER) AS NUMBER_OF_CHILDREN,
+       |         num_working AS NUMBER_OF_WORKING_ADULTS,
+       |         usd_amount AS HOURLY_WAGE,
+       |         county || ' COUNTY' AS COUNTY,
+       |         DATE '$SnapshotDate' AS SNAPSHOT_DATE
+       |  FROM lw WHERE wage_level LIKE '%LIVING%'),
+       |$dimsSql
+       |SELECT NUMBER_OF_ADULTS, NUMBER_OF_CHILDREN, NUMBER_OF_WORKING_ADULTS,
+       |       HOURLY_WAGE, SNAPSHOT_DATE_ID, LOCATION_ID
+       |FROM t JOIN dl USING (COUNTY) JOIN dd ON t.SNAPSHOT_DATE = dd."DATE"
+       |ORDER BY LOCATION_ID, HOURLY_WAGE, NUMBER_OF_CHILDREN,
+       |         NUMBER_OF_ADULTS, NUMBER_OF_WORKING_ADULTS""".stripMargin
+
+  private val annualExpenseOracle =
+    s"""WITH ex AS (
+       |  SELECT * FROM read_csv(
+       |    '$OracleLakeRoot/cost_of_living/$SnapshotDate/*expenses*',
+       |    header=true,
+       |    columns={'expense_category':'VARCHAR','num_children':'VARCHAR',
+       |             'num_adults':'INTEGER','num_working':'INTEGER',
+       |             'county':'VARCHAR','usd_amount':'VARCHAR'})),
+       |t AS (
+       |  SELECT expense_category AS CATEGORY,
+       |         CAST(num_children AS INTEGER) AS NUMBER_OF_CHILDREN,
+       |         CAST(replace(usd_amount, ',', '') AS DOUBLE) AS AMOUNT,
+       |         num_adults AS NUMBER_OF_ADULTS,
+       |         num_working AS NUMBER_OF_WORKING_ADULTS,
+       |         county || ' COUNTY' AS COUNTY,
+       |         DATE '$SnapshotDate' AS SNAPSHOT_DATE
+       |  FROM ex),
+       |$dimsSql
+       |SELECT CATEGORY, NUMBER_OF_CHILDREN, AMOUNT, NUMBER_OF_ADULTS,
+       |       NUMBER_OF_WORKING_ADULTS, SNAPSHOT_DATE_ID, LOCATION_ID
+       |FROM t JOIN dl USING (COUNTY) JOIN dd ON t.SNAPSHOT_DATE = dd."DATE"
+       |ORDER BY LOCATION_ID, CATEGORY, AMOUNT, NUMBER_OF_CHILDREN,
+       |         NUMBER_OF_ADULTS, NUMBER_OF_WORKING_ADULTS""".stripMargin
+
+  private val typicalSalaryOracle =
+    s"""WITH sal AS (
+       |  SELECT * FROM read_csv(
+       |    '$OracleLakeRoot/cost_of_living/$SnapshotDate/*typical_salaries*',
+       |    header=true,
+       |    columns={'occupational_area':'VARCHAR',
+       |             'typical_annual_salary':'DOUBLE','county':'VARCHAR'})),
+       |t AS (
+       |  SELECT occupational_area AS OCCUPATION,
+       |         typical_annual_salary AS SALARY,
+       |         county || ' COUNTY' AS COUNTY,
+       |         DATE '$SnapshotDate' AS SNAPSHOT_DATE
+       |  FROM sal),
+       |$dimsSql
+       |SELECT OCCUPATION, SALARY, SNAPSHOT_DATE_ID, LOCATION_ID
+       |FROM t JOIN dl USING (COUNTY) JOIN dd ON t.SNAPSHOT_DATE = dd."DATE"
+       |ORDER BY LOCATION_ID, OCCUPATION, SALARY""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("ref_pipeline_living_wage",
       "faithful living_wage fact pipeline over reference-shaped CSVs",
-      livingWagePipeline, None),
+      livingWagePipeline, Some(livingWageOracle)),
     Query("ref_pipeline_annual_expense",
       "faithful annual_expense fact pipeline (comma-strip + strict casts)",
-      annualExpensePipeline, None),
+      annualExpensePipeline, Some(annualExpenseOracle)),
     Query("ref_pipeline_typical_salary",
       "faithful typical_salary fact pipeline",
-      typicalSalaryPipeline, None),
+      typicalSalaryPipeline, Some(typicalSalaryOracle)),
   )
 }
