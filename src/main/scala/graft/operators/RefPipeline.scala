@@ -231,7 +231,7 @@ object RefPipeline {
     * (app.py:106-199): extract → transform → enrich → project.
     */
   def livingWagePipeline(spark: SparkSession, sfDir: String): DataFrame = {
-    val root = stageLake(spark, sfDir)
+    val root = stageLake(spark, FixtureSf)
     factLivingWage(enrich(
       transformLivingWage(
         readDataset(spark, root, "*living_wage*", livingWageSchema)),
@@ -241,7 +241,7 @@ object RefPipeline {
   }
 
   def annualExpensePipeline(spark: SparkSession, sfDir: String): DataFrame = {
-    val root = stageLake(spark, sfDir)
+    val root = stageLake(spark, FixtureSf)
     factAnnualExpense(enrich(
       transformExpenses(
         readDataset(spark, root, "*expenses*", expensesSchema)),
@@ -251,7 +251,7 @@ object RefPipeline {
   }
 
   def typicalSalaryPipeline(spark: SparkSession, sfDir: String): DataFrame = {
-    val root = stageLake(spark, sfDir)
+    val root = stageLake(spark, FixtureSf)
     factTypicalSalary(enrich(
       transformSalaries(
         readDataset(spark, root, "*typical_salaries*", salariesSchema)),
@@ -267,8 +267,15 @@ object RefPipeline {
   // semantics, checked value-exact. The correctness gate runs at sf0.01
   // (TESTDATA.md), so the oracle paths pin that lake instance.
 
+  /** The pipelines are reference-parity FIXTURES, not scale benchmarks:
+    * they always stage and read the lake derived from the sf0.01 tables, so
+    * their output — and the static oracle SQL below — is identical at every
+    * harness scale factor.
+    */
+  private val FixtureSf = "/root/testdata/sf0.01"
+
   private val OracleLakeRoot: String = {
-    val tag = "/root/testdata/sf0.01".replaceAll("[^A-Za-z0-9.]", "_")
+    val tag = FixtureSf.replaceAll("[^A-Za-z0-9.]", "_")
     s"${sys.props("java.io.tmpdir")}/graft_ref_lake_$tag"
   }
 
