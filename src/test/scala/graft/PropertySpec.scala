@@ -65,4 +65,62 @@ object PropertySpec extends Properties("graft.kernels") {
     Prop.forAll(asciiText) { s =>
       UTF8String.fromString(s).getBytes.sameElements(s.getBytes("UTF-8"))
     }
+
+  // ---- WeightedAvg: the partial-aggregation invariant ----
+
+  private val pqGen: Gen[List[(Double, Double)]] =
+    Gen.listOf(for {
+      p <- Gen.choose(0, 99999999).map(_ / 100.0)
+      q <- Gen.choose(1, 5000).map(_.toDouble)
+    } yield (p, q))
+
+  property("weighted avg is split-invariant (partial + merge == sequential)") =
+    Prop.forAll(pqGen, Gen.choose(0, 1000)) { (xs, cut) =>
+      import graft.functions.WeightedAvg
+      val sequential = xs.foldLeft(WeightedAvg.zero)(WeightedAvg.reduce)
+      val k = if (xs.isEmpty) 0 else cut % (xs.length + 1)
+      val (a, b) = xs.splitAt(k)
+      val merged = WeightedAvg.merge(
+        a.foldLeft(WeightedAvg.zero)(WeightedAvg.reduce),
+        b.foldLeft(WeightedAvg.zero)(WeightedAvg.reduce))
+      // decimal buffers are exact, so the buffers — not just the finished
+      // doubles — must be identical under any split
+      merged == sequential &&
+        WeightedAvg.finish(merged) == WeightedAvg.finish(sequential)
+    }
+
+  property("weighted avg of a constant price is that price") =
+    Prop.forAll(Gen.choose(1, 99999).map(_ / 100.0),
+      Gen.nonEmptyListOf(Gen.choose(1, 100).map(_.toDouble))) { (p, qs) =>
+      import graft.functions.WeightedAvg
+      val b = qs.map(q => (p, q)).foldLeft(WeightedAvg.zero)(WeightedAvg.reduce)
+      math.abs(WeightedAvg.finish(b) - p) < 1e-9
+    }
+
+  // ---- DotProduct: codegen'd loop equals the naive left-to-right fold ----
+
+  private val vecPair: Gen[(Array[Double], Array[Double])] =
+    Gen.choose(0, 128).flatMap { n =>
+      val d = Gen.choose(-1000000, 1000000).map(_ / 1000.0)
+      for {
+        a <- Gen.listOfN(n, d)
+        b <- Gen.listOfN(n, d)
+      } yield (a.toArray, b.toArray)
+    }
+
+  property("DotProduct.eval equals the sequential fold, bit for bit") =
+    Prop.forAll(vecPair) { case (a, b) =>
+      import graft.functions.DotProduct
+      import org.apache.spark.sql.catalyst.util.ArrayData
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      val expr = DotProduct(
+        Literal.create(ArrayData.toArrayData(a), ArrayType(DoubleType)),
+        Literal.create(ArrayData.toArrayData(b), ArrayType(DoubleType)))
+      val got = expr.eval(null).asInstanceOf[Double]
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      java.lang.Double.doubleToLongBits(got) ==
+        java.lang.Double.doubleToLongBits(acc)
+    }
 }
