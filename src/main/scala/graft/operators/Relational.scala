@@ -643,6 +643,85 @@ object Relational {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---- schema-on-read JSON / unpivot / array aggregation -----------------
+
+  /** Schema-on-read JSON: `from_json` parses props into a typed struct once
+    * per row (vs `get_json_object`'s per-path re-parse in
+    * `scalar_json_extract`) — the right shape when several fields are
+    * extracted from the same document. Malformed JSON yields a null struct
+    * (PERMISSIVE), the lenient twin of the ANSI strict-cast discipline.
+    */
+  def fromJsonStruct(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = StructType(Seq(StructField("k", IntegerType)))
+    Tables(spark, sfDir, "events")
+      .withColumn("p", from_json(col("props"), schema))
+      .select(col("event_id"), col("event_type"), col("p.k").as("k"),
+        (col("p.k") % 10).as("k_mod"))
+      .orderBy("event_id")
+  }
+
+  private val fromJsonOracle =
+    """SELECT event_id, event_type,
+      | CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+      | CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Unpivot (wide→long, the inverse of `agg_pivot`) through the official
+    * `unpivot`/melt API. Variable/value column naming is explicit so the
+    * output contract is static.
+    */
+  def unpivotStatus(spark: SparkSession, sfDir: String): DataFrame =
+    pivotOrderStatus(spark, sfDir)
+      .unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("sum_f"), col("sum_o"), col("sum_p")),
+        "status_col", "sum_price")
+      .filter(col("sum_price").isNotNull)
+      .orderBy("o_orderpriority", "status_col")
+
+  private val unpivotOracle =
+    """WITH p AS (
+      |  SELECT o_orderpriority,
+      |   CAST(sum(CASE WHEN o_orderstatus = 'F'
+      |             THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_f,
+      |   CAST(sum(CASE WHEN o_orderstatus = 'O'
+      |             THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_o,
+      |   CAST(sum(CASE WHEN o_orderstatus = 'P'
+      |             THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_p
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, status_col, sum_price FROM (
+      |  SELECT o_orderpriority, 'sum_f' AS status_col, sum_f AS sum_price FROM p
+      |  UNION ALL
+      |  SELECT o_orderpriority, 'sum_o', sum_o FROM p
+      |  UNION ALL
+      |  SELECT o_orderpriority, 'sum_p', sum_p FROM p)
+      |WHERE sum_price IS NOT NULL
+      |ORDER BY o_orderpriority, status_col""".stripMargin
+
+  /** Array-typed output through the oracle gate: per market segment, the
+    * sorted set of nations its customers span. `collect_set` alone is
+    * partition-order-dependent; `sort_array` restores determinism — the
+    * only safe way to emit collection aggregates at scale.
+    */
+  def collectSorted(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables(spark, sfDir, "customer")
+    val nation = Tables(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    cust.join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sort_array(collect_set(col("n_name"))).as("nations"),
+        count(lit(1)).as("n_cust"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val collectSortedOracle =
+    """SELECT c_mktsegment,
+      | list_sort(list(DISTINCT n_name)) AS nations,
+      | CAST(count(*) AS BIGINT) AS n_cust
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("agg_pricing_summary",
       "TPC-H Q1-shaped multi-aggregate hash agg, decimal-exact sums",
@@ -714,5 +793,14 @@ object Relational {
     Query("join_bucketed",
       "bucketed co-located join — no exchange at join time",
       bucketedJoin, Some(bucketedJoinOracle)),
+    Query("scalar_from_json",
+      "from_json schema-on-read struct parse (one parse, many fields)",
+      fromJsonStruct, Some(fromJsonOracle)),
+    Query("agg_unpivot",
+      "unpivot/melt wide→long via the official API",
+      unpivotStatus, Some(unpivotOracle)),
+    Query("agg_collect_sorted",
+      "deterministic array aggregation (sort_array ∘ collect_set)",
+      collectSorted, Some(collectSortedOracle)),
   )
 }
