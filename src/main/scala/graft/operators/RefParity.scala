@@ -268,6 +268,31 @@ object RefParity {
       |FROM prev p FULL OUTER JOIN batch b ON p.o_orderkey = b.o_orderkey
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Columnar-format roundtrip through ORC (the second columnar format
+    * Spark ships a vectorized reader for): stage a projection of orders as
+    * ORC, read it back, aggregate. Exercises the write→read sink/source
+    * path on a non-parquet format; the oracle aggregates the original
+    * table, so the roundtrip must be lossless.
+    */
+  def orcRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_orc_$tag"
+    Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .write.mode("overwrite").orc(dir)
+    spark.read.orc(dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val orcRoundtripOracle =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("ref_star_enrich",
       "reference flagship: filter→broadcast star join×2→const date→contract projection",
@@ -285,5 +310,8 @@ object RefParity {
     Query("ref_upsert_merge",
       "idempotent upsert-merge (K1 evolution): batch wins, previous survives",
       upsertMerge, Some(upsertMergeOracle)),
+    Query("ref_orc_roundtrip",
+      "lossless write→read roundtrip through ORC (second columnar format)",
+      orcRoundtrip, Some(orcRoundtripOracle)),
   )
 }
