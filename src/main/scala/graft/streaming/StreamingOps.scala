@@ -255,6 +255,57 @@ object StreamingOps {
        |FROM events JOIN customer ON user_id = c_custkey
        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Stream–stream interval join: each signup matched to the same user's
+    * purchases in the following 30 minutes. Both sides carry watermarks and
+    * the join condition bounds event time on both sides, so state is
+    * evictable — the production shape for attribution joins (state ∝
+    * in-flight window, not history). AvailableNow over a finite corpus
+    * yields exactly the batch interval join, hence the batch oracle.
+    */
+  def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def src() = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val signups = src().filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val purchases = src().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = signups.join(purchases,
+      col("s_user") === col("p_user")
+        && col("p_ts") >= col("s_ts")
+        && col("p_ts") <= col("s_ts") + expr("INTERVAL '30' MINUTE"))
+    val name = s"graft_stream_ssjoin_${sinkId.incrementAndGet()}"
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("signup_id"), col("purchase_id"),
+        col("s_user").as("user_id"),
+        col("s_ts").cast(TimestampNTZType).as("signup_ts"),
+        col("p_ts").cast(TimestampNTZType).as("purchase_ts"))
+      .orderBy("signup_id", "purchase_id")
+  }
+
+  private val streamStreamJoinOracle =
+    """SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+      | s.user_id, s.ts AS signup_ts, p.ts AS purchase_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON s.user_id = p.user_id
+      | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '30 minutes'
+      |ORDER BY signup_id, purchase_id""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("stream_tumbling_counts",
       "Structured Streaming tumbling windows (AvailableNow; equals batch)",
@@ -268,5 +319,8 @@ object StreamingOps {
     Query("stream_enrich_static",
       "stream-static broadcast join + complete-mode aggregation",
       enrichStatic, Some(enrichStaticOracle)),
+    Query("stream_stream_join",
+      "watermarked stream-stream interval join (signup→purchase ≤30 min)",
+      streamStreamJoin, Some(streamStreamJoinOracle)),
   )
 }

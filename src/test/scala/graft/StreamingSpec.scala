@@ -34,6 +34,23 @@ class StreamingSpec extends SparkTestBase {
     assert(got.sameElements(want))
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val got = run("stream_stream_join").collect().map(_.toSeq)
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"), col("ts").as("signup_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("pu"),
+        col("ts").as("purchase_ts"))
+    val want = s.join(p, col("user_id") === col("pu")
+        && col("purchase_ts") >= col("signup_ts")
+        && col("purchase_ts") <= col("signup_ts") + expr("INTERVAL '30' MINUTE"))
+      .select("signup_id", "purchase_id", "user_id", "signup_ts", "purchase_ts")
+      .orderBy("signup_id", "purchase_id").collect().map(_.toSeq)
+    assert(got.sameElements(want))
+  }
+
   test("streaming tumbling windows equal the batch windowed aggregate") {
     val got = run("stream_tumbling_counts").collect().map(_.toSeq)
     val want = run("win_time_tumbling").collect().map(_.toSeq)
