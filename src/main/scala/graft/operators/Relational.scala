@@ -482,6 +482,22 @@ object Relational {
       | round(quantile_cont(l_quantity, 0.75), 6) AS p75
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** t-digest sketch percentiles (`approx_percentile`) — the 100 TB path
+    * for unbounded-cardinality columns: one pass, bounded memory, no
+    * per-group sort, mirroring the `agg_approx_distinct` ⟷
+    * `agg_distinct_users` pairing. No oracle (sketch internals are
+    * engine-specific); RelationalSpec bounds the error against the exact
+    * `agg_percentiles`.
+    */
+  def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_percentile(col("l_quantity"), lit(0.25), lit(1000)).as("p25"),
+        approx_percentile(col("l_quantity"), lit(0.5), lit(1000)).as("p50"),
+        approx_percentile(col("l_quantity"), lit(0.75), lit(1000)).as("p75"))
+      .orderBy("l_returnflag")
+
   // ---- grouping sets / SQL entry path -----------------------------------
 
   /** Explicit GROUPING SETS through the `spark.sql` entry point (rollup and
@@ -778,6 +794,9 @@ object Relational {
     Query("agg_percentiles",
       "exact interpolated percentiles per group",
       percentilesQuantity, Some(percentilesOracle)),
+    Query("agg_approx_percentiles",
+      "t-digest sketch percentiles (scale path; no oracle)",
+      approxPercentiles, None),
     Query("agg_grouping_sets",
       "explicit GROUPING SETS via the spark.sql entry path",
       groupingSets, Some(groupingSetsOracle)),

@@ -85,6 +85,20 @@ class RelationalSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("sketch percentiles stay close to the exact percentiles") {
+    val exact = run("agg_percentiles").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    run("agg_approx_percentiles").collect().foreach { r =>
+      val (p25, p50, p75) = exact(r.getString(0))
+      // approx_percentile returns an element of the column; quantity spans
+      // 1..50 so an accuracy-1000 digest lands within a couple of units
+      assert(math.abs(r.getDouble(1) - p25) <= 2.0)
+      assert(math.abs(r.getDouble(2) - p50) <= 2.0)
+      assert(math.abs(r.getDouble(3) - p75) <= 2.0)
+    }
+  }
+
   test("grouping sets emit one row per status, per priority, plus grand total") {
     val df = run("agg_grouping_sets")
     assert(df.count() == 3 + 5 + 1) // statuses + priorities + ()
