@@ -190,6 +190,31 @@ object Relational {
       |) WHERE rnk <= 3
       |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin
 
+  /** Distribution window functions — ntile/percent_rank/cume_dist complete
+    * the ranking family (rank/dense_rank/row_number live in
+    * `win_rank_orders`). Same single shuffle + in-partition sort shape.
+    */
+  def distributionWindows(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables(spark, sfDir, "customer")
+      .select(
+        col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("c_mktsegment", "pct_rank", "c_custkey")
+  }
+
+  private val distributionWindowsOracle =
+    """SELECT c_mktsegment, c_custkey, c_acctbal,
+      | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      | round(percent_rank() OVER w, 6) AS pct_rank,
+      | round(cume_dist() OVER w, 6) AS cume
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_mktsegment, pct_rank, c_custkey""".stripMargin
+
   /** lag() per user ordered by event time: per-event delta vs previous
     * value (double subtraction — bitwise deterministic, no reduction).
     */
@@ -762,6 +787,9 @@ object Relational {
     Query("win_lag_delta",
       "lag() per user by event time; per-event delta",
       lagDelta, Some(lagDeltaOracle)),
+    Query("win_distribution",
+      "ntile / percent_rank / cume_dist per segment",
+      distributionWindows, Some(distributionWindowsOracle)),
     Query("win_running_total",
       "running sum per user (unbounded-preceding frame), decimal-exact",
       runningTotal, Some(runningTotalOracle)),
