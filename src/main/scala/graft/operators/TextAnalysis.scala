@@ -187,6 +187,33 @@ object TextAnalysis {
        | md5(regexp_replace(text, '$redactRe', '<ENT>', 'g')) AS redacted_md5
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Pairwise edit distance over adjacent documents — levenshtein as the
+    * character-level near-dup verifier (the n-gram/MinHash pipelines are
+    * the candidate generators; edit distance is the expensive exact check
+    * you run on survivors). O(len²) per pair keeps it strictly a
+    * post-pruning operator at scale — never all-pairs.
+    */
+  def editDistance(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    d.as("a")
+      .join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(
+        col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        levenshtein(col("a.text"), col("b.text")).cast(LongType).as("edit_dist"),
+        (greatest(length(col("a.text")), length(col("b.text")))
+          - levenshtein(col("a.text"), col("b.text")))
+          .cast(LongType).as("max_len_minus_dist"))
+      .orderBy("i")
+  }
+
+  private val editDistanceOracle =
+    """SELECT a.doc_id AS i, b.doc_id AS j,
+      | CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+      | CAST(greatest(length(a.text), length(b.text))
+      |      - levenshtein(a.text, b.text) AS BIGINT) AS max_len_minus_dist
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |ORDER BY i""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("text_stats_quality",
       "per-doc token stats, quality score, stopword-heuristic language ID",
@@ -203,5 +230,8 @@ object TextAnalysis {
     Query("text_redact",
       "entity redaction with replacement counts and fingerprints",
       redact, Some(redactOracle)),
+    Query("text_edit_distance",
+      "levenshtein edit distance, the post-pruning exact near-dup check",
+      editDistance, Some(editDistanceOracle)),
   )
 }
