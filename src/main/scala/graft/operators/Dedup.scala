@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.util.Random
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -22,9 +24,10 @@ import graft.sources.Tables
   *    collisions only;
   *  - SimHash pairs join on 16-bit blocks (pigeonhole: hamming ≤ 3 ⇒ one of
   *    4 blocks equal), so the join key is selective — no cartesian;
-  *  - embedding near-dup brute force exists as the oracle-checkable
-  *    baseline; the bucketed path is `sim_ann_lsh` in
-  *    [[graft.operators.Similarity]].
+  *  - embedding near-dup has two entries: `dedup_embedding_lsh` is the
+  *    default/scale path (multi-table sign-LSH bucketing, candidates only
+  *    ever pay an exact cosine); `dedup_embedding` is the brute-force
+  *    all-pairs baseline it is verified against.
   */
 object Dedup {
 
@@ -337,27 +340,92 @@ object Dedup {
 
   // ---- embedding near-dup ----------------------------------------------
 
-  /** Embedding-cosine near-dup over the brute-force pair space, with
-    * planted exact-duplicate vectors (vec_id + 100000 for every 10th).
-    * Cosine in double precision, rounded to 6dp so Spark's fold and the
-    * oracle's list_cosine_similarity agree. Scale path: `sim_ann_lsh`.
+  /** Embeddings with planted exact-duplicate vectors (vec_id + 100000 for
+    * every 10th), norms precomputed once per vector — every pair stage
+    * downstream is then a single codegen'd dot product + multiply/divide.
     */
-  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
-    // norms computed once per vector, not once per pair: the pairwise
-    // stage is then a single codegen'd dot product + one multiply/divide
+  private def augmentedEmbeddings(
+      spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast(DoubleType)).as("e"))
       .withColumn("norm", sqrt(DotProduct(col("e"), col("e"))))
-    val aug = e.unionByName(
+    e.unionByName(
       e.filter(col("vec_id") % 10 === 0)
         .select((col("vec_id") + 100000).as("vec_id"), col("e"), col("norm")))
-      .cache()
+  }
+
+  /** Embedding-cosine near-dup over the brute-force pair space. Cosine in
+    * double precision, rounded to 6dp so Spark's fold and the oracle's
+    * list_cosine_similarity agree. This is the oracle-checkable BASELINE:
+    * the all-pairs nested-loop join is quadratic, so the default entry at
+    * scale is `dedup_embedding_lsh` below (verified against this one).
+    */
+  def embeddingNearDup(spark: SparkSession, sfDir: String): DataFrame = {
+    val aug = augmentedEmbeddings(spark, sfDir).cache()
     // the nested-loop pair join parallelizes over left partitions — spread
     // the (tiny) left side across the cluster instead of 1-2 file splits
     aug.repartition(spark.sparkContext.defaultParallelism).as("a")
       .join(aug.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        round(DotProduct(col("a.e"), col("b.e"))
+          / (col("a.norm") * col("b.norm")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.99)
+      .orderBy("i", "j")
+  }
+
+  // 6 hash tables × 8 hyperplanes (64-dim): a pair at the cosine-0.99
+  // threshold disagrees on one plane with p = acos(0.99)/π ≈ 0.045, so it
+  // collides in a given table with (1−p)⁸ ≈ 0.69 and is missed by ALL
+  // tables with (1−0.69)⁶ ≈ 9e-4. EXACT duplicates (the planted set, and
+  // the only ≥0.99 pairs in the harness corpus) have identical signatures
+  // in every table — recall 1.0 by construction, so the brute-force oracle
+  // applies verbatim. At 100 TB, planes-per-table grows with log(corpus)
+  // to hold bucket occupancy flat; the plan shape is unchanged.
+  private val EmbLshTables = 6
+  private val EmbLshPlanes = 8
+
+  /** Fixed seeded hyperplanes shared by all tables (table t uses slice
+    * [t·8, t·8+8)); deterministic across runs and engines.
+    */
+  private val embPlanes: Seq[Seq[Double]] = {
+    val rnd = new Random(0x5eed5L)
+    Seq.fill(EmbLshTables * EmbLshPlanes)(Seq.fill(64)(rnd.nextGaussian()))
+  }
+
+  /** Bucketed embedding near-dup — the scale path: multi-table sign-LSH
+    * buckets generate candidates (bucket-equality equi-join, never
+    * cartesian), an exact-cosine pass verifies them. Same output contract
+    * and oracle as `dedup_embedding`; precision is exact by construction
+    * (every emitted pair passed the exact cosine), recall per the banding
+    * analysis above. Cost: O(vectors × tables) bucketing + collisions only.
+    */
+  def embeddingNearDupLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    // the augmented relation feeds bucketing AND both verify sides — at
+    // scale this is a persisted signature-indexed table, not a cache
+    val aug = augmentedEmbeddings(spark, sfDir).cache()
+    // per-table 8-bit signature, offset by table id so buckets from
+    // distinct tables never collide; one long key keeps the shuffle narrow
+    def bucket(t: Int): Column =
+      (0 until EmbLshPlanes).map { k =>
+        when(DotProduct(col("e"),
+          typedLit(embPlanes(t * EmbLshPlanes + k))) > 0, lit(1L << k))
+          .otherwise(lit(0L))
+      }.reduce(_ + _) + lit((t + 1).toLong << EmbLshPlanes)
+    val buckets = aug.select(col("vec_id"),
+      explode(array((0 until EmbLshTables).map(bucket): _*)).as("bucket"))
+    // SHUFFLE_HASH as in the minhash banding: pure equality probe on a
+    // high-cardinality key — sorting buys nothing
+    val cand = buckets.as("x").hint("SHUFFLE_HASH")
+      .join(buckets.as("y").hint("SHUFFLE_HASH"),
+        col("x.bucket") === col("y.bucket")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("i"), col("y.vec_id").as("j"))
+      .distinct()
+    cand
+      .join(aug.as("a"), col("i") === col("a.vec_id"))
+      .join(aug.as("b"), col("j") === col("b.vec_id"))
+      .select(col("i"), col("j"),
         round(DotProduct(col("a.e"), col("b.e"))
           / (col("a.norm") * col("b.norm")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= 0.99)
@@ -396,8 +464,11 @@ object Dedup {
       "SimHash-64 near-dup pairs, banded hamming≤3 join (no oracle)",
       simhashPairs, None),
     Query("dedup_embedding",
-      "embedding-cosine near-dup pairs ≥0.99 with planted duplicates",
+      "embedding-cosine near-dup pairs ≥0.99, all-pairs baseline",
       embeddingNearDup, Some(embeddingNearDupOracle)),
+    Query("dedup_embedding_lsh",
+      "bucketed embedding near-dup: multi-table sign-LSH + exact-cosine verify",
+      embeddingNearDupLsh, Some(embeddingNearDupOracle)),
     Query("dedup_decontaminate",
       "benchmark decontamination: word-8-gram overlap vs eval set",
       decontaminate, Some(decontaminateOracle)),

@@ -3,7 +3,7 @@ package graft.operators
 import java.io.{File, PrintWriter}
 import java.sql.Date
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -185,8 +185,12 @@ object RefParity {
     * c_name to the customer key (F3). No UDFs — every step is a codegen'd
     * built-in (SURVEY.md §2.3).
     */
-  def cleanStrictCast(spark: SparkSession, sfDir: String): DataFrame = {
-    val cents = round(col("c_acctbal") * 100).cast(LongType)
+  /** The reference's `"1,234.56"`-style money string, built from a cents
+    * amount (thousands separator + 2-digit fraction). Shared by the strict
+    * (`ref_clean_strict_cast`) and lenient (`ref_try_cast_quarantine`)
+    * parsing queries.
+    */
+  private def moneyString(cents: Column): Column = {
     val absC = abs(cents)
     val whole = (absC / 100).cast(LongType)
     val frac = lpad((absC % 100).cast(StringType), 2, "0")
@@ -195,7 +199,12 @@ object RefParity {
         concat((whole / 1000).cast(LongType).cast(StringType), lit(","),
           lpad((whole % 1000).cast(StringType), 3, "0")))
       .otherwise(whole.cast(StringType))
-    val moneyStr = concat(sign, grouped, lit("."), frac)             // F1
+    concat(sign, grouped, lit("."), frac)
+  }
+
+  def cleanStrictCast(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = round(col("c_acctbal") * 100).cast(LongType)
+    val moneyStr = moneyString(cents)                                // F1
     Tables(spark, sfDir, "customer")
       .select(
         col("c_custkey"),
@@ -293,6 +302,113 @@ object RefParity {
       | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** S3 variant with header schema inference (app.py:29 — pandas sniffs
+    * dtypes from the CSV content). The engine's default is the explicit
+    * contract (§1.4: inference means one extra full pass over 100 TB and a
+    * schema that can drift per batch), but the inference path itself is
+    * part of the reference surface; Spark's sampler lands on the same
+    * int/string/int shape the explicit schema pins.
+    */
+  def csvInfer(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = stageCsvLake(spark, sfDir)
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .option("pathGlobFilter", "*nation*")
+      .csv(s"$root/cost_of_living/$SnapshotDate")
+      .orderBy("n_nationkey")
+  }
+
+  /** Lenient-cast quarantine — the production twin of F3/F4's ANSI
+    * strictness (SURVEY §7.4): a 100 TB load must not die on one malformed
+    * row, so `try_cast` routes failures to a quarantine status instead of
+    * raising. Malformed money strings are planted deterministically
+    * (`N/A` for every 7th customer, a trailing currency token for every
+    * 11th); good rows still strip the thousands separator first.
+    */
+  def tryCastQuarantine(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = round(col("c_acctbal") * 100).cast(LongType)
+    val money = moneyString(cents)
+    val raw = when(col("c_custkey") % 7 === 0, lit("N/A"))
+      .when(col("c_custkey") % 11 === 0, concat(money, lit(" USD")))
+      .otherwise(money)
+    val amount = translate(col("raw_amount"), ",", "").try_cast(DoubleType)
+    Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), raw.as("raw_amount"))
+      .select(col("c_custkey"), col("raw_amount"), amount.as("amount"))
+      .withColumn("status",
+        when(col("amount").isNull, "quarantined").otherwise("clean"))
+      .orderBy("c_custkey")
+  }
+
+  /** The money-string expression in DuckDB dialect, parameterized by the
+    * base relation alias (shared by the strict and quarantine oracles'
+    * CTE shape).
+    */
+  private val moneySqlCte =
+    """m AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN cents < 0 THEN '-' ELSE '' END ||
+      |    CASE WHEN whole >= 1000
+      |         THEN CAST(whole // 1000 AS VARCHAR) || ',' || lpad(CAST(whole % 1000 AS VARCHAR), 3, '0')
+      |         ELSE CAST(whole AS VARCHAR) END ||
+      |    '.' || lpad(CAST(absc % 100 AS VARCHAR), 2, '0') AS money
+      |  FROM (SELECT c_custkey, abs(cents) AS absc, abs(cents) // 100 AS whole, cents
+      |        FROM (SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |              FROM customer)))""".stripMargin
+
+  private val tryCastQuarantineOracle =
+    s"""WITH $moneySqlCte,
+       |raw AS (
+       |  SELECT c_custkey,
+       |    CASE WHEN c_custkey % 7 = 0 THEN 'N/A'
+       |         WHEN c_custkey % 11 = 0 THEN money || ' USD'
+       |         ELSE money END AS raw_amount
+       |  FROM m)
+       |SELECT c_custkey, raw_amount,
+       |  TRY_CAST(replace(raw_amount, ',', '') AS DOUBLE) AS amount,
+       |  CASE WHEN TRY_CAST(replace(raw_amount, ',', '') AS DOUBLE) IS NULL
+       |       THEN 'quarantined' ELSE 'clean' END AS status
+       |FROM raw ORDER BY c_custkey""".stripMargin
+
+  /** K1/S5 warehouse-connector analog: the reference extracts dims from and
+    * loads facts to a SQL warehouse over a connector (app.py:124-131,
+    * 140-143, 195-197 — Snowflake). The engine's equivalent surface is
+    * `spark.read/write.format("jdbc")`, exercised here end-to-end against
+    * embedded Derby (in Spark's own classpath): write the nation dim to a
+    * warehouse table, read it back as a PARTITIONED jdbc scan (4 range
+    * predicates on the integer key — the parallel-extract shape; against a
+    * real warehouse the same options fan the read across executors), then
+    * broadcast-join the region parquet dim.
+    */
+  def jdbcDim(spark: SparkSession, sfDir: String): DataFrame = {
+    // keep Derby's derby.log out of the process working dir
+    sys.props.getOrElseUpdate("derby.system.home", sys.props("java.io.tmpdir"))
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val url = s"jdbc:derby:memory:graft_dim_$tag;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    Tables(spark, sfDir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .write.mode("overwrite")
+      // Derby's dialect maps StringType to CLOB; pin a comparable VARCHAR
+      .option("createTableColumnTypes", "n_name VARCHAR(64)")
+      .jdbc(url, "NATION_DIM", props)
+    val dim = spark.read.jdbc(url, "NATION_DIM",
+      columnName = "n_nationkey", lowerBound = 0L, upperBound = 25L,
+      numPartitions = 4, connectionProperties = props)
+    val region = Tables(spark, sfDir, "region")
+      .select(col("r_regionkey"), col("r_name"))
+    dim.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy("n_nationkey")
+  }
+
+  private val jdbcDimOracle =
+    """SELECT n_nationkey, n_name, r_name
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY n_nationkey""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("ref_star_enrich",
       "reference flagship: filter→broadcast star join×2→const date→contract projection",
@@ -313,5 +429,15 @@ object RefParity {
     Query("ref_orc_roundtrip",
       "lossless write→read roundtrip through ORC (second columnar format)",
       orcRoundtrip, Some(orcRoundtripOracle)),
+    Query("ref_csv_infer",
+      "S3 with header schema inference (app.py:29 dtype sniffing parity)",
+      csvInfer,
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY 1")),
+    Query("ref_try_cast_quarantine",
+      "lenient try_cast with bad-row quarantine routing (F3/F4 production twin)",
+      tryCastQuarantine, Some(tryCastQuarantineOracle)),
+    Query("ref_jdbc_dim",
+      "JDBC warehouse round-trip: write dim, partitioned read-back, broadcast join",
+      jdbcDim, Some(jdbcDimOracle)),
   )
 }

@@ -138,7 +138,7 @@ object RefPipeline {
     */
   def stageLake(spark: SparkSession, sfDir: String): String = synchronized {
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val root = new File(sys.props("java.io.tmpdir"), s"graft_ref_lake_$tag")
+    val root = new File(LakeRootBase, s"graft_ref_lake_$tag")
     val done = new File(root, ".staged")
     if (!done.exists()) {
       val part = new File(root, s"cost_of_living/$SnapshotDate")
@@ -274,9 +274,20 @@ object RefPipeline {
     */
   private val FixtureSf = "/root/testdata/sf0.01"
 
+  /** Base dir for the staged lake, shared by the Spark staging side AND the
+    * static oracle SQL below. `GRAFT_LAKE_ROOT` lets a harness pin one
+    * explicit path for both processes; the default is the Spark JVM's
+    * tmpdir, which the oracle engine sees as a literal path in
+    * oracle_sql.json — correct as long as both run on the same filesystem
+    * (the driver contract: Verify stages the lake first, the oracle reads
+    * it after).
+    */
+  private[operators] val LakeRootBase: String =
+    sys.env.getOrElse("GRAFT_LAKE_ROOT", sys.props("java.io.tmpdir"))
+
   private val OracleLakeRoot: String = {
     val tag = FixtureSf.replaceAll("[^A-Za-z0-9.]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_ref_lake_$tag"
+    s"$LakeRootBase/graft_ref_lake_$tag"
   }
 
   private val dimsSql =

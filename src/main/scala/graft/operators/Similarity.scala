@@ -20,8 +20,8 @@ import graft.sources.Tables
   *    single probe (one scan, per-partition top-k heaps, driver merges k
   *    rows — TakeOrderedAndProject, no full sort, no shuffle of the corpus);
   *  - `sim_ann_lsh`: random-hyperplane (sign) LSH — vectors bucketed by a
-  *    16-bit signature; the probe searches only its bucket and hamming≤1
-  *    neighbors (multiprobe). At 100 TB the bucketed table is the index:
+  *    signature; the probe searches only buckets within hamming distance 2
+  *    of its own (multiprobe). At 100 TB the bucketed table is the index:
   *    pre-partitioned by signature, a probe touches a few buckets only;
   *  - `sim_ann_ivf`: inverted-file (IVF-flat) — vectors assigned to coarse
   *    centroid lists, probe searches its nprobe nearest lists, exact cosine
@@ -70,9 +70,9 @@ object Similarity {
       |ORDER BY cos_sim DESC, b.vec_id LIMIT 10""".stripMargin
 
   /** Sign-LSH bucketed ANN: top-10 by exact cosine among candidates from
-    * the probe's bucket and all hamming-distance-1 buckets. No oracle
-    * (bucketing prunes differently from exhaustive search); SimilaritySpec
-    * measures recall against `sim_topk_bruteforce`.
+    * the probe's bucket and all buckets at hamming distance ≤ 2
+    * (multiprobe). No oracle (bucketing prunes differently from exhaustive
+    * search); SimilaritySpec measures recall against `sim_topk_bruteforce`.
     */
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
     // signature: bit k = sign(v · plane_k), each dot a codegen'd DotProduct

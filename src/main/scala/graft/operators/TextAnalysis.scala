@@ -40,8 +40,10 @@ object TextAnalysis {
     val nLetters = (nChars - (nTokens - 1)).cast(DoubleType)
     // a token equals a stopword iff it is space/edge-delimited in the raw
     // text (tokens are single-space splits, so the forms are equivalent;
-    // the oracle keeps the list_filter spelling)
-    val stopRe = "(?:^| )(?:" + Stopwords.mkString("|") + ")(?= |$)"
+    // the oracle keeps the list_filter spelling). \A/\z anchors, not ^/$:
+    // Java's $ also matches before a final line terminator, so "the\n"
+    // would count here but not in the oracle's token-equality filter
+    val stopRe = "(?:\\A| )(?:" + Stopwords.mkString("|") + ")(?= |\\z)"
     val nStop = size(regexp_extract_all(col("text"), lit(stopRe), lit(0)))
       .cast(LongType)
     val stopRatio = nStop.cast(DoubleType) / nTokens

