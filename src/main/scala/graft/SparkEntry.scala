@@ -19,6 +19,7 @@ object SparkEntry {
       Dedup.queries ++
       Similarity.queries ++
       TextAnalysis.queries ++
+      Curation.queries ++
       Multimodal.queries ++
       graft.streaming.StreamingOps.queries
 

@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Query
+import graft.sources.Tables
+
+/** Corpus-curation operators a training-data pipeline runs AFTER the
+  * per-document analyses in [[TextAnalysis]] and the pair-finding in
+  * [[Dedup]]: deterministic train/valid/test splitting, token-window
+  * chunking, and the end-to-end curation pipeline composing quality gate +
+  * exact dedup + benchmark decontamination.
+  *
+  * Scale notes (100 TB):
+  *  - the split is HASH-based, not RNG-based: reproducible under any
+  *    partitioning/retry, no shuffle at all (a per-row projection), and
+  *    re-rollable by salting the hash input with a version string;
+  *  - chunking is a per-row explode — linear work, no shuffle, and the
+  *    chunk relation inherits the corpus partitioning;
+  *  - the pipeline stages are each the scale shape proven by their
+  *    standalone queries: one content-key shuffle (dedup), one broadcast
+  *    semi-join (decontamination), one codegen'd scan (quality gate).
+  */
+object Curation {
+
+  // ---- deterministic train/valid/test split -----------------------------
+
+  /** 80/10/10 split on the first 16 bits of md5(doc_id): stable across
+    * engines (md5 is standardized, unlike engine-native hash functions),
+    * uniform, and independent of doc_id ordering. conv() parses the hex
+    * slice; both sides emit BIGINT.
+    */
+  def trainTestSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = (conv(substring(md5(col("doc_id").cast(StringType)), 1, 4),
+      16, 10).cast(LongType) % 10).as("bucket")
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), bucket)
+      .withColumn("split",
+        when(col("bucket") <= 7, "train")
+          .when(col("bucket") === 8, "valid")
+          .otherwise("test"))
+      .orderBy("doc_id")
+  }
+
+  private val trainTestSplitOracle =
+    """SELECT doc_id, bucket,
+      | CASE WHEN bucket <= 7 THEN 'train'
+      |      WHEN bucket = 8 THEN 'valid'
+      |      ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+      |         AS BIGINT) % 10 AS bucket
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- token-window chunking --------------------------------------------
+
+  private val ChunkSize = 32
+  private val Stride = 24 // 8-token overlap between adjacent chunks
+
+  /** Split each document into overlapping token windows (size 32, stride
+    * 24) — the context-window packing step before tokenization. Windows
+    * start at 1, 1+S, 1+2S, … up to the last start that still yields a full
+    * window; documents shorter than one window emit a single (short) chunk.
+    * Chunks are emitted as md5 fingerprints + token counts to keep the
+    * relation narrow.
+    */
+  def chunkDocuments(spark: SparkSession, sfDir: String): DataFrame = {
+    val ts = split(col("text"), " ")
+    val starts = sequence(lit(1),
+      greatest(size(ts) - (ChunkSize - 1), lit(1)), lit(Stride))
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), ts.as("ts"), explode(starts).as("s"))
+      .select(col("doc_id"),
+        col("s").cast(LongType).as("chunk_start"),
+        size(slice(col("ts"), col("s"), lit(ChunkSize))).cast(LongType)
+          .as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("ts"), col("s"), lit(ChunkSize))))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_start")
+  }
+
+  private val chunkDocumentsOracle =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |ch AS (
+       |  SELECT doc_id, CAST(s AS BIGINT) AS chunk_start,
+       |         ts[s : s + ${ChunkSize - 1}] AS chunk
+       |  FROM tok,
+       |       unnest(range(1, greatest(len(ts) - ${ChunkSize - 1}, 1) + 1,
+       |                    $Stride)) AS u(s))
+       |SELECT doc_id, chunk_start,
+       |  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+       |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+       |FROM ch ORDER BY doc_id, chunk_start""".stripMargin
+
+  // ---- end-to-end curation pipeline -------------------------------------
+
+  /** The composed curation pass over the planted-duplicate corpus:
+    * exact dedup (min-id representative) → benchmark decontamination
+    * (drop docs sharing a word-8-gram with the eval set, docs 0..9) →
+    * quality gate (length band + stopword rate + lexical diversity).
+    * Every stage is the standalone query's plan; composing them changes
+    * nothing about their scale shapes — the dedup shuffle, the broadcast
+    * anti-join, and the final codegen'd scan pipeline back-to-back.
+    */
+  def curationPipeline(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = Dedup.docsWithDups(spark, sfDir)
+    // 1. exact dedup: deterministic min-id representative per content
+    val reps = corpus.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val deduped = corpus.join(reps, Seq("doc_id"), "left_semi")
+    // 2. decontamination: drop docs sharing an 8-gram with the bench set
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 8)
+      .select(col("doc_id"),
+        explode(transform(Dedup.shingleArr(col("ts"), 8), s => xxhash64(s)))
+          .as("g"))
+    val benchGrams = grams(
+      Tables(spark, sfDir, "documents").filter(col("doc_id") < 10))
+      .select(col("g")).distinct()
+    val contaminated = grams(deduped)
+      .join(broadcast(benchGrams), Seq("g"))
+      .select(col("doc_id")).distinct()
+    val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+    // 3. quality gate (same thresholds as text_quality_filter)
+    val ts = split(col("text"), " ")
+    val nTokens = size(ts).cast(LongType)
+    val ttr = size(array_distinct(ts)).cast(DoubleType) / nTokens
+    val stopRatio =
+      size(regexp_extract_all(col("text"), lit(TextAnalysis.StopRe), lit(0)))
+        .cast(DoubleType) / nTokens
+    clean
+      .select(col("doc_id"), nTokens.as("n_tokens"),
+        round(stopRatio, 6).as("stopword_ratio"), round(ttr, 6).as("ttr"))
+      .filter(col("n_tokens").between(30, 80)
+        && col("stopword_ratio") >= 0.01 && col("ttr") >= 0.4)
+      .orderBy("doc_id")
+  }
+
+  // single line: a wrapped continuation starting with "||" would lose its
+  // first pipe to the outer oracle's stripMargin
+  private val gram8Sql =
+    (0 until 8).map(j => s"ts[i+$j]").mkString("||' '||")
+
+  private val curationPipelineOracle =
+    s"""WITH corpus AS (${Dedup.docsWithDupsSql}),
+       |reps AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text),
+       |dedup AS (SELECT c.* FROM corpus c JOIN reps USING (doc_id)),
+       |cg AS (
+       |  SELECT DISTINCT doc_id, $gram8Sql AS g
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM dedup),
+       |       unnest(range(1, len(ts) - 6)) AS u(i)),
+       |bg AS (
+       |  SELECT DISTINCT $gram8Sql AS g
+       |  FROM (SELECT string_split(text, ' ') AS ts FROM documents
+       |        WHERE doc_id < 10),
+       |       unnest(range(1, len(ts) - 6)) AS u(i)),
+       |contaminated AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g)),
+       |clean AS (
+       |  SELECT * FROM dedup
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+       |SELECT doc_id, n_tokens, stopword_ratio, ttr FROM (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    round(len(list_filter(string_split(text, ' '),
+       |        t -> list_contains(['the', 'a', 'an', 'of', 'and', 'in', 'to', 'is'], t))) * 1.0
+       |      / len(string_split(text, ' ')), 6) AS stopword_ratio,
+       |    round(len(list_distinct(string_split(text, ' '))) * 1.0
+       |      / len(string_split(text, ' ')), 6) AS ttr
+       |  FROM clean)
+       |WHERE n_tokens BETWEEN 30 AND 80
+       |  AND stopword_ratio >= 0.01 AND ttr >= 0.4
+       |ORDER BY doc_id""".stripMargin
+
+  val queries: Seq[Query] = Seq(
+    Query("curation_split",
+      "deterministic md5-hash 80/10/10 train/valid/test split",
+      trainTestSplit, Some(trainTestSplitOracle)),
+    Query("curation_chunk",
+      "overlapping token-window chunking (size 32, stride 24)",
+      chunkDocuments, Some(chunkDocumentsOracle)),
+    Query("curation_pipeline",
+      "composed curation: exact dedup → decontaminate → quality gate",
+      curationPipeline, Some(curationPipelineOracle)),
+  )
+}

@@ -35,14 +35,15 @@ object Dedup {
     * plant them deterministically: a second copy (doc_id + 100000) of every
     * 10th document.
     */
-  private def docsWithDups(spark: SparkSession, sfDir: String): DataFrame = {
+  private[operators] def docsWithDups(
+      spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
     d.unionByName(
       d.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 100000).as("doc_id"), col("text")))
   }
 
-  private val docsWithDupsSql =
+  private[operators] val docsWithDupsSql =
     """SELECT doc_id, text FROM documents
       |UNION ALL
       |SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0"""
@@ -80,7 +81,7 @@ object Dedup {
         explode(transform(shingleArr(col("ts")), s => xxhash64(s))).as("shingle"))
 
   /** Distinct word n-shingles of a token array (as strings). */
-  private def shingleArr(ts: Column, n: Int = 3): Column =
+  private[operators] def shingleArr(ts: Column, n: Int = 3): Column =
     array_distinct(transform(
       sequence(lit(1), size(ts) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j)): _*)))

@@ -409,6 +409,83 @@ object RefParity {
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |ORDER BY n_nationkey""".stripMargin
 
+  /** Hive-style partitioned parquet sink + partition-pruned read-back — the
+    * parquet analog of S1's date-keyed prefixes, and the K1 sink layout a
+    * warehouse-less lake would use. At 100 TB the partition column is the
+    * first-line data-skipping mechanism: a filter on it prunes DIRECTORIES
+    * before any file IO (PartitionFilters in the scan — asserted in
+    * PlanSpec), so this read touches one status partition of the lake.
+    * Staging is idempotent per sfDir (pay-once-at-write, like the bucketed
+    * warehouse and the CSV lake fixtures).
+    */
+  def partitionedSink(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = new File(sys.props("java.io.tmpdir"), s"graft_part_lake_$tag")
+    synchronized {
+      // underscore-prefixed marker: Spark's file index ignores _ files
+      val done = new File(dir, "_staged")
+      if (!done.exists()) {
+        Tables(spark, sfDir, "orders")
+          .select("o_orderkey", "o_orderpriority", "o_totalprice",
+            "o_orderstatus")
+          .write.mode("overwrite")
+          .partitionBy("o_orderstatus")
+          .parquet(dir.getAbsolutePath)
+        done.createNewFile()
+      }
+    }
+    spark.read.parquet(dir.getAbsolutePath)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val partitionedSinkOracle =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** JSON-lines ingest — the third row-source format (CSV, ORC, parquet
+    * already covered). Explicit schema, as everywhere (§1.4): a schema-less
+    * json read costs an extra full sampling pass over the lake at 100 TB.
+    * The staged lines derive from orders, so the oracle aggregates the
+    * original table and the roundtrip must be lossless (Jackson writes
+    * shortest-roundtrip doubles).
+    */
+  def jsonlIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = new File(sys.props("java.io.tmpdir"), s"graft_jsonl_$tag")
+    synchronized {
+      val done = new File(dir, "_staged")
+      if (!done.exists()) {
+        Tables(spark, sfDir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .write.mode("overwrite").json(dir.getAbsolutePath)
+        done.createNewFile()
+      }
+    }
+    spark.read
+      .schema(StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType))))
+      .json(dir.getAbsolutePath)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val jsonlIngestOracle =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("ref_star_enrich",
       "reference flagship: filter→broadcast star join×2→const date→contract projection",
@@ -439,5 +516,11 @@ object RefParity {
     Query("ref_jdbc_dim",
       "JDBC warehouse round-trip: write dim, partitioned read-back, broadcast join",
       jdbcDim, Some(jdbcDimOracle)),
+    Query("ref_partitioned_sink",
+      "hive-partitioned parquet sink + partition-pruned read-back",
+      partitionedSink, Some(partitionedSinkOracle)),
+    Query("ref_jsonl_ingest",
+      "JSON-lines source with explicit schema, lossless roundtrip",
+      jsonlIngest, Some(jsonlIngestOracle)),
   )
 }

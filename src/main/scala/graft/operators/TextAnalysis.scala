@@ -18,6 +18,14 @@ object TextAnalysis {
 
   private val Stopwords = Seq("the", "a", "an", "of", "and", "in", "to", "is")
 
+  /** Token-delimited stopword matcher. \A/\z anchors, not ^/$: Java's $
+    * also matches before a final line terminator, so "the\n" would count
+    * here but not in the oracle's token-equality filter. Shared by the
+    * stats and quality-gate queries (their semantics must agree).
+    */
+  private[operators] val StopRe =
+    "(?:\\A| )(?:" + Stopwords.mkString("|") + ")(?= |\\z)"
+
   /** Per-document stats + quality score + n-gram-heuristic language ID.
     * Ratios are int/int divisions (deterministic IEEE); the composite score
     * is rounded to 6dp.
@@ -40,11 +48,8 @@ object TextAnalysis {
     val nLetters = (nChars - (nTokens - 1)).cast(DoubleType)
     // a token equals a stopword iff it is space/edge-delimited in the raw
     // text (tokens are single-space splits, so the forms are equivalent;
-    // the oracle keeps the list_filter spelling). \A/\z anchors, not ^/$:
-    // Java's $ also matches before a final line terminator, so "the\n"
-    // would count here but not in the oracle's token-equality filter
-    val stopRe = "(?:\\A| )(?:" + Stopwords.mkString("|") + ")(?= |\\z)"
-    val nStop = size(regexp_extract_all(col("text"), lit(stopRe), lit(0)))
+    // the oracle keeps the list_filter spelling)
+    val nStop = size(regexp_extract_all(col("text"), lit(StopRe), lit(0)))
       .cast(LongType)
     val stopRatio = nStop.cast(DoubleType) / nTokens
     val avgTokLen = nLetters / nTokens
@@ -138,8 +143,7 @@ object TextAnalysis {
     val ts = split(col("text"), " ")
     val nTokens = size(ts).cast(LongType)
     val ttr = size(array_distinct(ts)).cast(DoubleType) / nTokens
-    val stopRe = "(?:^| )(?:" + Stopwords.mkString("|") + ")(?= |$)"
-    val stopRatio = size(regexp_extract_all(col("text"), lit(stopRe), lit(0)))
+    val stopRatio = size(regexp_extract_all(col("text"), lit(StopRe), lit(0)))
       .cast(DoubleType) / nTokens
     Tables(spark, sfDir, "documents")
       .select(col("doc_id"), nTokens.as("n_tokens"),

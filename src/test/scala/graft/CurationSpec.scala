@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkTestBase {
+
+  test("split is complete, deterministic, and roughly 80/10/10") {
+    val df = run("curation_split", SfOracle).cache()
+    assert(df.count() == 500, "every document gets exactly one assignment")
+    val counts = df.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 500)
+    assert(counts("train") > counts.getOrElse("valid", 0L)
+      && counts("train") > counts.getOrElse("test", 0L))
+    // md5 is uniform: train should land near 400 of 500
+    assert(counts("train") >= 350 && counts("train") <= 450,
+      s"hash split should be ~80% train: $counts")
+    // determinism: same input, same assignment
+    val again = run("curation_split", SfOracle).collect().toSeq
+    assert(df.collect().toSeq == again)
+    df.unpersist()
+  }
+
+  test("chunks tile each document with stride 24 and width ≤ 32") {
+    val df = run("curation_chunk", SfOracle).cache()
+    assert(df.filter(col("n_chunk_tokens") > 32).count() == 0)
+    assert(df.filter(pmod(col("chunk_start") - 1, lit(24)) =!= 0).count() == 0,
+      "chunk starts must sit on the stride grid")
+    // every document emits at least one chunk
+    assert(df.select("doc_id").distinct().count() ==
+      spark.read.parquet(s"$SfOracle/documents.parquet").count())
+    // only a document's final chunk may be short
+    val shortNonFinal = df
+      .withColumn("max_start",
+        max(col("chunk_start")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .filter(col("n_chunk_tokens") < 32
+        && col("chunk_start") =!= col("max_start"))
+      .count()
+    assert(shortNonFinal == 0)
+    df.unpersist()
+  }
+
+  test("curation pipeline drops duplicates and contaminated docs, keeps quality") {
+    val df = run("curation_pipeline", SfOracle).cache()
+    // planted copies (doc_id+100000) lose to the min-id representative
+    assert(df.filter(col("doc_id") >= 100000).count() == 0)
+    // the bench docs 0..9 contaminate themselves out
+    assert(df.filter(col("doc_id") < 10).count() == 0)
+    // survivors are a subset of the standalone quality gate's survivors
+    val quality = run("text_quality_filter", SfOracle)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val survivors = df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.subsetOf(quality),
+      s"pipeline must only tighten the gate: extra=${survivors -- quality}")
+    df.unpersist()
+  }
+}

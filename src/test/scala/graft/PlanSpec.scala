@@ -108,6 +108,14 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("ShuffledHashJoin"), s"expected shuffled hash join:\n$p")
   }
 
+  test("partitioned sink read-back prunes partitions before any file IO") {
+    val p = plan(run("ref_partitioned_sink"))
+    assert(p.contains("PartitionFilters: ["),
+      s"scan must carry partition filters:\n$p")
+    assert(p.contains("= F)"),
+      s"the status equality must prune directories, not rows:\n$p")
+  }
+
   test("AQE splits a skewed join at runtime (skew=true in the final plan)") {
     // complements agg_salted_skew (the manual rewrite): for JOINS the
     // engine's answer to skew is AQE's runtime split — a hot key's oversized
