@@ -131,6 +131,16 @@ object Dedup {
   /** Exact Jaccard for the given (i, j) pairs only — the LSH verify stage:
     * intersections are computed just for candidates, which is the whole
     * point of LSH at scale (candidates ≪ all pairs).
+    *
+    * The verify shuffles the shingle relation on doc_id (SHUFFLE_HASH, as
+    * in the banding). Past the point where that shuffle dominates — a
+    * corpus-scale shingle relation against a small candidate set — the
+    * variant is to broadcast the candidate pairs against two shingle SCANS
+    * (zero corpus shuffle). Both variants were measured at bench scale and
+    * the shuffle join won there (the broadcast/semi-prune extra stages cost
+    * ~50% of the whole query); the crossover needs candidates ≪ corpus by
+    * orders of magnitude, which LSH delivers at 100 TB but the harness
+    * corpus does not.
     */
   private def jaccardScore(
       spark: SparkSession, pairs: DataFrame, sh: DataFrame): DataFrame = {
