@@ -44,6 +44,24 @@ object StreamingOps {
 
   private val sinkId = new AtomicLong(0)
 
+  /** Run `body` with `spark.sql.shuffle.partitions` lowered for the
+    * streaming query it starts. Stateful streaming partitioning is sticky
+    * (pinned by the first checkpoint) and each micro-batch COMMITS every
+    * state store partition — so the partition count must track state
+    * volume, not CPU count: at harness scale 8 partitions hold the state
+    * comfortably and cut per-batch store-commit fan-out 4×. A production
+    * deployment sizes this once per query at first deploy (it cannot be
+    * changed without a new checkpoint) — keyed to peak in-flight state,
+    * exactly as here. Batch queries in the same session are unaffected:
+    * the conf is restored before the post-stream batch read.
+    */
+  private def withStreamingPartitions[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Streaming tumbling 10-minute counts per event type (same semantics as
     * batch `win_time_tumbling` — and the same oracle).
     */
@@ -67,13 +85,15 @@ object StreamingOps {
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
     val name = s"graft_stream_tumbling_${sinkId.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamingPartitions(spark) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
       .select(
         col("window.start").cast(TimestampNTZType).as("wstart"),
@@ -148,13 +168,15 @@ object StreamingOps {
       }
 
     val name = s"graft_stream_sessionize_${sinkId.incrementAndGet()}"
-    val q = sessions.toDF().writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamingPartitions(spark) {
+      val q = sessions.toDF().writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
       .select(col("user_id"), col("session_seq"), col("n_events"),
         col("session_start").cast(TimestampNTZType).as("session_start"),
@@ -202,13 +224,15 @@ object StreamingOps {
     val doubled = src().union(src())
     val deduped = doubled.dropDuplicates("event_id")
     val name = s"graft_stream_dedup_${sinkId.incrementAndGet()}"
-    val q = deduped.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamingPartitions(spark) {
+      val q = deduped.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
@@ -239,13 +263,15 @@ object StreamingOps {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
     val name = s"graft_stream_enrich_${sinkId.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamingPartitions(spark) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("c_mktsegment")
   }
 
@@ -282,13 +308,15 @@ object StreamingOps {
         && col("p_ts") >= col("s_ts")
         && col("p_ts") <= col("s_ts") + expr("INTERVAL '30' MINUTE"))
     val name = s"graft_stream_ssjoin_${sinkId.incrementAndGet()}"
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamingPartitions(spark) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
       .select(col("signup_id"), col("purchase_id"),
         col("s_user").as("user_id"),
