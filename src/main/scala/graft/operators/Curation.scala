@@ -56,6 +56,37 @@ object Curation {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Stratified deterministic sampling — downsample over-represented
+    * strata (here: keep 1/2 of English, 1/10 of everything else), the
+    * language/source rebalancing step of corpus curation. Same md5-bucket
+    * mechanism as the split (reproducible, shuffle-free, engine-portable);
+    * the lang is salted into the hash so a document's keep/drop decision is
+    * independent across strata re-assignments. Rates live in a tiny
+    * broadcast dim — at 100 TB that's the per-source sampling config table.
+    */
+  def stratifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val rates = Seq(("en", 32768L)).toDF("lang", "keep_below") // of 65536
+    val bucket = conv(substring(
+      md5(concat(col("doc_id").cast(StringType), lit(":"), col("lang"))),
+      1, 4), 16, 10).cast(LongType)
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .join(broadcast(rates), Seq("lang"), "left_outer")
+      .filter(col("bucket") < coalesce(col("keep_below"), lit(6554L)))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  private val stratifiedSampleOracle =
+    """SELECT doc_id, lang, bucket FROM (
+      |  SELECT doc_id, lang,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || lang), 1, 4))
+      |         AS BIGINT) AS bucket
+      |  FROM documents)
+      |WHERE bucket < CASE WHEN lang = 'en' THEN 32768 ELSE 6554 END
+      |ORDER BY doc_id""".stripMargin
+
   // ---- token-window chunking --------------------------------------------
 
   private val ChunkSize = 32
@@ -63,15 +94,18 @@ object Curation {
 
   /** Split each document into overlapping token windows (size 32, stride
     * 24) — the context-window packing step before tokenization. Windows
-    * start at 1, 1+S, 1+2S, … up to the last start that still yields a full
-    * window; documents shorter than one window emit a single (short) chunk.
-    * Chunks are emitted as md5 fingerprints + token counts to keep the
-    * relation narrow.
+    * start at 1, 1+S, 1+2S, … until the document END is covered — no token
+    * is ever dropped (a packing step that silently loses the tail of every
+    * document whose length isn't on the stride grid would corrupt the
+    * corpus); only the final window may be short. Chunks are emitted as
+    * md5 fingerprints + token counts to keep the relation narrow.
     */
   def chunkDocuments(spark: SparkSession, sfDir: String): DataFrame = {
     val ts = split(col("text"), " ")
+    // last start = first stride point at or past (n - C + 1): the stop
+    // bound (n - C) + S is ≥ that point and < the start after it
     val starts = sequence(lit(1),
-      greatest(size(ts) - (ChunkSize - 1), lit(1)), lit(Stride))
+      greatest(size(ts) - ChunkSize, lit(0)) + Stride, lit(Stride))
     Tables(spark, sfDir, "documents")
       .select(col("doc_id"), ts.as("ts"), explode(starts).as("s"))
       .select(col("doc_id"),
@@ -89,7 +123,7 @@ object Curation {
        |  SELECT doc_id, CAST(s AS BIGINT) AS chunk_start,
        |         ts[s : s + ${ChunkSize - 1}] AS chunk
        |  FROM tok,
-       |       unnest(range(1, greatest(len(ts) - ${ChunkSize - 1}, 1) + 1,
+       |       unnest(range(1, greatest(len(ts) - $ChunkSize, 0) + $Stride + 1,
        |                    $Stride)) AS u(s))
        |SELECT doc_id, chunk_start,
        |  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
@@ -181,6 +215,9 @@ object Curation {
     Query("curation_split",
       "deterministic md5-hash 80/10/10 train/valid/test split",
       trainTestSplit, Some(trainTestSplitOracle)),
+    Query("curation_sample_stratified",
+      "deterministic stratified downsampling by language (md5 buckets)",
+      stratifiedSample, Some(stratifiedSampleOracle)),
     Query("curation_chunk",
       "overlapping token-window chunking (size 32, stride 24)",
       chunkDocuments, Some(chunkDocumentsOracle)),

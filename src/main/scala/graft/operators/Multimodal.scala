@@ -38,6 +38,52 @@ object Multimodal {
 
   private val FrameBytes = 64
 
+  /** Whole-file binary ingestion — how image/audio/video actually ENTER the
+    * lake: `binaryFile` reads each object as one (path, length, content)
+    * row. Identity comes from the key (filename), not the payload —
+    * regexp_extract on `path`, exactly like S1/S2's key-space discipline.
+    * Staged fixture: one .bin file per document (doc_id < 100), payload =
+    * the UTF-8 text bytes, so DuckDB re-derives fingerprints from the
+    * string column. At 100 TB this layer is where small-file compaction
+    * happens: binaryFile rows land in parquet (the `mm_binary_meta` model)
+    * and downstream reads never touch the object store again.
+    */
+  def binaryFileSource(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_media_$tag")
+    synchronized {
+      val done = new java.io.File(dir, "_staged")
+      if (!done.exists()) {
+        dir.mkdirs()
+        // ≤100 tiny files: fixture prep, not a data path
+        Tables(spark, sfDir, "documents")
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("text")).collect()
+          .foreach { r =>
+            java.nio.file.Files.write(
+              new java.io.File(dir, f"doc_${r.getLong(0)}%05d.bin").toPath,
+              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        done.createNewFile()
+      }
+    }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(dir.getAbsolutePath)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin", 1)
+          .cast(LongType).as("doc_id"),
+        col("length").cast(LongType).as("n_bytes"),
+        md5(col("content")).as("content_md5"))
+      .orderBy("doc_id")
+  }
+
+  private val binaryFileSourceOracle =
+    """SELECT doc_id,
+      | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      | md5(text) AS content_md5
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+
   /** Payload + metadata projection: byte length, frame count, content
     * fingerprint. Oracle-checked (DuckDB sees the same text→blob encoding).
     */
@@ -153,6 +199,9 @@ object Multimodal {
        |ORDER BY d.doc_id""".stripMargin
 
   val queries: Seq[Query] = Seq(
+    Query("mm_binary_file_source",
+      "whole-file binaryFile ingestion with key-derived identity",
+      binaryFileSource, Some(binaryFileSourceOracle)),
     Query("mm_binary_meta",
       "binary payload + typed metadata projection with fingerprints",
       binaryMeta, Some(binaryMetaOracle)),

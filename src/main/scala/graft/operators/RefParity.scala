@@ -486,6 +486,50 @@ object RefParity {
       | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Unstructured-text source + regex field extraction — the log-parsing
+    * shape (`spark.read.text` → `regexp_extract` per field → typed cast).
+    * Lines are staged from orders BY SPARK (distributed write, no driver
+    * collect — the line relation is data-sized, unlike the CSV fixtures);
+    * the double survives the string roundtrip because Spark prints shortest
+    * round-trip representations. min/max aggregates keep the result exact
+    * regardless of input order.
+    */
+  def textLogParse(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = new File(sys.props("java.io.tmpdir"), s"graft_logs_$tag")
+    synchronized {
+      val done = new File(dir, "_staged")
+      if (!done.exists()) {
+        Tables(spark, sfDir, "orders")
+          .select(concat(
+            lit("order key="), col("o_orderkey"),
+            lit(" status="), col("o_orderstatus"),
+            lit(" price="), col("o_totalprice").cast(StringType)).as("value"))
+          .write.mode("overwrite").text(dir.getAbsolutePath)
+        done.createNewFile()
+      }
+    }
+    val line = spark.read.text(dir.getAbsolutePath)
+    val re = "^order key=(\\d+) status=(\\S+) price=(\\S+)$"
+    line
+      .select(
+        regexp_extract(col("value"), re, 1).cast(LongType).as("o_orderkey"),
+        regexp_extract(col("value"), re, 2).as("status"),
+        regexp_extract(col("value"), re, 3).cast(DoubleType).as("price"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"),
+        min(col("price")).as("min_price"),
+        max(col("price")).as("max_price"),
+        min(col("o_orderkey")).as("min_key"))
+      .orderBy("status")
+  }
+
+  private val textLogParseOracle =
+    """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+      | min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+      | min(o_orderkey) AS min_key
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("ref_star_enrich",
       "reference flagship: filter→broadcast star join×2→const date→contract projection",
@@ -522,5 +566,8 @@ object RefParity {
     Query("ref_jsonl_ingest",
       "JSON-lines source with explicit schema, lossless roundtrip",
       jsonlIngest, Some(jsonlIngestOracle)),
+    Query("ref_text_log_parse",
+      "text source + regexp field extraction (log-parsing shape)",
+      textLogParse, Some(textLogParseOracle)),
   )
 }

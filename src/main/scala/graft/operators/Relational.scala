@@ -418,6 +418,38 @@ object Relational {
       |      FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Map/struct scalar surface: build per-row MAP and STRUCT values,
+    * operate on them (lookup, key sort, value transform, field access) and
+    * emit SCALARS only — collection outputs don't survive scalar-only
+    * comparators and sinks (the agg_collect_sorted lesson). The oracle
+    * computes the same results directly from the base columns: the gate
+    * pins semantics, not mechanism.
+    */
+  def mapStructOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val m = map(
+      lit("status"), col("o_orderstatus"),
+      lit("priority"), col("o_orderpriority"))
+    val st = struct(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+    Tables(spark, sfDir, "orders")
+      .select(
+        col("o_orderkey"),
+        element_at(m, "status").as("m_status"),
+        size(m).cast(LongType).as("n_keys"),
+        array_join(sort_array(map_keys(m)), ",").as("keys_sorted"),
+        element_at(transform_values(m, (_, v) => lower(v)), "priority")
+          .as("priority_lower"),
+        (st.getField("p") * 2).as("double_price")) // ×2 is exact in IEEE
+      .orderBy("o_orderkey")
+  }
+
+  private val mapStructOracle =
+    """SELECT o_orderkey, o_orderstatus AS m_status,
+      | CAST(2 AS BIGINT) AS n_keys,
+      | 'priority,status' AS keys_sorted,
+      | lower(o_orderpriority) AS priority_lower,
+      | o_totalprice * 2 AS double_price
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** Generator/UDTF axis: split + explode into a token relation, then the
     * top-50 token frequencies under a total order.
     */
@@ -869,6 +901,9 @@ object Relational {
       outerJoinCounts, Some(outerJoinOracle)),
     Query("scalar_datetime",
       "date_trunc month rollup of orders", monthlyOrders, Some(monthlyOrdersOracle)),
+    Query("scalar_map_struct",
+      "map/struct scalar ops: lookup, key sort, value transform, field access",
+      mapStructOps, Some(mapStructOracle)),
     Query("scalar_json_extract",
       "get_json_object + strict int cast, aggregated per event type",
       jsonExtract, Some(jsonExtractOracle)),

@@ -21,6 +21,23 @@ class CurationSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("stratified sample keeps ~1/2 of en and ~1/10 of other strata") {
+    val docs = spark.read.parquet(s"$SfOracle/documents.parquet")
+    val kept = run("curation_sample_stratified", SfOracle).cache()
+    val keptEn = kept.filter(col("lang") === "en").count().toDouble
+    val allEn = docs.filter(col("lang") === "en").count().toDouble
+    val keptOther = kept.filter(col("lang") =!= "en").count().toDouble
+    val allOther = docs.filter(col("lang") =!= "en").count().toDouble
+    assert(keptEn / allEn > 0.35 && keptEn / allEn < 0.65,
+      s"en keep rate should be ~0.5, was ${keptEn / allEn}")
+    assert(keptOther / allOther > 0.04 && keptOther / allOther < 0.18,
+      s"non-en keep rate should be ~0.1, was ${keptOther / allOther}")
+    // determinism: the same doc set every run
+    assert(kept.collect().toSeq ==
+      run("curation_sample_stratified", SfOracle).collect().toSeq)
+    kept.unpersist()
+  }
+
   test("chunks tile each document with stride 24 and width ≤ 32") {
     val df = run("curation_chunk", SfOracle).cache()
     assert(df.filter(col("n_chunk_tokens") > 32).count() == 0)
@@ -38,6 +55,16 @@ class CurationSpec extends SparkTestBase {
         && col("chunk_start") =!= col("max_start"))
       .count()
     assert(shortNonFinal == 0)
+    // coverage: no token is dropped — the chunks reach each document's end
+    val docTokens = spark.read.parquet(s"$SfOracle/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    val uncovered = df
+      .groupBy("doc_id")
+      .agg(max(col("chunk_start") + col("n_chunk_tokens") - 1).as("covered"))
+      .join(docTokens, "doc_id")
+      .filter(col("covered") =!= col("n"))
+      .count()
+    assert(uncovered == 0, "every document must be tiled through its last token")
     df.unpersist()
   }
 

@@ -111,6 +111,19 @@ class RefParitySpec extends SparkTestBase {
     assert(df.rdd.getNumPartitions >= 1)
   }
 
+  test("ref_text_log_parse recovers the table aggregate from staged lines") {
+    val df = run("ref_text_log_parse")
+    val direct = spark.read.parquet(s"$Sf/orders.parquet")
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_orderkey")).as("min_key"))
+      .orderBy("status")
+    assert(df.collect().toSeq == direct.collect().toSeq,
+      "text roundtrip + regex parse must be lossless")
+  }
+
   test("upsert-merge: batch rows win, previous-only rows survive, keys unique") {
     val df = run("ref_upsert_merge").cache()
     val n = df.count()

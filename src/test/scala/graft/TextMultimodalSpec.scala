@@ -77,6 +77,19 @@ class TextMultimodalSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("mm_binary_file_source ingests every staged file with key-derived id") {
+    val df = run("mm_binary_file_source").cache()
+    assert(df.count() == 100, "one row per staged .bin file")
+    assert(df.select("doc_id").collect().map(_.getLong(0)).toSeq ==
+      (0L until 100L), "identity comes from the file key")
+    // payload fingerprints must equal the parquet-side text fingerprints
+    val meta = run("mm_binary_meta").filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("content_md5"))
+    assert(df.select("doc_id", "content_md5").collect().toSeq ==
+      meta.collect().toSeq, "file bytes must match the column payload")
+    df.unpersist()
+  }
+
   test("quality filter keeps a strict non-empty subset with passing metrics") {
     val kept = run("text_quality_filter", SfOracle).cache()
     val total = spark.read.parquet(s"$SfOracle/documents.parquet").count()
