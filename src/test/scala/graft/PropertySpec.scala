@@ -108,6 +108,30 @@ object PropertySpec extends Properties("graft.kernels") {
       } yield (a.toArray, b.toArray)
     }
 
+  // ---- chunk start grid (mirrors Curation.chunkDocuments / its oracle:
+  //      starts = sequence(1, max(n − C, 0) + S, S) with C=32, S=24) ----
+
+  private def chunkStarts(n: Int, c: Int = 32, s: Int = 24): Seq[Int] =
+    1 to (math.max(n - c, 0) + s) by s
+
+  property("chunk grid tiles 1..n: starts on-grid, tail covered, no empties") =
+    Prop.forAll(Gen.choose(1, 5000)) { n =>
+      val starts = chunkStarts(n)
+      starts.head == 1 &&
+        starts.forall(st => st <= n) && // every chunk holds ≥1 token
+        starts.last + 32 - 1 >= n &&    // the document end is covered
+        starts.sliding(2).forall {
+          case Seq(a, b) => b - a == 24
+          case _ => true
+        }
+    }
+
+  property("only the final chunk may be short") =
+    Prop.forAll(Gen.choose(1, 5000)) { n =>
+      val starts = chunkStarts(n)
+      starts.init.forall(st => st + 32 - 1 <= n)
+    }
+
   property("DotProduct.eval equals the sequential fold, bit for bit") =
     Prop.forAll(vecPair) { case (a, b) =>
       import graft.functions.DotProduct
