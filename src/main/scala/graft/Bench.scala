@@ -39,11 +39,16 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // the bare println proved losable to sbt log interleaving/truncation in
     // round 1 ("parsed": null) — emit the line under a unique grep-able
-    // marker AND persist it to a file so the round's number can't be lost
-    println(s"GRAFT_BENCH_JSON $json")
+    // marker AND persist it to a file so the round's number can't be lost.
+    // A SPARK_GRAFT_ONLY dev subset gets a DIFFERENT marker so its partial
+    // total can never be mistaken for a full-run benchmark.
+    val marker =
+      if (only.isDefined) "GRAFT_BENCH_JSON_PARTIAL" else "GRAFT_BENCH_JSON"
+    println(s"$marker $json")
     println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     spark.stop()
   }
 }

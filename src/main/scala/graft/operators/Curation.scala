@@ -148,31 +148,18 @@ object Curation {
       .select(col("doc_id"))
     val deduped = corpus.join(reps, Seq("doc_id"), "left_semi")
     // 2. decontamination: drop docs sharing an 8-gram with the bench set
-    def grams(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .filter(size(col("ts")) >= 8)
-      .select(col("doc_id"),
-        explode(transform(Dedup.shingleArr(col("ts"), 8), s => xxhash64(s)))
-          .as("g"))
-    val benchGrams = grams(
+    // (Dedup.hashedGrams8 — the same contamination unit as the standalone
+    // dedup_decontaminate query)
+    val benchGrams = Dedup.hashedGrams8(
       Tables(spark, sfDir, "documents").filter(col("doc_id") < 10))
       .select(col("g")).distinct()
-    val contaminated = grams(deduped)
+    val contaminated = Dedup.hashedGrams8(deduped)
       .join(broadcast(benchGrams), Seq("g"))
       .select(col("doc_id")).distinct()
     val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
-    // 3. quality gate (same thresholds as text_quality_filter)
-    val ts = split(col("text"), " ")
-    val nTokens = size(ts).cast(LongType)
-    val ttr = size(array_distinct(ts)).cast(DoubleType) / nTokens
-    val stopRatio =
-      size(regexp_extract_all(col("text"), lit(TextAnalysis.StopRe), lit(0)))
-        .cast(DoubleType) / nTokens
-    clean
-      .select(col("doc_id"), nTokens.as("n_tokens"),
-        round(stopRatio, 6).as("stopword_ratio"), round(ttr, 6).as("ttr"))
-      .filter(col("n_tokens").between(30, 80)
-        && col("stopword_ratio") >= 0.01 && col("ttr") >= 0.4)
+    // 3. quality gate — TextAnalysis.qualityGate, the text_quality_filter
+    // stage itself (shared thresholds and metric definitions)
+    TextAnalysis.qualityGate(clean)
       .orderBy("doc_id")
   }
 
@@ -198,17 +185,7 @@ object Curation {
        |clean AS (
        |  SELECT * FROM dedup
        |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
-       |SELECT doc_id, n_tokens, stopword_ratio, ttr FROM (
-       |  SELECT doc_id,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       |    round(len(list_filter(string_split(text, ' '),
-       |        t -> list_contains(['the', 'a', 'an', 'of', 'and', 'in', 'to', 'is'], t))) * 1.0
-       |      / len(string_split(text, ' ')), 6) AS stopword_ratio,
-       |    round(len(list_distinct(string_split(text, ' '))) * 1.0
-       |      / len(string_split(text, ' ')), 6) AS ttr
-       |  FROM clean)
-       |WHERE n_tokens BETWEEN 30 AND 80
-       |  AND stopword_ratio >= 0.01 AND ttr >= 0.4
+       |${TextAnalysis.qualityGateSql("clean")}
        |ORDER BY doc_id""".stripMargin
 
   val queries: Seq[Query] = Seq(

@@ -307,13 +307,19 @@ object Dedup {
     * gram keys. (A benchmark too large to broadcast falls back to a
     * shuffle join on the 8-byte gram hash.)
     */
+  /** Distinct hashed word-8-grams per doc — the contamination unit, shared
+    * by `dedup_decontaminate` and the composed pipeline in [[Curation]]
+    * (one definition: the two must agree on what counts as contamination).
+    */
+  private[operators] def hashedGrams8(df: DataFrame): DataFrame = df
+    .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    .filter(size(col("ts")) >= 8)
+    .select(col("doc_id"),
+      explode(transform(shingleArr(col("ts"), 8), s => xxhash64(s)))
+        .as("g"))
+
   def decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
-    def grams(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .filter(size(col("ts")) >= 8)
-      .select(col("doc_id"),
-        explode(transform(shingleArr(col("ts"), 8), s => xxhash64(s)))
-          .as("g"))
+    def grams(df: DataFrame): DataFrame = hashedGrams8(df)
     val d = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
     val corpus = d.filter(col("doc_id") >= 10)
       .unionByName(d.filter(col("doc_id") < 10)

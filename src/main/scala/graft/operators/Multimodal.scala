@@ -49,23 +49,16 @@ object Multimodal {
     * and downstream reads never touch the object store again.
     */
   def binaryFileSource(spark: SparkSession, sfDir: String): DataFrame = {
-    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val dir = new java.io.File(sys.props("java.io.tmpdir"), s"graft_media_$tag")
-    synchronized {
-      val done = new java.io.File(dir, "_staged")
-      if (!done.exists()) {
-        dir.mkdirs()
-        // ≤100 tiny files: fixture prep, not a data path
-        Tables(spark, sfDir, "documents")
-          .filter(col("doc_id") < 100)
-          .select(col("doc_id"), col("text")).collect()
-          .foreach { r =>
-            java.nio.file.Files.write(
-              new java.io.File(dir, f"doc_${r.getLong(0)}%05d.bin").toPath,
-              r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          }
-        done.createNewFile()
-      }
+    val dir = Staging.stagedDir("graft_media", sfDir) { d =>
+      // ≤100 tiny files: fixture prep, not a data path
+      Tables(spark, sfDir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text")).collect()
+        .foreach { r =>
+          java.nio.file.Files.write(
+            new java.io.File(d, f"doc_${r.getLong(0)}%05d.bin").toPath,
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
     }
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.bin")

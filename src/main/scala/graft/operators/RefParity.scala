@@ -419,20 +419,13 @@ object RefParity {
     * warehouse and the CSV lake fixtures).
     */
   def partitionedSink(spark: SparkSession, sfDir: String): DataFrame = {
-    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val dir = new File(sys.props("java.io.tmpdir"), s"graft_part_lake_$tag")
-    synchronized {
-      // underscore-prefixed marker: Spark's file index ignores _ files
-      val done = new File(dir, "_staged")
-      if (!done.exists()) {
-        Tables(spark, sfDir, "orders")
-          .select("o_orderkey", "o_orderpriority", "o_totalprice",
-            "o_orderstatus")
-          .write.mode("overwrite")
-          .partitionBy("o_orderstatus")
-          .parquet(dir.getAbsolutePath)
-        done.createNewFile()
-      }
+    val dir = Staging.stagedDir("graft_part_lake", sfDir) { d =>
+      Tables(spark, sfDir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice",
+          "o_orderstatus")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(d.getAbsolutePath)
     }
     spark.read.parquet(dir.getAbsolutePath)
       .filter(col("o_orderstatus") === "F")
@@ -457,16 +450,10 @@ object RefParity {
     * shortest-roundtrip doubles).
     */
   def jsonlIngest(spark: SparkSession, sfDir: String): DataFrame = {
-    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val dir = new File(sys.props("java.io.tmpdir"), s"graft_jsonl_$tag")
-    synchronized {
-      val done = new File(dir, "_staged")
-      if (!done.exists()) {
-        Tables(spark, sfDir, "orders")
-          .select("o_orderkey", "o_orderstatus", "o_totalprice")
-          .write.mode("overwrite").json(dir.getAbsolutePath)
-        done.createNewFile()
-      }
+    val dir = Staging.stagedDir("graft_jsonl", sfDir) { d =>
+      Tables(spark, sfDir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").json(d.getAbsolutePath)
     }
     spark.read
       .schema(StructType(Seq(
@@ -495,19 +482,13 @@ object RefParity {
     * regardless of input order.
     */
   def textLogParse(spark: SparkSession, sfDir: String): DataFrame = {
-    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val dir = new File(sys.props("java.io.tmpdir"), s"graft_logs_$tag")
-    synchronized {
-      val done = new File(dir, "_staged")
-      if (!done.exists()) {
-        Tables(spark, sfDir, "orders")
-          .select(concat(
-            lit("order key="), col("o_orderkey"),
-            lit(" status="), col("o_orderstatus"),
-            lit(" price="), col("o_totalprice").cast(StringType)).as("value"))
-          .write.mode("overwrite").text(dir.getAbsolutePath)
-        done.createNewFile()
-      }
+    val dir = Staging.stagedDir("graft_logs", sfDir) { d =>
+      Tables(spark, sfDir, "orders")
+        .select(concat(
+          lit("order key="), col("o_orderkey"),
+          lit(" status="), col("o_orderstatus"),
+          lit(" price="), col("o_totalprice").cast(StringType)).as("value"))
+        .write.mode("overwrite").text(d.getAbsolutePath)
     }
     val line = spark.read.text(dir.getAbsolutePath)
     val re = "^order key=(\\d+) status=(\\S+) price=(\\S+)$"

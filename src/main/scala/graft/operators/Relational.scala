@@ -424,6 +424,11 @@ object Relational {
     * comparators and sinks (the agg_collect_sorted lesson). The oracle
     * computes the same results directly from the base columns: the gate
     * pins semantics, not mechanism.
+    *
+    * Deliberate exception to the HOF-avoidance discipline (TextAnalysis
+    * header): `transform_values` IS the operator under test here, so the
+    * projection accepts interpreted evaluation — a hot 100 TB path would
+    * restructure to keep map manipulation out of the per-row projection.
     */
   def mapStructOps(spark: SparkSession, sfDir: String): DataFrame = {
     val m = map(

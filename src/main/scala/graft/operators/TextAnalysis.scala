@@ -70,7 +70,46 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  private val stopList = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+  private[operators] val stopList =
+    Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  // curation-gate thresholds — shared with the composed pipeline in
+  // [[Curation]] so the standalone gate and the pipeline can't drift
+  private[operators] val MinTokens = 30
+  private[operators] val MaxTokens = 80
+  private[operators] val MinStopRatio = 0.01
+  private[operators] val MinTtr = 0.4
+
+  /** The quality gate as a reusable stage: metric projection + threshold
+    * filter over any (doc_id, text) relation. Single codegen'd scan.
+    */
+  private[operators] def qualityGate(df: DataFrame): DataFrame = {
+    val ts = split(col("text"), " ")
+    val nTokens = size(ts).cast(LongType)
+    val ttr = size(array_distinct(ts)).cast(DoubleType) / nTokens
+    val stopRatio = size(regexp_extract_all(col("text"), lit(StopRe), lit(0)))
+      .cast(DoubleType) / nTokens
+    df.select(col("doc_id"), nTokens.as("n_tokens"),
+        round(stopRatio, 6).as("stopword_ratio"), round(ttr, 6).as("ttr"))
+      .filter(col("n_tokens").between(MinTokens, MaxTokens)
+        && col("stopword_ratio") >= MinStopRatio && col("ttr") >= MinTtr)
+  }
+
+  /** The gate in DuckDB dialect over a named (doc_id, text) relation —
+    * one definition feeding both the standalone and the pipeline oracle.
+    */
+  private[operators] def qualityGateSql(rel: String): String =
+    s"""SELECT doc_id, n_tokens, stopword_ratio, ttr FROM (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    round(len(list_filter(string_split(text, ' '),
+       |        t -> list_contains($stopList, t))) * 1.0
+       |      / len(string_split(text, ' ')), 6) AS stopword_ratio,
+       |    round(len(list_distinct(string_split(text, ' '))) * 1.0
+       |      / len(string_split(text, ' ')), 6) AS ttr
+       |  FROM $rel)
+       |WHERE n_tokens BETWEEN $MinTokens AND $MaxTokens
+       |  AND stopword_ratio >= $MinStopRatio AND ttr >= $MinTtr""".stripMargin
 
   private val statsQualityOracle =
     s"""WITH base AS (
@@ -139,33 +178,12 @@ object TextAnalysis {
     * evaluation is codegen'd per row, and at 100 TB this composes with the
     * stats projection into the same single pass.
     */
-  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
-    val ts = split(col("text"), " ")
-    val nTokens = size(ts).cast(LongType)
-    val ttr = size(array_distinct(ts)).cast(DoubleType) / nTokens
-    val stopRatio = size(regexp_extract_all(col("text"), lit(StopRe), lit(0)))
-      .cast(DoubleType) / nTokens
-    Tables(spark, sfDir, "documents")
-      .select(col("doc_id"), nTokens.as("n_tokens"),
-        round(stopRatio, 6).as("stopword_ratio"), round(ttr, 6).as("ttr"))
-      .filter(col("n_tokens").between(30, 80)
-        && col("stopword_ratio") >= 0.01 && col("ttr") >= 0.4)
+  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame =
+    qualityGate(Tables(spark, sfDir, "documents"))
       .orderBy("doc_id")
-  }
 
   private val qualityFilterOracle =
-    s"""SELECT doc_id, n_tokens, stopword_ratio, ttr FROM (
-       |  SELECT doc_id,
-       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-       |    round(len(list_filter(string_split(text, ' '),
-       |        t -> list_contains($stopList, t))) * 1.0
-       |      / len(string_split(text, ' ')), 6) AS stopword_ratio,
-       |    round(len(list_distinct(string_split(text, ' '))) * 1.0
-       |      / len(string_split(text, ' ')), 6) AS ttr
-       |  FROM documents)
-       |WHERE n_tokens BETWEEN 30 AND 80
-       |  AND stopword_ratio >= 0.01 AND ttr >= 0.4
-       |ORDER BY doc_id""".stripMargin
+    qualityGateSql("documents") + "\nORDER BY doc_id"
 
   private val RedactWords = Seq("customer", "order", "part")
   private val redactRe = "\\b(?:" + RedactWords.mkString("|") + ")\\b"

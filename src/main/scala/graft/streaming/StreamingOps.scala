@@ -58,7 +58,10 @@ object StreamingOps {
   private def withStreamingPartitions[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    // never RAISE the count: a 4-partition Verify/test session is already
+    // below the state-volume target and capping it at 8 would add fan-out
+    val target = math.min(8, scala.util.Try(prev.toInt).getOrElse(8))
+    spark.conf.set(key, target.toString)
     try body finally spark.conf.set(key, prev)
   }
 
