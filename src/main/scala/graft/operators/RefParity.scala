@@ -4,6 +4,7 @@ import java.io.{File, PrintWriter}
 import java.sql.Date
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -511,6 +512,84 @@ object RefParity {
       | min(o_orderkey) AS min_key
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** SCD-2 (slowly-changing-dimension) history derivation — each
+    * customer's orders become attribute versions with [valid_from,
+    * valid_to) ranges and a current flag, the standard warehouse pattern
+    * for tracking dimension changes over time. One window per entity key
+    * (lead over the version order) — a single shuffle on the key, exactly
+    * the win_* plan shape; at 100 TB this runs incrementally per load
+    * batch against the open (is_current) slice only.
+    */
+  def scd2History(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables(spark, sfDir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderdate").as("valid_from"),
+        lead(col("o_orderdate"), 1).over(w).as("valid_to"),
+        lead(col("o_orderkey"), 1).over(w).isNull.as("is_current"))
+      .orderBy("o_custkey", "valid_from", "o_orderkey")
+  }
+
+  private val scd2HistoryOracle =
+    """SELECT o_custkey, o_orderkey, o_orderstatus,
+      | o_orderdate AS valid_from,
+      | lead(o_orderdate, 1) OVER w AS valid_to,
+      | lead(o_orderkey, 1) OVER w IS NULL AS is_current
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin
+
+  /** PERMISSIVE corrupt-record routing — the JSON twin of
+    * `ref_try_cast_quarantine`: a 100 TB ingest must survive malformed
+    * lines, not die on them. Corruption is planted deterministically
+    * (every 13th order's line is truncated mid-object); PERMISSIVE mode
+    * nulls the data columns and captures the raw line in
+    * `_corrupt_record`, and the aggregate routes those rows to a
+    * `_CORRUPT` bucket. No filter ever references the corrupt column
+    * (Spark disallows corrupt-column-only queries over unparsed JSON).
+    */
+  def jsonCorruptPermissive(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Staging.stagedDir("graft_jsonl_corrupt", sfDir) { d =>
+      val js = to_json(struct(
+        col("o_orderkey"), col("o_orderstatus"), col("o_totalprice")))
+      Tables(spark, sfDir, "orders")
+        .select(
+          when(col("o_orderkey") % 13 === 0,
+            concat(lit("{\"o_orderkey\": BROKEN "), col("o_orderkey")))
+            .otherwise(js).as("value"))
+        .write.mode("overwrite").text(d.getAbsolutePath)
+    }
+    spark.read
+      .schema(StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType),
+        StructField("_corrupt_record", StringType))))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.getAbsolutePath)
+      .groupBy(coalesce(col("o_orderstatus"), lit("_CORRUPT")).as("status"))
+      .agg(count(lit(1)).as("n"),
+        count(col("_corrupt_record")).as("n_corrupt"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_price"))
+      .orderBy("status")
+  }
+
+  private val jsonCorruptOracle =
+    """SELECT
+      |  CASE WHEN o_orderkey % 13 = 0 THEN '_CORRUPT'
+      |       ELSE o_orderstatus END AS status,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(CASE WHEN o_orderkey % 13 = 0 THEN 1 END) AS BIGINT)
+      |    AS n_corrupt,
+      |  CAST(sum(CASE WHEN o_orderkey % 13 <> 0
+      |           THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("ref_star_enrich",
       "reference flagship: filter→broadcast star join×2→const date→contract projection",
@@ -550,5 +629,11 @@ object RefParity {
     Query("ref_text_log_parse",
       "text source + regexp field extraction (log-parsing shape)",
       textLogParse, Some(textLogParseOracle)),
+    Query("ref_scd2_history",
+      "SCD-2 dimension history: valid_from/valid_to ranges + current flag",
+      scd2History, Some(scd2HistoryOracle)),
+    Query("ref_json_corrupt_permissive",
+      "PERMISSIVE JSON ingest with corrupt-record routing",
+      jsonCorruptPermissive, Some(jsonCorruptOracle)),
   )
 }

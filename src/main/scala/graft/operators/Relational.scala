@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -471,6 +471,46 @@ object Relational {
       |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
       |GROUP BY token ORDER BY cnt DESC, token LIMIT 50""".stripMargin
 
+  /** Range (non-equi, keyless) join — every event within ±5 minutes of any
+    * signup. Spark has no range-join primitive and the naive theta join
+    * plans as BroadcastNestedLoop: O(|signups| × |events|) comparisons, a
+    * scale-killer. The scale shape is BINNING: quantize time into 10-minute
+    * bins; a ±5-minute window overlaps at most 2 bins, so exploding each
+    * window into its bins and equi-joining on the bin turns the cartesian
+    * into a hash join + residual range filter. Each matching pair is
+    * produced exactly once (an event lives in exactly one bin) — no
+    * dedup pass. Cost O(events + 2·windows + matches); the same plan
+    * Flink interval joins and warehouse range-join hints lower to.
+    * PlanSpec asserts no nested-loop/cartesian operator survives.
+    */
+  def rangeJoinBinned(spark: SparkSession, sfDir: String): DataFrame = {
+    val binMicros = 600000000L // 10 minutes
+    def bin(c: Column): Column =
+      expr(s"unix_micros(cast(${c.toString} as timestamp)) div $binMicros")
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"))
+      .withColumn("bin", bin(col("ts")))
+    val windows = Tables(spark, sfDir, "events")
+      .filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"),
+        (col("ts") - expr("INTERVAL '5' MINUTE")).as("lo"),
+        (col("ts") + expr("INTERVAL '5' MINUTE")).as("hi"))
+      .withColumn("bin", explode(sequence(bin(col("lo")), bin(col("hi")))))
+    windows.join(ev,
+        windows("bin") === ev("bin")
+          && col("ts") >= col("lo") && col("ts") <= col("hi"))
+      .select(col("signup_id"), col("event_id"))
+      .orderBy("signup_id", "event_id")
+  }
+
+  private val rangeJoinOracle =
+    """SELECT s.event_id AS signup_id, e.event_id
+      |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+      |JOIN events e
+      |  ON e.ts >= s.ts - INTERVAL 5 MINUTE
+      | AND e.ts <= s.ts + INTERVAL 5 MINUTE
+      |ORDER BY signup_id, e.event_id""".stripMargin
+
   // ---- as-of join -------------------------------------------------------
 
   /** As-of join, an operator Spark has no primitive for: attach to every
@@ -906,6 +946,9 @@ object Relational {
       outerJoinCounts, Some(outerJoinOracle)),
     Query("scalar_datetime",
       "date_trunc month rollup of orders", monthlyOrders, Some(monthlyOrdersOracle)),
+    Query("join_range_binned",
+      "keyless range join via time binning (no nested-loop/cartesian)",
+      rangeJoinBinned, Some(rangeJoinOracle)),
     Query("scalar_map_struct",
       "map/struct scalar ops: lookup, key sort, value transform, field access",
       mapStructOps, Some(mapStructOracle)),

@@ -108,6 +108,13 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("ShuffledHashJoin"), s"expected shuffled hash join:\n$p")
   }
 
+  test("binned range join is a hash join, never nested-loop/cartesian") {
+    val p = plan(run("join_range_binned"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"binning must turn the range join into an equi-join:\n$p")
+    assert(p.contains("Join") || p.contains("HashJoin"), p)
+  }
+
   test("partitioned sink read-back prunes partitions before any file IO") {
     val p = plan(run("ref_partitioned_sink"))
     assert(p.contains("PartitionFilters: ["),
