@@ -467,6 +467,93 @@ object Dedup {
       |WHERE round(list_cosine_similarity(a.e, b.e), 6) >= 0.99
       |ORDER BY i, j""".stripMargin
 
+  /** Dedup cluster assignment — the step AFTER pair finding: near-dup
+    * PAIRS must become CLUSTERS with one representative each (pairs alone
+    * over-delete: a~b and b~c must keep exactly one of {a,b,c}, which
+    * requires the connected component, not the pair list). Implemented as
+    * distributed min-label propagation over the edge relation: each round
+    * every node takes the minimum label in its neighborhood — a join +
+    * groupBy per round, converging in graph-diameter rounds. The fixture
+    * edge set (consecutive docs chained within each id-decade, plus the
+    * planted-duplicate edges) bounds the diameter at ~11 so plain
+    * propagation converges in ≤ a dozen rounds; a 100 TB corpus graph uses
+    * the same per-round plan under large-star/small-star reshaping
+    * (O(log²) rounds) with per-round checkpointing to cut lineage. The
+    * driver loop carries only the convergence COUNT — no data is ever
+    * collected.
+    */
+  def clusterComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables(spark, sfDir, "documents").select(col("doc_id"))
+    val nodes = docsWithDups(spark, sfDir).select(col("doc_id").as("id"))
+    val chain = base.as("a")
+      .join(base.as("b"),
+        col("b.doc_id") === col("a.doc_id") + 1
+          && col("a.doc_id") % 10 =!= 9)
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+    val dups = base.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("src"), (col("doc_id") + 100000).as("dst"))
+    val edges = chain.unionByName(dups)
+    val undirected = edges.unionByName(
+      edges.select(col("dst").as("src"), col("src").as("dst"))).cache()
+    // each round MUST cut lineage (localCheckpoint, not cache): round N's
+    // logical plan references round N−1 twice, so without truncation the
+    // plan doubles per round and Catalyst ANALYSIS time explodes
+    // exponentially even though execution hits the cache (measured: round 7
+    // took 111 s where rounds 1-5 took ~1 s). At 100 TB the same call
+    // becomes a reliable checkpoint to the cluster store.
+    var labels = nodes.select(col("id"), col("id").as("comp"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 32) {
+      val neighborMin = undirected
+        .join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+      val propagated = labels
+        .join(neighborMin, labels("id") === neighborMin("src"), "left_outer")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      // pointer jumping: also adopt the current representative's OWN label
+      // (labels are node ids, so label[comp] exists) — path halving turns
+      // O(diameter) rounds into O(log diameter); each round is fixed-cost
+      // job overhead at any scale, so rounds are the thing to minimize
+      val next = propagated.as("x")
+        .join(propagated
+            .select(col("id").as("rid"), col("comp").as("rcomp")).as("r"),
+          col("x.comp") === col("r.rid"), "left_outer")
+        .select(col("x.id").as("id"),
+          coalesce(col("r.rcomp"), col("x.comp")).as("comp"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).count()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy("doc_id")
+  }
+
+  private val clusterComponentsOracle =
+    """WITH RECURSIVE
+      |nodes AS (
+      |  SELECT doc_id AS id FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 FROM documents WHERE doc_id % 10 = 0),
+      |e AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM documents a JOIN documents b
+      |    ON b.doc_id = a.doc_id + 1 AND a.doc_id % 10 <> 9
+      |  UNION ALL
+      |  SELECT doc_id, doc_id + 100000 FROM documents WHERE doc_id % 10 = 0),
+      |ud AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT reach.id, ud.dst FROM reach JOIN ud ON ud.src = reach.r)
+      |SELECT id AS doc_id, min(r) AS component
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("dedup_exact",
       "exact dedup: hash-groupBy on content, min-id representative",
@@ -489,5 +576,8 @@ object Dedup {
     Query("dedup_decontaminate",
       "benchmark decontamination: word-8-gram overlap vs eval set",
       decontaminate, Some(decontaminateOracle)),
+    Query("dedup_cluster_assign",
+      "connected components over dup edges: min-label propagation to a fixpoint",
+      clusterComponents, Some(clusterComponentsOracle)),
   )
 }

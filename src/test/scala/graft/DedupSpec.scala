@@ -72,6 +72,18 @@ class DedupSpec extends SparkTestBase {
     assert(df.filter(col("cos_sim") =!= 1.0).count() == 0)
   }
 
+  test("cluster assignment finds one component per decade chain") {
+    val df = run("dedup_cluster_assign", SfOracle).cache()
+    assert(df.count() == 550, "500 docs + 50 planted copies")
+    // every node's component is its decade start; copies join their source
+    val wrong = df.filter(
+      col("component") =!= (pmod(col("doc_id"), lit(100000))
+        - pmod(pmod(col("doc_id"), lit(100000)), lit(10)))).count()
+    assert(wrong == 0, "component representative must be the decade start")
+    assert(df.select("component").distinct().count() == 50)
+    df.unpersist()
+  }
+
   test("embedding LSH near-dup matches the brute-force pair set exactly") {
     val brute = run("dedup_embedding", SfOracle)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
