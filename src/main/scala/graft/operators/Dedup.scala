@@ -517,13 +517,16 @@ object Dedup {
       // (labels are node ids, so label[comp] exists) — path halving turns
       // O(diameter) rounds into O(log diameter); each round is fixed-cost
       // job overhead at any scale, so rounds are the thing to minimize
+      // lazy checkpoint: the convergence count below is the round's single
+      // materializing action — it populates the checkpoint as a side
+      // effect, so each round costs one job instead of two
       val next = propagated.as("x")
         .join(propagated
             .select(col("id").as("rid"), col("comp").as("rcomp")).as("r"),
           col("x.comp") === col("r.rid"), "left_outer")
         .select(col("x.id").as("id"),
           coalesce(col("r.rcomp"), col("x.comp")).as("comp"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next
         .join(labels.withColumnRenamed("comp", "prev"), "id")
         .filter(col("comp") =!= col("prev")).count()
