@@ -511,6 +511,46 @@ object Relational {
       | AND e.ts <= s.ts + INTERVAL 5 MINUTE
       |ORDER BY signup_id, e.event_id""".stripMargin
 
+  /** Recursive-CTE date spine + gap fill — the calendar-dim pattern: a
+    * 31-day spine generated by SQL recursion (Spark 4's WITH RECURSIVE →
+    * UnionLoop), left-joined to daily order counts so missing days appear
+    * as explicit zeros (time series must not silently skip empty days).
+    * The spine is parameter-anchored (a calendar is configuration, not
+    * data), so no driver-side scalar fetch is needed; recursion depth 31
+    * sits far under the engine's recursion limit. DuckDB runs the same
+    * recursive SQL — a true both-engines SQL-surface check.
+    */
+  def recursiveDateSpine(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "orders").createOrReplaceTempView("graft_orders_v")
+    spark.sql(
+      """WITH RECURSIVE spine(d) AS (
+        |  SELECT DATE '1992-01-01'
+        |  UNION ALL
+        |  SELECT date_add(d, 1) FROM spine WHERE d < DATE '1992-01-31'
+        |),
+        |daily AS (
+        |  SELECT o_orderdate AS d, count(*) AS n
+        |  FROM graft_orders_v GROUP BY o_orderdate
+        |)
+        |SELECT spine.d, CAST(coalesce(daily.n, 0) AS BIGINT) AS n_orders
+        |FROM spine LEFT JOIN daily ON spine.d = daily.d
+        |ORDER BY spine.d""".stripMargin)
+  }
+
+  private val recursiveDateSpineOracle =
+    """WITH RECURSIVE spine(d) AS (
+      |  SELECT DATE '1992-01-01'
+      |  UNION ALL
+      |  SELECT d + 1 FROM spine WHERE d < DATE '1992-01-31'
+      |),
+      |daily AS (
+      |  SELECT o_orderdate AS d, count(*) AS n
+      |  FROM orders GROUP BY o_orderdate
+      |)
+      |SELECT spine.d, CAST(coalesce(daily.n, 0) AS BIGINT) AS n_orders
+      |FROM spine LEFT JOIN daily ON spine.d = daily.d
+      |ORDER BY spine.d""".stripMargin
+
   // ---- as-of join -------------------------------------------------------
 
   /** As-of join, an operator Spark has no primitive for: attach to every
@@ -949,6 +989,9 @@ object Relational {
     Query("join_range_binned",
       "keyless range join via time binning (no nested-loop/cartesian)",
       rangeJoinBinned, Some(rangeJoinOracle)),
+    Query("sql_recursive_spine",
+      "recursive-CTE date spine + gap-filled daily counts (WITH RECURSIVE)",
+      recursiveDateSpine, Some(recursiveDateSpineOracle)),
     Query("scalar_map_struct",
       "map/struct scalar ops: lookup, key sort, value transform, field access",
       mapStructOps, Some(mapStructOracle)),
