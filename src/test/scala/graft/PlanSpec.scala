@@ -123,6 +123,35 @@ class PlanSpec extends SparkTestBase {
       s"the status equality must prune directories, not rows:\n$p")
   }
 
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // at 100 TB a selective dim filter should also prune the FACT scan:
+    // Spark injects a bloom filter built from the filtered build side into
+    // the probe side (might_contain), cutting shuffle input before the
+    // join. Size thresholds are lowered to make it fire at test scale; the
+    // mechanism is identical in production.
+    val conf = spark.conf
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    try {
+      val orders = spark.read.parquet(s"$Sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val j = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"selective join should inject a runtime bloom filter:\n$p")
+    } finally {
+      conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
+      conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    }
+  }
+
   test("AQE splits a skewed join at runtime (skew=true in the final plan)") {
     // complements agg_salted_skew (the manual rewrite): for JOINS the
     // engine's answer to skew is AQE's runtime split — a hot key's oversized
