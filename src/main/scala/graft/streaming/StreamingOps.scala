@@ -337,6 +337,57 @@ object StreamingOps {
       | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '30 minutes'
       |ORDER BY signup_id, purchase_id""".stripMargin
 
+  /** Streaming → file sink through foreachBatch — the production landing
+    * pattern the memory sink stands in for everywhere else: each
+    * micro-batch body runs as a BATCH write, here parquet append (on a
+    * table format this same hook does MERGE INTO for exactly-once; with
+    * plain parquet, idempotence comes from overwriting by batch-derived
+    * partition — simplified here to a per-run reset + append since
+    * AvailableNow drains deterministically). The sink directory is then
+    * read back as a normal batch relation and aggregated; the oracle
+    * aggregates the original table, so the stream→sink→scan roundtrip
+    * must be lossless.
+    */
+  def foreachBatchSink(spark: SparkSession, sfDir: String): DataFrame = {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_stream_sink_$tag")
+    // per-run reset: the query IS the sink write (measured like the ORC
+    // roundtrip), and a re-run must not double the data
+    if (dir.exists()) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val ev = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    withStreamingPartitions(spark) {
+      val q = ev.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(dir.getAbsolutePath)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(dir.getAbsolutePath)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  private val foreachBatchSinkOracle =
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       | ${sqlDsum("value")} AS sum_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("stream_tumbling_counts",
       "Structured Streaming tumbling windows (AvailableNow; equals batch)",
@@ -353,5 +404,8 @@ object StreamingOps {
     Query("stream_stream_join",
       "watermarked stream-stream interval join (signup→purchase ≤30 min)",
       streamStreamJoin, Some(streamStreamJoinOracle)),
+    Query("stream_foreachbatch_sink",
+      "streaming → parquet file sink via foreachBatch, lossless roundtrip",
+      foreachBatchSink, Some(foreachBatchSinkOracle)),
   )
 }
