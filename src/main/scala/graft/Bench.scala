@@ -35,20 +35,23 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // a name-filtered dev subset is marked INSIDE the JSON so a file
+    // consumer can never mistake a partial total for a full benchmark
+    val partial = if (only.isDefined) """"partial":true,""" else ""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$partial"queries":$qs,"sf":"$sfDir"}"""
     // the bare println proved losable to sbt log interleaving/truncation in
     // round 1 ("parsed": null) — emit the line under a unique grep-able
     // marker AND persist it to a file so the round's number can't be lost.
-    // A SPARK_GRAFT_ONLY dev subset gets a DIFFERENT marker so its partial
-    // total can never be mistaken for a full-run benchmark.
     val marker =
       if (only.isDefined) "GRAFT_BENCH_JSON_PARTIAL" else "GRAFT_BENCH_JSON"
     println(s"$marker $json")
-    println(json)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
-    if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    // stop FIRST, then print the bare JSON as the process's very last
+    // stdout line: Spark/sbt shutdown logging can no longer interleave
+    // with or truncate it (round 2's tail was cut mid-JSON)
     spark.stop()
+    println(json)
   }
 }

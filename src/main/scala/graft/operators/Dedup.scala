@@ -533,6 +533,12 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    // exiting by round cap rather than convergence means the labels are
+    // WRONG — fail loudly rather than hand non-converged components to a
+    // downstream consumer that has no way to notice
+    if (changed > 0) throw new IllegalStateException(
+      s"clusterComponents: round cap ($rounds) reached with $changed labels " +
+        "still changing — components did not converge")
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
       .orderBy("doc_id")
   }
@@ -565,7 +571,7 @@ object Dedup {
       "exact word-3-gram Jaccard near-dup pairs (threshold 0.5)",
       ngramJaccard, Some(ngramJaccardOracle)),
     Query("dedup_minhash_lsh",
-      "MinHash 64-perm + 16×4 LSH banding, exact-Jaccard verify",
+      "MinHash 64-perm + 32×2 LSH banding, exact-Jaccard verify",
       minhashLsh, Some(ngramJaccardOracle)),
     Query("dedup_simhash",
       "SimHash-64 near-dup pairs, banded hamming≤3 join (no oracle)",

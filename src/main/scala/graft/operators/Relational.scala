@@ -485,8 +485,12 @@ object Relational {
     */
   def rangeJoinBinned(spark: SparkSession, sfDir: String): DataFrame = {
     val binMicros = 600000000L // 10 minutes
+    // typed API, not string-spliced SQL: Column.toString only reparses for
+    // bare attribute references, so the expr() version broke on any
+    // computed/qualified column. floor() is exact here — epoch micros stay
+    // far below 2^53, so the double division loses nothing.
     def bin(c: Column): Column =
-      expr(s"unix_micros(cast(${c.toString} as timestamp)) div $binMicros")
+      floor(unix_micros(c.cast("timestamp")) / lit(binMicros)).cast(LongType)
     val ev = Tables(spark, sfDir, "events")
       .select(col("event_id"), col("ts"))
       .withColumn("bin", bin(col("ts")))
@@ -793,16 +797,37 @@ object Relational {
     * bucketing must be result-transparent.
     */
   def bucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    // SINGLE definition of the bucket layout: the write path and the
+    // re-register DDL both derive from `specs`, so a projection or bucket
+    // count change can never register a spec that mismatches staged files —
+    // and the spec is folded into the staged-marker name, so changing it
+    // invalidates the old warehouse instead of silently reusing it
     val nBuckets = 8
+    case class BucketSpec(table: String, source: String,
+        cols: Seq[(String, String)]) { // (name, sqlType); head = bucket key
+      def key: String = cols.head._1
+      def ddl(loc: String): String =
+        s"""CREATE TABLE graft_tmp.$table
+           | (${cols.map { case (n, t) => s"$n $t" }.mkString(", ")})
+           | USING PARQUET
+           | CLUSTERED BY ($key) SORTED BY ($key) INTO $nBuckets BUCKETS
+           | LOCATION '$loc/$table'""".stripMargin.replace("\n", " ")
+    }
+    val specs = Seq(
+      BucketSpec("orders_b", "orders",
+        Seq("o_orderkey" -> "BIGINT", "o_orderpriority" -> "STRING")),
+      BucketSpec("lineitem_b", "lineitem",
+        Seq("l_orderkey" -> "BIGINT", "l_extendedprice" -> "DOUBLE")))
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val loc = s"${sys.props("java.io.tmpdir")}/graft_warehouse_$tag"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_tmp LOCATION '$loc'")
     // table defs may be absent (fresh session) or point at another sfDir's
     // files (same session, different scale) — re-register from scratch;
     // EXTERNAL tables make the drop metadata-only
-    Seq("orders_b", "lineitem_b").foreach(t =>
-      spark.sql(s"DROP TABLE IF EXISTS graft_tmp.$t"))
-    val staged = new java.io.File(loc, ".staged")
+    specs.foreach(s => spark.sql(s"DROP TABLE IF EXISTS graft_tmp.${s.table}"))
+    val specFp = Integer.toHexString(scala.util.hashing.MurmurHash3
+      .stringHash(specs.map(s => s.ddl("")).mkString(";")))
+    val staged = new java.io.File(loc, s".staged_$specFp")
     if (!staged.exists()) {
       val dir = java.nio.file.Paths.get(loc)
       if (java.nio.file.Files.exists(dir)) {
@@ -811,36 +836,19 @@ object Relational {
           .sortBy(-_.getNameCount)
           .foreach(java.nio.file.Files.deleteIfExists(_))
       }
-      Tables(spark, sfDir, "orders")
-        .select("o_orderkey", "o_orderpriority")
-        .write.mode("overwrite")
-        .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$loc/orders_b")
-        .saveAsTable("graft_tmp.orders_b")
-      Tables(spark, sfDir, "lineitem")
-        .select("l_orderkey", "l_extendedprice")
-        .write.mode("overwrite")
-        .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
-        .option("path", s"$loc/lineitem_b")
-        .saveAsTable("graft_tmp.lineitem_b")
+      specs.foreach { s =>
+        Tables(spark, sfDir, s.source)
+          .select(s.cols.map(c => col(c._1)): _*)
+          .write.mode("overwrite")
+          .bucketBy(nBuckets, s.key).sortBy(s.key)
+          .option("path", s"$loc/${s.table}")
+          .saveAsTable(s"graft_tmp.${s.table}")
+      }
       staged.createNewFile()
     } else {
       // bucket files already on disk: declare the matching bucket spec over
       // them — exactly what a metastore-backed warehouse does at read time
-      spark.sql(
-        s"""CREATE TABLE graft_tmp.orders_b (o_orderkey BIGINT,
-           |  o_orderpriority STRING)
-           |USING PARQUET
-           |CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey)
-           |INTO $nBuckets BUCKETS
-           |LOCATION '$loc/orders_b'""".stripMargin)
-      spark.sql(
-        s"""CREATE TABLE graft_tmp.lineitem_b (l_orderkey BIGINT,
-           |  l_extendedprice DOUBLE)
-           |USING PARQUET
-           |CLUSTERED BY (l_orderkey) SORTED BY (l_orderkey)
-           |INTO $nBuckets BUCKETS
-           |LOCATION '$loc/lineitem_b'""".stripMargin)
+      specs.foreach(s => spark.sql(s.ddl(loc)))
     }
     spark.table("graft_tmp.lineitem_b")
       .join(spark.table("graft_tmp.orders_b"),

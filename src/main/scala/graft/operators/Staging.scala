@@ -1,26 +1,64 @@
 package graft.operators
 
 import java.io.File
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, StandardCopyOption, StandardOpenOption}
 
 /** Idempotent once-per-sfDir fixture staging: compute a tmpdir-rooted
-  * location from (name, sfDir), run `write` exactly once — guarded by an
-  * underscore marker file, which Spark's file sources ignore — and return
-  * the directory. One home for the stage-once idiom so a fix to it (e.g.
-  * the crash-between-write-and-marker window) lands everywhere at once.
-  * A partially-staged dir (no marker) is re-staged from scratch; writers
-  * use overwrite semantics so that is safe.
+  * location from (name, sfDir), run `write` exactly once — guarded by a
+  * fingerprinted underscore marker file, which Spark's file sources
+  * ignore — and return the directory. One home for the stage-once idiom so
+  * a fix to it (e.g. the crash-between-write-and-marker window) lands
+  * everywhere at once. A partially-staged dir (no marker) is re-staged from
+  * scratch; writers use overwrite semantics so that is safe.
+  *
+  * The marker name embeds a fingerprint of the source data dir (file
+  * names + sizes + mtimes) plus a caller-supplied spec string, so
+  * regenerated fixture data at the same path — or a changed staging
+  * spec — invalidates the staged dir instead of silently serving stale
+  * files. Cross-process safety (sbt tests alongside Verify share the
+  * tmpdir): staging runs under an exclusive file lock, and the marker is
+  * created by atomic rename so no observer ever sees a half-made marker.
   */
 private[operators] object Staging {
-  def stagedDir(name: String, sfDir: String)(write: File => Unit): File =
-    synchronized {
-      val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-      val dir = new File(sys.props("java.io.tmpdir"), s"${name}_$tag")
-      val done = new File(dir, "_staged")
-      if (!done.exists()) {
-        dir.mkdirs()
-        write(dir)
-        done.createNewFile()
-      }
-      dir
+
+  /** Fingerprint of the source dir's top-level entries + a spec string.
+    * Cheap (one listing, no reads) but catches the real invalidation
+    * events: driver-regenerated fixtures and code-changed staging specs.
+    */
+  private def fingerprint(sfDir: String, spec: String): String = {
+    val entries = Option(new File(sfDir).listFiles()).getOrElse(Array.empty)
+      .sortBy(_.getName)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+    val h = scala.util.hashing.MurmurHash3
+      .stringHash(entries.mkString("|") + "#" + spec)
+    java.lang.Integer.toHexString(h)
+  }
+
+  def stagedDir(name: String, sfDir: String, spec: String = "")(
+      write: File => Unit): File = synchronized {
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = new File(sys.props("java.io.tmpdir"), s"${name}_$tag")
+    val done = new File(dir, s"_staged_${fingerprint(sfDir, spec)}")
+    if (!done.exists()) {
+      dir.mkdirs()
+      val lockCh = FileChannel.open(new File(dir, "_lock").toPath,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      val lock = lockCh.lock()
+      try {
+        if (!done.exists()) { // re-check: another process may have staged
+          // markers from older fixture generations / specs would otherwise
+          // accumulate and confuse debugging — clear them before restaging
+          Option(dir.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.getName.startsWith("_staged"))
+            .foreach(_.delete())
+          write(dir)
+          val tmp = new File(dir, done.getName + ".tmp")
+          Files.writeString(tmp.toPath, "")
+          Files.move(tmp.toPath, done.toPath, StandardCopyOption.ATOMIC_MOVE)
+        }
+      } finally { lock.release(); lockCh.close() }
     }
+    dir
+  }
 }
