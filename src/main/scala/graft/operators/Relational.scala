@@ -555,6 +555,88 @@ object Relational {
       |FROM spine LEFT JOIN daily ON spine.d = daily.d
       |ORDER BY spine.d""".stripMargin
 
+  // ---- correlated subqueries (decorrelation surface) ---------------------
+
+  /** TPC-H Q17-shaped correlated scalar subquery via the SQL surface:
+    * lineitems below 20% of their own part's average quantity, rolled up
+    * per brand. The naive semantics re-run the subquery per outer row — a
+    * scale-killer; Catalyst decorrelates it
+    * (RewriteCorrelatedScalarSubquery) into ONE per-partkey aggregate
+    * joined back to the outer scan, which is the plan a warehouse engine
+    * produces. PlanSpec pins the decorrelation so it can't regress to a
+    * per-row probe. Determinism: l_quantity is integral, so the double avg
+    * is bitwise order-independent in both engines; the output sum routes
+    * through DECIMAL per the repo-wide rule (SURVEY.md §7.4).
+    */
+  def correlatedScalarSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "lineitem").createOrReplaceTempView("graft_lineitem_v")
+    Tables(spark, sfDir, "part").createOrReplaceTempView("graft_part_v")
+    spark.sql(
+      """SELECT p_brand,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |    AS avg_yearly,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM graft_lineitem_v l JOIN graft_part_v p ON p_partkey = l_partkey
+        |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+        |                    FROM graft_lineitem_v l2
+        |                    WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin)
+  }
+
+  private val correlatedScalarSubqueryOracle =
+    """SELECT p_brand,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+      |    AS avg_yearly,
+      |  CAST(count(*) AS BIGINT) AS n_lines
+      |FROM lineitem l JOIN part p ON p_partkey = l_partkey
+      |WHERE l_quantity < (SELECT 0.2 * avg(l_quantity)
+      |                    FROM lineitem l2
+      |                    WHERE l2.l_partkey = l.l_partkey)
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  /** TPC-H Q22-shaped anti-join subquery: "rich but inactive" customers —
+    * balance above the (uncorrelated scalar-subquery) positive-balance
+    * average, and NOT EXISTS any urgent order — per market segment (every
+    * harness customer has SOME order, so the unrestricted Q22 predicate
+    * would be vacuously empty and test nothing). The scalar
+    * avg must execute ONCE (a one-row subquery stage feeding the filter),
+    * and NOT EXISTS must plan as a left-anti hash join on o_custkey, never
+    * a per-row existence probe; PlanSpec pins both. Threshold determinism:
+    * the closest c_acctbal sits 6.7 units from the average, so last-bit
+    * double-summation differences between engines cannot flip a row.
+    */
+  def correlatedNotExists(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "customer").createOrReplaceTempView("graft_customer_v")
+    Tables(spark, sfDir, "orders").createOrReplaceTempView("graft_orders_v")
+    spark.sql(
+      """SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM graft_customer_v c
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM graft_customer_v
+        |                   WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_orders_v o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  private val correlatedNotExistsOracle =
+    """SELECT c_mktsegment,
+      |  CAST(count(*) AS BIGINT) AS numcust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+      |                   WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   // ---- as-of join -------------------------------------------------------
 
   /** As-of join, an operator Spark has no primitive for: attach to every
@@ -1000,6 +1082,12 @@ object Relational {
     Query("sql_recursive_spine",
       "recursive-CTE date spine + gap-filled daily counts (WITH RECURSIVE)",
       recursiveDateSpine, Some(recursiveDateSpineOracle)),
+    Query("sql_corr_scalar_subq",
+      "Q17-shaped correlated scalar subquery, decorrelated to agg+join",
+      correlatedScalarSubquery, Some(correlatedScalarSubqueryOracle)),
+    Query("sql_corr_not_exists",
+      "Q22-shaped NOT EXISTS + scalar-avg subquery, planned as anti join",
+      correlatedNotExists, Some(correlatedNotExistsOracle)),
     Query("scalar_map_struct",
       "map/struct scalar ops: lookup, key sort, value transform, field access",
       mapStructOps, Some(mapStructOracle)),

@@ -152,6 +152,35 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("correlated scalar subquery is decorrelated into an aggregate+join") {
+    val df = run("sql_corr_scalar_subq")
+    val opt = df.queryExecution.optimizedPlan.toString
+    // a surviving per-row subquery prints as scalar-subquery#N [corr];
+    // after RewriteCorrelatedScalarSubquery the avg becomes a standalone
+    // Aggregate joined back on l_partkey
+    assert(!opt.contains("scalar-subquery"),
+      s"correlated subquery must not survive optimization:\n$opt")
+    assert("(?s)Join.*Join".r.findFirstIn(opt).isDefined,
+      s"expected the decorrelated avg to join back to the outer scan:\n$opt")
+    val exec = plan(df)
+    assert(!exec.contains("BroadcastNestedLoopJoin") &&
+      !exec.contains("CartesianProduct"),
+      s"decorrelated plan must stay an equi-join:\n$exec")
+  }
+
+  test("NOT EXISTS plans as a left-anti hash join, scalar avg runs once") {
+    val df = run("sql_corr_not_exists")
+    val exec = plan(df)
+    assert(exec.contains("LeftAnti"),
+      s"NOT EXISTS must become an anti join:\n$exec")
+    assert(!exec.contains("BroadcastNestedLoopJoin") &&
+      !exec.contains("CartesianProduct"),
+      s"anti join must be hash-based, not nested-loop:\n$exec")
+    // the uncorrelated avg appears as ONE reusable subquery stage, not a
+    // per-row expression
+    assert(exec.contains("Subquery"), s"scalar avg should be a one-shot subquery stage:\n$exec")
+  }
+
   test("AQE splits a skewed join at runtime (skew=true in the final plan)") {
     // complements agg_salted_skew (the manual rewrite): for JOINS the
     // engine's answer to skew is AQE's runtime split — a hot key's oversized
