@@ -171,10 +171,95 @@ object Similarity {
        |WHERE e.vec_id <> 0
        |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
 
+  // ---- batch-probe ANN ---------------------------------------------------
+
+  // fewer planes than the single-probe index: the multi query joins on
+  // EXACT bucket keys (multiprobe = explicit neighbor-key fan-out, not a
+  // hamming predicate), so bucket occupancy must stay ≥ k for the top-k to
+  // be meaningful — 4 planes ⇒ 16 buckets ⇒ ~31 vectors/bucket at sf0.01
+  private val MultiPlanes = 4
+  private val multiPlanes: Seq[Seq[Double]] = {
+    val rnd = new Random(0x5eedfaceL)
+    Seq.fill(MultiPlanes)(Seq.fill(Dim)(rnd.nextGaussian()))
+  }
+  private val ProbeEvery = 50
+  private val MultiK = 5
+
+  /** Batch-probe ANN — the true 100 TB fan-out shape: top-k neighbors for a
+    * probe SET (every 50th vector) through ONE bucket equi-join + per-probe
+    * window top-k, instead of one broadcast scan per probe. Each probe
+    * explodes into its own bucket key plus the 4 hamming-1 neighbor keys
+    * (multiprobe as key fan-out), so candidate generation is a single
+    * equi-join: broadcast at this probe count, shuffle-hash on the bucket
+    * key when the probe set itself is large. A candidate's bucket equals
+    * exactly one of a probe's 5 keys, so no pair is produced twice — no
+    * dedup pass. Everything is deterministic (seeded literal hyperplanes,
+    * left-to-right dot-product fold identical to DuckDB's, 6dp rounding
+    * before every ordering), so unlike most ANN this carries a full DuckDB
+    * oracle with the plane literals embedded in the SQL.
+    */
+  def annLshMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    val signature = (0 until MultiPlanes).map(k =>
+      when(DotProduct(col("e"), typedLit(multiPlanes(k))) > 0, lit(1L << k))
+        .otherwise(lit(0L))).reduce(_ + _)
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("bucket", signature)
+    val probeKeys = Seq(col("bucket")) ++
+      (0 until MultiPlanes).map(b => expr(s"bucket ^ ${1L << b}"))
+    val probes = e.filter(pmod(col("vec_id"), lit(ProbeEvery)) === 0)
+      .select(col("vec_id").as("probe_id"), col("e").as("p"),
+        explode(array(probeKeys: _*)).as("bucket"))
+    val byProbe = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    e.join(probes, Seq("bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(Dedup.cosine(col("e"), col("p")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(byProbe).cast(LongType))
+      .filter(col("rank") <= MultiK)
+      .orderBy("probe_id", "rank")
+  }
+
+  private val annLshMultiOracle: String = {
+    val planeRows = multiPlanes.zipWithIndex
+      .map { case (p, k) => s"($k, [${p.mkString(", ")}])" }
+      .mkString(",\n")
+    val neighborKeys = (0 until MultiPlanes)
+      .map(b => s"xor(bucket, ${1L << b})").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       | FROM embeddings),
+       |planes(k, p) AS (VALUES
+       |$planeRows),
+       |sigs AS (
+       |  SELECT vec_id, CAST(sum(CASE WHEN list_dot_product(v, p) > 0
+       |                        THEN 1 << k ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM e CROSS JOIN planes GROUP BY vec_id),
+       |sb AS (SELECT e.vec_id, e.v, s.bucket FROM e JOIN sigs s USING (vec_id)),
+       |pk AS (
+       |  SELECT vec_id AS probe_id, v AS pv,
+       |    unnest([bucket, $neighborKeys]) AS bucket
+       |  FROM sb WHERE vec_id % $ProbeEvery = 0),
+       |cand AS (
+       |  SELECT pk.probe_id, sb.vec_id,
+       |    round(list_cosine_similarity(pk.pv, sb.v), 6) AS cos_sim
+       |  FROM pk JOIN sb USING (bucket)
+       |  WHERE sb.vec_id <> pk.probe_id)
+       |SELECT probe_id, vec_id, cos_sim, CAST(rn AS BIGINT) AS rank
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rn
+       |      FROM cand)
+       |WHERE rn <= $MultiK
+       |ORDER BY probe_id, rank""".stripMargin
+  }
+
   val queries: Seq[Query] = Seq(
     Query("sim_topk_bruteforce",
       "exact cosine top-10 vs broadcast probe (TakeOrderedAndProject)",
       topkBruteforce, Some(topkOracle)),
+    Query("sim_ann_lsh_multi",
+      "batch-probe ANN: probe set × bucket equi-join, per-probe top-5",
+      annLshMulti, Some(annLshMultiOracle)),
     Query("sim_ann_lsh",
       "sign-LSH bucketed ANN top-10 with hamming≤2 multiprobe (no oracle)",
       annLsh, None),
