@@ -541,6 +541,78 @@ object RefParity {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin
 
+  /** Incremental SCD-2 APPLY — the production half the history derivation
+    * (`ref_scd2_history`) and the flat upsert (`ref_upsert_merge`) each
+    * cover a piece of: a change batch arrives against existing versioned
+    * state, every affected entity's OPEN row is closed (valid_to := the
+    * change timestamp, is_current := false) and a new open version is
+    * inserted; unaffected entities pass through untouched. This is what
+    * replaces the reference's blind warehouse append (app.py:195-197) when
+    * the target is a versioned dimension. Batch = every 4th customer key
+    * getting status 'Z' at a fixed post-history timestamp; keys without
+    * existing history become first-version inserts through the same code
+    * path. Shape: one broadcast left join of state × batch (change batches
+    * are ≪ state; a huge batch would shuffle on the key) + a union of the
+    * tiny insert set. At 100 TB the state table is written partitioned by
+    * `is_current`, so the close step rewrites only the open partition —
+    * history partitions are never touched.
+    */
+  def scd2Apply(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = scd2History(spark, sfDir)
+    val tsType = hist.schema("valid_from").dataType
+    // fixed literal after every harness order date (orders span 1992-1998)
+    val changeTs = lit("1999-06-01 00:00:00").cast(tsType)
+    val batch = Tables(spark, sfDir, "customer")
+      .filter(col("c_custkey") % 4 === 0)
+      .select(col("c_custkey").as("o_custkey"))
+    val matched = col("b_key").isNotNull
+    val updated = hist.join(
+        broadcast(batch.withColumn("b_key", col("o_custkey"))),
+        Seq("o_custkey"), "left_outer")
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+        col("valid_from"),
+        when(matched && col("is_current"), changeTs)
+          .otherwise(col("valid_to")).as("valid_to"),
+        when(matched, lit(false)).otherwise(col("is_current"))
+          .as("is_current"))
+    val inserts = batch.select(
+      col("o_custkey"),
+      (-col("o_custkey")).as("o_orderkey"), // surrogate key for the new row
+      lit("Z").as("o_orderstatus"),
+      changeTs.as("valid_from"),
+      lit(null).cast(tsType).as("valid_to"),
+      lit(true).as("is_current"))
+    updated.unionByName(inserts)
+      .orderBy("o_custkey", "valid_from", "o_orderkey")
+  }
+
+  private val scd2ApplyOracle =
+    """WITH hist AS (
+      |  SELECT o_custkey, o_orderkey, o_orderstatus,
+      |    o_orderdate AS valid_from,
+      |    lead(o_orderdate, 1) OVER w AS valid_to,
+      |    lead(o_orderkey, 1) OVER w IS NULL AS is_current
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+      |batch AS (
+      |  SELECT c_custkey AS o_custkey FROM customer WHERE c_custkey % 4 = 0),
+      |updated AS (
+      |  SELECT h.o_custkey, h.o_orderkey, h.o_orderstatus, h.valid_from,
+      |    CASE WHEN b.o_custkey IS NOT NULL AND h.is_current
+      |         THEN TIMESTAMP '1999-06-01 00:00:00' ELSE h.valid_to END
+      |      AS valid_to,
+      |    CASE WHEN b.o_custkey IS NOT NULL THEN FALSE
+      |         ELSE h.is_current END AS is_current
+      |  FROM hist h LEFT JOIN batch b USING (o_custkey)),
+      |ins AS (
+      |  SELECT o_custkey, -o_custkey AS o_orderkey, 'Z' AS o_orderstatus,
+      |    TIMESTAMP '1999-06-01 00:00:00' AS valid_from,
+      |    CAST(NULL AS TIMESTAMP) AS valid_to, TRUE AS is_current
+      |  FROM batch)
+      |SELECT * FROM updated UNION ALL SELECT * FROM ins
+      |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin
+
   /** PERMISSIVE corrupt-record routing — the JSON twin of
     * `ref_try_cast_quarantine`: a 100 TB ingest must survive malformed
     * lines, not die on them. Corruption is planted deterministically
@@ -629,6 +701,9 @@ object RefParity {
     Query("ref_text_log_parse",
       "text source + regexp field extraction (log-parsing shape)",
       textLogParse, Some(textLogParseOracle)),
+    Query("ref_scd2_apply",
+      "incremental SCD-2 apply: close open rows, insert new versions",
+      scd2Apply, Some(scd2ApplyOracle)),
     Query("ref_scd2_history",
       "SCD-2 dimension history: valid_from/valid_to ranges + current flag",
       scd2History, Some(scd2HistoryOracle)),
