@@ -181,6 +181,50 @@ class PlanSpec extends SparkTestBase {
     assert(exec.contains("Subquery"), s"scalar avg should be a one-shot subquery stage:\n$exec")
   }
 
+  test("CBO + table stats reorder joins: selective dim join moves innermost") {
+    // the last untested optimizer surface: ANALYZE-collected stats feeding
+    // cost-based join reorder. The query is WRITTEN worst-first (fact ⋈
+    // mid-dim, then the selective dim); with per-column stats and CBO on,
+    // CostBasedJoinReorder must instead join customer ⋈ (filtered nation,
+    // ~1 row) first so the fact join probes a tiny build side. At 100 TB
+    // this reorder is the difference between shuffling the fact table
+    // against 150k rows vs against 60.
+    val conf = spark.conf
+    val loc = java.nio.file.Files.createTempDirectory("graft_cbo").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_cbo LOCATION '$loc'")
+    Seq("orders", "customer", "nation").foreach { t =>
+      spark.read.parquet(s"$SfOracle/$t.parquet")
+        .write.mode("overwrite").saveAsTable(s"graft_cbo.$t")
+      spark.sql(s"ANALYZE TABLE graft_cbo.$t COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    conf.set("spark.sql.cbo.enabled", "true")
+    conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try {
+      val q = spark.sql(
+        """SELECT o.o_orderkey, n.n_name
+          |FROM graft_cbo.orders o
+          |JOIN graft_cbo.customer c ON o.o_custkey = c.c_custkey
+          |JOIN graft_cbo.nation n ON c.c_nationkey = n.n_nationkey
+          |WHERE n.n_name = 'NATION_7'""".stripMargin)
+      val joins = q.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(joins.size == 2, s"expected a 2-join tree:\n${q.queryExecution.optimizedPlan}")
+      // pre-order collect ⇒ the innermost join comes last; its leaves must
+      // be the two dimension tables, proving the written order was replaced
+      val innerLeaves = joins.last.collectLeaves().map(_.toString).mkString
+      assert(innerLeaves.contains("customer") && innerLeaves.contains("nation")
+        && !innerLeaves.contains("orders"),
+        s"stats must move the selective dim join innermost:\n${q.queryExecution.optimizedPlan}")
+    } finally {
+      conf.unset("spark.sql.cbo.enabled")
+      conf.unset("spark.sql.cbo.joinReorder.enabled")
+      Seq("orders", "customer", "nation").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_cbo.$t"))
+      spark.sql("DROP DATABASE IF EXISTS graft_cbo")
+    }
+  }
+
   test("AQE splits a skewed join at runtime (skew=true in the final plan)") {
     // complements agg_salted_skew (the manual rewrite): for JOINS the
     // engine's answer to skew is AQE's runtime split — a hot key's oversized

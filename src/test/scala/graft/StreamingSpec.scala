@@ -56,4 +56,81 @@ class StreamingSpec extends SparkTestBase {
     val want = run("win_time_tumbling").collect().map(_.toSeq)
     assert(got.sameElements(want))
   }
+
+  test("watermark evicts state and drops late data across restarts") {
+    // Everywhere else AvailableNow drains one finite batch, so the
+    // watermark never advances PAST data and the semantics it exists for —
+    // state eviction + late-row drop — go unexercised. Here two
+    // AvailableNow runs share a checkpoint (a restart, production-style):
+    // run 1 advances the watermark; run 2 delivers a row BEHIND it, which
+    // must be dropped, while a fresh row advances the watermark far enough
+    // to flush the previously open window from checkpointed state.
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_late_eviction").toFile
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+
+    def addFile(tag: String, times: Seq[String]): Unit = {
+      val staging = new java.io.File(root, s"stage_$tag")
+      spark.createDataFrame(
+          spark.sparkContext.parallelize(times.map(org.apache.spark.sql.Row(_)), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("raw", org.apache.spark.sql.types.StringType))))
+        .select(to_timestamp(col("raw")).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(staging.getAbsolutePath)
+      val part = staging.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(feed, s"$tag.parquet").toPath)
+    }
+
+    // the memory sink refuses checkpoint recovery, so the restart run needs
+    // a recoverable sink: foreachBatch collecting emitted rows into a
+    // buffer (per-run, so each run observes only its own emissions)
+    def drain(): (Map[String, Long], org.apache.spark.sql.streaming.StreamingQuery) = {
+      val emitted = new scala.collection.concurrent.TrieMap[String, Long]
+      val stream = spark.readStream
+        .schema("ts TIMESTAMP")
+        .parquet(feed.getAbsolutePath)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("string").as("wstart"), col("n"))
+      val q = stream.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => emitted.put(r.getString(0), r.getLong(1)))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      (emitted.toMap, q)
+    }
+
+    // run 1: watermark ends at 13:00 − 10 min = 12:50, so the 12:00 window
+    // is finalized and emitted; the 13:00 window stays open in state
+    addFile("a", Seq(
+      "2026-01-01 12:00:00", "2026-01-01 12:05:00", "2026-01-01 13:00:00"))
+    val (sink1, _) = drain()
+    assert(sink1 == Map("2026-01-01 12:00:00" -> 2L),
+      s"run 1 must emit only the finalized 12:00 window, got $sink1")
+
+    // run 2: 12:01 sits behind the 12:50 checkpointed watermark → dropped;
+    // 13:30 advances the watermark to 13:20 → the open 13:00 window flushes
+    // from recovered state with n=1 (NOT 2 — the late row must not count)
+    addFile("b", Seq("2026-01-01 12:01:00", "2026-01-01 13:30:00"))
+    val (sink2, q2) = drain()
+    assert(sink2.get("2026-01-01 13:00:00").contains(1L),
+      s"run 2 must flush the checkpointed 13:00 window untouched by the " +
+        s"late row, got $sink2")
+    assert(!sink2.contains("2026-01-01 12:00:00"),
+      s"the late 12:01 row must not resurrect the finalized window: $sink2")
+    val dropped = q2.recentProgress
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .map(_.numRowsDroppedByWatermark).sum
+    assert(dropped == 1L,
+      s"exactly the one late row must be dropped by the watermark, " +
+        s"got $dropped")
+  }
 }
