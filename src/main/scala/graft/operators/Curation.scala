@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -130,6 +131,65 @@ object Curation {
        |  md5(array_to_string(chunk, ' ')) AS chunk_md5
        |FROM ch ORDER BY doc_id, chunk_start""".stripMargin
 
+  // ---- sequence packing ---------------------------------------------------
+
+  private val PackCapacity = 256 // tokens per training sequence
+  private val PackShards = 8
+
+  /** GPT-style sequence packing — the step that turns a curated corpus into
+    * fixed-length training sequences: documents are concatenated in a
+    * deterministic order and the token stream is cut every `PackCapacity`
+    * tokens, so a document may straddle two (or more) adjacent sequences.
+    * Emitted as one row per (document × sequence it occupies) with the
+    * token count it contributes — the manifest a sequence-builder reads.
+    *
+    * Scale shape: packing is per-SHARD (doc_id mod 8), not global — a
+    * global token cumsum would serialize the corpus through one partition;
+    * per-shard cumsums need one shuffle on the shard key and the shard
+    * count scales with the cluster. Within a shard: window cumsum + a
+    * sequence/explode over each doc's [first, last] sequence ids — linear,
+    * no further shuffle. Only the final sequence of each shard may be
+    * short; every other sequence holds exactly `PackCapacity` tokens
+    * (property-tested in CurationSpec).
+    */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cap = lit(PackCapacity.toLong)
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), (col("doc_id") % PackShards).as("shard"),
+        size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      .withColumn("tok_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", explode(sequence(
+        floor(col("tok_start") / cap),
+        floor((col("tok_start") + col("n_tokens") - 1) / cap))))
+      .select(col("shard"), col("seq_id"), col("doc_id"),
+        (least((col("seq_id") + 1) * cap, col("tok_start") + col("n_tokens"))
+          - greatest(col("seq_id") * cap, col("tok_start")))
+          .as("n_tokens_in_seq"))
+      .orderBy("shard", "seq_id", "doc_id")
+  }
+
+  private val packSequencesOracle =
+    s"""WITH toks AS (
+       |  SELECT doc_id, doc_id % $PackShards AS shard,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |pos AS (
+       |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+       |      PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS tok_start
+       |  FROM toks)
+       |SELECT shard, seq_id, doc_id,
+       |  least((seq_id + 1) * $PackCapacity, tok_start + n_tokens)
+       |    - greatest(seq_id * $PackCapacity, tok_start) AS n_tokens_in_seq
+       |FROM pos,
+       |     unnest(range(tok_start // $PackCapacity,
+       |                  (tok_start + n_tokens - 1) // $PackCapacity + 1))
+       |       AS u(seq_id)
+       |ORDER BY shard, seq_id, doc_id""".stripMargin
+
   // ---- end-to-end curation pipeline -------------------------------------
 
   /** The composed curation pass over the planted-duplicate corpus:
@@ -198,6 +258,9 @@ object Curation {
     Query("curation_chunk",
       "overlapping token-window chunking (size 32, stride 24)",
       chunkDocuments, Some(chunkDocumentsOracle)),
+    Query("curation_pack_sequences",
+      "GPT-style sequence packing: per-shard token cumsum → capacity cuts",
+      packSequences, Some(packSequencesOracle)),
     Query("curation_pipeline",
       "composed curation: exact dedup → decontaminate → quality gate",
       curationPipeline, Some(curationPipelineOracle)),

@@ -82,4 +82,26 @@ class CurationSpec extends SparkTestBase {
       s"pipeline must only tighten the gate: extra=${survivors -- quality}")
     df.unpersist()
   }
+
+  test("sequence packing conserves tokens and fills all non-final sequences") {
+    val packed = run("curation_pack_sequences", SfOracle).cache()
+    // conservation: per-document contributions sum to the document's tokens
+    val perDoc = packed.groupBy("doc_id")
+      .agg(sum("n_tokens_in_seq").as("packed_tokens"))
+    val docs = spark.read.parquet(s"$SfOracle/documents.parquet")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    assert(perDoc.join(docs, "doc_id")
+      .filter(col("packed_tokens") =!= col("n_tokens")).count() == 0,
+      "every token must land in exactly one sequence slot")
+    // capacity: every sequence except each shard's last holds exactly 256
+    val perSeq = packed.groupBy("shard", "seq_id")
+      .agg(sum("n_tokens_in_seq").as("fill"))
+    val lastSeq = perSeq.groupBy("shard").agg(max("seq_id").as("last_seq"))
+    val short = perSeq.join(lastSeq, "shard")
+      .filter(col("seq_id") =!= col("last_seq") && col("fill") =!= 256)
+    assert(short.count() == 0,
+      s"non-final sequences must be full: ${short.collect().mkString(",")}")
+    packed.unpersist()
+  }
 }
