@@ -864,6 +864,51 @@ object Relational {
        | CAST(count(*) AS BIGINT) AS n
        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- incremental aggregate maintenance ---------------------------------
+
+  /** Incremental aggregate maintenance — the running-rollup pattern behind
+    * every "update the dashboard table per load" job: a persisted per-key
+    * STATE table of partial aggregates (prior loads) is merged with the
+    * new batch's partials, and derived measures (avg) are recomputed from
+    * the merged state. The load-bearing rule: state stores DECOMPOSED
+    * aggregates (sum + count — associative, mergeable), never the derived
+    * avg (averages of averages are wrong under unequal group sizes).
+    * State = orders with o_orderkey % 5 ≠ 0; batch = the % 5 = 0 slice;
+    * the oracle recomputes over the FULL table directly, so the
+    * incremental path must be bit-identical to a full recompute.
+    *
+    * Scale shape: each load shuffles one partial row per key from the new
+    * batch (map-side combined) against the key-partitioned state table —
+    * the fact history is never rescanned. This is the batch twin of the
+    * streaming complete-mode aggregate, expressed as pure relational ops.
+    */
+  def incrementalAggMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(dec(col("o_totalprice"))).as("sum_part"),
+        count(lit(1)).as("n_part"))
+    val orders = Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val state = partials(orders.filter(col("o_orderkey") % 5 =!= 0))
+    val batch = partials(orders.filter(col("o_orderkey") % 5 === 0))
+    state.unionByName(batch)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("sum_part")).as("sum_merged"),
+        sum(col("n_part")).as("n"))
+      .select(col("o_orderpriority"), col("n"),
+        col("sum_merged").cast(DoubleType).as("sum_price"),
+        (col("sum_merged").cast(DoubleType) / col("n").cast(DoubleType))
+          .as("avg_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val incrementalAggMergeOracle =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |   / CAST(count(*) AS DOUBLE) AS avg_price
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ---- bucketing: co-located join ---------------------------------------
 
   /** Bucketed co-located join: both sides are written bucketed (and
@@ -1082,6 +1127,9 @@ object Relational {
     Query("sql_recursive_spine",
       "recursive-CTE date spine + gap-filled daily counts (WITH RECURSIVE)",
       recursiveDateSpine, Some(recursiveDateSpineOracle)),
+    Query("agg_incremental_merge",
+      "incremental aggregate maintenance: merge batch partials into state",
+      incrementalAggMerge, Some(incrementalAggMergeOracle)),
     Query("sql_corr_scalar_subq",
       "Q17-shaped correlated scalar subquery, decorrelated to agg+join",
       correlatedScalarSubquery, Some(correlatedScalarSubqueryOracle)),
