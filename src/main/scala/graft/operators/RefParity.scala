@@ -303,6 +303,61 @@ object RefParity {
       | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Harness-scale stand-in for the ~128 MB production target file size. */
+  private val CompactTargetBytes = 256L * 1024
+
+  /** Compact the fragmented fixture and return (output dir, file count
+    * target) — shared by the query and the spec so the assertion can't
+    * drift from the implementation.
+    */
+  private[graft] def compactedOrdersDir(
+      spark: SparkSession, sfDir: String): (String, Int) = {
+    val frag = Staging.stagedDir("graft_small_files", sfDir) { d =>
+      Tables(spark, sfDir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartition(64)
+        .write.mode("overwrite").parquet(d.getAbsolutePath)
+    }
+    val in = spark.read.parquet(frag.getAbsolutePath)
+    // size the output from ACTUAL input bytes / target file size — the
+    // listing every compactor does; metadata-only driver work, no data
+    // ever reaches the driver
+    val bytes = in.inputFiles
+      .map(f => new java.io.File(java.net.URI.create(f)).length()).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / CompactTargetBytes).toInt)
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val out = s"${sys.props("java.io.tmpdir")}/graft_compacted_$tag"
+    in.repartition(nOut).write.mode("overwrite").parquet(out)
+    (out, nOut)
+  }
+
+  /** Small-file compaction — the lake-maintenance op no 100 TB deployment
+    * skips: micro-batch sinks strand thousands of tiny files per partition,
+    * and every later scan pays per-file open + listing cost for them. The
+    * fixture stages orders as 64 tiny parquet files; compaction sizes the
+    * rewrite from actual input bytes over a target file size and
+    * repartitions to that count. The query aggregates the COMPACTED copy
+    * while the oracle aggregates the original table — compaction must be
+    * row-lossless; RefParitySpec asserts the file count really dropped to
+    * the computed target.
+    */
+  def compactSmallFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val (out, _) = compactedOrdersDir(spark, sfDir)
+    spark.read.parquet(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val compactSmallFilesOracle =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      | CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** S3 variant with header schema inference (app.py:29 — pandas sniffs
     * dtypes from the CSV content). The engine's default is the explicit
     * contract (§1.4: inference means one extra full pass over 100 TB and a
@@ -701,6 +756,9 @@ object RefParity {
     Query("ref_text_log_parse",
       "text source + regexp field extraction (log-parsing shape)",
       textLogParse, Some(textLogParseOracle)),
+    Query("ref_compact_small_files",
+      "small-file compaction: byte-sized rewrite of a fragmented dir",
+      compactSmallFiles, Some(compactSmallFilesOracle)),
     Query("ref_scd2_apply",
       "incremental SCD-2 apply: close open rows, insert new versions",
       scd2Apply, Some(scd2ApplyOracle)),

@@ -143,4 +143,17 @@ class RefParitySpec extends SparkTestBase {
     assert(n == expectedKeys)
     df.unpersist()
   }
+
+  test("small-file compaction hits the byte-sized file-count target") {
+    val (out, nOut) = graft.operators.RefParity.compactedOrdersDir(spark, Sf)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == nOut,
+      s"expected $nOut compacted files, found ${files.length}")
+    assert(nOut < 64, s"compaction must reduce the 64-file fixture, got $nOut")
+    // lossless: compacted row count equals the source
+    val n = spark.read.parquet(out).count()
+    val want = spark.read.parquet(s"$Sf/orders.parquet").count()
+    assert(n == want)
+  }
 }
