@@ -293,16 +293,19 @@ object StreamingOps {
     */
   def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    def src() = spark.readStream
+    // ONE source, filtered into both sides (a stream self-join): building
+    // two identical sources made every micro-batch list the directory
+    // twice — at a 100 TB landing zone the doubled listing is real money
+    val src = spark.readStream
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val signups = src().filter(col("event_type") === "signup")
+    val signups = src.filter(col("event_type") === "signup")
       .select(col("user_id").as("s_user"), col("event_id").as("signup_id"),
         col("ts").as("s_ts"))
       .withWatermark("s_ts", "1 hour")
-    val purchases = src().filter(col("event_type") === "purchase")
+    val purchases = src.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("p_ts"))
       .withWatermark("p_ts", "1 hour")
