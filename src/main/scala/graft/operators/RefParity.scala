@@ -303,6 +303,63 @@ object RefParity {
       | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Snapshot diff (CDC derivation) — given two snapshots of a table,
+    * emit the row-level change feed: INSERT (key only in the new
+    * snapshot), DELETE (key only in the old), UPDATE (key in both, any
+    * tracked column changed); unchanged rows are suppressed. This is how
+    * change-data-capture is DERIVED when the source can't emit a log —
+    * the diff every lakehouse table format computes between versions.
+    * Snapshots are deterministic key slices of orders with a planted
+    * revision rule. Shape: one full-outer join on the key (shuffle both
+    * sides, or zero-shuffle when both snapshots are bucketed by key as in
+    * `join_bucketed`) + a codegen'd comparison projection; the change feed
+    * out is a tiny fraction of the snapshots.
+    */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val snapA = orders.filter(col("o_orderkey") % 7 =!= 1)
+    val snapB = orders.filter(col("o_orderkey") % 5 =!= 2)
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 11 === 3, lit("R"))
+          .otherwise(col("o_orderstatus")))
+    snapA.as("a")
+      .join(snapB.as("b"), col("a.o_orderkey") === col("b.o_orderkey"),
+        "full_outer")
+      .select(
+        coalesce(col("b.o_orderkey"), col("a.o_orderkey")).as("o_orderkey"),
+        when(col("a.o_orderkey").isNull, "INSERT")
+          .when(col("b.o_orderkey").isNull, "DELETE")
+          .when(col("a.o_orderstatus") =!= col("b.o_orderstatus")
+            || col("a.o_totalprice") =!= col("b.o_totalprice"), "UPDATE")
+          .otherwise("UNCHANGED").as("change_type"),
+        col("a.o_orderstatus").as("old_status"),
+        col("b.o_orderstatus").as("new_status"))
+      .filter(col("change_type") =!= "UNCHANGED")
+      .orderBy("o_orderkey")
+  }
+
+  private val snapshotDiffOracle =
+    """WITH a AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderkey % 7 <> 1),
+      |b AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 11 = 3 THEN 'R' ELSE o_orderstatus END
+      |      AS o_orderstatus,
+      |    o_totalprice FROM orders WHERE o_orderkey % 5 <> 2)
+      |SELECT * FROM (
+      |  SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+      |    CASE WHEN a.o_orderkey IS NULL THEN 'INSERT'
+      |         WHEN b.o_orderkey IS NULL THEN 'DELETE'
+      |         WHEN a.o_orderstatus <> b.o_orderstatus
+      |           OR a.o_totalprice <> b.o_totalprice THEN 'UPDATE'
+      |         ELSE 'UNCHANGED' END AS change_type,
+      |    a.o_orderstatus AS old_status, b.o_orderstatus AS new_status
+      |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+      |WHERE change_type <> 'UNCHANGED'
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Harness-scale stand-in for the ~128 MB production target file size. */
   private val CompactTargetBytes = 256L * 1024
 
@@ -756,6 +813,9 @@ object RefParity {
     Query("ref_text_log_parse",
       "text source + regexp field extraction (log-parsing shape)",
       textLogParse, Some(textLogParseOracle)),
+    Query("ref_snapshot_diff",
+      "CDC derivation: row-level diff of two table snapshots",
+      snapshotDiff, Some(snapshotDiffOracle)),
     Query("ref_compact_small_files",
       "small-file compaction: byte-sized rewrite of a fragmented dir",
       compactSmallFiles, Some(compactSmallFilesOracle)),
