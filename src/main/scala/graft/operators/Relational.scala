@@ -90,6 +90,27 @@ object Relational {
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
       .orderBy("event_type")
 
+  /** MERGEABLE distinct-count state — the sketch twin of
+    * `agg_incremental_merge`: per-day DataSketches HLL sketches of user_id
+    * are built once (`hll_sketch_agg`), persisted as the state table, and
+    * any coarser rollup (here monthly) comes from UNIONING the sketches
+    * (`hll_union_agg`) — never from rescanning the facts. This is the only
+    * way distinct counts stay incremental at 100 TB: exact distinct state
+    * is as large as the data, while a sketch is ~KB per group and unions
+    * associatively like a sum. No DuckDB oracle (sketch bytes are
+    * library-specific); RelationalSpec bounds the estimate against the
+    * exact count per group.
+    */
+  def sketchDistinctMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables(spark, sfDir, "events")
+      .groupBy(date_trunc("DAY", col("ts")).as("d"), col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    daily
+      .groupBy(date_trunc("MONTH", col("d")).as("month"), col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+      .orderBy("month", "event_type")
+  }
+
   /** Rollup over (nation, mktsegment) after a broadcast dim join — subtotal
     * grades via coalesce sentinels (portable across engines, no grouping_id).
     */
@@ -304,6 +325,71 @@ object Relational {
   private val topkOracle =
     """SELECT c_custkey, c_name, c_acctbal FROM customer
       |ORDER BY c_acctbal DESC, c_custkey LIMIT 20""".stripMargin
+
+  // ---- Z-order clustering (multi-column data skipping) --------------------
+
+  /** Morton bit-spread: the low 16 bits of `c` moved to the even bit
+    * positions of a 32-bit value, via the standard magic-mask doubling
+    * steps — pure built-in bitwise ops, fully codegen'd (no UDF, no custom
+    * expression needed).
+    */
+  private def spread16(c: Column): Column = {
+    val m = Seq(0x00FF00FFL, 0x0F0F0F0FL, 0x33333333L, 0x55555555L)
+    val shifts = Seq(8, 4, 2, 1)
+    var x = c.cast(LongType).bitwiseAND(lit(0xFFFFL))
+    shifts.zip(m).foreach { case (s, mask) =>
+      x = x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(mask))
+    }
+    x
+  }
+
+  /** The identical spread as portable SQL (nested expansion of the same
+    * masks), so the oracle computes byte-identical z-keys in DuckDB.
+    */
+  private def spread16Sql(e: String): String = {
+    val masks = Seq(8 -> 16711935L, 4 -> 252645135L, 2 -> 858993459L,
+      1 -> 1431655765L)
+    masks.foldLeft(s"($e & 65535)") { case (acc, (s, m)) =>
+      s"(($acc | ($acc << $s)) & $m)"
+    }
+  }
+
+  /** Z-order (Morton) clustering key — the layout op behind multi-column
+    * data skipping: interleaving the bits of two range-queried columns
+    * gives ONE sort key under which points close in (x, y) stay close in
+    * file order, so per-file min/max stats prune 2-D box queries that a
+    * single-column sort can only prune on its leading column. The query
+    * emits the key + a coarse z-bucket per order (x = customer key, y =
+    * wrapped total price); the LAYOUT property — writing
+    * `repartitionByRange(zkey).sortWithinPartitions(zkey)` shrinks
+    * per-file bounding boxes vs a key-sorted layout — is asserted in
+    * PlanSpec, where both layouts are written and their file-level stats
+    * compared. At 100 TB this is the OPTIMIZE ZORDER BY of lakehouse
+    * formats, expressed with nothing but codegen'd bitwise built-ins.
+    */
+  def zorderCluster(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = col("o_custkey").bitwiseAND(lit(65535L))
+    val y = floor(col("o_totalprice")).cast(LongType).bitwiseAND(lit(65535L))
+    Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), x.as("x"), y.as("y"))
+      .withColumn("zkey",
+        spread16(col("x")).bitwiseOR(shiftleft(spread16(col("y")), 1)))
+      .withColumn("zbucket", shiftright(col("zkey"), 28))
+      .orderBy("o_orderkey")
+  }
+
+  private val zorderClusterOracle = {
+    val sx = spread16Sql("x")
+    val sy = spread16Sql("y")
+    s"""WITH base AS (
+       |  SELECT o_orderkey, o_custkey & 65535 AS x,
+       |    CAST(floor(o_totalprice) AS BIGINT) & 65535 AS y
+       |  FROM orders),
+       |z AS (
+       |  SELECT o_orderkey, x, y, ($sx | ($sy << 1)) AS zkey FROM base)
+       |SELECT o_orderkey, x, y, zkey, zkey >> 28 AS zbucket
+       |FROM z ORDER BY o_orderkey""".stripMargin
+  }
 
   // ---- set ops ---------------------------------------------------------
 
@@ -1080,6 +1166,9 @@ object Relational {
       pricingSummary, Some(pricingSummaryOracle)),
     Query("agg_distinct_users",
       "exact countDistinct per group", distinctUsers, Some(distinctUsersOracle)),
+    Query("agg_sketch_merge",
+      "mergeable HLL distinct state: daily sketches unioned to monthly",
+      sketchDistinctMerge, None),
     Query("agg_approx_distinct",
       "HLL approx_count_distinct (sketch path for 100 TB; no oracle)",
       approxDistinctUsers, None),
@@ -1127,6 +1216,9 @@ object Relational {
     Query("sql_recursive_spine",
       "recursive-CTE date spine + gap-filled daily counts (WITH RECURSIVE)",
       recursiveDateSpine, Some(recursiveDateSpineOracle)),
+    Query("sort_zorder_cluster",
+      "Z-order (Morton) clustering key via codegen'd bitwise built-ins",
+      zorderCluster, Some(zorderClusterOracle)),
     Query("agg_incremental_merge",
       "incremental aggregate maintenance: merge batch partials into state",
       incrementalAggMerge, Some(incrementalAggMergeOracle)),

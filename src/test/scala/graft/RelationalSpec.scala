@@ -22,6 +22,25 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("merged daily HLL sketches track exact monthly distincts") {
+    val exact = spark.read.parquet(s"$Sf/events.parquet")
+      .select(expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        .as("ts"), col("event_type"), col("user_id"))
+      .groupBy(date_trunc("MONTH", col("ts")).as("month"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect()
+      .map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    val merged = run("agg_sketch_merge").collect()
+      .map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(merged.keySet == exact.keySet, "same groups must appear")
+    exact.foreach { case (k, n) =>
+      val a = merged(k)
+      // default lgK=12 ⇒ ~1.6% rsd; 5% is a generous 3-sigma bound
+      assert(math.abs(a - n).toDouble / n < 0.05,
+        s"$k: sketch-union $a vs exact $n drifted > 5%")
+    }
+  }
+
   test("rollup grand-total row equals the full customer count") {
     val total = run("agg_rollup")
       .filter(col("nation") === "(all)" && col("segment") === "(all)")
