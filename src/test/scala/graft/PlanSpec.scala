@@ -181,6 +181,38 @@ class PlanSpec extends SparkTestBase {
     assert(exec.contains("Subquery"), s"scalar avg should be a one-shot subquery stage:\n$exec")
   }
 
+  test("z-order layout prunes a 2-D box query better than key-sorted files") {
+    // the point of the z-key: after repartitionByRange(zkey) +
+    // sortWithinPartitions(zkey), per-file (x, y) bounding boxes are small,
+    // so a 2-D box predicate can skip most files on min/max stats alone. A
+    // key-sorted layout scatters x and y across every file: nothing prunes.
+    val base = SparkEntry.queries("sort_zorder_cluster")(spark, SfOracle)
+      .select("o_orderkey", "x", "y", "zkey")
+    val root = java.nio.file.Files.createTempDirectory("graft_zorder")
+    def filesIntersectingBox(sortCol: String): Long = {
+      val dir = s"$root/$sortCol"
+      base.repartitionByRange(16, col(sortCol))
+        .sortWithinPartitions(sortCol)
+        .write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("x").as("xmin"), max("x").as("xmax"),
+          min("y").as("ymin"), max("y").as("ymax"))
+        // box query: x ∈ [200, 800], y ∈ [8192, 16383]
+        .filter(col("xmin") <= 800 && col("xmax") >= 200
+          && col("ymin") <= 16383 && col("ymax") >= 8192)
+        .count()
+    }
+    val zFiles = filesIntersectingBox("zkey")
+    val kFiles = filesIntersectingBox("o_orderkey")
+    assert(kFiles >= 12,
+      s"key-sorted layout should leave nearly all 16 files overlapping " +
+        s"the box, got $kFiles — fixture assumption broken")
+    assert(zFiles * 2 < kFiles,
+      s"z-order must let min/max stats skip most files: z=$zFiles vs " +
+        s"key-sorted=$kFiles")
+  }
+
   test("CBO + table stats reorder joins: selective dim join moves innermost") {
     // the last untested optimizer surface: ANALYZE-collected stats feeding
     // cost-based join reorder. The query is WRITTEN worst-first (fact ⋈
