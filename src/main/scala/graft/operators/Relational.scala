@@ -326,6 +326,124 @@ object Relational {
     """SELECT c_custkey, c_name, c_acctbal FROM customer
       |ORDER BY c_acctbal DESC, c_custkey LIMIT 20""".stripMargin
 
+  // ---- star-schema revenue ranking (TPC-H Q3 shape) -----------------------
+
+  /** TPC-H Q3-shaped star join: revenue of not-yet-shipped lineitems for
+    * BUILDING-segment customers' pre-cutoff orders, top-10 by revenue. The
+    * classic OLAP composition — two selective dim/fact filters, a
+    * broadcast-able customer side, the orderkey fact join, decimal-exact
+    * revenue, and a TakeOrderedAndProject top-k (never a global sort).
+    * At 100 TB: the filtered BUILDING customer keys broadcast; orders ⋈
+    * lineitem shuffles on orderkey (or goes exchange-free when both sit
+    * bucketed by orderkey as in `join_bucketed`); date filters push into
+    * both parquet scans.
+    */
+  def starJoinTopRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit("1995-03-15 00:00:00").cast(TimestampNTZType)
+    val cust = Tables(spark, sfDir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = Tables(spark, sfDir, "orders")
+      .filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val one = lit(1).cast(DecimalType(18, 2))
+    cust.join(ord, col("c_custkey") === col("o_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  private val starJoinTopRevenueOracle =
+    """SELECT l_orderkey, o_orderdate,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+      |   AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  // ---- one-pass column profiling ------------------------------------------
+
+  /** Data-quality column profiling — the pre-ingest gate every pipeline
+    * runs: per-column non-null count, exact distinct count, and min/max
+    * (numeric and string kept in separate typed columns — no double→string
+    * casts whose formatting could differ between engines), emitted in long
+    * format via ONE aggregate + `stack`. The scan is single-pass; the
+    * multiple exact countDistincts expand the input internally (Spark's
+    * Expand), which is the documented cost of exactness — a 100 TB profile
+    * job swaps them for approx_count_distinct and keeps this exact shape
+    * for audits.
+    */
+  def profileColumns(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "orders")
+      .agg(
+        count(col("o_orderkey")).as("nn_k"),
+        countDistinct(col("o_orderkey")).as("nd_k"),
+        min(col("o_orderkey")).cast(DoubleType).as("min_k"),
+        max(col("o_orderkey")).cast(DoubleType).as("max_k"),
+        count(col("o_orderstatus")).as("nn_s"),
+        countDistinct(col("o_orderstatus")).as("nd_s"),
+        min(col("o_orderstatus")).as("min_s"),
+        max(col("o_orderstatus")).as("max_s"),
+        count(col("o_totalprice")).as("nn_p"),
+        countDistinct(col("o_totalprice")).as("nd_p"),
+        min(col("o_totalprice")).as("min_p"),
+        max(col("o_totalprice")).as("max_p"),
+        count(col("o_orderpriority")).as("nn_pr"),
+        countDistinct(col("o_orderpriority")).as("nd_pr"),
+        min(col("o_orderpriority")).as("min_pr"),
+        max(col("o_orderpriority")).as("max_pr"))
+      .selectExpr(
+        """stack(4,
+          | 'o_orderkey', nn_k, nd_k, min_k, max_k,
+          |   cast(null as string), cast(null as string),
+          | 'o_orderstatus', nn_s, nd_s, cast(null as double),
+          |   cast(null as double), min_s, max_s,
+          | 'o_totalprice', nn_p, nd_p, min_p, max_p,
+          |   cast(null as string), cast(null as string),
+          | 'o_orderpriority', nn_pr, nd_pr, cast(null as double),
+          |   cast(null as double), min_pr, max_pr)
+          | as (col_name, n_nonnull, n_distinct, min_num, max_num,
+          |     min_str, max_str)""".stripMargin.replace("\n", " "))
+      .orderBy("col_name")
+  }
+
+  private val profileColumnsOracle =
+    """SELECT * FROM (
+      |  SELECT 'o_orderkey' AS col_name,
+      |    CAST(count(o_orderkey) AS BIGINT) AS n_nonnull,
+      |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+      |    CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+      |    CAST(max(o_orderkey) AS DOUBLE) AS max_num,
+      |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderstatus', CAST(count(o_orderstatus) AS BIGINT),
+      |    CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+      |    NULL, NULL, min(o_orderstatus), max(o_orderstatus)
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_totalprice', CAST(count(o_totalprice) AS BIGINT),
+      |    CAST(count(DISTINCT o_totalprice) AS BIGINT),
+      |    min(o_totalprice), max(o_totalprice), NULL, NULL
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderpriority', CAST(count(o_orderpriority) AS BIGINT),
+      |    CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+      |    NULL, NULL, min(o_orderpriority), max(o_orderpriority)
+      |  FROM orders)
+      |ORDER BY col_name""".stripMargin
+
   // ---- Z-order clustering (multi-column data skipping) --------------------
 
   /** Morton bit-spread: the low 16 bits of `c` moved to the even bit
@@ -1216,6 +1334,12 @@ object Relational {
     Query("sql_recursive_spine",
       "recursive-CTE date spine + gap-filled daily counts (WITH RECURSIVE)",
       recursiveDateSpine, Some(recursiveDateSpineOracle)),
+    Query("join_star_q3",
+      "Q3-shaped star join: filtered dims, fact join, decimal top-10 revenue",
+      starJoinTopRevenue, Some(starJoinTopRevenueOracle)),
+    Query("ref_profile_columns",
+      "one-pass column profiling: null/distinct/min/max per column, long form",
+      profileColumns, Some(profileColumnsOracle)),
     Query("sort_zorder_cluster",
       "Z-order (Morton) clustering key via codegen'd bitwise built-ins",
       zorderCluster, Some(zorderClusterOracle)),
