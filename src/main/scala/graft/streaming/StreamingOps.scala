@@ -247,6 +247,51 @@ object StreamingOps {
        | ${sqlDsum("value")} AS sum_value
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Update-mode aggregation — the third output mode (complete and append
+    * are covered by the other streams): each micro-batch emits only the
+    * groups whose aggregate CHANGED, and the sink upserts them — the
+    * pattern for maintaining a serving table without rewriting it per
+    * batch. The foreachBatch body does the keyed upsert (what a real
+    * deployment does against kafka-compact/OLTP/lakehouse sinks); after
+    * the final batch the upserted table must equal the batch aggregate,
+    * which is the DuckDB oracle.
+    */
+  def updateModeCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val agg = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    val upserted =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Double)]
+    withStreamingPartitions(spark) {
+      val q = agg.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // keyed upsert: update-mode delivers only changed groups
+          batch.collect().foreach(r =>
+            upserted.put(r.getString(0),
+              (r.getAs[Long]("n"), r.getAs[Double]("sum_value"))))
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    upserted.asScala.toSeq
+      .map { case (k, (n, s)) => (k, n, s) }
+      .toDF("event_type", "n", "sum_value")
+      .orderBy("event_type")
+  }
+
+  private val updateModeCountsOracle =
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       | ${sqlDsum("value")} AS sum_value
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Stream–static join: the event stream enriched against the static
     * customer dimension (broadcast per micro-batch — the static side is
     * planned like any batch relation, so the broadcast-hash-join shape is
@@ -401,6 +446,9 @@ object StreamingOps {
     Query("stream_dedup_exact",
       "streaming dropDuplicates over a doubled stream (equals single-copy)",
       dedupStream, Some(dedupStreamOracle)),
+    Query("stream_update_mode",
+      "update-mode aggregation upserted via foreachBatch (equals batch)",
+      updateModeCounts, Some(updateModeCountsOracle)),
     Query("stream_enrich_static",
       "stream-static broadcast join + complete-mode aggregation",
       enrichStatic, Some(enrichStaticOracle)),

@@ -133,4 +133,55 @@ class StreamingSpec extends SparkTestBase {
       s"exactly the one late row must be dropped by the watermark, " +
         s"got $dropped")
   }
+
+  test("dropDuplicatesWithinWatermark dedups across a checkpoint restart") {
+    // the BOUNDED-state dedup the unbounded stream_dedup_exact documents as
+    // its production form: key state lives only within the watermark delay.
+    // A duplicate redelivered in a LATER run (recovered checkpoint, still
+    // within the watermark) must be dropped by the restored key state.
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dedup_wm").toFile
+    val feed = new java.io.File(root, "feed"); feed.mkdirs()
+    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+
+    def addFile(tag: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = new java.io.File(root, s"stage_$tag")
+      spark.createDataFrame(rows).toDF("id", "raw")
+        .select(col("id"), to_timestamp(col("raw")).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(staging.getAbsolutePath)
+      val part = staging.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(feed, s"$tag.parquet").toPath)
+    }
+
+    def drain(): Set[Long] = {
+      val emitted = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      val q = spark.readStream
+        .schema("id BIGINT, ts TIMESTAMP")
+        .parquet(feed.getAbsolutePath)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("id")
+        .writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => emitted.add(r.getLong(0)))
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import scala.jdk.CollectionConverters._
+      emitted.asScala.toSet
+    }
+
+    addFile("a", Seq(1L -> "2026-01-01 12:55:00", 2L -> "2026-01-01 13:00:00"))
+    assert(drain() == Set(1L, 2L))
+    // id=2 redelivered at 13:02 — within the delay, key state recovered
+    // from the checkpoint must swallow it; id=3 is fresh and passes
+    addFile("b", Seq(2L -> "2026-01-01 13:02:00", 3L -> "2026-01-01 14:00:00"))
+    val second = drain()
+    assert(second == Set(3L),
+      s"the redelivered id=2 must be deduped by restored state, got $second")
+  }
 }
