@@ -181,6 +181,42 @@ class PlanSpec extends SparkTestBase {
     assert(exec.contains("Subquery"), s"scalar avg should be a one-shot subquery stage:\n$exec")
   }
 
+  test("nested schema pruning: only the queried struct fields reach the scan") {
+    // at 100 TB the difference between reading s.b and reading all of s is
+    // the whole point of columnar nesting — the scan's ReadSchema must name
+    // only the traversed leaf fields, for struct AND array-of-struct paths
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_nested").toString + "/t"
+    spark.range(100).selectExpr(
+        "id",
+        "named_struct('a', id, 'b', cast(id as string), 'c', id * 2) as s",
+        "array(named_struct('k', id, 'v', id + 1)) as arr")
+      .write.mode("overwrite").parquet(dir)
+    val structOnly = spark.read.parquet(dir).select(col("s.b"))
+    val ps = plan(structOnly)
+    assert(ps.contains("ReadSchema: struct<s:struct<b:string>>"),
+      s"scan must prune untouched struct fields:\n$ps")
+    val arrOnly = spark.read.parquet(dir)
+      .select(explode(col("arr")).as("e")).select(col("e.k"))
+    val pa = plan(arrOnly)
+    assert(pa.contains("ReadSchema: struct<arr:array<struct<k:bigint>>>"),
+      s"scan must prune untouched array-element fields:\n$pa")
+  }
+
+  test("Q3 star join broadcasts the filtered dim and heaps the top-k") {
+    val df = run("join_star_q3")
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must be per-partition heaps, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the filtered BUILDING customer side must broadcast:\n$p")
+    // both date filters must reach the parquet scans
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate,"),
+      s"order-date filter must push into the orders scan:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate,"),
+      s"ship-date filter must push into the lineitem scan:\n$p")
+  }
+
   test("z-order layout prunes a 2-D box query better than key-sorted files") {
     // the point of the z-key: after repartitionByRange(zkey) +
     // sortWithinPartitions(zkey), per-file (x, y) bounding boxes are small,
