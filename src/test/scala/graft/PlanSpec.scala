@@ -181,6 +181,49 @@ class PlanSpec extends SparkTestBase {
     assert(exec.contains("Subquery"), s"scalar avg should be a one-shot subquery stage:\n$exec")
   }
 
+  test("join strategy hints are honored (broadcast / shuffle_hash / merge)") {
+    // at 100 TB the engine's default pick is usually right, but when the
+    // operator knows better (tiny-but-unanalyzed dim, sort-averse key) the
+    // hint API is the contract — pin that each hint actually changes the
+    // physical join
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    val ord = spark.read.parquet(s"$Sf/orders.parquet")
+      .select("o_orderkey", "o_orderpriority")
+    def joined(hint: String) =
+      plan(li.join(ord.hint(hint), col("l_orderkey") === col("o_orderkey")))
+    assert(joined("broadcast").contains("BroadcastHashJoin"))
+    assert(joined("shuffle_hash").contains("ShuffledHashJoin"))
+    assert(joined("merge").contains("SortMergeJoin"))
+  }
+
+  test("range-partitioned sort write yields disjoint, ordered files") {
+    // the global-sort write pattern: repartitionByRange samples the key to
+    // build range bounds, sortWithinPartitions orders inside each file —
+    // so files are totally ordered END TO END (file N's max < file N+1's
+    // min) and a key-range read touches a contiguous file subset. This is
+    // how a 100 TB sorted export actually ships; a plain orderBy().write
+    // would funnel through one task per output range anyway, and an
+    // unsorted write gives overlapping files no reader can binary-search.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_rangesort").toString + "/t"
+    spark.read.parquet(s"$Sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+      .repartitionByRange(8, col("o_totalprice"))
+      .sortWithinPartitions("o_totalprice")
+      .write.mode("overwrite").parquet(dir)
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      .orderBy("lo")
+      .collect()
+    assert(perFile.length == 8)
+    perFile.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"),
+        s"file ranges must not overlap: ${a} vs ${b}")
+    }
+  }
+
   test("nested schema pruning: only the queried struct fields reach the scan") {
     // at 100 TB the difference between reading s.b and reading all of s is
     // the whole point of columnar nesting — the scan's ReadSchema must name
