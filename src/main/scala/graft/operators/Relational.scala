@@ -326,6 +326,71 @@ object Relational {
     """SELECT c_custkey, c_name, c_acctbal FROM customer
       |ORDER BY c_acctbal DESC, c_custkey LIMIT 20""".stripMargin
 
+  // ---- keep-latest-per-key dedup ------------------------------------------
+
+  /** Keep-latest-per-key — the log-compaction READ: an append-only event
+    * log (CDC stream, upsert feed) collapses to current state by keeping
+    * each key's most recent row. One window per key ordered by (ts desc,
+    * id desc — the unique tiebreak an at-least-once log needs), keep
+    * row_number 1. One shuffle on the key; at 100 TB this is the
+    * view a lakehouse MERGE materializes incrementally, and the
+    * deterministic tiebreak is what makes replays idempotent.
+    */
+  def keepLatestPerKey(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .orderBy("user_id")
+  }
+
+  private val keepLatestOracle =
+    """SELECT user_id, event_id, event_type, ts FROM (
+      | SELECT user_id, event_id, event_type, ts,
+      |  row_number() OVER (PARTITION BY user_id
+      |                     ORDER BY ts DESC, event_id DESC) AS rn
+      | FROM events) WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  // ---- manually salted skew join ------------------------------------------
+
+  private val JoinSalts = 8
+
+  /** Manually salted skew JOIN — the technique for when AQE's runtime
+    * split (asserted in PlanSpec) isn't available or the skew is known
+    * up front: the big side gets a deterministic per-row salt, the small
+    * side is replicated once per salt value (explode of a literal array),
+    * and the join key becomes (key, salt) — the hot key's rows spread
+    * over `JoinSalts` shuffle partitions instead of one. Salting must be
+    * result-transparent: the oracle is the plain unsalted join.
+    */
+  def saltedSkewJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .withColumn("salt",
+        pmod(xxhash64(col("l_orderkey"), col("l_linenumber")),
+          lit(JoinSalts.toLong)))
+    val ord = Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus")
+      .withColumn("salt",
+        explode(array((0 until JoinSalts).map(s => lit(s.toLong)): _*)))
+    li.join(ord,
+        col("l_orderkey") === col("o_orderkey")
+          && li("salt") === ord("salt"))
+      .groupBy(col("o_orderstatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val saltedSkewJoinOracle =
+    s"""SELECT o_orderstatus, ${sqlDsum("l_quantity")} AS sum_qty,
+       | CAST(count(*) AS BIGINT) AS n
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ---- star-schema revenue ranking (TPC-H Q3 shape) -----------------------
 
   /** TPC-H Q3-shaped star join: revenue of not-yet-shipped lineitems for
@@ -1334,6 +1399,12 @@ object Relational {
     Query("sql_recursive_spine",
       "recursive-CTE date spine + gap-filled daily counts (WITH RECURSIVE)",
       recursiveDateSpine, Some(recursiveDateSpineOracle)),
+    Query("win_dedup_latest",
+      "keep-latest-per-key (log-compaction read) via row_number over ts desc",
+      keepLatestPerKey, Some(keepLatestOracle)),
+    Query("join_salted_skew",
+      "manually salted skew join: replicated small side, (key,salt) join",
+      saltedSkewJoin, Some(saltedSkewJoinOracle)),
     Query("join_star_q3",
       "Q3-shaped star join: filtered dims, fact join, decimal top-10 revenue",
       starJoinTopRevenue, Some(starJoinTopRevenueOracle)),
