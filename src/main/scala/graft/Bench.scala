@@ -46,7 +46,10 @@ object Bench {
     val marker =
       if (only.isDefined) "GRAFT_BENCH_JSON_PARTIAL" else "GRAFT_BENCH_JSON"
     println(s"$marker $json")
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json")
+    // a filtered dev run must not clobber the last FULL run's bench.json —
+    // without an explicit output override it lands in its own default file
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "bench.partial.json" else "bench.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     // stop FIRST, then print the bare JSON as the process's very last
     // stdout line: Spark/sbt shutdown logging can no longer interleave

@@ -383,7 +383,11 @@ object RefParity {
       .map(f => new java.io.File(java.net.URI.create(f)).length()).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / CompactTargetBytes).toInt)
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val out = s"${sys.props("java.io.tmpdir")}/graft_compacted_$tag"
+    // per-process output path: the rewrite IS the measured workload so it
+    // runs every call, but a concurrent sbt-test + Verify pair at the same
+    // sfDir must not overwrite each other's in-flight output
+    val out = s"${sys.props("java.io.tmpdir")}/graft_compacted_${tag}_" +
+      ProcessHandle.current().pid()
     in.repartition(nOut).write.mode("overwrite").parquet(out)
     (out, nOut)
   }

@@ -1221,17 +1221,13 @@ object Relational {
     // files (same session, different scale) — re-register from scratch;
     // EXTERNAL tables make the drop metadata-only
     specs.foreach(s => spark.sql(s"DROP TABLE IF EXISTS graft_tmp.${s.table}"))
-    val specFp = Integer.toHexString(scala.util.hashing.MurmurHash3
-      .stringHash(specs.map(s => s.ddl("")).mkString(";")))
-    val staged = new java.io.File(loc, s".staged_$specFp")
-    if (!staged.exists()) {
-      val dir = java.nio.file.Paths.get(loc)
-      if (java.nio.file.Files.exists(dir)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(dir).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+    // stage-once through Staging.stagedDir ("graft_warehouse_<tag>" is its
+    // naming scheme), which adds what a hand-rolled marker lacks: the
+    // SOURCE-DATA fingerprint (regenerated fixtures restage even when the
+    // DDL didn't change) and cross-process locking. The spec string folds
+    // the DDL in, so a projection/bucket-count change also restages.
+    val specFp = specs.map(s => s.ddl("")).mkString(";")
+    Staging.stagedDir("graft_warehouse", sfDir, specFp) { _ =>
       specs.foreach { s =>
         Tables(spark, sfDir, s.source)
           .select(s.cols.map(c => col(c._1)): _*)
@@ -1240,12 +1236,13 @@ object Relational {
           .option("path", s"$loc/${s.table}")
           .saveAsTable(s"graft_tmp.${s.table}")
       }
-      staged.createNewFile()
-    } else {
-      // bucket files already on disk: declare the matching bucket spec over
-      // them — exactly what a metastore-backed warehouse does at read time
-      specs.foreach(s => spark.sql(s.ddl(loc)))
     }
+    // if the write callback ran above, saveAsTable registered the tables;
+    // on marker reuse they're absent (dropped at the top) — declare the
+    // matching bucket spec over the existing files, exactly what a
+    // metastore-backed warehouse does at read time
+    specs.filterNot(s => spark.catalog.tableExists(s"graft_tmp.${s.table}"))
+      .foreach(s => spark.sql(s.ddl(loc)))
     spark.table("graft_tmp.lineitem_b")
       .join(spark.table("graft_tmp.orders_b"),
         col("l_orderkey") === col("o_orderkey"))

@@ -202,9 +202,13 @@ object Similarity {
     val signature = (0 until MultiPlanes).map(k =>
       when(DotProduct(col("e"), typedLit(multiPlanes(k))) > 0, lit(1L << k))
         .otherwise(lit(0L))).reduce(_ + _)
+    // the signature table feeds BOTH join sides — materialize it once (at
+    // scale: the persisted bucketed signature index), same convention as
+    // Dedup.minhashLsh
     val e = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("bucket", signature)
+      .cache()
     val probeKeys = Seq(col("bucket")) ++
       (0 until MultiPlanes).map(b => expr(s"bucket ^ ${1L << b}"))
     val probes = e.filter(pmod(col("vec_id"), lit(ProbeEvery)) === 0)

@@ -42,7 +42,11 @@ private[operators] object Staging {
     val done = new File(dir, s"_staged_${fingerprint(sfDir, spec)}")
     if (!done.exists()) {
       dir.mkdirs()
-      val lockCh = FileChannel.open(new File(dir, "_lock").toPath,
+      // the lock must live OUTSIDE dir: writer callbacks use Spark
+      // mode("overwrite") on dir itself, which would delete an in-dir lock
+      // file mid-stage and hand a fresh lock to a concurrent process
+      val lockCh = FileChannel.open(
+        new File(dir.getParentFile, dir.getName + ".lock").toPath,
         StandardOpenOption.CREATE, StandardOpenOption.WRITE)
       val lock = lockCh.lock()
       try {
