@@ -7,7 +7,7 @@ import graft.functions.Exact._
 /** Batch/streaming consistency: every streaming query drained with
   * Trigger.AvailableNow must equal the batch aggregate over the same data.
   */
-class StreamingSpec extends SparkTestBase {
+class StreamingSpec extends SparkTestBase with StreamingRestartHarness {
 
   test("streaming dedup of a doubled stream equals the single-copy batch aggregate") {
     val got = run("stream_dedup_exact").collect()
@@ -66,45 +66,22 @@ class StreamingSpec extends SparkTestBase {
     // must be dropped, while a fresh row advances the watermark far enough
     // to flush the previously open window from checkpointed state.
     import org.apache.spark.sql.functions._
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_late_eviction").toFile
-    val feed = new java.io.File(root, "feed"); feed.mkdirs()
-    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    import spark.implicits._
+    val h = new RestartFeed("graft_late_eviction")
 
-    def addFile(tag: String, times: Seq[String]): Unit = {
-      val staging = new java.io.File(root, s"stage_$tag")
-      spark.createDataFrame(
-          spark.sparkContext.parallelize(times.map(org.apache.spark.sql.Row(_)), 1),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("raw", org.apache.spark.sql.types.StringType))))
-        .select(to_timestamp(col("raw")).as("ts"))
-        .coalesce(1).write.mode("overwrite").parquet(staging.getAbsolutePath)
-      val part = staging.listFiles().filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.move(part.toPath,
-        new java.io.File(feed, s"$tag.parquet").toPath)
-    }
+    def addFile(tag: String, times: Seq[String]): Unit =
+      h.addFile(tag, times.toDF("raw").select(to_timestamp(col("raw")).as("ts")))
 
-    // the memory sink refuses checkpoint recovery, so the restart run needs
-    // a recoverable sink: foreachBatch collecting emitted rows into a
-    // buffer (per-run, so each run observes only its own emissions)
     def drain(): (Map[String, Long], org.apache.spark.sql.streaming.StreamingQuery) = {
       val emitted = new scala.collection.concurrent.TrieMap[String, Long]
-      val stream = spark.readStream
-        .schema("ts TIMESTAMP")
-        .parquet(feed.getAbsolutePath)
-        .withWatermark("ts", "10 minutes")
-        .groupBy(window(col("ts"), "10 minutes"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("window.start").cast("string").as("wstart"), col("n"))
-      val q = stream.writeStream
-        .outputMode("append")
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          batch.collect().foreach(r => emitted.put(r.getString(0), r.getLong(1)))
-        }
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      val q = h.drain("ts TIMESTAMP") { src =>
+        src.withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "10 minutes"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").cast("string").as("wstart"), col("n"))
+      } { batch =>
+        batch.collect().foreach(r => emitted.put(r.getString(0), r.getLong(1)))
+      }
       (emitted.toMap, q)
     }
 
@@ -140,37 +117,20 @@ class StreamingSpec extends SparkTestBase {
     // A duplicate redelivered in a LATER run (recovered checkpoint, still
     // within the watermark) must be dropped by the restored key state.
     import org.apache.spark.sql.functions._
-    val root = java.nio.file.Files
-      .createTempDirectory("graft_dedup_wm").toFile
-    val feed = new java.io.File(root, "feed"); feed.mkdirs()
-    val ckpt = new java.io.File(root, "ckpt").getAbsolutePath
+    val h = new RestartFeed("graft_dedup_wm")
 
-    def addFile(tag: String, rows: Seq[(Long, String)]): Unit = {
-      val staging = new java.io.File(root, s"stage_$tag")
-      spark.createDataFrame(rows).toDF("id", "raw")
-        .select(col("id"), to_timestamp(col("raw")).as("ts"))
-        .coalesce(1).write.mode("overwrite").parquet(staging.getAbsolutePath)
-      val part = staging.listFiles().filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.move(part.toPath,
-        new java.io.File(feed, s"$tag.parquet").toPath)
-    }
+    def addFile(tag: String, rows: Seq[(Long, String)]): Unit =
+      h.addFile(tag, spark.createDataFrame(rows).toDF("id", "raw")
+        .select(col("id"), to_timestamp(col("raw")).as("ts")))
 
     def drain(): Set[Long] = {
       val emitted = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
-      val q = spark.readStream
-        .schema("id BIGINT, ts TIMESTAMP")
-        .parquet(feed.getAbsolutePath)
-        .withWatermark("ts", "10 minutes")
-        .dropDuplicatesWithinWatermark("id")
-        .writeStream
-        .outputMode("append")
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          batch.collect().foreach(r => emitted.add(r.getLong(0)))
-        }
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      h.drain("id BIGINT, ts TIMESTAMP") { src =>
+        src.withWatermark("ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("id")
+      } { batch =>
+        batch.collect().foreach(r => emitted.add(r.getLong(0)))
+      }
       import scala.jdk.CollectionConverters._
       emitted.asScala.toSet
     }
