@@ -111,6 +111,32 @@ class StreamingSpec extends SparkTestBase with StreamingRestartHarness {
         s"got $dropped")
   }
 
+  test("foreachBatch replay is idempotent under dynamic partition overwrite") {
+    // the exactly-once recipe stream_foreachbatch_sink documents: the batch
+    // body writes partitioned by batch_id with DYNAMIC partition overwrite,
+    // so an at-least-once redelivery of the same (batch, id) replaces its
+    // own partition instead of appending a duplicate — and never touches
+    // other batches' partitions
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_idempotent_sink").toString + "/t"
+    def writeBatch(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+      df.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(dir)
+    val b7 = spark.range(100).toDF("id")
+    val b8 = spark.range(100, 130).toDF("id")
+    writeBatch(b7, 7)
+    writeBatch(b8, 8)
+    writeBatch(b7, 7) // redelivery of batch 7
+    val byBatch = spark.read.parquet(dir)
+      .groupBy("batch_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byBatch == Map(7 -> 100L, 8 -> 30L),
+      s"replay must replace its own partition and leave others: $byBatch")
+  }
+
   test("dropDuplicatesWithinWatermark dedups across a checkpoint restart") {
     // the BOUNDED-state dedup the unbounded stream_dedup_exact documents as
     // its production form: key state lives only within the watermark delay.
