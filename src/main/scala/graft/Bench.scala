@@ -32,14 +32,20 @@ object Bench {
       spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // millisecond precision: noise floor is ±30% run-to-run, and the full
+    // JSON line must stay under the driver's stdout tail window (~2.9 KB —
+    // rounds 2 and 3 both truncated a full-precision line mid-JSON and
+    // recorded "parsed": null)
+    def sec3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + sec3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // a name-filtered dev subset is marked INSIDE the JSON so a file
     // consumer can never mistake a partial total for a full benchmark
     val partial = if (only.isDefined) """"partial":true,""" else ""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec",$partial"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec",$partial"queries":$qs,"sf":"$sfDir"}"""
     // the bare println proved losable to sbt log interleaving/truncation in
     // round 1 ("parsed": null) — emit the line under a unique grep-able
     // marker AND persist it to a file so the round's number can't be lost.

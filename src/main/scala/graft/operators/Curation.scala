@@ -159,6 +159,11 @@ object Curation {
     Tables(spark, sfDir, "documents")
       .select(col("doc_id"), (col("doc_id") % PackShards).as("shard"),
         size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+      // zero-token docs occupy no sequence; without this guard a doc whose
+      // tok_start lands exactly on a capacity boundary would make
+      // sequence(k, k-1) emit a DESCENDING 2-row range (DuckDB's range()
+      // returns empty there, so the oracle would diverge)
+      .filter(col("n_tokens") > 0)
       .withColumn("tok_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("seq_id", explode(sequence(
         floor(col("tok_start") / cap),
@@ -174,7 +179,8 @@ object Curation {
     s"""WITH toks AS (
        |  SELECT doc_id, doc_id % $PackShards AS shard,
        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-       |  FROM documents),
+       |  FROM documents
+       |  WHERE len(string_split(text, ' ')) > 0),
        |pos AS (
        |  SELECT *, CAST(coalesce(sum(n_tokens) OVER (
        |      PARTITION BY shard ORDER BY doc_id

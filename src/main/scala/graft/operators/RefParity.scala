@@ -1,6 +1,7 @@
 package graft.operators
 
 import java.io.{File, PrintWriter}
+import java.nio.file.Files
 import java.sql.Date
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -330,8 +331,10 @@ object RefParity {
         coalesce(col("b.o_orderkey"), col("a.o_orderkey")).as("o_orderkey"),
         when(col("a.o_orderkey").isNull, "INSERT")
           .when(col("b.o_orderkey").isNull, "DELETE")
-          .when(col("a.o_orderstatus") =!= col("b.o_orderstatus")
-            || col("a.o_totalprice") =!= col("b.o_totalprice"), "UPDATE")
+          // null-safe: a tracked column transitioning to/from NULL is an
+          // UPDATE, which plain =!= (null-propagating) would suppress
+          .when(!(col("a.o_orderstatus") <=> col("b.o_orderstatus"))
+            || !(col("a.o_totalprice") <=> col("b.o_totalprice")), "UPDATE")
           .otherwise("UNCHANGED").as("change_type"),
         col("a.o_orderstatus").as("old_status"),
         col("b.o_orderstatus").as("new_status"))
@@ -352,8 +355,9 @@ object RefParity {
       |  SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
       |    CASE WHEN a.o_orderkey IS NULL THEN 'INSERT'
       |         WHEN b.o_orderkey IS NULL THEN 'DELETE'
-      |         WHEN a.o_orderstatus <> b.o_orderstatus
-      |           OR a.o_totalprice <> b.o_totalprice THEN 'UPDATE'
+      |         WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+      |           OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+      |           THEN 'UPDATE'
       |         ELSE 'UNCHANGED' END AS change_type,
       |    a.o_orderstatus AS old_status, b.o_orderstatus AS new_status
       |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
@@ -388,8 +392,27 @@ object RefParity {
     // sfDir must not overwrite each other's in-flight output
     val out = s"${sys.props("java.io.tmpdir")}/graft_compacted_${tag}_" +
       ProcessHandle.current().pid()
+    registerTmpCleanup(out)
     in.repartition(nOut).write.mode("overwrite").parquet(out)
     (out, nOut)
+  }
+
+  // per-PID compaction outputs would otherwise accumulate in tmpdir across
+  // process runs; one JVM shutdown hook reaps everything this process made
+  private val tmpCleanupPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val tmpCleanupHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tmpCleanupPaths.forEach { p =>
+        val root = new java.io.File(p).toPath
+        if (Files.exists(root)) {
+          Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.deleteIfExists(f))
+        }
+      }))
+  private def registerTmpCleanup(path: String): Unit = {
+    tmpCleanupHook
+    tmpCleanupPaths.add(path)
   }
 
   /** Small-file compaction — the lake-maintenance op no 100 TB deployment

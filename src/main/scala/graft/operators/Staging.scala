@@ -12,13 +12,17 @@ import java.nio.file.{Files, StandardCopyOption, StandardOpenOption}
   * everywhere at once. A partially-staged dir (no marker) is re-staged from
   * scratch; writers use overwrite semantics so that is safe.
   *
-  * The marker name embeds a fingerprint of the source data dir (file
-  * names + sizes + mtimes) plus a caller-supplied spec string, so
+  * The staged directory NAME embeds a fingerprint of the source data dir
+  * (file names + sizes + mtimes) plus a caller-supplied spec string, so
   * regenerated fixture data at the same path — or a changed staging
-  * spec — invalidates the staged dir instead of silently serving stale
-  * files. Cross-process safety (sbt tests alongside Verify share the
-  * tmpdir): staging runs under an exclusive file lock, and the marker is
-  * created by atomic rename so no observer ever sees a half-made marker.
+  * spec — stages into a fresh directory instead of silently serving stale
+  * files. Because generations never share a path, readers of an
+  * already-staged generation need no lock: a process restaging under a
+  * changed fingerprint writes elsewhere and can never delete or overwrite
+  * files another process is still reading. Cross-process safety for the
+  * staging itself (sbt tests alongside Verify share the tmpdir): staging
+  * runs under an exclusive file lock, and the marker is created by atomic
+  * rename so no observer ever sees a half-made marker.
   */
 private[operators] object Staging {
 
@@ -38,24 +42,23 @@ private[operators] object Staging {
   def stagedDir(name: String, sfDir: String, spec: String = "")(
       write: File => Unit): File = synchronized {
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val dir = new File(sys.props("java.io.tmpdir"), s"${name}_$tag")
-    val done = new File(dir, s"_staged_${fingerprint(sfDir, spec)}")
+    // generation root is fingerprint-named: a restage under a changed
+    // fingerprint targets a different path, so readers of the old
+    // generation are never raced
+    val root = new File(sys.props("java.io.tmpdir"), s"${name}_$tag")
+    val dir = new File(root, fingerprint(sfDir, spec))
+    val done = new File(dir, "_staged")
     if (!done.exists()) {
       dir.mkdirs()
       // the lock must live OUTSIDE dir: writer callbacks use Spark
       // mode("overwrite") on dir itself, which would delete an in-dir lock
       // file mid-stage and hand a fresh lock to a concurrent process
       val lockCh = FileChannel.open(
-        new File(dir.getParentFile, dir.getName + ".lock").toPath,
+        new File(root, dir.getName + ".lock").toPath,
         StandardOpenOption.CREATE, StandardOpenOption.WRITE)
       val lock = lockCh.lock()
       try {
         if (!done.exists()) { // re-check: another process may have staged
-          // markers from older fixture generations / specs would otherwise
-          // accumulate and confuse debugging — clear them before restaging
-          Option(dir.listFiles()).getOrElse(Array.empty)
-            .filter(f => f.getName.startsWith("_staged"))
-            .foreach(_.delete())
           write(dir)
           val tmp = new File(dir, done.getName + ".tmp")
           Files.writeString(tmp.toPath, "")
