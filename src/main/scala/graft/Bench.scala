@@ -57,10 +57,17 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (only.isDefined) "bench.partial.json" else "bench.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
-    // stop FIRST, then print the bare JSON as the process's very last
-    // stdout line: Spark/sbt shutdown logging can no longer interleave
-    // with or truncate it (round 2's tail was cut mid-JSON)
+    // stop FIRST, then print as the process's near-last stdout line:
+    // Spark/sbt shutdown logging can no longer interleave. The harness
+    // retains only a 2000-char stdout TAIL (measured from BENCH_r03) — the
+    // full 100+-query JSON can never fit, so the final line is a COMPACT
+    // json (total + the 20 slowest queries); the complete per-query map
+    // stays in the marker line above and in the bench.json file.
     spark.stop()
-    println(json)
+    val top = results.sortBy(-_._2).take(20)
+      .map { case (k, v) => s"\"" + k + "\":" + sec3(v) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec",$partial"n_queries":${results.size},"queries":$top,"sf":"$sfDir"}""")
   }
 }

@@ -254,6 +254,45 @@ object Curation {
        |${TextAnalysis.qualityGateSql("clean")}
        |ORDER BY doc_id""".stripMargin
 
+  // ---- per-domain quota sampling ----------------------------------------
+
+  private val DomainQuota = 10
+
+  /** Per-domain quota sampling — the domain-balancing step of web-corpus
+    * curation: no single source may contribute more than `DomainQuota`
+    * documents, and within a domain the LONGEST documents win (length as
+    * the quality proxy here; any scalar score slots in), tie-broken by
+    * doc_id so the selection is reproducible.
+    *
+    * Shape: one shuffle on the domain key, then a per-domain top-k. At
+    * harness scale a rank window is exact and cheap; at 100 TB a skewed
+    * mega-domain would make its window partition the straggler, so the
+    * production variant pre-prunes with a per-PARTITION top-k partial
+    * aggregate (each map task keeps at most `DomainQuota` rows per domain
+    * it sees) before the per-domain exact rank — same output, shuffle
+    * bounded at quota × partitions per domain instead of the domain's full
+    * row count.
+    */
+  def domainQuota(spark: SparkSession, sfDir: String): DataFrame = {
+    val byDomain = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rank_in_domain", row_number().over(byDomain).cast(LongType))
+      .filter(col("rank_in_domain") <= DomainQuota)
+      .orderBy("source", "rank_in_domain")
+  }
+
+  private val domainQuotaOracle =
+    s"""SELECT doc_id, source, n_chars, rank_in_domain FROM (
+       |  SELECT doc_id, source, n_chars,
+       |    CAST(row_number() OVER (
+       |      PARTITION BY source ORDER BY n_chars DESC, doc_id) AS BIGINT)
+       |      AS rank_in_domain
+       |  FROM documents)
+       |WHERE rank_in_domain <= $DomainQuota
+       |ORDER BY source, rank_in_domain""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("curation_split",
       "deterministic md5-hash 80/10/10 train/valid/test split",
@@ -270,5 +309,8 @@ object Curation {
     Query("curation_pipeline",
       "composed curation: exact dedup → decontaminate → quality gate",
       curationPipeline, Some(curationPipelineOracle)),
+    Query("curation_domain_quota",
+      "per-domain quota sampling: keep the top-10 longest docs per source",
+      domainQuota, Some(domainQuotaOracle)),
   )
 }

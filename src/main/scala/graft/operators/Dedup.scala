@@ -74,11 +74,16 @@ object Dedup {
     * the same trade every production MinHash pipeline makes.
     */
   private def shingles(spark: SparkSession, sfDir: String): DataFrame =
-    Tables(spark, sfDir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("ts"))
-      .filter(size(col("ts")) >= 3)
-      .select(col("doc_id"),
-        explode(transform(shingleArr(col("ts")), s => xxhash64(s))).as("shingle"))
+    shinglesOf(Tables(spark, sfDir, "documents"))
+
+  /** Same shingle relation over any (doc_id, text) input — the corpus and
+    * the benchmark set of the fuzzy decontamination share one definition.
+    */
+  private def shinglesOf(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    .filter(size(col("ts")) >= 3)
+    .select(col("doc_id"),
+      explode(transform(shingleArr(col("ts")), s => xxhash64(s))).as("shingle"))
 
   /** Distinct word n-shingles of a token array (as strings). */
   private[operators] def shingleArr(ts: Column, n: Int = 3): Column =
@@ -208,21 +213,25 @@ object Dedup {
     * cut, ~1e-36 at j=0.96), and the banding is deterministic, so the
     * DuckDB exact-Jaccard oracle applies verbatim; verified at sf0.01.
     */
+  /** (doc_id, bucket) LSH band keys for a signature table. Bucket key =
+    * one long hashing (band index, band's signature slice): collapsing the
+    * composite (band, key-string) join key into 8 bytes keeps the shuffle
+    * narrow; band index inside the hash keeps buckets from distinct bands
+    * disjoint.
+    */
+  private def bandsOf(sig: DataFrame): DataFrame = sig.select(
+    col("doc_id"),
+    explode(transform(sequence(lit(0), lit(NumBands - 1)), j =>
+      xxhash64(j, slice(col("sig"), j * lit(NumPerms / NumBands) + 1,
+        lit(NumPerms / NumBands))))).as("bucket"))
+
   def minhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     // the shingle relation feeds the signature aggregate AND the verify
     // stage; the signature table feeds both band-join sides — materialize
     // each once (at scale: persisted signature index, bucketed by band key)
     val sh = shingles(spark, sfDir).cache()
     val sig = signatures(sh).cache()
-    // bucket key = one long hashing (band index, band's signature slice):
-    // collapsing the composite (band, key-string) join key into 8 bytes
-    // keeps the shuffle narrow; band index inside the hash keeps buckets
-    // from distinct bands disjoint
-    val bands = sig.select(
-      col("doc_id"),
-      explode(transform(sequence(lit(0), lit(NumBands - 1)), j =>
-        xxhash64(j, slice(col("sig"), j * lit(NumPerms / NumBands) + 1,
-          lit(NumPerms / NumBands))))).as("bucket"))
+    val bands = bandsOf(sig)
     val candidates = bands.as("x").hint("SHUFFLE_HASH")
       .join(bands.as("y").hint("SHUFFLE_HASH"),
         col("x.bucket") === col("y.bucket")
@@ -354,6 +363,121 @@ object Dedup {
       |SELECT cg.doc_id, CAST(count(*) AS BIGINT) AS n_shared
       |FROM cg JOIN bg USING (g)
       |GROUP BY cg.doc_id ORDER BY cg.doc_id""".stripMargin
+
+  /** Fuzzy benchmark decontamination — the contamination exact 8-gram
+    * overlap misses: a PARAPHRASED or truncated eval document shares few
+    * exact 8-grams with its source but keeps a high 3-gram Jaccard. The
+    * fixture plants a truncated copy (first 80% of tokens) of each eval doc
+    * in the corpus; detection = MinHash signatures on BOTH sides, LSH
+    * banding with the benchmark's band table BROADCAST (the eval set is
+    * tiny — the corpus never shuffles on the bucket key), then exact-Jaccard
+    * verify of the candidates at the 0.5 cut. Deterministic banding, so the
+    * all-pairs exact-Jaccard oracle applies verbatim, exactly as in
+    * `dedup_minhash_lsh`.
+    */
+  def decontaminateFuzzy(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val evalDocs = d.filter(col("doc_id") < 10)
+    val ts = split(col("text"), " ")
+    val truncated = evalDocs.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat_ws(" ", slice(ts, lit(1),
+        ceil(size(ts) * 0.8).cast(IntegerType))).as("text"))
+    val corpus = d.filter(col("doc_id") >= 10).unionByName(truncated)
+    val shCorpus = shinglesOf(corpus).cache()
+    val shEval = shinglesOf(evalDocs).cache()
+    val candidates = bandsOf(signatures(shCorpus)).as("x")
+      .join(broadcast(bandsOf(signatures(shEval)).as("y")),
+        col("x.bucket") === col("y.bucket"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct()
+    jaccardScore(spark, candidates, shCorpus.unionByName(shEval))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("i", "j")
+  }
+
+  private val decontaminateFuzzyOracle =
+    """WITH ed AS (SELECT doc_id, text FROM documents WHERE doc_id < 10),
+      |corpus AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id >= 10
+      |  UNION ALL
+      |  SELECT doc_id + 100000,
+      |    array_to_string(ts[1:CAST(ceil(len(ts) * 0.8) AS INT)], ' ')
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM ed)),
+      |shc AS (
+      |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM corpus),
+      |       unnest(range(1, len(ts) - 1)) AS u(i)),
+      |she AS (
+      |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM ed),
+      |       unnest(range(1, len(ts) - 1)) AS u(i)),
+      |szc AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+      |sze AS (SELECT doc_id, count(*) AS n FROM she GROUP BY doc_id),
+      |inter AS (
+      |  SELECT shc.doc_id AS i, she.doc_id AS j, count(*) AS c
+      |  FROM shc JOIN she ON shc.s = she.s
+      |  GROUP BY 1, 2)
+      |SELECT i, j, c * 1.0 / (szc.n + sze.n - c) AS jaccard
+      |FROM inter JOIN szc ON i = szc.doc_id JOIN sze ON j = sze.doc_id
+      |WHERE c * 1.0 / (szc.n + sze.n - c) >= 0.5
+      |ORDER BY i, j""".stripMargin
+
+  /** Near-dup suppression keeping the BEST copy — production dedup keeps
+    * the highest-quality member of each matched pair, not the smallest id:
+    * from the exact word-3-gram Jaccard pairs (≥ 0.5), each pair's worse
+    * member (shorter text, tie-broken toward the larger doc_id) is dropped,
+    * and the corpus minus all dropped members survives.
+    *
+    * Shape: the pair relation is LSH-sized (≪ corpus), so the dropped-id
+    * set broadcasts into an anti-join against one corpus scan — no corpus
+    * shuffle. Greedy pairwise suppression (not per-cluster argmax) is the
+    * standard production choice: it needs no connected-components pass and
+    * over-drops only within already-matched groups.
+    */
+  def keepBestDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val pairs = ngramJaccard(spark, sfDir).select(col("i"), col("j"))
+    // quality attaches via two corpus scans against the BROADCAST pair
+    // relation (pairs ≪ corpus — the corpus is never the broadcast side
+    // and never shuffles)
+    val withQa = docs
+      .join(broadcast(pairs), col("doc_id") === col("i"))
+      .select(col("i"), col("j"), col("n_chars").as("qa"))
+    val dropped = docs
+      .join(broadcast(withQa), col("doc_id") === col("j"))
+      .select(when(col("qa") < col("n_chars"), col("i"))
+        .when(col("qa") > col("n_chars"), col("j"))
+        .otherwise(greatest(col("i"), col("j"))).as("doc_id"))
+      .distinct()
+    docs.join(broadcast(dropped), Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  private val keepBestDedupOracle =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      | sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+      |        FROM tok, unnest(range(1, len(ts) - 1)) AS u(i)),
+      | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      | inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+      |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2),
+      | pairs AS (
+      |   SELECT i, j FROM inter
+      |   JOIN sz sa ON i = sa.doc_id JOIN sz sb ON j = sb.doc_id
+      |   WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5),
+      | dropped AS (
+      |   SELECT DISTINCT
+      |     CASE WHEN qa.n_chars < qb.n_chars THEN i
+      |          WHEN qa.n_chars > qb.n_chars THEN j
+      |          ELSE greatest(i, j) END AS doc_id
+      |   FROM pairs
+      |   JOIN documents qa ON i = qa.doc_id
+      |   JOIN documents qb ON j = qb.doc_id)
+      |SELECT doc_id, n_chars FROM documents
+      |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+      |ORDER BY doc_id""".stripMargin
 
   // ---- embedding near-dup ----------------------------------------------
 
@@ -585,6 +709,12 @@ object Dedup {
     Query("dedup_decontaminate",
       "benchmark decontamination: word-8-gram overlap vs eval set",
       decontaminate, Some(decontaminateOracle)),
+    Query("dedup_decontaminate_fuzzy",
+      "fuzzy decontamination: MinHash LSH vs broadcast eval bands, Jaccard verify",
+      decontaminateFuzzy, Some(decontaminateFuzzyOracle)),
+    Query("dedup_keep_best",
+      "near-dup suppression keeping the higher-quality member of each pair",
+      keepBestDedup, Some(keepBestDedupOracle)),
     Query("dedup_cluster_assign",
       "connected components over dup edges: min-label propagation to a fixpoint",
       clusterComponents, Some(clusterComponentsOracle)),

@@ -257,6 +257,140 @@ object Similarity {
        |ORDER BY probe_id, rank""".stripMargin
   }
 
+  // ---- k-means training ---------------------------------------------------
+
+  /** Seed stride: every 125th vector is an initial centroid — k scales
+    * with the corpus (4 at sf0.01, 16 at sf0.1), deterministic, and the
+    * standard "k-means‖ would go here" stand-in (like `CentEvery` for IVF).
+    */
+  private val KmSeedEvery = 125
+  private val KmIters = 3
+  /** Micro-unit quantization: components round to a 1e-6 grid so the
+    * centroid-update sums run in exact BIGINT arithmetic — associative,
+    * hence deterministic under ANY shuffle/partial-aggregation order, and
+    * bit-identical in the DuckDB oracle. Raw double summation would make
+    * the trained model depend on partitioning (and rounds 2-3 would then
+    * diverge from any reference run).
+    */
+  private val KmScale = 1e6
+
+  private def kmAssign(m: DataFrame, cents: DataFrame): DataFrame =
+    m.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("q"), col("cent_id"),
+        round(Dedup.cosine(col("v"), col("c")), 6).as("sim"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(struct(col("sim"), (-col("cent_id")).as("neg_cid"))).as("best"),
+        first(col("label")).as("label"), first(col("q")).as("q"))
+      .select(col("vec_id"), col("label"), col("q"),
+        (-col("best.neg_cid")).as("cluster"))
+
+  private def kmUpdate(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster"), posexplode(col("q")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("cluster"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
+        t => t.getField("s").cast(DoubleType)
+          / t.getField("n").cast(DoubleType) / lit(KmScale)).as("c"))
+      .select(col("cluster").as("cent_id"), col("c"))
+
+  /** Distributed k-means training (spherical/cosine, Lloyd's algorithm,
+    * 3 rounds) — the clustering that real curation pipelines run over
+    * document embeddings for topic balancing and semantic dedup, and the
+    * offline step that produces [[annIvf]]'s coarse centroids. Output is
+    * the trained model summary: per-cluster size and dominant ground-truth
+    * label (the harness embeddings carry labels, so purity is checkable).
+    *
+    * Scale shape per round: centroids are k×d (tiny, BROADCAST — the
+    * corpus never shuffles for assignment); the argmax over k is a
+    * map-side-combined max(struct) per vector; the update is
+    * posexplode → hash aggregate on (cluster, dim) with map-side partial
+    * sums — exactly MLlib's treeAggregate reformulated declaratively.
+    * Every cosine is rounded to 6dp before the argmax and every sum is
+    * exact BIGINT (see [[KmScale]]), so 3 chained rounds stay bit-stable —
+    * which is what lets a full DuckDB oracle replay the training run.
+    */
+  def kmeansTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val q0 = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => round(x.cast(DoubleType) * KmScale).cast(LongType)).as("q"))
+    val m = q0.select(col("vec_id"), col("label"), col("q"),
+      transform(col("q"), v => v.cast(DoubleType) / KmScale).as("v"))
+    var cents = m.filter(pmod(col("vec_id"), lit(KmSeedEvery)) === 1)
+      .select(col("vec_id").as("cent_id"), col("v").as("c"))
+    var assigned = kmAssign(m, cents)
+    for (_ <- 2 to KmIters) {
+      cents = kmUpdate(assigned)
+      // assignment needs v again: re-derive from q (cheap projection)
+      // rather than carrying the double array through every aggregate
+      val mv = assigned.select(col("vec_id"), col("label"), col("q"),
+        transform(col("q"), v => v.cast(DoubleType) / KmScale).as("v"))
+      assigned = kmAssign(mv, cents)
+    }
+    assigned
+      .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("cluster"))
+      .agg(sum(col("cnt")).as("n_members"),
+        max(struct(col("cnt"), (-col("label")).as("nl"))).as("top"))
+      .select(col("cluster").as("cluster_id"), col("n_members"),
+        (-col("top.nl")).cast(LongType).as("top_label"),
+        col("top.cnt").as("top_label_n"))
+      .orderBy("cluster_id")
+  }
+
+  private val kmeansTrainOracle = {
+    def simStage(mRel: String, cRel: String): String =
+      s"""SELECT m.vec_id, m.label, m.q, c.cent_id,
+         |    round(list_dot_product(m.v, c.c)
+         |      / (sqrt(list_dot_product(m.v, m.v)) * sqrt(list_dot_product(c.c, c.c))), 6)
+         |      AS sim
+         |  FROM $mRel m CROSS JOIN $cRel c""".stripMargin
+    def assignStage(simRel: String): String =
+      s"""SELECT vec_id, label, q, cent_id AS cluster,
+         |    list_transform(q, y -> CAST(y AS DOUBLE) / 1000000.0) AS v
+         |  FROM (SELECT *, row_number() OVER (
+         |          PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+         |        FROM $simRel) WHERE rn = 1""".stripMargin
+    def updateStage(aRel: String): String =
+      s"""SELECT cluster AS cent_id, list(mean ORDER BY dim) AS c FROM (
+         |  SELECT cluster, dim,
+         |    CAST(sum(qv) AS DOUBLE) / count(*) / 1000000.0 AS mean
+         |  FROM (SELECT cluster, unnest(q) AS qv,
+         |          unnest(range(1, len(q) + 1)) AS dim FROM $aRel)
+         |  GROUP BY cluster, dim) GROUP BY cluster""".stripMargin
+    s"""WITH q0 AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |m AS (SELECT vec_id, label, q,
+       |        list_transform(q, y -> CAST(y AS DOUBLE) / 1000000.0) AS v
+       |      FROM q0),
+       |c0 AS (SELECT vec_id AS cent_id, v AS c FROM m
+       |       WHERE vec_id % $KmSeedEvery = 1),
+       |sim1 AS (${simStage("m", "c0")}),
+       |a1 AS (${assignStage("sim1")}),
+       |c1 AS (${updateStage("a1")}),
+       |sim2 AS (${simStage("a1", "c1")}),
+       |a2 AS (${assignStage("sim2")}),
+       |c2 AS (${updateStage("a2")}),
+       |sim3 AS (${simStage("a2", "c2")}),
+       |a3 AS (${assignStage("sim3")}),
+       |pc AS (SELECT cluster, label, count(*) AS cnt FROM a3 GROUP BY 1, 2),
+       |top AS (SELECT cluster, label, cnt,
+       |          row_number() OVER (
+       |            PARTITION BY cluster ORDER BY cnt DESC, label) AS rn,
+       |          sum(cnt) OVER (PARTITION BY cluster) AS tot
+       |        FROM pc)
+       |SELECT cluster AS cluster_id, CAST(tot AS BIGINT) AS n_members,
+       |  CAST(label AS BIGINT) AS top_label, CAST(cnt AS BIGINT) AS top_label_n
+       |FROM top WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+  }
+
   val queries: Seq[Query] = Seq(
     Query("sim_topk_bruteforce",
       "exact cosine top-10 vs broadcast probe (TakeOrderedAndProject)",
@@ -270,5 +404,8 @@ object Similarity {
     Query("sim_ann_ivf",
       "IVF-flat ANN: nearest-centroid lists, nprobe=2, exact re-rank",
       annIvf, Some(annIvfOracle)),
+    Query("sim_kmeans_train",
+      "distributed spherical k-means, 3 Lloyd rounds, exact-grid arithmetic",
+      kmeansTrain, Some(kmeansTrainOracle)),
   )
 }

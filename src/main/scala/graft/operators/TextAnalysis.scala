@@ -238,6 +238,66 @@ object TextAnalysis {
       |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
       |ORDER BY i""".stripMargin
 
+  /** Gopher-style repetition signals — the quality dimension the ratio
+    * heuristics in `text_stats_quality` don't see: a document can have a
+    * healthy length and stopword rate yet be one phrase repeated hundreds
+    * of times. Emits, per document, the token counts plus the most-frequent
+    * word-bigram's count, and flags a document when the top bigram owns
+    * ≥ 25% of all bigram slots or when distinct tokens cover ≤ half the
+    * token slots (integer-arithmetic thresholds — no float drift).
+    *
+    * Shape: the array-derived per-doc stats stay in the codegen'd scan;
+    * the top-bigram count is the one part that genuinely needs an
+    * aggregation — explode to (doc, bigram-hash) and hash-aggregate with
+    * map-side combine, so the shuffle carries per-partition (doc, bigram)
+    * partials, never raw token streams. The join back to the scan-side
+    * stats is per-doc-keyed on both sides (co-partitioned at scale).
+    */
+  def repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val ts = split(col("text"), " ")
+    val base = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), ts.as("ts"))
+      .filter(size(col("ts")) >= 2)
+    val bigramCounts = base
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ts")) - 1),
+        i => xxhash64(concat_ws(" ",
+          element_at(col("ts"), i), element_at(col("ts"), i + 1)))))
+        .as("bh"))
+      .groupBy(col("doc_id"), col("bh")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bigram_n"), sum(col("c")).as("n_bigrams"))
+    base
+      .select(col("doc_id"), size(col("ts")).cast(LongType).as("n_tokens"),
+        size(array_distinct(col("ts"))).cast(LongType).as("n_distinct"))
+      .join(bigramCounts, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("top_bigram_n"), col("n_bigrams"),
+        (col("top_bigram_n") * 4 >= col("n_bigrams")
+          || col("n_distinct") * 2 <= col("n_tokens")).as("repetitive"))
+      .orderBy("doc_id")
+  }
+
+  private val repetitionOracle =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (
+      |  SELECT doc_id, ts[i] || ' ' || ts[i+1] AS b
+      |  FROM tok, unnest(range(1, len(ts))) AS u(i)),
+      |bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+      |bs AS (SELECT doc_id, max(c) AS top_bigram_n,
+      |              CAST(sum(c) AS BIGINT) AS n_bigrams
+      |       FROM bc GROUP BY doc_id),
+      |base AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+      |                CAST(len(list_distinct(ts)) AS BIGINT) AS n_distinct
+      |         FROM tok)
+      |SELECT base.doc_id, n_tokens, n_distinct, top_bigram_n, n_bigrams,
+      |  (top_bigram_n * 4 >= n_bigrams OR n_distinct * 2 <= n_tokens)
+      |    AS repetitive
+      |FROM base JOIN bs USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("text_stats_quality",
       "per-doc token stats, quality score, stopword-heuristic language ID",
@@ -257,5 +317,8 @@ object TextAnalysis {
     Query("text_edit_distance",
       "levenshtein edit distance, the post-pruning exact near-dup check",
       editDistance, Some(editDistanceOracle)),
+    Query("text_repetition",
+      "Gopher-style repetition signals: top-bigram share + distinct-token cover",
+      repetition, Some(repetitionOracle)),
   )
 }

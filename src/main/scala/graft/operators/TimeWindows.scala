@@ -143,6 +143,89 @@ object TimeWindows {
        |GROUP BY user_id, session_seq
        |ORDER BY user_id, session_start""".stripMargin
 
+  /** Ordered-funnel analysis per session — view → click → purchase, each
+    * step's timestamp strictly after the previous step's, scoped to a
+    * 30-minute-gap session: the product-analytics query every event
+    * warehouse runs, and a genuinely SEQUENTIAL pattern (a purchase before
+    * the session's first view must not count). Sessions come from the same
+    * lag+cumsum assignment as `win_sessionize`; within a session three
+    * chained unbounded min-windows find t1 = first view, t2 = first click
+    * after t1, t3 = first purchase after t2, and the session's funnel
+    * stage is the deepest non-null step.
+    *
+    * Shape: one user_id exchange + sort for session assignment, one
+    * (user_id, session_seq) exchange shared by the three chained
+    * min-windows (no sort needed — unbounded frames), then a tiny
+    * map-side-combined count by stage. Sub-partitioning by session also
+    * caps hot-user window state at session size, which plain per-user
+    * funnels don't.
+    */
+  def funnelStages(spark: SparkSession, sfDir: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val runningFlags =
+      byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bySession = Window.partitionBy(col("user_id"), col("session_seq"))
+    Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byTime))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull
+          .or(col("ts") >= col("prev_ts") + expr("INTERVAL '30' MINUTE")), 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum(col("new_session")).over(runningFlags))
+      .withColumn("t1",
+        min(when(col("event_type") === "view", col("ts"))).over(bySession))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1"),
+          col("ts"))).over(bySession))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+          col("ts"))).over(bySession))
+      .select(col("user_id"), col("session_seq"),
+        when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
+          .when(col("t1").isNotNull, 1L).otherwise(0L).as("funnel_stage"))
+      .distinct()
+      .groupBy(col("funnel_stage"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy("funnel_stage")
+  }
+
+  private val funnelStagesOracle =
+    """WITH sess AS (
+      |  SELECT user_id, event_type, ts,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_seq
+      |  FROM (
+      |    SELECT user_id, ts, event_id, event_type,
+      |      CASE WHEN prev_ts IS NULL OR ts >= prev_ts + INTERVAL '30 minutes'
+      |           THEN 1 ELSE 0 END AS new_session
+      |    FROM (SELECT user_id, ts, event_id, event_type,
+      |           lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |             AS prev_ts
+      |          FROM events))),
+      |s1 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+      |    OVER (PARTITION BY user_id, session_seq) AS t1
+      |  FROM sess),
+      |s2 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+      |    OVER (PARTITION BY user_id, session_seq) AS t2
+      |  FROM s1),
+      |s3 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+      |    OVER (PARTITION BY user_id, session_seq) AS t3
+      |  FROM s2),
+      |stages AS (
+      |  SELECT DISTINCT user_id, session_seq,
+      |    CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+      |              WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+      |      AS funnel_stage
+      |  FROM s3)
+      |SELECT funnel_stage, CAST(count(*) AS BIGINT) AS n_sessions
+      |FROM stages GROUP BY funnel_stage ORDER BY funnel_stage""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("win_time_tumbling",
       "tumbling 10-min event-time windows per event type",
@@ -156,5 +239,8 @@ object TimeWindows {
     Query("win_session_window",
       "native session_window operator, 30-min gap",
       sessionWindowNative, Some(sessionWindowOracle)),
+    Query("win_funnel_stages",
+      "ordered view→click→purchase funnel via chained min-windows",
+      funnelStages, Some(funnelStagesOracle)),
   )
 }

@@ -104,4 +104,19 @@ class CurationSpec extends SparkTestBase {
       s"non-final sequences must be full: ${short.collect().mkString(",")}")
     packed.unpersist()
   }
+
+  test("domain quota keeps the 10 longest docs per source, ranked") {
+    val rows = run("curation_domain_quota", SfOracle).collect()
+    val bySource = rows.groupBy(_.getString(1))
+    assert(bySource.size == 20, "all 20 sources must be represented")
+    bySource.foreach { case (src, rs) =>
+      assert(rs.length == 10, s"$src: quota is 10 of its 25 docs")
+      val ranked = rs.sortBy(_.getLong(3))
+      assert(ranked.map(_.getLong(3)).toSeq == (1L to 10L),
+        s"$src: ranks must be 1..10")
+      val lens = ranked.map(_.getLong(2))
+      assert(lens.zip(lens.tail).forall { case (a, b) => a >= b },
+        s"$src: selection must be longest-first")
+    }
+  }
 }

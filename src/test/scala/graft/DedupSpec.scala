@@ -64,6 +64,33 @@ class DedupSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("fuzzy decontamination catches every planted truncated eval copy") {
+    val hits = run("dedup_decontaminate_fuzzy", SfOracle).collect()
+    // the 10 planted 80%-truncations (eval doc_id + 100000) must all match
+    // their source doc despite sharing few exact 8-grams with it
+    val planted = hits
+      .filter(r => r.getLong(0) == r.getLong(1) + 100000)
+      .map(_.getLong(1)).toSet
+    assert(planted == (0L until 10L).toSet,
+      s"planted truncations must be flagged: $planted")
+    hits.foreach(r => assert(r.getDouble(2) >= 0.5 && r.getDouble(2) <= 1.0))
+  }
+
+  test("keep-best dedup never keeps both members of a matched pair") {
+    val survivors = run("dedup_keep_best", SfOracle).collect()
+      .map(_.getLong(0)).toSet
+    val pairs = run("dedup_ngram_jaccard", SfOracle).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (i, j) =>
+      assert(!(survivors(i) && survivors(j)),
+        s"pair ($i,$j) must lose its worse member")
+    }
+    val docs = spark.read.parquet(s"$SfOracle/documents.parquet").count()
+    val dropped = docs - survivors.size
+    assert(dropped > 0 && dropped <= pairs.length,
+      s"each pair drops exactly one (possibly shared) member; dropped=$dropped")
+  }
+
   test("embedding near-dup finds exactly the planted duplicate vectors") {
     val df = run("dedup_embedding", SfOracle)
     assert(df.count() == 50)

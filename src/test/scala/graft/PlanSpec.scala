@@ -370,4 +370,18 @@ class PlanSpec extends SparkTestBase {
       conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
     }
   }
+
+  test("k-means assignment broadcasts centroids — the corpus never shuffles") {
+    val p = plan(run("sim_kmeans_train"))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"k × corpus attach must be a broadcast, not a shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "assignment must never degrade to a cartesian shuffle product")
+  }
+
+  test("fuzzy decontamination broadcasts the benchmark band table") {
+    val p = plan(run("dedup_decontaminate_fuzzy"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the eval-set bands are tiny — the corpus must not shuffle on bucket:\n$p")
+  }
 }

@@ -49,4 +49,18 @@ class SimilaritySpec extends SparkTestBase {
         s"vec $id: ANN score $s != brute-force score $t"))
     }
   }
+
+  test("k-means partitions the corpus and trains bit-identically on rerun") {
+    val rows = run("sim_kmeans_train", SfOracle).collect()
+    assert(rows.length == 4, "one cluster per seed (none may empty out)")
+    assert(rows.map(_.getLong(1)).sum == 500,
+      "every vector must land in exactly one cluster")
+    rows.foreach(r => assert(r.getLong(3) >= 1 && r.getLong(3) <= r.getLong(1)))
+    // the exact-grid arithmetic exists so the trained model cannot depend
+    // on partitioning or aggregation order: a rerun must be bit-identical
+    // (the harness labels are near-noise, so label purity is NOT asserted)
+    val rerun = run("sim_kmeans_train", SfOracle).collect()
+    assert(rows.map(_.toString).toSeq == rerun.map(_.toString).toSeq,
+      "training must be deterministic across runs")
+  }
 }

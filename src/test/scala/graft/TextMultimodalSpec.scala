@@ -120,4 +120,19 @@ class TextMultimodalSpec extends SparkTestBase {
     assert(stream.sameElements(batch),
       "AvailableNow streaming over the same files must equal batch")
   }
+
+  test("repetition signals are internally consistent per document") {
+    val rows = run("text_repetition", SfOracle).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (nTok, nDist) = (r.getLong(1), r.getLong(2))
+      val (topBg, nBg) = (r.getLong(3), r.getLong(4))
+      assert(nBg == nTok - 1, "bigram slots = token slots - 1")
+      assert(nDist >= 1 && nDist <= nTok)
+      assert(topBg >= 1 && topBg <= nBg)
+      val flagged = r.getBoolean(5)
+      assert(flagged == (topBg * 4 >= nBg || nDist * 2 <= nTok),
+        "flag must follow its definition")
+    }
+  }
 }
