@@ -1340,6 +1340,75 @@ object Relational {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Pearson correlation matrix over lineitem's numeric columns via ONE
+    * scan collecting exact sufficient statistics — the distributed-ML
+    * pattern (normal equations, feature covariance) reformulated
+    * declaratively: no groupBy key, so the "shuffle" is a single combined
+    * partial row per partition reduced to one global row.
+    *
+    * Determinism: the inputs sit on exact centi-grids, so each column is
+    * quantized ×100 to BIGINT and every moment (Σx, Σxy, Σx²) is summed in
+    * DECIMAL(38,0) — associative integer arithmetic, bit-stable under any
+    * partitioning and identical in DuckDB (whose BIGINT sums are exact
+    * HUGEINT). The correlations are then assembled in DOUBLE with a fixed
+    * operation order, where the ×100 scale factors cancel. Raw double
+    * summation would be order-dependent — the same trap the k-means
+    * centroid update avoids the same way.
+    */
+  def corrMoments(spark: SparkSession, sfDir: String): DataFrame = {
+    val cols = Seq("q" -> "l_quantity", "p" -> "l_extendedprice",
+      "d" -> "l_discount")
+    val quantized = Tables(spark, sfDir, "lineitem").select(
+      cols.map { case (a, c) =>
+        round(col(c) * 100).cast(LongType).as(a)
+      }: _*)
+    val moments = quantized.agg(
+      count(lit(1)).as("n"),
+      cols.map { case (a, _) =>
+        sum(col(a).cast(DecimalType(38, 0))).as(s"s_$a") } ++
+        (for ((a, _) <- cols; (b, _) <- cols if a <= b)
+          yield sum((col(a) * col(b)).cast(DecimalType(38, 0)))
+            .as(s"s_$a$b")): _*)
+    def corr(a: String, b: String): Column = {
+      val n = col("n").cast(DoubleType)
+      def d(name: String) = col(name).cast(DoubleType)
+      (n * d(s"s_$a$b") - d(s"s_$a") * d(s"s_$b")) /
+        (sqrt(n * d(s"s_$a$a") - d(s"s_$a") * d(s"s_$a"))
+          * sqrt(n * d(s"s_$b$b") - d(s"s_$b") * d(s"s_$b")))
+    }
+    moments.select(col("n"),
+      corr("p", "q").as("corr_price_qty"),
+      corr("d", "q").as("corr_disc_qty"),
+      corr("d", "p").as("corr_disc_price"))
+  }
+
+  private val corrMomentsOracle =
+    """WITH q AS (
+      |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+      |         CAST(round(l_discount * 100) AS BIGINT) AS d
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(q) AS DOUBLE) AS s_q, CAST(sum(p) AS DOUBLE) AS s_p,
+      |    CAST(sum(d) AS DOUBLE) AS s_d,
+      |    CAST(sum(q*q) AS DOUBLE) AS s_qq, CAST(sum(p*p) AS DOUBLE) AS s_pp,
+      |    CAST(sum(d*d) AS DOUBLE) AS s_dd,
+      |    CAST(sum(p*q) AS DOUBLE) AS s_pq, CAST(sum(d*p) AS DOUBLE) AS s_dp,
+      |    CAST(sum(d*q) AS DOUBLE) AS s_dq
+      |  FROM q)
+      |SELECT n,
+      |  (CAST(n AS DOUBLE) * s_pq - s_p * s_q)
+      |    / (sqrt(CAST(n AS DOUBLE) * s_pp - s_p * s_p)
+      |       * sqrt(CAST(n AS DOUBLE) * s_qq - s_q * s_q)) AS corr_price_qty,
+      |  (CAST(n AS DOUBLE) * s_dq - s_d * s_q)
+      |    / (sqrt(CAST(n AS DOUBLE) * s_dd - s_d * s_d)
+      |       * sqrt(CAST(n AS DOUBLE) * s_qq - s_q * s_q)) AS corr_disc_qty,
+      |  (CAST(n AS DOUBLE) * s_dp - s_d * s_p)
+      |    / (sqrt(CAST(n AS DOUBLE) * s_dd - s_d * s_d)
+      |       * sqrt(CAST(n AS DOUBLE) * s_pp - s_p * s_p)) AS corr_disc_price
+      |FROM m""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("agg_pricing_summary",
       "TPC-H Q1-shaped multi-aggregate hash agg, decimal-exact sums",
@@ -1453,6 +1522,9 @@ object Relational {
     Query("agg_salted_skew",
       "salted two-phase aggregation (hot-key spread), result-transparent",
       saltedAgg, Some(saltedAggOracle)),
+    Query("agg_corr_moments",
+      "one-pass correlation matrix via exact quantized sufficient statistics",
+      corrMoments, Some(corrMomentsOracle)),
     Query("join_bucketed",
       "bucketed co-located join — no exchange at join time",
       bucketedJoin, Some(bucketedJoinOracle)),

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -298,6 +299,61 @@ object TextAnalysis {
       |FROM base JOIN bs USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** TF-IDF top terms — the classic "what is this document about" scoring:
+    * term frequency × inverse document frequency, top 3 terms per doc.
+    * The idf is the LINEAR form N/df rather than ln(N/df): it induces the
+    * same per-document ranking (monotone in tf and 1/df), and it keeps the
+    * score an exact rational-in-double — cross-engine log() is libm-
+    * dependent in the last ulp, which a hash-compared oracle can't absorb.
+    *
+    * Shape: one token explode → (doc, term) hash aggregate (map-side
+    * combined), the document-frequency table derived from it by a second
+    * aggregate on term, joined back on term — at 100 TB the vocabulary is
+    * orders of magnitude smaller than the corpus, so the df table
+    * BROADCASTS and the only big shuffle is the (doc, term) aggregate;
+    * the per-doc top-3 is a rank window on the doc-partitioned result.
+    */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf", col("tf").cast(DoubleType)
+        * (col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)))
+      .withColumn("rank", row_number().over(byDoc).cast(LongType))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        col("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
+  private val tfidfTopTermsOracle =
+    """WITH tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents)
+      |  GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+      |          FROM tf GROUP BY term),
+      |total AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf, df,
+      |    CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+      |      AS tfidf
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN total)
+      |SELECT doc_id, CAST(rn AS BIGINT) AS rank, term, tf, df, tfidf
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      |      FROM scored)
+      |WHERE rn <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("text_stats_quality",
       "per-doc token stats, quality score, stopword-heuristic language ID",
@@ -320,5 +376,8 @@ object TextAnalysis {
     Query("text_repetition",
       "Gopher-style repetition signals: top-bigram share + distinct-token cover",
       repetition, Some(repetitionOracle)),
+    Query("text_tfidf_topterms",
+      "TF-IDF top-3 terms per document (linear idf, broadcast df table)",
+      tfidfTopTerms, Some(tfidfTopTermsOracle)),
   )
 }

@@ -226,6 +226,42 @@ object TimeWindows {
       |SELECT funnel_stage, CAST(count(*) AS BIGINT) AS n_sessions
       |FROM stages GROUP BY funnel_stage ORDER BY funnel_stage""".stripMargin
 
+  /** Forward-fill imputation — carry each user's last observed purchase
+    * value forward across their event stream (the gap-filling every
+    * time-series feature pipeline needs; events before the first
+    * observation stay NULL). The value passes through untouched — no
+    * arithmetic — so cross-engine determinism is free.
+    *
+    * Shape: one user_id exchange + per-user time sort, then a running
+    * last(ignoreNulls) frame — the same single-shuffle profile as
+    * sessionization, and at 100 TB the partition key would extend to
+    * (user_id, day) with the previous day's closing value joined in, which
+    * bounds any one partition's sort.
+    */
+  def fillForward(spark: SparkSession, sfDir: String): DataFrame = {
+    val running = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"),
+        when(col("event_type") === "purchase", col("value")).as("observed"),
+        col("ts"))
+      .withColumn("filled",
+        last(col("observed"), ignoreNulls = true).over(running))
+      .select(col("event_id"), col("user_id"), col("observed"), col("filled"))
+      .orderBy("event_id")
+  }
+
+  private val fillForwardOracle =
+    """SELECT event_id, user_id, observed,
+      |  last_value(observed IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      |FROM (SELECT event_id, user_id, ts,
+      |        CASE WHEN event_type = 'purchase' THEN value END AS observed
+      |      FROM events)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("win_time_tumbling",
       "tumbling 10-min event-time windows per event type",
@@ -242,5 +278,8 @@ object TimeWindows {
     Query("win_funnel_stages",
       "ordered view→click→purchase funnel via chained min-windows",
       funnelStages, Some(funnelStagesOracle)),
+    Query("win_fill_forward",
+      "forward-fill imputation: running last(ignoreNulls) per user",
+      fillForward, Some(fillForwardOracle)),
   )
 }

@@ -384,4 +384,18 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"),
       s"the eval-set bands are tiny — the corpus must not shuffle on bucket:\n$p")
   }
+
+  test("correlation moments reduce in one pass — no keyed shuffle at all") {
+    val p = plan(run("agg_corr_moments"))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a global aggregate must not hash-partition anything:\n$p")
+    assert(p.contains("Exchange SinglePartition"),
+      s"partials must reduce through a single-partition exchange:\n$p")
+  }
+
+  test("tf-idf joins the document-frequency table by broadcast") {
+    val p = plan(run("text_tfidf_topterms"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocabulary side must broadcast, not shuffle the tf relation:\n$p")
+  }
 }

@@ -121,6 +121,20 @@ class TextMultimodalSpec extends SparkTestBase {
       "AvailableNow streaming over the same files must equal batch")
   }
 
+  test("tf-idf ranks 3 terms per doc, score-descending, score consistent") {
+    val rows = run("text_tfidf_topterms", SfOracle).collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.size == 500 && rows.length == 1500)
+    byDoc.values.foreach { rs =>
+      val ranked = rs.sortBy(_.getLong(1))
+      assert(ranked.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+      val scores = ranked.map(_.getDouble(5))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      ranked.foreach(r => assert(
+        r.getDouble(5) == r.getLong(3).toDouble * (500.0 / r.getLong(4))))
+    }
+  }
+
   test("repetition signals are internally consistent per document") {
     val rows = run("text_repetition", SfOracle).collect()
     assert(rows.length == 500)
