@@ -1409,6 +1409,39 @@ object Relational {
       |       * sqrt(CAST(n AS DOUBLE) * s_pp - s_p * s_p)) AS corr_disc_price
       |FROM m""".stripMargin
 
+  /** Top-3 customers per nation through the bounded-heap aggregate
+    * [[graft.functions.BoundedTopK]] — per-group top-k WITHOUT a window:
+    * a rank window must shuffle and sort every customer of every nation;
+    * the bounded aggregate's partial buffers cap the shuffle at k rows per
+    * (nation × map task) and nothing is ever globally sorted but the
+    * 75-row result. At 100 TB per-group top-k is THE pattern behind
+    * "best documents per domain", "nearest centroids per vector", and
+    * every leaderboard — this is its scale-correct form.
+    */
+  def topkPerGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.BoundedTopK
+    Tables(spark, sfDir, "customer")
+      .select(col("c_nationkey"), col("c_acctbal"), col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(BoundedTopK(col("c_acctbal"), col("c_custkey"), 3).as("top"))
+      .select(col("c_nationkey"), posexplode(col("top")))
+      .select(col("c_nationkey"),
+        (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.score").as("c_acctbal"),
+        col("col.id").as("c_custkey"))
+      .orderBy("c_nationkey", "rank")
+  }
+
+  private val topkPerGroupOracle =
+    """SELECT c_nationkey, CAST(rn AS BIGINT) AS rank, c_acctbal, c_custkey
+      |FROM (SELECT c_nationkey, c_acctbal, c_custkey,
+      |        row_number() OVER (
+      |          PARTITION BY c_nationkey
+      |          ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |      FROM customer)
+      |WHERE rn <= 3
+      |ORDER BY c_nationkey, rank""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("agg_pricing_summary",
       "TPC-H Q1-shaped multi-aggregate hash agg, decimal-exact sums",
@@ -1525,6 +1558,9 @@ object Relational {
     Query("agg_corr_moments",
       "one-pass correlation matrix via exact quantized sufficient statistics",
       corrMoments, Some(corrMomentsOracle)),
+    Query("sort_topk_per_group",
+      "per-group top-k via native bounded-heap aggregate (no window sort)",
+      topkPerGroup, Some(topkPerGroupOracle)),
     Query("join_bucketed",
       "bucketed co-located join — no exchange at join time",
       bucketedJoin, Some(bucketedJoinOracle)),

@@ -44,6 +44,19 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("per-group top-k aggregates bounded heaps, never a window sort") {
+    val p = plan(run("sort_topk_per_group"))
+    // TypedImperativeAggregate plans as two-phase ObjectHashAggregate: the
+    // map side already caps each group's buffer at k rows, so the exchange
+    // carries ≤ k·groups·tasks rows instead of the whole table
+    assert(p.contains("ObjectHashAggregate"),
+      s"expected object hash aggregation for the bounded heap:\n$p")
+    assert(p.contains("partial_bounded_top_k"),
+      s"heap must be partial (map-side) before the shuffle:\n$p")
+    assert(!p.contains("Window"),
+      "per-group top-k must not fall back to a rank window")
+  }
+
   test("aggregations are partial (map-side) before the shuffle") {
     val p = plan(run("agg_pricing_summary"))
     assert(p.contains("partial_sum") || p.contains("HashAggregate"),

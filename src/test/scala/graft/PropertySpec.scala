@@ -147,4 +147,68 @@ object PropertySpec extends Properties("graft.kernels") {
       java.lang.Double.doubleToLongBits(got) ==
         java.lang.Double.doubleToLongBits(acc)
     }
+
+  // ---- BoundedTopK: the bounded-heap partial-aggregation invariant ----
+
+  private def topkAgg(k: Int) = {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    graft.functions.BoundedTopK(
+      BoundReference(0, DoubleType, nullable = true),
+      BoundReference(1, LongType, nullable = true), k)
+  }
+
+  private def topkEval(
+      agg: graft.functions.BoundedTopK,
+      buf: scala.collection.mutable.PriorityQueue[(Double, Long)])
+      : Seq[(Double, Long)] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    agg.eval(buf).asInstanceOf[GenericArrayData].array.toSeq
+      .map(_.asInstanceOf[InternalRow])
+      .map(r => (r.getDouble(0), r.getLong(1)))
+  }
+
+  private val scoredRows: Gen[List[(Double, Long)]] =
+    Gen.listOf(for {
+      s <- Gen.choose(-100000, 100000).map(_ / 100.0)
+      i <- Gen.choose(0L, 50L) // small id range forces score ties
+    } yield (s, i))
+
+  property("bounded top-k is split-invariant and equals the full sort") =
+    Prop.forAll(scoredRows, Gen.choose(0, 1000), Gen.choose(1, 8)) {
+      (xs, cut, k) =>
+        import org.apache.spark.sql.catalyst.InternalRow
+        val agg = topkAgg(k)
+        def build(rows: Seq[(Double, Long)]) =
+          rows.foldLeft(agg.createAggregationBuffer()) { (b, t) =>
+            agg.update(b, InternalRow(t._1, t._2))
+          }
+        val expected = xs.sortBy { case (s, i) => (-s, i) }.take(k)
+        val at = if (xs.isEmpty) 0 else cut % (xs.length + 1)
+        val (l, r) = xs.splitAt(at)
+        topkEval(agg, build(xs)) == expected &&
+          topkEval(agg, agg.merge(build(l), build(r))) == expected
+    }
+
+  property("bounded top-k buffer survives the shuffle serde round-trip") =
+    Prop.forAll(scoredRows, Gen.choose(1, 8)) { (xs, k) =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      val agg = topkAgg(k)
+      val buf = xs.foldLeft(agg.createAggregationBuffer()) { (b, t) =>
+        agg.update(b, InternalRow(t._1, t._2))
+      }
+      topkEval(agg, agg.deserialize(agg.serialize(buf))) ==
+        topkEval(agg, buf)
+    }
+
+  property("bounded top-k buffer never exceeds k entries") =
+    Prop.forAll(scoredRows, Gen.choose(1, 8)) { (xs, k) =>
+      import org.apache.spark.sql.catalyst.InternalRow
+      val agg = topkAgg(k)
+      val buf = xs.foldLeft(agg.createAggregationBuffer()) { (b, t) =>
+        agg.update(b, InternalRow(t._1, t._2))
+      }
+      buf.size <= k
+    }
 }
