@@ -283,6 +283,42 @@ object Curation {
       .orderBy("source", "rank_in_domain")
   }
 
+  /** Deterministic uniform k-per-group reservoir sample: rank every doc by
+    * a 48-bit md5-derived score (uniform, engine-portable, re-rollable by
+    * salting the hash input) and keep each language's top-5 through the
+    * bounded-heap aggregate [[graft.functions.BoundedTopK]]. Contrast with
+    * [[domainQuota]]'s rank window, which shuffles and sorts EVERY row of
+    * every group: here the map side already caps each group at k rows, so
+    * the exchange carries ≤ k·groups·tasks rows — per-group sampling that
+    * survives a 100 TB corpus with billions of docs per language. 48 hex
+    * bits fit a Double exactly (< 2^53), so the score is bit-stable across
+    * engines.
+    */
+  def reservoirSampleGroup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.BoundedTopK
+    val score = conv(substring(md5(col("doc_id").cast(StringType)), 1, 12),
+      16, 10).cast(DoubleType)
+    Tables(spark, sfDir, "documents")
+      .select(col("lang"), score.as("h"), col("doc_id"))
+      .groupBy(col("lang"))
+      .agg(BoundedTopK(col("h"), col("doc_id"), 5).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.id").as("doc_id"))
+      .orderBy("lang", "rank")
+  }
+
+  private val reservoirSampleGroupOracle =
+    """SELECT lang, CAST(rn AS BIGINT) AS rank, doc_id
+      |FROM (SELECT lang, doc_id,
+      |        row_number() OVER (PARTITION BY lang ORDER BY
+      |          CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+      |            AS BIGINT) DESC,
+      |          doc_id) AS rn
+      |      FROM documents)
+      |WHERE rn <= 5
+      |ORDER BY lang, rank""".stripMargin
+
   private val domainQuotaOracle =
     s"""SELECT doc_id, source, n_chars, rank_in_domain FROM (
        |  SELECT doc_id, source, n_chars,
@@ -312,5 +348,8 @@ object Curation {
     Query("curation_domain_quota",
       "per-domain quota sampling: keep the top-10 longest docs per source",
       domainQuota, Some(domainQuotaOracle)),
+    Query("curation_sample_reservoir",
+      "deterministic uniform k-per-group sample via md5 score + bounded heap",
+      reservoirSampleGroup, Some(reservoirSampleGroupOracle)),
   )
 }

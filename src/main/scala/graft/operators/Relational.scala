@@ -906,6 +906,40 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** LATERAL correlated table subquery — the third decorrelation axis next
+    * to scalar subqueries and NOT EXISTS: each nation's top-3 customers by
+    * balance through `, LATERAL (... ORDER BY ... LIMIT 3)`. The naive
+    * semantics re-execute the subquery once per outer row; Catalyst's
+    * DecorrelateInnerQuery rewrites the correlated LIMIT into a per-key
+    * rank filter joined back to the outer side — one pass, no per-row
+    * probes. The same SQL text is valid DuckDB, which plans its own lateral
+    * decorrelation. Tie-safety: ORDER BY extends to c_custkey so the top-3
+    * cut is total in both engines.
+    */
+  def lateralTopPerKey(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "nation").createOrReplaceTempView("graft_nation_v")
+    Tables(spark, sfDir, "customer").createOrReplaceTempView("graft_customer_v")
+    spark.sql(
+      """SELECT n_name, c_custkey, c_acctbal
+        |FROM graft_nation_v n,
+        |LATERAL (SELECT c_custkey, c_acctbal
+        |         FROM graft_customer_v c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey
+        |         LIMIT 3) top
+        |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin)
+  }
+
+  private val lateralTopPerKeyOracle =
+    """SELECT n_name, c_custkey, c_acctbal
+      |FROM nation n,
+      |LATERAL (SELECT c_custkey, c_acctbal
+      |         FROM customer c
+      |         WHERE c.c_nationkey = n.n_nationkey
+      |         ORDER BY c_acctbal DESC, c_custkey
+      |         LIMIT 3) top
+      |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin
+
   // ---- as-of join -------------------------------------------------------
 
   /** As-of join, an operator Spark has no primitive for: attach to every
@@ -1522,6 +1556,9 @@ object Relational {
     Query("sql_corr_not_exists",
       "Q22-shaped NOT EXISTS + scalar-avg subquery, planned as anti join",
       correlatedNotExists, Some(correlatedNotExistsOracle)),
+    Query("sql_lateral_topk",
+      "LATERAL correlated LIMIT subquery, decorrelated to a rank filter",
+      lateralTopPerKey, Some(lateralTopPerKeyOracle)),
     Query("scalar_map_struct",
       "map/struct scalar ops: lookup, key sort, value transform, field access",
       mapStructOps, Some(mapStructOracle)),

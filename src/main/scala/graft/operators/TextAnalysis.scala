@@ -354,6 +354,94 @@ object TextAnalysis {
       |WHERE rn <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** Inverted index build — token → sorted doc-id posting list + document
+    * frequency, the search-engine core and the retrieval half of
+    * dedup-by-query. One explode and ONE shuffle keyed by token with
+    * map-side partial collect_set; posting lists ride the shuffle as sets,
+    * never re-sorted globally. The df >= 10 cut drops the hapax tail that
+    * dominates vocabulary size (Zipf) — at 100 TB the same build shards
+    * each posting list by doc-id range and delta-encodes, but the plan
+    * shape (explode → hash agg) is already the scale-correct one. Postings
+    * serialize via array_join: the harness comparator hashes scalars only.
+    */
+  def invertedIndex(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(
+        countDistinct(col("doc_id")).as("doc_freq"),
+        array_join(transform(sort_array(collect_set(col("doc_id"))),
+          _.cast(StringType)), ",").as("postings"))
+      .filter(col("doc_freq") >= 10)
+      .orderBy("token")
+
+  private val invertedIndexOracle =
+    """SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+      | array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |      FROM documents)
+      |GROUP BY token
+      |HAVING count(DISTINCT doc_id) >= 10
+      |ORDER BY token""".stripMargin
+
+  /** Corpus-level bigram collocation scoring — which word pairs co-occur
+    * more than chance, the statistic behind phrase mining and
+    * tokenizer-merge candidates. Bigrams come from a per-row
+    * transform/explode (no self-join on position); pair and unigram counts
+    * are two hash aggregations; the vocabulary-sized count tables join on
+    * the words. Scored by LIFT = n_pair·N / (n_w1·n_w2) rather than
+    * log-PMI: every operand is an exact BIGINT below 2^53 and the single
+    * IEEE division is exactly rounded, so the score is bit-identical in
+    * any engine — libm's log carries no such guarantee (same determinism
+    * rule as SURVEY.md §7.4). Monotone in PMI, so ranking is unchanged.
+    */
+  def bigramLift(spark: SparkSession, sfDir: String): DataFrame = {
+    val ts = split(col("text"), " ")
+    val base = Tables(spark, sfDir, "documents")
+      .select(ts.as("ts")).filter(size(col("ts")) >= 2)
+    val pairCounts = base
+      .select(explode(transform(
+        sequence(lit(1), size(col("ts")) - 1),
+        i => struct(element_at(col("ts"), i).as("w1"),
+          element_at(col("ts"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+    val uniCounts = base.select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val total = uniCounts.agg(sum(col("n_w")).as("n_total"))
+    pairCounts
+      .join(uniCounts.select(col("w").as("w1"), col("n_w").as("n_w1")), "w1")
+      .join(uniCounts.select(col("w").as("w2"), col("n_w").as("n_w2")), "w2")
+      .crossJoin(broadcast(total))
+      .filter(col("n_pair") >= 3)
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+        ((col("n_pair") * col("n_total")).cast(DoubleType)
+          / (col("n_w1") * col("n_w2")).cast(DoubleType)).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
+  private val bigramLiftOracle =
+    """WITH tok AS (
+      |  SELECT string_split(text, ' ') AS ts FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+      |       FROM tok, unnest(range(1, len(ts))) AS u(i)),
+      |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+      |       FROM bg GROUP BY 1, 2),
+      |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w
+      |       FROM (SELECT unnest(ts) AS w FROM tok) GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS n_total FROM uc)
+      |SELECT w1, w2, n_pair, u1.n_w AS n_w1, u2.n_w AS n_w2,
+      |  CAST(n_pair * n_total AS DOUBLE)
+      |    / CAST(u1.n_w * u2.n_w AS DOUBLE) AS lift
+      |FROM pc JOIN uc u1 ON pc.w1 = u1.w
+      |        JOIN uc u2 ON pc.w2 = u2.w
+      |        CROSS JOIN tot
+      |WHERE n_pair >= 3
+      |ORDER BY lift DESC, w1, w2
+      |LIMIT 100""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("text_stats_quality",
       "per-doc token stats, quality score, stopword-heuristic language ID",
@@ -379,5 +467,11 @@ object TextAnalysis {
     Query("text_tfidf_topterms",
       "TF-IDF top-3 terms per document (linear idf, broadcast df table)",
       tfidfTopTerms, Some(tfidfTopTermsOracle)),
+    Query("text_inverted_index",
+      "inverted index: token -> sorted doc-id postings + doc frequency",
+      invertedIndex, Some(invertedIndexOracle)),
+    Query("text_bigram_lift",
+      "corpus bigram collocations scored by division-exact lift",
+      bigramLift, Some(bigramLiftOracle)),
   )
 }

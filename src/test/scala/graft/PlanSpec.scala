@@ -44,6 +44,19 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("lateral LIMIT subquery decorrelates to a group-limit, not per-row probes") {
+    val p = plan(run("sql_lateral_topk"))
+    // DecorrelateInnerQuery must rewrite the correlated ORDER BY+LIMIT into
+    // a rank filter evaluated once over the inner relation...
+    assert(p.contains("row_number"), s"expected a rank rewrite:\n$p")
+    // ...with map-side top-k pruning before the shuffle, so the exchange
+    // carries ≤ k rows per key per task
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"expected partial WindowGroupLimit pruning:\n$p")
+    // and the outer correlation becomes ONE join against the pruned inner
+    assert(p.contains("BroadcastHashJoin"), s"expected a single join:\n$p")
+  }
+
   test("per-group top-k aggregates bounded heaps, never a window sort") {
     val p = plan(run("sort_topk_per_group"))
     // TypedImperativeAggregate plans as two-phase ObjectHashAggregate: the
