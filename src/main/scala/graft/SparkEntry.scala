@@ -21,6 +21,7 @@ object SparkEntry {
       TextAnalysis.queries ++
       Curation.queries ++
       Multimodal.queries ++
+      Graph.queries ++
       graft.streaming.StreamingOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Query
+import graft.sources.Tables
+
+/** Graph analytics over relations — the corpus-curation use case is
+  * domain-authority ranking (a web-scale pipeline scores crawl domains by
+  * link authority before sampling training documents; reference anchor:
+  * the dim-enrichment joins at /root/reference/app.py:119-131 are the same
+  * star shape the edge extraction below starts from).
+  *
+  * Scale design (100 TB): the expensive part of graph analytics on raw
+  * data is building the edge list — here a four-table join + aggregation
+  * over the fact tables, all shuffle-partitioned on the join keys. The
+  * iteration then runs on the AGGREGATED graph (nodes = dims, thousands to
+  * millions of rows), orders of magnitude smaller than the corpus; each
+  * round is one join + one hash aggregation, so 5 rounds is 5 tiny stages
+  * behind one heavy extraction. Companion iterative op:
+  * [[Dedup.clusterAssign]] (label propagation + pointer jumping).
+  */
+object Graph {
+
+  private val Scale = 1000000L // fixed-point: rank 1.0 ≡ 1e6
+  private val Rounds = 5
+
+  /** Fixed-point integer PageRank over the nation-to-nation trade graph.
+    *
+    * Edge extraction: customer-nation → supplier-nation pairs through
+    * orders⋈lineitem⋈customer⋈supplier, aggregated to pair counts, then
+    * sparsified to above-1.2×-average pairs with the comparison kept in
+    * INTEGER cross-multiplied form (`cnt·npairs·10 >= total·12`) so the
+    * cut is bit-exact in any engine.
+    *
+    * Iteration: 5 rounds of `r' = 0.15·S + 0.85·Σ floor(r_u / deg_u)` in
+    * SCALED-INTEGER arithmetic (S = 1e6, integer div). Classic
+    * double-valued PageRank cannot pass a cross-engine hash gate — the
+    * contribution SUM's addition order differs between engines and doubles
+    * don't associate; with every quantity a BIGINT and division as `div`,
+    * every round is exact and the final ranks are bit-identical (same
+    * determinism rule as SURVEY.md §7.4; dangling-node mass is dropped,
+    * the standard "leaky" formulation, identical on both sides).
+    *
+    * The edge table is localCheckpoint'd once so the heavy extraction
+    * isn't re-executed by each round's lineage, and each round references
+    * the previous ranks exactly once, so the unresolved plan grows
+    * linearly — no exponential re-analysis (the [[Dedup.clusterAssign]]
+    * lesson).
+    */
+  def pagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val line = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val cust = Tables(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables(spark, sfDir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val pairs = line
+      .join(orders, line("l_orderkey") === orders("o_orderkey"))
+      .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+      .join(broadcast(supp), line("l_suppkey") === supp("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = pairs.agg(sum(col("cnt")).as("total"),
+      count(lit(1)).as("npairs"))
+    val edges = pairs.crossJoin(broadcast(tot))
+      .filter(col("cnt") * col("npairs") * 10 >= col("total") * 12)
+      .select(col("src"), col("dst"))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // materialize the heavy extraction once; every round reuses ~625 rows
+    val e = edges.join(deg, "src").localCheckpoint(true)
+
+    val nations = Tables(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    var ranks = nations
+      .select(col("n_nationkey").as("node"), lit(Scale).as("rank"))
+    for (_ <- 1 to Rounds) {
+      val contribs = e
+        .join(ranks, e("src") === ranks("node"))
+        .select(col("dst"), expr("rank div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nations.select(col("n_nationkey").as("node"))
+        .join(contribs, col("node") === col("dst"), "left_outer")
+        .select(col("node"),
+          (lit(Scale * 15 / 100)
+            + expr("(85 * coalesce(s, 0L)) div 100")).as("rank"))
+    }
+    ranks.join(broadcast(nations), col("node") === col("n_nationkey"))
+      .select(col("n_name"), col("rank"))
+      .orderBy(col("rank").desc, col("n_name"))
+  }
+
+  /** Oracle: the identical integer recurrence unrolled as chained CTEs —
+    * DuckDB's `//` is floor division, Spark's `div` is integer division;
+    * they agree on the non-negative operands here.
+    */
+  private val pagerankOracle: String = {
+    val base = Scale * 15 / 100
+    val rounds = (1 to Rounds).map { i =>
+      s"""r$i AS (
+         |  SELECT nn.node,
+         |    CAST($base + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank
+         |  FROM (SELECT n_nationkey AS node FROM nation) nn
+         |  LEFT JOIN (SELECT e.dst, CAST(sum(r.rank // e.deg) AS BIGINT) AS s
+         |             FROM e JOIN r${i - 1} r ON e.src = r.node
+         |             GROUP BY e.dst) c ON c.dst = nn.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+       |               CAST(count(*) AS BIGINT) AS npairs FROM pairs),
+       |edges AS (SELECT src, dst FROM pairs, tot
+       |          WHERE cnt * npairs * 10 >= total * 12),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+       |        FROM edges GROUP BY src),
+       |e AS (SELECT edges.src, edges.dst, deg.deg
+       |      FROM edges JOIN deg ON edges.src = deg.src),
+       |r0 AS (SELECT n_nationkey AS node, CAST($Scale AS BIGINT) AS rank
+       |       FROM nation),
+       |$rounds
+       |SELECT n_name, rank
+       |FROM r$Rounds JOIN nation ON node = n_nationkey
+       |ORDER BY rank DESC, n_name""".stripMargin
+  }
+
+  val queries: Seq[Query] = Seq(
+    Query("graph_pagerank",
+      "fixed-point integer PageRank over the nation trade graph, 5 rounds",
+      pagerank, Some(pagerankOracle)),
+  )
+}
