@@ -613,6 +613,84 @@ object RefParity {
       | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** XML source — Spark 4's built-in XML data source (the spark-xml
+    * connector folded into sql/core), the fourth row format after
+    * CSV/ORC/JSON-lines. The lake side is staged BY SPARK as
+    * rowTag-delimited documents; the read back is explicit-schema (no
+    * inference scan) and aggregates to the same decimal-exact summary the
+    * other format roundtrips use, so one oracle shape pins them all.
+    * Scale note: XML files split per-file (a multi-row document can't be
+    * byte-range split), so at 100 TB the lake layout must keep documents
+    * many-files-small — same constraint as multiline JSON.
+    */
+  def xmlIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Staging.stagedDir("graft_xml", sfDir) { d =>
+      Tables(spark, sfDir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite").option("rowTag", "order")
+        .xml(d.getAbsolutePath)
+    }
+    spark.read
+      .schema(StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType))))
+      .option("rowTag", "order")
+      .xml(dir.getAbsolutePath)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val xmlIngestOracle =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Schema-evolution read: two parquet generations under one lake path —
+    * gen1 written before a column existed, gen2 carrying the new
+    * `o_margin` column — unioned by a single `mergeSchema` scan that
+    * null-fills the old files (the lake-side twin of
+    * [[upsertMerge]]'s contract evolution, and what a 100 TB lake does
+    * EVERY time a producer adds a field: no rewrite of petabytes of old
+    * files, the reader reconciles). Footer-only schema merge, so the cost
+    * is per-file metadata, not data; the aggregate proves both
+    * generations' rows and the null-fill survive.
+    */
+  def schemaEvolutionRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Staging.stagedDir("graft_evolve", sfDir) { d =>
+      val orders = Tables(spark, sfDir, "orders")
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(new File(d, "gen=1").getAbsolutePath)
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          (col("o_totalprice") * 0.25).as("o_margin"))
+        .write.mode("overwrite")
+        .parquet(new File(d, "gen=2").getAbsolutePath)
+    }
+    spark.read.option("mergeSchema", "true").parquet(dir.getAbsolutePath)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("o_margin")).as("n_with_margin"),
+        sum(col("o_margin").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("sum_margin"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val schemaEvolutionOracle =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      | CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT)
+      |   AS n_with_margin,
+      | CAST(sum(CASE WHEN o_orderkey % 2 = 1
+      |   THEN CAST(o_totalprice * 0.25 AS DECIMAL(18,4)) END) AS DOUBLE)
+      |   AS sum_margin
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** Unstructured-text source + regex field extraction — the log-parsing
     * shape (`spark.read.text` → `regexp_extract` per field → typed cast).
     * Lines are staged from orders BY SPARK (distributed write, no driver
@@ -840,6 +918,12 @@ object RefParity {
     Query("ref_text_log_parse",
       "text source + regexp field extraction (log-parsing shape)",
       textLogParse, Some(textLogParseOracle)),
+    Query("ref_xml_ingest",
+      "built-in XML source roundtrip (rowTag documents, explicit schema)",
+      xmlIngest, Some(xmlIngestOracle)),
+    Query("ref_schema_evolution",
+      "mergeSchema read across parquet generations, old files null-filled",
+      schemaEvolutionRead, Some(schemaEvolutionOracle)),
     Query("ref_snapshot_diff",
       "CDC derivation: row-level diff of two table snapshots",
       snapshotDiff, Some(snapshotDiffOracle)),

@@ -724,6 +724,41 @@ object Relational {
       | o_totalprice * 2 AS double_price
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** VARIANT semi-structured type (Spark 4): `parse_json` once into the
+    * binary variant encoding, then typed `variant_get` extraction — the
+    * open-schema ingestion path that replaces string-typed JSON columns.
+    * Against per-access `get_json_object` (the [[jsonExtract]] shape),
+    * variant parses each document ONCE and every extraction is a cheap
+    * binary traversal — at 100 TB with multi-field access the repeated
+    * string re-parse is the difference between one scan and k scans of
+    * CPU. `try_variant_get` probes a missing path (typed null, no error)
+    * and the count proves none materialize. The oracle re-derives the
+    * same numbers with DuckDB's JSON accessors: the gate pins semantics,
+    * not encoding.
+    */
+  def variantScalars(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "events")
+      .select(col("event_type"), parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"),
+        expr("try_variant_get(v, '$.absent', 'bigint')").as("m"),
+        expr("variant_get(v, '$.k', 'string')").as("ks"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        count(col("m")).as("n_absent_hits"),
+        max(col("ks")).as("max_k_str"))
+      .orderBy("event_type")
+
+  private val variantScalarsOracle =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+      |   AS sum_k,
+      | CAST(0 AS BIGINT) AS n_absent_hits,
+      | max(json_extract_string(props, '$.k')) AS max_k_str
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Generator/UDTF axis: split + explode into a token relation, then the
     * top-50 token frequencies under a total order.
     */
@@ -1559,6 +1594,9 @@ object Relational {
     Query("sql_lateral_topk",
       "LATERAL correlated LIMIT subquery, decorrelated to a rank filter",
       lateralTopPerKey, Some(lateralTopPerKeyOracle)),
+    Query("scalar_variant",
+      "VARIANT type: parse_json once, typed variant_get extraction",
+      variantScalars, Some(variantScalarsOracle)),
     Query("scalar_map_struct",
       "map/struct scalar ops: lookup, key sort, value transform, field access",
       mapStructOps, Some(mapStructOracle)),

@@ -24,7 +24,7 @@ import java.nio.file.{Files, StandardCopyOption, StandardOpenOption}
   * runs under an exclusive file lock, and the marker is created by atomic
   * rename so no observer ever sees a half-made marker.
   */
-private[operators] object Staging {
+private[graft] object Staging {
 
   /** Fingerprint of the source dir's top-level entries + a spec string.
     * Cheap (one listing, no reads) but catches the real invalidation

@@ -385,6 +385,83 @@ object StreamingOps {
       | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '30 minutes'
       |ORDER BY signup_id, purchase_id""".stripMargin
 
+  /** The events table staged as 8 ts-range part files — the landing-zone
+    * shape for genuinely incremental streaming tests: with
+    * `maxFilesPerTrigger=1` an AvailableNow drain becomes 8 micro-batches
+    * whose state must carry across batch boundaries (the single-batch
+    * drains elsewhere never exercise that). Range partitioning makes file
+    * order ≈ event-time order, so watermarks advance monotonically batch
+    * over batch.
+    */
+  private[graft] def chunkedEventsDir(
+      spark: SparkSession, sfDir: String): java.io.File =
+    graft.operators.Staging.stagedDir("graft_stream_chunks", sfDir,
+      spec = "8-range-files;mtime-sequenced-v2") { d =>
+      Tables(spark, sfDir, "events")
+        .repartitionByRange(8, col("ts"), col("event_id"))
+        .write.mode("overwrite").parquet(d.getAbsolutePath)
+      // the file stream source ingests in MODIFICATION-TIME order, and the
+      // 8 parallel write tasks finish within the same millisecond — left
+      // alone, batch order is arbitrary, a late-range file can go first,
+      // and its watermark marks every earlier-range file late (stateful
+      // joins then drop them ALL; complete-mode aggs hide this because
+      // they ignore watermarks). Range partition k holds the k-th ts
+      // range, so spacing mtimes in part-file order makes arrival order =
+      // event-time order — exactly how a real landing zone behaves.
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified(((System.currentTimeMillis() / 60000) * 60000)
+            + i * 1000L)
+        }
+    }
+
+  /** One-file-per-trigger chunked source over the staged ts-range files
+    * (ts arrives TIMESTAMP_NTZ from [[Tables]]' normalization; cast to LTZ
+    * for watermarking — session is UTC, so wall-clock math is unchanged).
+    */
+  private[graft] def chunkedSource(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = chunkedEventsDir(spark, sfDir)
+    val schema = spark.read.parquet(dir.getAbsolutePath).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+      .withColumn("ts", col("ts").cast("timestamp"))
+  }
+
+  /** Tumbling counts again, but TRULY incremental: 8 micro-batches, each
+    * merging its partial counts into windows opened by earlier batches —
+    * the cross-batch state accumulation a one-batch AvailableNow drain
+    * never tests (StreamingSpec asserts the 8-batch split; the shared
+    * batch oracle pins the merged result). This is the closest local-mode
+    * gets to the production continuous query: state outlives the trigger
+    * that created it.
+    */
+  def incrementalDrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = chunkedSource(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    val name = s"graft_stream_incr_${sinkId.incrementAndGet()}"
+    withStreamingPartitions(spark) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+      .select(
+        col("window.start").cast(TimestampNTZType).as("wstart"),
+        col("window.end").cast(TimestampNTZType).as("wend"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("wstart", "event_type")
+  }
+
   /** Streaming → file sink through foreachBatch — the production landing
     * pattern the memory sink stands in for everywhere else: each
     * micro-batch body runs as a BATCH write, here parquet append (on a
@@ -458,5 +535,8 @@ object StreamingOps {
     Query("stream_foreachbatch_sink",
       "streaming → parquet file sink via foreachBatch, lossless roundtrip",
       foreachBatchSink, Some(foreachBatchSinkOracle)),
+    Query("stream_incremental_drain",
+      "8-micro-batch chunked drain, state merged across batches (= batch)",
+      incrementalDrain, Some(tumblingStreamOracle)),
   )
 }

@@ -57,6 +57,84 @@ class StreamingSpec extends SparkTestBase with StreamingRestartHarness {
     assert(got.sameElements(want))
   }
 
+  test("incremental drain splits into 8 micro-batches and still equals batch") {
+    // the oracle-gated result equality, locally
+    val got = run("stream_incremental_drain").collect().map(_.toSeq)
+    val want = run("win_time_tumbling").collect().map(_.toSeq)
+    assert(got.sameElements(want))
+    // and the drain really was incremental: one staged ts-range file per
+    // micro-batch (otherwise the query is just the single-batch twin again)
+    import org.apache.spark.sql.streaming.Trigger
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val fn: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (b, _) => { b.count(); batches.incrementAndGet(); () }
+    val q = graft.streaming.StreamingOps.chunkedSource(spark, Sf)
+      .writeStream.foreachBatch(fn)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(batches.get() == 8, s"expected 8 file-batches, got ${batches.get()}")
+  }
+
+  test("stream-stream LEFT OUTER join emits nulls as the watermark passes") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingOps
+    // the chunked source advances the watermark batch over batch, which is
+    // what entitles the join to declare earlier signups unmatchable — a
+    // single-batch drain can never emit an outer null for lack of a later
+    // batch to advance past it
+    val src = StreamingOps.chunkedSource(spark, Sf)
+    val signups = src.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = signups.join(purchases,
+      col("s_user") === col("p_user")
+        && col("p_ts") >= col("s_ts")
+        && col("p_ts") <= col("s_ts") + expr("INTERVAL '30' MINUTE"),
+      "leftOuter")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("graft_spec_louter").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("graft_spec_louter").collect()
+    assert(out.nonEmpty)
+    val nullRows = out.filter(_.isNullAt(out.head.fieldIndex("purchase_id")))
+      .map(_.getLong(out.head.fieldIndex("signup_id"))).toSet
+
+    // batch truth: the matched signup set and the overall time horizon
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val s = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"), col("ts").as("s_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("p_ts"))
+    val matched = s.join(p, col("user_id") === col("pu")
+        && col("p_ts") >= col("s_ts")
+        && col("p_ts") <= col("s_ts") + expr("INTERVAL '30' MINUTE"))
+      .select("signup_id").distinct().collect().map(_.getLong(0)).toSet
+    // (a) every outer null is genuinely unmatched in batch semantics
+    assert(nullRows.intersect(matched).isEmpty)
+    // (b) matched rows emitted eagerly and exactly (inner part unaffected)
+    val matchedEmitted = out.filter(!_.isNullAt(out.head.fieldIndex("purchase_id")))
+    assert(matchedEmitted.map(_.getLong(out.head.fieldIndex("signup_id"))).toSet
+      == matched)
+    // (c) completeness up to the watermark: every unmatched signup that the
+    // final watermark provably passed (1 h delay + 30 min join window +
+    // one full batch of slack) must have flushed a null row
+    val maxTs = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0).toInstant
+    val horizon = maxTs.minusSeconds(3600 + 1800 + 4 * 24 * 3600)
+    val oldIds = s.collect()
+      .filter(r => !matched.contains(r.getLong(0)))
+      .filter(r => r.getTimestamp(2).toInstant.isBefore(horizon))
+      .map(_.getLong(0)).toSet
+    assert(oldIds.nonEmpty, "fixture must leave some old unmatched signups")
+    assert(oldIds.subsetOf(nullRows),
+      s"${(oldIds -- nullRows).size} overdue signups never flushed a null")
+  }
+
   test("watermark evicts state and drops late data across restarts") {
     // Everywhere else AvailableNow drains one finite batch, so the
     // watermark never advances PAST data and the semantics it exists for —
