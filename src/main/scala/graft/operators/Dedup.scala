@@ -687,6 +687,64 @@ object Dedup {
       |SELECT id AS doc_id, min(r) AS component
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Span-level duplication profiling — the statistic behind substring
+    * dedup ("Deduplicating Training Data Makes Language Models Better"
+    * trains on corpora whose repeated ~50-token SPANS are cut, not just
+    * repeated documents): every 16-token window is hashed, windows seen in
+    * ≥2 documents are marked, and each document reports its duplicated-
+    * window ratio. Whole-doc dedup misses this entirely — boilerplate
+    * headers/footers ride inside otherwise-unique pages.
+    *
+    * Scale shape: windows come from a per-row transform (no position
+    * self-join), the window relation shuffles ONCE on the 128-bit hash for
+    * the cross-doc count, and the verdict joins back on the same key. The
+    * hash is md5 of the joined window text, so the oracle re-derives it
+    * engine-portably; the ratio is one exact BIGINT/BIGINT IEEE division.
+    */
+  def spanOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val ts = split(col("text"), " ")
+    val wins = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), ts.as("ts"))
+      .filter(size(col("ts")) >= 16)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ts")) - 15),
+        i => md5(concat_ws(" ", slice(col("ts"), i, lit(16)))))).as("wh"))
+    val crossDoc = wins.groupBy(col("wh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("wh"), lit(1L).as("dup"))
+    wins.join(crossDoc, Seq("wh"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        count(col("dup")).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        (col("n_dup_windows").cast(DoubleType)
+          / col("n_windows").cast(DoubleType)).as("dup_ratio"))
+      .filter(col("n_dup_windows") > 0)
+      .orderBy("doc_id")
+  }
+
+  private val spanOverlapOracle =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 16),
+      |wins AS (
+      |  SELECT doc_id, md5(array_to_string(ts[i:i+15], ' ')) AS wh
+      |  FROM tok, unnest(range(1, len(ts) - 14)) AS u(i)),
+      |cross_doc AS (
+      |  SELECT wh FROM wins GROUP BY wh
+      |  HAVING count(DISTINCT doc_id) >= 2)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+      |  CAST(count(CASE WHEN wh IN (SELECT wh FROM cross_doc) THEN 1 END)
+      |    AS BIGINT) AS n_dup_windows,
+      |  CAST(count(CASE WHEN wh IN (SELECT wh FROM cross_doc) THEN 1 END)
+      |      AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS dup_ratio
+      |FROM wins
+      |GROUP BY doc_id
+      |HAVING count(CASE WHEN wh IN (SELECT wh FROM cross_doc) THEN 1 END) > 0
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("dedup_exact",
       "exact dedup: hash-groupBy on content, min-id representative",
@@ -718,5 +776,8 @@ object Dedup {
     Query("dedup_cluster_assign",
       "connected components over dup edges: min-label propagation to a fixpoint",
       clusterComponents, Some(clusterComponentsOracle)),
+    Query("dedup_span_overlap",
+      "span-level duplication: cross-doc 16-token window hashes per doc",
+      spanOverlap, Some(spanOverlapOracle)),
   )
 }

@@ -262,6 +262,71 @@ object TimeWindows {
       |      FROM events)
       |ORDER BY event_id""".stripMargin
 
+  /** Linear interpolation between observations — the sensor-gap repair
+    * [[fillForward]] approximates with a step function, done properly:
+    * gaps are filled along the line between the bracketing observations,
+    * weighted by event-time distance. Two windows per user (previous /
+    * next observation value+time), both on the one user_id shuffle the
+    * sessionization family already pays — no extra exchange.
+    *
+    * Determinism: timestamps enter the arithmetic as exact BIGINT
+    * microseconds (< 2^53, so the DOUBLE casts are exact) and the
+    * interpolation `prev + (next-prev) * (Δt/ΔT)` is written with the
+    * identical operation order in the oracle — every IEEE op is exactly
+    * rounded, so same ops + same order = same bits (SURVEY.md §7.4).
+    */
+  def interpolateLinear(spark: SparkSession, sfDir: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val before = byTime.rowsBetween(Window.unboundedPreceding, -1)
+    val after = byTime.rowsBetween(1, Window.unboundedFollowing)
+    Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"),
+        when(col("event_type") === "purchase", col("value")).as("observed"),
+        col("ts"), unix_micros(col("ts").cast("timestamp")).as("t"))
+      .withColumn("prev_v", last(col("observed"), ignoreNulls = true).over(before))
+      .withColumn("prev_t",
+        last(when(col("observed").isNotNull, col("t")), ignoreNulls = true)
+          .over(before))
+      .withColumn("next_v", first(col("observed"), ignoreNulls = true).over(after))
+      .withColumn("next_t",
+        first(when(col("observed").isNotNull, col("t")), ignoreNulls = true)
+          .over(after))
+      .select(col("event_id"), col("user_id"), col("observed"),
+        when(col("observed").isNotNull, col("observed"))
+          .when(col("prev_v").isNotNull && col("next_v").isNotNull,
+            col("prev_v") + (col("next_v") - col("prev_v"))
+              * ((col("t") - col("prev_t")).cast(DoubleType)
+                / (col("next_t") - col("prev_t")).cast(DoubleType)))
+          .as("interp"))
+      .orderBy("event_id")
+  }
+
+  private val interpolateLinearOracle =
+    """SELECT event_id, user_id, observed,
+      |  CASE WHEN observed IS NOT NULL THEN observed
+      |       WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+      |         prev_v + (next_v - prev_v)
+      |           * (CAST(t - prev_t AS DOUBLE)
+      |              / CAST(next_t - prev_t AS DOUBLE))
+      |  END AS interp
+      |FROM (
+      |  SELECT event_id, user_id, observed, t,
+      |    last_value(observed IGNORE NULLS) OVER w_before AS prev_v,
+      |    last_value(CASE WHEN observed IS NOT NULL THEN t END IGNORE NULLS)
+      |      OVER w_before AS prev_t,
+      |    first_value(observed IGNORE NULLS) OVER w_after AS next_v,
+      |    first_value(CASE WHEN observed IS NOT NULL THEN t END IGNORE NULLS)
+      |      OVER w_after AS next_t
+      |  FROM (SELECT event_id, user_id, ts, epoch_us(ts) AS t,
+      |          CASE WHEN event_type = 'purchase' THEN value END AS observed
+      |        FROM events)
+      |  WINDOW w_before AS (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |         w_after AS (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+      |ORDER BY event_id""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("win_time_tumbling",
       "tumbling 10-min event-time windows per event type",
@@ -281,5 +346,8 @@ object TimeWindows {
     Query("win_fill_forward",
       "forward-fill imputation: running last(ignoreNulls) per user",
       fillForward, Some(fillForwardOracle)),
+    Query("win_interpolate_linear",
+      "linear interpolation between bracketing observations per user",
+      interpolateLinear, Some(interpolateLinearOracle)),
   )
 }

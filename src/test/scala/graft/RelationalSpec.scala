@@ -162,4 +162,26 @@ class RelationalSpec extends SparkTestBase {
       .count()
     assert(bad == 0)
   }
+
+  test("observe() rides data-quality metrics on the query's own scan") {
+    // the production circuit-breaker pattern: row counts / violation
+    // counts / freshness watermarks collected as accumulators on the SAME
+    // pass that does the work — a 100 TB pipeline cannot afford a second
+    // validation scan, and a .count() on the side would plan one
+    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
+    val df = li
+      .observe("dq",
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("n_bad_qty"),
+        max(col("l_orderkey")).as("max_key"))
+      .filter(col("l_quantity") > 0)
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    df.collect()
+    val m = df.queryExecution.observedMetrics("dq")
+    assert(m.getAs[Long]("n_rows") == li.count(),
+      "metrics must see every pre-filter row")
+    assert(m.getAs[Long]("n_bad_qty") == 0L)
+    assert(m.getAs[Long]("max_key") ==
+      li.agg(max(col("l_orderkey"))).collect()(0).getLong(0))
+  }
 }
