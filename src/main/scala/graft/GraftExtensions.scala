@@ -4,7 +4,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, RollingHash}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{BoundedTopK, DotProduct, RollingHash}
 
 /** Session extension registering the engine's native expressions for SQL
   * use (`SELECT rolling_hash(text), dot_product(a, b) ...`). Enable with
@@ -23,6 +26,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 1, "rolling_hash(str) takes one argument")
         RollingHash(exprs.head)
+      }))
+    extensions.injectFunction((
+      FunctionIdentifier("bounded_top_k"),
+      new ExpressionInfo(classOf[BoundedTopK].getName, "bounded_top_k"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          "bounded_top_k(score, id, k) takes three arguments")
+        val k = exprs(2) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"bounded_top_k k must be an INT literal, got $other")
+        }
+        BoundedTopK(exprs.head, exprs(1), k)
       }))
     extensions.injectFunction((
       FunctionIdentifier("dot_product"),

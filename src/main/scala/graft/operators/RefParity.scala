@@ -582,6 +582,50 @@ object RefParity {
       |FROM orders WHERE o_orderstatus = 'F'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Dynamic partition pruning — the optimizer feature that makes
+    * partitioned star joins viable at 100 TB: the fact side is partitioned
+    * by year, the filter sits on a DIM attribute (`era`), so static
+    * pruning can't apply — the years to keep are only known once the dim
+    * is read. Spark broadcasts the filtered dim, reuses that broadcast as
+    * a subquery, and injects `dynamicpruningexpression` into the fact
+    * scan's PartitionFilters, skipping entire partition DIRECTORIES at
+    * runtime (asserted in PlanSpec — without DPP this reads every year
+    * and filters after the join). Both sides are staged parquet: a local
+    * dim relation would constant-fold and dodge the mechanism.
+    */
+  def dppJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val factDir = Staging.stagedDir("graft_dpp_fact", sfDir) { d =>
+      Tables(spark, sfDir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year")
+        .parquet(d.getAbsolutePath)
+    }
+    val dimDir = Staging.stagedDir("graft_dpp_dim", sfDir) { d =>
+      Tables(spark, sfDir, "orders")
+        .select(year(col("o_orderdate")).as("d_year")).distinct()
+        .withColumn("era",
+          when(col("d_year") >= 1995, "modern").otherwise("classic"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(d.getAbsolutePath)
+    }
+    val fact = spark.read.parquet(factDir.getAbsolutePath)
+    val dim = spark.read.parquet(dimDir.getAbsolutePath)
+    fact.join(dim, col("o_year") === col("d_year"))
+      .filter(col("era") === "modern")
+      .groupBy(col("o_year"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_price"))
+      .orderBy("o_year")
+  }
+
+  private val dppJoinOracle =
+    """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      | CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE year(o_orderdate) >= 1995
+      |GROUP BY 1 ORDER BY o_year""".stripMargin
+
   /** JSON-lines ingest — the third row-source format (CSV, ORC, parquet
     * already covered). Explicit schema, as everywhere (§1.4): a schema-less
     * json read costs an extra full sampling pass over the lake at 100 TB.
@@ -918,6 +962,9 @@ object RefParity {
     Query("ref_text_log_parse",
       "text source + regexp field extraction (log-parsing shape)",
       textLogParse, Some(textLogParseOracle)),
+    Query("ref_dpp_join",
+      "dynamic partition pruning: dim filter prunes fact dirs at runtime",
+      dppJoin, Some(dppJoinOracle)),
     Query("ref_xml_ingest",
       "built-in XML source roundtrip (rowTag documents, explicit schema)",
       xmlIngest, Some(xmlIngestOracle)),

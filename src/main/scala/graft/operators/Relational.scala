@@ -975,6 +975,58 @@ object Relational {
       |         LIMIT 3) top
       |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin
 
+  /** Point-in-time (temporal) join — each purchase matched to the user
+    * VERSION in force when it happened, the query every warehouse runs
+    * against an SCD-2 dimension ("which plan/address/segment did the
+    * customer have at order time"). Versions are derived from signup
+    * events (valid_from = signup, valid_to = next signup, half-open), so
+    * intervals per user are disjoint and at most one version matches —
+    * deterministic without tiebreaks.
+    *
+    * Scale shape: dimension histories are dim-sized, facts are not — so
+    * the history side broadcasts and the interval predicate rides as a
+    * residual on the per-user hash match (versions per user are few). A
+    * fact-sized interval table would use the [[asofJoin]] union+window
+    * trick instead; this query pins the OTHER standard shape.
+    */
+  def temporalPitJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+    val byStart = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val hist = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("h_user"), col("event_id").as("version_id"),
+        col("ts").as("valid_from"))
+      .withColumn("valid_to",
+        lead(col("valid_from"), 1).over(
+          Window.partitionBy(col("h_user"))
+            .orderBy(col("valid_from"), col("version_id"))))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("purchase_ts"))
+    facts.join(broadcast(hist),
+        col("user_id") === col("h_user")
+          && col("purchase_ts") >= col("valid_from")
+          && (col("valid_to").isNull || col("purchase_ts") < col("valid_to")),
+        "left_outer")
+      .select(col("event_id"), col("user_id"), col("purchase_ts"),
+        col("version_id"), col("valid_from"))
+      .orderBy("event_id")
+  }
+
+  private val temporalPitJoinOracle =
+    """WITH hist AS (
+      |  SELECT user_id AS h_user, event_id AS version_id, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS valid_to
+      |  FROM events WHERE event_type = 'signup'),
+      |facts AS (SELECT event_id, user_id, ts FROM events
+      |          WHERE event_type = 'purchase')
+      |SELECT f.event_id, f.user_id, f.ts AS purchase_ts,
+      |  h.version_id, h.valid_from
+      |FROM facts f LEFT JOIN hist h
+      |  ON f.user_id = h.h_user AND f.ts >= h.valid_from
+      | AND (h.valid_to IS NULL OR f.ts < h.valid_to)
+      |ORDER BY event_id""".stripMargin
+
   // ---- as-of join -------------------------------------------------------
 
   /** As-of join, an operator Spark has no primitive for: attach to every
@@ -1606,6 +1658,9 @@ object Relational {
     Query("explode_tokens",
       "split+explode token relation, top-50 frequencies",
       explodeTokens, Some(explodeTokensOracle)),
+    Query("join_temporal_pit",
+      "point-in-time join: facts to the SCD-2 version in force at fact time",
+      temporalPitJoin, Some(temporalPitJoinOracle)),
     Query("join_asof",
       "as-of join (latest click ≤ event) via tagged union + window",
       asofJoin, Some(asofJoinOracle)),

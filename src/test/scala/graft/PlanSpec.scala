@@ -44,6 +44,14 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("dim-attribute filter prunes fact partitions at runtime (DPP)") {
+    val df = run("ref_dpp_join")
+    df.collect() // DPP shows in the executed adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruningexpression"),
+      s"fact scan must carry a runtime partition filter:\n$p")
+  }
+
   test("lateral LIMIT subquery decorrelates to a group-limit, not per-row probes") {
     val p = plan(run("sql_lateral_topk"))
     // DecorrelateInnerQuery must rewrite the correlated ORDER BY+LIMIT into

@@ -163,6 +163,23 @@ class RelationalSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("bounded_top_k is callable from SQL via the session extension") {
+    spark.read.parquet(s"$Sf/customer.parquet")
+      .createOrReplaceTempView("graft_spec_cust")
+    val viaSql = spark.sql(
+      """SELECT c_nationkey, t.score AS c_acctbal, t.id AS c_custkey
+        |FROM (SELECT c_nationkey,
+        |        bounded_top_k(c_acctbal, c_custkey, 3) AS top
+        |      FROM graft_spec_cust GROUP BY c_nationkey)
+        |LATERAL VIEW explode(top) AS t
+        |ORDER BY c_nationkey, c_acctbal DESC, c_custkey""".stripMargin)
+      .collect().map(_.toSeq)
+    val viaApi = run("sort_topk_per_group")
+      .select("c_nationkey", "c_acctbal", "c_custkey")
+      .collect().map(_.toSeq)
+    assert(viaSql.sameElements(viaApi))
+  }
+
   test("observe() rides data-quality metrics on the query's own scan") {
     // the production circuit-breaker pattern: row counts / violation
     // counts / freshness watermarks collected as accumulators on the SAME
