@@ -975,6 +975,107 @@ object Relational {
       |         LIMIT 3) top
       |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin
 
+  /** Group-wise argmax/argmin via `max_by`/`min_by` — "the customer
+    * holding each nation's best balance" WITHOUT ranking anything: one
+    * hash aggregate whose partial state is a single (ordering, value)
+    * pair per group per task, against the window alternative that
+    * shuffles and sorts every row. Tie-safety: the ordering key is
+    * `struct(c_acctbal, c_custkey)` — lexicographic struct comparison
+    * makes the winner total even under balance ties, which is what lets
+    * an aggregate replace the deterministic rank filter. The oracle
+    * derives the same winners with row_number (DuckDB's arg_max can't
+    * take a composite ordering): the gate pins semantics, not mechanism.
+    */
+  def argmaxPerGroup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        max(col("c_acctbal")).as("max_bal"),
+        expr("max_by(c_custkey, struct(c_acctbal, c_custkey))").as("richest"),
+        min(col("c_acctbal")).as("min_bal"),
+        expr("min_by(c_custkey, struct(c_acctbal, c_custkey))").as("poorest"))
+      .orderBy("c_nationkey")
+
+  private val argmaxPerGroupOracle =
+    """WITH ranked AS (
+      |  SELECT c_nationkey, c_custkey, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_nationkey
+      |      ORDER BY c_acctbal DESC, c_custkey) AS rd,
+      |    row_number() OVER (PARTITION BY c_nationkey
+      |      ORDER BY c_acctbal ASC, c_custkey) AS ra
+      |  FROM customer)
+      |SELECT c_nationkey,
+      |  max(c_acctbal) AS max_bal,
+      |  max(CASE WHEN rd = 1 THEN c_custkey END) AS richest,
+      |  min(c_acctbal) AS min_bal,
+      |  max(CASE WHEN ra = 1 THEN c_custkey END) AS poorest
+      |FROM ranked GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** Bitmap-index distinct counting — the warehouse trick behind
+    * incremental COUNT(DISTINCT) materialized views: ids collapse into
+    * fixed-size bitmaps (one per 32768-wide bucket via
+    * `bitmap_bucket_number`), bitmaps OR together mergeably, and the
+    * distinct count is the sum of popcounts. Unlike HLL state
+    * (`agg_sketch_merge`) this is EXACT while staying mergeable — new
+    * facts OR into existing bitmaps, no rescan, and the state size is
+    * bounded by the id domain, not the row count. Two-level aggregation:
+    * per (segment, bucket) bitmap build, then per-segment popcount sum.
+    * Bucket k covers ids (k-1)·32768+1 … k·32768 — id 0 lands in bucket
+    * 0, which the harness data exercises (c_custkey starts at 0); the
+    * oracle mirrors that boundary with `(id + 32767) // 32768`.
+    */
+  def bitmapDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "customer")
+      .groupBy(col("c_mktsegment"),
+        expr("bitmap_bucket_number(c_custkey)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(c_custkey))")
+        .as("bm"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(expr("bitmap_count(bm)")).as("n_distinct"),
+        count(lit(1)).as("n_buckets"))
+      .orderBy("c_mktsegment")
+
+  private val bitmapDistinctOracle =
+    """SELECT c_mktsegment,
+      |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+      |  CAST(count(DISTINCT (c_custkey + 32767) // 32768) AS BIGINT)
+      |    AS n_buckets
+      |FROM customer
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+    * each other — the semantics plain `=` silently drops (its NULL rows
+    * join nothing and vanish from inner joins). Every 10th user is given
+    * a NULL cohort key; both sides aggregate per cohort and the null-safe
+    * join must align the NULL cohorts too. Scale note: EqualNullSafe
+    * keys still hash-partition (NULL hashes like any value), so the join
+    * stays a hash join — no degradation to a theta join.
+    */
+  def nullSafeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+    def side(t: String, out: String) = ev
+      .filter(col("event_type") === t)
+      .select(when(col("user_id") % 10 =!= 0, col("user_id") % 50).as(out))
+      .groupBy(col(out)).agg(count(lit(1)).as(s"n_$t"))
+    side("view", "k")
+      .join(side("click", "k2"), col("k") <=> col("k2"))
+      .select(col("k"), col("n_view"), col("n_click"))
+      .orderBy(col("k"))
+  }
+
+  private val nullSafeJoinOracle =
+    """WITH v AS (
+      |  SELECT CASE WHEN user_id % 10 != 0 THEN user_id % 50 END AS k,
+      |    CAST(count(*) AS BIGINT) AS n_view
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT CASE WHEN user_id % 10 != 0 THEN user_id % 50 END AS k2,
+      |    CAST(count(*) AS BIGINT) AS n_click
+      |  FROM events WHERE event_type = 'click' GROUP BY 1)
+      |SELECT v.k, n_view, n_click
+      |FROM v JOIN c ON v.k IS NOT DISTINCT FROM c.k2
+      |ORDER BY v.k NULLS FIRST""".stripMargin
+
   /** Point-in-time (temporal) join — each purchase matched to the user
     * VERSION in force when it happened, the query every warehouse runs
     * against an SCD-2 dimension ("which plan/address/segment did the
@@ -1658,6 +1759,15 @@ object Relational {
     Query("explode_tokens",
       "split+explode token relation, top-50 frequencies",
       explodeTokens, Some(explodeTokensOracle)),
+    Query("agg_argmax",
+      "group-wise argmax/argmin via max_by/min_by, struct-ordered ties",
+      argmaxPerGroup, Some(argmaxPerGroupOracle)),
+    Query("agg_bitmap_distinct",
+      "exact mergeable distinct counts via two-level bitmap aggregation",
+      bitmapDistinct, Some(bitmapDistinctOracle)),
+    Query("join_null_safe",
+      "null-safe equi-join: NULL cohorts align instead of vanishing",
+      nullSafeJoin, Some(nullSafeJoinOracle)),
     Query("join_temporal_pit",
       "point-in-time join: facts to the SCD-2 version in force at fact time",
       temporalPitJoin, Some(temporalPitJoinOracle)),
