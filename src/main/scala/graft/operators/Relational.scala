@@ -975,6 +975,124 @@ object Relational {
       |         LIMIT 3) top
       |ORDER BY n_name, c_acctbal DESC, c_custkey""".stripMargin
 
+  /** Equi-width histogram — the profiling primitive behind every column
+    * statistics page and range-partitioner choice. Two passes: a scalar
+    * min/max aggregate broadcast to the scan, then one hash aggregate on
+    * the bucket id. Bucketing runs entirely in INTEGER cents —
+    * `(c-min)·20 div (max-min+1)` — because a double-width division puts
+    * boundary values on either side of the cut depending on the engine's
+    * rounding; integer div has one answer. Bucket bounds re-derive from
+    * the same integers, exact in both engines.
+    */
+  def histogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = round(col("o_totalprice") * 100).cast(LongType)
+    val prices = Tables(spark, sfDir, "orders").select(cents.as("c"))
+    val bounds = prices.agg(min(col("c")).as("lo"), max(col("c")).as("hi"))
+    prices.crossJoin(broadcast(bounds))
+      .select(((col("c") - col("lo")) * 20)
+        .divide(col("hi") - col("lo") + 1).cast(LongType).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("bucket")
+  }
+
+  private val histogramOracle =
+    """WITH p AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+      |           FROM orders),
+      |b AS (SELECT min(c) AS lo, max(c) AS hi FROM p)
+      |SELECT ((c - lo) * 20) // (hi - lo + 1) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM p, b
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** Event-transition matrix — first-order Markov counts of what users do
+    * next (the product-analytics "path analysis" primitive): one lead()
+    * window on the sessionization family's user_id shuffle, then a tiny
+    * hash aggregate on the (from, to) pair. The transition probability is
+    * an exact BIGINT/BIGINT IEEE division against the from-state total.
+    */
+  def transitionMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(byTime))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast(DoubleType) / col("n_from").cast(DoubleType))
+          .as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  private val transitionMatrixOracle =
+    """WITH pairs AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |counts AS (
+      |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |totals AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+      |           FROM counts GROUP BY 1)
+      |SELECT counts.from_type, to_type, n,
+      |  CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
+      |FROM counts JOIN totals ON counts.from_type = totals.from_type
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Retention cohort analysis — users grouped by first-seen week, then
+    * counted per weeks-since-cohort: the table behind every retention
+    * curve. Two shuffles (first-seen per user, then the cohort×offset
+    * count); the week arithmetic stays in exact day integers
+    * (datediff // 7), and the retention rate divides two exact BIGINTs.
+    * Both engines truncate weeks to Monday, so cohort labels agree.
+    */
+  def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("user_id"),
+        date_trunc("week", col("ts")).cast(DateType).as("week"))
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week"))
+      .agg(countDistinct(col("user_id")).as("cohort_size"))
+    ev.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7)
+          .cast(LongType).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        (col("n_active").cast(DoubleType)
+          / col("cohort_size").cast(DoubleType)).as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  private val retentionCohortsOracle =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      |  FROM events),
+      |cohorts AS (SELECT user_id, min(week) AS cohort_week
+      |            FROM ev GROUP BY user_id),
+      |sizes AS (SELECT cohort_week,
+      |            CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_size
+      |          FROM cohorts GROUP BY 1),
+      |act AS (
+      |  SELECT c.cohort_week,
+      |    CAST((ev.week - c.cohort_week) // 7 AS BIGINT) AS week_offset,
+      |    CAST(count(DISTINCT ev.user_id) AS BIGINT) AS n_active
+      |  FROM ev JOIN cohorts c ON ev.user_id = c.user_id
+      |  GROUP BY 1, 2)
+      |SELECT act.cohort_week, week_offset, n_active,
+      |  CAST(n_active AS DOUBLE) / CAST(cohort_size AS DOUBLE) AS retention
+      |FROM act JOIN sizes ON act.cohort_week = sizes.cohort_week
+      |ORDER BY 1, 2""".stripMargin
+
   /** Group-wise argmax/argmin via `max_by`/`min_by` — "the customer
     * holding each nation's best balance" WITHOUT ranking anything: one
     * hash aggregate whose partial state is a single (ordering, value)
@@ -1759,6 +1877,15 @@ object Relational {
     Query("explode_tokens",
       "split+explode token relation, top-50 frequencies",
       explodeTokens, Some(explodeTokensOracle)),
+    Query("agg_histogram",
+      "equi-width 20-bucket histogram, integer-cent bucket arithmetic",
+      histogram, Some(histogramOracle)),
+    Query("win_transition_matrix",
+      "first-order Markov event-transition counts + exact probabilities",
+      transitionMatrix, Some(transitionMatrixOracle)),
+    Query("agg_retention_cohorts",
+      "weekly retention cohorts: first-seen week x weeks-since, exact rates",
+      retentionCohorts, Some(retentionCohortsOracle)),
     Query("agg_argmax",
       "group-wise argmax/argmin via max_by/min_by, struct-ordered ties",
       argmaxPerGroup, Some(argmaxPerGroupOracle)),
