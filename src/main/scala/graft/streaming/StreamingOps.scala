@@ -22,6 +22,15 @@ case class StreamEvent(user_id: Long, event_id: Long, ts: Instant)
   */
 case class SessionizerState(sessionsEmitted: Long)
 
+/** A session still growing at a micro-batch boundary. */
+case class OpenSession(start: Instant, end: Instant, n: Long)
+
+/** Incremental sessionizer state: emitted-session counter for continuous
+  * numbering plus the open tail session awaiting either a successor event
+  * (gap split) or an event-time timeout (watermark passed end + gap).
+  */
+case class IncrSessionState(sessionsEmitted: Long, open: Option[OpenSession])
+
 case class SessionRow(
     user_id: Long, session_seq: Long, n_events: Long,
     session_start: Instant, session_end: Instant)
@@ -431,6 +440,160 @@ object StreamingOps {
       .withColumn("ts", col("ts").cast("timestamp"))
   }
 
+  /** The chunked staging plus TWO watermark-advancing SENTINEL files (2 h
+    * and 4 h past the corpus maximum, mtime-sequenced last), so event-time
+    * timeouts can flush every open session tail — exactly how a production
+    * backfill closes its last sessions (advance the clock, don't poke the
+    * state). TWO because the watermark a batch runs under comes from the
+    * PREVIOUS batch's data: sentinel-1's batch still runs at
+    * (last-file max − delay), and AvailableNow terminates without a
+    * further no-data batch — timeouts due after that watermark would stay
+    * in state forever. Sentinel-2's batch runs under sentinel-1's
+    * watermark (max + 1 h), past every possible (end + gap). The sentinel
+    * rows carry user_id = -1 and flow through the whole pipeline — their
+    * session rows are dropped from the OUTPUT, because filtering them
+    * before the watermark pushes the predicate into the parquet scan and
+    * row-group stats skip the sentinel files outright (see
+    * [[sessionizeIncremental]]).
+    */
+  private[graft] def chunkedEventsWithSentinelDir(
+      spark: SparkSession, sfDir: String): java.io.File =
+    graft.operators.Staging.stagedDir("graft_stream_chunks_sent", sfDir,
+      spec = "8-range-files+2-sentinels;mtime-sequenced-v3") { d =>
+      val ev = Tables(spark, sfDir, "events")
+      ev.repartitionByRange(8, col("ts"), col("event_id"))
+        .write.mode("overwrite").parquet(d.getAbsolutePath)
+      Seq(("2", "z1"), ("4", "z2")).foreach { case (hours, tag) =>
+        val tmp = new java.io.File(d, "_sentinel_tmp")
+        ev.agg(max(col("ts")).as("m")).coalesce(1)
+          .select(
+            lit(-1L).as("event_id"),
+            (col("m") + expr(s"INTERVAL '$hours' HOUR")).as("ts"),
+            lit(-1L).as("user_id"),
+            lit("sentinel").as("event_type"),
+            lit(0.0).as("value"),
+            lit("{}").as("props"))
+          .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val part = Option(tmp.listFiles()).getOrElse(Array.empty)
+          .find(f => f.getName.startsWith("part-")
+            && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error("sentinel part file missing"))
+        // "part-z..." sorts after part-0000N, so the mtime sequencing
+        // below puts the sentinels LAST in arrival order
+        java.nio.file.Files.move(part.toPath,
+          new java.io.File(d, s"part-$tag-sentinel.parquet").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Option(tmp.listFiles()).getOrElse(Array.empty)
+          .foreach(f => java.nio.file.Files.deleteIfExists(f.toPath))
+        java.nio.file.Files.deleteIfExists(tmp.toPath)
+      }
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("part-")).sortBy(_.getName)
+        .zipWithIndex.foreach { case (f, i) =>
+          f.setLastModified(((System.currentTimeMillis() / 60000) * 60000)
+            + i * 1000L)
+        }
+    }
+
+  /** TRUE incremental sessionization — the production semantics the
+    * single-batch [[sessionizeStateful]] never has to face: 10 micro-batches
+    * (8 event-time-ranged files + 2 sentinels), sessions SPANNING batch
+    * boundaries carried as open state, closed sessions emitted the moment a
+    * successor event proves the gap, and tail sessions flushed by
+    * EVENT-TIME TIMEOUT once the watermark passes (end + gap) — at which
+    * point no non-late event can extend them, so closure is sound, not
+    * heuristic. Session numbering stays continuous across flush/return
+    * cycles via the emitted-session counter. Equals the batch
+    * `win_sessionize` result exactly, hence the shared oracle.
+    */
+  def sessionizeIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val dir = chunkedEventsWithSentinelDir(spark, sfDir)
+    val schema = spark.read.parquet(dir.getAbsolutePath).schema
+    // NO pre-watermark sentinel filter: `user_id >= 0` doesn't reference
+    // the watermark column, so Catalyst pushes it through the
+    // EventTimeWatermark node into the parquet scan, where row-group
+    // stats (user_id = -1 throughout) skip the sentinel FILES entirely —
+    // the watermark then freezes at (last-real-file max − delay) and the
+    // final tails never time out (measured: 21 sessions stuck in state).
+    // The sentinel user sessionizes like anyone else; its output rows are
+    // dropped after the sink.
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id"), col("ts")).as[StreamEvent]
+
+    val gapMicros = 30L * 60 * 1000000
+
+    val sessions = stream
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[IncrSessionState, SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[StreamEvent],
+         state: GroupState[IncrSessionState]) =>
+          def micros(i: Instant): Long =
+            i.getEpochSecond * 1000000 + i.getNano / 1000
+          val prev = state.getOption.getOrElse(IncrSessionState(0L, None))
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: the tail can no longer grow
+            val out = prev.open.map(o =>
+              SessionRow(uid, prev.sessionsEmitted + 1, o.n, o.start, o.end))
+            state.update(
+              IncrSessionState(prev.sessionsEmitted + out.size, None))
+            out.iterator
+          } else {
+            val sorted = evs.toArray
+              .sortBy(e => (micros(e.ts), e.event_id))
+            val out = Seq.newBuilder[SessionRow]
+            var seq = prev.sessionsEmitted
+            var start: Instant = null
+            var end: Instant = null
+            var n = 0L
+            prev.open.foreach { o => start = o.start; end = o.end; n = o.n }
+            def close(): Unit = {
+              seq += 1; out += SessionRow(uid, seq, n, start, end)
+            }
+            sorted.foreach { e =>
+              if (start == null) { start = e.ts; end = e.ts; n = 1L }
+              else if (micros(e.ts) - micros(end) >= gapMicros) {
+                close(); start = e.ts; end = e.ts; n = 1L
+              } else { end = e.ts; n += 1L }
+            }
+            if (start != null) {
+              state.update(
+                IncrSessionState(seq, Some(OpenSession(start, end, n))))
+              // flush the tail once the watermark passes its close window;
+              // clamp above the current watermark (setting a timeout at or
+              // below it is rejected)
+              val dueMs = micros(end) / 1000 + 30L * 60 * 1000 + 1
+              state.setTimeoutTimestamp(
+                math.max(dueMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+
+    val name = s"graft_stream_sess_incr_${sinkId.incrementAndGet()}"
+    withStreamingPartitions(spark) {
+      val q = sessions.toDF().writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+      .filter(col("user_id") >= 0) // drop the sentinel user's sessions
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        col("session_start").cast(TimestampNTZType).as("session_start"),
+        col("session_end").cast(TimestampNTZType).as("session_end"))
+      .orderBy("user_id", "session_seq")
+  }
+
   /** Tumbling counts again, but TRULY incremental: 8 micro-batches, each
     * merging its partial counts into windows opened by earlier batches —
     * the cross-batch state accumulation a one-batch AvailableNow drain
@@ -538,5 +701,8 @@ object StreamingOps {
     Query("stream_incremental_drain",
       "8-micro-batch chunked drain, state merged across batches (= batch)",
       incrementalDrain, Some(tumblingStreamOracle)),
+    Query("stream_sessionize_incremental",
+      "multi-batch sessionization: open tails carried, event-time timeouts",
+      sessionizeIncremental, Some(sessionizeStatefulOracle)),
   )
 }

@@ -75,6 +75,16 @@ class StreamingSpec extends SparkTestBase with StreamingRestartHarness {
     assert(batches.get() == 8, s"expected 8 file-batches, got ${batches.get()}")
   }
 
+  test("incremental sessionization equals batch despite batch-boundary tails") {
+    // sessions spanning micro-batch boundaries are carried as open state
+    // and tails flush by event-time timeout — the result must still be
+    // row-identical to the single-pass batch window
+    val got = run("stream_sessionize_incremental").collect().map(_.toSeq)
+    val want = run("win_sessionize").collect().map(_.toSeq)
+    assert(got.length == want.length, s"${got.length} vs ${want.length}")
+    assert(got.sameElements(want))
+  }
+
   test("stream-stream LEFT OUTER join emits nulls as the watermark passes") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.StreamingOps
