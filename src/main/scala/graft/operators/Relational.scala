@@ -1005,6 +1005,34 @@ object Relational {
       |FROM p, b
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Equi-DEPTH histogram — [[histogram]]'s sibling and the shape range
+    * partitioners and optimizer column stats actually need: 10 buckets
+    * holding equal ROW counts, each reporting its value span. One ntile
+    * window (a single global sort at profile time — acceptable for a
+    * stats job, never for a data path) then a tiny aggregate. Bounds are
+    * min/max of exact doubles, counts exact — nothing to round.
+    */
+  def equiDepthHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val byPrice = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .withColumn("bucket", ntile(10).over(byPrice).cast(LongType))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_totalprice")).as("lo"),
+        max(col("o_totalprice")).as("hi"))
+      .orderBy("bucket")
+  }
+
+  private val equiDepthHistogramOracle =
+    """SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+      | min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      |FROM (SELECT o_totalprice,
+      |        CAST(ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+      |          AS BIGINT) AS bucket
+      |      FROM orders)
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** Event-transition matrix — first-order Markov counts of what users do
     * next (the product-analytics "path analysis" primitive): one lead()
     * window on the sessionization family's user_id shuffle, then a tiny
@@ -1880,6 +1908,9 @@ object Relational {
     Query("agg_histogram",
       "equi-width 20-bucket histogram, integer-cent bucket arithmetic",
       histogram, Some(histogramOracle)),
+    Query("agg_histogram_equidepth",
+      "equi-depth 10-bucket histogram: ntile spans for range stats",
+      equiDepthHistogram, Some(equiDepthHistogramOracle)),
     Query("win_transition_matrix",
       "first-order Markov event-transition counts + exact probabilities",
       transitionMatrix, Some(transitionMatrixOracle)),

@@ -495,6 +495,48 @@ object StreamingOps {
         }
     }
 
+  /** APPEND-mode windowed aggregation — the emit-once semantics the
+    * complete-mode twins sidestep: a window's row is emitted exactly once,
+    * and only after the watermark passes its end (the result is FINAL —
+    * what you want feeding a downstream append-only sink, vs complete
+    * mode's full-table rewrite every batch). Over the chunked+sentinel
+    * source every real window closes (final watermark = corpus max + 1 h),
+    * so the emitted set equals the batch aggregate and the shared oracle
+    * applies. The sentinel rows aggregate into their own 'sentinel'-typed
+    * windows, dropped at the output — same no-pre-watermark-filter rule
+    * as [[sessionizeIncremental]] (pushdown would skip their files and
+    * stall every window still open at the last real batch).
+    */
+  def tumblingAppendStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = chunkedEventsWithSentinelDir(spark, sfDir)
+    val schema = spark.read.parquet(dir.getAbsolutePath).schema
+    val agg = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    val name = s"graft_stream_tumbling_app_${sinkId.incrementAndGet()}"
+    withStreamingPartitions(spark) {
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+      .filter(col("event_type") =!= "sentinel")
+      .select(
+        col("window.start").cast(TimestampNTZType).as("wstart"),
+        col("window.end").cast(TimestampNTZType).as("wend"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("wstart", "event_type")
+  }
+
   /** TRUE incremental sessionization — the production semantics the
     * single-batch [[sessionizeStateful]] never has to face: 10 micro-batches
     * (8 event-time-ranged files + 2 sentinels), sessions SPANNING batch
@@ -704,5 +746,8 @@ object StreamingOps {
     Query("stream_sessionize_incremental",
       "multi-batch sessionization: open tails carried, event-time timeouts",
       sessionizeIncremental, Some(sessionizeStatefulOracle)),
+    Query("stream_tumbling_append",
+      "append-mode windows: emit-once, final, watermark-closed (= batch)",
+      tumblingAppendStream, Some(tumblingStreamOracle)),
   )
 }

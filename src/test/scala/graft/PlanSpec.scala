@@ -44,6 +44,15 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("point-in-time join stays a broadcast hash join, not nested-loop") {
+    // the interval predicate must ride as a residual on the equi match —
+    // if the OR-isNull disqualified the equi key the plan would degrade
+    // to BroadcastNestedLoopJoin, a fact×history scan at scale
+    val p = plan(run("join_temporal_pit"))
+    assert(p.contains("BroadcastHashJoin"), s"expected BHJ:\n$p")
+    assert(!p.contains("NestedLoop"), s"must not nested-loop:\n$p")
+  }
+
   test("dim-attribute filter prunes fact partitions at runtime (DPP)") {
     val df = run("ref_dpp_join")
     df.collect() // DPP shows in the executed adaptive plan
