@@ -667,6 +667,69 @@ object StreamingOps {
       .orderBy("wstart", "event_type")
   }
 
+  /** Stream–stream LEFT OUTER interval join, fully oracle-gated: every
+    * signup emits exactly one row per matching purchase OR one null-padded
+    * row once the watermark proves no match can arrive — and over the
+    * sentinel-closed chunked source the final watermark (corpus max + 1 h)
+    * passes every signup's join window, so the emitted set equals the
+    * batch LEFT JOIN row for row (the StreamingSpec variant checks the
+    * flush dynamics; this pins the complete result). The side filters
+    * keep the sentinel rows (`OR user_id < 0`): a pure event-type filter
+    * would push into the scan and skip the sentinel files, stalling both
+    * sides' watermarks (see [[sessionizeIncremental]]). Sentinel self-join
+    * rows drop at the output.
+    */
+  def streamStreamLeftOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = chunkedEventsWithSentinelDir(spark, sfDir)
+    val schema = spark.read.parquet(dir.getAbsolutePath).schema
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val signups = src
+      .filter(col("event_type") === "signup" || col("user_id") < 0)
+      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"),
+        col("ts").as("s_ts"))
+      .withWatermark("s_ts", "1 hour")
+    val purchases = src
+      .filter(col("event_type") === "purchase" || col("user_id") < 0)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = signups.join(purchases,
+      col("s_user") === col("p_user")
+        && col("p_ts") >= col("s_ts")
+        && col("p_ts") <= col("s_ts") + expr("INTERVAL '30' MINUTE"),
+      "leftOuter")
+    val name = s"graft_stream_louter_${sinkId.incrementAndGet()}"
+    withStreamingPartitions(spark) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+      .filter(col("s_user") >= 0)
+      .select(col("signup_id"), col("purchase_id"),
+        col("s_user").as("user_id"),
+        col("s_ts").cast(TimestampNTZType).as("signup_ts"),
+        col("p_ts").cast(TimestampNTZType).as("purchase_ts"))
+      .orderBy("signup_id", "purchase_id")
+  }
+
+  private val streamStreamLeftOuterOracle =
+    """SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+      | s.user_id, s.ts AS signup_ts, p.ts AS purchase_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON s.user_id = p.user_id
+      | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '30 minutes'
+      |ORDER BY signup_id, purchase_id NULLS FIRST""".stripMargin
+
   /** Streaming → file sink through foreachBatch — the production landing
     * pattern the memory sink stands in for everywhere else: each
     * micro-batch body runs as a BATCH write, here parquet append (on a
@@ -749,5 +812,8 @@ object StreamingOps {
     Query("stream_tumbling_append",
       "append-mode windows: emit-once, final, watermark-closed (= batch)",
       tumblingAppendStream, Some(tumblingStreamOracle)),
+    Query("stream_stream_left_outer",
+      "stream-stream LEFT OUTER interval join, all nulls flushed (= batch)",
+      streamStreamLeftOuter, Some(streamStreamLeftOuterOracle)),
   )
 }
