@@ -495,6 +495,137 @@ object StreamingOps {
         }
     }
 
+  /** The incremental sessionizer re-expressed on `transformWithState` —
+    * Spark 4's arbitrary-state API that replaces flatMapGroupsWithState:
+    * NAMED typed state variables instead of one state blob (the open tail
+    * and the emitted counter evolve independently — adding a third
+    * variable later won't migrate the other two), explicit TIMERS instead
+    * of one timeout slot, and RocksDB-backed stores. Semantics are
+    * identical to [[sessionizeIncremental]], so the same batch oracle
+    * gates both. One real API difference is load-bearing: timers
+    * ACCUMULATE (setTimeoutTimestamp replaced its predecessor), so a
+    * timer registered before a session was extended still fires — the
+    * expired-timer handler must check the expiry against the CURRENT
+    * tail's due time and ignore stale timers, or growing sessions flush
+    * early and split.
+    */
+  class TwsSessionizer
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, StreamEvent, SessionRow] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+
+    private val gapMs = 30L * 60 * 1000
+
+    @transient private var open: ValueState[OpenSession] = _
+    @transient private var emitted: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      open = getHandle.getValueState[OpenSession](
+        "open", Encoders.product[OpenSession], TTLConfig.NONE)
+      emitted = getHandle.getValueState[Long](
+        "emitted", Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    private def micros(i: Instant): Long =
+      i.getEpochSecond * 1000000 + i.getNano / 1000
+
+    private def dueMsOf(o: OpenSession): Long =
+      micros(o.end) / 1000 + gapMs + 1
+
+    override def handleInputRows(
+        uid: Long, rows: Iterator[StreamEvent],
+        timerValues: TimerValues): Iterator[SessionRow] = {
+      val sorted = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
+      if (sorted.isEmpty) return Iterator.empty
+      val out = Seq.newBuilder[SessionRow]
+      var seq = if (emitted.exists()) emitted.get() else 0L
+      var cur: OpenSession =
+        if (open.exists()) open.get() else null
+      def close(): Unit = {
+        seq += 1; out += SessionRow(uid, seq, cur.n, cur.start, cur.end)
+      }
+      sorted.foreach { e =>
+        if (cur == null) cur = OpenSession(e.ts, e.ts, 1L)
+        else if (micros(e.ts) - micros(cur.end) >= gapMicros) {
+          close(); cur = OpenSession(e.ts, e.ts, 1L)
+        } else cur = OpenSession(cur.start, e.ts, cur.n + 1)
+      }
+      open.update(cur)
+      emitted.update(seq)
+      getHandle.registerTimer(
+        math.max(dueMsOf(cur), timerValues.getCurrentWatermarkInMs() + 1))
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(
+        uid: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionRow] = {
+      if (!open.exists()) return Iterator.empty
+      val o = open.get()
+      // stale timer from before the session grew: the CURRENT due time
+      // moved later — ignore, the fresher timer is still registered
+      if (expiredTimerInfo.getExpiryTimeInMs < dueMsOf(o)) return Iterator.empty
+      val seq = (if (emitted.exists()) emitted.get() else 0L) + 1
+      emitted.update(seq)
+      open.clear()
+      Iterator.single(SessionRow(uid, seq, o.n, o.start, o.end))
+    }
+
+    private val gapMicros = 30L * 60 * 1000000
+  }
+
+  /** [[sessionizeIncremental]] on the transformWithState API (see
+    * [[TwsSessionizer]]) — multiple named state variables, explicit
+    * event-time timers, RocksDB state store. Same chunked+sentinel
+    * source, same output contract, same batch oracle.
+    */
+  def sessionizeTws(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val dir = chunkedEventsWithSentinelDir(spark, sfDir)
+    val schema = spark.read.parquet(dir.getAbsolutePath).schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("event_id"), col("ts")).as[StreamEvent]
+    val sessions = stream
+      .groupByKey(_.user_id)
+      .transformWithState(new TwsSessionizer,
+        TimeMode.EventTime(), OutputMode.Append())
+    val name = s"graft_stream_sess_tws_${sinkId.incrementAndGet()}"
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    // transformWithState requires the RocksDB state store
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      withStreamingPartitions(spark) {
+        val q = sessions.toDF().writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+    } finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    spark.table(name)
+      .filter(col("user_id") >= 0) // drop the sentinel user's sessions
+      .select(col("user_id"), col("session_seq"), col("n_events"),
+        col("session_start").cast(TimestampNTZType).as("session_start"),
+        col("session_end").cast(TimestampNTZType).as("session_end"))
+      .orderBy("user_id", "session_seq")
+  }
+
   /** APPEND-mode windowed aggregation — the emit-once semantics the
     * complete-mode twins sidestep: a window's row is emitted exactly once,
     * and only after the watermark passes its end (the result is FINAL —
@@ -815,5 +946,8 @@ object StreamingOps {
     Query("stream_stream_left_outer",
       "stream-stream LEFT OUTER interval join, all nulls flushed (= batch)",
       streamStreamLeftOuter, Some(streamStreamLeftOuterOracle)),
+    Query("stream_sessionize_tws",
+      "transformWithState sessionization: named state vars + timers (= batch)",
+      sessionizeTws, Some(sessionizeStatefulOracle)),
   )
 }

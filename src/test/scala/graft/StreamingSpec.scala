@@ -85,6 +85,13 @@ class StreamingSpec extends SparkTestBase with StreamingRestartHarness {
     assert(got.sameElements(want))
   }
 
+  test("transformWithState sessionization equals the fMGWS and batch results") {
+    val tws = run("stream_sessionize_tws").collect().map(_.toSeq)
+    val want = run("win_sessionize").collect().map(_.toSeq)
+    assert(tws.length == want.length, s"${tws.length} vs ${want.length}")
+    assert(tws.sameElements(want))
+  }
+
   test("stream-stream LEFT OUTER join emits nulls as the watermark passes") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.StreamingOps
