@@ -85,6 +85,28 @@ class StreamingSpec extends SparkTestBase with StreamingRestartHarness {
     assert(got.sameElements(want))
   }
 
+  test("state store data source exposes checkpointed state for introspection") {
+    // the ops surface: read a live checkpoint's dedup state as a DataFrame
+    // — "what keys is this stream holding?" without touching the query
+    import org.apache.spark.sql.functions._
+    val feed = new RestartFeed("graft_statestore_spec")
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+      .select(col("event_id"), col("user_id"))
+    feed.addFile("a", ev)
+    var emitted = 0L
+    feed.drain(ev.schema.toDDL)(_.dropDuplicates("event_id")) { b =>
+      emitted += b.count()
+    }
+    val state = spark.read.format("statestore").load(feed.ckpt)
+    val total = ev.count()
+    assert(emitted == total)
+    assert(state.count() == total, "one state row per distinct key")
+    val stateKeys = state.select(col("key.event_id")).collect()
+      .map(_.getLong(0)).toSet
+    val want = ev.select("event_id").collect().map(_.getLong(0)).toSet
+    assert(stateKeys == want, "state keys must be exactly the seen ids")
+  }
+
   test("transformWithState sessionization equals the fMGWS and batch results") {
     val tws = run("stream_sessionize_tws").collect().map(_.toSeq)
     val want = run("win_sessionize").collect().map(_.toSeq)
