@@ -941,6 +941,60 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Uncorrelated IN / NOT IN subqueries — the remaining membership-test
+    * SQL surface next to NOT EXISTS (correlated) and the DataFrame
+    * semi/anti joins: IN plans as a left-semi hash join against the
+    * subquery relation, never a per-row probe. NOT IN is deliberately
+    * absent: its NULL semantics (one NULL in the subquery empties the
+    * result) make it a null-aware anti join — the harness keys are
+    * non-null so the gate couldn't distinguish correct from lucky, and
+    * production SQL should write NOT EXISTS anyway.
+    */
+  def inSubquery(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "customer").createOrReplaceTempView("graft_cust_in_v")
+    Tables(spark, sfDir, "orders").createOrReplaceTempView("graft_ord_in_v")
+    spark.sql(
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_urgent_customers
+        |FROM graft_cust_in_v
+        |WHERE c_custkey IN (SELECT o_custkey FROM graft_ord_in_v
+        |                    WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  private val inSubqueryOracle =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_urgent_customers
+      |FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders
+      |                    WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Boolean aggregate family — `count_if` / `bool_and` / `bool_or` /
+    * `every`, the data-quality assertion surface ("does every order in
+    * this group satisfy X, does any violate Y") as first-class
+    * aggregates rather than sum(CASE...) circumlocutions. All exact.
+    */
+  def booleanAggregates(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("count_if(o_totalprice > 200000)").as("n_big"),
+        expr("bool_and(o_totalprice > 0)").as("all_positive"),
+        expr("bool_or(o_orderstatus = 'F')").as("any_finished"),
+        expr("every(o_custkey >= 0)").as("keys_sane"))
+      .orderBy("o_orderpriority")
+
+  private val booleanAggregatesOracle =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      | CAST(count(CASE WHEN o_totalprice > 200000 THEN 1 END) AS BIGINT)
+      |   AS n_big,
+      | bool_and(o_totalprice > 0) AS all_positive,
+      | bool_or(o_orderstatus = 'F') AS any_finished,
+      | bool_and(o_custkey >= 0) AS keys_sane
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** LATERAL correlated table subquery — the third decorrelation axis next
     * to scalar subqueries and NOT EXISTS: each nation's top-3 customers by
     * balance through `, LATERAL (... ORDER BY ... LIMIT 3)`. The naive
@@ -1893,6 +1947,12 @@ object Relational {
     Query("sql_lateral_topk",
       "LATERAL correlated LIMIT subquery, decorrelated to a rank filter",
       lateralTopPerKey, Some(lateralTopPerKeyOracle)),
+    Query("sql_in_subquery",
+      "uncorrelated IN subquery planned as a left-semi hash join",
+      inSubquery, Some(inSubqueryOracle)),
+    Query("agg_boolean",
+      "count_if / bool_and / bool_or / every data-quality aggregates",
+      booleanAggregates, Some(booleanAggregatesOracle)),
     Query("scalar_variant",
       "VARIANT type: parse_json once, typed variant_get extraction",
       variantScalars, Some(variantScalarsOracle)),

@@ -44,6 +44,11 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("IN subquery plans as a left-semi join, never a per-row probe") {
+    val p = plan(run("sql_in_subquery"))
+    assert(p.contains("LeftSemi"), s"expected semi-join rewrite:\n$p")
+  }
+
   test("point-in-time join stays a broadcast hash join, not nested-loop") {
     // the interval predicate must ride as a residual on the equi match —
     // if the OR-isNull disqualified the equi key the plan would degrade
