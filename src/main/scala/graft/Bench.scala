@@ -20,6 +20,10 @@ object Bench {
     // not the first query's luck of position
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // pre-stage the chunked streaming fixtures: staging is one-time test
+    // setup (fingerprint-cached on disk), not part of any operator's cost
+    graft.streaming.StreamingOps.chunkedEventsDir(spark, sfDir)
+    graft.streaming.StreamingOps.chunkedEventsWithSentinelDir(spark, sfDir)
     // fixed name order: run-to-run and round-to-round comparability
     // (Map iteration order is hash-dependent)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

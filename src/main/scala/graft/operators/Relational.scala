@@ -941,6 +941,38 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Collated string semantics (Spark 4): the SAME column grouped under
+    * binary vs `UTF8_LCASE` collation — case variants collapse under the
+    * case-insensitive collation without rewriting data through lower()
+    * (collation is type-level, so every comparison, join, and aggregate
+    * downstream inherits it; the lower() rewrite must be repeated at
+    * every use site and breaks pushdown on the original column). Case
+    * noise is injected deterministically (every even key upper-cased) so
+    * both engines see identical variants; the oracle emulates the
+    * collation with lower() — equality semantics match on this ASCII
+    * domain.
+    */
+  def collationDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "customer")
+      .select(col("c_mktsegment"),
+        when(col("c_custkey") % 2 === 0, upper(col("c_name")))
+          .otherwise(col("c_name")).as("name"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("name")).as("n_binary"),
+        countDistinct(expr("collate(name, 'UTF8_LCASE')")).as("n_ci"))
+      .orderBy("c_mktsegment")
+
+  private val collationDistinctOracle =
+    """SELECT c_mktsegment,
+      | CAST(count(DISTINCT name) AS BIGINT) AS n_binary,
+      | CAST(count(DISTINCT lower(name)) AS BIGINT) AS n_ci
+      |FROM (SELECT c_mktsegment,
+      |        CASE WHEN c_custkey % 2 = 0 THEN upper(c_name)
+      |             ELSE c_name END AS name
+      |      FROM customer)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** Uncorrelated IN / NOT IN subqueries — the remaining membership-test
     * SQL surface next to NOT EXISTS (correlated) and the DataFrame
     * semi/anti joins: IN plans as a left-semi hash join against the
@@ -1947,6 +1979,9 @@ object Relational {
     Query("sql_lateral_topk",
       "LATERAL correlated LIMIT subquery, decorrelated to a rank filter",
       lateralTopPerKey, Some(lateralTopPerKeyOracle)),
+    Query("scalar_collation",
+      "UTF8_LCASE collation: case-insensitive distinct without lower()",
+      collationDistinct, Some(collationDistinctOracle)),
     Query("sql_in_subquery",
       "uncorrelated IN subquery planned as a left-semi hash join",
       inSubquery, Some(inSubqueryOracle)),
