@@ -85,6 +85,79 @@ class StreamingSpec extends SparkTestBase with StreamingRestartHarness {
     assert(got.sameElements(want))
   }
 
+  test("transformWithState warm-starts from batch-computed initial state") {
+    // the migration path from a batch job to a streaming one: per-user
+    // counts computed in BATCH over the history seed the streaming
+    // query's state, and the stream only processes the increment
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import spark.implicits._
+    val ev = spark.read.parquet(s"$Sf/events.parquet")
+      .select(col("user_id"), col("event_id"))
+    val history = ev.filter(col("event_id") % 2 === 0)
+    val increment = ev.filter(col("event_id") % 2 === 1)
+    val feed = new RestartFeed("graft_tws_init")
+    feed.addFile("inc", increment)
+
+    val initial = history.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].groupByKey(_._1).mapValues(_._2)
+
+    class CountProc extends org.apache.spark.sql.streaming
+        .StatefulProcessorWithInitialState[Long, (Long, Long), (Long, Long), Long] {
+      import org.apache.spark.sql.Encoders
+      import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+      @transient private var n: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        n = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+      override def handleInitialState(
+          key: Long, initialState: Long, timerValues: TimerValues): Unit =
+        n.update(initialState)
+      override def handleInputRows(
+          key: Long, rows: Iterator[(Long, Long)],
+          timerValues: TimerValues): Iterator[(Long, Long)] = {
+        val total = (if (n.exists()) n.get() else 0L) + rows.size
+        n.update(total)
+        Iterator.single((key, total))
+      }
+    }
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = spark.readStream.schema(ev.schema.toDDL)
+        .parquet(feed.feed.getAbsolutePath)
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new CountProc, TimeMode.None(),
+          OutputMode.Append(), initial,
+          org.apache.spark.sql.Encoders.product[(Long, Long)],
+          org.apache.spark.sql.Encoders.scalaLong)
+      val q = streamed.toDF("user_id", "total").writeStream
+        .outputMode("append").format("memory")
+        .queryName("graft_tws_init_sink")
+        .option("checkpointLocation", feed.ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    val got = spark.table("graft_tws_init_sink").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = ev.groupBy("user_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val streamedUsers = increment.select("user_id").distinct().collect()
+      .map(_.getLong(0)).toSet
+    assert(streamedUsers.nonEmpty)
+    // every user the increment touched must land on history + increment
+    assert(streamedUsers.forall(u => got(u) == want(u)),
+      "warm-started totals must equal the full batch recompute")
+  }
+
   test("state store data source exposes checkpointed state for introspection") {
     // the ops surface: read a live checkpoint's dedup state as a DataFrame
     // — "what keys is this stream holding?" without touching the query
