@@ -582,6 +582,55 @@ object RefParity {
       |FROM orders WHERE o_orderstatus = 'F'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Quoted/multiline CSV fidelity — the parsing edge every real CSV lake
+    * hits: fields containing the delimiter, the quote character, and
+    * embedded NEWLINES (multiLine=true, which makes files unsplittable —
+    * at 100 TB multiline CSV must be many-files-small, same constraint
+    * as XML). The tricky field is built deterministically from orders, so
+    * the oracle re-derives it from the base table and the aggregate
+    * proves the write→read roundtrip lost nothing: row count, newline
+    * count, and total field length all survive.
+    */
+  def csvQuotedMultiline(spark: SparkSession, sfDir: String): DataFrame = {
+    val tricky = concat(lit("v,\""), col("o_orderstatus"), lit("\"\n"),
+      col("o_orderpriority"))
+    val dir = Staging.stagedDir("graft_csv_quoted", sfDir) { d =>
+      Tables(spark, sfDir, "orders")
+        .select(col("o_orderkey"), tricky.as("tricky"), col("o_totalprice"))
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(d.getAbsolutePath)
+    }
+    spark.read
+      .schema(StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("tricky", StringType),
+        StructField("o_totalprice", DoubleType))))
+      .option("header", "true")
+      .option("multiLine", "true")
+      .csv(dir.getAbsolutePath)
+      .select(col("o_orderkey"), col("tricky"), col("o_totalprice"))
+      .groupBy(substring(col("tricky"), 4, 1).as("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("tricky").contains("\n"), 1L).otherwise(0L))
+          .as("n_newline"),
+        sum(length(col("tricky"))).as("sum_len"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_price"))
+      .orderBy("status")
+  }
+
+  private val csvQuotedMultilineOracle =
+    """SELECT substr(tricky, 4, 1) AS status,
+      | CAST(count(*) AS BIGINT) AS n,
+      | CAST(count(*) AS BIGINT) AS n_newline,
+      | CAST(sum(length(tricky)) AS BIGINT) AS sum_len,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM (SELECT 'v,"' || o_orderstatus || '"' || chr(10)
+      |        || o_orderpriority AS tricky, o_totalprice
+      |      FROM orders)
+      |GROUP BY 1 ORDER BY status""".stripMargin
+
   /** Dynamic partition pruning — the optimizer feature that makes
     * partitioned star joins viable at 100 TB: the fact side is partitioned
     * by year, the filter sits on a DIM attribute (`era`), so static
@@ -962,6 +1011,9 @@ object RefParity {
     Query("ref_text_log_parse",
       "text source + regexp field extraction (log-parsing shape)",
       textLogParse, Some(textLogParseOracle)),
+    Query("ref_csv_quoted_multiline",
+      "quoted/multiline CSV fidelity: delimiters, quotes, newlines survive",
+      csvQuotedMultiline, Some(csvQuotedMultilineOracle)),
     Query("ref_dpp_join",
       "dynamic partition pruning: dim filter prunes fact dirs at runtime",
       dppJoin, Some(dppJoinOracle)),

@@ -941,6 +941,43 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Higher-order array functions as the operator under test —
+    * `filter` / `transform` / `aggregate` / `array_min` / `array_max`
+    * over the embedding vectors, the per-row array algebra an
+    * embedding-heavy pipeline leans on. Determinism: every lambda works
+    * in integers — floats promote to double exactly, ×1000 is exactly
+    * rounded identically in both engines, and floor() has one answer
+    * (round() would sit on half-up vs half-even knife edges); the
+    * aggregate() fold then sums exact BIGINTs. Deliberate exception to
+    * the HOF-avoidance discipline (TextAnalysis header): HOFs are the
+    * surface being pinned, and the oracle re-derives every column with
+    * DuckDB's list_* family.
+    */
+  def hofSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = (x: Column) => floor(x.cast(DoubleType) * 1000).cast(LongType)
+    Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        size(filter(col("embedding"), x => x > 0f)).cast(LongType)
+          .as("n_pos"),
+        aggregate(transform(col("embedding"), q), lit(0L), _ + _)
+          .as("qsum"),
+        array_min(transform(col("embedding"), q)).as("qmin"),
+        array_max(transform(col("embedding"), q)).as("qmax"))
+      .orderBy("vec_id")
+  }
+
+  private val hofSuiteOracle =
+    """SELECT vec_id,
+      | CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+      | CAST(list_sum(list_transform(embedding,
+      |   x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS BIGINT)
+      |   AS qsum,
+      | list_min(list_transform(embedding,
+      |   x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS qmin,
+      | list_max(list_transform(embedding,
+      |   x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS qmax
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
   /** Collated string semantics (Spark 4): the SAME column grouped under
     * binary vs `UTF8_LCASE` collation — case variants collapse under the
     * case-insensitive collation without rewriting data through lower()
@@ -1979,6 +2016,9 @@ object Relational {
     Query("sql_lateral_topk",
       "LATERAL correlated LIMIT subquery, decorrelated to a rank filter",
       lateralTopPerKey, Some(lateralTopPerKeyOracle)),
+    Query("scalar_hof_suite",
+      "higher-order array functions over embeddings, integer-exact lambdas",
+      hofSuite, Some(hofSuiteOracle)),
     Query("scalar_collation",
       "UTF8_LCASE collation: case-insensitive distinct without lower()",
       collationDistinct, Some(collationDistinctOracle)),
