@@ -327,6 +327,84 @@ object TimeWindows {
       |           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
       |ORDER BY event_id""".stripMargin
 
+  /** Rolling exact median of purchase values per user — the robust
+    * moving-average every metrics pipeline wants once outliers exist
+    * (a mean-based rolling stat is one fat-finger away from garbage).
+    * Exact `percentile(0.5)` over a 7-row frame; the streaming/approx
+    * twin at unbounded history would be `approx_percentile`, but a
+    * BOUNDED row frame keeps the exact form cheap: O(frame log frame)
+    * per row on the one user_id exchange the window family already pays.
+    *
+    * Determinism: both engines interpolate the even-count case as
+    * `lower + (upper - lower) * 0.5` over the same frame contents, so
+    * the doubles match bitwise (no decimal routing needed — the values
+    * pass through untouched except that one exactly-rounded interpolation).
+    */
+  def rollingMedian(spark: SparkSession, sfDir: String): DataFrame = {
+    val frame = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-6, Window.currentRow)
+    Tables(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"), col("ts"))
+      .withColumn("med7", percentile(col("value"), lit(0.5)).over(frame))
+      .select(col("event_id"), col("user_id"), col("value"), col("med7"))
+      .orderBy("event_id")
+  }
+
+  private val rollingMedianOracle =
+    """SELECT event_id, user_id, value,
+      |  median(value) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+      |FROM events WHERE event_type = 'purchase'
+      |ORDER BY event_id""".stripMargin
+
+  /** Gaps-and-islands: runs of consecutive active DAYS per user (the
+    * classic streak/retention primitive — "longest usage streak", "runs
+    * of daily builds", "contiguous coverage windows"). The whole
+    * computation is integer day numbers: island id = day − row_number(),
+    * constant within a consecutive run and unique across runs.
+    *
+    * Shape: distinct (user, day) is a map-side-combined aggregate, the
+    * row_number window rides the same user_id exchange, and the two
+    * following aggregates are tiny. All-integer arithmetic ⇒ bit-exact
+    * in any engine.
+    */
+  def gapsIslands(spark: SparkSession, sfDir: String): DataFrame = {
+    val byDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val days = Tables(spark, sfDir, "events")
+      .select(col("user_id"), datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+      .distinct()
+    days
+      .withColumn("island", col("day") - row_number().over(byDay))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_islands"),
+        max(col("run_len")).as("longest_run"),
+        sum(col("run_len")).as("active_days"))
+      .orderBy("user_id")
+  }
+
+  private val gapsIslandsOracle =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |    datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+      |  FROM events),
+      |islands AS (
+      |  SELECT user_id,
+      |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+      |  FROM days),
+      |runs AS (
+      |  SELECT user_id, island, CAST(count(*) AS BIGINT) AS run_len
+      |  FROM islands GROUP BY user_id, island)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+      |  CAST(max(run_len) AS BIGINT) AS longest_run,
+      |  CAST(sum(run_len) AS BIGINT) AS active_days
+      |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("win_time_tumbling",
       "tumbling 10-min event-time windows per event type",
