@@ -63,9 +63,46 @@ private[graft] object Staging {
           val tmp = new File(dir, done.getName + ".tmp")
           Files.writeString(tmp.toPath, "")
           Files.move(tmp.toPath, done.toPath, StandardCopyOption.ATOMIC_MOVE)
+          reapStaleGenerations(root, dir.getName)
         }
       } finally { lock.release(); lockCh.close() }
     }
     dir
+  }
+
+  /** Best-effort removal of SIBLING generations once a new one is staged:
+    * every fixture regeneration / spec bump would otherwise leave the full
+    * prior generation (plus its .lock file) accumulating in the tmpdir for
+    * the life of the box. Safe because a generation's readers hold the
+    * current fingerprint path — a stale sibling is only ever read by a
+    * process whose fingerprint still resolves to it, and that fingerprint
+    * can no longer be computed once the source data or spec changed.
+    * Failures (e.g. a file pinned open on some platform) are swallowed:
+    * reaping is hygiene, not correctness.
+    */
+  private def reapStaleGenerations(root: File, keep: String): Unit =
+    try {
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName != keep)
+        .foreach { sib =>
+          // a sibling still being staged by a concurrent process (possible
+          // when two build versions disagree on the spec string) holds its
+          // generation lock — tryLock refuses, and we leave it alone
+          val lockFile = new File(root, sib.getName + ".lock")
+          val ch = FileChannel.open(lockFile.toPath,
+            StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+          try {
+            Option(ch.tryLock()).foreach { l =>
+              try { deleteRecursively(sib); lockFile.delete() }
+              finally l.release()
+            }
+          } finally ch.close()
+        }
+    } catch { case _: Exception => () }
+
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
   }
 }

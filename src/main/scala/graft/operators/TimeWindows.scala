@@ -427,5 +427,11 @@ object TimeWindows {
     Query("win_interpolate_linear",
       "linear interpolation between bracketing observations per user",
       interpolateLinear, Some(interpolateLinearOracle)),
+    Query("win_rolling_median",
+      "exact 7-row rolling median of purchase values per user",
+      rollingMedian, Some(rollingMedianOracle)),
+    Query("win_gaps_islands",
+      "gaps-and-islands: consecutive active-day runs per user",
+      gapsIslands, Some(gapsIslandsOracle)),
   )
 }

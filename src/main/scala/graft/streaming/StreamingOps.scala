@@ -355,18 +355,7 @@ object StreamingOps {
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val signups = src.filter(col("event_type") === "signup")
-      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"),
-        col("ts").as("s_ts"))
-      .withWatermark("s_ts", "1 hour")
-    val purchases = src.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-        col("ts").as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
-    val joined = signups.join(purchases,
-      col("s_user") === col("p_user")
-        && col("p_ts") >= col("s_ts")
-        && col("p_ts") <= col("s_ts") + expr("INTERVAL '30' MINUTE"))
+    val joined = signupPurchaseJoin(src, "inner", keepSentinels = false)
     val name = s"graft_stream_ssjoin_${sinkId.incrementAndGet()}"
     withStreamingPartitions(spark) {
       val q = joined.writeStream
@@ -383,6 +372,34 @@ object StreamingOps {
         col("s_ts").cast(TimestampNTZType).as("signup_ts"),
         col("p_ts").cast(TimestampNTZType).as("purchase_ts"))
       .orderBy("signup_id", "purchase_id")
+  }
+
+  /** The signup→purchase interval-join pipeline (side filters, renames,
+    * watermarks, 30-min bounded condition) built ONCE for every consumer:
+    * the inner join query, the LEFT OUTER query, and the StreamingSpec
+    * flush-dynamics test — three hand-rolled copies were already drifting
+    * (the spec copy had dropped the sentinel-preserving filters).
+    * `keepSentinels` keeps `user_id < 0` watermark-driver rows flowing on
+    * sentinel-staged sources (see [[streamStreamLeftOuter]] for why the
+    * filter must not exclude them at the scan).
+    */
+  private[graft] def signupPurchaseJoin(
+      src: DataFrame, joinType: String, keepSentinels: Boolean): DataFrame = {
+    def side(kind: String, user: String, id: String, ts: String) = {
+      val f =
+        if (keepSentinels) col("event_type") === kind || col("user_id") < 0
+        else col("event_type") === kind
+      src.filter(f)
+        .select(col("user_id").as(user), col("event_id").as(id),
+          col("ts").as(ts))
+        .withWatermark(ts, "1 hour")
+    }
+    side("signup", "s_user", "signup_id", "s_ts").join(
+      side("purchase", "p_user", "purchase_id", "p_ts"),
+      col("s_user") === col("p_user")
+        && col("p_ts") >= col("s_ts")
+        && col("p_ts") <= col("s_ts") + expr("INTERVAL '30' MINUTE"),
+      joinType)
   }
 
   private val streamStreamJoinOracle =
@@ -818,21 +835,7 @@ object StreamingOps {
       .option("maxFilesPerTrigger", "1")
       .parquet(dir.getAbsolutePath)
       .withColumn("ts", col("ts").cast("timestamp"))
-    val signups = src
-      .filter(col("event_type") === "signup" || col("user_id") < 0)
-      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"),
-        col("ts").as("s_ts"))
-      .withWatermark("s_ts", "1 hour")
-    val purchases = src
-      .filter(col("event_type") === "purchase" || col("user_id") < 0)
-      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-        col("ts").as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
-    val joined = signups.join(purchases,
-      col("s_user") === col("p_user")
-        && col("p_ts") >= col("s_ts")
-        && col("p_ts") <= col("s_ts") + expr("INTERVAL '30' MINUTE"),
-      "leftOuter")
+    val joined = signupPurchaseJoin(src, "leftOuter", keepSentinels = true)
     val name = s"graft_stream_louter_${sinkId.incrementAndGet()}"
     withStreamingPartitions(spark) {
       val q = joined.writeStream

@@ -195,19 +195,11 @@ class StreamingSpec extends SparkTestBase with StreamingRestartHarness {
     // single-batch drain can never emit an outer null for lack of a later
     // batch to advance past it
     val src = StreamingOps.chunkedSource(spark, Sf)
-    val signups = src.filter(col("event_type") === "signup")
-      .select(col("user_id").as("s_user"), col("event_id").as("signup_id"),
-        col("ts").as("s_ts"))
-      .withWatermark("s_ts", "1 hour")
-    val purchases = src.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-        col("ts").as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
-    val joined = signups.join(purchases,
-      col("s_user") === col("p_user")
-        && col("p_ts") >= col("s_ts")
-        && col("p_ts") <= col("s_ts") + expr("INTERVAL '30' MINUTE"),
-      "leftOuter")
+    // the one pipeline definition shared with the stream_stream_join /
+    // stream_stream_left_outer queries — this spec checks flush DYNAMICS
+    // over the sentinel-less chunked source, so keepSentinels = false
+    val joined = StreamingOps.signupPurchaseJoin(
+      src, "leftOuter", keepSentinels = false)
     val q = joined.writeStream.outputMode("append").format("memory")
       .queryName("graft_spec_louter").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
