@@ -1933,6 +1933,131 @@ object Relational {
       |WHERE rn <= 3
       |ORDER BY c_nationkey, rank""".stripMargin
 
+  // ---- SQL function / clause surface ----------------------------------
+
+  /** SQL scalar UDF (Spark 4 `CREATE TEMPORARY FUNCTION ... RETURN expr`):
+    * the warehouse-migration surface for shared business expressions —
+    * unlike a Scala UDF the body is SQL, so Catalyst INLINES it and the
+    * call sites stay inside whole-stage codegen with pushdown intact (a
+    * black-box UDF would fence both). The function routes the discounted-
+    * price arithmetic through exact decimals; the oracle inlines the same
+    * expression, which is precisely the point: the UDF is a name, not an
+    * optimization barrier.
+    */
+  def sqlScalarUdf(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "lineitem").createOrReplaceTempView("graft_lineitem_v")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(
+        |  p DECIMAL(18,2), d DECIMAL(18,2)) RETURNS DECIMAL(22,4)
+        |RETURN p * (CAST(1 AS DECIMAL(18,2)) - d)""".stripMargin)
+    spark.sql(
+      """SELECT l_returnflag,
+        |  CAST(sum(graft_disc_price(CAST(l_extendedprice AS DECIMAL(18,2)),
+        |                            CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM graft_lineitem_v
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  private val sqlScalarUdfOracle =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |                (1 - CAST(l_discount AS DECIMAL(18,2)))
+      |           AS DECIMAL(22,4))) AS DOUBLE) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_lines
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Aggregate `FILTER (WHERE ...)` clause: per-group conditional
+    * aggregates without CASE scaffolding — one scan, one hash aggregate,
+    * each aggregate seeing its own row subset (the standard-SQL form of
+    * the `sum(when(...))` idiom used elsewhere; this pins the SQL
+    * surface). A group with no qualifying rows yields NULL from the
+    * filtered sum in both engines.
+    */
+  def aggFilterClause(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "orders").createOrReplaceTempView("graft_orders_v")
+    spark.sql(
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+        |    AS n_finished,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       FILTER (WHERE o_orderstatus = 'F') AS DOUBLE)
+        |    AS finished_total
+        |FROM graft_orders_v
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  private val aggFilterClauseOracle =
+    """SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+      |    AS n_finished,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |       FILTER (WHERE o_orderstatus = 'F') AS DOUBLE)
+      |    AS finished_total
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** `listagg(...) WITHIN GROUP (ORDER BY ...)` (Spark 4): the SQL-standard
+    * ordered string aggregation — the deterministic, scalar-emitting form
+    * of collect_list (agg_collect_sorted covers the DataFrame idiom; this
+    * pins the standard surface warehouse SQL actually uses). The explicit
+    * WITHIN GROUP order is what makes the result reproducible under
+    * repartitioning — an unordered listagg at 100 TB is run-to-run noise.
+    */
+  def listaggNations(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "nation").createOrReplaceTempView("graft_nation_v")
+    spark.sql(
+      """SELECT n_regionkey,
+        |  listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name) AS nations,
+        |  CAST(count(*) AS BIGINT) AS n_nations
+        |FROM graft_nation_v
+        |GROUP BY n_regionkey
+        |ORDER BY n_regionkey""".stripMargin)
+  }
+
+  private val listaggNationsOracle =
+    """SELECT n_regionkey,
+      |  string_agg(n_name, '|' ORDER BY n_name) AS nations,
+      |  CAST(count(*) AS BIGINT) AS n_nations
+      |FROM nation
+      |GROUP BY n_regionkey
+      |ORDER BY n_regionkey""".stripMargin
+
+  /** `GROUP BY ALL`: every non-aggregate select item becomes a grouping
+    * key — the ergonomic surface that kills the copy-the-select-list bug
+    * class in wide rollup queries (keys here: status + a derived year).
+    * Both engines implement the same inference rule, so one SQL text
+    * gates both.
+    */
+  def groupByAll(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "orders").createOrReplaceTempView("graft_orders_v")
+    spark.sql(
+      """SELECT o_orderstatus,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM graft_orders_v
+        |GROUP BY ALL
+        |ORDER BY o_orderstatus, yr""".stripMargin)
+  }
+
+  private val groupByAllOracle =
+    """SELECT o_orderstatus,
+      |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY ALL
+      |ORDER BY o_orderstatus, yr""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("agg_pricing_summary",
       "TPC-H Q1-shaped multi-aggregate hash agg, decimal-exact sums",
@@ -2106,5 +2231,17 @@ object Relational {
     Query("agg_collect_sorted",
       "deterministic array aggregation (sort_array ∘ collect_set)",
       collectSorted, Some(collectSortedOracle)),
+    Query("sql_create_function",
+      "SQL scalar UDF (CREATE TEMPORARY FUNCTION), inlined by Catalyst",
+      sqlScalarUdf, Some(sqlScalarUdfOracle)),
+    Query("agg_filter_clause",
+      "aggregate FILTER (WHERE ...) clause: conditional aggs, one scan",
+      aggFilterClause, Some(aggFilterClauseOracle)),
+    Query("agg_listagg",
+      "listagg WITHIN GROUP ordered string aggregation",
+      listaggNations, Some(listaggNationsOracle)),
+    Query("sql_group_by_all",
+      "GROUP BY ALL key inference over status + derived year",
+      groupByAll, Some(groupByAllOracle)),
   )
 }

@@ -171,6 +171,57 @@ object Similarity {
        |WHERE e.vec_id <> 0
        |ORDER BY cos_sim DESC, e.vec_id LIMIT 10""".stripMargin
 
+  /** [[annIvf]] with the inverted lists actually MATERIALIZED in the layout
+    * the Scaladoc above promises: the assigned corpus is written
+    * `partitionBy(cent_id)` once (staged, like an offline index build), and
+    * the probe reads it back through a literal `cent_id IN (...)` filter,
+    * so the candidate cut happens as STATIC partition pruning — directories
+    * that aren't probed are skipped before any file IO (PlanSpec asserts
+    * `PartitionFilters` on the scan). This is the piece the in-plan
+    * [[annIvf]] variant can't show: at 100 TB the index is a table layout,
+    * and a probe's cost is nprobe list scans, not a corpus scan that a
+    * filter then discards.
+    *
+    * The probe router (nearest-nprobe centroid ids) IS collected to the
+    * driver — deliberately: it is nprobe scalar ids derived from the tiny
+    * broadcast centroid set, the exact computation a serving tier does to
+    * route a query, and the literals are what make the pruning static.
+    * Same result set as [[annIvf]], so the same DuckDB oracle gates it.
+    */
+  def annIvfPruned(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val cents = e.filter(pmod(col("vec_id"), lit(CentEvery)) === 1)
+      .select(col("vec_id").as("cent_id"), col("e").as("c"))
+    val sims = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("e"), col("cent_id"),
+        round(Dedup.cosine(col("e"), col("c")), 6).as("sim"))
+    val dir = Staging.stagedDir("graft_ivf_lists", sfDir,
+      spec = s"cent$CentEvery-v1") { d =>
+      val byVec = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("cent_id"))
+      sims.withColumn("rn", row_number().over(byVec))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("e"), col("cent_id"))
+        .write.mode("overwrite").partitionBy("cent_id")
+        .parquet(d.getAbsolutePath)
+    }
+    val probeCentIds = sims.filter(col("vec_id") === 0)
+      .orderBy(col("sim").desc, col("cent_id"))
+      .limit(NProbe)
+      .select(col("cent_id"))
+      .collect().map(_.getLong(0))
+    val probe = e.filter(col("vec_id") === 0).select(col("e").as("probe"))
+    spark.read.parquet(dir.getAbsolutePath)
+      .filter(col("cent_id").isin(probeCentIds.map(java.lang.Long.valueOf): _*))
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(Dedup.cosine(col("e"), col("probe")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   // ---- batch-probe ANN ---------------------------------------------------
 
   // fewer planes than the single-probe index: the multi query joins on
@@ -404,6 +455,9 @@ object Similarity {
     Query("sim_ann_ivf",
       "IVF-flat ANN: nearest-centroid lists, nprobe=2, exact re-rank",
       annIvf, Some(annIvfOracle)),
+    Query("sim_ann_ivf_pruned",
+      "IVF lists as a partitioned layout: probe scan prunes to nprobe dirs",
+      annIvfPruned, Some(annIvfOracle)),
     Query("sim_kmeans_train",
       "distributed spherical k-means, 3 Lloyd rounds, exact-grid arithmetic",
       kmeansTrain, Some(kmeansTrainOracle)),

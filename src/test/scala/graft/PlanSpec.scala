@@ -163,6 +163,18 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("Join") || p.contains("HashJoin"), p)
   }
 
+  test("pruned IVF probe scans only the probed list partitions") {
+    // the inverted-list layout is the index: the probe's literal
+    // cent_id IN (...) must land in PartitionFilters (directories skipped
+    // before file IO), not in PushedFilters (row groups read then dropped)
+    val df = run("sim_ann_ivf_pruned")
+    val p = plan(df)
+    val scan = p.linesIterator.dropWhile(!_.contains("PartitionFilters"))
+      .take(1).mkString
+    assert(scan.contains("PartitionFilters: [") && scan.contains("cent_id"),
+      s"probe scan must prune on cent_id partitions:\n$p")
+  }
+
   test("partitioned sink read-back prunes partitions before any file IO") {
     val p = plan(run("ref_partitioned_sink"))
     assert(p.contains("PartitionFilters: ["),
