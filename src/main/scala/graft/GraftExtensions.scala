@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{BoundedTopK, DotProduct, RollingHash}
+import graft.functions.{BoundedTopK, DotProduct, MisraGries, RollingHash}
 
 /** Session extension registering the engine's native expressions for SQL
   * use (`SELECT rolling_hash(text), dot_product(a, b) ...`). Enable with
@@ -39,6 +39,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"bounded_top_k k must be an INT literal, got $other")
         }
         BoundedTopK(exprs.head, exprs(1), k)
+      }))
+    extensions.injectFunction((
+      FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[MisraGries].getName, "heavy_hitters"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          "heavy_hitters(item, capacity) takes two arguments")
+        val cap = exprs(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"heavy_hitters capacity must be an INT literal, got $other")
+        }
+        MisraGries(exprs.head, cap)
       }))
     extensions.injectFunction((
       FunctionIdentifier("dot_product"),

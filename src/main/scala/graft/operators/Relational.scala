@@ -2058,6 +2058,123 @@ object Relational {
       |GROUP BY ALL
       |ORDER BY o_orderstatus, yr""".stripMargin
 
+  /** SQL session variables (Spark 4 `DECLARE VARIABLE` / `SET VAR`): the
+    * scripting surface for two-step warehouse jobs — compute a scalar once,
+    * reference it by name in later statements (vs re-running a scalar
+    * subquery per statement, or string-splicing a literal). The
+    * above-average filter keeps the comparison in exact cross-multiplied
+    * form (`bal · n > Σbal`), so both engines cut bit-identically; the
+    * oracle inlines the two scalars as subqueries — same values, which is
+    * the point: a variable is a NAME for a value, not new semantics.
+    */
+  def sessionVariables(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "customer").createOrReplaceTempView("graft_customer_v")
+    spark.sql(
+      "DECLARE OR REPLACE VARIABLE graft_sum_bal DECIMAL(38,2)")
+    spark.sql(
+      "DECLARE OR REPLACE VARIABLE graft_n_cust BIGINT")
+    spark.sql(
+      """SET VAR graft_sum_bal =
+        |  (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2)))
+        |   FROM graft_customer_v)""".stripMargin)
+    spark.sql(
+      "SET VAR graft_n_cust = (SELECT count(*) FROM graft_customer_v)")
+    spark.sql(
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_above
+        |FROM graft_customer_v
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * graft_n_cust > graft_sum_bal
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  private val sessionVariablesOracle =
+    """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_above
+      |FROM customer
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * (SELECT count(*) FROM customer)
+      |      > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Parameterized SQL (`spark.sql(text, args)`): named parameter markers
+    * bound server-side — the injection-safe surface for templated queries
+    * (vs string interpolation, which both invites injection and defeats
+    * plan caching by making every invocation a new SQL text). The oracle
+    * inlines the same two literals.
+    */
+  def parameterizedSql(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "orders").createOrReplaceTempView("graft_orders_v")
+    spark.sql(
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM graft_orders_v
+        |WHERE o_orderstatus = :status AND o_totalprice > :floor
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+      Map("status" -> "F", "floor" -> 1000.0))
+  }
+
+  private val parameterizedSqlOracle =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+      |FROM orders
+      |WHERE o_orderstatus = 'F' AND o_totalprice > 1000.0
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** `posexplode`: the ordinal-preserving generator — position is DATA
+    * (token order survives the relational explosion), where plain
+    * `explode` loses it. Positional token stats per slot; the oracle
+    * re-derives ordinals via generate_subscripts (1-based, shifted).
+    */
+  def posexplodeTokens(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .select(posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .filter(col("pos") < 5)
+      .groupBy(col("pos").cast(LongType).as("pos"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct"))
+      .orderBy("pos")
+
+  private val posexplodeTokensOracle =
+    """SELECT pos, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct
+      |FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS tok,
+      |    generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+      |  FROM documents)
+      |WHERE pos < 5
+      |GROUP BY pos
+      |ORDER BY pos""".stripMargin
+
+  /** `grouping()` / `grouping_id()` over GROUPING SETS: the disambiguation
+    * bits that let one multi-level result set be consumed safely — a NULL
+    * key from the data and a NULL from subtotal roll-up are
+    * indistinguishable without them (agg_grouping_sets pins the sets
+    * surface; this pins the introspection functions both engines share).
+    */
+  def groupingIdSets(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "orders").createOrReplaceTempView("graft_orders_v")
+    spark.sql(
+      """SELECT CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+        |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+        |FROM graft_orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())
+        |ORDER BY gid, o_orderstatus NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
+  private val groupingIdSetsOracle =
+    """SELECT CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+      |  CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |  o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderstatus), ())
+      |ORDER BY gid, o_orderstatus NULLS FIRST,
+      |  o_orderpriority NULLS FIRST""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("agg_pricing_summary",
       "TPC-H Q1-shaped multi-aggregate hash agg, decimal-exact sums",
@@ -2243,5 +2360,17 @@ object Relational {
     Query("sql_group_by_all",
       "GROUP BY ALL key inference over status + derived year",
       groupByAll, Some(groupByAllOracle)),
+    Query("sql_session_variable",
+      "DECLARE/SET VAR session variables: compute once, reference by name",
+      sessionVariables, Some(sessionVariablesOracle)),
+    Query("sql_parameterized",
+      "named parameter markers bound via spark.sql(text, args)",
+      parameterizedSql, Some(parameterizedSqlOracle)),
+    Query("scalar_posexplode",
+      "posexplode: ordinal-preserving explode, per-position token stats",
+      posexplodeTokens, Some(posexplodeTokensOracle)),
+    Query("agg_grouping_id",
+      "grouping()/grouping_id() subtotal-disambiguation bits",
+      groupingIdSets, Some(groupingIdSetsOracle)),
   )
 }

@@ -442,6 +442,52 @@ object TextAnalysis {
       |ORDER BY lift DESC, w1, w2
       |LIMIT 100""".stripMargin
 
+  /** Two-pass heavy hitters — the scale pattern for "which tokens dominate
+    * the corpus" when the token key space is too large to groupBy exactly:
+    * pass 1 runs the mergeable Misra–Gries sketch
+    * ([[graft.functions.MisraGries]]) over hashed tokens — a fixed-size
+    * (≤ capacity entries) partial per map task, no full-key-space
+    * shuffle — and pass 2 broadcast-semi-joins the candidate set back and
+    * counts EXACTLY, so the output is deterministic and oracle-gated even
+    * though sketch estimates are merge-order-dependent. Soundness: MG
+    * guarantees every item with count > n/(capacity+1) survives pass 1, so
+    * with threshold share 1/40 > 1/(64+1) the candidate set provably
+    * contains every qualifying token; the exact filter then discards
+    * sketch noise. Hash collisions only ADD occurrences to a candidate
+    * hash (can never evict a heavy token), and pass 2 groups by the token
+    * STRING, so colliders are counted separately and filtered exactly.
+    *
+    * At harness vocabulary (31 tokens < capacity) eviction never fires in
+    * pass 1; the eviction and merge-cut guarantee paths are exercised on
+    * planted skewed data in RelationalSpec ("Misra-Gries sketch ...").
+    */
+  def heavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    val tokens = Tables(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("token"))
+      .select(col("token"), xxhash64(col("token")).as("h"))
+    val cands = tokens.agg(graft.functions.MisraGries(col("h"), 64).as("s"))
+      .select(explode(col("s")).as("c"))
+      .select(col("c.item").as("h"))
+    val total = tokens.agg(count(lit(1)).as("total"))
+    tokens.join(broadcast(cands), Seq("h"), "left_semi")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .crossJoin(broadcast(total))
+      .filter(col("n_occurrences") * 40 > col("total"))
+      .select(col("token"), col("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+  }
+
+  private val heavyHittersOracle =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |tot AS (SELECT count(*) AS total FROM tok)
+      |SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+      |FROM tok, tot
+      |GROUP BY token, tot.total
+      |HAVING count(*) * 40 > tot.total
+      |ORDER BY n_occurrences DESC, token""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("text_stats_quality",
       "per-doc token stats, quality score, stopword-heuristic language ID",
@@ -473,5 +519,8 @@ object TextAnalysis {
     Query("text_bigram_lift",
       "corpus bigram collocations scored by division-exact lift",
       bigramLift, Some(bigramLiftOracle)),
+    Query("text_heavy_hitters",
+      "two-pass heavy hitters: MG sketch candidates + exact verify counts",
+      heavyHitters, Some(heavyHittersOracle)),
   )
 }

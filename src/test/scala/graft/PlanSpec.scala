@@ -92,6 +92,19 @@ class PlanSpec extends SparkTestBase {
       "per-group top-k must not fall back to a rank window")
   }
 
+  test("heavy-hitter sketch is a partial object aggregate; verify is broadcast") {
+    val p = plan(run("text_heavy_hitters"))
+    // pass 1: the MG sketch must partial-aggregate map-side (each task
+    // ships ≤ capacity counters, never the token relation)
+    assert(p.contains("ObjectHashAggregate") &&
+      p.contains("partial_heavy_hitters"),
+      s"sketch must be a partial object aggregate:\n$p")
+    // pass 2: the candidate set is tiny — the exact verify must broadcast
+    // it, not shuffle the token relation to a join
+    assert(p.contains("BroadcastHashJoin"),
+      s"exact-verify pass must broadcast the candidates:\n$p")
+  }
+
   test("aggregations are partial (map-side) before the shuffle") {
     val p = plan(run("agg_pricing_summary"))
     assert(p.contains("partial_sum") || p.contains("HashAggregate"),

@@ -180,6 +180,41 @@ class RelationalSpec extends SparkTestBase {
     assert(viaSql.sameElements(viaApi))
   }
 
+  test("Misra-Gries sketch keeps every above-threshold item under eviction") {
+    import spark.implicits._
+    // planted zipf-ish skew with far more distinct keys (200) than sketch
+    // capacity (16), spread over 32 partitions so partial sketches evict
+    // AND the merge cut path runs. Guarantee under test: every key with
+    // count > n/(capacity+1) survives, for this arbitrary partitioning.
+    val rows = (0 until 200).flatMap { k =>
+      val reps = if (k < 5) 400 else if (k < 30) 40 else 3
+      Seq.fill(reps)(k.toLong)
+    }
+    val n = rows.length
+    val df = rows.toDF("k").repartition(32)
+    val sketch = df
+      .agg(graft.functions.MisraGries(col("k"), 16).as("s"))
+      .select(explode(col("s")).as("c"))
+      .select(col("c.item").as("k"))
+      .collect().map(_.getLong(0)).toSet
+    assert(sketch.size <= 16, s"sketch must stay bounded, got ${sketch.size}")
+    val mustSurvive = (0 until 200)
+      .filter { k =>
+        val reps = if (k < 5) 400 else if (k < 30) 40 else 3
+        reps.toLong * (16 + 1) > n
+      }.map(_.toLong).toSet
+    assert(mustSurvive.nonEmpty, "fixture must plant guaranteed survivors")
+    assert(mustSurvive.subsetOf(sketch),
+      s"guaranteed heavy keys ${mustSurvive -- sketch} evicted")
+    // SQL surface parity via the session extension
+    df.createOrReplaceTempView("graft_mg_v")
+    val viaSql = spark
+      .sql("SELECT heavy_hitters(k, 16) AS s FROM graft_mg_v")
+      .select(explode(col("s")).as("c")).select(col("c.item"))
+      .collect().map(_.getLong(0)).toSet
+    assert(mustSurvive.subsetOf(viaSql))
+  }
+
   test("observe() rides data-quality metrics on the query's own scan") {
     // the production circuit-breaker pattern: row counts / violation
     // counts / freshness watermarks collected as accumulators on the SAME
