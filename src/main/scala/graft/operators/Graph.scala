@@ -50,7 +50,13 @@ object Graph {
     * linearly — no exponential re-analysis (the [[Dedup.clusterAssign]]
     * lesson).
     */
-  def pagerank(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The customer-nation → supplier-nation trade pairs through
+    * orders⋈lineitem⋈customer⋈supplier, aggregated to counts, sparsified
+    * to above-1.2×-average pairs with the comparison kept in INTEGER
+    * cross-multiplied form (`cnt·npairs·10 >= total·12`) so the cut is
+    * bit-exact in any engine. Shared edge extraction for every graph op.
+    */
+  private def sparseEdges(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = Tables(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
     val line = Tables(spark, sfDir, "lineitem")
@@ -59,17 +65,27 @@ object Graph {
       .select(col("c_custkey"), col("c_nationkey"))
     val supp = Tables(spark, sfDir, "supplier")
       .select(col("s_suppkey"), col("s_nationkey"))
+    // materialize the heavy extraction ONCE: `pairs` feeds both the total
+    // (for the sparsification threshold) and the filter — without the
+    // lineage cut each consumer re-executes the 4-table star join, and a
+    // downstream self-join (triangles) multiplies that again per branch.
+    // The aggregated relation is nation×nation ≤ 625 rows.
     val pairs = line
       .join(orders, line("l_orderkey") === orders("o_orderkey"))
       .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
       .join(broadcast(supp), line("l_suppkey") === supp("s_suppkey"))
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val tot = pairs.agg(sum(col("cnt")).as("total"),
       count(lit(1)).as("npairs"))
-    val edges = pairs.crossJoin(broadcast(tot))
+    pairs.crossJoin(broadcast(tot))
       .filter(col("cnt") * col("npairs") * 10 >= col("total") * 12)
       .select(col("src"), col("dst"))
+  }
+
+  def pagerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = sparseEdges(spark, sfDir)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // materialize the heavy extraction once; every round reuses ~625 rows
     val e = edges.join(deg, "src").localCheckpoint(true)
@@ -149,24 +165,7 @@ object Graph {
     * PageRank sparsification; everything is integer-exact.
     */
   def triangles(spark: SparkSession, sfDir: String): DataFrame = {
-    val orders = Tables(spark, sfDir, "orders")
-      .select(col("o_orderkey"), col("o_custkey"))
-    val line = Tables(spark, sfDir, "lineitem")
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val cust = Tables(spark, sfDir, "customer")
-      .select(col("c_custkey"), col("c_nationkey"))
-    val supp = Tables(spark, sfDir, "supplier")
-      .select(col("s_suppkey"), col("s_nationkey"))
-    val pairs = line
-      .join(orders, line("l_orderkey") === orders("o_orderkey"))
-      .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
-      .join(broadcast(supp), line("l_suppkey") === supp("s_suppkey"))
-      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-      .agg(count(lit(1)).as("cnt"))
-    val tot = pairs.agg(sum(col("cnt")).as("total"),
-      count(lit(1)).as("npairs"))
-    val ud = pairs.crossJoin(broadcast(tot))
-      .filter(col("cnt") * col("npairs") * 10 >= col("total") * 12)
+    val ud = sparseEdges(spark, sfDir)
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
@@ -215,6 +214,77 @@ object Graph {
       |FROM pn JOIN nation ON node = n_nationkey
       |ORDER BY n_triangles DESC, n_name""".stripMargin
 
+  private val BfsRounds = 4
+
+  /** Single-source shortest paths (BFS hop counts) from nation 0 over the
+    * directed sparsified trade graph — the reachability primitive behind
+    * crawl-frontier scheduling and influence radii.
+    *
+    * Formulated as Bellman-Ford with SELF-LOOP edges (weight 0) so each
+    * round is ONE join + ONE min-aggregate referencing the previous
+    * frontier exactly once: `d' = min over (u,v,w) of d(u)+w`, with (v,v,0)
+    * carrying the incumbent distance forward. The naive
+    * `union(dist, relaxed)` spelling references `dist` twice per round and
+    * doubles the unresolved plan every iteration — the same exponential
+    * re-analysis trap [[pagerank]] documents. All-integer, so bit-exact;
+    * nodes unreached within [[BfsRounds]] hops are absent (BFS frontier
+    * semantics, identical in the unrolled oracle).
+    *
+    * Scale: rounds run on the aggregated graph behind one heavy
+    * extraction, like [[pagerank]]; at web scale the same loop is the
+    * standard Pregel-style SSSP with the frontier checkpointed per round.
+    */
+  def shortestPaths(spark: SparkSession, sfDir: String): DataFrame = {
+    val nations = Tables(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    val selfLoops = nations.select(
+      col("n_nationkey").as("src"), col("n_nationkey").as("dst"),
+      lit(0L).as("w"))
+    val eAug = sparseEdges(spark, sfDir)
+      .select(col("src"), col("dst"), lit(1L).as("w"))
+      .unionAll(selfLoops)
+      .localCheckpoint(true)
+    var dist = nations.filter(col("n_nationkey") === 0)
+      .select(col("n_nationkey").as("node"), lit(0L).as("dist"))
+    for (_ <- 1 to BfsRounds) {
+      dist = dist.join(eAug, col("node") === col("src"))
+        .groupBy(col("dst"))
+        .agg(min(col("dist") + col("w")).as("d"))
+        .select(col("dst").as("node"), col("d").as("dist"))
+    }
+    dist.join(broadcast(nations), col("node") === col("n_nationkey"))
+      .select(col("n_name"), col("dist"))
+      .orderBy(col("dist"), col("n_name"))
+  }
+
+  private val shortestPathsOracle: String = {
+    val rounds = (1 to BfsRounds).map { i =>
+      s"""d$i AS (SELECT ea.dst AS node, CAST(min(d.dist + ea.w) AS BIGINT) AS dist
+         |        FROM d${i - 1} d JOIN ea ON ea.src = d.node
+         |        GROUP BY ea.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+       |               CAST(count(*) AS BIGINT) AS npairs FROM pairs),
+       |ea AS (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM pairs, tot
+       |       WHERE cnt * npairs * 10 >= total * 12
+       |       UNION ALL
+       |       SELECT n_nationkey, n_nationkey, CAST(0 AS BIGINT) FROM nation),
+       |d0 AS (SELECT n_nationkey AS node, CAST(0 AS BIGINT) AS dist
+       |       FROM nation WHERE n_nationkey = 0),
+       |$rounds
+       |SELECT n_name, dist
+       |FROM d$BfsRounds JOIN nation ON node = n_nationkey
+       |ORDER BY dist, n_name""".stripMargin
+  }
+
   val queries: Seq[Query] = Seq(
     Query("graph_pagerank",
       "fixed-point integer PageRank over the nation trade graph, 5 rounds",
@@ -222,5 +292,8 @@ object Graph {
     Query("graph_triangles",
       "per-node triangle counts: canonicalized wedges closed by one join",
       triangles, Some(trianglesOracle)),
+    Query("graph_shortest_paths",
+      "BFS hop counts from nation 0: self-loop Bellman-Ford, 4 rounds",
+      shortestPaths, Some(shortestPathsOracle)),
   )
 }

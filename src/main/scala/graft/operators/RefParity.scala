@@ -972,6 +972,45 @@ object RefParity {
       |    AS sum_price
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Hidden `_metadata` file-source columns: per-file lineage surfaced as
+    * ordinary columns — the audit/debug primitive ("which file did this
+    * row come from", "which partition is corrupt") every lake operator
+    * reaches for first. Reads the SAME staged hive-partitioned lake as
+    * [[partitionedSink]] (staging shared, so the lake is built once per
+    * generation) and re-derives the partition value from
+    * `_metadata.file_path` — proving path-level lineage agrees with the
+    * partition column the directory name encodes. Only path-derived
+    * fields are used (file sizes/mtimes are nondeterministic); the oracle
+    * groups by the column itself, which is exactly the equivalence under
+    * test. `_metadata` is generated at scan time from the file split —
+    * no extra IO, no shuffle beyond the aggregate.
+    */
+  def fileMetadataAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Staging.stagedDir("graft_part_lake", sfDir) { d =>
+      Tables(spark, sfDir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice",
+          "o_orderstatus")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(d.getAbsolutePath)
+    }
+    spark.read.parquet(dir.getAbsolutePath)
+      .select(
+        regexp_extract(col("_metadata.file_path"),
+          "o_orderstatus=([A-Z])/", 1).as("path_status"),
+        col("o_orderstatus"))
+      .groupBy(col("path_status"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("path_status") === col("o_orderstatus"), 0L)
+          .otherwise(1L)).as("n_mismatched"))
+      .orderBy("path_status")
+  }
+
+  private val fileMetadataAuditOracle =
+    """SELECT o_orderstatus AS path_status, CAST(count(*) AS BIGINT) AS n,
+      | CAST(0 AS BIGINT) AS n_mismatched
+      |FROM orders GROUP BY o_orderstatus ORDER BY path_status""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("ref_star_enrich",
       "reference flagship: filter→broadcast star join×2→const date→contract projection",
@@ -1038,5 +1077,8 @@ object RefParity {
     Query("ref_json_corrupt_permissive",
       "PERMISSIVE JSON ingest with corrupt-record routing",
       jsonCorruptPermissive, Some(jsonCorruptOracle)),
+    Query("ref_file_metadata_audit",
+      "_metadata hidden columns: path-derived lineage vs partition column",
+      fileMetadataAudit, Some(fileMetadataAuditOracle)),
   )
 }

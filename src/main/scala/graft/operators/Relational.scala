@@ -1706,25 +1706,29 @@ object Relational {
       BucketSpec("lineitem_b", "lineitem",
         Seq("l_orderkey" -> "BIGINT", "l_extendedprice" -> "DOUBLE")))
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val loc = s"${sys.props("java.io.tmpdir")}/graft_warehouse_$tag"
-    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_tmp LOCATION '$loc'")
+    val dbLoc = s"${sys.props("java.io.tmpdir")}/graft_tmp_db_$tag"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_tmp LOCATION '$dbLoc'")
     // table defs may be absent (fresh session) or point at another sfDir's
     // files (same session, different scale) — re-register from scratch;
     // EXTERNAL tables make the drop metadata-only
     specs.foreach(s => spark.sql(s"DROP TABLE IF EXISTS graft_tmp.${s.table}"))
-    // stage-once through Staging.stagedDir ("graft_warehouse_<tag>" is its
-    // naming scheme), which adds what a hand-rolled marker lacks: the
-    // SOURCE-DATA fingerprint (regenerated fixtures restage even when the
-    // DDL didn't change) and cross-process locking. The spec string folds
-    // the DDL in, so a projection/bucket-count change also restages.
-    val specFp = specs.map(s => s.ddl("")).mkString(";")
-    Staging.stagedDir("graft_warehouse", sfDir, specFp) { _ =>
+    // stage-once through Staging.stagedDir, which adds what a hand-rolled
+    // marker lacks: the SOURCE-DATA fingerprint (regenerated fixtures
+    // restage even when the DDL didn't change) and cross-process locking.
+    // The spec string folds the DDL in, so a projection/bucket-count change
+    // also restages. The table files live INSIDE the returned generation
+    // dir — data outside it would sit in Staging's root where the
+    // stale-generation reaper owns the namespace (a lesson learned: an
+    // earlier layout wrote to the root and the reaper collected the live
+    // tables right after staging).
+    val specFp = "gen-local;" + specs.map(s => s.ddl("")).mkString(";")
+    val gen = Staging.stagedDir("graft_warehouse", sfDir, specFp) { d =>
       specs.foreach { s =>
         Tables(spark, sfDir, s.source)
           .select(s.cols.map(c => col(c._1)): _*)
           .write.mode("overwrite")
           .bucketBy(nBuckets, s.key).sortBy(s.key)
-          .option("path", s"$loc/${s.table}")
+          .option("path", s"${d.getAbsolutePath}/${s.table}")
           .saveAsTable(s"graft_tmp.${s.table}")
       }
     }
@@ -1733,7 +1737,7 @@ object Relational {
     // matching bucket spec over the existing files, exactly what a
     // metastore-backed warehouse does at read time
     specs.filterNot(s => spark.catalog.tableExists(s"graft_tmp.${s.table}"))
-      .foreach(s => spark.sql(s.ddl(loc)))
+      .foreach(s => spark.sql(s.ddl(gen.getAbsolutePath)))
     spark.table("graft_tmp.lineitem_b")
       .join(spark.table("graft_tmp.orders_b"),
         col("l_orderkey") === col("o_orderkey"))
@@ -2175,6 +2179,90 @@ object Relational {
       |ORDER BY gid, o_orderstatus NULLS FIRST,
       |  o_orderpriority NULLS FIRST""".stripMargin
 
+  /** Group-wise z-score outlier detection in EXACT integer arithmetic —
+    * the anomaly-screening primitive (sensor spikes, fraud pre-filters,
+    * data-quality triage) made cross-engine bit-deterministic.
+    *
+    * Classic z = (x−μ)/σ needs two float divisions whose results no hash
+    * gate survives; cross-multiplying the test |z| > 3 into
+    * `(x·n − Σx)² > 9·(n·Σx² − (Σx)²)` keeps every operand a DECIMAL(38,0)
+    * on exact cent inputs, so the flag — and therefore the counts — are
+    * bit-identical in any engine. One scan builds the per-group moment
+    * triples (map-side combined), broadcast back over the same scan for
+    * the flag: two passes over the fact, no sort, no window. At 100 TB the
+    * moments table is group-cardinality-sized (tiny) — the broadcast join
+    * is free and both scans pipeline.
+    */
+  def zscoreOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = col("value").cast(DecimalType(18, 2))
+      .multiply(lit(100)).cast(DecimalType(38, 0))
+    val c = Tables(spark, sfDir, "events")
+      .select(col("event_type").as("g"), col("event_id"), cents.as("v"))
+    val moments = c.groupBy(col("g"))
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+        sum(col("v")).as("s1"),
+        sum(col("v") * col("v")).as("s2"))
+    val dev = col("v") * col("n") - col("s1")
+    val isOut = dev * dev > lit(9) * (col("n") * col("s2") - col("s1") * col("s1"))
+    c.join(broadcast(moments), "g")
+      .groupBy(col("g"))
+      .agg(
+        max(col("n")).cast(LongType).as("n"),
+        sum(when(isOut, 1L).otherwise(0L)).as("n_outliers"),
+        min(when(isOut, col("event_id"))).as("first_outlier"))
+      .orderBy("g")
+  }
+
+  private val zscoreOutliersOracle =
+    """WITH c AS (
+      |  SELECT event_type AS g, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) AS v
+      |  FROM events),
+      |s AS (
+      |  SELECT g, CAST(count(*) AS DECIMAL(38,0)) AS n,
+      |    sum(v) AS s1, sum(v*v) AS s2
+      |  FROM c GROUP BY g)
+      |SELECT s.g, CAST(s.n AS BIGINT) AS n,
+      |  CAST(count(*) FILTER (WHERE
+      |    (c.v*s.n - s.s1)*(c.v*s.n - s.s1) > 9*(s.n*s.s2 - s.s1*s.s1))
+      |    AS BIGINT) AS n_outliers,
+      |  CAST(min(CASE WHEN
+      |    (c.v*s.n - s.s1)*(c.v*s.n - s.s1) > 9*(s.n*s.s2 - s.s1*s.s1)
+      |    THEN c.event_id END) AS BIGINT) AS first_outlier
+      |FROM c JOIN s ON c.g = s.g
+      |GROUP BY s.g, s.n, s.s1, s.s2
+      |ORDER BY s.g""".stripMargin
+
+  /** SQL pipe syntax (Spark 4): the `|>` operator chain — FROM-first
+    * composition where each stage consumes the previous result, the SQL
+    * spelling of the DataFrame builder style (and the surface new
+    * warehouse SQL dialects converge on). Catalyst lowers it to exactly
+    * the plan the nested-SELECT spelling produces, so pushdown/pruning
+    * are unchanged. The oracle is the same query in classic ANSI form —
+    * DuckDB runs its own FROM-first syntax differently, so the classic
+    * spelling doubles as the cross-dialect equivalence proof.
+    */
+  def pipeSyntax(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "orders").createOrReplaceTempView("graft_orders_v")
+    spark.sql(
+      """FROM graft_orders_v
+        ||> WHERE o_orderstatus = 'F'
+        ||> EXTEND CAST(year(o_orderdate) AS BIGINT) AS order_year
+        ||> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+        |     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |       AS sum_price
+        |   GROUP BY o_orderpriority, order_year
+        ||> ORDER BY o_orderpriority, order_year""".stripMargin)
+  }
+
+  private val pipeSyntaxOracle =
+    """SELECT o_orderpriority, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderpriority, order_year
+      |ORDER BY o_orderpriority, order_year""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("agg_pricing_summary",
       "TPC-H Q1-shaped multi-aggregate hash agg, decimal-exact sums",
@@ -2372,5 +2460,11 @@ object Relational {
     Query("agg_grouping_id",
       "grouping()/grouping_id() subtotal-disambiguation bits",
       groupingIdSets, Some(groupingIdSetsOracle)),
+    Query("agg_zscore_outliers",
+      "group-wise |z|>3 outlier counts in exact cross-multiplied integers",
+      zscoreOutliers, Some(zscoreOutliersOracle)),
+    Query("sql_pipe_syntax",
+      "SQL pipe (|>) operator chain lowered to the classic plan",
+      pipeSyntax, Some(pipeSyntaxOracle)),
   )
 }

@@ -79,11 +79,21 @@ private[graft] object Staging {
     * can no longer be computed once the source data or spec changed.
     * Failures (e.g. a file pinned open on some platform) are swallowed:
     * reaping is hygiene, not correctness.
+    *
+    * Only FINGERPRINT-SHAPED names are eligible: the reaper owns exactly
+    * the namespace [[stagedDir]] creates (lowercase-hex murmur strings).
+    * Anything else under the root is someone else's data — a caller that
+    * once wrote table files beside its generation dir lost them to an
+    * unguarded version of this reaper, and the guard makes that class of
+    * collision structurally impossible.
     */
+  private val FingerprintName = "^[0-9a-f]{1,8}$".r
+
   private def reapStaleGenerations(root: File, keep: String): Unit =
     try {
       Option(root.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName != keep)
+        .filter(f => f.isDirectory && f.getName != keep
+          && FingerprintName.matches(f.getName))
         .foreach { sib =>
           // a sibling still being staged by a concurrent process (possible
           // when two build versions disagree on the spec string) holds its

@@ -405,6 +405,54 @@ object TimeWindows {
       |  CAST(sum(run_len) AS BIGINT) AS active_days
       |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** OHLC bar downsampling: per (event_type, day) open/high/low/close/
+    * volume bars — the standard time-series reduction (market bars, sensor
+    * rollups, metrics downsampling before retention tiers).
+    *
+    * Open/close are SELECTIONS, not arithmetic: `min_by`/`max_by` ordered
+    * by the unique (ts, event_id) pair copy one untouched double per bar,
+    * so the result is bit-deterministic cross-engine with no decimal
+    * routing (high/low/volume are max/min/count — likewise exact).
+    *
+    * Shape: one map-side-combined hash aggregate on (type, day) — each
+    * partial carries one (ordering-key, value) pair of state per bar for
+    * open and close, never a sorted window. At 100 TB this is THE way to
+    * downsample: the alternative row_number()-over-bar spelling sorts
+    * every partition; min_by keeps the scan pipelined and the exchange
+    * carries only bar-level state. (The oracle uses the window spelling —
+    * correct at oracle scale, and independent of the engine under test.)
+    */
+  def ohlcBars(spark: SparkSession, sfDir: String): DataFrame = {
+    val ordKey = struct(col("ts"), col("event_id"))
+    Tables(spark, sfDir, "events")
+      .groupBy(col("event_type"), window(col("ts"), "1 day"))
+      .agg(
+        min_by(col("value"), ordKey).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), ordKey).as("close"),
+        count(lit(1)).as("volume"))
+      .select(col("event_type"), col("window.start").as("bar_ts"),
+        col("open"), col("high"), col("low"), col("close"), col("volume"))
+      .orderBy("event_type", "bar_ts")
+  }
+
+  private val ohlcBarsOracle =
+    """WITH e AS (
+      |  SELECT event_type, time_bucket(INTERVAL '1 day', ts) AS bar_ts, value,
+      |    row_number() OVER (PARTITION BY event_type, time_bucket(INTERVAL '1 day', ts)
+      |                       ORDER BY ts, event_id) AS ra,
+      |    row_number() OVER (PARTITION BY event_type, time_bucket(INTERVAL '1 day', ts)
+      |                       ORDER BY ts DESC, event_id DESC) AS rd
+      |  FROM events)
+      |SELECT event_type, bar_ts,
+      |  max(CASE WHEN ra = 1 THEN value END) AS open,
+      |  max(value) AS high, min(value) AS low,
+      |  max(CASE WHEN rd = 1 THEN value END) AS close,
+      |  CAST(count(*) AS BIGINT) AS volume
+      |FROM e GROUP BY event_type, bar_ts
+      |ORDER BY event_type, bar_ts""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("win_time_tumbling",
       "tumbling 10-min event-time windows per event type",
@@ -433,5 +481,8 @@ object TimeWindows {
     Query("win_gaps_islands",
       "gaps-and-islands: consecutive active-day runs per user",
       gapsIslands, Some(gapsIslandsOracle)),
+    Query("ts_ohlc_bars",
+      "OHLC daily bar downsampling via min_by/max_by selection aggregates",
+      ohlcBars, Some(ohlcBarsOracle)),
   )
 }

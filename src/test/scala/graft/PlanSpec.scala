@@ -471,4 +471,26 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"),
       s"the vocabulary side must broadcast, not shuffle the tf relation:\n$p")
   }
+
+  test("OHLC bars aggregate with min_by/max_by state — never a window sort") {
+    val p = plan(run("ts_ohlc_bars"))
+    assert(!p.contains("Window"),
+      s"open/close must be selection aggregates, not row_number windows:\n$p")
+    assert(p.contains("partial_min_by") || p.contains("partial_minby")
+      || p.toLowerCase.contains("min_by"),
+      s"expected min_by aggregate state in the plan:\n$p")
+  }
+
+  test("z-score outliers broadcast the per-group moments back to the scan") {
+    val p = plan(run("agg_zscore_outliers"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the moments table is group-cardinality-sized — must broadcast:\n$p")
+  }
+
+  test("SQL pipe syntax lowers to the classic aggregate plan") {
+    val p = plan(run("sql_pipe_syntax"))
+    assert(p.contains("HashAggregate"), s"expected a plain hash agg:\n$p")
+    assert(!p.contains("Window"),
+      s"pipe lowering must not introduce extra operators:\n$p")
+  }
 }
