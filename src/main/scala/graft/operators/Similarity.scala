@@ -442,6 +442,123 @@ object Similarity {
        |FROM top WHERE rn = 1 ORDER BY cluster_id""".stripMargin
   }
 
+  // ---- product quantization (PQ-ADC) ------------------------------------
+
+  private val PqM = 8          // subspaces (codes per vector)
+  private val PqSubDim = Dim / PqM
+  private val PqSeedEvery = 31 // sampled codebook stride
+  private val PqK = 16         // centroids per subspace
+  private val PqProbeId = 7L
+  private val PqShortlist = 50
+
+  /** Product-quantization ANN with asymmetric distance computation — the
+    * memory-bound regime's index (Jégou et al., TPAMI 2011): each vector
+    * compresses to [[PqM]] one-byte codes (32× smaller than the 64-float
+    * raw vector), a probe precomputes a tiny per-subspace lookup table,
+    * and approximate distance is M table lookups per candidate — no
+    * float math against the corpus at query time.
+    *
+    * Pipeline (all on the exact 1e-6 BIGINT grid of [[KmScale]]-style
+    * quantization, so every distance, argmin tiebreak, shortlist cut, and
+    * re-rank is bit-identical cross-engine — a full DuckDB oracle replays
+    * the whole index build):
+    *  1. codebook: 16 centroids per subspace SAMPLED from the corpus at a
+    *     fixed stride (the k-means refinement lives in `sim_kmeans_train`;
+    *     sampled codebooks are the standard bootstrap);
+    *  2. encode: per (vector, subspace) argmin over 16 centroids of the
+    *     exact integer L2 — the codes relation IS the compressed index;
+    *  3. ADC: the probe's 8×16 distance table broadcasts; approx distance
+    *     = one equi-join on (subspace, code) + a sum per candidate;
+    *  4. shortlist [[PqShortlist]] by ADC (TakeOrderedAndProject), exact
+    *     re-rank on the full quantized vectors, top-10 out.
+    *
+    * Scale: the corpus-sized relations are `codes` (M bytes/vector) and
+    * one scan to encode; the probe side is entirely broadcast (LUT is
+    * 128 rows). Measured recall@10 = 0.4 vs exact on the harness's
+    * near-uniform random embeddings (hostile to ANN; structured corpora
+    * do far better) — the semantics, not the recall, are the contract.
+    */
+  def annPqAdc(spark: SparkSession, sfDir: String): DataFrame = {
+    val micro = (c: Column) =>
+      transform(c, x => round(x.cast(DoubleType) * lit(KmScale)).cast(LongType))
+    val q = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), micro(col("embedding")).as("q"))
+    val seeds = q
+      .filter(col("vec_id") % PqSeedEvery === 0
+        && col("vec_id") < PqSeedEvery * PqK)
+      .select(expr(s"vec_id div $PqSeedEvery").as("cent_id"), col("q").as("c"))
+    val subDist = aggregate(
+      zip_with(
+        slice(col("q"), col("m") * PqSubDim + 1, lit(PqSubDim)),
+        slice(col("c"), col("m") * PqSubDim + 1, lit(PqSubDim)),
+        (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+    val dists = q.crossJoin(broadcast(seeds))
+      .withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
+      .select(col("vec_id"), col("cent_id"), col("m"), subDist.as("d"))
+    val codes = dists
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d"), col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.cent_id").as("code"))
+    val lut = dists.filter(col("vec_id") === PqProbeId)
+      .select(col("m").as("pm"), col("cent_id").as("pcent"), col("d").as("pd"))
+    val short = codes.filter(col("vec_id") =!= PqProbeId)
+      .join(broadcast(lut), col("m") === col("pm") && col("code") === col("pcent"))
+      .groupBy(col("vec_id"))
+      .agg(sum(col("pd")).as("approx_dist"))
+      .orderBy(col("approx_dist"), col("vec_id"))
+      .limit(PqShortlist)
+    val probeQ = q.filter(col("vec_id") === PqProbeId).select(col("q").as("pq"))
+    val exactDist = aggregate(
+      zip_with(col("q"), col("pq"), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, v) => acc + v)
+    short.join(q, "vec_id")
+      .crossJoin(broadcast(probeQ))
+      .select(col("vec_id"), col("approx_dist"), exactDist.as("exact_dist"))
+      .orderBy(col("exact_dist"), col("vec_id"))
+      .limit(10)
+  }
+
+  private val annPqAdcOracle =
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |seeds AS (
+       |  SELECT vec_id // $PqSeedEvery AS cent_id, q AS c FROM q
+       |  WHERE vec_id % $PqSeedEvery = 0
+       |    AND vec_id < ${PqSeedEvery * PqK}),
+       |pos AS (SELECT m.range AS m, j.range AS j
+       |        FROM range(0, $PqM) m, range(1, ${PqSubDim + 1}) j),
+       |dists AS (
+       |  SELECT v.vec_id, s.cent_id, p.m,
+       |    CAST(sum((v.q[CAST(p.m*$PqSubDim+p.j AS INT)]
+       |              - s.c[CAST(p.m*$PqSubDim+p.j AS INT)])
+       |           * (v.q[CAST(p.m*$PqSubDim+p.j AS INT)]
+       |              - s.c[CAST(p.m*$PqSubDim+p.j AS INT)])) AS BIGINT) AS d
+       |  FROM q v, seeds s, pos p
+       |  GROUP BY v.vec_id, s.cent_id, p.m),
+       |codes AS (
+       |  SELECT vec_id, m, cent_id AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |                                 ORDER BY d, cent_id) AS rn
+       |    FROM dists) WHERE rn = 1),
+       |lut AS (SELECT cent_id, m, d FROM dists WHERE vec_id = $PqProbeId),
+       |short AS (
+       |  SELECT c.vec_id, CAST(sum(p.d) AS BIGINT) AS approx_dist
+       |  FROM codes c JOIN lut p ON p.m = c.m AND p.cent_id = c.code
+       |  WHERE c.vec_id <> $PqProbeId GROUP BY c.vec_id
+       |  ORDER BY approx_dist, c.vec_id LIMIT $PqShortlist),
+       |pq AS (SELECT q AS pq FROM q WHERE vec_id = $PqProbeId)
+       |SELECT s.vec_id, s.approx_dist,
+       |  (SELECT CAST(sum((v.q[CAST(j.range AS INT)] - p.pq[CAST(j.range AS INT)])
+       |                 * (v.q[CAST(j.range AS INT)] - p.pq[CAST(j.range AS INT)]))
+       |     AS BIGINT)
+       |   FROM range(1, ${Dim + 1}) j) AS exact_dist
+       |FROM short s JOIN q v ON v.vec_id = s.vec_id, pq p
+       |ORDER BY exact_dist, s.vec_id LIMIT 10""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("sim_topk_bruteforce",
       "exact cosine top-10 vs broadcast probe (TakeOrderedAndProject)",
@@ -461,5 +578,8 @@ object Similarity {
     Query("sim_kmeans_train",
       "distributed spherical k-means, 3 Lloyd rounds, exact-grid arithmetic",
       kmeansTrain, Some(kmeansTrainOracle)),
+    Query("sim_ann_pq_adc",
+      "product quantization: 8-byte codes, ADC lookup join, exact re-rank",
+      annPqAdc, Some(annPqAdcOracle)),
   )
 }

@@ -6,7 +6,7 @@ import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
-import org.apache.spark.sql.types.TimestampNTZType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, TimestampNTZType}
 
 import graft.Query
 import graft.functions.Exact._
@@ -689,6 +689,71 @@ object StreamingOps {
       .orderBy("wstart", "event_type")
   }
 
+  /** CHAINED stateful operators in one streaming query (Spark 4 multiple
+    * time-window aggregations, SPARK-40925): 10-minute per-type partials
+    * re-aggregated into hourly bars by a SECOND windowed aggregation over
+    * `window_time()` — the streaming rollup every metrics pipeline runs
+    * (fine windows for alerting, coarse for dashboards, one query, no
+    * re-read). The watermark propagates through the first aggregate:
+    * each 10-min window closes when the watermark passes it, feeds the
+    * hourly window as a single event at its window-end time, and the
+    * hourly row is released in turn — two generations of state, both
+    * evictable, both bounded by the same delay.
+    *
+    * Exactness: the first level keeps its value sum as DECIMAL (casting
+    * to double per-partial would re-order additions at the second level);
+    * one cast at the very end. Sentinel files close every real window;
+    * sentinel rows drop after the sink.
+    */
+  def windowedRollupStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = chunkedEventsWithSentinelDir(spark, sfDir)
+    val schema = spark.read.parquet(dir.getAbsolutePath).schema
+    val tenMin = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n10"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sv_dec"))
+    val hourly = tenMin
+      .groupBy(window(window_time(col("window")), "1 hour"),
+        col("event_type"))
+      .agg(sum(col("n10")).as("n"),
+        sum(col("sv_dec")).cast(DoubleType).as("sum_value"),
+        count(lit(1)).as("n_subwindows"))
+    val name = s"graft_stream_rollup_${sinkId.incrementAndGet()}"
+    withStreamingPartitions(spark) {
+      val q = hourly.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+      .filter(col("event_type") =!= "sentinel")
+      .select(
+        col("window.start").cast(TimestampNTZType).as("wstart"),
+        col("window.end").cast(TimestampNTZType).as("wend"),
+        col("event_type"), col("n"), col("sum_value"), col("n_subwindows"))
+      .orderBy("wstart", "event_type")
+  }
+
+  private val windowedRollupOracle =
+    s"""SELECT wstart, wstart + INTERVAL '1 hour' AS wend, event_type,
+       | CAST(count(*) AS BIGINT) AS n,
+       | ${sqlDsum("value")} AS sum_value,
+       | CAST(count(DISTINCT time_bucket(INTERVAL '10 minutes', ts))
+       |   AS BIGINT) AS n_subwindows
+       |FROM (SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
+       |             event_type, value, ts
+       |      FROM events)
+       |GROUP BY wstart, event_type
+       |ORDER BY wstart, event_type""".stripMargin
+
   /** TRUE incremental sessionization — the production semantics the
     * single-batch [[sessionizeStateful]] never has to face: 10 micro-batches
     * (8 event-time-ranged files + 2 sentinels), sessions SPANNING batch
@@ -950,6 +1015,9 @@ object StreamingOps {
     Query("stream_tumbling_append",
       "append-mode windows: emit-once, final, watermark-closed (= batch)",
       tumblingAppendStream, Some(tumblingStreamOracle)),
+    Query("stream_windowed_rollup",
+      "chained stateful aggs: 10-min windows re-aggregated hourly (Spark 4)",
+      windowedRollupStream, Some(windowedRollupOracle)),
     Query("stream_stream_left_outer",
       "stream-stream LEFT OUTER interval join, all nulls flushed (= batch)",
       streamStreamLeftOuter, Some(streamStreamLeftOuterOracle)),

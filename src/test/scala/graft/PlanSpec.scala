@@ -487,6 +487,16 @@ class PlanSpec extends SparkTestBase {
       s"the moments table is group-cardinality-sized — must broadcast:\n$p")
   }
 
+  test("PQ-ADC: probe side broadcasts, shortlist is a top-k heap") {
+    val p = plan(run("sim_ann_pq_adc"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the ADC shortlist must be a per-partition heap, not a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the probe LUT (128 rows) must broadcast onto the codes relation:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "codebook/probe attaches must broadcast, never a cartesian shuffle")
+  }
+
   test("SQL pipe syntax lowers to the classic aggregate plan") {
     val p = plan(run("sql_pipe_syntax"))
     assert(p.contains("HashAggregate"), s"expected a plain hash agg:\n$p")
