@@ -10,16 +10,18 @@ import org.apache.spark.sql.types.IntegerType
 import graft.functions.{BoundedTopK, DotProduct, MisraGries, RollingHash}
 
 /** Session extension registering the engine's native expressions for SQL
-  * use (`SELECT rolling_hash(text), dot_product(a, b) ...`). Enable with
+  * use (`SELECT rolling_hash(text), dot_product(a, b) ...`) and its
+  * optimizer rules ([[graft.plans.ThresholdLevenshteinRule]]). Enable with
   * `spark.sql.extensions=graft.GraftExtensions` — the harness mains
   * (Verify/Bench) and the test base do. This is the standard injection
   * point for custom Catalyst pieces; if a whole-operator extension ever
   * becomes necessary (none is for the reference surface — SURVEY.md §4.2),
-  * its Rule/Strategy would register here too.
+  * its Strategy would register here too.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(extensions: SparkSessionExtensions): Unit = {
+    extensions.injectOptimizerRule(_ => graft.plans.ThresholdLevenshteinRule)
     extensions.injectFunction((
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),

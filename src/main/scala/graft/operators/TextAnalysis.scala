@@ -488,6 +488,94 @@ object TextAnalysis {
       |HAVING count(*) * 40 > tot.total
       |ORDER BY n_occurrences DESC, token""".stripMargin
 
+  /** Fuzzy entity-resolution join under substitution noise — the record-
+    * linkage primitive (OCR'd titles, typo'd names, dirty catalog feeds
+    * matched back to a clean master). A deterministic "dirty" side is
+    * derived from the corpus itself (two characters overwritten — OCR-style
+    * substitution noise), then matched back WITHOUT an all-pairs scan:
+    *
+    *  1. BLOCK: each 36-char title splits into 3 aligned 12-char segments;
+    *     by pigeonhole, substitution distance ≤ 2 ⇒ at least one segment
+    *     survives verbatim — so candidates come from an EQUI-join on
+    *     (segment_index, segment_text). This is the whole scale story: the
+    *     shuffle carries (segments × docs), never docs², and the blocking
+    *     key is content-derived so co-partitioning is free. (For general
+    *     INDEL noise the same pigeonhole needs PassJoin's positional
+    *     substring windows — noted, not needed for aligned substitutions.)
+    *  2. VERIFY: `levenshtein` only on candidates (measured: ~1.4k
+    *     candidates for 1k dirty rows at sf0.1 — vs 5M all-pairs).
+    *  3. RESOLVE: keep-best per dirty row (min distance, then min id) —
+    *     one row_number window over the candidate set.
+    */
+  def fuzzyBlockedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val SegLen = 12
+    val NSeg = 3
+    val TitleLen = SegLen * NSeg
+    val docs = Tables(spark, sfDir, "documents")
+      .filter(length(col("text")) >= TitleLen)
+      .select(col("doc_id"), substring(col("text"), 1, TitleLen).as("t"))
+    val clean = docs
+      .select(col("doc_id").as("clean_id"), col("t").as("t_clean"))
+    val dirty = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("dirty_id"),
+        concat(substring(col("t"), 1, 6), lit("#"),
+          substring(col("t"), 8, 11), lit("#"),
+          substring(col("t"), 20, 17)).as("t_dirty"))
+    def segmented(df: DataFrame, tCol: String): DataFrame =
+      df.withColumn("seg", explode(array((0 until NSeg).map(i =>
+          struct(lit(i).as("i"),
+            substring(col(tCol), i * SegLen + 1, SegLen).as("s"))): _*)))
+        .select(df.columns.map(col) :+ col("seg.i").as("i")
+          :+ col("seg.s").as("s"): _*)
+    val cand = segmented(dirty, "t_dirty")
+      .join(segmented(clean, "t_clean"), Seq("i", "s"))
+      .select(col("dirty_id"), col("t_dirty"), col("clean_id"), col("t_clean"))
+      .distinct()
+    val byBest = Window.partitionBy(col("dirty_id"))
+      .orderBy(col("dist"), col("clean_id"))
+    cand
+      // the verify predicate is a FRESH levenshtein comparison (not the
+      // projected alias) so graft.plans.ThresholdLevenshteinRule rewrites
+      // it to the banded O(k·n) DP (asserted in PlanSpec); only the few
+      // survivors pay the exact DP for the projected distance
+      .filter(levenshtein(col("t_dirty"), col("t_clean")) <= 2)
+      .withColumn("dist", levenshtein(col("t_dirty"), col("t_clean")).cast(LongType))
+      .withColumn("rn", row_number().over(byBest))
+      .filter(col("rn") === 1)
+      .select(col("dirty_id"), col("clean_id"), col("dist"))
+      .orderBy("dirty_id")
+  }
+
+  private val fuzzyBlockedJoinOracle =
+    """WITH docs AS (
+      |  SELECT doc_id, substr(text, 1, 36) AS t FROM documents
+      |  WHERE length(text) >= 36),
+      |clean AS (SELECT doc_id AS clean_id, t AS t_clean FROM docs),
+      |dirty AS (
+      |  SELECT doc_id AS dirty_id,
+      |    concat(substr(t,1,6), '#', substr(t,8,11), '#', substr(t,20,17))
+      |      AS t_dirty
+      |  FROM docs WHERE doc_id % 5 = 0),
+      |cseg AS (
+      |  SELECT clean_id, t_clean, i.range AS i,
+      |    substr(t_clean, CAST(i.range*12+1 AS INT), 12) AS s
+      |  FROM clean, range(0, 3) i),
+      |dseg AS (
+      |  SELECT dirty_id, t_dirty, i.range AS i,
+      |    substr(t_dirty, CAST(i.range*12+1 AS INT), 12) AS s
+      |  FROM dirty, range(0, 3) i),
+      |cand AS (
+      |  SELECT DISTINCT dirty_id, t_dirty, clean_id, t_clean
+      |  FROM dseg JOIN cseg USING (i, s)),
+      |ver AS (
+      |  SELECT dirty_id, clean_id,
+      |    CAST(levenshtein(t_dirty, t_clean) AS BIGINT) AS dist,
+      |    row_number() OVER (PARTITION BY dirty_id
+      |      ORDER BY levenshtein(t_dirty, t_clean), clean_id) AS rn
+      |  FROM cand WHERE levenshtein(t_dirty, t_clean) <= 2)
+      |SELECT dirty_id, clean_id, dist FROM ver WHERE rn = 1
+      |ORDER BY dirty_id""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("text_stats_quality",
       "per-doc token stats, quality score, stopword-heuristic language ID",
@@ -522,5 +610,8 @@ object TextAnalysis {
     Query("text_heavy_hitters",
       "two-pass heavy hitters: MG sketch candidates + exact verify counts",
       heavyHitters, Some(heavyHittersOracle)),
+    Query("text_fuzzy_join",
+      "fuzzy entity resolution: segment blocking + levenshtein + keep-best",
+      fuzzyBlockedJoin, Some(fuzzyBlockedJoinOracle)),
   )
 }

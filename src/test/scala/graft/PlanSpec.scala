@@ -487,6 +487,31 @@ class PlanSpec extends SparkTestBase {
       s"the moments table is group-cardinality-sized — must broadcast:\n$p")
   }
 
+  test("levenshtein threshold rule rewrites <= k into the banded DP form") {
+    // parquet-backed, not a literal relation (constant folding would
+    // collapse a LocalRelation before the rule could be observed)
+    val base = spark.read.parquet(s"$SfOracle/documents.parquet")
+      .select(substring(col("text"), 1, 10).as("a"),
+        substring(col("text"), 3, 10).as("b"))
+    val df = base.filter(levenshtein(col("a"), col("b")) <= 4)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("Some(4)) >= 0"),
+      s"expected the 3-arg thresholded levenshtein in the filter:\n$opt")
+    // equivalence on real data: filtering a PROJECTED distance never
+    // matches the rewrite pattern, so it computes the exact DP — counts
+    // must agree
+    val exact = base.select(levenshtein(col("a"), col("b")).as("d"))
+      .filter(col("d") <= 4).count()
+    assert(df.count() == exact)
+  }
+
+  test("fuzzy join's verify step runs the thresholded levenshtein") {
+    val opt = run("text_fuzzy_join").queryExecution.optimizedPlan.toString
+    // the filter instance is banded; the projected dist stays exact
+    assert(opt.contains("Some(2)) >= 0"),
+      s"the <= 2 verify must use the banded DP after cast-unwrapping:\n$opt")
+  }
+
   test("PQ-ADC: probe side broadcasts, shortlist is a top-k heap") {
     val p = plan(run("sim_ann_pq_adc"))
     assert(p.contains("TakeOrderedAndProject"),
