@@ -37,6 +37,8 @@ case class MediaFeatures(
 object Multimodal {
 
   private val FrameBytes = 64
+  private[operators] val EmbedDim = 8
+  private[operators] val EmbedBatch = 32
 
   /** Whole-file binary ingestion — how image/audio/video actually ENTER the
     * lake: `binaryFile` reads each object as one (path, length, content)
@@ -191,6 +193,59 @@ object Multimodal {
        |FROM documents d JOIN norms n ON d.doc_id = n.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Batched model inference through the typed-Dataset boundary — the
+    * embed-everything pattern (CLIP/audio embeddings over a 100 TB lake).
+    * [[featureExtract]] pins per-partition MODEL INIT; this pins the
+    * second half of the GPU-inference shape: rows grouped into fixed-size
+    * BATCHES before each model call (`iter.grouped(batch)` →
+    * `embedBatch`), because per-row invocation leaves accelerator
+    * throughput on the floor. The embedder stub is deterministic
+    * (byte-stripe sums mod [[EmbedDim]] — integer, so exact), and results
+    * are provably batch-size-invariant (spec-checked at 32 vs 7): the
+    * contract real inference must also hold for results to be
+    * reproducible under repartitioning.
+    *
+    * Output is fingerprint + integer norm² rather than the raw vector so
+    * the cross-engine compare stays scalar; the DuckDB oracle re-derives
+    * the stripe sums from the text column.
+    */
+  def batchEmbed(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val records: Dataset[MediaRecord] =
+      Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+        .as[MediaRecord]
+    records
+      .mapPartitions { iter =>
+        val model = new StubBatchEmbedder(Multimodal.EmbedDim)
+        iter.grouped(Multimodal.EmbedBatch).flatMap(model.embedBatch)
+      }
+      .toDF("doc_id", "emb")
+      .select(
+        col("doc_id"),
+        md5(array_join(transform(col("emb"), _.cast(StringType)), ","))
+          .as("emb_md5"),
+        expr("aggregate(transform(emb, x -> x * x), 0L, (a, b) -> a + b)")
+          .as("norm_sq"))
+      .orderBy("doc_id")
+  }
+
+  private val batchEmbedOracle =
+    s"""WITH b AS (
+       |  SELECT doc_id, unnest(string_split(text, '')) AS c,
+       |    generate_subscripts(string_split(text, ''), 1) AS i
+       |  FROM documents),
+       |e AS (
+       |  SELECT doc_id, (i - 1) % $EmbedDim AS j,
+       |    CAST(sum(CAST(unicode(c) AS BIGINT)) AS BIGINT) AS ej
+       |  FROM b GROUP BY doc_id, j),
+       |emb AS (SELECT doc_id, list(ej ORDER BY j) AS emb FROM e GROUP BY doc_id)
+       |SELECT doc_id,
+       |  md5(array_to_string(emb, ',')) AS emb_md5,
+       |  CAST(list_reduce(list_transform(emb, x -> x * x), (a, b) -> a + b)
+       |    AS BIGINT) AS norm_sq
+       |FROM emb ORDER BY doc_id""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("mm_binary_file_source",
       "whole-file binaryFile ingestion with key-derived identity",
@@ -204,6 +259,9 @@ object Multimodal {
     Query("mm_feature_extract",
       "typed-Dataset mapPartitions batch feature extraction (stub decoder)",
       featureExtract, Some(featureExtractOracle)),
+    Query("mm_batch_embed",
+      "batched model inference: grouped(32) embedBatch calls, stub embedder",
+      batchEmbed, Some(batchEmbedOracle)),
   )
 }
 
@@ -211,6 +269,24 @@ object Multimodal {
   * per-frame byte means. Real codecs slot in here without touching the
   * Spark plumbing.
   */
+/** Deterministic stand-in for a batched embedding model (the GPU-inference
+  * shape: one call per BATCH, not per row). Embedding j = sum of payload
+  * bytes at positions ≡ j (mod dim) — integer, order-deterministic, and
+  * independent of how rows were batched, which is the reproducibility
+  * contract real inference must also satisfy.
+  */
+final class StubBatchEmbedder(dim: Int) extends Serializable {
+  def embedBatch(rs: Seq[MediaRecord]): Seq[(Long, Array[Long])] =
+    rs.map { r =>
+      val v = new Array[Long](dim)
+      var i = 0
+      while (i < r.payload.length) {
+        v(i % dim) += (r.payload(i) & 0xff); i += 1
+      }
+      (r.doc_id, v)
+    }
+}
+
 final class StubDecoder(frameBytes: Int) extends Serializable {
   def decode(r: MediaRecord): MediaFeatures = {
     val frames = r.payload.grouped(frameBytes).toArray

@@ -135,6 +135,26 @@ class TextMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("batched embedding is batch-size invariant (the reproducibility contract)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.BinaryType
+    val records = graft.sources.Tables(spark, SfOracle, "documents")
+      .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+      .as[graft.operators.MediaRecord]
+    def embedWith(batch: Int): Map[Long, Seq[Long]] = records
+      .repartition(3)
+      .mapPartitions { iter =>
+        val model = new graft.operators.StubBatchEmbedder(8)
+        iter.grouped(batch).flatMap(model.embedBatch)
+      }
+      .collect().map { case (id, v) => id -> v.toSeq }.toMap
+    // results must not depend on how rows were grouped into model calls —
+    // otherwise repartitioning (which changes batch boundaries) would
+    // change the lake's embeddings
+    assert(embedWith(32) == embedWith(7))
+  }
+
   test("repetition signals are internally consistent per document") {
     val rows = run("text_repetition", SfOracle).collect()
     assert(rows.length == 500)
