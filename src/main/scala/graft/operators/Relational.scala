@@ -2263,6 +2263,38 @@ object Relational {
       |GROUP BY o_orderpriority, order_year
       |ORDER BY o_orderpriority, order_year""".stripMargin
 
+  /** `DISTRIBUTE BY` / `SORT BY` — the Hive-inherited physical-layout SQL
+    * every warehouse migration carries (ETL scripts end in it to control
+    * file clustering). DISTRIBUTE BY hashes rows to partitions by the key;
+    * SORT BY orders *within* each partition — no global order, which is
+    * exactly the (cheaper) contract a clustered write wants. The result
+    * surfaces the layout as DATA so it's oracle-checkable independent of
+    * the session's partition count: with the key as the distribution
+    * column, every group must land in EXACTLY ONE partition
+    * (`n_partitions = 1` via spark_partition_id) — the co-location
+    * property bucketed writes and skew-free reducers rely on.
+    */
+  def distributeBy(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "orders").createOrReplaceTempView("graft_orders_v")
+    val laid = spark.sql(
+      """SELECT o_orderpriority, o_orderkey
+        |FROM graft_orders_v WHERE o_orderstatus = 'F'
+        |DISTRIBUTE BY o_orderpriority
+        |SORT BY o_orderpriority, o_orderkey""".stripMargin)
+    laid
+      .select(col("o_orderpriority"), spark_partition_id().as("pid"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("pid")).as("n_partitions"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val distributeByOracle =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      | CAST(1 AS BIGINT) AS n_partitions
+      |FROM orders WHERE o_orderstatus = 'F'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("agg_pricing_summary",
       "TPC-H Q1-shaped multi-aggregate hash agg, decimal-exact sums",
@@ -2466,5 +2498,8 @@ object Relational {
     Query("sql_pipe_syntax",
       "SQL pipe (|>) operator chain lowered to the classic plan",
       pipeSyntax, Some(pipeSyntaxOracle)),
+    Query("sql_distribute_by",
+      "DISTRIBUTE BY / SORT BY layout SQL; co-location surfaced as data",
+      distributeBy, Some(distributeByOracle)),
   )
 }

@@ -487,20 +487,37 @@ object Similarity {
       .filter(col("vec_id") % PqSeedEvery === 0
         && col("vec_id") < PqSeedEvery * PqK)
       .select(expr(s"vec_id div $PqSeedEvery").as("cent_id"), col("q").as("c"))
-    val subDist = aggregate(
-      zip_with(
-        slice(col("q"), col("m") * PqSubDim + 1, lit(PqSubDim)),
-        slice(col("c"), col("m") * PqSubDim + 1, lit(PqSubDim)),
-        (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, v) => acc + v)
-    val dists = q.crossJoin(broadcast(seeds))
+    // distances expand |a−b|² = |a|² − 2a·b + |b|² over DOUBLE-typed
+    // subvectors so the hot inner product runs through the codegen'd
+    // DotProduct expression instead of an interpreted zip_with/aggregate
+    // HOF pair (HOFs have no doGenCode; on the corpus×centroids×subspaces
+    // relation that interpretation dominated the query). Exactness holds:
+    // components are 1e-6-grid integers ≤ 2e6, every product ≤ 4e12 and
+    // every sum ≤ 3.2e13 — integer-valued doubles below 2^53 add exactly
+    // in ANY order, so the final cast back to BIGINT is lossless.
+    def subVecs(vectors: DataFrame, idCol: String): DataFrame = vectors
+      .withColumn("qd", transform(col("q"), _.cast(DoubleType)))
       .withColumn("m", explode(sequence(lit(0), lit(PqM - 1))))
-      .select(col("vec_id"), col("cent_id"), col("m"), subDist.as("d"))
-    val codes = dists
+      .select(col(idCol), col("m"),
+        slice(col("qd"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("sv"))
+      .withColumn("n2", DotProduct(col("sv"), col("sv")))
+    val centSubs = subVecs(
+      seeds.select(col("cent_id"), col("c").as("q")), "cent_id")
+      .select(col("cent_id"), col("m"), col("sv").as("cv"), col("n2").as("cn2"))
+    def subDists(vectors: DataFrame): DataFrame =
+      subVecs(vectors, "vec_id")
+        .join(broadcast(centSubs), "m")
+        .select(col("vec_id"), col("cent_id"), col("m"),
+          (col("n2") - lit(2.0) * DotProduct(col("sv"), col("cv"))
+            + col("cn2")).cast(LongType).as("d"))
+    val codes = subDists(q)
       .groupBy(col("vec_id"), col("m"))
       .agg(min(struct(col("d"), col("cent_id"))).as("best"))
       .select(col("vec_id"), col("m"), col("best.cent_id").as("code"))
-    val lut = dists.filter(col("vec_id") === PqProbeId)
+    // the LUT derives from the PROBE row only (16 cents × 8 subspaces =
+    // 128 rows) — filtering the corpus-sized distance relation instead
+    // would execute that whole relation a second time for 128 rows
+    val lut = subDists(q.filter(col("vec_id") === PqProbeId))
       .select(col("m").as("pm"), col("cent_id").as("pcent"), col("d").as("pd"))
     val short = codes.filter(col("vec_id") =!= PqProbeId)
       .join(broadcast(lut), col("m") === col("pm") && col("code") === col("pcent"))

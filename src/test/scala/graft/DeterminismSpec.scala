@@ -1,0 +1,49 @@
+package graft
+
+/** Byte-stability under reconfiguration: the 100 TB reproducibility
+  * contract. A production cluster changes `spark.sql.shuffle.partitions`
+  * (AQE, autoscaling, pool changes) without notice; every query whose
+  * result depends on partition count is silently broken at scale — double
+  * summation order, non-total sort ties, and grouped-batch effects are the
+  * classic leaks. The engine's determinism rules (decimal-routed sums,
+  * unique-key tiebreaks, integer fixed-point iteration — SURVEY.md §7.4)
+  * exist exactly to close them, and this spec pins the property itself:
+  * representative queries from every determinism-sensitive family must
+  * produce IDENTICAL rows at 3 and 7 shuffle partitions.
+  *
+  * (Correctness vs DuckDB is the oracle gate's job; this is the
+  * complementary engine-internal invariant — same engine, different
+  * physical configuration, same bytes.)
+  */
+class DeterminismSpec extends SparkTestBase {
+
+  /** Families picked for distinct risk surfaces: decimal-sum aggregation,
+    * salted two-phase aggregation, window sort + limit, iterative
+    * fixed-point (PageRank), LSH banding join, PQ shortlist + re-rank,
+    * exact moment arithmetic, and streaming state merge are all covered
+    * elsewhere at fixed config — these are the cheap representatives.
+    */
+  private val Sample = Seq(
+    "agg_pricing_summary",   // decimal-routed double sums
+    "agg_salted_skew",       // two-phase salted recombination
+    "win_rank_orders",       // window sort with unique tiebreaks
+    "sort_topk_customers",   // per-partition heaps + driver merge
+    "graph_shortest_paths",  // iterative min-agg fixed point
+    "sim_ann_pq_adc",        // argmin tiebreaks + shortlist cut + re-rank
+    "dedup_exact",           // hash-group representative choice
+    "agg_zscore_outliers")   // broadcast moments + integer flags
+
+  private def rowsAt(name: String, partitions: Int): Seq[Seq[Any]] = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, partitions.toString)
+    try run(name, SfOracle).collect().toSeq.map(_.toSeq)
+    finally spark.conf.set(key, prev)
+  }
+
+  Sample.foreach { name =>
+    test(s"$name is byte-identical at 3 vs 7 shuffle partitions") {
+      assert(rowsAt(name, 3) == rowsAt(name, 7))
+    }
+  }
+}
