@@ -329,6 +329,61 @@ object Curation {
        |WHERE rank_in_domain <= $DomainQuota
        |ORDER BY source, rank_in_domain""".stripMargin
 
+  /** Domain mixture weights — the pre-training data-recipe computation
+    * (Pile/LLaMA-style): given a TARGET mixture over sources and the
+    * actual token inventory, find the largest total token budget B* at
+    * which every source can meet its share without upsampling
+    * (rate ≤ 1), then each source's sampling rate and expected token
+    * yield. `B* = min_s floor(tokens_s · W / w_s)` — the bottleneck
+    * source sets the budget; everything else downsamples.
+    *
+    * Determinism: B*, the per-source yields, and the shares are pure
+    * integer arithmetic (floor div); the only fractional output, `rate`,
+    * is ONE IEEE division of two exact-integer-valued operands (correctly
+    * rounded, engine-independent) rounded to 6dp. Target weights derive
+    * from the source name (index+1) — in production they're a tiny config
+    * dim, broadcast exactly like the computed aggregate here. One
+    * hash aggregate over the corpus + three broadcast scalars: the corpus
+    * is scanned once, everything downstream is group-cardinality-sized.
+    */
+  def mixtureWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables(spark, sfDir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast(LongType)).as("tokens"))
+      .withColumn("weight",
+        regexp_extract(col("source"), "(\\d+)", 1).cast(LongType) + 1)
+    val tot = toks.agg(sum(col("weight")).as("w_total"))
+    val withTot = toks.crossJoin(broadcast(tot))
+    val bstar = withTot
+      .agg(min(expr("(tokens * w_total) div weight")).as("bstar"))
+    withTot.crossJoin(broadcast(bstar))
+      .select(
+        col("source"), col("n_docs"), col("tokens"), col("weight"),
+        round(
+          (col("bstar") * col("weight")).cast(DoubleType)
+            / (col("w_total") * col("tokens")).cast(DoubleType), 6)
+          .as("rate"),
+        expr("(bstar * weight) div w_total").as("sampled_tokens"))
+      .orderBy("source")
+  }
+
+  private val mixtureWeightsOracle =
+    """WITH toks AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+      |    CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) + 1 AS weight
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT CAST(sum(weight) AS BIGINT) AS w_total FROM toks),
+      |bs AS (SELECT CAST(min((tokens * w_total) // weight) AS BIGINT) AS bstar
+      |       FROM toks, tot)
+      |SELECT source, n_docs, tokens, weight,
+      |  round(CAST(bstar * weight AS DOUBLE)
+      |    / CAST(w_total * tokens AS DOUBLE), 6) AS rate,
+      |  CAST((bstar * weight) // w_total AS BIGINT) AS sampled_tokens
+      |FROM toks, tot, bs
+      |ORDER BY source""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("curation_split",
       "deterministic md5-hash 80/10/10 train/valid/test split",
@@ -351,5 +406,8 @@ object Curation {
     Query("curation_sample_reservoir",
       "deterministic uniform k-per-group sample via md5 score + bounded heap",
       reservoirSampleGroup, Some(reservoirSampleGroupOracle)),
+    Query("curation_mixture_weights",
+      "domain mixture recipe: bottleneck budget, rates, expected yields",
+      mixtureWeights, Some(mixtureWeightsOracle)),
   )
 }

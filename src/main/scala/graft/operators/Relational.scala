@@ -1448,6 +1448,53 @@ object Relational {
       |  ON e.user_id = r.user_id AND e.ts >= r.ts
       |ORDER BY e.event_id""".stripMargin
 
+  /** As-of join, FORWARD direction with a tolerance — the other half of
+    * the pandas `merge_asof` surface ([[asofJoin]] is backward/unbounded):
+    * each event matched to the NEXT signup at-or-after it, but only
+    * within 10 minutes (beyond tolerance ⇒ null, not a stale match).
+    * Same tagged-union + one-window shape — `first(ignoreNulls)` over
+    * [current, unbounded following) with probes sorting before refs at
+    * equal ts so "at-or-after" is inclusive — so the scale story is
+    * unchanged: ONE shuffle on the key, no range-join explosion, and the
+    * tolerance is a post-window null-out, not a join predicate.
+    */
+  def asofJoinForward(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+    val refStructType = "struct<ts:timestamp_ntz,id:bigint>"
+    val refs = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(min(col("event_id")).as("ref_event_id"))
+      .select(col("user_id"), col("ts"), lit(1).as("tag"),
+        lit(null).cast(LongType).as("event_id"),
+        struct(col("ts").as("ts"), col("ref_event_id").as("id")).as("ref"))
+    val probes = ev.select(col("user_id"), col("ts"), lit(0).as("tag"),
+      col("event_id"), lit(null).cast(refStructType).as("ref"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("tag"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val withinTol = col("nxt.ts") <= col("ts") + expr("INTERVAL 10 MINUTES")
+    refs.unionByName(probes)
+      .withColumn("nxt", first(col("ref"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 0)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(withinTol, col("nxt.ts")).as("next_signup_ts"),
+        when(withinTol, col("nxt.id")).as("next_signup_event_id"))
+      .orderBy("event_id")
+  }
+
+  private val asofJoinForwardOracle =
+    """WITH refs AS (
+      |  SELECT user_id, ts, min(event_id) AS ref_id FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, e.ts,
+      |  CASE WHEN r.ts <= e.ts + INTERVAL '10 minutes' THEN r.ts END
+      |    AS next_signup_ts,
+      |  CASE WHEN r.ts <= e.ts + INTERVAL '10 minutes' THEN r.ref_id END
+      |    AS next_signup_event_id
+      |FROM events e ASOF LEFT JOIN refs r
+      |  ON e.user_id = r.user_id AND e.ts <= r.ts
+      |ORDER BY e.event_id""".stripMargin
+
   // ---- pivot ------------------------------------------------------------
 
   /** Pivot (long→wide) with an explicit value list — the explicit list keeps
@@ -2501,5 +2548,8 @@ object Relational {
     Query("sql_distribute_by",
       "DISTRIBUTE BY / SORT BY layout SQL; co-location surfaced as data",
       distributeBy, Some(distributeByOracle)),
+    Query("join_asof_forward",
+      "forward as-of join with 10-min tolerance (pandas merge_asof parity)",
+      asofJoinForward, Some(asofJoinForwardOracle)),
   )
 }
