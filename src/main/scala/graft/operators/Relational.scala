@@ -1495,6 +1495,59 @@ object Relational {
       |  ON e.user_id = r.user_id AND e.ts <= r.ts
       |ORDER BY e.event_id""".stripMargin
 
+  /** ANSI-lenient arithmetic — `try_divide` / `try_mod` / `try_multiply` /
+    * `try_add`, the row-level escape hatches that make an ANSI-mode
+    * migration survivable (the engine runs ANSI like the reference's
+    * raise-on-error pandas casts; `ref_try_cast_quarantine` covers casts,
+    * this covers arithmetic): division/modulo by zero and BIGINT overflow
+    * become per-row NULLs that aggregate away instead of killing the job.
+    * Zero divisors and overflow operands are derived deterministically
+    * from key columns so every scale factor exercises both the null and
+    * non-null paths; the double `try_divide` results route through a
+    * DECIMAL cast before summing (per-row IEEE division is deterministic,
+    * summation order is not).
+    */
+  def tryArithmetic(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = col("o_custkey") % 7 // 0 for ~1/7 of rows
+    Tables(spark, sfDir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), d.as("d"), (col("o_custkey") % 3).as("m3"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("d") === 0, 1L).otherwise(0L)).as("n_zero_div"),
+        // round to 6dp BEFORE the decimal cast: double->decimal rounding
+        // of arbitrary quotients is HALF_UP in Spark but half-even in
+        // DuckDB; a 6dp-rounded double converts to DECIMAL(24,6) exactly
+        // in both
+        sum(round(expr("try_divide(o_totalprice, d)"), 6)
+          .cast(DecimalType(24, 6)))
+          .cast(DoubleType).as("sum_try_div"),
+        sum(expr("try_mod(o_orderkey, d)")).as("sum_try_mod"),
+        sum(when(expr(s"try_multiply(${Long.MaxValue >> 1} + o_orderkey, m3)")
+          .isNull, 1L).otherwise(0L)).as("n_mul_overflow"),
+        sum(when(expr(s"try_add(${Long.MaxValue} - o_orderkey, o_custkey)")
+          .isNull, 1L).otherwise(0L)).as("n_add_overflow"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val tryArithmeticOracle =
+    s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(count(*) FILTER (WHERE o_custkey % 7 = 0) AS BIGINT)
+       |    AS n_zero_div,
+       |  CAST(sum(CAST(round(o_totalprice / nullif(o_custkey % 7, 0), 6)
+       |    AS DECIMAL(24,6))) AS DOUBLE) AS sum_try_div,
+       |  CAST(sum(o_orderkey % nullif(o_custkey % 7, 0)) AS BIGINT)
+       |    AS sum_try_mod,
+       |  -- (2^62-1 + k) * m3 overflows BIGINT exactly when m3 = 2 AND
+       |  -- k >= 1 (m3=0 gives 0, m3=1 stays below 2^63-1, and at k=0 the
+       |  -- doubled value is 2^63-2 — one harness row has o_orderkey = 0)
+       |  CAST(count(*) FILTER (WHERE o_custkey % 3 = 2 AND o_orderkey >= 1)
+       |    AS BIGINT) AS n_mul_overflow,
+       |  CAST(count(*) FILTER (WHERE o_custkey > o_orderkey) AS BIGINT)
+       |    AS n_add_overflow
+       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ---- pivot ------------------------------------------------------------
 
   /** Pivot (long→wide) with an explicit value list — the explicit list keeps
@@ -2551,5 +2604,8 @@ object Relational {
     Query("join_asof_forward",
       "forward as-of join with 10-min tolerance (pandas merge_asof parity)",
       asofJoinForward, Some(asofJoinForwardOracle)),
+    Query("scalar_try_arithmetic",
+      "try_divide/try_mod/try_multiply/try_add: ANSI-lenient arithmetic",
+      tryArithmetic, Some(tryArithmeticOracle)),
   )
 }
