@@ -576,6 +576,59 @@ object TextAnalysis {
       |SELECT dirty_id, clean_id, dist FROM ver WHERE rn = 1
       |ORDER BY dirty_id""".stripMargin
 
+  /** Per-document token-rarity score — the unigram-LM quality proxy
+    * (documents dominated by corpus-rare tokens score high; boilerplate
+    * scores low), the scan-level companion to `text_tfidf_topterms`'
+    * per-term ranking. True perplexity needs logs, and transcendental
+    * functions are NOT bit-portable across libm implementations — so the
+    * score is the mean INVERSE document frequency `avg(N / df(token))`,
+    * rank-equivalent for gating: each N/df is one IEEE division of exact
+    * integers (correctly rounded, engine-independent), rounded to 6dp and
+    * routed through DECIMAL so the per-doc mean is order-independent.
+    *
+    * Shape: one token explode + hash agg builds the df table (vocabulary-
+    * sized — broadcast), a second explode joins tokens against it, and a
+    * per-doc aggregate finishes. Two corpus scans, no sort; the df table
+    * is the only shared state, exactly the TF-IDF layout.
+    */
+  def rarityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val toks = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val df = toks.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    toks
+      .join(broadcast(df), "tok")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"),
+        round(col("n_docs").cast(DoubleType) / col("df").cast(DoubleType), 6)
+          .cast(DecimalType(24, 6)).as("ridf"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        // exact decimal sum -> ONE deterministic double division by the
+        // count (decimal/decimal division scale rules differ per engine)
+        (sum(col("ridf")).cast(DoubleType) / count(lit(1))).as("rarity"))
+      .orderBy("doc_id")
+  }
+
+  private val rarityScoreOracle =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |dfreq AS (
+      |  SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |  FROM toks GROUP BY tok),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+      |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CAST(round(CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE), 6)
+      |    AS DECIMAL(24,6))) AS DOUBLE) / count(*) AS rarity
+      |FROM toks t JOIN dfreq d ON t.tok = d.tok, n
+      |GROUP BY t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("text_stats_quality",
       "per-doc token stats, quality score, stopword-heuristic language ID",
@@ -613,5 +666,8 @@ object TextAnalysis {
     Query("text_fuzzy_join",
       "fuzzy entity resolution: segment blocking + levenshtein + keep-best",
       fuzzyBlockedJoin, Some(fuzzyBlockedJoinOracle)),
+    Query("text_rarity_score",
+      "per-doc mean inverse document frequency (unigram quality proxy)",
+      rarityScore, Some(rarityScoreOracle)),
   )
 }

@@ -689,6 +689,56 @@ object StreamingOps {
       .orderBy("wstart", "event_type")
   }
 
+  /** Streaming SLIDING windows (10-min length, 5-min slide): every event
+    * lands in TWO window states — the per-row fan-out happens at window
+    * assignment (an expression, before the shuffle), so state volume is
+    * overlap-factor × tumbling, which is the capacity planning number
+    * sliding windows change. Complete mode + AvailableNow ⇒ equals the
+    * batch sliding aggregation. (`count(DISTINCT)` is unsupported in
+    * streaming — the batch twin `win_time_sliding` carries the distinct
+    * variant; here count + exact decimal sum.)
+    */
+  def slidingStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val batchSchema = spark.read.parquet(path).schema
+    val agg = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    val name = s"graft_stream_sliding_${sinkId.incrementAndGet()}"
+    withStreamingPartitions(spark) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+      .select(
+        col("window.start").cast(TimestampNTZType).as("wstart"),
+        col("window.end").cast(TimestampNTZType).as("wend"),
+        col("n"), col("sum_value"))
+      .orderBy("wstart")
+  }
+
+  private val slidingStreamOracle =
+    s"""SELECT wstart, wstart + INTERVAL '10 minutes' AS wend,
+       | CAST(count(*) AS BIGINT) AS n,
+       | ${sqlDsum("value")} AS sum_value
+       |FROM (SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+       |                     time_bucket(INTERVAL '5 minutes', ts)
+       |                       - INTERVAL '5 minutes']) AS wstart,
+       |       value
+       |      FROM events)
+       |GROUP BY wstart
+       |ORDER BY wstart""".stripMargin
+
   /** CHAINED stateful operators in one streaming query (Spark 4 multiple
     * time-window aggregations, SPARK-40925): 10-minute per-type partials
     * re-aggregated into hourly bars by a SECOND windowed aggregation over
@@ -1018,6 +1068,9 @@ object StreamingOps {
     Query("stream_windowed_rollup",
       "chained stateful aggs: 10-min windows re-aggregated hourly (Spark 4)",
       windowedRollupStream, Some(windowedRollupOracle)),
+    Query("stream_sliding_counts",
+      "streaming sliding windows (10 min / 5 min slide), complete mode",
+      slidingStream, Some(slidingStreamOracle)),
     Query("stream_stream_left_outer",
       "stream-stream LEFT OUTER interval join, all nulls flushed (= batch)",
       streamStreamLeftOuter, Some(streamStreamLeftOuterOracle)),
