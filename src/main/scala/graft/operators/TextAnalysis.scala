@@ -507,13 +507,52 @@ object TextAnalysis {
     *  3. RESOLVE: keep-best per dirty row (min distance, then min id) —
     *     one row_number window over the candidate set.
     */
+  private val FzSegLen = 12
+  private val FzNSeg = 3
+  private val FzTitleLen = FzSegLen * FzNSeg
+
+  /** 36-char titles over the documents corpus (shared by both fuzzy-join
+    * variants). */
+  private def fzTitles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "documents")
+      .filter(length(col("text")) >= FzTitleLen)
+      .select(col("doc_id"), substring(col("text"), 1, FzTitleLen).as("t"))
+
+  /** Fixed-position segments of `tCol`, offset by each shift in `shifts`
+    * (PassJoin's position window; `Seq(0)` = aligned substitution-only
+    * blocking). Emits (…, i, s) rows for the blocking equi-join.
+    */
+  private def fzSegmented(
+      df: DataFrame, tCol: String, shifts: Seq[Int]): DataFrame =
+    df.withColumn("seg", explode(array((for {
+        i <- 0 until FzNSeg
+        d <- shifts
+        if i * FzSegLen + 1 + d >= 1
+      } yield struct(lit(i).as("i"),
+        substring(col(tCol), i * FzSegLen + 1 + d, FzSegLen).as("s"))): _*)))
+      .select(df.columns.map(col) :+ col("seg.i").as("i")
+        :+ col("seg.s").as("s"): _*)
+
+  /** Candidate verify + keep-best resolution (shared): banded levenshtein
+    * filter (the ThresholdLevenshteinRule target — asserted in PlanSpec),
+    * exact distance for survivors only, min-(dist, id) winner per dirty
+    * row.
+    */
+  private def fzResolve(cand: DataFrame): DataFrame = {
+    val byBest = Window.partitionBy(col("dirty_id"))
+      .orderBy(col("dist"), col("clean_id"))
+    cand
+      .filter(levenshtein(col("t_dirty"), col("t_clean")) <= 2)
+      .withColumn("dist",
+        levenshtein(col("t_dirty"), col("t_clean")).cast(LongType))
+      .withColumn("rn", row_number().over(byBest))
+      .filter(col("rn") === 1)
+      .select(col("dirty_id"), col("clean_id"), col("dist"))
+      .orderBy("dirty_id")
+  }
+
   def fuzzyBlockedJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val SegLen = 12
-    val NSeg = 3
-    val TitleLen = SegLen * NSeg
-    val docs = Tables(spark, sfDir, "documents")
-      .filter(length(col("text")) >= TitleLen)
-      .select(col("doc_id"), substring(col("text"), 1, TitleLen).as("t"))
+    val docs = fzTitles(spark, sfDir)
     val clean = docs
       .select(col("doc_id").as("clean_id"), col("t").as("t_clean"))
     val dirty = docs.filter(col("doc_id") % 5 === 0)
@@ -521,30 +560,73 @@ object TextAnalysis {
         concat(substring(col("t"), 1, 6), lit("#"),
           substring(col("t"), 8, 11), lit("#"),
           substring(col("t"), 20, 17)).as("t_dirty"))
-    def segmented(df: DataFrame, tCol: String): DataFrame =
-      df.withColumn("seg", explode(array((0 until NSeg).map(i =>
-          struct(lit(i).as("i"),
-            substring(col(tCol), i * SegLen + 1, SegLen).as("s"))): _*)))
-        .select(df.columns.map(col) :+ col("seg.i").as("i")
-          :+ col("seg.s").as("s"): _*)
-    val cand = segmented(dirty, "t_dirty")
-      .join(segmented(clean, "t_clean"), Seq("i", "s"))
+    val cand = fzSegmented(dirty, "t_dirty", Seq(0))
+      .join(fzSegmented(clean, "t_clean", Seq(0)), Seq("i", "s"))
       .select(col("dirty_id"), col("t_dirty"), col("clean_id"), col("t_clean"))
       .distinct()
-    val byBest = Window.partitionBy(col("dirty_id"))
-      .orderBy(col("dist"), col("clean_id"))
-    cand
-      // the verify predicate is a FRESH levenshtein comparison (not the
-      // projected alias) so graft.plans.ThresholdLevenshteinRule rewrites
-      // it to the banded O(k·n) DP (asserted in PlanSpec); only the few
-      // survivors pay the exact DP for the projected distance
-      .filter(levenshtein(col("t_dirty"), col("t_clean")) <= 2)
-      .withColumn("dist", levenshtein(col("t_dirty"), col("t_clean")).cast(LongType))
-      .withColumn("rn", row_number().over(byBest))
-      .filter(col("rn") === 1)
-      .select(col("dirty_id"), col("clean_id"), col("dist"))
-      .orderBy("dirty_id")
+    fzResolve(cand)
   }
+
+  /** The INDEL-general fuzzy join — full PassJoin position-window
+    * blocking (Li, Deng, Feng: PassJoin, VLDB'12). Substitution-only
+    * noise keeps segments aligned, so [[fuzzyBlockedJoin]] joins on exact
+    * positions; an insertion or deletion SHIFTS everything after it, and
+    * the pigeonhole becomes: for distance ≤ τ, some clean segment appears
+    * verbatim in the dirty string within ±τ of its home position. The
+    * dirty side therefore emits each segment window at shifts −τ..τ
+    * (2τ+1 = 5 keys per segment — constant fan-out, still an equi-join,
+    * still never docs²) and the same banded verify + keep-best resolve
+    * the candidates. Corruption here is one deletion + one insertion, so
+    * every aligned-only key for the tail segments misses — this query
+    * fails under [[fuzzyBlockedJoin]]'s blocking by construction.
+    */
+  def fuzzyIndelJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = fzTitles(spark, sfDir)
+    val clean = docs
+      .select(col("doc_id").as("clean_id"), col("t").as("t_clean"))
+    // delete char 8, insert '#' before the char at 26: distance 2, pure
+    // indel — every character from position 8 on sits at a shifted index
+    val dirty = docs.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("dirty_id"),
+        concat(substring(col("t"), 1, 7), substring(col("t"), 9, 17),
+          lit("#"), substring(col("t"), 26, 11)).as("t_dirty"))
+    val cand = fzSegmented(dirty, "t_dirty", -2 to 2)
+      .join(fzSegmented(clean, "t_clean", Seq(0)), Seq("i", "s"))
+      .select(col("dirty_id"), col("t_dirty"), col("clean_id"), col("t_clean"))
+      .distinct()
+    fzResolve(cand)
+  }
+
+  private val fuzzyIndelJoinOracle =
+    """WITH docs AS (
+      |  SELECT doc_id, substr(text, 1, 36) AS t FROM documents
+      |  WHERE length(text) >= 36),
+      |clean AS (SELECT doc_id AS clean_id, t AS t_clean FROM docs),
+      |dirty AS (
+      |  SELECT doc_id AS dirty_id,
+      |    concat(substr(t,1,7), substr(t,9,17), '#', substr(t,26,11))
+      |      AS t_dirty
+      |  FROM docs WHERE doc_id % 5 = 0),
+      |cseg AS (
+      |  SELECT clean_id, t_clean, i.range AS i,
+      |    substr(t_clean, CAST(i.range*12+1 AS INT), 12) AS s
+      |  FROM clean, range(0, 3) i),
+      |dseg AS (
+      |  SELECT dirty_id, t_dirty, i.range AS i,
+      |    substr(t_dirty, CAST(i.range*12+1+d.range AS INT), 12) AS s
+      |  FROM dirty, range(0, 3) i, range(-2, 3) d
+      |  WHERE i.range*12+1+d.range >= 1),
+      |cand AS (
+      |  SELECT DISTINCT dirty_id, t_dirty, clean_id, t_clean
+      |  FROM dseg JOIN cseg USING (i, s)),
+      |ver AS (
+      |  SELECT dirty_id, clean_id,
+      |    CAST(levenshtein(t_dirty, t_clean) AS BIGINT) AS dist,
+      |    row_number() OVER (PARTITION BY dirty_id
+      |      ORDER BY levenshtein(t_dirty, t_clean), clean_id) AS rn
+      |  FROM cand WHERE levenshtein(t_dirty, t_clean) <= 2)
+      |SELECT dirty_id, clean_id, dist FROM ver WHERE rn = 1
+      |ORDER BY dirty_id""".stripMargin
 
   private val fuzzyBlockedJoinOracle =
     """WITH docs AS (
@@ -669,5 +751,8 @@ object TextAnalysis {
     Query("text_rarity_score",
       "per-doc mean inverse document frequency (unigram quality proxy)",
       rarityScore, Some(rarityScoreOracle)),
+    Query("text_fuzzy_join_indel",
+      "PassJoin position-window blocking: indel-robust fuzzy join",
+      fuzzyIndelJoin, Some(fuzzyIndelJoinOracle)),
   )
 }
