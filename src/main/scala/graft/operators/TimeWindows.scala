@@ -143,6 +143,53 @@ object TimeWindows {
        |GROUP BY user_id, session_seq
        |ORDER BY user_id, session_start""".stripMargin
 
+  /** Session windows with a DYNAMIC, per-event gap: clicks time out after
+    * 10 minutes, everything else after 30 — the per-event-class session
+    * policy real products run (short attention events vs long-form
+    * activity), expressible only because `session_window` accepts a gap
+    * EXPRESSION. Semantics (and the oracle's re-derivation): each event
+    * spans [ts, ts+gap); overlapping spans merge, so session membership
+    * depends on the RUNNING MAX of previous span ends — a long-gap event
+    * can bridge over a short-gap one, which per-previous-event
+    * formulations get wrong. Same single (user_id) exchange as the fixed
+    * gap variant; the merge runs inside Spark's session-window aggregation
+    * node either way.
+    */
+  def sessionWindowDynamicGap(spark: SparkSession, sfDir: String): DataFrame = {
+    val gap = when(col("event_type") === "click", lit("10 minutes"))
+      .otherwise(lit("30 minutes"))
+    Tables(spark, sfDir, "events")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  private val sessionWindowDynamicGapOracle =
+    s"""WITH g AS (
+       |  SELECT user_id, ts, event_id, value,
+       |    ts + CASE WHEN event_type = 'click' THEN INTERVAL '10 minutes'
+       |              ELSE INTERVAL '30 minutes' END AS ext
+       |  FROM events),
+       |r AS (
+       |  SELECT *, max(ext) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM g),
+       |q AS (
+       |  SELECT *, CAST(sum(CASE WHEN prev_end IS NULL OR ts >= prev_end
+       |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS seq
+       |  FROM r)
+       |SELECT user_id, min(ts) AS session_start, max(ext) AS session_end,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  ${sqlDsum("value")} AS sum_value
+       |FROM q GROUP BY user_id, seq
+       |ORDER BY user_id, session_start""".stripMargin
+
   /** Ordered-funnel analysis per session — view → click → purchase, each
     * step's timestamp strictly after the previous step's, scoped to a
     * 30-minute-gap session: the product-analytics query every event
@@ -484,5 +531,8 @@ object TimeWindows {
     Query("ts_ohlc_bars",
       "OHLC daily bar downsampling via min_by/max_by selection aggregates",
       ohlcBars, Some(ohlcBarsOracle)),
+    Query("win_session_dynamic_gap",
+      "session_window with a per-event gap expression (running-max merge)",
+      sessionWindowDynamicGap, Some(sessionWindowDynamicGapOracle)),
   )
 }

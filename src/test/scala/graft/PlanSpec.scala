@@ -487,6 +487,23 @@ class PlanSpec extends SparkTestBase {
       s"the moments table is group-cardinality-sized — must broadcast:\n$p")
   }
 
+  test("CACHE TABLE serves later scans from the in-memory columnar relation") {
+    // the SQL-surface spelling of materialized intermediates (at 100 TB:
+    // persisted bucketed tables; locally: the in-memory columnar cache) —
+    // a cached view must plan as InMemoryTableScan, not re-run its query
+    spark.read.parquet(s"$Sf/nation.parquet").createOrReplaceTempView("pl_nation_v")
+    spark.sql("CACHE TABLE pl_nation_c AS SELECT n_nationkey, n_name FROM pl_nation_v")
+    try {
+      val p = plan(spark.sql(
+        "SELECT count(*) AS n FROM pl_nation_c WHERE n_nationkey > 5"))
+      // the cached plan renders its ORIGIN (the parquet scan) nested under
+      // InMemoryRelation, so assert the scan operator itself, not absence
+      // of the word parquet
+      assert(p.contains("Scan In-memory table"),
+        s"cached relation must serve from the columnar cache:\n$p")
+    } finally spark.sql("UNCACHE TABLE pl_nation_c")
+  }
+
   test("levenshtein threshold rule rewrites <= k into the banded DP form") {
     // parquet-backed, not a literal relation (constant folding would
     // collapse a LocalRelation before the rule could be observed)
