@@ -352,4 +352,52 @@ class StreamingSpec extends SparkTestBase with StreamingRestartHarness {
     assert(second == Set(3L),
       s"the redelivered id=2 must be deduped by restored state, got $second")
   }
+
+  test("chained stateful rollup recovers BOTH state generations across restarts") {
+    // stream_windowed_rollup's restart story: the 10-min window partials
+    // AND the hourly second-level state must both survive checkpoint
+    // recovery. Hour-12 data lands in run 1; a watermark-advancing row in
+    // run 2 closes the RECOVERED 10-min windows, feeds the RECOVERED
+    // hourly state, and flushes the hour-12 rollup (a restarted
+    // AvailableNow runs a finalizing no-data batch under the advanced
+    // watermark — unlike mid-run batches, which lag one batch behind);
+    // run 3 proves emit-once: only the newly closed hour-15 rollup
+    // appears, hour 12 is never re-emitted.
+    import org.apache.spark.sql.functions._
+    val h = new RestartFeed("graft_rollup_restart")
+
+    def addFile(tag: String, raws: Seq[String]): Unit =
+      h.addFile(tag, spark.createDataFrame(raws.map(Tuple1(_))).toDF("raw")
+        .select(to_timestamp(col("raw")).as("ts"), lit(1.0).as("value")))
+
+    def drain(): Seq[(String, Long, Long)] = {
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+      h.drain("ts TIMESTAMP, value DOUBLE") { src =>
+        src.withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "10 minutes"))
+          .agg(count(lit(1)).as("n10"))
+          .groupBy(window(window_time(col("window")), "1 hour"))
+          .agg(sum(col("n10")).as("n"), count(lit(1)).as("n_subwindows"))
+          .select(col("window.start").cast("string").as("h"),
+            col("n"), col("n_subwindows"))
+      } { batch =>
+        batch.collect().foreach(r =>
+          out.add((r.getString(0), r.getLong(1), r.getLong(2))))
+      }
+      import scala.jdk.CollectionConverters._
+      out.asScala.toSeq
+    }
+
+    addFile("a", Seq(
+      "2026-01-01 12:00:30", "2026-01-01 12:11:00", "2026-01-01 12:25:00"))
+    assert(drain().isEmpty, "run 1: nothing can close yet")
+    addFile("b", Seq("2026-01-01 15:00:00"))
+    val got2 = drain()
+    assert(got2 == Seq(("2026-01-01 12:00:00", 3L, 3L)),
+      s"run 2 must flush exactly the recovered hour-12 rollup, got $got2")
+    addFile("c", Seq("2026-01-01 18:00:00"))
+    val got3 = drain()
+    assert(got3 == Seq(("2026-01-01 15:00:00", 1L, 1L)),
+      s"run 3 must flush only hour 15 — emit-once for hour 12, got $got3")
+  }
 }
