@@ -1548,6 +1548,77 @@ object Relational {
        |    AS n_add_overflow
        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** HiveQL `LATERAL VIEW explode` — the generator spelling every
+    * Hive/legacy-warehouse migration carries (the DataFrame `explode` and
+    * pipe-era `posexplode` queries cover the modern spellings; this pins
+    * the FROM-clause one). Catalyst plans all three identically
+    * (Generate), so the migration is rename-only.
+    */
+  def lateralViewExplode(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "documents").createOrReplaceTempView("graft_docs_v")
+    spark.sql(
+      """SELECT tok, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM graft_docs_v
+        |LATERAL VIEW explode(split(text, ' ')) t AS tok
+        |WHERE length(tok) >= 5
+        |GROUP BY tok
+        |ORDER BY n DESC, tok
+        |LIMIT 20""".stripMargin)
+  }
+
+  private val lateralViewExplodeOracle =
+    """SELECT tok, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |      FROM documents)
+      |WHERE length(tok) >= 5
+      |GROUP BY tok
+      |ORDER BY n DESC, tok
+      |LIMIT 20""".stripMargin
+
+  /** `explode` vs `explode_outer` — the null-preserving generator
+    * semantics: a document whose long-token array is EMPTY vanishes under
+    * plain explode (an inner-join against the generated rows) but
+    * survives explode_outer with a NULL token (the left-outer form).
+    * Losing empty rows silently is the classic generator bug in
+    * per-document metric pipelines — the query counts both ways so the
+    * difference (= docs with no long tokens) is data, not a trap.
+    */
+  def explodeOuterSemantics(spark: SparkSession, sfDir: String): DataFrame = {
+    val longToks = filter(split(col("text"), " "), t => length(t) >= 10)
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), longToks.as("toks"))
+    val inner = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .select(lit("explode").as("variant"), col("n_rows"), col("n_docs"))
+    val outer = docs.select(col("doc_id"), explode_outer(col("toks")).as("tok"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .select(lit("explode_outer").as("variant"), col("n_rows"), col("n_docs"))
+    inner.unionAll(outer).orderBy("variant")
+  }
+
+  private val explodeOuterOracle =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split(text, ' '), t -> length(t) >= 10) AS ts
+      |  FROM documents),
+      |inner_rows AS (
+      |  SELECT doc_id, unnest(ts) AS tok FROM toks),
+      |outer_rows AS (
+      |  SELECT t.doc_id, u.tok
+      |  FROM toks t LEFT JOIN
+      |    (SELECT doc_id, unnest(ts) AS tok FROM toks) u
+      |    ON t.doc_id = u.doc_id)
+      |SELECT 'explode' AS variant, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM inner_rows
+      |UNION ALL
+      |SELECT 'explode_outer', CAST(count(*) AS BIGINT),
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) FROM outer_rows
+      |ORDER BY variant""".stripMargin
+
   // ---- pivot ------------------------------------------------------------
 
   /** Pivot (long→wide) with an explicit value list — the explicit list keeps
@@ -2607,5 +2678,11 @@ object Relational {
     Query("scalar_try_arithmetic",
       "try_divide/try_mod/try_multiply/try_add: ANSI-lenient arithmetic",
       tryArithmetic, Some(tryArithmeticOracle)),
+    Query("sql_lateral_view",
+      "HiveQL LATERAL VIEW explode generator spelling (migration surface)",
+      lateralViewExplode, Some(lateralViewExplodeOracle)),
+    Query("scalar_explode_outer",
+      "explode vs explode_outer: null-preserving generator semantics",
+      explodeOuterSemantics, Some(explodeOuterOracle)),
   )
 }
