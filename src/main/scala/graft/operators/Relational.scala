@@ -1619,6 +1619,107 @@ object Relational {
       |  CAST(count(DISTINCT doc_id) AS BIGINT) FROM outer_rows
       |ORDER BY variant""".stripMargin
 
+  /** Group-wise winsorization — outlier capping at exact per-group
+    * percentiles (the standard pre-training numeric cleanup: clamp, don't
+    * drop). Two passes: exact p05/p95 per group (ONE tiny relation —
+    * group-cardinality-sized, broadcast back), then a codegen'd
+    * clamp + decimal-exact aggregate on the second scan. Caps come from
+    * `percentile()` over CENT integers, so the interpolated cut is exact
+    * rational arithmetic on both engines (double percentiles of arbitrary
+    * doubles would interpolate in floating point — same trap as the
+    * rolling median, solved the same way).
+    */
+  def winsorize(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = col("value").cast(DecimalType(18, 2))
+      .multiply(lit(100)).cast(LongType)
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_type").as("g"), col("event_id"), cents.as("v"))
+    // caps round to 6dp: the two engines' percentile interpolation can
+    // differ in the last ulp for arbitrary quantiles (q=0.5 is exact —
+    // the rolling-median case — 0.05/0.95 are not)
+    val caps = ev.groupBy(col("g"))
+      .agg(round(percentile(col("v"), lit(0.05)), 6).as("lo"),
+        round(percentile(col("v"), lit(0.95)), 6).as("hi"))
+    val vd = col("v").cast(DoubleType)
+    ev.join(broadcast(caps), "g")
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(vd < col("lo") || vd > col("hi"), 1L).otherwise(0L))
+          .as("n_capped"),
+        sum(greatest(col("lo"), least(col("hi"), vd))
+          .cast(DecimalType(24, 6))).cast(DoubleType)
+          .as("sum_winsorized"))
+      .orderBy("g")
+  }
+
+  private val winsorizeOracle =
+    """WITH ev AS (
+      |  SELECT event_type AS g, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events),
+      |caps AS (
+      |  SELECT g, round(quantile_cont(v, 0.05), 6) AS lo,
+      |    round(quantile_cont(v, 0.95), 6) AS hi
+      |  FROM ev GROUP BY g)
+      |SELECT ev.g, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(*) FILTER (WHERE CAST(ev.v AS DOUBLE) < caps.lo
+      |    OR CAST(ev.v AS DOUBLE) > caps.hi) AS BIGINT) AS n_capped,
+      |  CAST(sum(CAST(greatest(caps.lo, least(caps.hi, CAST(ev.v AS DOUBLE)))
+      |    AS DECIMAL(24,6))) AS DOUBLE) AS sum_winsorized
+      |FROM ev JOIN caps ON ev.g = caps.g
+      |GROUP BY ev.g ORDER BY ev.g""".stripMargin
+
+  /** Per-group simple linear regression (OLS y = a + b·x) from ONE pass of
+    * exact sufficient statistics — trend analytics (value drift over time
+    * per event class) in the same moments discipline as
+    * `agg_corr_moments`: Σx, Σy, Σxy, Σx² accumulate as DECIMAL (exact,
+    * order-independent); slope and intercept are then TWO IEEE divisions
+    * of exact operands, rounded to 6dp — deterministic cross-engine,
+    * where naive float accumulation would differ per partitioning. x is
+    * epoch seconds rebased to the corpus start so the products stay well
+    * inside DECIMAL(38) at any scale factor.
+    */
+  def groupRegression(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_type").as("g"),
+        (unix_timestamp(col("ts")) - lit(1704067200L))
+          .cast(DecimalType(38, 0)).as("x"),
+        col("value").cast(DecimalType(18, 2)).multiply(lit(100))
+          .cast(DecimalType(38, 0)).as("y"))
+    val m = ev.groupBy(col("g"))
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+    m.select(col("g"), col("n").cast(LongType).as("n"),
+        round(num / den, 6).as("slope_cents_per_sec"),
+        round((col("sy").cast(DoubleType)
+          - (num / den) * col("sx").cast(DoubleType))
+          / col("n").cast(DoubleType), 6).as("intercept_cents"))
+      .orderBy("g")
+  }
+
+  private val groupRegressionOracle =
+    """WITH ev AS (
+      |  SELECT event_type AS g,
+      |    CAST(epoch_us(ts) // 1000000 - 1704067200 AS DECIMAL(38,0)) AS x,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) AS y
+      |  FROM events),
+      |m AS (
+      |  SELECT g, CAST(count(*) AS DECIMAL(38,0)) AS n,
+      |    sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+      |  FROM ev GROUP BY g)
+      |SELECT g, CAST(n AS BIGINT) AS n,
+      |  round(CAST(n*sxy - sx*sy AS DOUBLE)
+      |    / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope_cents_per_sec,
+      |  round((CAST(sy AS DOUBLE)
+      |    - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+      |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept_cents
+      |FROM m ORDER BY g""".stripMargin
+
   // ---- pivot ------------------------------------------------------------
 
   /** Pivot (long→wide) with an explicit value list — the explicit list keeps
@@ -2684,5 +2785,11 @@ object Relational {
     Query("scalar_explode_outer",
       "explode vs explode_outer: null-preserving generator semantics",
       explodeOuterSemantics, Some(explodeOuterOracle)),
+    Query("agg_winsorize",
+      "group-wise p05/p95 winsorization: clamp outliers, decimal-exact sums",
+      winsorize, Some(winsorizeOracle)),
+    Query("agg_group_regression",
+      "per-group OLS slope/intercept from one pass of exact moments",
+      groupRegression, Some(groupRegressionOracle)),
   )
 }
