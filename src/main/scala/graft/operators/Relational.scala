@@ -1720,6 +1720,121 @@ object Relational {
       |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept_cents
       |FROM m ORDER BY g""".stripMargin
 
+  /** Robust outlier detection — median/MAD, the resistant sibling of
+    * `agg_zscore_outliers` (mean/σ are themselves dragged by the outliers
+    * they're hunting; median and MAD have 50% breakdown). Test:
+    * |x − med| > 3 · 1.4826 · MAD (1.4826 ≈ 1/Φ⁻¹(3/4), the consistency
+    * constant for normal data).
+    *
+    * Exactness: medians of INTEGERS interpolate only at the midpoint —
+    * exactly representable — so DOUBLING both the median and the MAD
+    * keeps every quantity a BIGINT, and the test cross-multiplies to
+    * `20000·dev2 > 44478·mad2` — all-integer, bit-exact cross-engine
+    * (arbitrary quantiles aren't exact — see `agg_winsorize` — but
+    * q=0.5 is). Shape: two percentile passes with the group-sized result
+    * broadcast back each time; three scans total, no sort beyond the
+    * percentile internals.
+    */
+  def robustOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = col("value").cast(DecimalType(18, 2))
+      .multiply(lit(100)).cast(LongType)
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_type").as("g"), col("event_id"), cents.as("v"))
+    val med = ev.groupBy(col("g"))
+      .agg((percentile(col("v"), lit(0.5)) * 2).cast(LongType).as("m2"))
+    val dev = ev.join(broadcast(med), "g")
+      .select(col("g"), col("event_id"), col("m2"),
+        abs(col("v") * 2 - col("m2")).as("dev2"))
+    val mad = dev.groupBy(col("g"))
+      .agg((percentile(col("dev2"), lit(0.5)) * 2).cast(LongType).as("mad4"))
+    // dev2 = 2·|x−med| and mad4 = 4·MAD, so |x−med| > 3·1.4826·MAD
+    // ⇔ dev2/2 > 4.4478·mad4/4 ⇔ dev2 > 2.2239·mad4
+    // ⇔ 10000·dev2 > 22239·mad4 — all-integer
+    val isOut = col("dev2") * 10000L > col("mad4") * 22239L
+    dev.join(broadcast(mad), "g")
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("n"),
+        (max(col("m2")).cast(DoubleType) / 2).as("median_cents"),
+        (max(col("mad4")).cast(DoubleType) / 4).as("mad_cents"),
+        sum(when(isOut, 1L).otherwise(0L)).as("n_outliers"),
+        min(when(isOut, col("event_id"))).as("first_outlier"))
+      .orderBy("g")
+  }
+
+  private val robustOutliersOracle =
+    """WITH ev AS (
+      |  SELECT event_type AS g, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events),
+      |med AS (
+      |  SELECT g, CAST(quantile_cont(v, 0.5) * 2 AS BIGINT) AS m2
+      |  FROM ev GROUP BY g),
+      |dev AS (
+      |  SELECT ev.g, ev.event_id, med.m2, abs(ev.v * 2 - med.m2) AS dev2
+      |  FROM ev JOIN med ON ev.g = med.g),
+      |mad AS (
+      |  SELECT g, CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+      |  FROM dev GROUP BY g)
+      |SELECT dev.g, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(max(dev.m2) AS DOUBLE) / 2 AS median_cents,
+      |  CAST(max(mad.mad4) AS DOUBLE) / 4 AS mad_cents,
+      |  CAST(count(*) FILTER (WHERE dev.dev2 * 10000 > mad.mad4 * 22239)
+      |    AS BIGINT) AS n_outliers,
+      |  CAST(min(CASE WHEN dev.dev2 * 10000 > mad.mad4 * 22239
+      |    THEN dev.event_id END) AS BIGINT) AS first_outlier
+      |FROM dev JOIN mad ON dev.g = mad.g
+      |GROUP BY dev.g ORDER BY dev.g""".stripMargin
+
+  /** Group-mean imputation — the third gap-repair strategy (forward-fill
+    * and linear interpolation are ORDER-based; this is the distribution-
+    * based one used when rows have no meaningful order). Nulls are
+    * planted deterministically (every 11th event id), the replacement is
+    * the non-null group mean as an exact DECIMAL ratio rounded once to
+    * 2dp (cent grid), and the output aggregates prove the repair: count
+    * imputed, exact sums before/after.
+    */
+  def meanImpute(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = col("value").cast(DecimalType(18, 2))
+      .multiply(lit(100)).cast(LongType)
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_type").as("g"),
+        when(col("event_id") % 11 === 0, lit(null).cast(LongType))
+          .otherwise(cents).as("v"))
+    val means = ev.groupBy(col("g"))
+      .agg(round(sum(col("v")).cast(DoubleType) / count(col("v")), 2)
+        .as("mean_v"))
+    ev.join(broadcast(means), "g")
+      .select(col("g"), col("v"),
+        coalesce(col("v").cast(DoubleType), col("mean_v")).as("filled"))
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_imputed"),
+        sum(col("v")).as("sum_observed"),
+        sum(col("filled").cast(DecimalType(24, 2))).cast(DoubleType)
+          .as("sum_filled"))
+      .orderBy("g")
+  }
+
+  private val meanImputeOracle =
+    """WITH ev AS (
+      |  SELECT event_type AS g,
+      |    CASE WHEN event_id % 11 = 0 THEN NULL
+      |         ELSE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    END AS v
+      |  FROM events),
+      |means AS (
+      |  SELECT g, round(CAST(sum(v) AS DOUBLE) / count(v), 2) AS mean_v
+      |  FROM ev GROUP BY g)
+      |SELECT ev.g, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(*) FILTER (WHERE ev.v IS NULL) AS BIGINT) AS n_imputed,
+      |  CAST(sum(ev.v) AS BIGINT) AS sum_observed,
+      |  CAST(sum(CAST(coalesce(CAST(ev.v AS DOUBLE), means.mean_v)
+      |    AS DECIMAL(24,2))) AS DOUBLE) AS sum_filled
+      |FROM ev JOIN means ON ev.g = means.g
+      |GROUP BY ev.g ORDER BY ev.g""".stripMargin
+
   // ---- pivot ------------------------------------------------------------
 
   /** Pivot (long→wide) with an explicit value list — the explicit list keeps
@@ -2791,5 +2906,11 @@ object Relational {
     Query("agg_group_regression",
       "per-group OLS slope/intercept from one pass of exact moments",
       groupRegression, Some(groupRegressionOracle)),
+    Query("agg_robust_outliers",
+      "median/MAD outlier screen, all-integer cross-multiplied test",
+      robustOutliers, Some(robustOutliersOracle)),
+    Query("win_mean_impute",
+      "group-mean imputation of planted nulls, exact before/after sums",
+      meanImpute, Some(meanImputeOracle)),
   )
 }
