@@ -972,6 +972,106 @@ object RefParity {
       |    AS sum_price
       |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** PERMISSIVE CSV with corrupt-record routing — the CSV twin of
+    * [[jsonCorruptPermissive]] (S3's format is the one the reference
+    * actually ingests, app.py:28-29, so its malformed-row story matters
+    * most): rows with a non-numeric price field null-fill, the raw line
+    * lands in `_corrupt_record`, and the aggregate routes them to a
+    * `_CORRUPT` bucket. One subtlety the JSON twin doesn't have: CSV
+    * PERMISSIVE also null-fills SHORT rows (missing trailing columns)
+    * without marking them corrupt — the planted rows here are
+    * type-malformed, which does mark.
+    */
+  def csvCorruptPermissive(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Staging.stagedDir("graft_csv_corrupt", sfDir) { d =>
+      val good = concat_ws(",", col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast(DecimalType(18, 2)))
+      val bad = concat_ws(",", col("o_orderkey"), col("o_orderstatus"),
+        lit("NOT_A_PRICE"))
+      Tables(spark, sfDir, "orders")
+        .select(when(col("o_orderkey") % 13 === 0, bad)
+          .otherwise(good).as("value"))
+        .write.mode("overwrite").text(d.getAbsolutePath)
+    }
+    spark.read
+      .schema(StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType),
+        StructField("_corrupt_record", StringType))))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir.getAbsolutePath)
+      .groupBy(when(col("_corrupt_record").isNotNull, lit("_CORRUPT"))
+        .otherwise(col("o_orderstatus")).as("status"))
+      .agg(count(lit(1)).as("n"),
+        count(col("_corrupt_record")).as("n_corrupt"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_price"))
+      .orderBy("status")
+  }
+
+  private val csvCorruptOracle =
+    """SELECT
+      |  CASE WHEN o_orderkey % 13 = 0 THEN '_CORRUPT'
+      |       ELSE o_orderstatus END AS status,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(CASE WHEN o_orderkey % 13 = 0 THEN 1 END) AS BIGINT)
+      |    AS n_corrupt,
+      |  CAST(sum(CASE WHEN o_orderkey % 13 <> 0
+      |           THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** External-table partition DISCOVERY — `MSCK REPAIR TABLE` (a.k.a.
+    * `ALTER TABLE ... RECOVER PARTITIONS`), the lake op that makes
+    * directly-written partition directories queryable: ingest jobs drop
+    * files into `status=X/` paths; the metastore doesn't know until
+    * repair scans the layout and registers what it finds. The test
+    * registers an external partitioned table over the staged lake of
+    * [[partitionedSink]] (shared generation), repairs, and proves the
+    * catalog now routes a query through the discovered partitions — with
+    * partition PRUNING intact (the repaired metadata carries the
+    * partition values).
+    */
+  def partitionDiscovery(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Staging.stagedDir("graft_part_lake", sfDir) { d =>
+      Tables(spark, sfDir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice",
+          "o_orderstatus")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(d.getAbsolutePath)
+    }
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dbLoc = s"${sys.props("java.io.tmpdir")}/graft_tmp_db_$tag"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS graft_tmp LOCATION '$dbLoc'")
+    spark.sql("DROP TABLE IF EXISTS graft_tmp.orders_lake")
+    spark.sql(
+      s"""CREATE TABLE graft_tmp.orders_lake
+         | (o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE)
+         | USING PARQUET
+         | PARTITIONED BY (o_orderstatus STRING)
+         | LOCATION '${dir.getAbsolutePath}'""".stripMargin
+        .replace("\n", " "))
+    // a freshly registered external table knows NO partitions — the
+    // repair is what discovers the directories
+    spark.sql("MSCK REPAIR TABLE graft_tmp.orders_lake")
+    spark.table("graft_tmp.orders_lake")
+      .filter(col("o_orderstatus") =!= "P")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val partitionDiscoveryOracle =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_orderstatus <> 'P'
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** Hidden `_metadata` file-source columns: per-file lineage surfaced as
     * ordinary columns — the audit/debug primitive ("which file did this
     * row come from", "which partition is corrupt") every lake operator
@@ -1080,5 +1180,11 @@ object RefParity {
     Query("ref_file_metadata_audit",
       "_metadata hidden columns: path-derived lineage vs partition column",
       fileMetadataAudit, Some(fileMetadataAuditOracle)),
+    Query("ref_csv_corrupt_permissive",
+      "PERMISSIVE CSV ingest with corrupt-record routing (the S3 format)",
+      csvCorruptPermissive, Some(csvCorruptOracle)),
+    Query("ref_partition_discovery",
+      "MSCK REPAIR: directly-written partition dirs discovered + pruned",
+      partitionDiscovery, Some(partitionDiscoveryOracle)),
   )
 }
