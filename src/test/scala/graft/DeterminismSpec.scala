@@ -31,7 +31,11 @@ class DeterminismSpec extends SparkTestBase {
     "graph_shortest_paths",  // iterative min-agg fixed point
     "sim_ann_pq_adc",        // argmin tiebreaks + shortlist cut + re-rank
     "dedup_exact",           // hash-group representative choice
-    "agg_zscore_outliers")   // broadcast moments + integer flags
+    "agg_zscore_outliers",   // broadcast moments + integer flags
+    "ts_ohlc_bars",          // min_by/max_by selection-aggregate ties
+    "text_fuzzy_join",       // blocking join + keep-best resolution
+    "curation_mixture_weights", // bottleneck-min + integer floor divs
+    "agg_robust_outliers")   // two chained percentile passes
 
   private def rowsAt(name: String, partitions: Int): Seq[Seq[Any]] = {
     val key = "spark.sql.shuffle.partitions"
