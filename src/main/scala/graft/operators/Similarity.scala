@@ -576,6 +576,47 @@ object Similarity {
        |FROM short s JOIN q v ON v.vec_id = s.vec_id, pq p
        |ORDER BY exact_dist, s.vec_id LIMIT 10""".stripMargin
 
+  /** Embedding quality screening — the sanity pass every vector corpus
+    * needs BEFORE the expensive ops consume it (a batch of zero vectors
+    * or a collapsed-norm label poisons cosine similarity silently):
+    * per-label count, norm² spread (min/mean/max on the exact 1e-6
+    * integer grid — one scan, one tiny aggregate), and degenerate-vector
+    * counts (near-zero norm). The mean is the one division, exact
+    * integer operands rounded once.
+    */
+  def embeddingQa(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = transform(col("embedding"),
+      x => round(x.cast(DoubleType) * KmScale).cast(LongType))
+    val n2 = aggregate(transform(q, v => v * v), lit(0L), (a, v) => a + v)
+    Tables(spark, sfDir, "embeddings")
+      .select(col("label"), n2.as("n2"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("n2")).as("min_norm_sq"),
+        max(col("n2")).as("max_norm_sq"),
+        round(sum(col("n2")).cast(DoubleType) / count(lit(1)), 2)
+          .as("mean_norm_sq"),
+        sum(when(col("n2") < 1000000L, 1L).otherwise(0L))
+          .as("n_degenerate"))
+      .orderBy("label")
+  }
+
+  private val embeddingQaOracle =
+    """WITH q AS (
+      |  SELECT label,
+      |    list_reduce(list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+      |           * CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)),
+      |      (a, b) -> a + b) AS n2
+      |  FROM embeddings)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(min(n2) AS BIGINT) AS min_norm_sq,
+      |  CAST(max(n2) AS BIGINT) AS max_norm_sq,
+      |  round(CAST(sum(n2) AS DOUBLE) / count(*), 2) AS mean_norm_sq,
+      |  CAST(count(*) FILTER (WHERE n2 < 1000000) AS BIGINT) AS n_degenerate
+      |FROM q GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("sim_topk_bruteforce",
       "exact cosine top-10 vs broadcast probe (TakeOrderedAndProject)",
@@ -598,5 +639,8 @@ object Similarity {
     Query("sim_ann_pq_adc",
       "product quantization: 8-byte codes, ADC lookup join, exact re-rank",
       annPqAdc, Some(annPqAdcOracle)),
+    Query("sim_embedding_qa",
+      "per-label embedding QA: norm spread + degenerate-vector counts",
+      embeddingQa, Some(embeddingQaOracle)),
   )
 }

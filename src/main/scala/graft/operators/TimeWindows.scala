@@ -500,6 +500,40 @@ object TimeWindows {
       |FROM e GROUP BY event_type, bar_ts
       |ORDER BY event_type, bar_ts""".stripMargin
 
+  /** Week-over-week change — the period-comparison primitive of every
+    * operational dashboard: weekly event counts per type, previous week
+    * via `lag` over the aggregated (tiny) relation, delta exact and the
+    * percent change ONE IEEE division of exact integers rounded once.
+    * Monday truncation (`date_trunc('week')`) agrees cross-engine — the
+    * same anchor the retention cohorts rely on. The window runs on the
+    * AGGREGATED relation: weeks × types rows, so the sort is free at any
+    * corpus scale.
+    */
+  def weekOverWeek(spark: SparkSession, sfDir: String): DataFrame = {
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("week"))
+    Tables(spark, sfDir, "events")
+      .groupBy(date_trunc("week", col("ts")).as("week"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prev_n", lag(col("n"), 1).over(byType))
+      .select(col("week"), col("event_type"), col("n"),
+        (col("n") - col("prev_n")).as("delta"),
+        round((col("n") - col("prev_n")).cast(DoubleType) * 100
+          / col("prev_n"), 6).as("pct_change"))
+      .orderBy("event_type", "week")
+  }
+
+  private val weekOverWeekOracle =
+    """SELECT week, event_type, n,
+      |  n - prev_n AS delta,
+      |  round(CAST(n - prev_n AS DOUBLE) * 100 / prev_n, 6) AS pct_change
+      |FROM (
+      |  SELECT date_trunc('week', ts) AS week, event_type,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    lag(CAST(count(*) AS BIGINT), 1) OVER (
+      |      PARTITION BY event_type ORDER BY date_trunc('week', ts)) AS prev_n
+      |  FROM events GROUP BY 1, 2)
+      |ORDER BY event_type, week""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("win_time_tumbling",
       "tumbling 10-min event-time windows per event type",
@@ -534,5 +568,8 @@ object TimeWindows {
     Query("win_session_dynamic_gap",
       "session_window with a per-event gap expression (running-max merge)",
       sessionWindowDynamicGap, Some(sessionWindowDynamicGapOracle)),
+    Query("win_wow_change",
+      "week-over-week deltas and percent change on the aggregated relation",
+      weekOverWeek, Some(weekOverWeekOracle)),
   )
 }
