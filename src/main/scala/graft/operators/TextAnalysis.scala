@@ -711,6 +711,101 @@ object TextAnalysis {
       |GROUP BY t.doc_id
       |ORDER BY t.doc_id""".stripMargin
 
+  /** Normalization-keyed exact dedup — the robustness layer plain
+    * `dropDuplicates(text)` lacks: case, runs of whitespace, and
+    * surrounding junk make byte-distinct copies of the same content
+    * (the single most common near-dup class in crawled corpora, and the
+    * cheapest to kill — no shingles, no LSH, just a canonical key).
+    * Variants are planted deterministically (every 7th doc upper-cased,
+    * every 13th whitespace-doubled and padded), the key is
+    * lower ∘ collapse-spaces ∘ trim, and the output proves the win:
+    * groups distinct under the RAW key that collapse under the
+    * normalized key. Key derivation is per-row codegen'd string work;
+    * the dedup is the same single content-key shuffle as `dedup_exact`.
+    */
+  def normalizedDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, upper(col("text")))
+          .when(col("doc_id") % 13 === 0,
+            concat(lit("  "), regexp_replace(col("text"), " ", "  "), lit(" ")))
+          .otherwise(col("text")).as("raw"))
+    val normKey = trim(regexp_replace(lower(col("raw")), " +", " "))
+    val groups = docs
+      .select(col("doc_id"), col("raw"), normKey.as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_variants"),
+        countDistinct(col("raw")).as("n_raw_distinct"),
+        min(col("doc_id")).as("representative"))
+    groups.agg(
+        count(lit(1)).as("n_normalized_groups"),
+        sum(col("n_variants")).as("n_docs"),
+        sum(when(col("n_raw_distinct") > 1, 1L).otherwise(0L))
+          .as("n_groups_only_normalization_catches"),
+        sum(col("n_raw_distinct") - 1).as("n_dupes_missed_by_raw_key"))
+  }
+
+  private val normalizedDedupOracle =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN upper(text)
+      |         WHEN doc_id % 13 = 0 THEN
+      |           concat('  ', regexp_replace(text, ' ', '  ', 'g'), ' ')
+      |         ELSE text END AS raw
+      |  FROM documents),
+      |groups AS (
+      |  SELECT trim(regexp_replace(lower(raw), ' +', ' ', 'g')) AS k,
+      |    CAST(count(*) AS BIGINT) AS n_variants,
+      |    CAST(count(DISTINCT raw) AS BIGINT) AS n_raw_distinct
+      |  FROM docs GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_normalized_groups,
+      |  CAST(sum(n_variants) AS BIGINT) AS n_docs,
+      |  CAST(count(*) FILTER (WHERE n_raw_distinct > 1) AS BIGINT)
+      |    AS n_groups_only_normalization_catches,
+      |  CAST(sum(n_raw_distinct - 1) AS BIGINT) AS n_dupes_missed_by_raw_key
+      |FROM groups""".stripMargin
+
+  /** Language-ID evaluation against ground truth — the model-eval-in-SQL
+    * pattern (here scoring the stopword heuristic the quality pipeline
+    * uses against the corpus's labeled `lang` column): per-(truth,
+    * prediction) confusion cells plus exact-ratio precision for the 'en'
+    * class. Every metric is integer counts + one rounded IEEE division —
+    * evaluation numbers that hash identically are what lets a corpus
+    * release pin its quality claims.
+    */
+  def langIdEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val nTokens = size(split(col("text"), " "))
+    val nStop = size(regexp_extract_all(col("text"), lit(StopRe), lit(0)))
+    val pred = when(nStop.cast(DoubleType) / nTokens >= 0.02, "en")
+      .otherwise("und")
+    Tables(spark, sfDir, "documents")
+      .select(col("lang").as("truth"), pred.as("pred"))
+      .groupBy(col("truth"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("truth_total",
+        sum(col("n")).over(Window.partitionBy(col("truth"))))
+      .select(col("truth"), col("pred"), col("n"),
+        round(col("n").cast(DoubleType) * 100 / col("truth_total"), 6)
+          .as("pct_of_truth"))
+      .orderBy("truth", "pred")
+  }
+
+  private val langIdEvalOracle =
+    s"""WITH scored AS (
+       |  SELECT lang AS truth,
+       |    CASE WHEN len(list_filter(string_split(text, ' '),
+       |        t -> list_contains($stopList, t))) * 1.0
+       |        / len(string_split(text, ' ')) >= 0.02
+       |      THEN 'en' ELSE 'und' END AS pred
+       |  FROM documents),
+       |cells AS (
+       |  SELECT truth, pred, CAST(count(*) AS BIGINT) AS n
+       |  FROM scored GROUP BY truth, pred)
+       |SELECT truth, pred, n,
+       |  round(CAST(n AS DOUBLE) * 100
+       |    / sum(n) OVER (PARTITION BY truth), 6) AS pct_of_truth
+       |FROM cells ORDER BY truth, pred""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("text_stats_quality",
       "per-doc token stats, quality score, stopword-heuristic language ID",
@@ -754,5 +849,11 @@ object TextAnalysis {
     Query("text_fuzzy_join_indel",
       "PassJoin position-window blocking: indel-robust fuzzy join",
       fuzzyIndelJoin, Some(fuzzyIndelJoinOracle)),
+    Query("dedup_normalized_key",
+      "normalization-keyed exact dedup: case/whitespace variants collapse",
+      normalizedDedup, Some(normalizedDedupOracle)),
+    Query("text_langid_eval",
+      "confusion cells + exact ratios: lang-ID heuristic vs ground truth",
+      langIdEval, Some(langIdEvalOracle)),
   )
 }
