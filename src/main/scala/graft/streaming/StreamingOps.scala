@@ -983,6 +983,54 @@ object StreamingOps {
       | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '30 minutes'
       |ORDER BY signup_id, purchase_id NULLS FIRST""".stripMargin
 
+  /** Stream-stream FULL OUTER interval join — completes the streaming
+    * join matrix (inner and LEFT OUTER elsewhere): every match, PLUS one
+    * null-padded row per provably-unmatched signup, PLUS one per
+    * provably-unmatched purchase — both proofs coming from the watermark
+    * passing the respective join windows. State and eviction are exactly
+    * the LEFT OUTER machinery applied on both sides; the sentinel-closed
+    * source pushes the final watermark past every window so the emitted
+    * set equals the batch FULL JOIN row for row. Sentinel rows (either
+    * side) drop at the output via the coalesced user key.
+    */
+  def streamStreamFullOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = chunkedEventsWithSentinelDir(spark, sfDir)
+    val schema = spark.read.parquet(dir.getAbsolutePath).schema
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val joined = signupPurchaseJoin(src, "fullOuter", keepSentinels = true)
+    val name = s"graft_stream_fouter_${sinkId.incrementAndGet()}"
+    withStreamingPartitions(spark) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+      .filter(coalesce(col("s_user"), col("p_user")) >= 0)
+      .select(col("signup_id"), col("purchase_id"),
+        coalesce(col("s_user"), col("p_user")).as("user_id"),
+        col("s_ts").cast(TimestampNTZType).as("signup_ts"),
+        col("p_ts").cast(TimestampNTZType).as("purchase_ts"))
+      .orderBy("signup_id", "purchase_id")
+  }
+
+  private val streamStreamFullOuterOracle =
+    """SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
+      | coalesce(s.user_id, p.user_id) AS user_id,
+      | s.ts AS signup_ts, p.ts AS purchase_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+      |FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON s.user_id = p.user_id
+      | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '30 minutes'
+      |ORDER BY signup_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin
+
   /** Streaming → file sink through foreachBatch — the production landing
     * pattern the memory sink stands in for everywhere else: each
     * micro-batch body runs as a BATCH write, here parquet append (on a
@@ -1071,6 +1119,9 @@ object StreamingOps {
     Query("stream_sliding_counts",
       "streaming sliding windows (10 min / 5 min slide), complete mode",
       slidingStream, Some(slidingStreamOracle)),
+    Query("stream_stream_full_outer",
+      "stream-stream FULL OUTER interval join, watermark-proven nulls",
+      streamStreamFullOuter, Some(streamStreamFullOuterOracle)),
     Query("stream_stream_left_outer",
       "stream-stream LEFT OUTER interval join, all nulls flushed (= batch)",
       streamStreamLeftOuter, Some(streamStreamLeftOuterOracle)),
