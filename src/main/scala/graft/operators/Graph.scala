@@ -247,7 +247,10 @@ object Graph {
     var dist = nations.filter(col("n_nationkey") === 0)
       .select(col("n_nationkey").as("node"), lit(0L).as("dist"))
     for (_ <- 1 to BfsRounds) {
-      dist = dist.join(eAug, col("node") === col("src"))
+      // the augmented edge list is the tiny static side (aggregated graph
+      // + one self-loop per node) — broadcast it explicitly so no round
+      // ever plans a sort-merge join on the frontier
+      dist = dist.join(broadcast(eAug), col("node") === col("src"))
         .groupBy(col("dst"))
         .agg(min(col("dist") + col("w")).as("d"))
         .select(col("dst").as("node"), col("d").as("dist"))
