@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.Trigger
 
 import graft.Query
 import graft.functions.DotProduct
@@ -576,6 +577,107 @@ object Similarity {
        |FROM short s JOIN q v ON v.vec_id = s.vec_id, pq p
        |ORDER BY exact_dist, s.vec_id LIMIT 10""".stripMargin
 
+  /** ONLINE ANN index maintenance — the streaming half of the LSH index
+    * story the batch queries assume prebuilt: embeddings arrive in
+    * micro-batches (4 chunk files, one per trigger), each batch computes
+    * its sign-LSH buckets and APPENDS to a bucket-partitioned parquet
+    * index through foreachBatch — the standard continuous-ingest shape
+    * (new vectors searchable after their batch commits, no index
+    * rebuild). The probe then reads back ONLY its multiprobe bucket
+    * DIRECTORIES (literal IN ⇒ static partition pruning, the
+    * `sim_ann_ivf_pruned` discipline) and exact-reranks.
+    *
+    * Determinism: the planes are fixed literals (shared with
+    * `sim_ann_lsh_multi`, so the oracle embeds the same constants), the
+    * index CONTENT is independent of how batches appended it, and the
+    * probe's cosine+tiebreak ordering is total — so an incrementally
+    * built index answers bit-identically to a batch-built one, which is
+    * exactly the property an online index must hold. The index rebuilds
+    * per run (the build IS the op under test); a deployment would keep
+    * the directory and compact per the `ref_compact_small_files` recipe.
+    */
+  def indexStreamUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    val chunks = graft.operators.Staging.stagedDir(
+      "graft_emb_chunks", sfDir, "4-range-files") { d =>
+      Tables(spark, sfDir, "embeddings")
+        .repartitionByRange(4, col("vec_id"))
+        .write.mode("overwrite").parquet(d.getAbsolutePath)
+    }
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val idx = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_emb_index_$tag")
+    if (idx.exists()) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(idx.toPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val signature = (0 until MultiPlanes).map(k =>
+      when(DotProduct(col("e"), typedLit(multiPlanes(k))) > 0, lit(1L << k))
+        .otherwise(lit(0L))).reduce(_ + _)
+    val schema = spark.read.parquet(chunks.getAbsolutePath).schema
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(chunks.getAbsolutePath)
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("bucket", signature)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.write.mode("append").partitionBy("bucket")
+          .parquet(idx.getAbsolutePath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // probe prep: vector 0's embedding + its multiprobe keys (driver-side
+    // scalars, like the IVF probe's centroid ids)
+    val p0 = Tables(spark, sfDir, "embeddings")
+      .filter(col("vec_id") === 0)
+      .select(asDouble(col("embedding")).as("e"))
+      .withColumn("bucket", signature)
+      .head()
+    val b0 = p0.getAs[Long]("bucket")
+    val keys = b0 +: (0 until MultiPlanes).map(k => b0 ^ (1L << k))
+    val probe = Tables(spark, sfDir, "embeddings")
+      .filter(col("vec_id") === 0)
+      .select(asDouble(col("embedding")).as("p"))
+    spark.read.parquet(idx.getAbsolutePath)
+      .filter(col("bucket").isin(keys: _*))
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(Dedup.cosine(col("e"), col("p")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val indexStreamUpdateOracle: String = {
+    val planeRows = multiPlanes.zipWithIndex
+      .map { case (p, k) => s"($k, [${p.mkString(", ")}])" }
+      .mkString(",\n")
+    val neighborKeys = (0 until MultiPlanes)
+      .map(b => s"xor(bucket, ${1L << b})").mkString(", ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       | FROM embeddings),
+       |planes(k, p) AS (VALUES
+       |$planeRows),
+       |sigs AS (
+       |  SELECT vec_id, CAST(sum(CASE WHEN list_dot_product(v, p) > 0
+       |                        THEN 1 << k ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM e CROSS JOIN planes GROUP BY vec_id),
+       |sb AS (SELECT e.vec_id, e.v, s.bucket FROM e JOIN sigs s USING (vec_id)),
+       |pk AS (
+       |  SELECT v AS pv, unnest([bucket, $neighborKeys]) AS bucket
+       |  FROM sb WHERE vec_id = 0)
+       |SELECT sb.vec_id,
+       |  round(list_cosine_similarity(pk.pv, sb.v), 6) AS cos_sim
+       |FROM pk JOIN sb USING (bucket)
+       |WHERE sb.vec_id <> 0
+       |ORDER BY cos_sim DESC, sb.vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   /** Embedding quality screening — the sanity pass every vector corpus
     * needs BEFORE the expensive ops consume it (a batch of zero vectors
     * or a collapsed-norm label poisons cosine similarity silently):
@@ -642,5 +744,8 @@ object Similarity {
     Query("sim_embedding_qa",
       "per-label embedding QA: norm spread + degenerate-vector counts",
       embeddingQa, Some(embeddingQaOracle)),
+    Query("sim_index_stream_update",
+      "online LSH index: micro-batch appends, pruned multiprobe read-back",
+      indexStreamUpdate, Some(indexStreamUpdateOracle)),
   )
 }
