@@ -1072,6 +1072,65 @@ object RefParity {
       |FROM orders WHERE o_orderstatus <> 'P'
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Merkle-style replica divergence detection — per-bucket checksums
+    * localize a diff WITHOUT a row-by-row comparison: two 100 TB replicas
+    * compare N checksum rows first, and only buckets whose checksums
+    * disagree pay the row-level diff ([[snapshotDiff]] — which this is
+    * the scalable pre-filter for). The anti-entropy pattern of every
+    * replicated store, expressed relationally.
+    *
+    * Checksum = SUM of per-row md5-derived BIGINTs: commutative and
+    * associative, so it's partition-order-independent (exactly why
+    * checksums, not concatenations); md5 is standardized, so the oracle
+    * reproduces it. Replica B plants one divergent row (the price of
+    * order 42 shifted a cent) — the output must localize the divergence
+    * to EXACTLY the planted row's bucket with both checksums emitted.
+    */
+  def replicaChecksums(spark: SparkSession, sfDir: String): DataFrame = {
+    def rowHash(price: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat_ws("|",
+        col("o_orderkey"), col("o_orderstatus"),
+        price.cast(DecimalType(18, 2)))), 1, 12), 16, 10).cast(LongType)
+    def checksums(price: org.apache.spark.sql.Column, side: String) =
+      Tables(spark, sfDir, "orders")
+        .select((col("o_orderkey") % 64).as("bucket"),
+          rowHash(price).as("h"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("h")).as(s"checksum_$side"),
+          count(lit(1)).as(s"n_$side"))
+    val a = checksums(col("o_totalprice"), "a")
+    val divergent = when(col("o_orderkey") === 42,
+      col("o_totalprice") + 0.01).otherwise(col("o_totalprice"))
+    val b = checksums(divergent, "b")
+    a.join(b, "bucket")
+      .filter(col("checksum_a") =!= col("checksum_b")
+        || col("n_a") =!= col("n_b"))
+      .orderBy("bucket")
+  }
+
+  private val replicaChecksumsOracle =
+    """WITH a AS (
+      |  SELECT o_orderkey % 64 AS bucket,
+      |    CAST(sum(CAST(concat('0x', substr(md5(concat_ws('|',
+      |      o_orderkey, o_orderstatus,
+      |      CAST(o_totalprice AS DECIMAL(18,2)))), 1, 12)) AS BIGINT))
+      |      AS BIGINT) AS checksum_a,
+      |    CAST(count(*) AS BIGINT) AS n_a
+      |  FROM orders GROUP BY 1),
+      |b AS (
+      |  SELECT o_orderkey % 64 AS bucket,
+      |    CAST(sum(CAST(concat('0x', substr(md5(concat_ws('|',
+      |      o_orderkey, o_orderstatus,
+      |      CAST(CASE WHEN o_orderkey = 42 THEN o_totalprice + 0.01
+      |                ELSE o_totalprice END AS DECIMAL(18,2)))), 1, 12))
+      |      AS BIGINT)) AS BIGINT) AS checksum_b,
+      |    CAST(count(*) AS BIGINT) AS n_b
+      |  FROM orders GROUP BY 1)
+      |SELECT a.bucket, a.checksum_a, a.n_a, b.checksum_b, b.n_b
+      |FROM a JOIN b USING (bucket)
+      |WHERE a.checksum_a <> b.checksum_b OR a.n_a <> b.n_b
+      |ORDER BY a.bucket""".stripMargin
+
   /** Hidden `_metadata` file-source columns: per-file lineage surfaced as
     * ordinary columns — the audit/debug primitive ("which file did this
     * row come from", "which partition is corrupt") every lake operator
@@ -1186,5 +1245,8 @@ object RefParity {
     Query("ref_partition_discovery",
       "MSCK REPAIR: directly-written partition dirs discovered + pruned",
       partitionDiscovery, Some(partitionDiscoveryOracle)),
+    Query("ref_replica_checksums",
+      "merkle-style divergence localization via per-bucket md5 checksums",
+      replicaChecksums, Some(replicaChecksumsOracle)),
   )
 }
