@@ -487,6 +487,39 @@ class PlanSpec extends SparkTestBase {
       s"the moments table is group-cardinality-sized — must broadcast:\n$p")
   }
 
+  test("as-of joins are tagged unions — no join operator in either direction") {
+    // the design claim: a range/asof join would blow up candidate pairs;
+    // the tagged union + one window replaces the join ENTIRELY
+    Seq("join_asof", "join_asof_forward").foreach { q =>
+      val p = plan(run(q))
+      assert(!p.contains("Join"),
+        s"$q must not contain any join operator (tagged-union design):\n$p")
+      assert(p.contains("Window"), s"$q resolves through one window:\n$p")
+    }
+  }
+
+  test("the anomaly/cleanup family broadcasts its group-statistics relations") {
+    Seq("agg_winsorize", "agg_robust_outliers", "win_mean_impute").foreach { q =>
+      val p = plan(run(q))
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: the group-stats relation is tiny — must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q must not shuffle the fact side to a sort-merge join:\n$p")
+    }
+  }
+
+  test("week-over-week lags over the aggregated relation, after the shuffle") {
+    val p = plan(run("win_wow_change"))
+    // the window must consume the aggregate's output (weeks × types rows),
+    // never sort the raw events: exactly one hash-partitioned exchange
+    // feeds the aggregate, and the Window sits above the final aggregate
+    assert(p.contains("Window") && p.contains("HashAggregate"), p)
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      s"the window must run on aggregated rows, not raw events:\n$p")
+  }
+
   test("CACHE TABLE serves later scans from the in-memory columnar relation") {
     // the SQL-surface spelling of materialized intermediates (at 100 TB:
     // persisted bucketed tables; locally: the in-memory columnar cache) —
