@@ -208,6 +208,13 @@ object Multimodal {
     * Output is fingerprint + integer norm² rather than the raw vector so
     * the cross-engine compare stays scalar; the DuckDB oracle re-derives
     * the stripe sums from the text column.
+    *
+    * ASCII assumption (load-bearing for the oracle gate): the Spark side
+    * stripes over UTF-8 BYTES (`text` cast to binary) while the oracle
+    * stripes over per-character CODEPOINTS — equivalent iff every char is
+    * single-byte ASCII, which the `documents` fixture guarantees. If the
+    * fixture ever grows multi-byte text, re-derive the oracle over
+    * `encode(text)` octets instead of characters.
     */
   def batchEmbed(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

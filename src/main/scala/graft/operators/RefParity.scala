@@ -1082,9 +1082,13 @@ object RefParity {
     * Checksum = SUM of per-row md5-derived BIGINTs: commutative and
     * associative, so it's partition-order-independent (exactly why
     * checksums, not concatenations); md5 is standardized, so the oracle
-    * reproduces it. Replica B plants one divergent row (the price of
-    * order 42 shifted a cent) — the output must localize the divergence
-    * to EXACTLY the planted row's bucket with both checksums emitted.
+    * reproduces it. The sum accumulates as DECIMAL(38,0): each row
+    * contributes up to 2^48-1, so a BIGINT accumulator would hit ANSI
+    * overflow once a bucket holds ~2^15 rows — decimal headroom keeps
+    * the fixed 64-bucket layout safe to ~10^26 rows per bucket. Replica
+    * B plants one divergent row (the price of order 42 shifted a cent)
+    * — the output must localize the divergence to EXACTLY the planted
+    * row's bucket with both checksums emitted.
     */
   def replicaChecksums(spark: SparkSession, sfDir: String): DataFrame = {
     def rowHash(price: org.apache.spark.sql.Column) =
@@ -1096,7 +1100,7 @@ object RefParity {
         .select((col("o_orderkey") % 64).as("bucket"),
           rowHash(price).as("h"))
         .groupBy(col("bucket"))
-        .agg(sum(col("h")).as(s"checksum_$side"),
+        .agg(sum(col("h").cast(DecimalType(38, 0))).as(s"checksum_$side"),
           count(lit(1)).as(s"n_$side"))
     val a = checksums(col("o_totalprice"), "a")
     val divergent = when(col("o_orderkey") === 42,
@@ -1114,7 +1118,7 @@ object RefParity {
       |    CAST(sum(CAST(concat('0x', substr(md5(concat_ws('|',
       |      o_orderkey, o_orderstatus,
       |      CAST(o_totalprice AS DECIMAL(18,2)))), 1, 12)) AS BIGINT))
-      |      AS BIGINT) AS checksum_a,
+      |      AS DECIMAL(38,0)) AS checksum_a,
       |    CAST(count(*) AS BIGINT) AS n_a
       |  FROM orders GROUP BY 1),
       |b AS (
@@ -1123,7 +1127,7 @@ object RefParity {
       |      o_orderkey, o_orderstatus,
       |      CAST(CASE WHEN o_orderkey = 42 THEN o_totalprice + 0.01
       |                ELSE o_totalprice END AS DECIMAL(18,2)))), 1, 12))
-      |      AS BIGINT)) AS BIGINT) AS checksum_b,
+      |      AS BIGINT)) AS DECIMAL(38,0)) AS checksum_b,
       |    CAST(count(*) AS BIGINT) AS n_b
       |  FROM orders GROUP BY 1)
       |SELECT a.bucket, a.checksum_a, a.n_a, b.checksum_b, b.n_b

@@ -357,7 +357,7 @@ object Relational {
 
   // ---- manually salted skew join ------------------------------------------
 
-  private val JoinSalts = 8
+  private val JoinSalts = 4
 
   /** Manually salted skew JOIN — the technique for when AQE's runtime
     * split (asserted in PlanSpec) isn't available or the skew is known
@@ -366,6 +366,18 @@ object Relational {
     * and the join key becomes (key, salt) — the hot key's rows spread
     * over `JoinSalts` shuffle partitions instead of one. Salting must be
     * result-transparent: the oracle is the plain unsalted join.
+    *
+    * Salt count is a genuine TRADE: more salts spread the hot key wider
+    * but replicate the small side proportionally (the explode below), and
+    * at harness scale the replication dominates — an interleaved ABAB A/B
+    * (round 6, single-query runs, sf0.1) read 3.44/3.45/3.38 s at 8 salts
+    * vs 2.76/2.78/2.99 s at 4, so 4 it is. The round-5 bench's 2.72 s
+    * reading (vs r4's 1.70) reproduced at ~2.2-2.8 s across 6 same-window
+    * runs of unchanged code, i.e. the "regression" was r4 reading low,
+    * not r5 reading high; the replication cost is the real, steady term.
+    * At 100 TB pick salts ≈ ceil(hot-key rows / healthy-partition rows),
+    * never more — and prefer AQE's runtime skew split (PlanSpec) when the
+    * skew isn't known up front.
     */
   def saltedSkewJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables(spark, sfDir, "lineitem")

@@ -31,6 +31,12 @@ import graft.sources.Tables
   */
 object Similarity {
 
+  /** Index dirs with a reap shutdown hook already armed (one hook per
+    * unique path; [[indexStreamUpdate]] can run for several sfDirs in
+    * one JVM). */
+  private val indexReapArmed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private val Dim = 64
   // 8 planes ⇒ 256 buckets: sized to the 500-vector harness corpus so the
   // probe's multiprobe neighborhood holds ~10× the k it must return. At
@@ -603,14 +609,24 @@ object Similarity {
         .repartitionByRange(4, col("vec_id"))
         .write.mode("overwrite").parquet(d.getAbsolutePath)
     }
-    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    // the index path is unique per (sfDir, JVM): unlike Staging.stagedDir
+    // (fingerprint-locked, content-addressed) this dir is rebuilt on every
+    // run — a shared fixed path would let two concurrent harness processes
+    // interleave delete/append and read a corrupt or doubled index. The
+    // pid suffix removes the sharing; the shutdown hook reaps it (the
+    // returned DataFrame reads the dir lazily, so in-run deletion is not
+    // an option).
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
+      "_pid" + ProcessHandle.current().pid()
     val idx = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_emb_index_$tag")
-    if (idx.exists()) {
+    def reap(): Unit = if (idx.exists()) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(idx.toPath).iterator().asScala.toSeq
         .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
     }
+    reap()
+    if (indexReapArmed.add(idx.getAbsolutePath)) sys.addShutdownHook(reap())
     val signature = (0 until MultiPlanes).map(k =>
       when(DotProduct(col("e"), typedLit(multiPlanes(k))) > 0, lit(1L << k))
         .otherwise(lit(0L))).reduce(_ + _)

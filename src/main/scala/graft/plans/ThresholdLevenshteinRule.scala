@@ -26,9 +26,12 @@ import org.apache.spark.sql.types.IntegerType
   * levenshtein consumed as a VALUE (projected, aggregated) never matches
   * the pattern and keeps the exact DP. Registered through
   * `SparkSessionExtensions.injectOptimizerRule` ([[graft.GraftExtensions]]),
-  * so it runs after the built-in batches — in particular after
-  * UnwrapCastInBinaryComparison has stripped the `CAST(... AS BIGINT)`
-  * that DataFrame-side `.cast(LongType)` comparisons wrap around the call.
+  * which appends the rule to the operator-optimization FIXPOINT batch —
+  * it runs interleaved with the built-in rules there (notably
+  * UnwrapCastInBinaryComparison), and because the batch iterates to a
+  * fixpoint, the rule still matches the form left after that rule strips
+  * the `CAST(... AS BIGINT)` that DataFrame-side `.cast(LongType)`
+  * comparisons wrap around the call (PlanSpec pins this).
   *
   * At 100 TB this is the difference between a verify step whose cost
   * tracks candidate count (banded DP on mostly-early-exit pairs) and one

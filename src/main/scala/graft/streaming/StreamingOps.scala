@@ -64,11 +64,16 @@ object StreamingOps {
     * join, which commits 4 stores per partition per side, gained ~27%),
     * then 4→2 a further consistent ~6% (41.3/39.8 → 39.1/36.9 s) — each
     * halving trims the per-batch commit fan-out with state volumes this
-    * small. A production
-    * deployment sizes this once per query at first deploy (it cannot be
-    * changed without a new checkpoint) — keyed to peak in-flight state,
-    * exactly as here. Batch queries in the same session are unaffected:
-    * the conf is restored before the post-stream batch read.
+    * small. The hard-coded 2 is a HARNESS-SCALE constant — right for
+    * sf0.1's state volumes, re-tuned by interleaved A/B per benchmark
+    * round, and NOT a formula: at larger sf (or in production) the same
+    * measurement would land higher, because the constraint is that each
+    * store partition's state fits and compacts comfortably, and more
+    * state wants more partitions. A production deployment sizes this
+    * once per query at first deploy (it cannot be changed without a new
+    * checkpoint) — keyed to peak in-flight state, exactly as the A/B
+    * here was. Batch queries in the same session are unaffected: the
+    * conf is restored before the post-stream batch read.
     */
   private def withStreamingPartitions[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
@@ -270,6 +275,14 @@ object StreamingOps {
     * deployment does against kafka-compact/OLTP/lakehouse sinks); after
     * the final batch the upserted table must equal the batch aggregate,
     * which is the DuckDB oracle.
+    *
+    * The driver-side ConcurrentHashMap is a HARNESS-ONLY serving-table
+    * stand-in, safe because the upsert key is `event_type` (5 groups) —
+    * the production sink at any real cardinality is a keyed external
+    * store (the foreachBatch body would issue the upserts from the
+    * EXECUTORS via `batch.foreachPartition`, never collect). A
+    * cardinality guard makes the toy-only assumption fail loudly if
+    * this query is ever re-pointed at a high-cardinality key.
     */
   def updateModeCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
@@ -285,8 +298,15 @@ object StreamingOps {
       val q = agg.writeStream
         .outputMode("update")
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          // keyed upsert: update-mode delivers only changed groups
-          batch.collect().foreach(r =>
+          // keyed upsert: update-mode delivers only changed groups.
+          // collect() is bounded by group cardinality, NOT stream size —
+          // enforce that before it can become a driver-memory trap
+          val rows = batch.collect()
+          require(rows.length <= 1000,
+            s"updateModeCounts serving-map stand-in saw ${rows.length} " +
+              "changed groups in one batch; this driver-side sink is for " +
+              "low-cardinality keys only — use a keyed external store")
+          rows.foreach(r =>
             upserted.put(r.getString(0),
               (r.getAs[Long]("n"), r.getAs[Double]("sum_value"))))
         }
