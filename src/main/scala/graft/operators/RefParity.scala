@@ -248,12 +248,25 @@ object RefParity {
     * `join_bucketed`).
     */
   def upsertMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val (previous, batch) = upsertFixture(spark, sfDir)
+    mergeBatch(previous, batch).orderBy("o_orderkey")
+  }
+
+  private def upsertFixture(
+      spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
     val orders = Tables(spark, sfDir, "orders")
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
     val previous = orders.filter(col("o_orderkey") % 3 =!= 0)
     val batch = orders.filter(col("o_orderkey") % 2 === 0)
       // re-delivered rows arrive revised — make the winner observable
       .withColumn("o_orderstatus", lit("U"))
+    (previous, batch)
+  }
+
+  /** One merge application — the MERGE INTO body: full-outer on the
+    * business key, batch rows win, unmatched previous rows survive.
+    * Factored so [[upsertReplay]] can apply the SAME batch twice. */
+  private def mergeBatch(previous: DataFrame, batch: DataFrame): DataFrame =
     previous.as("p")
       .join(batch.as("b"),
         col("p.o_orderkey") === col("b.o_orderkey"), "full_outer")
@@ -263,7 +276,21 @@ object RefParity {
           .as("o_orderstatus"),
         coalesce(col("b.o_totalprice"), col("p.o_totalprice"))
           .as("o_totalprice"))
-      .orderBy("o_orderkey")
+
+  /** Replay proof for the flat upsert — the EXACTLY-ONCE contract every
+    * production K1 sink needs (the reference's blind append,
+    * /root/reference/app.py:195-197, duplicates facts on re-delivery):
+    * `merge(merge(prev, batch), batch)` must equal `merge(prev, batch)`
+    * row for row. The Spark side really applies the batch twice; the
+    * oracle derives the ONCE-applied state, so the gate fails on any
+    * duplicate, dropped, or re-revised row. Idempotence here falls out of
+    * merge semantics (same key ⇒ batch wins with identical values);
+    * contrast [[scd2Replay]], where it has to be engineered via change
+    * detection.
+    */
+  def upsertReplay(spark: SparkSession, sfDir: String): DataFrame = {
+    val (previous, batch) = upsertFixture(spark, sfDir)
+    mergeBatch(mergeBatch(previous, batch), batch).orderBy("o_orderkey")
   }
 
   private val upsertMergeOracle =
@@ -869,16 +896,52 @@ object RefParity {
     */
   def scd2Apply(spark: SparkSession, sfDir: String): DataFrame = {
     val hist = scd2History(spark, sfDir)
-    val tsType = hist.schema("valid_from").dataType
-    // fixed literal after every harness order date (orders span 1992-1998)
-    val changeTs = lit("1999-06-01 00:00:00").cast(tsType)
-    val batch = Tables(spark, sfDir, "customer")
+    scd2ApplyBatch(hist, scd2Batch(spark, sfDir), scd2ChangeTs(hist))
+      .orderBy("o_custkey", "valid_from", "o_orderkey")
+  }
+
+  /** The change batch: every 4th customer key moving to status 'Z'. */
+  private def scd2Batch(spark: SparkSession, sfDir: String): DataFrame =
+    Tables(spark, sfDir, "customer")
       .filter(col("c_custkey") % 4 === 0)
-      .select(col("c_custkey").as("o_custkey"))
+      .select(col("c_custkey").as("o_custkey"), lit("Z").as("new_status"))
+
+  /** Fixed literal after every harness order date (orders span 1992-1998). */
+  private def scd2ChangeTs(state: DataFrame): Column =
+    lit("1999-06-01 00:00:00").cast(state.schema("valid_from").dataType)
+
+  /** One SCD-2 batch application WITH CHANGE DETECTION — the property
+    * that makes re-delivery a no-op: an entity versions only if its
+    * current open row's status DIFFERS from the batch's (or it has no
+    * current row: first-version insert). Without the guard, a replayed
+    * batch would close the version it just opened and insert a duplicate
+    * — the exactly-once failure mode [[scd2Replay]] pins shut.
+    *
+    * Shape (all broadcast, no shuffle): the change batch is tiny, so
+    * `current ⋈ broadcast(batch)` (inner) yields the ≤|batch| affected
+    * current rows in one scan of the open partition; the differing subset
+    * plus the batch keys with no current row (tiny anti-join of two
+    * batch-sized sets) form `changed`, which broadcasts into the close
+    * projection and the insert set. At 100 TB with state partitioned by
+    * `is_current`, only the open partition is scanned twice and rewritten
+    * once; history partitions are untouched.
+    */
+  private def scd2ApplyBatch(
+      state: DataFrame, batch: DataFrame, changeTs: Column): DataFrame = {
+    val tsType = state.schema("valid_from").dataType
+    val current = state.filter(col("is_current"))
+      .select(col("o_custkey"), col("o_orderstatus").as("cur_status"))
+    val curMatch = current.join(broadcast(batch), Seq("o_custkey"))
+    val changed = curMatch
+      .filter(col("cur_status") =!= col("new_status"))
+      .select(col("o_custkey"), col("new_status"))
+      .unionByName( // first-version entities: no current row anywhere
+        batch.join(curMatch.select("o_custkey"), Seq("o_custkey"),
+          "left_anti"))
     val matched = col("b_key").isNotNull
-    val updated = hist.join(
-        broadcast(batch.withColumn("b_key", col("o_custkey"))),
-        Seq("o_custkey"), "left_outer")
+    val updated = state.join(
+        broadcast(changed.select(col("o_custkey").as("b_key"))),
+        col("o_custkey") === col("b_key"), "left_outer")
       .select(
         col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
         col("valid_from"),
@@ -886,14 +949,38 @@ object RefParity {
           .otherwise(col("valid_to")).as("valid_to"),
         when(matched, lit(false)).otherwise(col("is_current"))
           .as("is_current"))
-    val inserts = batch.select(
+    val inserts = changed.select(
       col("o_custkey"),
       (-col("o_custkey")).as("o_orderkey"), // surrogate key for the new row
-      lit("Z").as("o_orderstatus"),
+      col("new_status").as("o_orderstatus"),
       changeTs.as("valid_from"),
       lit(null).cast(tsType).as("valid_to"),
       lit(true).as("is_current"))
     updated.unionByName(inserts)
+  }
+
+  /** SCD-2 replay idempotence — applying the SAME change batch twice must
+    * leave the dimension byte-identical to applying it once: the second
+    * pass finds every batch entity's current row already carrying the
+    * batch status, change detection empties the change set, and the state
+    * flows through untouched (no closes, no inserts, no surrogate-key
+    * collisions). The Spark side really runs the apply twice; the oracle
+    * is the ONCE-applied derivation, so any second-pass mutation fails
+    * the hash gate. This is the multi-batch exactly-once contract of
+    * MERGE INTO on a versioned dimension, proven over raw parquet.
+    */
+  def scd2Replay(spark: SparkSession, sfDir: String): DataFrame = {
+    val hist = scd2History(spark, sfDir)
+    val batch = scd2Batch(spark, sfDir)
+    val ts = scd2ChangeTs(hist)
+    // the first application is MATERIALIZED before the replay arrives —
+    // faithful to the failure being proven (a batch re-delivered after
+    // the first commit was written), and it keeps the second apply's
+    // plan anchored on a concrete relation rather than a double-nested
+    // composition (which also trips a planner edge: an SMJ zipping a
+    // shuffle against a 3-way union inside the broadcast future)
+    val once = scd2ApplyBatch(hist, batch, ts).localCheckpoint()
+    scd2ApplyBatch(once, batch, ts)
       .orderBy("o_custkey", "valid_from", "o_orderkey")
   }
 
@@ -1191,6 +1278,9 @@ object RefParity {
     Query("ref_upsert_merge",
       "idempotent upsert-merge (K1 evolution): batch wins, previous survives",
       upsertMerge, Some(upsertMergeOracle)),
+    Query("ref_upsert_replay",
+      "exactly-once replay: merge applied twice equals merge applied once",
+      upsertReplay, Some(upsertMergeOracle)),
     Query("ref_orc_roundtrip",
       "lossless write→read roundtrip through ORC (second columnar format)",
       orcRoundtrip, Some(orcRoundtripOracle)),
@@ -1234,6 +1324,9 @@ object RefParity {
     Query("ref_scd2_apply",
       "incremental SCD-2 apply: close open rows, insert new versions",
       scd2Apply, Some(scd2ApplyOracle)),
+    Query("ref_scd2_replay",
+      "SCD-2 replay: change detection makes batch re-delivery a no-op",
+      scd2Replay, Some(scd2ApplyOracle)),
     Query("ref_scd2_history",
       "SCD-2 dimension history: valid_from/valid_to ranges + current flag",
       scd2History, Some(scd2HistoryOracle)),

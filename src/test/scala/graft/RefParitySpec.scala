@@ -144,6 +144,17 @@ class RefParitySpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("replay idempotence: second delivery of the same batch is a no-op") {
+    // the replay queries APPLY their batch twice; row-for-row equality
+    // with the once-applied queries is the exactly-once contract
+    assert(run("ref_upsert_replay").collect().toSeq ==
+      run("ref_upsert_merge").collect().toSeq,
+      "merge(merge(prev, batch), batch) must equal merge(prev, batch)")
+    assert(run("ref_scd2_replay").collect().toSeq ==
+      run("ref_scd2_apply").collect().toSeq,
+      "SCD-2 change detection must make batch re-delivery a no-op")
+  }
+
   test("small-file compaction hits the byte-sized file-count target") {
     val (out, nOut) = graft.operators.RefParity.compactedOrdersDir(spark, Sf)
     val files = new java.io.File(out).listFiles()
