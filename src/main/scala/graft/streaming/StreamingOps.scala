@@ -1104,6 +1104,82 @@ object StreamingOps {
        | ${sqlDsum("value")} AS sum_value
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** One checkpointed AvailableNow drain of the in-memory log `topic`
+    * into a parquet sink dir — the unit [[kafkaShapedRestart]] runs twice
+    * (and StreamingSpec drives with its own scenario). Offset state lives
+    * in `chk`; a second call with the same checkpoint RESUMES from the
+    * committed offset. */
+  private[graft] def drainLog(
+      spark: SparkSession, topic: String, chk: java.io.File,
+      sink: java.io.File, maxRecordsPerTrigger: Long): Unit =
+    withStreamingPartitions(spark) {
+      val q = spark.readStream
+        .format(classOf[InMemoryLogProvider].getName)
+        .option("topic", topic)
+        .option("maxRecordsPerTrigger", maxRecordsPerTrigger.toString)
+        .load()
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.write.mode("append").parquet(sink.getAbsolutePath)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+  /** Offset-managed restart over the Kafka-shaped DSv2 source
+    * ([[InMemoryLogProvider]]) — the semantics the file source can't
+    * exercise: drain the first half of the log under admission control
+    * (maxRecordsPerTrigger = 1/4 of the half, so the drain is 4+ real
+    * micro-batches), let MORE records arrive after the final commit, then
+    * RESTART against the same checkpoint. The restarted query must resume
+    * from the committed offset: re-reading duplicates the parquet sink's
+    * rows, skipping drops them, and either fails the batch oracle (count
+    * and sum are both duplicate- and gap-sensitive). The log is populated
+    * from the events table ordered by event_id, so log offset i holds
+    * event i — the broker buffer is in-process by construction (the
+    * harness stand-in for Kafka; see [[InMemoryLog]]'s scale note), which
+    * is why the populate step may collect: it IS the broker, not the
+    * query's data path.
+    */
+  def kafkaShapedRestart(spark: SparkSession, sfDir: String): DataFrame = {
+    import InMemoryLog.Record
+    val topic = "events_" + sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
+      "_pid" + ProcessHandle.current().pid()
+    val records = Tables(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+      .orderBy("event_id")
+      .collect()
+      .map(r => Record(r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3)))
+      .toSeq
+    val half = records.length / 2
+    val tmp = sys.props("java.io.tmpdir")
+    val chk = new java.io.File(tmp, s"graft_kafka_chk_$topic")
+    val sink = new java.io.File(tmp, s"graft_kafka_sink_$topic")
+    Seq(chk, sink).foreach(deleteRecursively)
+    InMemoryLog.reset(topic)
+    InMemoryLog.append(topic, records.take(half))
+    drainLog(spark, topic, chk, sink, math.max(1, half / 4))
+    // late arrivals land AFTER the first run fully committed
+    InMemoryLog.append(topic, records.drop(half))
+    drainLog(spark, topic, chk, sink, math.max(1, half / 4))
+    spark.read.parquet(sink.getAbsolutePath)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
+  }
+
   val queries: Seq[Query] = Seq(
     Query("stream_tumbling_counts",
       "Structured Streaming tumbling windows (AvailableNow; equals batch)",
@@ -1150,5 +1226,8 @@ object StreamingOps {
     Query("stream_sessionize_tws",
       "transformWithState sessionization: named state vars + timers (= batch)",
       sessionizeTws, Some(sessionizeStatefulOracle)),
+    Query("stream_kafka_restart",
+      "Kafka-shaped DSv2 source: admission-controlled drain, offset-exact restart",
+      kafkaShapedRestart, Some(foreachBatchSinkOracle)),
   )
 }

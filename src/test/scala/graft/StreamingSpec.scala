@@ -400,4 +400,63 @@ class StreamingSpec extends SparkTestBase with StreamingRestartHarness {
     assert(got3 == Seq(("2026-01-01 15:00:00", 1L, 1L)),
       s"run 3 must flush only hour 15 — emit-once for hour 12, got $got3")
   }
+
+  test("kafka-shaped source: restart resumes at the committed offset, " +
+      "admission control bounds every batch, no dupes or drops") {
+    import graft.streaming.{InMemoryLog, StreamingOps}
+    import InMemoryLog.Record
+    val topic = "spec_restart_topic"
+    val n = 100
+    val records = (0 until n).map(i =>
+      Record(i.toLong, i.toLong % 7, s"t${i % 3}", i.toDouble))
+    val tmp = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft_kafka_spec").toFile,
+      "x").getParentFile
+    val chk = new java.io.File(tmp, "chk")
+    val sink = new java.io.File(tmp, "sink")
+    InMemoryLog.reset(topic)
+    InMemoryLog.append(topic, records.take(60))
+    StreamingOps.drainLog(spark, topic, chk, sink, maxRecordsPerTrigger = 25)
+
+    // planInputPartitions runs several times per batch (logical planning,
+    // physical planning, execution) — audit the distinct ranges in order;
+    // no-data planning rounds carry s==e and are dropped
+    def ranges = InMemoryLog.plannedRanges.get(topic)
+      .synchronized(InMemoryLog.plannedRanges.get(topic).toVector)
+      .filter { case (s, e) => s < e }.distinct
+    val phase1 = ranges
+    assert(phase1.head._1 == 0, "first batch starts at offset 0")
+    assert(phase1.map(_._2).max == 60,
+      "AvailableNow drains exactly what was present at trigger time")
+    assert(phase1.forall { case (s, e) => e - s <= 25 },
+      s"admission control: every batch within maxRecordsPerTrigger, $phase1")
+    // the source-side commit() callback LAGS up to one batch (Spark
+    // acknowledges batch N to the source when batch N+1 starts; the
+    // checkpoint's commit log, not this callback, is what restart reads)
+    // — same contract as Kafka consumer-offset advancement
+    val c1 = InMemoryLog.committed.get(topic)
+    assert(c1 >= phase1.init.last._2 && c1 <= 60L,
+      s"run-1 commit callback within one batch of the drain end, got $c1")
+
+    // late arrivals after the committed drain, then restart same checkpoint
+    InMemoryLog.append(topic, records.drop(60))
+    StreamingOps.drainLog(spark, topic, chk, sink, maxRecordsPerTrigger = 25)
+    val all = ranges
+    val phase2 = all.drop(phase1.length)
+    assert(phase2.head._1 == 60,
+      s"restart must resume at the checkpointed commit, planned $phase2")
+    assert(all.sliding(2).forall {
+      case Seq((_, e1), (s2, _)) => e1 == s2
+      case _ => true
+    }, s"planned ranges contiguous — no replays, no gaps: $all")
+    val c2 = InMemoryLog.committed.get(topic)
+    assert(c2 >= phase2.init.last._2 && c2 <= n.toLong,
+      s"run-2 commit callback within one batch of the drain end, got $c2")
+
+    // sink-level exactly-once: every record landed exactly once
+    val landed = spark.read.parquet(sink.getAbsolutePath)
+    assert(landed.count() == n && landed.select("event_id").distinct()
+      .count() == n, "each log record written exactly once across restart")
+    StreamingOps.deleteRecursively(tmp)
+  }
 }
