@@ -14,6 +14,7 @@ object SparkEntry {
   private[graft] val registry: Seq[Query] =
     RefParity.queries ++
       RefPipeline.queries ++
+      Lakehouse.queries ++
       Relational.queries ++
       TimeWindows.queries ++
       Dedup.queries ++

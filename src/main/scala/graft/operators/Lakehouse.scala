@@ -1,0 +1,199 @@
+package graft.operators
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Query
+import graft.functions.Exact._
+import graft.sources.Tables
+
+/** Lakehouse table semantics over RAW parquet + a manifest — the two
+  * capabilities a table format adds that plain directory scans cannot
+  * give, re-derived from first principles so the engine works where no
+  * Delta/Iceberg jar exists (this sandbox; see VERDICT "missing" #1):
+  *
+  *  - TIME TRAVEL ([[timeTravel]]): a version = a MANIFEST (the list of
+  *    data files), never a data copy. A change batch COPY-ON-WRITES only
+  *    the buckets it touches; every other file is shared between
+  *    versions byte-for-byte. Reading AS OF v = reading v's file list.
+  *  - DATA SKIPPING ([[manifestSkipping]]): the manifest carries per-file
+  *    min/max column stats; a range predicate prunes FILES driver-side
+  *    before any footer is opened — at 100 TB the difference between
+  *    "list + read 2 files" and "open 10k footers to learn 9998 were
+  *    never candidates".
+  *
+  * The manifest here is a text file of paths (+ stats), i.e. exactly the
+  * metadata layer of every table format, minimally expressed. Reference
+  * anchor: the reference's warehouse APPEND (app.py:195-197) has no
+  * versioning at all — a bad load is unrecoverable; these give the
+  * rollback/as-of story its modern replacement has.
+  */
+object Lakehouse {
+
+  private val Buckets = 8
+
+  /** Build the two-version table once per (sfDir) generation: v1 = orders
+    * bucketed by hash(o_orderkey) into [[Buckets]] dirs; v2 = the change
+    * batch (status 'T' for o_orderkey ≡ 3 mod 16, all of which hash into
+    * ONE bucket) copy-on-written: that bucket is rewritten under v2/, all
+    * other buckets are SHARED with v1 (same files listed in both
+    * manifests). Returns the table root. */
+  private[graft] def versionedTable(spark: SparkSession, sfDir: String): File =
+    Staging.stagedDir("graft_lake_tt", sfDir, s"cow-$Buckets-v1") { root =>
+      val orders = Tables(spark, sfDir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .withColumn("bucket", pmod(col("o_orderkey"), lit(Buckets.toLong)))
+      orders.write.partitionBy("bucket").mode("overwrite")
+        .parquet(new File(root, "v1").getAbsolutePath)
+      def bucketDirs(version: String): Map[Long, String] =
+        new File(root, version).listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+          .map(f => f.getName.stripPrefix("bucket=").toLong ->
+            f.getAbsolutePath)
+          .toMap
+      val v1 = bucketDirs("v1")
+      // the change touches keys ≡ 3 (mod 16) — all in bucket 3: rewrite
+      // exactly that bucket under v2/, share every other file with v1
+      val hot = 3L
+      spark.read.parquet(v1(hot))
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 16 === 3, lit("T"))
+            .otherwise(col("o_orderstatus")))
+        .withColumn("bucket", lit(hot))
+        .write.partitionBy("bucket").mode("overwrite")
+        .parquet(new File(root, "v2").getAbsolutePath)
+      val v2 = v1 ++ bucketDirs("v2")
+      def writeManifest(name: String, dirs: Map[Long, String]): Unit =
+        Files.writeString(new File(root, name).toPath,
+          dirs.toSeq.sortBy(_._1).map(_._2).mkString("", "\n", "\n"))
+      writeManifest("manifest_v1.txt", v1)
+      writeManifest("manifest_v2.txt", v2)
+    }
+
+  private[graft] def manifestPaths(root: File, version: Int): Seq[String] =
+    Files.readAllLines(
+      new File(root, s"manifest_v$version.txt").toPath).asScala.toSeq
+
+  /** Read the versioned table AS OF v1 and AS OF v2 — each read is
+    * exactly its manifest's file list (no directory listing, no
+    * format-level versioning) — and aggregate both. The v2 change is
+    * visible only in version 2, and v1 remains readable AFTER v2 exists:
+    * the rollback contract. Copy-on-write is spec-asserted: the two
+    * manifests share all but one bucket's files. */
+  def timeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = versionedTable(spark, sfDir)
+    def asOf(v: Int): DataFrame =
+      spark.read.parquet(manifestPaths(root, v): _*)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"))
+        .withColumn("version", lit(v))
+    asOf(1).unionByName(asOf(2))
+      .select("version", "o_orderstatus", "n", "sum_price")
+      .orderBy("version", "o_orderstatus")
+  }
+
+  private val timeTravelOracle =
+    """SELECT 1 AS version, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY 1, 2
+      |UNION ALL
+      |SELECT 2 AS version, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM (SELECT CASE WHEN o_orderkey % 16 = 3 THEN 'T'
+      |             ELSE o_orderstatus END AS o_orderstatus, o_totalprice
+      |      FROM orders)
+      |GROUP BY 1, 2
+      |ORDER BY version, o_orderstatus""".stripMargin
+
+  private val SkipFiles = 16
+
+  /** Stage orders as date-clustered files (range partition by
+    * o_orderdate, the natural arrival clustering) and record per-file
+    * min/max(o_orderdate) stats in a manifest. Returns (root, stats). */
+  private[graft] def statsManifest(
+      spark: SparkSession, sfDir: String): (File, Seq[(String, String, String)]) = {
+    val root = Staging.stagedDir("graft_lake_skip", sfDir,
+      s"dateclustered-$SkipFiles") { d =>
+      Tables(spark, sfDir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .repartitionByRange(SkipFiles, col("o_orderdate"), col("o_orderkey"))
+        .write.mode("overwrite").parquet(new File(d, "data").getAbsolutePath)
+      // per-file stats from one scan over the written files — what a
+      // table format collects AT WRITE time from parquet footers
+      val stats = spark.read
+        .parquet(new File(d, "data").getAbsolutePath)
+        .groupBy(col("_metadata.file_path").as("path"))
+        .agg(date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("lo"),
+          date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("hi"))
+        .collect()
+        .map(r => s"${r.getString(0)}\t${r.getString(1)}\t${r.getString(2)}")
+        .sorted
+      Files.writeString(new File(d, "stats_manifest.tsv").toPath,
+        stats.mkString("", "\n", "\n"))
+    }
+    val stats = Files.readAllLines(
+      new File(root, "stats_manifest.tsv").toPath).asScala.toSeq
+      .map { line =>
+        val Array(p, lo, hi) = line.split("\t"); (p, lo, hi)
+      }
+    (root, stats)
+  }
+
+  /** The file set a [lo, hi] date-range predicate cannot skip. */
+  private[graft] def survivingFiles(
+      stats: Seq[(String, String, String)],
+      lo: String, hi: String): Seq[String] =
+    stats.collect { case (p, flo, fhi) if flo <= hi && fhi >= lo => p }
+
+  // one calendar year ≈ 1/7 of the 1992-1998 corpus → ~2-3 of 16 files
+  private val SkipLo = "1995-01-01"
+  private val SkipHi = "1995-12-31"
+
+  /** Manifest min/max data skipping: the date-range predicate prunes the
+    * FILE LIST driver-side (manifest compare — no footer is ever opened
+    * for a skipped file), then only surviving files are read, with the
+    * predicate still applied for exactness inside the boundary files.
+    * The oracle is the plain WHERE over the whole table: skipping must be
+    * result-transparent. PlanSpec asserts the read touches only the
+    * surviving files (lineage via `_metadata.file_path`). */
+  def manifestSkipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, stats) = statsManifest(spark, sfDir)
+    val keep = survivingFiles(stats, SkipLo, SkipHi)
+    require(keep.nonEmpty && keep.size < stats.size,
+      s"fixture must make skipping observable: ${keep.size}/${stats.size}")
+    val df = spark.read.parquet(keep: _*)
+    val tsType = df.schema("o_orderdate").dataType
+    df.filter(col("o_orderdate") >= lit(s"$SkipLo 00:00:00").cast(tsType)
+        && col("o_orderdate") <= lit(s"$SkipHi 00:00:00").cast(tsType))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val manifestSkippingOracle =
+    s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM orders
+       |WHERE o_orderdate >= TIMESTAMP '$SkipLo 00:00:00'
+       |  AND o_orderdate <= TIMESTAMP '$SkipHi 00:00:00'
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  val queries: Seq[Query] = Seq(
+    Query("ref_time_travel",
+      "manifest-versioned time travel: copy-on-write buckets, AS OF reads",
+      timeTravel, Some(timeTravelOracle)),
+    Query("ref_manifest_skipping",
+      "file-level min/max data skipping: manifest prunes before any footer IO",
+      manifestSkipping, Some(manifestSkippingOracle)),
+  )
+}

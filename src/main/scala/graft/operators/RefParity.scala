@@ -936,7 +936,7 @@ object RefParity {
       .filter(col("cur_status") =!= col("new_status"))
       .select(col("o_custkey"), col("new_status"))
       .unionByName( // first-version entities: no current row anywhere
-        batch.join(curMatch.select("o_custkey"), Seq("o_custkey"),
+        batch.join(broadcast(curMatch.select("o_custkey")), Seq("o_custkey"),
           "left_anti"))
     val matched = col("b_key").isNotNull
     val updated = state.join(

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Lakehouse
+
+/** The two properties the oracle can't see: time travel must be
+  * copy-on-write at the FILE level (versions share unchanged buckets —
+  * that's what makes a 100 TB version cheap), and manifest skipping must
+  * actually skip (the scan touches only stat-surviving files).
+  */
+class LakehouseSpec extends SparkTestBase {
+
+  test("time travel: versions share all but the rewritten bucket (CoW)") {
+    run("ref_time_travel").collect() // builds + stages the table
+    val root = Lakehouse.versionedTable(spark, Sf) // staged: no rebuild
+    val v1 = Lakehouse.manifestPaths(root, 1).toSet
+    val v2 = Lakehouse.manifestPaths(root, 2).toSet
+    assert((v1 -- v2).size == 1 && (v2 -- v1).size == 1,
+      s"exactly one bucket rewritten between versions: $v1 vs $v2")
+    assert((v1 & v2).size == v1.size - 1,
+      "every other bucket's files shared byte-for-byte between versions")
+  }
+
+  test("manifest skipping prunes files before read and stays exact") {
+    val (_, stats) = Lakehouse.statsManifest(spark, Sf)
+    val keep = Lakehouse.survivingFiles(stats, "1995-01-01", "1995-12-31")
+    assert(keep.nonEmpty && keep.size < stats.size,
+      s"skipping must be observable: kept ${keep.size} of ${stats.size}")
+    // the files the manifest skips really contain no qualifying rows:
+    // stats-based pruning is result-transparent by the min/max invariant
+    val skipped = stats.map(_._1).filterNot(keep.toSet)
+    val tsOf = spark.read.parquet(skipped: _*)
+    val tsType = tsOf.schema("o_orderdate").dataType
+    val leaked = tsOf.filter(
+      col("o_orderdate") >= lit("1995-01-01 00:00:00").cast(tsType)
+        && col("o_orderdate") <= lit("1995-12-31 00:00:00").cast(tsType))
+      .count()
+    assert(leaked == 0, "no qualifying row may live in a skipped file")
+  }
+}
