@@ -46,35 +46,42 @@ object Lakehouse {
     * manifests). Returns the table root. */
   private[graft] def versionedTable(spark: SparkSession, sfDir: String): File =
     Staging.stagedDir("graft_lake_tt", sfDir, s"cow-$Buckets-v1") { root =>
-      val orders = Tables(spark, sfDir, "orders")
-        .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        .withColumn("bucket", pmod(col("o_orderkey"), lit(Buckets.toLong)))
-      orders.write.partitionBy("bucket").mode("overwrite")
-        .parquet(new File(root, "v1").getAbsolutePath)
-      def bucketDirs(version: String): Map[Long, String] =
-        new File(root, version).listFiles()
-          .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
-          .map(f => f.getName.stripPrefix("bucket=").toLong ->
-            f.getAbsolutePath)
-          .toMap
-      val v1 = bucketDirs("v1")
-      // the change touches keys ≡ 3 (mod 16) — all in bucket 3: rewrite
-      // exactly that bucket under v2/, share every other file with v1
-      val hot = 3L
-      spark.read.parquet(v1(hot))
-        .withColumn("o_orderstatus",
-          when(col("o_orderkey") % 16 === 3, lit("T"))
-            .otherwise(col("o_orderstatus")))
-        .withColumn("bucket", lit(hot))
-        .write.partitionBy("bucket").mode("overwrite")
-        .parquet(new File(root, "v2").getAbsolutePath)
-      val v2 = v1 ++ bucketDirs("v2")
-      def writeManifest(name: String, dirs: Map[Long, String]): Unit =
-        Files.writeString(new File(root, name).toPath,
-          dirs.toSeq.sortBy(_._1).map(_._2).mkString("", "\n", "\n"))
-      writeManifest("manifest_v1.txt", v1)
-      writeManifest("manifest_v2.txt", v2)
+      buildTwoVersions(spark, sfDir, root)
     }
+
+  /** v1 = orders bucketed by hash(o_orderkey); v2 = the change batch
+    * (keys ≡ 3 mod 16 → status 'T', all hashing into bucket 3)
+    * copy-on-written: exactly that bucket rewritten under v2/, every
+    * other file shared with v1 — both manifests written. */
+  private def buildTwoVersions(
+      spark: SparkSession, sfDir: String, root: File): Unit = {
+    val orders = Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .withColumn("bucket", pmod(col("o_orderkey"), lit(Buckets.toLong)))
+    orders.write.partitionBy("bucket").mode("overwrite")
+      .parquet(new File(root, "v1").getAbsolutePath)
+    def bucketDirs(version: String): Map[Long, String] =
+      new File(root, version).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .map(f => f.getName.stripPrefix("bucket=").toLong ->
+          f.getAbsolutePath)
+        .toMap
+    val v1 = bucketDirs("v1")
+    val hot = 3L
+    spark.read.parquet(v1(hot))
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 16 === 3, lit("T"))
+          .otherwise(col("o_orderstatus")))
+      .withColumn("bucket", lit(hot))
+      .write.partitionBy("bucket").mode("overwrite")
+      .parquet(new File(root, "v2").getAbsolutePath)
+    val v2 = v1 ++ bucketDirs("v2")
+    def writeManifest(name: String, dirs: Map[Long, String]): Unit =
+      Files.writeString(new File(root, name).toPath,
+        dirs.toSeq.sortBy(_._1).map(_._2).mkString("", "\n", "\n"))
+    writeManifest("manifest_v1.txt", v1)
+    writeManifest("manifest_v2.txt", v2)
+  }
 
   private[graft] def manifestPaths(root: File, version: Int): Seq[String] =
     Files.readAllLines(
@@ -112,6 +119,63 @@ object Lakehouse {
       |      FROM orders)
       |GROUP BY 1, 2
       |ORDER BY version, o_orderstatus""".stripMargin
+
+  /** Expire `version`'s manifest from a versioned table root: delete the
+    * files it references that no LIVE manifest still references (vacuum —
+    * an expired version's exclusive files are dead storage), then remove
+    * the manifest itself. Deleting only the reference-counted orphans is
+    * the entire safety story of every table format's VACUUM: a file
+    * shared with a live version must survive. */
+  private[graft] def expireVersion(root: File, version: Int): Unit = {
+    val manifest = new File(root, s"manifest_v$version.txt")
+    if (!manifest.exists()) return // idempotent: already expired
+    val expired = manifestPaths(root, version).toSet
+    val live = root.listFiles()
+      .filter(f => f.getName.startsWith("manifest_v")
+        && f.getName != manifest.getName)
+      .flatMap(f => Files.readAllLines(f.toPath).asScala)
+      .toSet
+    (expired -- live).foreach { dir =>
+      val d = new File(dir)
+      Option(d.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+      d.delete()
+    }
+    manifest.delete()
+  }
+
+  /** The versioned table with v1 EXPIRED (vacuumed) — staged post-expiry,
+    * so the staged generation is immutable as the staging contract
+    * requires. Built separately from [[versionedTable]]: expiry is
+    * destructive and must not eat the time-travel query's v1. */
+  private[graft] def expiredTable(spark: SparkSession, sfDir: String): File =
+    Staging.stagedDir("graft_lake_expire", sfDir, s"cow-$Buckets-expire-v1") {
+      root =>
+        buildTwoVersions(spark, sfDir, root)
+        expireVersion(root, 1)
+    }
+
+  /** Snapshot expiry (VACUUM): after v1 is expired, its exclusively-owned
+    * file (the pre-rewrite hot bucket) is deleted, every file shared with
+    * v2 survives, and AS OF v2 still answers exactly — proven by the v2
+    * oracle. The spec additionally audits the file inventory (orphan
+    * gone, shared files intact, expired manifest removed). */
+  def snapshotExpire(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = expiredTable(spark, sfDir)
+    spark.read.parquet(manifestPaths(root, 2): _*)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val snapshotExpireOracle =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM (SELECT CASE WHEN o_orderkey % 16 = 3 THEN 'T'
+      |             ELSE o_orderstatus END AS o_orderstatus, o_totalprice
+      |      FROM orders)
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
   private val SkipFiles = 16
 
@@ -195,5 +259,8 @@ object Lakehouse {
     Query("ref_manifest_skipping",
       "file-level min/max data skipping: manifest prunes before any footer IO",
       manifestSkipping, Some(manifestSkippingOracle)),
+    Query("ref_snapshot_expire",
+      "VACUUM: expired version's exclusive files deleted, shared files survive",
+      snapshotExpire, Some(snapshotExpireOracle)),
   )
 }

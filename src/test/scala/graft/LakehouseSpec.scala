@@ -22,6 +22,22 @@ class LakehouseSpec extends SparkTestBase {
       "every other bucket's files shared byte-for-byte between versions")
   }
 
+  test("snapshot expiry vacuums only the expired version's exclusive files") {
+    run("ref_snapshot_expire").collect() // builds + stages post-expiry state
+    val root = Lakehouse.expiredTable(spark, Sf)
+    assert(!new java.io.File(root, "manifest_v1.txt").exists(),
+      "expired manifest removed")
+    val v2 = Lakehouse.manifestPaths(root, 2)
+    assert(v2.forall(p => new java.io.File(p).exists()),
+      "vacuum must never touch a file a live manifest references")
+    assert(!new java.io.File(new java.io.File(root, "v1"), "bucket=3")
+      .exists(), "the expired version's exclusive bucket is deleted")
+    assert(new java.io.File(new java.io.File(root, "v1"), "bucket=0")
+      .exists(), "buckets shared with v2 survive under the v1 data dir")
+    Lakehouse.expireVersion(root, 1) // idempotent: second expiry is a no-op
+    assert(v2.forall(p => new java.io.File(p).exists()))
+  }
+
   test("manifest skipping prunes files before read and stays exact") {
     val (_, stats) = Lakehouse.statsManifest(spark, Sf)
     val keep = Lakehouse.survivingFiles(stats, "1995-01-01", "1995-12-31")
