@@ -38,6 +38,29 @@ class LakehouseSpec extends SparkTestBase {
     assert(v2.forall(p => new java.io.File(p).exists()))
   }
 
+  test("MERGE INTO SQL equals the hand-rolled full-outer merge, row for row") {
+    assert(run("ref_merge_into_sql").collect().toSeq ==
+      run("ref_upsert_merge").collect().toSeq,
+      "the analyzer-derived MERGE must reproduce the declarative merge")
+  }
+
+  test("row-level SQL plans through the group-based ReplaceData rewrite") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graftlake.spec_rls")
+    spark.sql("CREATE TABLE graftlake.spec_rls (k BIGINT, s STRING)")
+    spark.range(3).selectExpr("id AS k", "'a' AS s")
+      .createOrReplaceTempView("spec_rls_src")
+    val plan = spark.sql(
+      """EXPLAIN MERGE INTO graftlake.spec_rls t USING spec_rls_src b
+        |ON t.k = b.k
+        |WHEN MATCHED THEN UPDATE SET s = b.s
+        |WHEN NOT MATCHED THEN INSERT (k, s) VALUES (b.k, b.s)
+        |""".stripMargin).head().getString(0)
+    assert(plan.contains("ReplaceData") && plan.contains("MergeRows"),
+      s"MERGE must go through the row-level rewrite, got:\n$plan")
+  }
+
   test("manifest skipping prunes files before read and stays exact") {
     val (_, stats) = Lakehouse.statsManifest(spark, Sf)
     val keep = Lakehouse.survivingFiles(stats, "1995-01-01", "1995-12-31")
