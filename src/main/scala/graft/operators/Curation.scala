@@ -384,6 +384,43 @@ object Curation {
       |FROM toks, tot, bs
       |ORDER BY source""".stripMargin
 
+  /** k-anonymity suppression gate — the privacy screen a curated corpus
+    * release runs over its quasi-identifier columns: a (lang, source)
+    * group is publishable only if at least K documents share it;
+    * smaller groups would let an attacker re-identify contributors, so
+    * their rows are SUPPRESSED and reported only as one aggregate row
+    * (count + volume — never the identifying values). One hash aggregate
+    * over the corpus + a tiny partition of the group table; at 100 TB
+    * the group relation is quasi-identifier-cardinality-sized, not
+    * corpus-sized, so the gate costs one map-side-combined pass.
+    */
+  def kAnonymity(spark: SparkSession, sfDir: String): DataFrame = {
+    val K = 5
+    val groups = Tables(spark, sfDir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+    val kept = groups.filter(col("n") >= K)
+    val suppressed = groups.filter(col("n") < K)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("sum_chars")), lit(0L)).as("sum_chars"))
+      .select(lit("_SUPPRESSED").as("lang"), lit("_SUPPRESSED").as("source"),
+        col("n"), col("sum_chars"))
+    kept.unionByName(suppressed).orderBy("lang", "source")
+  }
+
+  private val kAnonymityOracle =
+    """WITH g AS (
+      |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |  FROM documents GROUP BY lang, source)
+      |SELECT lang, source, n, sum_chars FROM g WHERE n >= 5
+      |UNION ALL
+      |SELECT '_SUPPRESSED' AS lang, '_SUPPRESSED' AS source,
+      |  CAST(coalesce(sum(n), 0) AS BIGINT) AS n,
+      |  CAST(coalesce(sum(sum_chars), 0) AS BIGINT) AS sum_chars
+      |FROM g WHERE n < 5
+      |ORDER BY lang, source""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("curation_split",
       "deterministic md5-hash 80/10/10 train/valid/test split",
@@ -409,5 +446,8 @@ object Curation {
     Query("curation_mixture_weights",
       "domain mixture recipe: bottleneck budget, rates, expected yields",
       mixtureWeights, Some(mixtureWeightsOracle)),
+    Query("curation_k_anonymity",
+      "k-anonymity gate: sub-K quasi-identifier groups suppressed to one row",
+      kAnonymity, Some(kAnonymityOracle)),
   )
 }

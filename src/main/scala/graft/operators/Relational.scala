@@ -2068,6 +2068,59 @@ object Relational {
       |   / CAST(count(*) AS DOUBLE) AS avg_price
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---- incremental JOIN view maintenance ----------------------------------
+
+  /** Incremental maintenance of a JOIN view — the other half of the IVM
+    * story [[incrementalAggMerge]] covers for plain aggregates: the view
+    * V = γ(A ⋈ B) is kept current under deltas on BOTH base tables using
+    * the classic delta-join decomposition
+    * `ΔV = γ(ΔA ⋈ B_old) ⊎ γ(A_old ⋈ ΔB) ⊎ γ(ΔA ⋈ ΔB)` — history never
+    * re-joins history. Here A = orders (Δ = the o_orderkey % 5 = 0
+    * slice), B = lineitem (Δ = the l_orderkey % 7 = 0 slice), and the
+    * view is revenue partials per priority; the merged state must equal
+    * a from-scratch recompute BITWISE (decimal partials — the same
+    * mergeable-state rule as the aggregate IVM). The oracle IS that
+    * recompute over the full tables.
+    *
+    * Scale shape: the three delta joins broadcast the delta side (a load
+    * batch is ≪ the accumulated history by definition — a delta too big
+    * to broadcast shuffles on the join key like any fact join, still
+    * never re-joining history×history), each is map-side combined to
+    * per-priority partials before the final tiny state merge.
+    */
+  def ivmJoinView(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderpriority")
+    val li = Tables(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_extendedprice")
+    val aOld = orders.filter(col("o_orderkey") % 5 =!= 0)
+    val dA = orders.filter(col("o_orderkey") % 5 === 0)
+    val bOld = li.filter(col("l_orderkey") % 7 =!= 0)
+    val dB = li.filter(col("l_orderkey") % 7 === 0)
+    def partials(o: DataFrame, l: DataFrame): DataFrame =
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(dec(col("l_extendedprice"))).as("sum_part"),
+          count(lit(1)).as("n_part"))
+    val state = partials(aOld, bOld) // the stored view (prior load's γ)
+    val delta = partials(broadcast(dA), bOld)
+      .unionByName(partials(aOld, broadcast(dB)))
+      .unionByName(partials(broadcast(dA), broadcast(dB)))
+    state.unionByName(delta)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("sum_part")).as("sum_merged"), sum(col("n_part")).as("n"))
+      .select(col("o_orderpriority"), col("n"),
+        col("sum_merged").cast(DoubleType).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val ivmJoinViewOracle =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |   AS revenue
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ---- bucketing: co-located join ---------------------------------------
 
   /** Bucketed co-located join: both sides are written bucketed (and
@@ -2768,6 +2821,9 @@ object Relational {
     Query("agg_incremental_merge",
       "incremental aggregate maintenance: merge batch partials into state",
       incrementalAggMerge, Some(incrementalAggMergeOracle)),
+    Query("join_ivm_view",
+      "incremental JOIN view maintenance: delta-join decomposition, bitwise = recompute",
+      ivmJoinView, Some(ivmJoinViewOracle)),
     Query("sql_corr_scalar_subq",
       "Q17-shaped correlated scalar subquery, decorrelated to agg+join",
       correlatedScalarSubquery, Some(correlatedScalarSubqueryOracle)),

@@ -534,6 +534,60 @@ object TimeWindows {
       |  FROM events GROUP BY 1, 2)
       |ORDER BY event_type, week""".stripMargin
 
+  /** Gap filling (DENSIFICATION) — distinct from `win_fill_forward`,
+    * which imputes nulls in rows that exist: here the missing rows don't
+    * exist at all. The sensor/metrics pattern: 10-minute slots with no
+    * events must still appear (n = 0) so downstream windows and charts
+    * see a regular series, and the carried measure forward-fills from
+    * the last observed slot per type. Spine = `sequence(min, max, 10m)`
+    * exploded once from the GLOBAL bounds (one tiny aggregate) crossed
+    * with the distinct types (broadcast — types are low-cardinality by
+    * construction); the observed aggregate left-joins onto it. Slots
+    * before a type's first observation keep NULL — fabricating a value
+    * there would be lying. At 100 TB the spine is slots × types rows —
+    * data-independent and tiny relative to the corpus — and the one
+    * aggregate over the corpus is map-side combined; the forward-fill
+    * window sorts the SPINE, never the events.
+    */
+  def gapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("ts"), col("event_type"), col("value"))
+    val binned = ev
+      .groupBy(window(col("ts"), "10 minutes").getField("start").as("slot"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    val spine = binned.agg(min(col("slot")).as("lo"), max(col("slot")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("INTERVAL 10 MINUTES"))).as("slot"))
+    val types = ev.select("event_type").distinct()
+    val fill = Window.partitionBy(col("event_type")).orderBy(col("slot"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.crossJoin(broadcast(types))
+      .join(binned, Seq("slot", "event_type"), "left_outer")
+      .select(col("slot"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("sum_value"), ignoreNulls = true).over(fill)
+          .as("filled_sum"))
+      .orderBy("slot", "event_type")
+  }
+
+  private val gapFillOracle =
+    s"""WITH binned AS (
+       |  SELECT time_bucket(INTERVAL '10 minutes', ts) AS slot, event_type,
+       |    CAST(count(*) AS BIGINT) AS n, ${sqlDsum("value")} AS sum_value
+       |  FROM events GROUP BY 1, 2),
+       |bounds AS (SELECT min(slot) AS lo, max(slot) AS hi FROM binned),
+       |spine AS (
+       |  SELECT unnest(generate_series(lo, hi, INTERVAL '10 minutes'))
+       |    AS slot FROM bounds),
+       |types AS (SELECT DISTINCT event_type FROM events)
+       |SELECT s.slot, t.event_type, coalesce(b.n, 0) AS n,
+       |  last_value(b.sum_value IGNORE NULLS) OVER (
+       |    PARTITION BY t.event_type ORDER BY s.slot) AS filled_sum
+       |FROM spine s CROSS JOIN types t
+       |LEFT JOIN binned b ON b.slot = s.slot AND b.event_type = t.event_type
+       |ORDER BY s.slot, t.event_type""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("win_time_tumbling",
       "tumbling 10-min event-time windows per event type",
@@ -571,5 +625,8 @@ object TimeWindows {
     Query("win_wow_change",
       "week-over-week deltas and percent change on the aggregated relation",
       weekOverWeek, Some(weekOverWeekOracle)),
+    Query("ts_gap_fill",
+      "densification: spine join fills absent slots, forward-fills measures",
+      gapFill, Some(gapFillOracle)),
   )
 }
