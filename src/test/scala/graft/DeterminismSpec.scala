@@ -35,7 +35,11 @@ class DeterminismSpec extends SparkTestBase {
     "ts_ohlc_bars",          // min_by/max_by selection-aggregate ties
     "text_fuzzy_join",       // blocking join + keep-best resolution
     "curation_mixture_weights", // bottleneck-min + integer floor divs
-    "agg_robust_outliers")   // two chained percentile passes
+    "agg_robust_outliers",   // two chained percentile passes
+    "join_ivm_view",         // delta-join partials merged into state
+    "ts_gap_fill",           // spine join + IGNORE NULLS forward fill
+    "ref_scd2_replay",       // double-applied merge over checkpointed state
+    "ref_merge_into_sql")    // analyzer-derived MERGE through ReplaceData
 
   private def rowsAt(name: String, partitions: Int): Seq[Seq[Any]] = {
     val key = "spark.sql.shuffle.partitions"

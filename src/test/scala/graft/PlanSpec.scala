@@ -578,4 +578,23 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"),
       s"pipe lowering must not introduce extra operators:\n$p")
   }
+
+  test("IVM delta joins broadcast the delta side — history never re-joins history") {
+    val p = plan(run("join_ivm_view"))
+    // three delta joins (dA><B, A><dB, dA><dB), each broadcasting a delta
+    assert(p.sliding("BroadcastHashJoin".length).count(
+      _ == "BroadcastHashJoin") >= 3,
+      s"the three delta joins must broadcast their delta side:\n$p")
+    // partials are map-side combined before any exchange
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      s"delta partials must combine map-side:\n$p")
+  }
+
+  test("gap-fill spine work is spine-sized: broadcast cross, no corpus sort") {
+    val p = plan(run("ts_gap_fill"))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"spine x types must be a broadcast cross of two tiny relations:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the cross must broadcast, never a cartesian shuffle:\n$p")
+  }
 }
