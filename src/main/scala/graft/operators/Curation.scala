@@ -384,6 +384,54 @@ object Curation {
       |FROM toks, tot, bs
       |ORDER BY source""".stripMargin
 
+  /** Weighted (PPS) systematic sample — `curation_sample_reservoir` draws
+    * UNIFORMLY; training-data subsampling usually wants inclusion odds
+    * proportional to a SIZE measure (tokens here ≈ n_chars), so that the
+    * sample covers the corpus by volume, not by document count. The
+    * systematic method: lay every document's weight on one line (window
+    * cumsum in doc_id order), drop K equally-spaced marks, keep the
+    * documents the marks land in. All-integer selection arithmetic
+    * (`(cum*K) div total` changing across a document's weight span ⇔ a
+    * mark lies inside it), so the draw is deterministic, replayable, and
+    * bit-identical in the DuckDB oracle — no RNG, no transcendentals
+    * (the A-ES exponential-keys alternative needs pow/log, which
+    * ARCHITECTURE.md's determinism traps rule out cross-engine).
+    *
+    * Scale note: the global-ordered cumsum here is the oracle-scale
+    * spelling; at 100 TB it becomes the standard two-pass distributed
+    * prefix sum (per-shard totals broadcast as offsets — exactly
+    * [[packSequences]]'s per-shard discipline) with K apportioned to
+    * shards by weight share.
+    */
+  def ppsSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val K = 50
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "n_chars")
+    val before = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = docs.agg(sum(col("n_chars")).as("total"))
+    docs
+      .withColumn("cum_before",
+        coalesce(sum(col("n_chars")).over(before), lit(0L)))
+      .crossJoin(broadcast(total))
+      .filter(expr(s"(cum_before * $K) div total")
+        < expr(s"((cum_before + n_chars) * $K) div total"))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  private val ppsSampleOracle =
+    """WITH c AS (
+      |  SELECT doc_id, n_chars,
+      |    coalesce(sum(n_chars) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS cum_before,
+      |    sum(n_chars) OVER () AS total
+      |  FROM documents)
+      |SELECT doc_id, n_chars FROM c
+      |WHERE (cum_before * 50) // total
+      |    < ((cum_before + n_chars) * 50) // total
+      |ORDER BY doc_id""".stripMargin
+
   /** k-anonymity suppression gate — the privacy screen a curated corpus
     * release runs over its quasi-identifier columns: a (lang, source)
     * group is publishable only if at least K documents share it;
@@ -449,5 +497,8 @@ object Curation {
     Query("curation_k_anonymity",
       "k-anonymity gate: sub-K quasi-identifier groups suppressed to one row",
       kAnonymity, Some(kAnonymityOracle)),
+    Query("curation_pps_sample",
+      "weighted systematic sample: integer PPS marks, RNG-free, replayable",
+      ppsSample, Some(ppsSampleOracle)),
   )
 }

@@ -2068,6 +2068,43 @@ object Relational {
       |   / CAST(count(*) AS DOUBLE) AS avg_price
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---- recursive CTE -------------------------------------------------------
+
+  /** Recursive CTE (Spark 4's `WITH RECURSIVE`) — hierarchy walking as
+    * declarative SQL: every customer key walks its implicit binary-tree
+    * ancestor chain (parent = k div 2) to the root, and the result
+    * profiles the chain-length distribution. The recursion is pure
+    * integer arithmetic, so it replays exactly in DuckDB's recursive CTE
+    * — a genuine cross-engine gate on the iteration semantics (anchor,
+    * step, termination), not just on one unrolled level. Execution is
+    * the same loop-over-plans shape as [[graft.operators.Graph]]'s
+    * iterative ops: each level is one join-free projection + filter of
+    * the previous level's (shrinking) frontier, ~log₂(max key) rounds;
+    * at 100 TB the frontier relation is what shuffles, never the corpus
+    * per round.
+    */
+  def recursiveCte(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "customer")
+      .select("c_custkey").createOrReplaceTempView("graft_rec_cust")
+    spark.sql(
+      """WITH RECURSIVE walk(start_key, cur, depth) AS (
+        |  SELECT c_custkey, c_custkey, 0 FROM graft_rec_cust
+        |  UNION ALL
+        |  SELECT start_key, cur DIV 2, depth + 1 FROM walk WHERE cur > 1)
+        |SELECT depth, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(start_key) AS BIGINT) AS sum_start
+        |FROM walk GROUP BY depth ORDER BY depth""".stripMargin)
+  }
+
+  private val recursiveCteOracle =
+    """WITH RECURSIVE walk(start_key, cur, depth) AS (
+      |  SELECT c_custkey, c_custkey, 0 FROM customer
+      |  UNION ALL
+      |  SELECT start_key, cur // 2, depth + 1 FROM walk WHERE cur > 1)
+      |SELECT depth, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(start_key) AS BIGINT) AS sum_start
+      |FROM walk GROUP BY depth ORDER BY depth""".stripMargin
+
   // ---- incremental JOIN view maintenance ----------------------------------
 
   /** Incremental maintenance of a JOIN view — the other half of the IVM
@@ -2839,6 +2876,9 @@ object Relational {
     Query("scalar_collation",
       "UTF8_LCASE collation: case-insensitive distinct without lower()",
       collationDistinct, Some(collationDistinctOracle)),
+    Query("sql_recursive_cte",
+      "WITH RECURSIVE ancestor-chain walk, cross-engine iteration gate",
+      recursiveCte, Some(recursiveCteOracle)),
     Query("sql_in_subquery",
       "uncorrelated IN subquery planned as a left-semi hash join",
       inSubquery, Some(inSubqueryOracle)),
