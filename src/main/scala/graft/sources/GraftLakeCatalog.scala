@@ -34,13 +34,19 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * files and exposes `_file` metadata so only touched files rewrite).
   *
   * Register per session: `spark.sql.catalog.<name>` →
-  * [[GraftLakeCatalog]] class name; one catalog INSTANCE per session, so
-  * table state never leaks across concurrent suites.
+  * [[GraftLakeCatalog]] class name. Table state is JVM-wide per catalog
+  * NAME (a miniature external metastore): Spark instantiates a separate
+  * catalog object per session — including the cloned session each
+  * streaming micro-batch runs under — and all of them must see the same
+  * tables, exactly as real sessions sharing a metastore do. Queries keep
+  * isolation by DROP/CREATE-ing their own table names.
   */
 class GraftLakeCatalog extends TableCatalog {
 
   private var catalogName: String = _
-  private val tables = new ConcurrentHashMap[Identifier, GraftLakeTable]()
+  private def tables = GraftLakeCatalog.registries
+    .computeIfAbsent(catalogName,
+      _ => new ConcurrentHashMap[Identifier, GraftLakeTable]())
 
   override def initialize(
       name: String, options: CaseInsensitiveStringMap): Unit =
@@ -73,6 +79,13 @@ class GraftLakeCatalog extends TableCatalog {
 
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME not supported")
+}
+
+object GraftLakeCatalog {
+  /** The "metastore": table registries shared by every catalog instance
+    * with the same configured name (sessions, micro-batch clones). */
+  private val registries = new ConcurrentHashMap[
+    String, ConcurrentHashMap[Identifier, GraftLakeTable]]()
 }
 
 /** In-memory batch table: plain scans, appends, truncation, and the

@@ -327,6 +327,55 @@ object StreamingOps {
        | ${sqlDsum("value")} AS sum_value
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Streaming upsert into a REAL merge-capable table — the production
+    * resolution of [[updateModeCounts]]'s driver-map stand-in: each
+    * update-mode micro-batch (only the groups whose aggregate CHANGED)
+    * runs an actual `MERGE INTO` statement against the row-level DSv2
+    * catalog table ([[graft.sources.GraftLakeCatalog]]), exactly the
+    * Delta/Iceberg streaming-upsert pattern. After the drain the served
+    * table must equal the batch aggregate — the same oracle as the
+    * update-mode query, now through the full SQL merge machinery per
+    * batch. At 100 TB the per-batch merge cost is the table format's
+    * touched-file rewrite (here coarsened to the whole in-memory group,
+    * like the rest of the graftlake harness table).
+    */
+  def mergeSink(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val serving = "graftlake.serving_counts"
+    spark.sql(s"DROP TABLE IF EXISTS $serving")
+    spark.sql(s"CREATE TABLE $serving " +
+      "(event_type STRING, n BIGINT, sum_value DOUBLE)")
+    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val agg = spark.readStream
+      .schema(batchSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    withStreamingPartitions(spark) {
+      val q = agg.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val view = s"graft_merge_sink_batch_$id"
+          batch.createOrReplaceTempView(view)
+          batch.sparkSession.sql(
+            s"""MERGE INTO $serving t USING $view b
+               |ON t.event_type = b.event_type
+               |WHEN MATCHED THEN UPDATE SET
+               |  n = b.n, sum_value = b.sum_value
+               |WHEN NOT MATCHED THEN INSERT (event_type, n, sum_value)
+               |  VALUES (b.event_type, b.n, b.sum_value)
+               |""".stripMargin)
+          () // foreachBatch wants Unit; sql() returns the command's frame
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(serving).orderBy("event_type")
+  }
+
   /** Stream–static join: the event stream enriched against the static
     * customer dimension (broadcast per micro-batch — the static side is
     * planned like any batch relation, so the broadcast-hash-join shape is
@@ -1229,5 +1278,8 @@ object StreamingOps {
     Query("stream_kafka_restart",
       "Kafka-shaped DSv2 source: admission-controlled drain, offset-exact restart",
       kafkaShapedRestart, Some(foreachBatchSinkOracle)),
+    Query("stream_merge_sink",
+      "update-mode stream upserted via real MERGE INTO per micro-batch",
+      mergeSink, Some(updateModeCountsOracle)),
   )
 }
