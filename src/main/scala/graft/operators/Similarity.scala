@@ -735,6 +735,61 @@ object Similarity {
       |  CAST(count(*) FILTER (WHERE n2 < 1000000) AS BIGINT) AS n_degenerate
       |FROM q GROUP BY label ORDER BY label""".stripMargin
 
+  /** Contrastive hard-negative mining: for each probe vector, the top-5
+    * most-similar corpus vectors carrying a DIFFERENT label — the
+    * negatives that most confuse a contrastive model, which is exactly
+    * what embedding-training pipelines mine per anchor.
+    *
+    * Shape: probes are broadcast (one scan of the corpus, no corpus
+    * shuffle), and the per-probe top-k goes through the bounded-heap
+    * aggregate [[graft.functions.BoundedTopK]] instead of a rank window —
+    * the shuffle carries ≤ k candidates per (probe × map task), so a
+    * 5-probe mine over 100 TB moves KBs, not the corpus. With millions of
+    * anchors the broadcast flips to the ANN index path
+    * ([[annIvfPruned]]: assign anchors to lists, mine within nprobe
+    * lists) — the scoring and heap shapes here are unchanged.
+    */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.BoundedTopK
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("e"))
+    val probes = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("label").as("probe_label"),
+        col("e").as("probe"))
+    e.join(broadcast(probes), col("label") =!= col("probe_label"))
+      .select(col("probe_id"), col("vec_id"),
+        round(Dedup.cosine(col("e"), col("probe")), 6).as("cos_sim"))
+      .groupBy(col("probe_id"))
+      .agg(BoundedTopK(col("cos_sim"), col("vec_id"), 5).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.id").as("vec_id"), col("col.score").as("cos_sim"))
+      .join(Tables(spark, sfDir, "embeddings").select(col("vec_id"), col("label")),
+        "vec_id")
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("label"),
+        col("cos_sim"))
+      .orderBy("probe_id", "rank")
+  }
+
+  private val hardNegativesOracle =
+    """WITH e AS (
+      |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings),
+      |p AS (SELECT vec_id AS probe_id, label AS probe_label, e AS probe
+      |      FROM e WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT p.probe_id, e.vec_id, e.label,
+      |    round(list_cosine_similarity(e.e, p.probe), 6) AS cos_sim
+      |  FROM e JOIN p ON e.label <> p.probe_label),
+      |ranked AS (
+      |  SELECT probe_id, vec_id, label, cos_sim,
+      |    row_number() OVER (
+      |      PARTITION BY probe_id ORDER BY cos_sim DESC, vec_id) AS rk
+      |  FROM scored)
+      |SELECT probe_id, CAST(rk AS BIGINT) AS rank, vec_id, label, cos_sim
+      |FROM ranked WHERE rk <= 5
+      |ORDER BY probe_id, rank""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("sim_topk_bruteforce",
       "exact cosine top-10 vs broadcast probe (TakeOrderedAndProject)",
@@ -763,5 +818,8 @@ object Similarity {
     Query("sim_index_stream_update",
       "online LSH index: micro-batch appends, pruned multiprobe read-back",
       indexStreamUpdate, Some(indexStreamUpdateOracle)),
+    Query("sim_hard_negatives",
+      "contrastive hard-negative mining: per-probe top-5 cross-label cosine",
+      hardNegatives, Some(hardNegativesOracle)),
   )
 }

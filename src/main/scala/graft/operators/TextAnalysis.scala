@@ -806,6 +806,76 @@ object TextAnalysis {
        |    / sum(n) OVER (PARTITION BY truth), 6) AS pct_of_truth
        |FROM cells ORDER BY truth, pred""".stripMargin
 
+  /** CCNet-style language-model quality score, integer-exact: per-document
+    * mean bigram surprisal against a corpus bigram model. A document whose
+    * bigrams are all corpus-common scores low (fluent/boilerplate); one
+    * full of never-seen-together pairs scores high (noise or novelty) —
+    * the same signal CCNet gets from a KenLM perplexity, here from the
+    * corpus itself with no external model.
+    *
+    * Determinism: log2 is taken at integer resolution as a BINARY BIT
+    * LENGTH (`length(bin(n))`), so the per-occurrence surprisal
+    * `bitlen(n_prefix) - bitlen(n_pair)` is exact integer arithmetic in
+    * both engines — no float logs to mismatch. The single division (mean)
+    * divides two exact BIGINTs once.
+    *
+    * Scale shape: the model is built FROM the pair counts (one explode +
+    * hash agg with map-side combine; prefix counts re-aggregate the pair
+    * table, not the corpus), then scoring is one equi-join of bigram
+    * occurrences to the model on (w1, w2) — the standard model-scoring
+    * join, hash-partitioned on the bigram key. A skewed stopword bigram
+    * shows up as a hot key; AQE skew split handles it (asserted for the
+    * engine in PlanSpec's skew suite). Nothing is ever docs².
+    */
+  def bigramSurprisal(spark: SparkSession, sfDir: String): DataFrame = {
+    val ts = split(col("text"), " ")
+    val bg = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), ts.as("ts")).filter(size(col("ts")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(col("ts")) - 1),
+          i => struct(element_at(col("ts"), i).as("w1"),
+            element_at(col("ts"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val pairCounts = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val model = pairCounts
+      .withColumn("n_prefix",
+        sum(col("n_pair")).over(Window.partitionBy(col("w1"))))
+      .select(col("w1"), col("w2"),
+        (length(bin(col("n_prefix"))) - length(bin(col("n_pair"))))
+          .cast(LongType).as("s"))
+    bg.join(model, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("s")).as("sum_surprisal"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_surprisal"),
+        (col("sum_surprisal").cast(DoubleType)
+          / col("n_bigrams").cast(DoubleType)).as("avg_surprisal"))
+      .orderBy(col("avg_surprisal").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  private val bigramSurprisalOracle =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+      |       FROM tok, unnest(range(1, len(ts))) AS u(i)),
+      |pc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+      |       FROM bg GROUP BY 1, 2),
+      |model AS (
+      |  SELECT w1, w2,
+      |    CAST(length(bin(CAST(sum(n_pair) OVER (PARTITION BY w1) AS BIGINT)))
+      |       - length(bin(n_pair)) AS BIGINT) AS s
+      |  FROM pc),
+      |sc AS (SELECT doc_id, s FROM bg JOIN model USING (w1, w2))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(s) AS BIGINT) AS sum_surprisal,
+      |  CAST(sum(s) AS DOUBLE) / count(*) AS avg_surprisal
+      |FROM sc GROUP BY doc_id
+      |ORDER BY avg_surprisal DESC, doc_id
+      |LIMIT 100""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("text_stats_quality",
       "per-doc token stats, quality score, stopword-heuristic language ID",
@@ -855,5 +925,8 @@ object TextAnalysis {
     Query("text_langid_eval",
       "confusion cells + exact ratios: lang-ID heuristic vs ground truth",
       langIdEval, Some(langIdEvalOracle)),
+    Query("text_bigram_surprisal",
+      "CCNet-style LM quality score: integer-exact mean bigram surprisal",
+      bigramSurprisal, Some(bigramSurprisalOracle)),
   )
 }

@@ -39,7 +39,9 @@ class DeterminismSpec extends SparkTestBase {
     "join_ivm_view",         // delta-join partials merged into state
     "ts_gap_fill",           // spine join + IGNORE NULLS forward fill
     "ref_scd2_replay",       // double-applied merge over checkpointed state
-    "ref_merge_into_sql")    // analyzer-derived MERGE through ReplaceData
+    "ref_merge_into_sql",    // analyzer-derived MERGE through ReplaceData
+    "sim_hard_negatives",    // bounded-heap ties under cross-label scoring
+    "text_bigram_surprisal") // integer bit-length surprisal, one division
 
   private def rowsAt(name: String, partitions: Int): Seq[Seq[Any]] = {
     val key = "spark.sql.shuffle.partitions"

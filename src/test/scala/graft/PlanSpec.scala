@@ -92,6 +92,31 @@ class PlanSpec extends SparkTestBase {
       "per-group top-k must not fall back to a rank window")
   }
 
+  test("hard-negative mining broadcasts probes and heaps per-probe top-k") {
+    val p = plan(run("sim_hard_negatives"))
+    // the label-mismatch scoring join must broadcast the tiny probe set —
+    // one corpus scan, never a corpus shuffle or cartesian of the corpus
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"probe scoring must broadcast the probes:\n$p")
+    // per-probe top-k through the bounded heap: the exchange carries <= k
+    // candidates per (probe x map task), not every scored pair
+    assert(p.contains("partial_bounded_top_k"),
+      s"per-probe top-k must be a partial bounded heap:\n$p")
+    assert(!p.contains("Window"),
+      "mining must not fall back to a rank window over all scored pairs")
+  }
+
+  test("bigram surprisal is equi-joins + partial aggs, ending in top-k") {
+    val p = plan(run("text_bigram_surprisal"))
+    // occurrences join the corpus model on the bigram key — hash-partitioned
+    // equi-join, never a cartesian/nested-loop over occurrences
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"model scoring must stay an equi-join:\n$p")
+    // the per-doc mean ranks through per-partition heaps, no global sort
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must plan as TakeOrderedAndProject:\n$p")
+  }
+
   test("heavy-hitter sketch is a partial object aggregate; verify is broadcast") {
     val p = plan(run("text_heavy_hitters"))
     // pass 1: the MG sketch must partial-aggregate map-side (each task

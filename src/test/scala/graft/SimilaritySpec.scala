@@ -87,4 +87,23 @@ class SimilaritySpec extends SparkTestBase {
     // shortlist refactor can't silently degrade retrieval
     assert(recall >= 3, s"PQ recall@10 dropped below floor: $recall/10")
   }
+
+  test("hard negatives cross labels and rank by descending similarity") {
+    val rows = run("sim_hard_negatives", SfOracle).collect()
+    assert(rows.length == 25, "5 probes x top-5 negatives")
+    val labels = spark.read.parquet(s"$SfOracle/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Int]("label") != labels(r.getAs[Long]("probe_id")),
+        "a mined negative must carry a different label than its probe")
+      val rk = r.getAs[Long]("rank")
+      assert(rk >= 1 && rk <= 5)
+    }
+    rows.groupBy(_.getAs[Long]("probe_id")).values.foreach { rs =>
+      val sims = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        "similarity must be non-increasing with rank")
+    }
+  }
 }

@@ -48,6 +48,22 @@ class TextMultimodalSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("bigram surprisal is a non-negative integer sum with a sane mean") {
+    // bitlen(n_prefix) >= bitlen(n_pair) because n_prefix >= n_pair, so
+    // every per-occurrence surprisal — and hence each doc's sum and mean —
+    // must be >= 0; the mean can never exceed the largest per-occurrence
+    // value, which is bounded by the corpus bigram total's bit length (63)
+    val bad = run("text_bigram_surprisal", SfOracle)
+      .filter(col("sum_surprisal") < 0 || col("n_bigrams") < 1
+        || col("avg_surprisal") < 0 || col("avg_surprisal") > 63)
+      .count()
+    assert(bad == 0)
+    val rows = run("text_bigram_surprisal", SfOracle).collect()
+      .map(_.getAs[Double]("avg_surprisal"))
+    assert(rows.zip(rows.tail).forall { case (a, b) => a >= b },
+      "output must rank most-surprising documents first")
+  }
+
   test("word-salad corpus: BPE-ish token count equals whitespace count") {
     // the harness documents are lowercase letter runs + single spaces, so
     // the regex tokenizer must agree exactly with the whitespace split
