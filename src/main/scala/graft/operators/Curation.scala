@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -469,6 +469,137 @@ object Curation {
       |FROM g WHERE n < 5
       |ORDER BY lang, source""".stripMargin
 
+  /** Cluster-aware (leakage-free) train/valid/test split — the
+    * contamination guard [[trainTestSplit]] lacks: hashing doc_id sends
+    * near-duplicate documents to DIFFERENT splits, so test examples leak
+    * into training through their dups and eval scores inflate. Here the
+    * split key is the document's near-dup CLUSTER representative
+    * ([[Dedup.clusterComponents]] — min-label connected component over the
+    * near-dup edge set), so every member of a cluster lands in the same
+    * split by construction; the property is spec-pinned (one distinct
+    * split per component) in CurationSpec.
+    *
+    * Scale shape: component assignment is the propagation loop proven by
+    * `dedup_cluster_assign` (per-round join + groupBy, pointer jumping,
+    * checkpointed lineage); the split itself is the same shuffle-free
+    * md5-bucket projection as [[trainTestSplit]], just keyed on
+    * `component` instead of `doc_id`.
+    */
+  def leakageFreeSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = (conv(
+      substring(md5(col("component").cast(StringType)), 1, 4),
+      16, 10).cast(LongType) % 10)
+    Dedup.clusterComponents(spark, sfDir)
+      .select(col("doc_id"), col("component"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") <= 7, "train")
+          .when(col("bucket") === 8, "valid")
+          .otherwise("test"))
+      .select(col("doc_id"), col("component"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  private val leakageFreeSplitOracle =
+    s"""WITH RECURSIVE
+       |${Dedup.componentCtes},
+       |comp AS (
+       |  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)
+       |SELECT doc_id, component,
+       |  CASE WHEN bucket <= 7 THEN 'train'
+       |       WHEN bucket = 8 THEN 'valid'
+       |       ELSE 'test' END AS split
+       |FROM (
+       |  SELECT doc_id, component,
+       |    CAST(concat('0x', substr(md5(CAST(component AS VARCHAR)), 1, 4))
+       |         AS BIGINT) % 10 AS bucket
+       |  FROM comp)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- DSIR-style importance resampling ----------------------------------
+
+  private val DsirBuckets = 1024L
+  private val DsirTarget = "src1"
+
+  /** DSIR-style importance resampling ("Data Selection for Language Models
+    * via Importance Resampling", Xie et al. 2023): score every document by
+    * how much more likely its hashed-unigram features are under a TARGET
+    * domain's distribution than under the raw corpus distribution, then
+    * keep the highest-scoring documents. The target here is the `src1`
+    * source slice standing in for "quality domain" (in production: a
+    * Wikipedia/books sample); features are md5-hashed unigram buckets
+    * (DSIR's hashed n-gram model at n=1).
+    *
+    * Determinism: the log-likelihood ratio is taken at integer BIT-LENGTH
+    * resolution — per-bucket score
+    * `s_b = [bitlen(n_tgt_b+1) − bitlen(N_tgt+1)] − [bitlen(n_raw_b+1) −
+    * bitlen(N_raw+1)]` — so per-doc sums are exact BIGINT arithmetic in
+    * both engines (the same trick as `text_bigram_surprisal`; float logs
+    * are not bit-portable). The only division is the final mean: one IEEE
+    * division of two exact integers, correctly rounded everywhere.
+    *
+    * Scale shape: the importance model is BUCKET-cardinality-sized (1024
+    * rows — at 100 TB, 10^5-10^6 buckets), built with one map-side-combined
+    * hash aggregate over the token stream and broadcast back over a second
+    * codegen'd scan; per-doc scoring is a broadcast join + hash agg, and
+    * the final selection is a bounded top-k (TakeOrderedAndProject), so
+    * nothing global is ever sorted and the corpus is scanned exactly twice.
+    */
+  def dsirResample(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+      .withColumn("b",
+        conv(substring(md5(col("tok")), 1, 4), 16, 10).cast(LongType)
+          % DsirBuckets)
+    val stats = toks.groupBy(col("b")).agg(
+      count(lit(1)).as("n_raw"),
+      count(when(col("source") === DsirTarget, 1)).as("n_tgt"))
+    val totals = stats.agg(sum(col("n_raw")).as("nr_tot"),
+      sum(col("n_tgt")).as("nt_tot"))
+    def bitlen(c: Column): Column = length(bin(c))
+    val model = stats.crossJoin(broadcast(totals))
+      .select(col("b"),
+        ((bitlen(col("n_tgt") + 1) - bitlen(col("nt_tot") + 1))
+          - (bitlen(col("n_raw") + 1) - bitlen(col("nr_tot") + 1)))
+          .cast(LongType).as("s"))
+    toks.join(broadcast(model), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("s")).as("llr"))
+      .select(col("doc_id"), col("n_tokens"), col("llr"),
+        (col("llr").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+          .as("avg_llr"))
+      .orderBy(col("avg_llr").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  private val dsirResampleOracle =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source,
+       |    CAST(concat('0x', substr(md5(tok), 1, 4)) AS BIGINT)
+       |      % $DsirBuckets AS b
+       |  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+       |        FROM documents)),
+       |stats AS (
+       |  SELECT b, CAST(count(*) AS BIGINT) AS n_raw,
+       |    CAST(count(*) FILTER (WHERE source = '$DsirTarget') AS BIGINT)
+       |      AS n_tgt
+       |  FROM toks GROUP BY b),
+       |tot AS (SELECT CAST(sum(n_raw) AS BIGINT) AS nr_tot,
+       |               CAST(sum(n_tgt) AS BIGINT) AS nt_tot FROM stats),
+       |model AS (
+       |  SELECT b,
+       |    CAST((length(bin(n_tgt + 1)) - length(bin(nt_tot + 1)))
+       |       - (length(bin(n_raw + 1)) - length(bin(nr_tot + 1)))
+       |      AS BIGINT) AS s
+       |  FROM stats, tot)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(s) AS BIGINT) AS llr,
+       |  CAST(sum(s) AS DOUBLE) / count(*) AS avg_llr
+       |FROM toks JOIN model USING (b)
+       |GROUP BY doc_id
+       |ORDER BY avg_llr DESC, doc_id
+       |LIMIT 100""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("curation_split",
       "deterministic md5-hash 80/10/10 train/valid/test split",
@@ -500,5 +631,11 @@ object Curation {
     Query("curation_pps_sample",
       "weighted systematic sample: integer PPS marks, RNG-free, replayable",
       ppsSample, Some(ppsSampleOracle)),
+    Query("curation_split_leakage_free",
+      "cluster-aware split: near-dup cluster members share one split",
+      leakageFreeSplit, Some(leakageFreeSplitOracle)),
+    Query("curation_dsir_resample",
+      "DSIR importance resampling: integer-exact hashed-unigram LLR top-100",
+      dsirResample, Some(dsirResampleOracle)),
   )
 }

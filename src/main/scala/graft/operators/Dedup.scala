@@ -667,9 +667,12 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  private val clusterComponentsOracle =
-    """WITH RECURSIVE
-      |nodes AS (
+  /** The component CTE chain (recursive reachability over the fixture edge
+    * set), shared with [[Curation]]'s cluster-aware split oracle so both
+    * oracles derive components from the one definition.
+    */
+  private[operators] val componentCtes =
+    """nodes AS (
       |  SELECT doc_id AS id FROM documents
       |  UNION ALL
       |  SELECT doc_id + 100000 FROM documents WHERE doc_id % 10 = 0),
@@ -683,9 +686,13 @@ object Dedup {
       |reach(id, r) AS (
       |  SELECT id, id FROM nodes
       |  UNION
-      |  SELECT reach.id, ud.dst FROM reach JOIN ud ON ud.src = reach.r)
-      |SELECT id AS doc_id, min(r) AS component
-      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+      |  SELECT reach.id, ud.dst FROM reach JOIN ud ON ud.src = reach.r)""".stripMargin
+
+  private val clusterComponentsOracle =
+    s"""WITH RECURSIVE
+       |$componentCtes
+       |SELECT id AS doc_id, min(r) AS component
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
   /** Span-level duplication profiling — the statistic behind substring
     * dedup ("Deduplicating Training Data Makes Language Models Better"

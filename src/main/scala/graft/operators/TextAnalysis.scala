@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -876,6 +876,113 @@ object TextAnalysis {
       |ORDER BY avg_surprisal DESC, doc_id
       |LIMIT 100""".stripMargin
 
+  // ---- BPE tokenizer training --------------------------------------------
+
+  private val BpeRounds = 5
+
+  /** Byte-pair-encoding merge training (Sennrich et al. 2016) — the
+    * tokenizer-training step of an LLM data pipeline: starting from
+    * characters, repeatedly merge the most frequent adjacent symbol pair,
+    * emitting the learned merge table (the `merges.txt` a BPE tokenizer
+    * ships). Ties break lexicographically so the vocabulary is a pure
+    * function of the corpus.
+    *
+    * Scale shape — the classic BPE trick: the corpus is scanned exactly
+    * ONCE, to build the word-frequency dictionary; every merge round then
+    * runs over the DICTIONARY (vocabulary-cardinality-sized, millions of
+    * rows at 100 TB — never corpus-sized). A round is one pair-explode +
+    * hash agg, a 1-row TakeOrderedAndProject (the argmax pair), and a
+    * broadcast of that row back over the dictionary for the merge rewrite —
+    * no driver-side data movement at all (the argmax stays a 1-row
+    * RELATION, crossJoin-broadcast, not a collect). Each round
+    * `localCheckpoint`s the rewritten dictionary to truncate lineage,
+    * exactly like the propagation loop in `dedup_cluster_assign`.
+    *
+    * The merge rewrite is two passes of space-delimited string replace:
+    * one `replace(' '||seq||' ', ' a b ', ' ab ')` merges greedy
+    * left-to-right but misses occurrences whose leading space was consumed
+    * by the previous match's trailing space (" a b a b " → " ab a b ");
+    * a second identical pass catches exactly those (two adjacent missed
+    * occurrences cannot exist — the first would have matched in pass one),
+    * reproducing BPE's non-overlapping greedy merge. Both engines'
+    * `replace` share these scan semantics, so the oracle unrolls the same
+    * five rounds in SQL.
+    */
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val vocab0 = Tables(spark, sfDir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .select(array_join(split(col("word"), ""), " ").as("seq"), col("wc"))
+    var vocab = vocab0.localCheckpoint(true)
+    var merges = Seq.empty[DataFrame]
+    for (r <- 1 to BpeRounds) {
+      val ts = split(col("seq"), " ")
+      val best = vocab
+        .select(col("wc"), ts.as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("wc"), explode(transform(
+          sequence(lit(1), size(col("ts")) - 1),
+          i => struct(element_at(col("ts"), i).as("lhs"),
+            element_at(col("ts"), i + 1).as("rhs")))).as("p"))
+        .groupBy(col("p.lhs"), col("p.rhs"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs")).limit(1)
+        .select(col("lhs").as("b_lhs"), col("rhs").as("b_rhs"),
+          col("cnt").as("b_cnt"))
+        .localCheckpoint(true) // 1 row: pin the round's argmax
+      merges = merges :+ best.select(lit(r.toLong).as("round"),
+        col("b_lhs").as("lhs"), col("b_rhs").as("rhs"),
+        col("b_cnt").as("pair_count"))
+      val search = concat(lit(" "), col("b_lhs"), lit(" "), col("b_rhs"),
+        lit(" "))
+      val merged = concat(lit(" "), col("b_lhs"), col("b_rhs"), lit(" "))
+      def pass(c: Column): Column = call_function("replace", c, search, merged)
+      vocab = vocab.crossJoin(broadcast(best))
+        .select(trim(pass(pass(concat(lit(" "), col("seq"), lit(" ")))))
+          .as("seq"), col("wc"))
+        .localCheckpoint(true)
+    }
+    merges.reduce(_ unionByName _).orderBy("round")
+  }
+
+  private val bpeTrainOracle: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      val pv = s"v${r - 1}"
+      // the argmax pair rides in as scalar subqueries; two replace passes
+      // per the boundary-space analysis in the Scala docstring. MATERIALIZED
+      // is load-bearing: each round references the previous ~6×, so an
+      // inlining planner would otherwise expand the chain exponentially.
+      val l = s"(SELECT lhs FROM b$r)"
+      val h = s"(SELECT rhs FROM b$r)"
+      s"""p$r AS MATERIALIZED (
+         |  SELECT ts[i] AS lhs, ts[i+1] AS rhs, CAST(sum(wc) AS BIGINT) AS cnt
+         |  FROM (SELECT string_split(seq, ' ') AS ts, wc FROM $pv),
+         |       unnest(range(1, len(ts))) AS u(i)
+         |  GROUP BY 1, 2),
+         |b$r AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$r
+         |        ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT trim(replace(replace(' ' || seq || ' ',
+         |      ' ' || $l || ' ' || $h || ' ', ' ' || $l || $h || ' '),
+         |      ' ' || $l || ' ' || $h || ' ', ' ' || $l || $h || ' '))
+         |    AS seq, wc
+         |  FROM $pv)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to BpeRounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, lhs, rhs," +
+        s" cnt AS pair_count FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH v0 AS MATERIALIZED (
+       |  SELECT array_to_string(string_split(word, ''), ' ') AS seq,
+       |         CAST(count(*) AS BIGINT) AS wc
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  GROUP BY 1),
+       |$rounds
+       |SELECT * FROM (
+       |$out)
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Seq[Query] = Seq(
     Query("text_stats_quality",
       "per-doc token stats, quality score, stopword-heuristic language ID",
@@ -928,5 +1035,8 @@ object TextAnalysis {
     Query("text_bigram_surprisal",
       "CCNet-style LM quality score: integer-exact mean bigram surprisal",
       bigramSurprisal, Some(bigramSurprisalOracle)),
+    Query("text_bpe_train",
+      "BPE tokenizer training: 5 most-frequent-pair merges over the dict",
+      bpeTrain, Some(bpeTrainOracle)),
   )
 }

@@ -21,6 +21,47 @@ class CurationSpec extends SparkTestBase {
     df.unpersist()
   }
 
+  test("leakage-free split never splits a near-dup cluster") {
+    val df = run("curation_split_leakage_free", SfOracle).cache()
+    assert(df.count() == 550, "all docs incl. planted dups get an assignment")
+    // the defining property: one split per component — no cluster member
+    // can ever land on the other side of the train/test boundary
+    val crossed = df.groupBy("component")
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .filter(col("n_splits") > 1).count()
+    assert(crossed == 0, "a component straddles a split boundary")
+    // the planted dup pairs (doc, doc+100000) are the concrete leak risk;
+    // assert them directly, not just via the component invariant
+    val leaked = df.as("a")
+      .join(df.as("b"), col("b.doc_id") === col("a.doc_id") + 100000)
+      .filter(col("a.split") =!= col("b.split")).count()
+    assert(leaked == 0, "a planted duplicate crossed the split boundary")
+    // still a usable split: train is the largest bucket
+    val counts = df.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("train") > counts.getOrElse("valid", 0L)
+      && counts("train") > counts.getOrElse("test", 0L), s"$counts")
+    df.unpersist()
+  }
+
+  test("DSIR resample over-represents the target domain") {
+    val docs = spark.read.parquet(s"$SfOracle/documents.parquet")
+    val kept = run("curation_dsir_resample", SfOracle).cache()
+    assert(kept.count() == 100)
+    val keptTgt = kept.join(docs, "doc_id")
+      .filter(col("source") === "src1").count().toDouble
+    val corpusTgt = docs.filter(col("source") === "src1").count().toDouble /
+      docs.count().toDouble
+    assert(keptTgt / 100.0 > corpusTgt,
+      s"target share in sample (${keptTgt / 100.0}) must exceed corpus " +
+        s"share ($corpusTgt) or the importance weights are not selecting")
+    // scores rank the output, most target-like first
+    val scores = kept.orderBy(col("avg_llr").desc, col("doc_id"))
+      .collect().map(_.getAs[Double]("avg_llr"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    kept.unpersist()
+  }
+
   test("stratified sample keeps ~1/2 of en and ~1/10 of other strata") {
     val docs = spark.read.parquet(s"$SfOracle/documents.parquet")
     val kept = run("curation_sample_stratified", SfOracle).cache()

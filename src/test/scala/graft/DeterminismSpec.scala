@@ -41,7 +41,10 @@ class DeterminismSpec extends SparkTestBase {
     "ref_scd2_replay",       // double-applied merge over checkpointed state
     "ref_merge_into_sql",    // analyzer-derived MERGE through ReplaceData
     "sim_hard_negatives",    // bounded-heap ties under cross-label scoring
-    "text_bigram_surprisal") // integer bit-length surprisal, one division
+    "text_bigram_surprisal", // integer bit-length surprisal, one division
+    "text_bpe_train",        // per-round argmax + checkpointed rewrites
+    "curation_split_leakage_free", // split keyed on propagated components
+    "curation_dsir_resample")      // integer LLR + one division, top-100
 
   private def rowsAt(name: String, partitions: Int): Seq[Seq[Any]] = {
     val key = "spark.sql.shuffle.partitions"

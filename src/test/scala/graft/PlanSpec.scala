@@ -117,6 +117,19 @@ class PlanSpec extends SparkTestBase {
       s"top-100 must plan as TakeOrderedAndProject:\n$p")
   }
 
+  test("DSIR scoring broadcasts the bucket model and bounds the selection") {
+    val p = plan(run("curation_dsir_resample"))
+    // the importance model is bucket-cardinality-sized — scoring must be a
+    // broadcast join over the token stream, never a token-stream shuffle
+    assert(p.contains("BroadcastHashJoin"),
+      s"model scoring must broadcast the bucket model:\n$p")
+    // top-100 selection through per-partition heaps, no global sort
+    assert(p.contains("TakeOrderedAndProject"),
+      s"selection must plan as TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Window"),
+      "scoring must not fall back to a rank window")
+  }
+
   test("heavy-hitter sketch is a partial object aggregate; verify is broadcast") {
     val p = plan(run("text_heavy_hitters"))
     // pass 1: the MG sketch must partial-aggregate map-side (each task

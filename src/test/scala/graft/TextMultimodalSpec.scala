@@ -64,6 +64,35 @@ class TextMultimodalSpec extends SparkTestBase {
       "output must rank most-surprising documents first")
   }
 
+  test("BPE training learns the corpus's true argmax pair, monotonically") {
+    val rows = run("text_bpe_train", SfOracle).collect()
+    assert(rows.length == 5)
+    val counts = rows.sortBy(_.getAs[Long]("round")).map(_.getAs[Long]("pair_count"))
+    assert(counts.forall(_ > 0))
+    // the max pair count can only fall round-over-round: merging the argmax
+    // pair caps every newly-created pair at the merged pair's own count
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"pair counts must be non-increasing: ${counts.mkString(",")}")
+    // independent recomputation of round 1: the most frequent adjacent
+    // character pair over the word-frequency dictionary
+    val docs = spark.read.parquet(s"$SfOracle/documents.parquet")
+    val top = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count()
+      .select(col("count"), split(col("w"), "").as("cs"))
+      .filter(size(col("cs")) >= 2)
+      .select(col("count"), explode(transform(
+        sequence(lit(1), size(col("cs")) - 1),
+        i => struct(element_at(col("cs"), i).as("l"),
+          element_at(col("cs"), i + 1).as("r")))).as("p"))
+      .groupBy(col("p.l"), col("p.r")).agg(sum("count").as("n"))
+      .orderBy(col("n").desc, col("l"), col("r")).limit(1).collect()(0)
+    val r1 = rows.find(_.getAs[Long]("round") == 1L).get
+    assert(r1.getAs[String]("lhs") == top.getAs[String]("l")
+      && r1.getAs[String]("rhs") == top.getAs[String]("r")
+      && r1.getAs[Long]("pair_count") == top.getAs[Long]("n"),
+      s"round-1 merge ${r1} must equal the independently-computed argmax $top")
+  }
+
   test("word-salad corpus: BPE-ish token count equals whitespace count") {
     // the harness documents are lowercase letter runs + single spaces, so
     // the regex tokenizer must agree exactly with the whitespace split
