@@ -790,6 +790,111 @@ object Similarity {
       |FROM ranked WHERE rk <= 5
       |ORDER BY probe_id, rank""".stripMargin
 
+  // ---- MMR diversity-aware selection -------------------------------------
+
+  private val MmrRounds = 5
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998) —
+    * the diversity-aware pick a curation/retrieval pipeline runs where a
+    * plain top-k would return five near-copies of the best hit: greedily
+    * select the candidate maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)` with λ=½. The first
+    * pick is the relevance argmax; each later round penalizes similarity
+    * to everything already chosen.
+    *
+    * Determinism: rel and pairwise sims are 6dp-rounded cosines; with
+    * λ=½ the score is `(rel − maxsim)/2` — one correctly-rounded IEEE
+    * subtraction of identical doubles and a division by a power of two
+    * (exact), so every round's argmax (tie-broken on vec_id) is
+    * bit-identical cross-engine. No transcendentals, no RNG.
+    *
+    * Scale shape: MMR is inherently sequential in k, so each round must be
+    * cheap — here one broadcast of the ≤k-row selected set over the
+    * candidate scan, a max-aggregate, and a 1-row TakeOrderedAndProject;
+    * the selected set stays a RELATION (crossJoin-broadcast, no driver
+    * collect). At 100 TB the candidate set is an ANN shortlist (the
+    * [[annLshMulti]]/[[annIvfPruned]] output), not the corpus — the round
+    * shapes are unchanged.
+    */
+  def mmrSelect(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("e").as("probe"))
+    val cand = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), col("e"),
+        round(Dedup.cosine(col("e"), col("probe")), 6).as("rel"))
+      .cache()
+    // round 1: pure relevance argmax; score ≡ rel by the MMR definition
+    // (the similarity penalty has nothing to range over yet)
+    var picks = cand
+      .orderBy(col("rel").desc, col("vec_id")).limit(1)
+      .select(lit(1L).as("round"), col("vec_id"), col("e"), col("rel"),
+        col("rel").as("mmr_score"))
+      .localCheckpoint(true)
+    for (r <- 2 to MmrRounds) {
+      val sel = picks.select(col("vec_id").as("s_id"), col("e").as("s_e"))
+      val next = cand
+        .join(broadcast(sel), col("vec_id") === col("s_id"), "left_anti")
+        .crossJoin(broadcast(sel))
+        .select(col("vec_id"), col("e"), col("rel"),
+          round(Dedup.cosine(col("e"), col("s_e")), 6).as("s"))
+        .groupBy(col("vec_id"), col("rel"))
+        .agg(first(col("e")).as("e"), max(col("s")).as("maxsim"))
+        .select(col("vec_id"), col("e"), col("rel"),
+          ((col("rel") - col("maxsim")) / 2).as("mmr_score"))
+        .orderBy(col("mmr_score").desc, col("vec_id")).limit(1)
+        .select(lit(r.toLong).as("round"), col("vec_id"), col("e"),
+          col("rel"), col("mmr_score"))
+        .localCheckpoint(true)
+      picks = picks.unionByName(next).localCheckpoint(true)
+    }
+    picks.select(col("round"), col("vec_id"), col("rel"), col("mmr_score"))
+      .orderBy("round")
+  }
+
+  private val mmrSelectOracle: String = {
+    val rounds = (2 to MmrRounds).map { r =>
+      val prev = s"sel${r - 1}"
+      s"""n$r AS MATERIALIZED (
+         |  SELECT c.vec_id, c.rel,
+         |    (c.rel - max(round(list_cosine_similarity(c.e, s.e), 6))) / 2
+         |      AS mmr_score
+         |  FROM cand c, $prev s
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM $prev)
+         |  GROUP BY c.vec_id, c.rel),
+         |p$r AS MATERIALIZED (
+         |  SELECT $r AS round, vec_id, rel, mmr_score FROM n$r
+         |  ORDER BY mmr_score DESC, vec_id LIMIT 1),
+         |sel$r AS MATERIALIZED (
+         |  SELECT vec_id, e FROM $prev
+         |  UNION ALL
+         |  SELECT c.vec_id, c.e FROM cand c JOIN p$r USING (vec_id))"""
+        .stripMargin
+    }.mkString(",\n")
+    val out = (2 to MmrRounds).map(r => s"SELECT * FROM p$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH cand AS MATERIALIZED (
+       |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS e,
+       |    round(list_cosine_similarity(
+       |      CAST(e.embedding AS DOUBLE[]),
+       |      (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+       |       WHERE vec_id = 0)), 6) AS rel
+       |  FROM embeddings e WHERE e.vec_id <> 0),
+       |p1 AS MATERIALIZED (
+       |  SELECT 1 AS round, vec_id, rel, rel AS mmr_score FROM cand
+       |  ORDER BY rel DESC, vec_id LIMIT 1),
+       |sel1 AS MATERIALIZED (
+       |  SELECT c.vec_id, c.e FROM cand c JOIN p1 USING (vec_id)),
+       |$rounds
+       |SELECT CAST(round AS BIGINT) AS round, vec_id, rel, mmr_score
+       |FROM (SELECT * FROM p1
+       |      UNION ALL
+       |$out)
+       |ORDER BY round""".stripMargin
+  }
+
   val queries: Seq[Query] = Seq(
     Query("sim_topk_bruteforce",
       "exact cosine top-10 vs broadcast probe (TakeOrderedAndProject)",
@@ -821,5 +926,8 @@ object Similarity {
     Query("sim_hard_negatives",
       "contrastive hard-negative mining: per-probe top-5 cross-label cosine",
       hardNegatives, Some(hardNegativesOracle)),
+    Query("sim_mmr_select",
+      "MMR diversity-aware selection: 5 greedy rounds, λ=1/2, tie-stable",
+      mmrSelect, Some(mmrSelectOracle)),
   )
 }

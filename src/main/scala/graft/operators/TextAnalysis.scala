@@ -983,6 +983,108 @@ object TextAnalysis {
        |ORDER BY round""".stripMargin
   }
 
+  // ---- BM25 ranked retrieval ---------------------------------------------
+
+  private val Bm25K = 10
+  private val Bm25Queries = Seq(
+    (1L, "spark"), (1L, "join"),
+    (2L, "window"), (2L, "agg"),
+    (3L, "slow"), (3L, "scan"), (3L, "fast"))
+
+  /** BM25 ranked retrieval — the query side of the [[invertedIndex]] story:
+    * score documents against a small query workload with Okapi BM25
+    * (k1=1.2, b=0.75) and return each query's top-10. This is the
+    * lexical-retrieval primitive of RAG/data-curation stacks (mine
+    * documents matching a probe query before embedding rerank).
+    *
+    * Determinism — BM25 without transcendentals: the standard idf uses
+    * `ln`, which is not bit-portable across libms (ARCHITECTURE.md trap
+    * list), so this uses the RATIONAL Robertson idf
+    * `(N − df + ½)/(df + ½) = (2N−2df+1)/(2df+1)` — the same
+    * monotone-in-df ordering, expressed as one exact-integer ratio. The
+    * tf saturation term clears its fractional constants the same way:
+    * `tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl))` with k1=6/5, b=3/4 multiplies
+    * through by `10·Σdl` into `22·Σdl·tf / (10·Σdl·tf + 3·Σdl + 9·dl·N)`
+    * — every operand BIGINT, two correctly-rounded IEEE divisions and one
+    * multiply, rounded to 6dp and decimal-summed per (query, doc).
+    *
+    * Scale shape: the query workload and the per-term df table are tiny
+    * broadcast dims; scoring is one corpus token scan joined against them
+    * (map-side), and the per-query top-10 goes through the bounded heap —
+    * the exchange carries ≤ k docs per (query × task), never the scored
+    * posting lists.
+    */
+  def bm25TopK(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.BoundedTopK
+    val qterms = Bm25Queries.toDF("qid", "tok")
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), col("ts"), size(col("ts")).cast(LongType).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("ts")).as("tok"))
+      .join(broadcast(qterms), "tok")
+      .groupBy(col("qid"), col("tok"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val dfRel = tf.select(col("tok"), col("doc_id")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfRel), "tok").crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"),
+        round(
+          ((lit(2) * col("n_docs") - lit(2) * col("df") + lit(1))
+            .cast(DoubleType)
+            / (lit(2) * col("df") + lit(1)).cast(DoubleType))
+            * ((lit(22) * col("sum_dl") * col("tf")).cast(DoubleType)
+              / (lit(10) * col("sum_dl") * col("tf") + lit(3) * col("sum_dl")
+                + lit(9) * col("dl") * col("n_docs")).cast(DoubleType)), 6)
+          .cast(DecimalType(24, 6)).as("contrib"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("contrib")).cast(DoubleType).as("score"))
+      .groupBy(col("qid"))
+      .agg(BoundedTopK(col("score"), col("doc_id"), Bm25K).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.id").as("doc_id"), col("col.score").as("score"))
+      .orderBy("qid", "rank")
+  }
+
+  private val bm25TopKOracle: String = {
+    val vals = Bm25Queries
+      .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH q(qid, tok) AS (VALUES $vals),
+       |docs AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |d AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS dl FROM docs),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                 CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+       |toks AS (SELECT doc_id, unnest(ts) AS tok FROM docs),
+       |tf AS (
+       |  SELECT CAST(q.qid AS BIGINT) AS qid, q.tok, t.doc_id, d.dl,
+       |         CAST(count(*) AS BIGINT) AS tf
+       |  FROM toks t JOIN q ON t.tok = q.tok JOIN d ON t.doc_id = d.doc_id
+       |  GROUP BY 1, 2, 3, 4),
+       |dfr AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |        FROM tf GROUP BY 1),
+       |sc AS (
+       |  SELECT qid, tf.doc_id,
+       |    round(CAST(2 * n_docs - 2 * df + 1 AS DOUBLE)
+       |            / CAST(2 * df + 1 AS DOUBLE)
+       |        * CAST(22 * sum_dl * tf AS DOUBLE)
+       |            / CAST(10 * sum_dl * tf + 3 * sum_dl + 9 * dl * n_docs
+       |                   AS DOUBLE), 6) AS contrib
+       |  FROM tf JOIN dfr USING (tok), stats),
+       |agg AS (
+       |  SELECT qid, doc_id,
+       |    CAST(sum(CAST(contrib AS DECIMAL(24, 6))) AS DOUBLE) AS score
+       |  FROM sc GROUP BY 1, 2)
+       |SELECT qid, CAST(rn AS BIGINT) AS rank, doc_id, score
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY qid ORDER BY score DESC, doc_id) AS rn
+       |      FROM agg)
+       |WHERE rn <= $Bm25K
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   val queries: Seq[Query] = Seq(
     Query("text_stats_quality",
       "per-doc token stats, quality score, stopword-heuristic language ID",
@@ -1038,5 +1140,8 @@ object TextAnalysis {
     Query("text_bpe_train",
       "BPE tokenizer training: 5 most-frequent-pair merges over the dict",
       bpeTrain, Some(bpeTrainOracle)),
+    Query("text_bm25_topk",
+      "BM25 ranked retrieval: rational-idf top-10 per query via bounded heap",
+      bm25TopK, Some(bm25TopKOracle)),
   )
 }

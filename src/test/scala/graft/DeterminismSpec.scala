@@ -44,7 +44,9 @@ class DeterminismSpec extends SparkTestBase {
     "text_bigram_surprisal", // integer bit-length surprisal, one division
     "text_bpe_train",        // per-round argmax + checkpointed rewrites
     "curation_split_leakage_free", // split keyed on propagated components
-    "curation_dsir_resample")      // integer LLR + one division, top-100
+    "curation_dsir_resample",      // integer LLR + one division, top-100
+    "text_bm25_topk",        // rational-idf decimal sums + bounded heap
+    "sim_mmr_select")        // greedy rounds: 6dp cosines, λ=1/2 exact
 
   private def rowsAt(name: String, partitions: Int): Seq[Seq[Any]] = {
     val key = "spark.sql.shuffle.partitions"

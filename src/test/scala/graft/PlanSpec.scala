@@ -130,6 +130,20 @@ class PlanSpec extends SparkTestBase {
       "scoring must not fall back to a rank window")
   }
 
+  test("BM25 broadcasts query/df dims and heaps the per-query top-k") {
+    val p = plan(run("text_bm25_topk"))
+    // the query workload and df table are broadcast dims riding the one
+    // corpus token scan — never a token-stream shuffle to meet them
+    assert(p.contains("BroadcastHashJoin"),
+      s"term matching must broadcast the query dim:\n$p")
+    // per-query top-10 via the bounded heap, not a rank window over all
+    // scored postings
+    assert(p.contains("partial_bounded_top_k"),
+      s"per-query top-k must be a partial bounded heap:\n$p")
+    assert(!p.contains("Window"),
+      "ranking must not fall back to a rank window")
+  }
+
   test("heavy-hitter sketch is a partial object aggregate; verify is broadcast") {
     val p = plan(run("text_heavy_hitters"))
     // pass 1: the MG sketch must partial-aggregate map-side (each task

@@ -88,6 +88,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 3, s"PQ recall@10 dropped below floor: $recall/10")
   }
 
+  test("MMR picks are distinct, rel-led, and weakly score-decreasing") {
+    val rows = run("sim_mmr_select", SfOracle).collect()
+      .sortBy(_.getAs[Long]("round"))
+    assert(rows.length == 5)
+    val ids = rows.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == 5 && !ids.contains(0L),
+      "picks must be 5 distinct candidates, never the probe itself")
+    // round 1 is the pure relevance argmax — the brute-force top-1 hit
+    // (same probe, same self-exclusion, same 6dp rounding)
+    val best = run("sim_topk_bruteforce", SfOracle).collect()
+      .maxBy(r => (r.getAs[Double]("cos_sim"), -r.getAs[Long]("vec_id")))
+    assert(rows.head.getAs[Long]("vec_id") == best.getAs[Long]("vec_id"),
+      "first MMR pick must equal the top-1 relevance hit")
+    // the greedy argmax over a shrinking pool of weakly-decreasing scores
+    // can never rise round-over-round
+    val scores = rows.map(_.getAs[Double]("mmr_score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      s"MMR scores must be non-increasing: ${scores.mkString(",")}")
+  }
+
   test("hard negatives cross labels and rank by descending similarity") {
     val rows = run("sim_hard_negatives", SfOracle).collect()
     assert(rows.length == 25, "5 probes x top-5 negatives")
