@@ -763,6 +763,125 @@ object Dedup {
       |HAVING count(CASE WHEN wh IN (SELECT wh FROM cross_doc) THEN 1 END) > 0
       |ORDER BY doc_id""".stripMargin
 
+  // ---- online (streaming) near-dup admission -----------------------------
+
+  /** ONLINE near-dup admission — the ingestion-time shape of
+    * [[minhashLsh]]: documents arrive in micro-batches, each batch's
+    * MinHash band keys probe a PERSISTED band index of everything seen so
+    * far, and matches are reported as (arrival, earlier doc) pairs before
+    * the batch's own bands are appended to the index. This is how a
+    * continuously-fed corpus keeps itself deduplicated — the batch LSH
+    * queries assume a complete corpus; a feed cannot wait for one.
+    *
+    * Contract: a document is flagged against EARLIER BATCHES only (its
+    * bands join the index after its batch's probe) — same-batch pairs are
+    * the compaction pass's job ([[minhashLsh]] over the batch). The
+    * candidate pairs accumulate in a results area; exact-Jaccard
+    * verification runs once at the end over the static corpus — banding
+    * determinism makes the verified output independent of batch
+    * boundaries, so the oracle is the cross-chunk restriction of the
+    * exact-Jaccard pair set (the [[minhashLsh]] recall argument applies
+    * verbatim).
+    *
+    * Scale shape: per batch, one band computation over the batch (tiny)
+    * and one equi-join against the bucket-keyed index — at 100 TB the
+    * index is bucket-partitioned like `sim_index_stream_update`'s and the
+    * probe prunes to the batch's bucket set; nothing ever rescans the
+    * accumulated corpus.
+    */
+  def streamMinhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val chunks = Staging.stagedDir(
+      "graft_dedup_chunks", sfDir, "4-mod-files;mtime-sequenced-v1") { d =>
+      val base = ((System.currentTimeMillis() / 60000) * 60000)
+      (0 until 4).foreach { g =>
+        val tmp = new java.io.File(d, s"_tmp$g")
+        Tables(spark, sfDir, "documents")
+          .filter(col("doc_id") % 4 === g)
+          .select(col("doc_id"), col("text"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+        val part = tmp.listFiles().filter(_.getName.startsWith("part-")).head
+        val dst = new java.io.File(d, s"chunk-$g.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmp.toPath).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        dst.setLastModified(base + g * 1000L)
+      }
+    }
+    // run-unique scratch (index + candidate results), reaped on JVM exit —
+    // same non-shared-path discipline as sim_index_stream_update's index
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
+      "_pid" + ProcessHandle.current().pid()
+    val scratch = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_dedup_stream_$tag")
+    def reap(): Unit = if (scratch.exists()) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(scratch.toPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    reap()
+    if (streamReapArmed.add(scratch.getAbsolutePath)) sys.addShutdownHook(reap())
+    val idx = new java.io.File(scratch, "band_index")
+    val found = new java.io.File(scratch, "candidates")
+    val schema = spark.read.parquet(chunks.getAbsolutePath).schema
+    val q = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(chunks.getAbsolutePath)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val s = b.sparkSession
+        val bands = bandsOf(signatures(shinglesOf(b)))
+          .localCheckpoint(true) // probe AND append read it; compute once
+        val hasIndex = Option(idx.listFiles())
+          .exists(_.exists(_.getName.endsWith(".parquet")))
+        if (hasIndex) {
+          bands
+            .join(s.read.parquet(idx.getAbsolutePath)
+                .select(col("doc_id").as("earlier"), col("bucket")),
+              Seq("bucket"))
+            .select(col("earlier").as("i"), col("doc_id").as("j"))
+            .distinct()
+            .write.mode("append").parquet(found.getAbsolutePath)
+        }
+        bands.write.mode("append").parquet(idx.getAbsolutePath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val hasCands = Option(found.listFiles())
+      .exists(_.exists(_.getName.endsWith(".parquet")))
+    if (!hasCands)
+      return spark.emptyDataFrame
+        .select(lit(0L).as("doc_id"), lit(0L).as("dup_of"),
+          lit(0.0).as("jaccard")).limit(0)
+    val pairs = spark.read.parquet(found.getAbsolutePath).distinct()
+    jaccardScore(spark, pairs, shingles(spark, sfDir).cache())
+      .filter(col("jaccard") >= 0.5)
+      .select(col("j").as("doc_id"), col("i").as("dup_of"), col("jaccard"))
+      .orderBy("doc_id", "dup_of")
+  }
+
+  private val streamReapArmed =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private val streamMinhashDedupOracle =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      | sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+      |        FROM tok, unnest(range(1, len(ts) - 1)) AS u(i)),
+      | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      | inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+      |           FROM sh a JOIN sh b ON a.s = b.s
+      |             AND (a.doc_id % 4) < (b.doc_id % 4)
+      |           GROUP BY 1, 2)
+      |SELECT j AS doc_id, i AS dup_of, c * 1.0 / (sa.n + sb.n - c) AS jaccard
+      |FROM inter JOIN sz sa ON i = sa.doc_id JOIN sz sb ON j = sb.doc_id
+      |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+      |ORDER BY doc_id, dup_of""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("dedup_exact",
       "exact dedup: hash-groupBy on content, min-id representative",
@@ -797,5 +916,8 @@ object Dedup {
     Query("dedup_span_overlap",
       "span-level duplication: cross-doc 16-token window hashes per doc",
       spanOverlap, Some(spanOverlapOracle)),
+    Query("dedup_stream_admission",
+      "online near-dup admission: batch bands probe the accumulated index",
+      streamMinhashDedup, Some(streamMinhashDedupOracle)),
   )
 }

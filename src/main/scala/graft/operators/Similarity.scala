@@ -895,6 +895,96 @@ object Similarity {
        |ORDER BY round""".stripMargin
   }
 
+  // ---- reciprocal-rank fusion --------------------------------------------
+
+  private val RrfK = 60
+  private val RrfDepth = 20
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the hybrid-retrieval
+    * combinator: two rankers score the same corpus for one probe (cosine
+    * direction vs quantized-L2 magnitude-sensitive distance here — the
+    * standard "two views" shape; lexical+dense fuses identically), and
+    * each candidate's fused score is `Σ 1/(k + rank_i)` over the lists it
+    * appears in (k=60, depth 20, union semantics — a doc on one list
+    * still scores).
+    *
+    * Determinism: ranks are integers from totally-ordered (score, vec_id)
+    * sorts; each 1/(60+r) is one correctly-rounded IEEE division and the
+    * fused score one addition of identical doubles — bit-stable without
+    * rounding. L2 runs on the 1e-6 integer grid (`round(x·10⁶)` per
+    * component, exact in doubles), the PQ queries' discipline.
+    *
+    * Scale shape: each ranker is the brute-force corpus scan +
+    * TakeOrderedAndProject here (at 100 TB: the ANN index paths — the
+    * fusion input is each ranker's OUTPUT, depth-sized); the fusion
+    * itself joins two depth-sized relations — driver-free, corpus-free.
+    */
+  def rrfFusion(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("q", transform(col("e"), x => round(x * 1e6)))
+    val probe = e.filter(col("vec_id") === 0)
+      .select(col("e").as("pe"), col("q").as("pq"))
+    val scored = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        round(Dedup.cosine(col("e"), col("pe")), 6).as("cs"),
+        (DotProduct(col("q"), col("q")) + DotProduct(col("pq"), col("pq"))
+          - lit(2) * DotProduct(col("q"), col("pq"))).as("d"))
+    // ranks are windows over the DEPTH-sized shortlists, not the corpus
+    val ca = scored.orderBy(col("cs").desc, col("vec_id")).limit(RrfDepth)
+      .withColumn("cos_rank",
+        row_number().over(Window.orderBy(col("cs").desc, col("vec_id")))
+          .cast(LongType))
+      .select(col("vec_id"), col("cos_rank"))
+    val cb = scored.orderBy(col("d"), col("vec_id")).limit(RrfDepth)
+      .withColumn("l2_rank",
+        row_number().over(Window.orderBy(col("d"), col("vec_id")))
+          .cast(LongType))
+      .select(col("vec_id").as("b_id"), col("l2_rank"))
+    ca.join(cb, col("vec_id") === col("b_id"), "full_outer")
+      .select(coalesce(col("vec_id"), col("b_id")).as("vec_id"),
+        col("cos_rank"), col("l2_rank"),
+        (coalesce(lit(1.0) / (lit(RrfK) + col("cos_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(RrfK) + col("l2_rank")), lit(0.0)))
+          .as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val rrfFusionOracle =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings),
+       |q AS (SELECT vec_id, list_transform(v, x -> round(x * 1000000)) AS qv
+       |      FROM e),
+       |cosl AS (
+       |  SELECT vec_id, round(list_cosine_similarity(v,
+       |    (SELECT v FROM e WHERE vec_id = 0)), 6) AS cs
+       |  FROM e WHERE vec_id <> 0
+       |  ORDER BY cs DESC, vec_id LIMIT $RrfDepth),
+       |ca AS (SELECT vec_id,
+       |         CAST(row_number() OVER (ORDER BY cs DESC, vec_id) AS BIGINT)
+       |           AS cos_rank
+       |       FROM cosl),
+       |l2l AS (
+       |  SELECT vec_id,
+       |    list_dot_product(qv, qv)
+       |      + (SELECT list_dot_product(qv, qv) FROM q WHERE vec_id = 0)
+       |      - 2 * list_dot_product(qv,
+       |            (SELECT qv FROM q WHERE vec_id = 0)) AS d
+       |  FROM q WHERE vec_id <> 0
+       |  ORDER BY d, vec_id LIMIT $RrfDepth),
+       |cb AS (SELECT vec_id,
+       |         CAST(row_number() OVER (ORDER BY d, vec_id) AS BIGINT)
+       |           AS l2_rank
+       |       FROM l2l)
+       |SELECT coalesce(ca.vec_id, cb.vec_id) AS vec_id, cos_rank, l2_rank,
+       |  coalesce(CAST(1 AS DOUBLE) / ($RrfK + cos_rank), 0)
+       |    + coalesce(CAST(1 AS DOUBLE) / ($RrfK + l2_rank), 0) AS rrf_score
+       |FROM ca FULL OUTER JOIN cb ON ca.vec_id = cb.vec_id
+       |ORDER BY rrf_score DESC, vec_id LIMIT 10""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("sim_topk_bruteforce",
       "exact cosine top-10 vs broadcast probe (TakeOrderedAndProject)",
@@ -929,5 +1019,8 @@ object Similarity {
     Query("sim_mmr_select",
       "MMR diversity-aware selection: 5 greedy rounds, λ=1/2, tie-stable",
       mmrSelect, Some(mmrSelectOracle)),
+    Query("sim_rrf_fusion",
+      "reciprocal-rank fusion of cosine + quantized-L2 rankers, k=60",
+      rrfFusion, Some(rrfFusionOracle)),
   )
 }

@@ -1085,6 +1085,77 @@ object TextAnalysis {
        |ORDER BY qid, rank""".stripMargin
   }
 
+  // ---- corpus drift monitoring -------------------------------------------
+
+  private val DriftRef = "src0"
+  private val DriftCur = "src2"
+
+  /** Token-distribution drift monitor — the data-quality alarm a
+    * continuously-fed corpus runs between a reference slice and the
+    * current intake (here: two sources standing in for last-month vs
+    * this-month): per-token two-sample divergence
+    * `(n₁N₂ − n₂N₁)² / (N₁·N₂·(n₁+n₂))` (the per-cell χ² term), with the
+    * top-20 most-drifted tokens reported. A distribution shift in the
+    * feed shows up as a handful of tokens carrying most of the statistic
+    * — the actionable form of "the data changed".
+    *
+    * Determinism: all operands are exact BIGINT counts CAST to double
+    * (correctly rounded, identical cross-engine — `n₁N₂−n₂N₁` stays well
+    * under 2⁵³ here and the squares/products are the same IEEE ops in the
+    * same order in both engines), one division, rounded to 6dp. At
+    * corpus scales where the raw difference itself would exceed 2⁵³ the
+    * counts route through DECIMAL(38,0) first — same discipline as
+    * `ref_replica_checksums`.
+    *
+    * Scale shape: one map-side-combined hash aggregate over the two
+    * slices' token stream (the filter rides the scan), two broadcast
+    * scalars, one TakeOrderedAndProject — the corpus is scanned once.
+    */
+  def driftMonitor(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables(spark, sfDir, "documents")
+      .filter(col("source").isin(DriftRef, DriftCur))
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(
+      count(when(col("source") === DriftRef, 1)).as("n_ref"),
+      count(when(col("source") === DriftCur, 1)).as("n_cur"))
+    val totals = counts.agg(sum(col("n_ref")).as("t_ref"),
+      sum(col("n_cur")).as("t_cur"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("tok"), col("n_ref"), col("n_cur"),
+        round(
+          ((col("n_ref") * col("t_cur") - col("n_cur") * col("t_ref"))
+            .cast(DoubleType)
+            * (col("n_ref") * col("t_cur") - col("n_cur") * col("t_ref"))
+              .cast(DoubleType))
+            / (col("t_ref").cast(DoubleType) * col("t_cur").cast(DoubleType)
+              * (col("n_ref") + col("n_cur")).cast(DoubleType)), 6)
+          .as("drift_score"))
+      .orderBy(col("drift_score").desc, col("tok"))
+      .limit(20)
+  }
+
+  private val driftMonitorOracle =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS tok
+       |  FROM documents WHERE source IN ('$DriftRef', '$DriftCur')),
+       |counts AS (
+       |  SELECT tok,
+       |    CAST(count(*) FILTER (WHERE source = '$DriftRef') AS BIGINT)
+       |      AS n_ref,
+       |    CAST(count(*) FILTER (WHERE source = '$DriftCur') AS BIGINT)
+       |      AS n_cur
+       |  FROM toks GROUP BY tok),
+       |tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+       |               CAST(sum(n_cur) AS BIGINT) AS t_cur FROM counts)
+       |SELECT tok, n_ref, n_cur,
+       |  round(CAST(n_ref * t_cur - n_cur * t_ref AS DOUBLE)
+       |      * CAST(n_ref * t_cur - n_cur * t_ref AS DOUBLE)
+       |      / (CAST(t_ref AS DOUBLE) * CAST(t_cur AS DOUBLE)
+       |         * CAST(n_ref + n_cur AS DOUBLE)), 6) AS drift_score
+       |FROM counts, tot
+       |ORDER BY drift_score DESC, tok
+       |LIMIT 20""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("text_stats_quality",
       "per-doc token stats, quality score, stopword-heuristic language ID",
@@ -1143,5 +1214,8 @@ object TextAnalysis {
     Query("text_bm25_topk",
       "BM25 ranked retrieval: rational-idf top-10 per query via bounded heap",
       bm25TopK, Some(bm25TopKOracle)),
+    Query("text_drift_monitor",
+      "token-distribution drift: per-token chi-square term, top-20 drifted",
+      driftMonitor, Some(driftMonitorOracle)),
   )
 }

@@ -29,6 +29,26 @@ class DedupSpec extends SparkTestBase {
       s"LSH candidates must verify to the exact pair set; missing=${exact -- lsh}")
   }
 
+  test("stream admission equals the cross-chunk slice of the batch pair set") {
+    val batch = run("dedup_minhash_lsh", SfOracle)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val online = run("dedup_stream_admission", SfOracle).collect()
+    // every flagged arrival cites a strictly earlier chunk — a doc can
+    // never be flagged against something it arrived before
+    assert(online.forall(r =>
+      r.getAs[Long]("dup_of") % 4 < r.getAs[Long]("doc_id") % 4),
+      "dup_of must come from an earlier micro-batch")
+    // the online pair set is exactly the batch LSH pair set restricted to
+    // cross-chunk pairs (same-batch pairs are the compaction pass's job)
+    val onlineSet = online
+      .map(r => (math.min(r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of")),
+        math.max(r.getAs[Long]("doc_id"), r.getAs[Long]("dup_of")))).toSet
+    val expected = batch.filter { case (i, j) => i % 4 != j % 4 }
+      .map { case (i, j) => (math.min(i, j), math.max(i, j)) }
+    assert(onlineSet == expected,
+      s"missing=${expected -- onlineSet} extra=${onlineSet -- expected}")
+  }
+
   test("simhash near-dup pairs overlap the jaccard near-dup pairs") {
     val jac = run("dedup_ngram_jaccard", SfOracle)
       .select(col("i"), col("j")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet

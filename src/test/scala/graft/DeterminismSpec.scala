@@ -46,7 +46,10 @@ class DeterminismSpec extends SparkTestBase {
     "curation_split_leakage_free", // split keyed on propagated components
     "curation_dsir_resample",      // integer LLR + one division, top-100
     "text_bm25_topk",        // rational-idf decimal sums + bounded heap
-    "sim_mmr_select")        // greedy rounds: 6dp cosines, λ=1/2 exact
+    "sim_mmr_select",        // greedy rounds: 6dp cosines, λ=1/2 exact
+    "dedup_stream_admission", // batch-boundary-independent verified pairs
+    "sim_rrf_fusion",        // integer ranks -> reciprocal sums
+    "text_drift_monitor")    // exact counts cast once, one division
 
   private def rowsAt(name: String, partitions: Int): Seq[Seq[Any]] = {
     val key = "spark.sql.shuffle.partitions"

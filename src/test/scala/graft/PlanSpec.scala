@@ -144,6 +144,16 @@ class PlanSpec extends SparkTestBase {
       "ranking must not fall back to a rank window")
   }
 
+  test("drift monitor is one scan + broadcast totals + top-k") {
+    val p = plan(run("text_drift_monitor"))
+    // totals are two broadcast scalars riding the counts relation
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"totals must broadcast, not shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must plan as TakeOrderedAndProject:\n$p")
+    assert(!p.contains("Window"), "no rank window over the token table")
+  }
+
   test("heavy-hitter sketch is a partial object aggregate; verify is broadcast") {
     val p = plan(run("text_heavy_hitters"))
     // pass 1: the MG sketch must partial-aggregate map-side (each task

@@ -108,6 +108,26 @@ class SimilaritySpec extends SparkTestBase {
       s"MMR scores must be non-increasing: ${scores.mkString(",")}")
   }
 
+  test("RRF fusion scores are bounded, descending, and rank-consistent") {
+    val rows = run("sim_rrf_fusion", SfOracle).collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getAs[Double]("rrf_score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // max possible = rank 1 on both lists; min > 0 (a doc must be on at
+    // least one list to appear at all)
+    assert(scores.head <= 2.0 / 61 + 1e-12 && scores.last > 0)
+    rows.foreach { r =>
+      val cr = Option(r.getAs[java.lang.Long]("cos_rank")).map(_.toLong)
+      val lr = Option(r.getAs[java.lang.Long]("l2_rank")).map(_.toLong)
+      assert(cr.nonEmpty || lr.nonEmpty)
+      assert(cr.forall(x => x >= 1 && x <= 20) && lr.forall(x => x >= 1 && x <= 20))
+      val expect = cr.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        lr.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(r.getAs[Double]("rrf_score") == expect,
+        "fused score must be exactly the sum of its reciprocal ranks")
+    }
+  }
+
   test("hard negatives cross labels and rank by descending similarity") {
     val rows = run("sim_hard_negatives", SfOracle).collect()
     assert(rows.length == 25, "5 probes x top-5 negatives")

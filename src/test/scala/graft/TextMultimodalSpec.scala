@@ -93,6 +93,17 @@ class TextMultimodalSpec extends SparkTestBase {
       s"round-1 merge ${r1} must equal the independently-computed argmax $top")
   }
 
+  test("drift monitor scores are non-negative, descending, and well-formed") {
+    val rows = run("text_drift_monitor", SfOracle).collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getAs[Double]("drift_score"))
+    assert(scores.forall(_ >= 0) &&
+      scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // a token only enters the counts table by occurring in one slice
+    assert(rows.forall(r =>
+      r.getAs[Long]("n_ref") + r.getAs[Long]("n_cur") > 0))
+  }
+
   test("word-salad corpus: BPE-ish token count equals whitespace count") {
     // the harness documents are lowercase letter runs + single spaces, so
     // the regex tokenizer must agree exactly with the whitespace split
