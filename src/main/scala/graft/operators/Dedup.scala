@@ -171,6 +171,62 @@ object Dedup {
       |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
       |ORDER BY i, j""".stripMargin
 
+  // ---- n-gram containment -----------------------------------------------
+
+  /** N-gram CONTAINMENT near-dup — the asymmetric companion to
+    * [[ngramJaccard]]: `|A∩B| / |A|` (and the mirror direction), which
+    * flags a short document wholly embedded in a long one. Jaccard
+    * provably misses that case (a 20-shingle doc inside a 2000-shingle
+    * doc has j ≈ 0.01 but containment 1.0) and quote-inclusion /
+    * boilerplate-wrapping duplication is exactly that shape, which is why
+    * production corpus dedup (e.g. the suffix-array and Dolma-style
+    * passes) track containment alongside Jaccard. Emits both directions
+    * plus Jaccard for pairs where either containment ≥ 0.9.
+    *
+    * Scale shape: identical to [[ngramJaccard]] — one SHUFFLE_HASH
+    * self-join on the 8-byte shingle key with a map-side-combined pair
+    * count, sizes broadcast onto the pair relation. At 100 TB this runs
+    * on LSH candidates only (the [[minhashLsh]] division of labor); note
+    * MinHash estimates JACCARD, so a containment-targeted recall pass
+    * over extreme size ratios uses the smaller doc's shingles as the
+    * probe set — the candidate join is the same plan either way.
+    */
+  def ngramContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles(spark, sfDir).cache()
+    val sz = sizes(sh)
+    val inter = sh.as("a").hint("SHUFFLE_HASH")
+      .join(sh.as("b").hint("SHUFFLE_HASH"),
+        col("a.shingle") === col("b.shingle")
+          && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(broadcast(sz.as("na")), col("i") === col("na.doc_id"))
+      .join(broadcast(sz.as("nb")), col("j") === col("nb.doc_id"))
+      .select(col("i"), col("j"),
+        (col("c").cast(DoubleType) / col("na.n")).as("cont_i_in_j"),
+        (col("c").cast(DoubleType) / col("nb.n")).as("cont_j_in_i"),
+        (col("c").cast(DoubleType) / (col("na.n") + col("nb.n") - col("c")))
+          .as("jaccard"))
+      .filter(col("cont_i_in_j") >= 0.9 || col("cont_j_in_i") >= 0.9)
+      .orderBy("i", "j")
+  }
+
+  private val ngramContainmentOracle =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      | sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+      |        FROM tok, unnest(range(1, len(ts) - 1)) AS u(i)),
+      | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      | inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+      |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |           GROUP BY 1, 2)
+      |SELECT i, j, CAST(c AS DOUBLE) / sa.n AS cont_i_in_j,
+      |       CAST(c AS DOUBLE) / sb.n AS cont_j_in_i,
+      |       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+      |FROM inter JOIN sz sa ON i = sa.doc_id JOIN sz sb ON j = sb.doc_id
+      |WHERE CAST(c AS DOUBLE) / sa.n >= 0.9 OR CAST(c AS DOUBLE) / sb.n >= 0.9
+      |ORDER BY i, j""".stripMargin
+
   // ---- MinHash + LSH ----------------------------------------------------
 
   private val NumPerms = 64
@@ -889,6 +945,9 @@ object Dedup {
     Query("dedup_ngram_jaccard",
       "exact word-3-gram Jaccard near-dup pairs (threshold 0.5)",
       ngramJaccard, Some(ngramJaccardOracle)),
+    Query("dedup_containment",
+      "asymmetric n-gram containment pairs: doc-inside-doc duplication",
+      ngramContainment, Some(ngramContainmentOracle)),
     Query("dedup_minhash_lsh",
       "MinHash 64-perm + 32×2 LSH banding, exact-Jaccard verify",
       minhashLsh, Some(ngramJaccardOracle)),

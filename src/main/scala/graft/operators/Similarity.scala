@@ -985,6 +985,161 @@ object Similarity {
        |FROM ca FULL OUTER JOIN cb ON ca.vec_id = cb.vec_id
        |ORDER BY rrf_score DESC, vec_id LIMIT 10""".stripMargin
 
+  // ---- SemDeDup: cluster-then-prune semantic dedup -----------------------
+
+  private val SemTau = 0.95
+
+  /** SemDeDup (Abbas et al. 2023) — semantic deduplication, the
+    * dedup-family member the text-shingle passes can't express: cluster
+    * the embedding space coarsely, then compare pairs ONLY within a
+    * cluster and prune any vector whose cosine to an earlier cluster-mate
+    * exceeds τ = 0.95. Paraphrases and re-encodings land in the same
+    * cluster with high cosine but share few shingles, so this catches
+    * what MinHash misses. Corpus is the dedup fixtures' planted-duplicate
+    * augmentation (a +100000 copy of every 10th vector), clustered by the
+    * same seed-stride centroids and exact-grid arithmetic as
+    * [[kmeansTrain]] (one assignment round — SemDeDup needs a coarse
+    * partition, not a converged model).
+    *
+    * Scale shape — the reason SemDeDup exists: the quadratic pair space is
+    * confined to clusters (k scales with the corpus, so cluster size is
+    * ~constant); assignment is a broadcast-centroid argmax riding one
+    * corpus scan, the pair join one shuffle on cluster id. Nothing is
+    * all-pairs; the within-cluster join IS the paper's cost model.
+    */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val q0 = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast(DoubleType) * KmScale).cast(LongType)).as("q"))
+    val aug = q0.unionByName(
+      q0.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("q")))
+    val m = aug.select(col("vec_id"),
+      transform(col("q"), y => y.cast(DoubleType) / KmScale).as("v"))
+    val cents = m.filter(pmod(col("vec_id"), lit(KmSeedEvery)) === 1)
+      .select(col("vec_id").as("cent_id"), col("v").as("c"))
+    val assigned = m.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        round(Dedup.cosine(col("v"), col("c")), 6).as("s"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("s"), (-col("cent_id")).as("nc"))).as("best"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), (-col("best.nc")).as("cluster"))
+    val pairs = assigned.as("x").hint("SHUFFLE_HASH")
+      .join(assigned.as("y").hint("SHUFFLE_HASH"),
+        col("x.cluster") === col("y.cluster")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("i"), col("y.vec_id").as("j"),
+        col("x.cluster").as("cluster_id"),
+        round(Dedup.cosine(col("x.v"), col("y.v")), 6).as("sim"))
+      .filter(col("sim") >= SemTau)
+    // prune rule: the LATER id is dropped, citing its highest-cosine
+    // earlier cluster-mate (tie → lowest id) — deterministic survivorship
+    pairs.groupBy(col("j"))
+      .agg(first(col("cluster_id")).as("cluster_id"),
+        max(struct(col("sim"), (-col("i")).as("ni"))).as("best"))
+      .select(col("j").as("vec_id"), col("cluster_id"),
+        (-col("best.ni")).as("dup_of"), col("best.sim").as("sim"))
+      .orderBy("vec_id")
+  }
+
+  private val semanticDedupOracle =
+    s"""WITH q0 AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |aug AS (SELECT vec_id, q FROM q0
+       |        UNION ALL
+       |        SELECT vec_id + 100000, q FROM q0 WHERE vec_id % 10 = 0),
+       |m AS (SELECT vec_id,
+       |        list_transform(q, y -> CAST(y AS DOUBLE) / 1000000.0) AS v
+       |      FROM aug),
+       |c0 AS (SELECT vec_id AS cent_id, v AS c FROM m
+       |       WHERE vec_id % $KmSeedEvery = 1),
+       |sim AS (SELECT m.vec_id, m.v, c.cent_id,
+       |          round(list_dot_product(m.v, c.c)
+       |            / (sqrt(list_dot_product(m.v, m.v))
+       |               * sqrt(list_dot_product(c.c, c.c))), 6) AS s
+       |        FROM m CROSS JOIN c0 c),
+       |a AS (SELECT vec_id, v, cluster FROM (
+       |        SELECT vec_id, v, cent_id AS cluster,
+       |          row_number() OVER (
+       |            PARTITION BY vec_id ORDER BY s DESC, cent_id) AS rn
+       |        FROM sim) WHERE rn = 1),
+       |p AS (SELECT x.vec_id AS i, y.vec_id AS j, x.cluster AS cluster_id,
+       |        round(list_cosine_similarity(x.v, y.v), 6) AS sim
+       |      FROM a x JOIN a y
+       |        ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+       |      WHERE round(list_cosine_similarity(x.v, y.v), 6) >= $SemTau)
+       |SELECT vec_id, cluster_id, dup_of, sim FROM (
+       |  SELECT j AS vec_id, cluster_id, i AS dup_of, sim,
+       |    row_number() OVER (PARTITION BY j ORDER BY sim DESC, i) AS rn
+       |  FROM p) WHERE rn = 1
+       |ORDER BY vec_id""".stripMargin
+
+  // ---- embedding-centroid drift monitor ----------------------------------
+
+  private val DriftRefLabel = 0
+  private val DriftCurLabel = 1
+
+  /** Embedding-space drift monitor — the dense-modality twin of
+    * `text_drift_monitor`: between a reference slice and the current
+    * intake (label 0 vs label 1 stand in for last-month vs this-month, or
+    * encoder v1 vs v2), compute each slice's centroid on the exact 1e-6
+    * integer grid and report the 10 dimensions with the largest absolute
+    * mean shift. A feed change or a silent encoder swap shows up as mass
+    * concentrated on a few dimensions — the embedding-side "data changed"
+    * alarm that gates index rebuilds.
+    *
+    * Determinism: per-dim sums are exact BIGINT on the grid; each mean is
+    * sum → one cast → two IEEE divisions in a fixed order (the
+    * [[kmUpdate]] discipline, bit-identical cross-engine); the shift is a
+    * subtraction of identical doubles — no rounding needed anywhere.
+    *
+    * Scale shape: one filtered corpus scan, posexplode → map-side-combined
+    * hash aggregate on the 64-row dim key, TakeOrderedAndProject. The
+    * corpus never shuffles; state is dims × constants.
+    */
+  def embeddingDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = Tables(spark, sfDir, "embeddings")
+      .filter(col("label").isin(DriftRefLabel, DriftCurLabel))
+      .select(col("label"),
+        posexplode(transform(col("embedding"),
+          x => round(x.cast(DoubleType) * KmScale).cast(LongType))))
+    q.groupBy(col("pos"))
+      .agg(
+        sum(when(col("label") === DriftRefLabel, col("col"))).as("s_ref"),
+        count(when(col("label") === DriftRefLabel, 1)).as("n_ref"),
+        sum(when(col("label") === DriftCurLabel, col("col"))).as("s_cur"),
+        count(when(col("label") === DriftCurLabel, 1)).as("n_cur"))
+      .select((col("pos") + 1).cast(LongType).as("dim"),
+        (col("s_ref").cast(DoubleType) / col("n_ref") / KmScale).as("mean_ref"),
+        (col("s_cur").cast(DoubleType) / col("n_cur") / KmScale).as("mean_cur"))
+      .withColumn("shift", abs(col("mean_cur") - col("mean_ref")))
+      .orderBy(col("shift").desc, col("dim"))
+      .limit(10)
+  }
+
+  private val embeddingDriftOracle =
+    s"""WITH q AS (
+       |  SELECT label,
+       |    unnest(list_transform(embedding,
+       |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))) AS qv,
+       |    unnest(range(1, len(embedding) + 1)) AS dim
+       |  FROM embeddings WHERE label IN ($DriftRefLabel, $DriftCurLabel)),
+       |g AS (SELECT dim,
+       |        CAST(sum(qv) FILTER (WHERE label = $DriftRefLabel) AS DOUBLE)
+       |          / count(*) FILTER (WHERE label = $DriftRefLabel)
+       |          / 1000000.0 AS mean_ref,
+       |        CAST(sum(qv) FILTER (WHERE label = $DriftCurLabel) AS DOUBLE)
+       |          / count(*) FILTER (WHERE label = $DriftCurLabel)
+       |          / 1000000.0 AS mean_cur
+       |      FROM q GROUP BY dim)
+       |SELECT CAST(dim AS BIGINT) AS dim, mean_ref, mean_cur,
+       |       abs(mean_cur - mean_ref) AS shift
+       |FROM g ORDER BY shift DESC, dim LIMIT 10""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("sim_topk_bruteforce",
       "exact cosine top-10 vs broadcast probe (TakeOrderedAndProject)",
@@ -1022,5 +1177,11 @@ object Similarity {
     Query("sim_rrf_fusion",
       "reciprocal-rank fusion of cosine + quantized-L2 rankers, k=60",
       rrfFusion, Some(rrfFusionOracle)),
+    Query("dedup_semantic",
+      "SemDeDup: coarse-cluster embeddings, prune cosine>=0.95 in-cluster",
+      semanticDedup, Some(semanticDedupOracle)),
+    Query("sim_embedding_drift",
+      "embedding-centroid drift: top-10 per-dim mean shift between slices",
+      embeddingDrift, Some(embeddingDriftOracle)),
   )
 }

@@ -1156,6 +1156,75 @@ object TextAnalysis {
        |ORDER BY drift_score DESC, tok
        |LIMIT 20""".stripMargin
 
+  // ---- vocabulary growth (Heaps' law) ------------------------------------
+
+  private val VocabBuckets = 10
+
+  /** Vocabulary-growth curve (Heaps' law) — the corpus statistic behind
+    * "how much NEW text is this feed actually adding": docs are split
+    * into 10 equal id-ordered intake slices, and per slice the report
+    * gives its token volume, how many never-before-seen token types it
+    * introduced, and the cumulative token/vocabulary totals. A healthy
+    * crawl shows the sublinear Heaps curve; a flattening new-type count
+    * means the feed is recycling content (and the marginal slice is
+    * dedup fodder), a spike means a domain shift — the same alarm family
+    * as `text_drift_monitor`, at the whole-corpus granularity.
+    *
+    * Determinism: pure integer counts; the slice of a token's FIRST
+    * appearance is a min over its bucket ids — associative, shuffle-safe.
+    *
+    * Scale shape: one token scan feeding two map-side-combined hash
+    * aggregates (per-bucket volume; per-type min-bucket, re-aggregated to
+    * bucket counts), then cumulative sums by unpartitioned window over
+    * the 10-row bucket relation — corpus-sized work is hash aggregation
+    * only, the window is constant-size. The doc-count scalar rides in by
+    * broadcast so bucketing stays on the scan.
+    */
+  def vocabGrowth(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, sfDir, "documents")
+    val n = docs.agg(max(col("doc_id")).as("mx"))
+    val toks = docs.crossJoin(broadcast(n))
+      .select(
+        floor((col("doc_id") * VocabBuckets).cast(DoubleType)
+          / (col("mx") + 1)).as("bucket"),
+        explode(split(col("text"), " ")).as("tok"))
+    val perBucket = toks.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("toks"))
+    val newTypes = toks.groupBy(col("tok"))
+      .agg(min(col("bucket")).as("fb"))
+      .groupBy(col("fb").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    perBucket.join(newTypes, Seq("bucket"), "left_outer")
+      .select(col("bucket"), col("toks"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_tokens",
+        sum(col("toks")).over(Window.orderBy("bucket")))
+      .withColumn("vocab_size",
+        sum(col("new_types")).over(Window.orderBy("bucket")))
+      .orderBy("bucket")
+  }
+
+  private val vocabGrowthOracle =
+    s"""WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+       |toks AS (
+       |  SELECT CAST(floor(doc_id * $VocabBuckets * 1.0 / (mx + 1)) AS BIGINT)
+       |           AS bucket,
+       |         unnest(string_split(text, ' ')) AS tok
+       |  FROM documents, mx),
+       |pb AS (SELECT bucket, CAST(count(*) AS BIGINT) AS toks
+       |       FROM toks GROUP BY bucket),
+       |fs AS (SELECT fb AS bucket, CAST(count(*) AS BIGINT) AS new_types
+       |       FROM (SELECT tok, min(bucket) AS fb FROM toks GROUP BY tok)
+       |       GROUP BY fb)
+       |SELECT pb.bucket, pb.toks,
+       |  coalesce(fs.new_types, 0) AS new_types,
+       |  CAST(sum(pb.toks) OVER (ORDER BY pb.bucket) AS BIGINT) AS cum_tokens,
+       |  CAST(sum(coalesce(fs.new_types, 0)) OVER (ORDER BY pb.bucket)
+       |    AS BIGINT) AS vocab_size
+       |FROM pb LEFT JOIN fs ON pb.bucket = fs.bucket
+       |ORDER BY pb.bucket""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("text_stats_quality",
       "per-doc token stats, quality score, stopword-heuristic language ID",
@@ -1217,5 +1286,8 @@ object TextAnalysis {
     Query("text_drift_monitor",
       "token-distribution drift: per-token chi-square term, top-20 drifted",
       driftMonitor, Some(driftMonitorOracle)),
+    Query("text_vocab_growth",
+      "Heaps-law vocabulary growth over 10 intake slices, cumulative",
+      vocabGrowth, Some(vocabGrowthOracle)),
   )
 }

@@ -49,6 +49,43 @@ class DedupSpec extends SparkTestBase {
       s"missing=${expected -- onlineSet} extra=${onlineSet -- expected}")
   }
 
+  test("containment dominates jaccard and covers every high-jaccard pair") {
+    val rows = run("dedup_containment", SfOracle).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ci = r.getAs[Double]("cont_i_in_j")
+      val cj = r.getAs[Double]("cont_j_in_i")
+      val jac = r.getAs[Double]("jaccard")
+      // c/|A| >= c/(|A|+|B|-c) always — containment is the laxer ratio
+      assert(ci >= jac - 1e-12 && cj >= jac - 1e-12)
+      assert(math.max(ci, cj) >= 0.9, "gate: some direction >= 0.9")
+    }
+    // jaccard >= 0.9 forces both containments >= 0.9, so every such pair
+    // must appear here — the asymmetric gate is strictly more inclusive
+    val jacPairs = run("dedup_ngram_jaccard", SfOracle)
+      .filter(col("jaccard") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val contPairs = rows.map(r =>
+      (r.getAs[Long]("i"), r.getAs[Long]("j"))).toSet
+    assert(jacPairs.subsetOf(contPairs),
+      s"missing high-jaccard pairs: ${jacPairs -- contPairs}")
+  }
+
+  test("semantic dedup prunes exactly the planted duplicates, sim 1.0") {
+    val rows = run("dedup_semantic", SfOracle).collect()
+    // identical planted copies cluster with their originals and prune at
+    // cosine 1.0; the raw corpus has no natural >=0.95 pair (asserted by
+    // construction of the fixture — dedup_embedding finds none below 0.99)
+    assert(rows.length == 50, s"50 planted dups at sf0.01, got ${rows.length}")
+    rows.foreach { r =>
+      val v = r.getAs[Long]("vec_id")
+      assert(v >= 100000, "only planted copies may be pruned")
+      assert(r.getAs[Long]("dup_of") == v - 100000,
+        "each copy must cite its original as the kept representative")
+      assert(r.getAs[Double]("sim") == 1.0)
+    }
+  }
+
   test("simhash near-dup pairs overlap the jaccard near-dup pairs") {
     val jac = run("dedup_ngram_jaccard", SfOracle)
       .select(col("i"), col("j")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -49,7 +49,11 @@ class DeterminismSpec extends SparkTestBase {
     "sim_mmr_select",        // greedy rounds: 6dp cosines, λ=1/2 exact
     "dedup_stream_admission", // batch-boundary-independent verified pairs
     "sim_rrf_fusion",        // integer ranks -> reciprocal sums
-    "text_drift_monitor")    // exact counts cast once, one division
+    "text_drift_monitor",    // exact counts cast once, one division
+    "dedup_containment",     // integer intersection counts, one division
+    "dedup_semantic",        // exact-grid cosines rounded 6dp, argmax ties
+    "sim_embedding_drift",   // exact BIGINT grid sums, fixed division order
+    "text_vocab_growth")     // pure integer counts + min-bucket
 
   private def rowsAt(name: String, partitions: Int): Seq[Seq[Any]] = {
     val key = "spark.sql.shuffle.partitions"

@@ -154,6 +154,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Window"), "no rank window over the token table")
   }
 
+  test("semantic dedup pairs stay cluster-confined: hashed join, no cartesian") {
+    val p = plan(run("dedup_semantic"))
+    assert(!p.contains("CartesianProduct"),
+      s"within-cluster pairing must never be all-pairs:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"cluster-keyed pair join must be a hash join:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"centroid assignment must broadcast the centroids:\n$p")
+  }
+
   test("heavy-hitter sketch is a partial object aggregate; verify is broadcast") {
     val p = plan(run("text_heavy_hitters"))
     // pass 1: the MG sketch must partial-aggregate map-side (each task

@@ -128,6 +128,20 @@ class SimilaritySpec extends SparkTestBase {
     }
   }
 
+  test("embedding drift reports exact mean shifts, descending") {
+    val rows = run("sim_embedding_drift", SfOracle).collect()
+    assert(rows.length == 10)
+    val shifts = rows.map(_.getAs[Double]("shift"))
+    assert(shifts.zip(shifts.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      val d = r.getAs[Long]("dim")
+      assert(d >= 1 && d <= 64)
+      // shift is definitionally |mean_cur - mean_ref| of the emitted means
+      assert(r.getAs[Double]("shift") ==
+        math.abs(r.getAs[Double]("mean_cur") - r.getAs[Double]("mean_ref")))
+    }
+  }
+
   test("hard negatives cross labels and rank by descending similarity") {
     val rows = run("sim_hard_negatives", SfOracle).collect()
     assert(rows.length == 25, "5 probes x top-5 negatives")

@@ -104,6 +104,22 @@ class TextMultimodalSpec extends SparkTestBase {
       r.getAs[Long]("n_ref") + r.getAs[Long]("n_cur") > 0))
   }
 
+  test("vocab growth buckets close over the corpus totals") {
+    val rows = run("text_vocab_growth", SfOracle).collect()
+    assert(rows.map(_.getAs[Long]("bucket")).toSeq == (0L until 10L))
+    val docs = graft.sources.Tables(spark, SfOracle, "documents")
+    val toks = docs.select(explode(split(col("text"), " ")).as("t"))
+    val total = toks.count()
+    val vocab = toks.distinct().count()
+    assert(rows.map(_.getAs[Long]("toks")).sum == total)
+    assert(rows.map(_.getAs[Long]("new_types")).sum == vocab,
+      "every type is new in exactly one bucket")
+    assert(rows.last.getAs[Long]("cum_tokens") == total)
+    assert(rows.last.getAs[Long]("vocab_size") == vocab)
+    val cum = rows.map(_.getAs[Long]("cum_tokens"))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a < b })
+  }
+
   test("word-salad corpus: BPE-ish token count equals whitespace count") {
     // the harness documents are lowercase letter runs + single spaces, so
     // the regex tokenizer must agree exactly with the whitespace split
