@@ -403,6 +403,135 @@ object Relational {
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---- runtime Bloom-filter join pruning ----------------------------------
+
+  /** Runtime Bloom-filter semi-join reduction — the shuffle-join counterpart
+    * of broadcast-side pruning: when BOTH join sides are too big to
+    * broadcast, Catalyst's InjectRuntimeFilter builds a Bloom filter over
+    * the join keys of the SELECTIVE side (urgent orders, ~20% of the dim)
+    * as a scalar subquery and applies `might_contain` to the fact side
+    * BEFORE its shuffle, so fact rows that cannot match never pay exchange
+    * I/O. A false positive only costs one wasted shuffled row (the join
+    * still decides membership exactly), so the rewrite is
+    * result-transparent — the oracle is the plain join, and PlanSpec pins
+    * the `might_contain` filter on the lineitem side so a conf drift can't
+    * silently lose the pruning.
+    *
+    * At 100 TB this is the big-big join saver: a k%-selective dim predicate
+    * cuts the fact side's shuffle write+read by ~(100−k)%, which dwarfs the
+    * cost of building the one-pass Bloom (itself a partial-aggregated
+    * scalar subquery). Spark only injects it when the creation side carries
+    * a selective filter over a scan — exactly when it pays.
+    *
+    * Harness wiring: the injection thresholds assume cluster scale
+    * (`applicationSideScanSizeThreshold` defaults to 10 GB), so the fn pins
+    * injection-friendly confs for the duration of PLANNING only — the
+    * QueryExecution memoizes its optimized plan on first access — then
+    * restores them. Broadcast is disabled under the same pin so the join
+    * actually shuffles (the 100 TB shape this operator exists for).
+    */
+  def bloomPruneJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val pinned = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "512MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = pinned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    pinned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val urgent = Tables(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderstatus")
+      val li = Tables(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+      val out = li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("o_orderstatus")
+      out.queryExecution.executedPlan // memoize the plan under the pin
+      out
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private val bloomPruneJoinOracle =
+    s"""SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       | ${sqlDsum("l_extendedprice")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderpriority = '1-URGENT'
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---- typed cogroup reconciliation ---------------------------------------
+
+  /** Order/lineitem reconciliation via the typed `cogroup` — the Dataset
+    * escape hatch for per-key logic over TWO relations at once: both sides
+    * hash-partition on the key into ONE co-located shuffle, and the lambda
+    * sees each key's complete order rows and line rows together (a
+    * full-outer join would multiply rows; two groupBys plus a join would
+    * shuffle three times). Emits one audit row per key: row counts, the
+    * exact line total, and a match status covering both orphan directions.
+    *
+    * Determinism: within-key iteration order after a shuffle is not
+    * guaranteed, so the money sum goes through BigDecimal (associative,
+    * commutative) — the same DECIMAL discipline as [[graft.functions.Exact]],
+    * applied JVM-side. DeterminismSpec pins the byte-stability.
+    *
+    * At 100 TB: one co-partitioned exchange of exactly the projected
+    * columns (the `select` before `.as` prunes manually — typed lambdas are
+    * opaque to Catalyst, so pruning cannot be inferred), then a streaming
+    * sorted merge per partition; per-key state is one key's rows, never a
+    * partition's. The SQL-expressible status logic rides in the oracle as a
+    * full-outer aggregate join — cogroup earns its keep when the per-key
+    * emit GROWS past SQL (multi-row repair records, imperative matching),
+    * and this query pins the plumbing for that shape.
+    */
+  def cogroupReconcile(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ord = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice")).as[(Long, Double)]
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice")).as[(Long, Double)]
+    ord.groupByKey(_._1).cogroup(li.groupByKey(_._1)) { (key, os, ls) =>
+      var oCount = 0L
+      os.foreach(_ => oCount += 1)
+      var lCount = 0L
+      var lTotal = BigDecimal(0)
+      ls.foreach { l =>
+        lCount += 1
+        // valueOf goes through Double.toString (shortest decimal repr) —
+        // the same value Spark's and DuckDB's double→DECIMAL(18,2) casts
+        // round, so the three engines agree digit-for-digit
+        lTotal += BigDecimal.valueOf(l._2)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      }
+      val status =
+        if (oCount == 0) "orphan_lines"
+        else if (lCount == 0) "no_lines"
+        else "matched"
+      Iterator((key, oCount, lCount, lTotal.toDouble, status))
+    }.toDF("order_key", "o_count", "l_count", "l_total", "status")
+      .orderBy("order_key")
+  }
+
+  private val cogroupReconcileOracle =
+    s"""SELECT coalesce(o.k, l.k) AS order_key,
+       | CAST(coalesce(o.n, 0) AS BIGINT) AS o_count,
+       | CAST(coalesce(l.n, 0) AS BIGINT) AS l_count,
+       | CAST(coalesce(l.total, 0) AS DOUBLE) AS l_total,
+       | CASE WHEN o.k IS NULL THEN 'orphan_lines'
+       |      WHEN l.k IS NULL THEN 'no_lines'
+       |      ELSE 'matched' END AS status
+       |FROM (SELECT o_orderkey AS k, count(*) AS n FROM orders GROUP BY 1) o
+       |FULL OUTER JOIN (
+       |  SELECT l_orderkey AS k, count(*) AS n,
+       |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total
+       |  FROM lineitem GROUP BY 1) l ON o.k = l.k
+       |ORDER BY order_key""".stripMargin
+
   // ---- star-schema revenue ranking (TPC-H Q3 shape) -----------------------
 
   /** TPC-H Q3-shaped star join: revenue of not-yet-shipped lineitems for
@@ -520,6 +649,52 @@ object Relational {
       |    NULL, NULL, min(o_orderpriority), max(o_orderpriority)
       |  FROM orders)
       |ORDER BY col_name""".stripMargin
+
+  // ---- zero-extra-pass pipeline audit (Observation API) -------------------
+
+  /** In-flight pipeline audit via `Dataset.observe` — row-count and
+    * violation metrics collected DURING the one production pass, not by a
+    * second audit scan. `CollectMetrics` rides the cleaned relation as
+    * accumulator-backed expressions evaluated per-row as data streams
+    * through, so the audit is free at 100 TB (a separate `SELECT count(*)`
+    * audit would re-read the lake); the returned result is the business
+    * aggregate, byte-identical with or without the observation — which is
+    * why the oracle is simply the plain SQL.
+    *
+    * Production shape: the driver reads `Observation.get` after the action
+    * and compares rows_out / violation counts against the ingest manifest
+    * (the reference's row-count print, app.py:150, is the manual cousin).
+    * RelationalAuditSpec asserts the metrics land and match the data;
+    * PlanSpec asserts the observe node does not block scan pushdown of the
+    * upstream filter (observe sits ABOVE the clean filter by design — a
+    * metrics node below it would pin the filter out of the scan).
+    */
+  private[graft] def auditedRevenue(spark: SparkSession, sfDir: String)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation()
+    val cleaned = Tables(spark, sfDir, "lineitem")
+      .filter(col("l_quantity") > 0)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_discount"))
+      .observe(obs,
+        count(lit(1)).as("rows_out"),
+        sum(when(col("l_discount") > 0.05, 1L).otherwise(0L))
+          .as("high_discount_rows"),
+        dsum(col("l_extendedprice")).as("gross_revenue"))
+    val out = cleaned
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("revenue"))
+      .orderBy("l_returnflag")
+    (out, obs)
+  }
+
+  def observedAudit(spark: SparkSession, sfDir: String): DataFrame =
+    auditedRevenue(spark, sfDir)._1
+
+  private val observedAuditOracle =
+    s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       | ${sqlDsum("l_extendedprice")} AS revenue
+       |FROM lineitem WHERE l_quantity > 0
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---- Z-order clustering (multi-column data skipping) --------------------
 
@@ -2846,6 +3021,15 @@ object Relational {
     Query("join_salted_skew",
       "manually salted skew join: replicated small side, (key,salt) join",
       saltedSkewJoin, Some(saltedSkewJoinOracle)),
+    Query("join_bloom_prune",
+      "runtime Bloom-filter semi-join reduction on a shuffled big-big join",
+      bloomPruneJoin, Some(bloomPruneJoinOracle)),
+    Query("join_cogroup_reconcile",
+      "typed cogroup order/line reconciliation: one co-located shuffle",
+      cogroupReconcile, Some(cogroupReconcileOracle)),
+    Query("ref_audit_observe",
+      "zero-extra-pass pipeline audit: observe() metrics ride the one scan",
+      observedAudit, Some(observedAuditOracle)),
     Query("join_star_q3",
       "Q3-shaped star join: filtered dims, fact join, decimal top-10 revenue",
       starJoinTopRevenue, Some(starJoinTopRevenueOracle)),

@@ -53,7 +53,8 @@ class DeterminismSpec extends SparkTestBase {
     "dedup_containment",     // integer intersection counts, one division
     "dedup_semantic",        // exact-grid cosines rounded 6dp, argmax ties
     "sim_embedding_drift",   // exact BIGINT grid sums, fixed division order
-    "text_vocab_growth")     // pure integer counts + min-bucket
+    "text_vocab_growth",     // pure integer counts + min-bucket
+    "join_cogroup_reconcile") // JVM-side BigDecimal sums, unordered groups
 
   private def rowsAt(name: String, partitions: Int): Seq[Seq[Any]] = {
     val key = "spark.sql.shuffle.partitions"

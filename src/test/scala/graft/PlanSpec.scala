@@ -49,6 +49,39 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LeftSemi"), s"expected semi-join rewrite:\n$p")
   }
 
+  test("bloom-prune join injects a might_contain runtime filter pre-shuffle") {
+    // the conf pin inside the fn must have survived planning: the fact side
+    // carries a Bloom-membership filter fed by a scalar subquery over the
+    // selective orders side, and the join itself shuffles (no broadcast) —
+    // the big-big shape the runtime filter exists for
+    val p = plan(run("join_bloom_prune"))
+    assert(p.contains("might_contain"),
+      s"expected an injected runtime bloom filter on the fact side:\n$p")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"join must shuffle under the pin (big-big shape):\n$p")
+  }
+
+  test("observe() metrics do not block scan pushdown of the clean filter") {
+    // CollectMetrics sits ABOVE the quantity filter by design; if a
+    // refactor moves it below, the filter can no longer push through the
+    // metrics barrier and the 100 TB scan reads every row
+    val p = plan(run("ref_audit_observe"))
+    assert(p.contains("CollectMetrics"), s"expected the audit node:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,0.0)]"),
+      s"clean filter must still reach the parquet scan:\n$p")
+  }
+
+  test("cogroup reconciliation plans one co-located shuffle, both sides pruned") {
+    val p = plan(run("join_cogroup_reconcile"))
+    assert(p.contains("CoGroup"), s"expected a CoGroup node:\n$p")
+    // typed lambdas are opaque to Catalyst — the manual select before .as
+    // must have pruned both scans to the two projected columns
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      s"orders scan must be pruned:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double>"),
+      s"lineitem scan must be pruned:\n$p")
+  }
+
   test("point-in-time join stays a broadcast hash join, not nested-loop") {
     // the interval predicate must ride as a residual on the equi match —
     // if the OR-isNull disqualified the equi key the plan would degrade
@@ -266,35 +299,6 @@ class PlanSpec extends SparkTestBase {
       s"scan must carry partition filters:\n$p")
     assert(p.contains("= F)"),
       s"the status equality must prune directories, not rows:\n$p")
-  }
-
-  test("runtime bloom filter prunes the probe side of a selective join") {
-    // at 100 TB a selective dim filter should also prune the FACT scan:
-    // Spark injects a bloom filter built from the filtered build side into
-    // the probe side (might_contain), cutting shuffle input before the
-    // join. Size thresholds are lowered to make it fire at test scale; the
-    // mechanism is identical in production.
-    val conf = spark.conf
-    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-    conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
-    try {
-      val orders = spark.read.parquet(s"$Sf/orders.parquet")
-        .filter(col("o_orderpriority") === "1-URGENT")
-        .select("o_orderkey")
-      val li = spark.read.parquet(s"$Sf/lineitem.parquet")
-        .select("l_orderkey", "l_quantity")
-      val j = li.join(orders, col("l_orderkey") === col("o_orderkey"))
-      val p = j.queryExecution.optimizedPlan.toString
-      assert(p.contains("might_contain") || p.contains("bloom_filter"),
-        s"selective join should inject a runtime bloom filter:\n$p")
-    } finally {
-      conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      conf.unset("spark.sql.optimizer.runtime.bloomFilter.enabled")
-      conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
-      conf.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
-    }
   }
 
   test("correlated scalar subquery is decorrelated into an aggregate+join") {

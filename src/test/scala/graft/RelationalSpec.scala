@@ -215,25 +215,25 @@ class RelationalSpec extends SparkTestBase {
     assert(mustSurvive.subsetOf(viaSql))
   }
 
-  test("observe() rides data-quality metrics on the query's own scan") {
+  test("ref_audit_observe lands its metrics on the query's own pass") {
     // the production circuit-breaker pattern: row counts / violation
-    // counts / freshness watermarks collected as accumulators on the SAME
-    // pass that does the work — a 100 TB pipeline cannot afford a second
-    // validation scan, and a .count() on the side would plan one
-    val li = spark.read.parquet(s"$Sf/lineitem.parquet")
-    val df = li
-      .observe("dq",
-        count(lit(1)).as("n_rows"),
-        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("n_bad_qty"),
-        max(col("l_orderkey")).as("max_key"))
-      .filter(col("l_quantity") > 0)
-      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    // counts collected as accumulators on the SAME pass that does the
+    // work — a 100 TB pipeline cannot afford a second validation scan,
+    // and a .count() on the side would plan one
+    val (df, obs) = operators.Relational.auditedRevenue(spark, Sf)
     df.collect()
-    val m = df.queryExecution.observedMetrics("dq")
-    assert(m.getAs[Long]("n_rows") == li.count(),
-      "metrics must see every pre-filter row")
-    assert(m.getAs[Long]("n_bad_qty") == 0L)
-    assert(m.getAs[Long]("max_key") ==
-      li.agg(max(col("l_orderkey"))).collect()(0).getLong(0))
+    val m = obs.get
+    val cleaned = spark.read.parquet(s"$Sf/lineitem.parquet")
+      .filter(col("l_quantity") > 0)
+    assert(m("rows_out") == cleaned.count(),
+      "metrics must see every cleaned row exactly once")
+    assert(m("high_discount_rows") ==
+      cleaned.filter(col("l_discount") > 0.05).count(),
+      "violation counter must match a standalone scan")
+    val revenue = cleaned
+      .agg(graft.functions.Exact.dsum(col("l_extendedprice")))
+      .collect()(0).getDouble(0)
+    assert(m("gross_revenue") == revenue,
+      "observed decimal revenue must be bitwise equal to the exact agg")
   }
 }
