@@ -342,6 +342,86 @@ object Lakehouse {
       |FROM prev p FULL OUTER JOIN batch b ON p.o_orderkey = b.o_orderkey
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---- storage-partitioned join (SPARK-37375) -----------------------------
+
+  /** Storage-partitioned join: two DSv2 tables `PARTITIONED BY (bucket)`
+    * on the same key join with ZERO exchange on either side — the scans
+    * report [[org.apache.spark.sql.connector.read.partitioning
+    * .KeyGroupedPartitioning]] (one input split per partition value, each
+    * tagged `HasPartitionKey`) and Spark aligns the two key sets instead
+    * of shuffling. This is the lake-native generalization of
+    * `join_bucketed`'s Hive bucketing: Iceberg/Delta ship exactly this
+    * metadata from their manifests, and at 100 TB it removes BOTH
+    * fact-side exchanges from the hot co-partitioned join — the single
+    * biggest network term in a star join. The follow-on `groupBy(bucket)`
+    * also rides the reported partitioning (no re-shuffle before the agg);
+    * the only exchange in the whole plan is the final 16-row orderBy.
+    * PlanSpec pins all of that.
+    *
+    * Determinism: per-customer totals go through the DECIMAL route, the
+    * 16-row output is totally ordered, and partition alignment is by KEY
+    * VALUE (Spark sorts both sides' grouped values), so bucket count or
+    * row order cannot change results.
+    */
+  def storagePartitionedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val tOrd = "graftlake.spj_orders"
+    val tCust = "graftlake.spj_cust"
+    spark.sql(s"DROP TABLE IF EXISTS $tOrd")
+    spark.sql(s"DROP TABLE IF EXISTS $tCust")
+    spark.sql(s"CREATE TABLE $tOrd (bucket BIGINT, o_custkey BIGINT, " +
+      "total DOUBLE) PARTITIONED BY (bucket)")
+    spark.sql(s"CREATE TABLE $tCust (bucket BIGINT, c_custkey BIGINT, " +
+      "c_mktsegment STRING) PARTITIONED BY (bucket)")
+    Tables(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("total"))
+      .select(pmod(col("o_custkey"), lit(16L)).as("bucket"),
+        col("o_custkey"), col("total"))
+      .writeTo(tOrd).append()
+    Tables(spark, sfDir, "customer")
+      .select(pmod(col("c_custkey"), lit(16L)).as("bucket"),
+        col("c_custkey"), col("c_mktsegment"))
+      .writeTo(tCust).append()
+    val pinned = Map(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      // join keys are (bucket, custkey), a SUPERSET of the partition key
+      // (bucket) — same-partition-value rows can only ever meet
+      // themselves, so co-partition on the subset is sufficient; the
+      // default-true strict check would reject it and shuffle anyway
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = pinned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    pinned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val o = spark.table(tOrd)
+      val c = spark.table(tCust)
+      val out = o.join(c,
+          o("bucket") === c("bucket") && col("o_custkey") === col("c_custkey"))
+        .groupBy(o("bucket"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("total")).as("revenue"))
+        .orderBy("bucket")
+      out.queryExecution.executedPlan // memoize the plan under the pin
+      out
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  private val storagePartitionedJoinOracle =
+    """WITH o AS (
+      |  SELECT o_custkey % 16 AS bucket, o_custkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT bucket, CAST(count(*) AS BIGINT) AS n_cust,
+      |  CAST(sum(CAST(total AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM o JOIN customer ON o_custkey = c_custkey
+      |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("ref_time_travel",
       "manifest-versioned time travel: copy-on-write buckets, AS OF reads",
@@ -358,5 +438,8 @@ object Lakehouse {
     Query("ref_update_delete_sql",
       "real UPDATE + DELETE FROM SQL through the row-level rewrite",
       updateDeleteSql, Some(updateDeleteSqlOracle)),
+    Query("join_spj_storage",
+      "storage-partitioned join: co-partitioned DSv2 tables, zero exchanges",
+      storagePartitionedJoin, Some(storagePartitionedJoinOracle)),
   )
 }

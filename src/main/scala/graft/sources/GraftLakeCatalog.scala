@@ -7,9 +7,11 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -65,7 +67,15 @@ class GraftLakeCatalog extends TableCatalog {
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val t = new GraftLakeTable(ident.toString, schema)
+    // identity transforms only (PARTITIONED BY (col)): the storage-
+    // partitioned-join surface. Anything fancier is rejected loudly
+    // rather than silently ignored.
+    val partCols = partitions.toSeq.map { t =>
+      require(t.name == "identity",
+        s"unsupported partition transform ${t.describe()}")
+      t.references()(0).fieldNames().mkString(".")
+    }
+    val t = new GraftLakeTable(ident.toString, schema, partCols)
     if (tables.putIfAbsent(ident, t) != null)
       throw new TableAlreadyExistsException(ident.toString)
     t
@@ -93,7 +103,8 @@ object GraftLakeCatalog {
   * immutable snapshot into tasks, writers buffer per task and the commit
   * applies atomically on the driver (the DSv2 commit protocol in
   * miniature). */
-class GraftLakeTable(tableName: String, tableSchema: StructType)
+class GraftLakeTable(tableName: String, tableSchema: StructType,
+    partCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations {
 
@@ -109,6 +120,8 @@ class GraftLakeTable(tableName: String, tableSchema: StructType)
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] =
+    partCols.map(Expressions.identity).toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
@@ -117,7 +130,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new GraftLakeScan(snapshot, tableSchema)
+    () => new GraftLakeScan(snapshot, tableSchema, partCols)
 
   // ---- plain write path (append / truncate-overwrite) ---------------------
 
@@ -162,17 +175,54 @@ class GraftLakeTable(tableName: String, tableSchema: StructType)
     }
 }
 
-class GraftLakeScan(snapshot: Vector[InternalRow], schema: StructType)
-    extends Scan with Batch {
+/** Scan over the committed snapshot. An unpartitioned table ships one
+  * partition; a `PARTITIONED BY (cols)` table ships ONE INPUT PARTITION
+  * PER DISTINCT KEY, each tagged via [[HasPartitionKey]], and reports
+  * [[KeyGroupedPartitioning]] — which is all Spark needs to plan a
+  * STORAGE-PARTITIONED JOIN (SPARK-37375): two tables co-partitioned on
+  * the join key join with ZERO exchange on either side, the DSv2
+  * generalization of bucketed-join co-location that Iceberg/Delta use at
+  * lake scale (`spark.sql.sources.v2.bucketing.enabled`). Per-key
+  * grouping is computed driver-side from the in-memory snapshot; a file
+  * table gets the same for free from its manifest's partition values. */
+class GraftLakeScan(snapshot: Vector[InternalRow], schema: StructType,
+    partCols: Seq[String] = Nil)
+    extends Scan with Batch with SupportsReportPartitioning {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+
+  private lazy val keyed: Array[(InternalRow, Vector[InternalRow])] = {
+    val idx = partCols.map(schema.fieldIndex)
+    val types = idx.map(schema.fields(_).dataType)
+    snapshot
+      .groupBy(r => idx.zip(types).map { case (i, t) => r.get(i, t) })
+      .toArray
+      // deterministic partition order; Spark re-sorts by grouped key
+      // values when aligning the two sides of an SPJ
+      .sortBy(_._1.map(String.valueOf).mkString(" "))
+      .map { case (k, rs) => (new GenericInternalRow(k.toArray), rs) }
+  }
+
+  override def outputPartitioning(): Partitioning =
+    if (partCols.isEmpty) new org.apache.spark.sql.connector.read
+      .partitioning.UnknownPartitioning(1)
+    else new KeyGroupedPartitioning(
+      partCols.map(Expressions.identity).toArray[
+        org.apache.spark.sql.connector.expressions.Expression],
+      keyed.length)
+
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftLakePartition(snapshot))
+    if (partCols.isEmpty) Array(GraftLakePartition(snapshot))
+    else keyed.map { case (k, rs) => GraftLakeKeyedPartition(rs, k) }
+
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(
           p: InputPartition): PartitionReader[InternalRow] = {
-        val it = p.asInstanceOf[GraftLakePartition].rows.iterator
+        val it = p match {
+          case GraftLakePartition(rows) => rows.iterator
+          case GraftLakeKeyedPartition(rows, _) => rows.iterator
+        }
         new PartitionReader[InternalRow] {
           private var cur: InternalRow = _
           override def next(): Boolean =
@@ -186,6 +236,12 @@ class GraftLakeScan(snapshot: Vector[InternalRow], schema: StructType)
 
 final case class GraftLakePartition(rows: Vector[InternalRow])
     extends InputPartition
+
+final case class GraftLakeKeyedPartition(
+    rows: Vector[InternalRow], key: InternalRow)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
 
 /** Tasks buffer copies of their rows; the driver applies the union via
   * `apply` exactly once at commit. `rowLevel` (the table's column types)

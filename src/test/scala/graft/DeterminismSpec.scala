@@ -54,7 +54,8 @@ class DeterminismSpec extends SparkTestBase {
     "dedup_semantic",        // exact-grid cosines rounded 6dp, argmax ties
     "sim_embedding_drift",   // exact BIGINT grid sums, fixed division order
     "text_vocab_growth",     // pure integer counts + min-bucket
-    "join_cogroup_reconcile") // JVM-side BigDecimal sums, unordered groups
+    "join_cogroup_reconcile", // JVM-side BigDecimal sums, unordered groups
+    "join_spj_storage")      // key-aligned DSv2 partitions + decimal sums
 
   private def rowsAt(name: String, partitions: Int): Seq[Seq[Any]] = {
     val key = "spark.sql.shuffle.partitions"

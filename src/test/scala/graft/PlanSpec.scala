@@ -82,6 +82,17 @@ class PlanSpec extends SparkTestBase {
       s"lineitem scan must be pruned:\n$p")
   }
 
+  test("storage-partitioned join plans with zero hash exchanges") {
+    // both DSv2 scans report KeyGroupedPartitioning(bucket); the join AND
+    // the follow-on groupBy(bucket) must ride it — the only exchange in
+    // the plan is the final 16-row orderBy's range partitioning
+    val p = plan(run("join_spj_storage"))
+    assert(p.contains("SortMergeJoin"), s"expected a shuffled-shape join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"SPJ must not shuffle either side or the bucket agg:\n$p")
+    assert(p.contains("BatchScan"), s"expected DSv2 scans:\n$p")
+  }
+
   test("point-in-time join stays a broadcast hash join, not nested-loop") {
     // the interval predicate must ride as a residual on the equi match —
     // if the OR-isNull disqualified the equi key the plan would degrade
