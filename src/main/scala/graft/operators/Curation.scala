@@ -469,6 +469,53 @@ object Curation {
       |FROM g WHERE n < 5
       |ORDER BY lang, source""".stripMargin
 
+  /** l-diversity — the gate k-anonymity provably misses: a group can hold
+    * K+ documents and STILL leak the sensitive attribute if all of them
+    * share one value (the attacker learns it without re-identifying
+    * anyone — the classic homogeneity attack). Quasi-identifier here is
+    * `source`; sensitive attribute is `lang`: a source is publishable
+    * only when it has ≥K docs AND ≥L distinct langs; failing sources are
+    * suppressed into one aggregate row. Same 100 TB shape as
+    * [[kAnonymity]]: the group relation is source-cardinality-sized, one
+    * map-side-combined pass over the corpus (count_distinct partials are
+    * bounded by lang cardinality per group).
+    */
+  def lDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val K = 5
+    val L = 2
+    val groups = Tables(spark, sfDir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("sum_chars"))
+    val kept = groups.filter(col("n") >= K && col("n_langs") >= L)
+    val suppressed = groups.filter(col("n") < K || col("n_langs") < L)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        // a suppressed row must not leak per-group diversity either —
+        // report the distinct-lang count across the whole suppressed set
+        coalesce(max(col("n_langs")), lit(0L)).as("n_langs"),
+        coalesce(sum(col("sum_chars")), lit(0L)).as("sum_chars"))
+      .select(lit("_SUPPRESSED").as("source"), col("n"), col("n_langs"),
+        col("sum_chars"))
+    kept.unionByName(suppressed).orderBy("source")
+  }
+
+  private val lDiversityOracle =
+    """WITH g AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |  FROM documents GROUP BY source)
+      |SELECT source, n, n_langs, sum_chars FROM g
+      |WHERE n >= 5 AND n_langs >= 2
+      |UNION ALL
+      |SELECT '_SUPPRESSED' AS source,
+      |  CAST(coalesce(sum(n), 0) AS BIGINT) AS n,
+      |  CAST(coalesce(max(n_langs), 0) AS BIGINT) AS n_langs,
+      |  CAST(coalesce(sum(sum_chars), 0) AS BIGINT) AS sum_chars
+      |FROM g WHERE n < 5 OR n_langs < 2
+      |ORDER BY source""".stripMargin
+
   /** Cluster-aware (leakage-free) train/valid/test split — the
     * contamination guard [[trainTestSplit]] lacks: hashing doc_id sends
     * near-duplicate documents to DIFFERENT splits, so test examples leak
@@ -628,6 +675,9 @@ object Curation {
     Query("curation_k_anonymity",
       "k-anonymity gate: sub-K quasi-identifier groups suppressed to one row",
       kAnonymity, Some(kAnonymityOracle)),
+    Query("curation_l_diversity",
+      "l-diversity gate: homogeneous-sensitive-value groups suppressed too",
+      lDiversity, Some(lDiversityOracle)),
     Query("curation_pps_sample",
       "weighted systematic sample: integer PPS marks, RNG-free, replayable",
       ppsSample, Some(ppsSampleOracle)),

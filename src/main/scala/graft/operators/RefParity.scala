@@ -609,6 +609,55 @@ object RefParity {
       |FROM orders WHERE o_orderstatus = 'F'
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Dynamic partition overwrite — the IDEMPOTENT daily-reload contract
+    * the reference's blind append lacks (app.py:195-197: re-running a day
+    * doubles it): `partitionOverwriteMode=dynamic` replaces ONLY the
+    * partitions present in the incoming batch and leaves every other
+    * partition's files untouched, so a corrective re-run of one day is a
+    * one-partition swap, not a full-table rewrite — at 100 TB the
+    * difference between rewriting 300 GB and 100 TB nightly.
+    *
+    * The fixture proves BOTH failure directions: the first load poisons
+    * the 'F' partition (doubled prices), the reload rewrites just 'F'
+    * with corrected rows. Static overwrite mode would have DELETED the
+    * O/P partitions (their totals would vanish); a skipped reload would
+    * leave F doubled. The oracle — plain per-status totals over orders —
+    * catches either.
+    */
+  def dynamicPartitionOverwrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = Staging.stagedDir("graft_dyn_overwrite", sfDir) { d =>
+      val base = Tables(spark, sfDir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice",
+          "o_orderstatus")
+      base.withColumn("o_totalprice",
+          when(col("o_orderstatus") === "F", col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")))
+        .write.mode("overwrite").partitionBy("o_orderstatus")
+        .parquet(d.getAbsolutePath)
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try base.filter(col("o_orderstatus") === "F")
+        .write.mode("overwrite").partitionBy("o_orderstatus")
+        .parquet(d.getAbsolutePath)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    spark.read.parquet(dir.getAbsolutePath)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val dynamicPartitionOverwriteOracle =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** Quoted/multiline CSV fidelity — the parsing edge every real CSV lake
     * hits: fields containing the delimiter, the quote character, and
     * embedded NEWLINES (multiLine=true, which makes files unsplittable —
@@ -1297,6 +1346,9 @@ object RefParity {
     Query("ref_partitioned_sink",
       "hive-partitioned parquet sink + partition-pruned read-back",
       partitionedSink, Some(partitionedSinkOracle)),
+    Query("ref_overwrite_dynamic",
+      "dynamic partition overwrite: corrective reload swaps ONE partition",
+      dynamicPartitionOverwrite, Some(dynamicPartitionOverwriteOracle)),
     Query("ref_jsonl_ingest",
       "JSON-lines source with explicit schema, lossless roundtrip",
       jsonlIngest, Some(jsonlIngestOracle)),

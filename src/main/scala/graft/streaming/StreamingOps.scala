@@ -1153,6 +1153,67 @@ object StreamingOps {
        | ${sqlDsum("value")} AS sum_value
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Streaming pipeline audit via `observe()` — the streaming twin of the
+    * batch `ref_audit_observe`: per-MICRO-BATCH row/sum counters ride the
+    * ingest pass as accumulator metrics, surfaced in each batch's
+    * `StreamingQueryProgress.observedMetrics` (read synchronously off the
+    * finished query — no listener race). The audit row the query emits is
+    * the SUM of the per-batch metrics, and the oracle proves it equals
+    * the batch totals: every row was observed exactly once across the 8
+    * file-chunk micro-batches — the continuous ingest-reconciliation
+    * counter a production stream publishes next to its output.
+    *
+    * Per-batch decimal sums re-accumulate through BigDecimal (associative;
+    * micro-batch boundaries are a partition of the rows), so the audit
+    * total is bitwise equal to the one-pass batch DECIMAL sum at any
+    * chunking — the same reason [[Exact.dsum]] survives repartitioning.
+    */
+  def observedStreamAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = chunkedSource(spark, sfDir)
+      .observe("audit",
+        count(lit(1)).as("rows_in"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_in"))
+    val agg = src
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+    val name = s"graft_stream_observe_${sinkId.incrementAndGet()}"
+    val q = withStreamingPartitions(spark) {
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q
+    }
+    val audits = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("audit")))
+      .filter(r => !r.isNullAt(r.fieldIndex("rows_in"))
+        && r.getAs[Long]("rows_in") > 0L)
+    val rows = audits.map(_.getAs[Long]("rows_in")).sum
+    val total = audits.map(r => BigDecimal.valueOf(r.getAs[Double]("sum_in"))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      .foldLeft(BigDecimal(0).setScale(2))(_ + _)
+    import spark.implicits._
+    val auditRow = Seq(("_AUDIT", rows, total.toDouble))
+      .toDF("event_type", "n", "sum_value")
+    spark.table(name)
+      .select(col("event_type"), col("n"), col("sum_value"))
+      .unionByName(auditRow)
+      .orderBy("event_type")
+  }
+
+  private val observedStreamAuditOracle =
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       | ${sqlDsum("value")} AS sum_value
+       |FROM events GROUP BY event_type
+       |UNION ALL
+       |SELECT '_AUDIT', CAST(count(*) AS BIGINT), ${sqlDsum("value")}
+       |FROM events
+       |ORDER BY event_type""".stripMargin
+
   /** One checkpointed AvailableNow drain of the in-memory log `topic`
     * into a parquet sink dir — the unit [[kafkaShapedRestart]] runs twice
     * (and StreamingSpec drives with its own scenario). Offset state lives
@@ -1251,6 +1312,9 @@ object StreamingOps {
     Query("stream_foreachbatch_sink",
       "streaming → parquet file sink via foreachBatch, lossless roundtrip",
       foreachBatchSink, Some(foreachBatchSinkOracle)),
+    Query("stream_observe_audit",
+      "per-micro-batch observe() metrics sum to the exact batch totals",
+      observedStreamAudit, Some(observedStreamAuditOracle)),
     Query("stream_incremental_drain",
       "8-micro-batch chunked drain, state merged across batches (= batch)",
       incrementalDrain, Some(tumblingStreamOracle)),
