@@ -288,6 +288,93 @@ object Graph {
        |ORDER BY dist, n_name""".stripMargin
   }
 
+  private val LpaRounds = 3
+
+  /** Synchronous label propagation (community detection) over the
+    * undirected trade graph — the cheap-and-parallel community primitive
+    * (near-linear per round; the first pass production graph clustering
+    * reaches for before anything spectral). Each of 3 rounds, every node
+    * simultaneously adopts the most frequent label among its neighbors
+    * (tie → smallest label; isolated node keeps its own) — all from the
+    * PREVIOUS round's labels, so the update is order-independent and
+    * engine-exact, unlike the asynchronous variant whose result depends
+    * on visit order. The argmax is the `max(struct(count, -label))`
+    * selection-aggregate (no window sort), and labels are node ids —
+    * pure BIGINTs, so the oracle (the same recurrence unrolled as CTEs
+    * with a row_number tiebreak) matches bit-for-bit.
+    *
+    * Scale shape: per round, ONE equi-join of edges to the label table on
+    * dst + two hash aggregates keyed by src — linear in edges, the
+    * classic Pregel message pattern as plain relational ops. Labels are
+    * `localCheckpoint`'d per round (25 rows here): each round's plan
+    * references the previous labels twice (message join + isolated-node
+    * fallback), so an uncut lineage would double per round — the
+    * [[Dedup.clusterAssign]] lesson.
+    */
+  def labelPropagation(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = sparseEdges(spark, sfDir)
+    val edges = base.select(col("src"), col("dst"))
+      .unionByName(base.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val nations = Tables(spark, sfDir, "nation")
+      .select(col("n_nationkey"), col("n_name"))
+    var labels = nations
+      .select(col("n_nationkey").as("node"),
+        col("n_nationkey").cast("long").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to LpaRounds) {
+      val best = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("b"))
+        .select(col("src").as("bn"), (-col("b.nl")).as("blabel"))
+      labels = labels
+        .join(best, col("node") === col("bn"), "left_outer")
+        .select(col("node"), coalesce(col("blabel"), col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    labels.join(broadcast(nations), col("node") === col("n_nationkey"))
+      .select(col("n_name"), col("label").as("community"))
+      .orderBy("n_name")
+  }
+
+  private val labelPropagationOracle: String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""l$i AS (
+         |  SELECT l.node, coalesce(b.blabel, l.label) AS label
+         |  FROM l${i - 1} l LEFT JOIN (
+         |    SELECT src, label AS blabel FROM (
+         |      SELECT e.src, p.label, count(*) AS c,
+         |        row_number() OVER (PARTITION BY e.src
+         |          ORDER BY count(*) DESC, p.label) AS rn
+         |      FROM edges e JOIN l${i - 1} p ON e.dst = p.node
+         |      GROUP BY e.src, p.label) WHERE rn = 1) b ON b.src = l.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+       |               CAST(count(*) AS BIGINT) AS npairs FROM pairs),
+       |edges0 AS (SELECT src, dst FROM pairs, tot
+       |           WHERE cnt * npairs * 10 >= total * 12),
+       |edges AS (SELECT src, dst FROM edges0
+       |          UNION SELECT dst, src FROM edges0),
+       |l0 AS (SELECT n_nationkey AS node,
+       |              CAST(n_nationkey AS BIGINT) AS label FROM nation),
+       |$rounds
+       |SELECT n_name, label AS community
+       |FROM l$LpaRounds JOIN nation ON node = n_nationkey
+       |ORDER BY n_name""".stripMargin
+  }
+
   val queries: Seq[Query] = Seq(
     Query("graph_pagerank",
       "fixed-point integer PageRank over the nation trade graph, 5 rounds",
@@ -298,5 +385,8 @@ object Graph {
     Query("graph_shortest_paths",
       "BFS hop counts from nation 0: self-loop Bellman-Ford, 4 rounds",
       shortestPaths, Some(shortestPathsOracle)),
+    Query("graph_label_propagation",
+      "synchronous 3-round majority-label communities, integer-exact ties",
+      labelPropagation, Some(labelPropagationOracle)),
   )
 }

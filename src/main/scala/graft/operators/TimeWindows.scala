@@ -123,7 +123,9 @@ object TimeWindows {
         col("n_events"), col("sum_value"))
       .orderBy("user_id", "session_start")
 
-  private val sessionWindowOracle =
+  // shared with the streaming twin (stream_session_window): identical
+  // output contract, so one oracle gates both
+  private[graft] val sessionWindowOracle =
     s"""SELECT user_id,
        | min(ts) AS session_start,
        | max(ts) + INTERVAL '30 minutes' AS session_end,

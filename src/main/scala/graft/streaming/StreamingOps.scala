@@ -1205,6 +1205,55 @@ object StreamingOps {
       .orderBy("event_type")
   }
 
+  /** Spark's NATIVE streaming session windows — the built-in contrast to
+    * the three hand-rolled sessionizers ([[sessionizeStateful]] /
+    * [[sessionizeIncremental]] / TwsSessionizer): `session_window` as a
+    * grouping expression over a watermarked stream, gap-merged state kept
+    * by the engine's session-window store, append mode releasing a
+    * session only once the watermark proves no event can extend it
+    * (start + the classic merge of overlapping [ts, ts+gap) intervals).
+    * Sentinel rows (user -1, max+2h/+4h) push the final watermark past
+    * every real session's close; their own never-closed session is
+    * filtered after the fact. Same output contract as the batch operator,
+    * so `win_session_window`'s lag+cumsum oracle gates both — native
+    * window-merge state ≡ the windowed-SQL derivation, row for row.
+    *
+    * At 100 TB: state is per (user, open-session) and evicted at
+    * watermark, like every windowed agg; the session MERGE happens in the
+    * state store (per-key sorted interval merge), so cost scales with
+    * open sessions, not history.
+    */
+  def sessionWindowStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = chunkedEventsWithSentinelDir(spark, sfDir)
+    val schema = spark.read.parquet(dir.getAbsolutePath).schema
+    val agg = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+    val name = s"graft_stream_sesswin_${sinkId.incrementAndGet()}"
+    withStreamingPartitions(spark) {
+      val q = agg.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        col("session_window.start").cast(TimestampNTZType)
+          .as("session_start"),
+        col("session_window.end").cast(TimestampNTZType).as("session_end"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
   private val observedStreamAuditOracle =
     s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        | ${sqlDsum("value")} AS sum_value
@@ -1315,6 +1364,10 @@ object StreamingOps {
     Query("stream_observe_audit",
       "per-micro-batch observe() metrics sum to the exact batch totals",
       observedStreamAudit, Some(observedStreamAuditOracle)),
+    Query("stream_session_window",
+      "native streaming session_window, gap-merged state (equals batch)",
+      sessionWindowStream,
+      Some(graft.operators.TimeWindows.sessionWindowOracle)),
     Query("stream_incremental_drain",
       "8-micro-batch chunked drain, state merged across batches (= batch)",
       incrementalDrain, Some(tumblingStreamOracle)),

@@ -55,7 +55,8 @@ class DeterminismSpec extends SparkTestBase {
     "sim_embedding_drift",   // exact BIGINT grid sums, fixed division order
     "text_vocab_growth",     // pure integer counts + min-bucket
     "join_cogroup_reconcile", // JVM-side BigDecimal sums, unordered groups
-    "join_spj_storage")      // key-aligned DSv2 partitions + decimal sums
+    "join_spj_storage",      // key-aligned DSv2 partitions + decimal sums
+    "graph_label_propagation") // sync rounds + integer argmax tiebreaks
 
   private def rowsAt(name: String, partitions: Int): Seq[Seq[Any]] = {
     val key = "spark.sql.shuffle.partitions"
