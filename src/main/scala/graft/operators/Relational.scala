@@ -2639,6 +2639,101 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** SQL TABLE function (`CREATE ... RETURNS TABLE`, Spark 4): the
+    * set-returning sibling of [[sqlScalarUdf]] — a parameterized view
+    * callable per-row via LATERAL. The body is SQL, so Catalyst INLINES
+    * it and DECORRELATES the lateral call into ONE equi-join against the
+    * (filtered, pushed-down) lineitem scan — a black-box table UDF would
+    * instead re-execute per outer row. PlanSpec pins the join rewrite
+    * (no nested-loop, no per-row subquery); the oracle is the join the
+    * function body denotes.
+    */
+  def sqlTableFunction(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "lineitem")
+      .createOrReplaceTempView("graft_lineitem_v")
+    Tables(spark, sfDir, "orders").createOrReplaceTempView("graft_orders_v")
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_order_lines(k BIGINT)
+        |RETURNS TABLE (l_linenumber INT, l_quantity DOUBLE)
+        |RETURN SELECT l_linenumber, l_quantity
+        |       FROM graft_lineitem_v WHERE l_orderkey = k""".stripMargin)
+    spark.sql(
+      """SELECT o.o_orderkey, t.l_linenumber, t.l_quantity
+        |FROM graft_orders_v o,
+        |     LATERAL graft_order_lines(o.o_orderkey) t
+        |WHERE o.o_orderkey % 100 = 1
+        |ORDER BY o_orderkey, l_linenumber, l_quantity""".stripMargin)
+  }
+
+  private val sqlTableFunctionOracle =
+    """SELECT o_orderkey, l_linenumber, l_quantity
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE o_orderkey % 100 = 1
+      |ORDER BY o_orderkey, l_linenumber, l_quantity""".stripMargin
+
+  /** Shared-subplan reuse: the per-status aggregate feeds BOTH the output
+    * rows and the grand-total denominator, and the engine must compute the
+    * underlying exchange ONCE — Spark's reuse rule (AQE stage reuse here)
+    * dedups the identical aggregate subtree, so the revenue-share report
+    * reads the shuffle twice instead of scanning orders twice. At 100 TB
+    * "aggregate once, consume twice" is the difference between one fact
+    * scan and two; PlanSpec pins the ReusedExchange marker after
+    * execution. Share division happens on two exact-decimal-derived
+    * doubles — IEEE division of identical operands, bit-equal in DuckDB.
+    */
+  def exchangeReuse(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = Tables(spark, sfDir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
+    // the denominator consumes BOTH aggregate columns: prune either and
+    // the two branches' partial-aggregate subtrees stop being identical,
+    // which silently disables the exchange reuse this query exists for
+    val grand = agg.agg(
+      sum(col("total").cast(DecimalType(18, 2))).cast(DoubleType)
+        .as("grand"),
+      sum(col("n")).as("n_grand"))
+    agg.crossJoin(broadcast(grand))
+      .select(col("o_orderstatus"), col("n"), col("total"),
+        (col("total") / col("grand")).as("share"),
+        (col("n").cast(DoubleType) / col("n_grand")).as("n_share"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val exchangeReuseOracle =
+    s"""WITH a AS (
+       |  SELECT o_orderstatus, ${sqlDsum("o_totalprice")} AS total,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM orders GROUP BY o_orderstatus),
+       |g AS (SELECT CAST(sum(CAST(total AS DECIMAL(18,2))) AS DOUBLE)
+       |        AS grand,
+       |      CAST(sum(n) AS BIGINT) AS n_grand FROM a)
+       |SELECT o_orderstatus, n, total, total / grand AS share,
+       |  CAST(n AS DOUBLE) / n_grand AS n_share
+       |FROM a, g ORDER BY o_orderstatus""".stripMargin
+
+  /** Built-in `approx_top_k` (Spark 4) — the engine-native frequent-items
+    * sketch next to the custom Misra-Gries TypedImperativeAggregate
+    * (`text_heavy_hitters`): one pass, mergeable partials, map-side
+    * bounded. With maxItemsTracked (100) above the true cardinality (5
+    * event types) the sketch holds every counter exactly, so the estimate
+    * IS the exact count and the oracle gates it like any exact aggregate
+    * — the documented regime a production top-k report should run in
+    * (track ≥ the report's k × safety factor, estimates go exact-on-head).
+    */
+  def approxTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables(spark, sfDir, "events").createOrReplaceTempView("graft_events_v")
+    spark.sql(
+      """SELECT t.item AS event_type, t.count AS n
+        |FROM (SELECT explode(approx_top_k(event_type, 3, 100)) AS t
+        |      FROM graft_events_v)
+        |ORDER BY n DESC, event_type""".stripMargin)
+  }
+
+  private val approxTopKOracle =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      |FROM events GROUP BY event_type
+      |ORDER BY n DESC, event_type LIMIT 3""".stripMargin
+
   /** Aggregate `FILTER (WHERE ...)` clause: per-group conditional
     * aggregates without CASE scaffolding — one scan, one hash aggregate,
     * each aggregate seeing its own row subset (the standard-SQL form of
@@ -3150,6 +3245,15 @@ object Relational {
     Query("sql_create_function",
       "SQL scalar UDF (CREATE TEMPORARY FUNCTION), inlined by Catalyst",
       sqlScalarUdf, Some(sqlScalarUdfOracle)),
+    Query("sql_table_function",
+      "SQL table function via LATERAL, decorrelated to one equi-join",
+      sqlTableFunction, Some(sqlTableFunctionOracle)),
+    Query("agg_exchange_reuse",
+      "aggregate-once-consume-twice: shared subtree reused, one fact scan",
+      exchangeReuse, Some(exchangeReuseOracle)),
+    Query("agg_approx_topk",
+      "built-in approx_top_k sketch, exact-on-head regime (tracked>cardinality)",
+      approxTopK, Some(approxTopKOracle)),
     Query("agg_filter_clause",
       "aggregate FILTER (WHERE ...) clause: conditional aggs, one scan",
       aggFilterClause, Some(aggFilterClauseOracle)),

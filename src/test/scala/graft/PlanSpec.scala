@@ -93,6 +93,29 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BatchScan"), s"expected DSv2 scans:\n$p")
   }
 
+  test("SQL table function decorrelates to one equi-join, filters inferred") {
+    val p = plan(run("sql_table_function"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"lateral call must become a single join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"no per-outer-row re-execution:\n$p")
+    // constraint propagation: the % 100 predicate must reach BOTH scans
+    assert(p.contains("(l_orderkey") && p.contains("% 100)"),
+      s"outer filter must be inferred onto the lineitem scan:\n$p")
+  }
+
+  test("aggregate-once-consume-twice reuses the shuffle exchange") {
+    val df = run("agg_exchange_reuse")
+    df.collect() // AQE stage reuse resolves during execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"the grand-total branch must read the SAME exchange, not rescan:\n$p")
+    // one FileScan of orders in the final plan: the reuse, not a cache
+    val scans = "FileScan parquet".r.findAllIn(
+      p.split("== Initial Plan ==")(0)).size
+    assert(scans == 1, s"expected exactly one fact scan, got $scans:\n$p")
+  }
+
   test("point-in-time join stays a broadcast hash join, not nested-loop") {
     // the interval predicate must ride as a residual on the equi match —
     // if the OR-isNull disqualified the equi key the plan would degrade
