@@ -412,6 +412,43 @@ object Lakehouse {
     }
   }
 
+  /** `INSERT INTO ... BY NAME` — schema-evolution-safe loading: columns
+    * bind by NAME, not position, so a producer that reorders its SELECT
+    * (the classic silent-corruption bug of positional INSERT: status
+    * swapped into the price column and nobody notices until month-end)
+    * still lands every value in the right column. The fixture writes the
+    * batch with columns deliberately REVERSED from the table definition;
+    * positional semantics would cast-fail or transpose, BY NAME is
+    * byte-identical to a correctly-ordered insert — which is what the
+    * oracle checks.
+    */
+  def insertByName(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.byname_orders"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t " +
+      "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)")
+    Tables(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 7 === 0)
+      // reversed column order relative to the table definition
+      .select(col("o_totalprice"), col("o_orderstatus"), col("o_orderkey"))
+      .createOrReplaceTempView("graft_byname_batch")
+    spark.sql(s"INSERT INTO $t BY NAME SELECT * FROM graft_byname_batch")
+    spark.table(t)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val insertByNameOracle =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders WHERE o_orderkey % 7 = 0
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   private val storagePartitionedJoinOracle =
     """WITH o AS (
       |  SELECT o_custkey % 16 AS bucket, o_custkey,
@@ -441,5 +478,8 @@ object Lakehouse {
     Query("join_spj_storage",
       "storage-partitioned join: co-partitioned DSv2 tables, zero exchanges",
       storagePartitionedJoin, Some(storagePartitionedJoinOracle)),
+    Query("ref_insert_by_name",
+      "INSERT BY NAME: reversed producer column order still lands correctly",
+      insertByName, Some(insertByNameOracle)),
   )
 }

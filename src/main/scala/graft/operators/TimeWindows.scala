@@ -590,6 +590,41 @@ object TimeWindows {
        |LEFT JOIN binned b ON b.slot = s.slot AND b.event_type = t.event_type
        |ORDER BY s.slot, t.event_type""".stripMargin
 
+  /** Running DISTINCT count over an ordered window — "how many distinct
+    * event kinds has this user produced so far" (feature engineering's
+    * cumulative-cardinality column). Spark windows don't accept
+    * `count(DISTINCT)`, and the naive `size(collect_set() OVER w)` carries
+    * a per-row set — O(frame) state that collapses on hot keys at 100 TB.
+    * The scalable spelling is two stacked windows of O(1) state: mark each
+    * (user, event_type)'s FIRST occurrence with row_number = 1, then
+    * running-sum the 0/1 marks over event time. The oracle is DuckDB's
+    * native `count(DISTINCT) OVER` — a genuinely independent derivation of
+    * the same column.
+    */
+  def runningDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val firstSeen = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val running = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("is_first",
+        when(row_number().over(firstSeen) === 1, 1L).otherwise(0L))
+      .withColumn("kinds_seen", sum(col("is_first")).over(running))
+      .select(col("user_id"), col("event_id"), col("ts"), col("kinds_seen"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  private val runningDistinctOracle =
+    """SELECT user_id, event_id, ts,
+      |  CAST(count(DISTINCT event_type) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS kinds_seen
+      |FROM events
+      |ORDER BY user_id, ts, event_id""".stripMargin
+
   val queries: Seq[Query] = Seq(
     Query("win_time_tumbling",
       "tumbling 10-min event-time windows per event type",
@@ -600,6 +635,9 @@ object TimeWindows {
     Query("win_sessionize",
       "lag+cumsum sessionization, 30-min gap",
       sessionize, Some(sessionizeOracle)),
+    Query("win_running_distinct",
+      "running distinct-kind count: first-occurrence marks + running sum",
+      runningDistinct, Some(runningDistinctOracle)),
     Query("win_session_window",
       "native session_window operator, 30-min gap",
       sessionWindowNative, Some(sessionWindowOracle)),
