@@ -1045,6 +1045,51 @@ object StreamingOps {
       .orderBy("signup_id", "purchase_id")
   }
 
+  /** Stream-stream LEFT SEMI join — "signups that converted within 30
+    * minutes", emitting each signup AT MOST ONCE with no purchase columns:
+    * the existence test as a streaming operator, completing the join
+    * matrix (inner / left outer / full outer / semi). Same
+    * [[signupPurchaseJoin]] pipeline, so the spec-guarded builder can't
+    * drift; semi state is the cheapest of the four (left rows drop from
+    * state on first match, right rows keep only the time-bounded window),
+    * and the sentinel-closed source makes the emitted set equal the batch
+    * EXISTS exactly.
+    */
+  def streamStreamSemi(spark: SparkSession, sfDir: String): DataFrame = {
+    val dir = chunkedEventsWithSentinelDir(spark, sfDir)
+    val schema = spark.read.parquet(dir.getAbsolutePath).schema
+    val src = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val joined = signupPurchaseJoin(src, "left_semi", keepSentinels = true)
+    val name = s"graft_stream_semi_${sinkId.incrementAndGet()}"
+    withStreamingPartitions(spark) {
+      val q = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(name)
+      .filter(col("s_user") >= 0)
+      .select(col("signup_id"), col("s_user").as("user_id"),
+        col("s_ts").cast(TimestampNTZType).as("signup_ts"))
+      .orderBy("signup_id")
+  }
+
+  private val streamStreamSemiOracle =
+    """SELECT s.event_id AS signup_id, s.user_id, s.ts AS signup_ts
+      |FROM events s
+      |WHERE s.event_type = 'signup' AND EXISTS (
+      |  SELECT 1 FROM events p
+      |  WHERE p.event_type = 'purchase' AND p.user_id = s.user_id
+      |    AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '30 minutes')
+      |ORDER BY signup_id""".stripMargin
+
   private val streamStreamLeftOuterOracle =
     """SELECT s.event_id AS signup_id, p.event_id AS purchase_id,
       | s.user_id, s.ts AS signup_ts, p.ts AS purchase_ts
@@ -1389,6 +1434,9 @@ object StreamingOps {
     Query("stream_stream_left_outer",
       "stream-stream LEFT OUTER interval join, all nulls flushed (= batch)",
       streamStreamLeftOuter, Some(streamStreamLeftOuterOracle)),
+    Query("stream_stream_semi",
+      "stream-stream LEFT SEMI join: converted signups once each (= EXISTS)",
+      streamStreamSemi, Some(streamStreamSemiOracle)),
     Query("stream_sessionize_tws",
       "transformWithState sessionization: named state vars + timers (= batch)",
       sessionizeTws, Some(sessionizeStatefulOracle)),

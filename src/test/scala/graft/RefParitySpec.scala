@@ -155,6 +155,41 @@ class RefParitySpec extends SparkTestBase {
       "SCD-2 change detection must make batch re-delivery a no-op")
   }
 
+  test("dynamic partition overwrite leaves untouched partitions' FILES alone") {
+    // the oracle proves VALUE equality; this proves the mechanism — the
+    // corrective reload must swap only the targeted partition's files,
+    // not rewrite the table (at 100 TB that's the whole point)
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_dyn_proof").toFile
+    val base = spark.read.parquet(s"$Sf/orders.parquet")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice",
+        "o_orderstatus")
+    base.write.mode("overwrite").partitionBy("o_orderstatus")
+      .parquet(root.getAbsolutePath)
+    def files(status: String): Map[String, Long] =
+      new java.io.File(root, s"o_orderstatus=$status").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val oBefore = files("O")
+    val fBefore = files("F")
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    spark.conf.set(key, "dynamic")
+    try base.filter(col("o_orderstatus") === "F")
+      .withColumn("o_totalprice", col("o_totalprice") + 1)
+      .write.mode("overwrite").partitionBy("o_orderstatus")
+      .parquet(root.getAbsolutePath)
+    finally spark.conf.unset(key)
+    assert(files("O") == oBefore,
+      "untouched partition must keep the same files, byte-dates and all")
+    assert(files("F").keySet.intersect(fBefore.keySet).isEmpty,
+      "targeted partition must be fully replaced with new files")
+    // static mode would have deleted O entirely; prove it's still readable
+    assert(spark.read.parquet(root.getAbsolutePath)
+      .filter(col("o_orderstatus") === "O").count() ==
+      base.filter(col("o_orderstatus") === "O").count())
+  }
+
   test("small-file compaction hits the byte-sized file-count target") {
     val (out, nOut) = graft.operators.RefParity.compactedOrdersDir(spark, Sf)
     val files = new java.io.File(out).listFiles()
