@@ -56,7 +56,9 @@ class DeterminismSpec extends SparkTestBase {
     "text_vocab_growth",     // pure integer counts + min-bucket
     "join_cogroup_reconcile", // JVM-side BigDecimal sums, unordered groups
     "join_spj_storage",      // key-aligned DSv2 partitions + decimal sums
-    "graph_label_propagation") // sync rounds + integer argmax tiebreaks
+    "graph_label_propagation", // sync rounds + integer argmax tiebreaks
+    "win_running_distinct",  // stacked windows, first-occurrence tiebreaks
+    "agg_exchange_reuse")    // reused exchange + double share divisions
 
   private def rowsAt(name: String, partitions: Int): Seq[Seq[Any]] = {
     val key = "spark.sql.shuffle.partitions"
