@@ -432,6 +432,117 @@ object Curation {
       |    < ((cum_before + n_chars) * 50) // total
       |ORDER BY doc_id""".stripMargin
 
+  private val SpanMod = 20 // ~5% of tokens open a span
+  private val SpanLen = 3
+
+  /** T5-style SPAN CORRUPTION sample generation — the denoising-objective
+    * data op: deterministic pseudo-noise picks span-start tokens
+    * (md5(doc:pos) bucket, the same seedless-reproducibility device as
+    * [[trainTestSplit]]), each start corrupts [[SpanLen]] tokens,
+    * OVERLAPPING spans merge into islands, and every island is replaced
+    * in the input by an ordinal sentinel while the target interleaves
+    * sentinels with the original spans — exactly the encoder/decoder pair
+    * a T5/UL2 pipeline materializes. Reproducible under repartitioning by
+    * construction: no RNG state, every decision a pure function of
+    * (doc_id, pos).
+    *
+    * Plan shape: posexplode → two windows keyed on doc (coverage = max of
+    * start flags over the trailing [[SpanLen]] rows; island ids = running
+    * sum of covered-rise edges — the gaps-and-islands device) → ordered
+    * reassembly via sort_array(collect_list(struct)) per doc/island. All
+    * per-doc linear work behind ONE doc-keyed shuffle; at 100 TB this
+    * rides the same partitioning as every other per-document op.
+    */
+  def spanCorrupt(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val trail = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(SpanLen - 1), 0)
+    val flagged = toks
+      .withColumn("start",
+        when(conv(substring(md5(concat_ws(":", col("doc_id"), col("pos"))),
+          1, 4), 16, 10).cast(LongType) % SpanMod === 0, 1).otherwise(0))
+      .withColumn("covered", max(col("start")).over(trail))
+      .withColumn("rise",
+        when(col("covered") === 1
+          && coalesce(lag(col("covered"), 1).over(byPos), lit(0)) === 0, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("rise")).over(byPos))
+    def ordered(payload: Column, order: Column): Column =
+      array_join(transform(
+        sort_array(collect_list(struct(order.as("o"), payload.as("p")))),
+        x => x.getField("p")), " ")
+    val inputs = flagged
+      .withColumn("emit",
+        when(col("covered") === 0, col("tok"))
+          .when(col("rise") === 1,
+            concat(lit("<extra_id_"),
+              (col("island") - 1).cast(StringType), lit(">"))))
+      .filter(col("emit").isNotNull)
+      .groupBy(col("doc_id"))
+      .agg(ordered(col("emit"), col("pos")).as("input_text"))
+    val targets = flagged.filter(col("covered") === 1)
+      .groupBy(col("doc_id"), col("island"))
+      .agg(concat(lit("<extra_id_"),
+        (col("island") - 1).cast(StringType), lit("> "),
+        ordered(col("tok"), col("pos"))).as("piece"))
+      .groupBy(col("doc_id"))
+      .agg(ordered(col("piece"), col("island")).as("target_text"),
+        count(lit(1)).as("n_spans"))
+    inputs.join(targets, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("input_text"),
+        coalesce(col("target_text"), lit("")).as("target_text"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+      .orderBy("doc_id")
+  }
+
+  private val spanCorruptOracle =
+    s"""WITH toks AS (
+       |  SELECT doc_id, i - 1 AS pos, ts[i] AS tok
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |       unnest(range(1, len(ts) + 1)) AS u(i)),
+       |flagged AS (
+       |  SELECT doc_id, pos, tok,
+       |    CASE WHEN CAST(concat('0x', substr(md5(
+       |        CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)),
+       |        1, 4)) AS BIGINT) % $SpanMod = 0 THEN 1 ELSE 0 END AS start
+       |  FROM toks),
+       |cov AS (
+       |  SELECT *, max(start) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN ${SpanLen - 1} PRECEDING AND CURRENT ROW)
+       |      AS covered
+       |  FROM flagged),
+       |isl AS (
+       |  SELECT *, CAST(sum(rise) OVER (PARTITION BY doc_id ORDER BY pos)
+       |      AS BIGINT) AS island
+       |  FROM (SELECT *, CASE WHEN covered = 1 AND
+       |          coalesce(lag(covered) OVER (PARTITION BY doc_id
+       |            ORDER BY pos), 0) = 0
+       |        THEN 1 ELSE 0 END AS rise FROM cov)),
+       |inputs AS (
+       |  SELECT doc_id, string_agg(
+       |      CASE WHEN covered = 0 THEN tok
+       |           ELSE '<extra_id_' || CAST(island - 1 AS VARCHAR) || '>'
+       |      END, ' ' ORDER BY pos) AS input_text
+       |  FROM isl WHERE covered = 0 OR rise = 1 GROUP BY doc_id),
+       |pieces AS (
+       |  SELECT doc_id, island,
+       |    '<extra_id_' || CAST(island - 1 AS VARCHAR) || '> ' ||
+       |      string_agg(tok, ' ' ORDER BY pos) AS piece
+       |  FROM isl WHERE covered = 1 GROUP BY doc_id, island),
+       |targets AS (
+       |  SELECT doc_id, string_agg(piece, ' ' ORDER BY island)
+       |      AS target_text,
+       |    CAST(count(*) AS BIGINT) AS n_spans
+       |  FROM pieces GROUP BY doc_id)
+       |SELECT i.doc_id AS doc_id, i.input_text,
+       |  coalesce(t.target_text, '') AS target_text,
+       |  coalesce(t.n_spans, 0) AS n_spans
+       |FROM inputs i LEFT JOIN targets t ON i.doc_id = t.doc_id
+       |ORDER BY i.doc_id""".stripMargin
+
   /** k-anonymity suppression gate — the privacy screen a curated corpus
     * release runs over its quasi-identifier columns: a (lang, source)
     * group is publishable only if at least K documents share it;
@@ -657,6 +768,9 @@ object Curation {
     Query("curation_chunk",
       "overlapping token-window chunking (size 32, stride 24)",
       chunkDocuments, Some(chunkDocumentsOracle)),
+    Query("curation_span_corrupt",
+      "T5 span corruption: hash-noise islands → sentinel input/target pair",
+      spanCorrupt, Some(spanCorruptOracle)),
     Query("curation_pack_sequences",
       "GPT-style sequence packing: per-shard token cumsum → capacity cuts",
       packSequences, Some(packSequencesOracle)),

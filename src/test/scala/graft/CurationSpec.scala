@@ -146,6 +146,33 @@ class CurationSpec extends SparkTestBase {
     packed.unpersist()
   }
 
+  test("span corruption round-trips: splicing targets into inputs rebuilds the doc") {
+    // the denoising-pair contract: input sentinels and target pieces are
+    // a lossless factorization of the original token stream
+    val out = run("curation_span_corrupt", SfOracle).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val orig = spark.read.parquet(s"$SfOracle/documents.parquet")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == orig.keySet)
+    val sentinel = "<extra_id_(\\d+)>".r
+    out.foreach { case (id, (input, target)) =>
+      // parse target: "<extra_id_0> tok tok <extra_id_1> tok ..." → pieces
+      val pieces = sentinel.findAllMatchIn(target).map(_.group(1).toInt)
+        .toSeq.zip(sentinel.split(target).drop(1).map(_.trim).toSeq).toMap
+      val rebuilt = input.split(" ").toSeq.flatMap { tok =>
+        tok match {
+          case sentinel(k) => pieces(k.toInt).split(" ").toSeq
+          case t => Seq(t)
+        }
+      }.mkString(" ")
+      assert(rebuilt == orig(id), s"doc $id must round-trip")
+    }
+    // and the corruption is actually happening on this fixture
+    assert(out.values.count(_._2.nonEmpty) > out.size / 2,
+      "most documents should carry at least one corrupted span")
+  }
+
   test("domain quota keeps the 10 longest docs per source, ranked") {
     val rows = run("curation_domain_quota", SfOracle).collect()
     val bySource = rows.groupBy(_.getString(1))

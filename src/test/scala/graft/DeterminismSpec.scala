@@ -58,7 +58,8 @@ class DeterminismSpec extends SparkTestBase {
     "join_spj_storage",      // key-aligned DSv2 partitions + decimal sums
     "graph_label_propagation", // sync rounds + integer argmax tiebreaks
     "win_running_distinct",  // stacked windows, first-occurrence tiebreaks
-    "agg_exchange_reuse")    // reused exchange + double share divisions
+    "agg_exchange_reuse",    // reused exchange + double share divisions
+    "curation_span_corrupt") // hash noise + ordered struct-sort reassembly
 
   private def rowsAt(name: String, partitions: Int): Seq[Seq[Any]] = {
     val key = "spark.sql.shuffle.partitions"
