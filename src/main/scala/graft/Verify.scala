@@ -21,6 +21,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a crashed query must be a VISIBLE red row, not a silently missing
+    // one: round 7's 7 streaming analysis errors vanished into stderr and
+    // the correctness file just had 7 fewer entries. Collect every
+    // failure and write an errors.json sidecar — empty {} on a clean run.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
@@ -28,6 +33,8 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getSimpleName}: ${
+          Option(e.getMessage).getOrElse("").take(500)}"
       }
       spark.catalog.clearCache()
     }
@@ -49,6 +56,12 @@ object Verify {
       .filter { case (k, _) => only.forall(_.exists(k.contains)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} quer${
+        if (errors.size == 1) "y" else "ies"} FAILED — see $outDir/errors.json")
     spark.stop()
   }
 }

@@ -1239,8 +1239,14 @@ object RefParity {
         .agg(sum(col("h").cast(DecimalType(38, 0))).as(s"checksum_$side"),
           count(lit(1)).as(s"n_$side"))
     val a = checksums(col("o_totalprice"), "a")
+    // the planted cent-shift must happen in DECIMAL space: `double + 0.01`
+    // then double→decimal rounds HALF_UP in Spark but half-even in DuckDB
+    // (the same cross-engine trap ref_try_arithmetic documents) — cast the
+    // price to DECIMAL(18,2) first (both engines agree on the raw cast),
+    // then add an EXACT decimal 0.01, mirrored in the oracle SQL.
+    val priceDec = col("o_totalprice").cast(DecimalType(18, 2))
     val divergent = when(col("o_orderkey") === 42,
-      col("o_totalprice") + 0.01).otherwise(col("o_totalprice"))
+      priceDec + lit(new java.math.BigDecimal("0.01"))).otherwise(priceDec)
     val b = checksums(divergent, "b")
     a.join(b, "bucket")
       .filter(col("checksum_a") =!= col("checksum_b")
@@ -1261,8 +1267,10 @@ object RefParity {
       |  SELECT o_orderkey % 64 AS bucket,
       |    CAST(sum(CAST(concat('0x', substr(md5(concat_ws('|',
       |      o_orderkey, o_orderstatus,
-      |      CAST(CASE WHEN o_orderkey = 42 THEN o_totalprice + 0.01
-      |                ELSE o_totalprice END AS DECIMAL(18,2)))), 1, 12))
+      |      CAST(CASE WHEN o_orderkey = 42
+      |                THEN CAST(o_totalprice AS DECIMAL(18,2)) + 0.01
+      |                ELSE CAST(o_totalprice AS DECIMAL(18,2))
+      |           END AS DECIMAL(18,2)))), 1, 12))
       |      AS BIGINT)) AS DECIMAL(38,0)) AS checksum_b,
       |    CAST(count(*) AS BIGINT) AS n_b
       |  FROM orders GROUP BY 1)

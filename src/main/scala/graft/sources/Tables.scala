@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the harness test tables (TESTDATA.md / FIXTURES.md §A).
   *
@@ -30,16 +30,35 @@ object Tables {
   }
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark has no native type
-    * for — sessions set spark.sql.legacy.parquet.nanosAsLong=true and the
-    * column arrives as Long nanos. DuckDB (the oracle engine) truncates the
-    * same column to microseconds on read, so we floor-divide to micros and
-    * expose TIMESTAMP_NTZ (naive, like the rest of the harness timestamps).
+    * for. How it arrives depends on the installed jar: older 4.1.2 builds
+    * honor spark.sql.legacy.parquet.nanosAsLong=true (sessions set it) and
+    * yield Long nanos; the current build ignores the legacy flag and yields
+    * TIMESTAMP_NTZ truncated to micros. DuckDB (the oracle engine) truncates
+    * the same column to microseconds on read, so both branches land on the
+    * same NTZ micros value: floor-divide nanos to micros, or pass the
+    * already-truncated NTZ through. EventsTsSpec pins this equivalence so
+    * the next jar drift fails a named test instead of 7 queries.
     */
   def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts",
           timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      case _ => df
+    }
+
+  /** Streaming twin of [[normalizeEventTs]]: same type-aware dispatch, but
+    * lands on TIMESTAMP (with local tz) because watermarks and event-time
+    * windows want LTZ. Sessions run UTC, so the underlying micros value is
+    * identical to the batch NTZ contract — sinks cast back to
+    * TIMESTAMP_NTZ to restore the batch schema (see StreamingOps).
+    */
+  def normalizeEventTsStream(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
 }

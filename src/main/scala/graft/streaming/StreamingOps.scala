@@ -91,7 +91,8 @@ object StreamingOps {
   def tumblingStream(spark: SparkSession, sfDir: String): DataFrame = {
     val path = s"$sfDir/events.parquet"
     // schema must be provided to readStream; reuse the batch footer schema
-    // (ts arrives as Long nanos under nanosAsLong — Tables normalizes).
+    // (ts arrives as Long nanos or TIMESTAMP_NTZ depending on the installed
+    // jar — normalizeEventTsStream absorbs either).
     val batchSchema = spark.read.parquet(path).schema
     // the file stream source wants a directory: point it at sfDir and
     // glob-select the events file (same S2-style pruning as RefParity)
@@ -102,7 +103,9 @@ object StreamingOps {
     // watermarks require TIMESTAMP (with local tz), not NTZ — keep the
     // stream on LTZ micros (session is UTC so wall-clock math is identical)
     // and emit NTZ window bounds at the end to match the batch contract.
-    val events = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // normalizeEventTsStream is type-aware: ts arrives Long nanos or
+    // TIMESTAMP_NTZ depending on the installed jar (see Tables).
+    val events = Tables.normalizeEventTsStream(raw)
     val agg = events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
@@ -148,11 +151,10 @@ object StreamingOps {
     import spark.implicits._
     val path = s"$sfDir/events.parquet"
     val batchSchema = spark.read.parquet(path).schema
-    val events = spark.readStream
-      .schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = Tables.normalizeEventTsStream(spark.readStream
+        .schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
       .select(col("user_id"), col("event_id"), col("ts"))
       .as[StreamEvent]
 
@@ -239,11 +241,10 @@ object StreamingOps {
     */
   def dedupStream(spark: SparkSession, sfDir: String): DataFrame = {
     val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    def src() = spark.readStream
+    def src() = Tables.normalizeEventTsStream(spark.readStream
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(sfDir))
     val doubled = src().union(src())
     val deduped = doubled.dropDuplicates("event_id")
     val name = s"graft_stream_dedup_${sinkId.incrementAndGet()}"
@@ -384,11 +385,10 @@ object StreamingOps {
     */
   def enrichStatic(spark: SparkSession, sfDir: String): DataFrame = {
     val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val ev = spark.readStream
+    val ev = Tables.normalizeEventTsStream(spark.readStream
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(sfDir))
     val cust = Tables(spark, sfDir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
     val agg = ev.join(broadcast(cust), ev("user_id") === cust("c_custkey"))
@@ -425,11 +425,10 @@ object StreamingOps {
     // ONE source, filtered into both sides (a stream self-join): building
     // two identical sources made every micro-batch list the directory
     // twice — at a 100 TB landing zone the doubled listing is real money
-    val src = spark.readStream
+    val src = Tables.normalizeEventTsStream(spark.readStream
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(sfDir))
     val joined = signupPurchaseJoin(src, "inner", keepSentinels = false)
     val name = s"graft_stream_ssjoin_${sinkId.incrementAndGet()}"
     withStreamingPartitions(spark) {
@@ -772,11 +771,10 @@ object StreamingOps {
   def slidingStream(spark: SparkSession, sfDir: String): DataFrame = {
     val path = s"$sfDir/events.parquet"
     val batchSchema = spark.read.parquet(path).schema
-    val agg = spark.readStream
-      .schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = Tables.normalizeEventTsStream(spark.readStream
+        .schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
@@ -1170,11 +1168,10 @@ object StreamingOps {
         .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
     }
     val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val ev = spark.readStream
+    val ev = Tables.normalizeEventTsStream(spark.readStream
       .schema(batchSchema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(sfDir))
     withStreamingPartitions(spark) {
       val q = ev.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>

@@ -23,9 +23,8 @@ class RelationalSpec extends SparkTestBase {
   }
 
   test("merged daily HLL sketches track exact monthly distincts") {
-    val exact = spark.read.parquet(s"$Sf/events.parquet")
-      .select(expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-        .as("ts"), col("event_type"), col("user_id"))
+    val exact = graft.sources.Tables(spark, Sf, "events")
+      .select(col("ts"), col("event_type"), col("user_id"))
       .groupBy(date_trunc("MONTH", col("ts")).as("month"), col("event_type"))
       .agg(countDistinct(col("user_id")).as("n"))
       .collect()

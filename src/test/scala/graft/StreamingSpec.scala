@@ -36,8 +36,7 @@ class StreamingSpec extends SparkTestBase with StreamingRestartHarness {
 
   test("stream-stream interval join equals the batch interval join") {
     val got = run("stream_stream_join").collect().map(_.toSeq)
-    val ev = spark.read.parquet(s"$Sf/events.parquet")
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val ev = graft.sources.Tables(spark, Sf, "events")
     val s = ev.filter(col("event_type") === "signup")
       .select(col("event_id").as("signup_id"), col("user_id"), col("ts").as("signup_ts"))
     val p = ev.filter(col("event_type") === "purchase")
@@ -209,8 +208,10 @@ class StreamingSpec extends SparkTestBase with StreamingRestartHarness {
       .map(_.getLong(out.head.fieldIndex("signup_id"))).toSet
 
     // batch truth: the matched signup set and the overall time horizon
-    val ev = spark.read.parquet(s"$Sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // LTZ normalization (not batch NTZ): the assertions below collect ts as
+    // java.sql.Timestamp, and interval math matches the streaming side
+    val ev = graft.sources.Tables.normalizeEventTsStream(
+      spark.read.parquet(s"$Sf/events.parquet"))
     val s = ev.filter(col("event_type") === "signup")
       .select(col("event_id").as("signup_id"), col("user_id"), col("ts").as("s_ts"))
     val p = ev.filter(col("event_type") === "purchase")
