@@ -74,13 +74,23 @@ object StreamingOps {
     * checkpoint) — keyed to peak in-flight state, exactly as the A/B
     * here was. Batch queries in the same session are unaffected: the
     * conf is restored before the post-stream batch read.
+    *
+    * Round-8 re-tune (after the TIMESTAMP_NTZ source fix restored all 20
+    * streaming queries): ABAB sweep 2 vs 4 over the 5 heaviest streaming
+    * queries at sf0.1 read 47.3/42.0 s vs 43.4/43.7 s — means within
+    * 2.5%, i.e. noise. The pinned 2 stays (smaller per-batch store-commit
+    * fan-out at equal measured cost).
     */
   private def withStreamingPartitions[A](spark: SparkSession)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
+    // dev-only override so the per-round A/B can sweep the cap without a
+    // recompile; production sizes this per query at first deploy (above)
+    val cap = sys.env.get("SPARK_GRAFT_STREAM_PARTS")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(2)
     // never RAISE the count: a session already below the state-volume
     // target must not be lifted to the cap (that would ADD fan-out)
-    val target = math.min(2, scala.util.Try(prev.toInt).getOrElse(2))
+    val target = math.min(cap, scala.util.Try(prev.toInt).getOrElse(cap))
     spark.conf.set(key, target.toString)
     try body finally spark.conf.set(key, prev)
   }
