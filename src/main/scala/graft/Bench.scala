@@ -6,6 +6,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // dev-only: bench a name-filtered subset (substring match, comma-sep)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    // NOTE: do NOT set a fixed spark.sql.streaming.checkpointLocation here.
+    // A/B'd (tmpfs vs /tmp, ABAB over the 5 heaviest streaming queries):
+    // 40.7/42.3 s vs 39.6 s — checkpoint I/O is ~3% of the streaming cost,
+    // i.e. noise — AND a persistent base is a footgun: query names restart
+    // per JVM, so a re-run resumes the PREVIOUS run's committed checkpoint
+    // and silently processes zero rows (observed: 5 queries "ran" in
+    // 1.16 s total). Per-query temp checkpoints stay.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -1441,6 +1441,11 @@ object Relational {
     * an aggregate replace the deterministic rank filter. The oracle
     * derives the same winners with row_number (DuckDB's arg_max can't
     * take a composite ordering): the gate pins semantics, not mechanism.
+    * Tie-break DIRECTION matters on both sides: max_by's composite key
+    * resolves a balance tie toward the LARGEST custkey, so the oracle's
+    * rank must say `c_acctbal DESC, c_custkey DESC` — the sf1 scale
+    * sweep caught the oracle ranking ASC on the tie column, invisible at
+    * smaller sfs where no group's max balance was duplicated.
     */
   def argmaxPerGroup(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "customer")
@@ -1456,7 +1461,7 @@ object Relational {
     """WITH ranked AS (
       |  SELECT c_nationkey, c_custkey, c_acctbal,
       |    row_number() OVER (PARTITION BY c_nationkey
-      |      ORDER BY c_acctbal DESC, c_custkey) AS rd,
+      |      ORDER BY c_acctbal DESC, c_custkey DESC) AS rd,
       |    row_number() OVER (PARTITION BY c_nationkey
       |      ORDER BY c_acctbal ASC, c_custkey) AS ra
       |  FROM customer)
@@ -2259,6 +2264,14 @@ object Relational {
     * per round.
     */
   def recursiveCte(spark: SparkSession, sfDir: String): DataFrame = {
+    // the default recursion ROW guard (1M) is sized for runaway recursions,
+    // not data-proportional ones: this walk emits ~|customer|·log₂(maxKey)
+    // rows by construction and terminates provably (cur halves per level),
+    // so a production deployment sizes the guard to the expected frontier —
+    // found by the sf1 scale sweep, where a 1.5M-row anchor tripped the
+    // default. Left raised for the session (the level guard, 100, stays —
+    // it is the one that catches a genuinely broken recursion here).
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
     Tables(spark, sfDir, "customer")
       .select("c_custkey").createOrReplaceTempView("graft_rec_cust")
     spark.sql(
@@ -2535,10 +2548,17 @@ object Relational {
         (sqrt(n * d(s"s_$a$a") - d(s"s_$a") * d(s"s_$a"))
           * sqrt(n * d(s"s_$b$b") - d(s"s_$b") * d(s"s_$b")))
     }
+    // final corr rounded to 12 dp: the moments are exact, but once a
+    // moment exceeds 64 bits DuckDB's HUGEINT→DOUBLE cast is 1 ulp off
+    // correctly-rounded (its upper·2⁶⁴+lower two-step conversion; Spark's
+    // Decimal→Double is exact-rounded) — measured at sf0.1 where
+    // Σp² ≈ 2.2e19 flipped the last 2 ulps of corr. 12 dp on a [-1,1]
+    // statistic swamps that cast noise at ANY scale without giving up
+    // meaningful precision.
     moments.select(col("n"),
-      corr("p", "q").as("corr_price_qty"),
-      corr("d", "q").as("corr_disc_qty"),
-      corr("d", "p").as("corr_disc_price"))
+      round(corr("p", "q"), 12).as("corr_price_qty"),
+      round(corr("d", "q"), 12).as("corr_disc_qty"),
+      round(corr("d", "p"), 12).as("corr_disc_price"))
   }
 
   private val corrMomentsOracle =
@@ -2557,15 +2577,18 @@ object Relational {
       |    CAST(sum(d*q) AS DOUBLE) AS s_dq
       |  FROM q)
       |SELECT n,
-      |  (CAST(n AS DOUBLE) * s_pq - s_p * s_q)
+      |  round((CAST(n AS DOUBLE) * s_pq - s_p * s_q)
       |    / (sqrt(CAST(n AS DOUBLE) * s_pp - s_p * s_p)
-      |       * sqrt(CAST(n AS DOUBLE) * s_qq - s_q * s_q)) AS corr_price_qty,
-      |  (CAST(n AS DOUBLE) * s_dq - s_d * s_q)
+      |       * sqrt(CAST(n AS DOUBLE) * s_qq - s_q * s_q)), 12)
+      |    AS corr_price_qty,
+      |  round((CAST(n AS DOUBLE) * s_dq - s_d * s_q)
       |    / (sqrt(CAST(n AS DOUBLE) * s_dd - s_d * s_d)
-      |       * sqrt(CAST(n AS DOUBLE) * s_qq - s_q * s_q)) AS corr_disc_qty,
-      |  (CAST(n AS DOUBLE) * s_dp - s_d * s_p)
+      |       * sqrt(CAST(n AS DOUBLE) * s_qq - s_q * s_q)), 12)
+      |    AS corr_disc_qty,
+      |  round((CAST(n AS DOUBLE) * s_dp - s_d * s_p)
       |    / (sqrt(CAST(n AS DOUBLE) * s_dd - s_d * s_d)
-      |       * sqrt(CAST(n AS DOUBLE) * s_pp - s_p * s_p)) AS corr_disc_price
+      |       * sqrt(CAST(n AS DOUBLE) * s_pp - s_p * s_p)), 12)
+      |    AS corr_disc_price
       |FROM m""".stripMargin
 
   /** Top-3 customers per nation through the bounded-heap aggregate

@@ -95,27 +95,43 @@ object StreamingOps {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** The events table as a normalized `readStream` source — the ONE
+    * constructor for every direct-events streaming query (the chunked
+    * queries stage their own landing dirs instead).
+    *
+    * Layout-aware: the harness testdata ships `events.parquet` as a single
+    * FILE, so the file-stream source points at sfDir with an S2-style
+    * `pathGlobFilter` (same pruning as RefParity); an engine-written lake
+    * (ScaleGen output, any production landing zone) has `events.parquet/`
+    * as a DIRECTORY of part files, where that leaf-name glob matches
+    * NOTHING (it filters part-file names) — found by the sf1 scale sweep
+    * as 7 queries silently reading zero files. A directory streams
+    * directly, no glob.
+    *
+    * Type-aware: ts arrives Long nanos or TIMESTAMP_NTZ depending on the
+    * installed jar; [[Tables.normalizeEventTsStream]] lands either on
+    * TIMESTAMP (LTZ) micros for watermark eligibility (session is UTC so
+    * wall-clock math matches the batch NTZ contract; sinks cast back).
+    */
+  private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = new java.io.File(s"$sfDir/events.parquet")
+    // schema must be provided to readStream; reuse the batch footer schema
+    val batchSchema = spark.read.parquet(p.getAbsolutePath).schema
+    val raw =
+      if (p.isDirectory)
+        spark.readStream.schema(batchSchema).parquet(p.getAbsolutePath)
+      else spark.readStream
+        .schema(batchSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sfDir)
+    Tables.normalizeEventTsStream(raw)
+  }
+
   /** Streaming tumbling 10-minute counts per event type (same semantics as
     * batch `win_time_tumbling` — and the same oracle).
     */
   def tumblingStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"$sfDir/events.parquet"
-    // schema must be provided to readStream; reuse the batch footer schema
-    // (ts arrives as Long nanos or TIMESTAMP_NTZ depending on the installed
-    // jar — normalizeEventTsStream absorbs either).
-    val batchSchema = spark.read.parquet(path).schema
-    // the file stream source wants a directory: point it at sfDir and
-    // glob-select the events file (same S2-style pruning as RefParity)
-    val raw = spark.readStream
-      .schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-    // watermarks require TIMESTAMP (with local tz), not NTZ — keep the
-    // stream on LTZ micros (session is UTC so wall-clock math is identical)
-    // and emit NTZ window bounds at the end to match the batch contract.
-    // normalizeEventTsStream is type-aware: ts arrives Long nanos or
-    // TIMESTAMP_NTZ depending on the installed jar (see Tables).
-    val events = Tables.normalizeEventTsStream(raw)
+    val events = eventStream(spark, sfDir)
     val agg = events
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
@@ -159,12 +175,7 @@ object StreamingOps {
     */
   def sessionizeStateful(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val path = s"$sfDir/events.parquet"
-    val batchSchema = spark.read.parquet(path).schema
-    val events = Tables.normalizeEventTsStream(spark.readStream
-        .schema(batchSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir))
+    val events = eventStream(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("ts"))
       .as[StreamEvent]
 
@@ -250,11 +261,7 @@ object StreamingOps {
     * advance, so the unbounded form is the deterministic test shape.
     */
   def dedupStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    def src() = Tables.normalizeEventTsStream(spark.readStream
-      .schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir))
+    def src() = eventStream(spark, sfDir)
     val doubled = src().union(src())
     val deduped = doubled.dropDuplicates("event_id")
     val name = s"graft_stream_dedup_${sinkId.incrementAndGet()}"
@@ -296,11 +303,7 @@ object StreamingOps {
     * this query is ever re-pointed at a high-cardinality key.
     */
   def updateModeCounts(spark: SparkSession, sfDir: String): DataFrame = {
-    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val agg = spark.readStream
-      .schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val agg = eventStream(spark, sfDir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
     val upserted =
@@ -357,11 +360,7 @@ object StreamingOps {
     spark.sql(s"DROP TABLE IF EXISTS $serving")
     spark.sql(s"CREATE TABLE $serving " +
       "(event_type STRING, n BIGINT, sum_value DOUBLE)")
-    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val agg = spark.readStream
-      .schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
+    val agg = eventStream(spark, sfDir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
     withStreamingPartitions(spark) {
@@ -394,11 +393,7 @@ object StreamingOps {
     * complete mode. Oracle: same join+aggregate in batch SQL.
     */
   def enrichStatic(spark: SparkSession, sfDir: String): DataFrame = {
-    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val ev = Tables.normalizeEventTsStream(spark.readStream
-      .schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir))
+    val ev = eventStream(spark, sfDir)
     val cust = Tables(spark, sfDir, "customer")
       .select(col("c_custkey"), col("c_mktsegment"))
     val agg = ev.join(broadcast(cust), ev("user_id") === cust("c_custkey"))
@@ -431,14 +426,10 @@ object StreamingOps {
     * yields exactly the batch interval join, hence the batch oracle.
     */
   def streamStreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // ONE source, filtered into both sides (a stream self-join): building
     // two identical sources made every micro-batch list the directory
     // twice — at a 100 TB landing zone the doubled listing is real money
-    val src = Tables.normalizeEventTsStream(spark.readStream
-      .schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir))
+    val src = eventStream(spark, sfDir)
     val joined = signupPurchaseJoin(src, "inner", keepSentinels = false)
     val name = s"graft_stream_ssjoin_${sinkId.incrementAndGet()}"
     withStreamingPartitions(spark) {
@@ -779,12 +770,7 @@ object StreamingOps {
     * variant; here count + exact decimal sum.)
     */
   def slidingStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = s"$sfDir/events.parquet"
-    val batchSchema = spark.read.parquet(path).schema
-    val agg = Tables.normalizeEventTsStream(spark.readStream
-        .schema(batchSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sfDir))
+    val agg = eventStream(spark, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
@@ -1177,11 +1163,7 @@ object StreamingOps {
       java.nio.file.Files.walk(dir.toPath).iterator().asScala.toSeq
         .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
     }
-    val batchSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val ev = Tables.normalizeEventTsStream(spark.readStream
-      .schema(batchSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir))
+    val ev = eventStream(spark, sfDir)
     withStreamingPartitions(spark) {
       val q = ev.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
