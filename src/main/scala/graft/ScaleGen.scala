@@ -44,7 +44,7 @@ object ScaleGen {
         .parquet(s"$dest/$name.parquet")
 
     // lookup-side tables: copied through once
-    for (t <- Seq("region", "nation", "supplier", "part", "events"))
+    for (t <- Seq("region", "nation", "supplier", "part"))
       write(table(t), t, 1)
 
     def replicate(name: String, parts: Int)(
@@ -83,6 +83,30 @@ object ScaleGen {
       shifted(df, "vec_id", k, vecStride)
         .withColumn("embedding", transform_keys_epsilon(k))
     }
+
+    // events: replicated along the TIME axis — replica k shifts ts by
+    // k·(span + 1h) and ids by k·stride, so event-time density per
+    // window, per-user session shape, and FK fan-in (user_id → the
+    // replicated customer keys) all stay constant while the stream gets
+    // N× LONGER. Time, not density, is the honest scale axis for
+    // streaming operators: watermark-bounded state stays ∝ the in-flight
+    // window while total processed volume grows ×N. (Before round 8
+    // events was copied through, which made every streaming query
+    // scale-INVARIANT — sf1 drained the same stream as sf0.1.) The base
+    // is ts-normalized first so the written lake carries NTZ micros
+    // regardless of which raw type the installed jar yields.
+    val evBase = graft.sources.Tables.normalizeEventTs(table("events"))
+    val evStride = evBase.agg(max("event_id")).head.getLong(0) + 1
+    val evBounds = evBase.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head
+    val spanSec = java.time.Duration.between(
+      evBounds.getAs[java.time.LocalDateTime]("lo"),
+      evBounds.getAs[java.time.LocalDateTime]("hi")).getSeconds + 3600
+    val evOut = (0 until factor).map { k =>
+      shifted(shifted(evBase, "event_id", k, evStride),
+        "user_id", k, custStride)
+        .withColumn("ts", col("ts") + expr(s"INTERVAL '${k * spanSec}' SECOND"))
+    }.reduce(_.unionByName(_))
+    write(evOut, "events", 8)
     println(s"SCALEGEN done: $dest at ${factor}x of $src")
     spark.stop()
   }
