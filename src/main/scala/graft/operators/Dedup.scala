@@ -819,6 +819,87 @@ object Dedup {
       |HAVING count(CASE WHEN wh IN (SELECT wh FROM cross_doc) THEN 1 END) > 0
       |ORDER BY doc_id""".stripMargin
 
+  /** Substring-level dedup CUT — the acting half of [[spanOverlap]]'s
+    * profiling (the "Deduplicating Training Data Makes Language Models
+    * Better" recipe removes repeated ~50-token spans from the corpus, it
+    * doesn't just count them): every 16-token window seen in ≥2 documents
+    * marks its token positions covered, covered tokens are cut, and the
+    * document is rebuilt from the survivors. Output per doc: token count,
+    * cut count, and the cleaned text.
+    *
+    * Scale shape: the window relation is the SAME one-md5-per-position
+    * transform as spanOverlap (no position self-join), collapsed to
+    * (wh, doc, positions) with map-side combine before its one hash
+    * shuffle; the cross-doc mark rides a window over `wh` on that
+    * collapsed relation; covered positions then shuffle ONCE on doc_id
+    * and the rebuild is a per-row array filter — linear end to end, no
+    * all-pairs anywhere. The rebuild is position-based (`filter` with the
+    * element index), so it is deterministic and engine-portable; the
+    * oracle reproduces it with generate_subscripts + an ordered,
+    * NULL-filtered string_agg.
+    */
+  def spanCut(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+    val wins = docs
+      .filter(size(col("ts")) >= 16)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("ts")) - 15),
+        i => struct(i.as("i"),
+          md5(concat_ws(" ", slice(col("ts"), i, lit(16)))).as("wh")))).as("w"))
+      .select(col("doc_id"), col("w.i").as("i"), col("w.wh").as("wh"))
+    // collapse in-document repeats BEFORE the shuffle (positions ride
+    // along as a list), then mark windows present in ≥2 docs
+    val perDoc = wins.groupBy(col("wh"), col("doc_id"))
+      .agg(collect_list(col("i")).as("starts"))
+    val dup = perDoc
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("wh"))))
+      .filter(col("nd") >= 2)
+    val covered = dup
+      .select(col("doc_id"), explode(col("starts")).as("i"))
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + 15)).as("pos"))
+      .groupBy(col("doc_id")).agg(collect_set(col("pos")).as("cov"))
+    docs.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("ts")).cast(LongType).as("n_tokens"),
+        coalesce(size(col("cov")), lit(0)).cast(LongType).as("n_cut_tokens"),
+        concat_ws(" ", filter(col("ts"), (t, idx) =>
+          !coalesce(array_contains(col("cov"), idx + 1), lit(false))))
+          .as("cleaned_text"))
+      .orderBy("doc_id")
+  }
+
+  private val spanCutOracle =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |wins AS (
+      |  SELECT doc_id, i, md5(array_to_string(ts[i:i+15], ' ')) AS wh
+      |  FROM tok, unnest(range(1, len(ts) - 14)) AS u(i)
+      |  WHERE len(ts) >= 16),
+      |dup AS (
+      |  SELECT wh FROM wins GROUP BY wh
+      |  HAVING count(DISTINCT doc_id) >= 2),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, pos
+      |  FROM wins, unnest(range(i, i + 16)) AS g(pos)
+      |  WHERE wh IN (SELECT wh FROM dup)),
+      |pos_tok AS (
+      |  SELECT doc_id, unnest(ts) AS tok,
+      |    generate_subscripts(ts, 1) AS pos
+      |  FROM tok)
+      |SELECT t.doc_id,
+      |  CAST(len(t.ts) AS BIGINT) AS n_tokens,
+      |  CAST((SELECT count(*) FROM cov c WHERE c.doc_id = t.doc_id)
+      |    AS BIGINT) AS n_cut_tokens,
+      |  coalesce((
+      |    SELECT string_agg(p.tok, ' ' ORDER BY p.pos)
+      |      FILTER (WHERE NOT EXISTS (SELECT 1 FROM cov c
+      |        WHERE c.doc_id = p.doc_id AND c.pos = p.pos))
+      |    FROM pos_tok p WHERE p.doc_id = t.doc_id), '') AS cleaned_text
+      |FROM tok t
+      |ORDER BY t.doc_id""".stripMargin
+
   // ---- online (streaming) near-dup admission -----------------------------
 
   /** ONLINE near-dup admission — the ingestion-time shape of
@@ -975,6 +1056,9 @@ object Dedup {
     Query("dedup_span_overlap",
       "span-level duplication: cross-doc 16-token window hashes per doc",
       spanOverlap, Some(spanOverlapOracle)),
+    Query("dedup_span_cut",
+      "substring dedup: cut cross-doc duplicated windows, rebuild text",
+      spanCut, Some(spanCutOracle)),
     Query("dedup_stream_admission",
       "online near-dup admission: batch bands probe the accumulated index",
       streamMinhashDedup, Some(streamMinhashDedupOracle)),

@@ -177,4 +177,35 @@ class DedupSpec extends SparkTestBase {
       s"bucketed path must verify to the brute-force set; " +
         s"missing=${brute -- lsh} extra=${lsh -- brute}")
   }
+
+  test("span cut removes exactly the docs the span profile flags") {
+    val cut = run("dedup_span_cut", SfOracle).cache()
+    // (a) the set of docs that lost tokens IS dedup_span_overlap's dup set
+    val flagged = run("dedup_span_overlap", SfOracle)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val cutDocs = cut.filter(col("n_cut_tokens") > 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cutDocs == flagged,
+      s"cut/profile disagree; cutOnly=${cutDocs -- flagged} " +
+        s"profOnly=${flagged -- cutDocs}")
+    assert(cutDocs.nonEmpty, "fixture must contain cross-doc spans")
+    // (b) token arithmetic: survivors = n_tokens − n_cut_tokens
+    // (split("") is [""], so the fully-cut case is asserted separately)
+    val bad = cut.filter(col("cleaned_text") =!= "")
+      .filter(size(split(col("cleaned_text"), " "))
+        =!= (col("n_tokens") - col("n_cut_tokens"))).count()
+    assert(bad == 0, s"$bad docs with inconsistent survivor counts")
+    val fullyCut = cut.filter(col("cleaned_text") === "")
+      .filter(col("n_cut_tokens") =!= col("n_tokens")).count()
+    assert(fullyCut == 0, "empty cleaned_text must mean every token cut")
+    // (c) an untouched doc's rebuild is the identity re-join of its tokens
+    val docs = spark.read.parquet(s"$SfOracle/documents.parquet")
+      .select(col("doc_id"),
+        concat_ws(" ", split(col("text"), " ")).as("rejoined"))
+    val changedUntouched = cut.filter(col("n_cut_tokens") === 0)
+      .join(docs, "doc_id")
+      .filter(col("cleaned_text") =!= col("rejoined")).count()
+    assert(changedUntouched == 0, "untouched docs must survive verbatim")
+    cut.unpersist()
+  }
 }
