@@ -231,6 +231,23 @@ class PlanSpec extends SparkTestBase {
       s"centroid assignment must broadcast the centroids:\n$p")
   }
 
+  test("span cut is linear: hash shuffles + one wh window, no cartesian") {
+    val p = plan(run("dedup_span_cut"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the cut must never pair documents all-against-all:\n$p")
+    // cross-doc marking rides ONE window over the collapsed (wh, doc)
+    // relation — the same shape spanOverlap pins by construction
+    assert(p.contains("Window"), s"cross-doc mark must be a window:\n$p")
+    // the rebuild joins covered positions back on doc_id as a hash join
+    // (either side may be planned broadcast at harness scale)
+    assert(p.contains("HashJoin"),
+      s"covered-position join must be hash-based:\n$p")
+    // the documents scan reads only the two columns the operator touches
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"documents scan must prune to doc_id+text:\n$p")
+  }
+
   test("heavy-hitter sketch is a partial object aggregate; verify is broadcast") {
     val p = plan(run("text_heavy_hitters"))
     // pass 1: the MG sketch must partial-aggregate map-side (each task
