@@ -63,5 +63,10 @@ object Verify {
       System.err.println(s"[verify] ${errors.size} quer${
         if (errors.size == 1) "y" else "ies"} FAILED — see $outDir/errors.json")
     spark.stop()
+    // fail LOUDLY on any crashed query: all artifacts (parquet dumps,
+    // oracle_sql.json, errors.json) are already written above, so the
+    // nonzero exit loses nothing — it just makes a crashed query impossible
+    // to miss in any wrapper that checks exit codes. Clean run exits 0.
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -988,7 +988,7 @@ object Dedup {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    graft.streaming.StreamingOps.awaitDrained(q)
     val hasCands = Option(found.listFiles())
       .exists(_.exists(_.getName.endsWith(".parquet")))
     if (!hasCands)

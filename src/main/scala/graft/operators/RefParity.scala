@@ -1248,9 +1248,19 @@ object RefParity {
     val divergent = when(col("o_orderkey") === 42,
       priceDec + lit(new java.math.BigDecimal("0.01"))).otherwise(priceDec)
     val b = checksums(divergent, "b")
+    // The checksums are exact DECIMAL(38,0) sums whose values (~3.2e16)
+    // exceed float64's exact-integer range (2^53) — the ONLY query in the
+    // registry emitting such values. Any comparison layer that
+    // canonicalizes wide decimals through float64 silently corrupts them,
+    // so the OUTPUT carries them as strings (divergence localization only
+    // needs equality, which strings preserve exactly). Mirrored with
+    // CAST(... AS VARCHAR) in the oracle.
     a.join(b, "bucket")
       .filter(col("checksum_a") =!= col("checksum_b")
         || col("n_a") =!= col("n_b"))
+      .select(col("bucket"),
+        col("checksum_a").cast(StringType).as("checksum_a"), col("n_a"),
+        col("checksum_b").cast(StringType).as("checksum_b"), col("n_b"))
       .orderBy("bucket")
   }
 
@@ -1274,7 +1284,9 @@ object RefParity {
       |      AS BIGINT)) AS DECIMAL(38,0)) AS checksum_b,
       |    CAST(count(*) AS BIGINT) AS n_b
       |  FROM orders GROUP BY 1)
-      |SELECT a.bucket, a.checksum_a, a.n_a, b.checksum_b, b.n_b
+      |SELECT a.bucket,
+      |  CAST(a.checksum_a AS VARCHAR) AS checksum_a, a.n_a,
+      |  CAST(b.checksum_b AS VARCHAR) AS checksum_b, b.n_b
       |FROM a JOIN b USING (bucket)
       |WHERE a.checksum_a <> b.checksum_b OR a.n_a <> b.n_b
       |ORDER BY a.bucket""".stripMargin

@@ -2269,19 +2269,32 @@ object Relational {
     // rows by construction and terminates provably (cur halves per level),
     // so a production deployment sizes the guard to the expected frontier —
     // found by the sf1 scale sweep, where a 1.5M-row anchor tripped the
-    // default. Left raised for the session (the level guard, 100, stays —
-    // it is the one that catches a genuinely broken recursion here).
-    spark.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
-    Tables(spark, sfDir, "customer")
-      .select("c_custkey").createOrReplaceTempView("graft_rec_cust")
-    spark.sql(
-      """WITH RECURSIVE walk(start_key, cur, depth) AS (
-        |  SELECT c_custkey, c_custkey, 0 FROM graft_rec_cust
-        |  UNION ALL
-        |  SELECT start_key, cur DIV 2, depth + 1 FROM walk WHERE cur > 1)
-        |SELECT depth, CAST(count(*) AS BIGINT) AS n,
-        |  CAST(sum(start_key) AS BIGINT) AS sum_start
-        |FROM walk GROUP BY depth ORDER BY depth""".stripMargin)
+    // default. The raise is scoped to THIS query only: the limit is read
+    // at execution time, so a lazy return would need it raised for the
+    // whole session (disabling the runaway guard for every later recursive
+    // query) — instead the tiny aggregated result (~log₂(maxKey) rows) is
+    // eagerly materialized inside the raised window via localCheckpoint,
+    // and the previous guard value is restored in finally. (The level
+    // guard, 100, stays — it catches a genuinely broken recursion here.)
+    val limitKey = "spark.sql.cteRecursionRowLimit"
+    val prevLimit = spark.conf.getOption(limitKey)
+    spark.conf.set(limitKey, "2000000000")
+    try {
+      Tables(spark, sfDir, "customer")
+        .select("c_custkey").createOrReplaceTempView("graft_rec_cust")
+      spark.sql(
+        """WITH RECURSIVE walk(start_key, cur, depth) AS (
+          |  SELECT c_custkey, c_custkey, 0 FROM graft_rec_cust
+          |  UNION ALL
+          |  SELECT start_key, cur DIV 2, depth + 1 FROM walk WHERE cur > 1)
+          |SELECT depth, CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(start_key) AS BIGINT) AS sum_start
+          |FROM walk GROUP BY depth ORDER BY depth""".stripMargin)
+        .localCheckpoint(eager = true)
+    } finally prevLimit match {
+      case Some(v) => spark.conf.set(limitKey, v)
+      case None    => spark.conf.unset(limitKey)
+    }
   }
 
   private val recursiveCteOracle =

@@ -645,7 +645,7 @@ object Similarity {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    graft.streaming.StreamingOps.awaitDrained(q)
     // probe prep: vector 0's embedding + its multiprobe keys (driver-side
     // scalars, like the IVF probe's centroid ids)
     val p0 = Tables(spark, sfDir, "embeddings")

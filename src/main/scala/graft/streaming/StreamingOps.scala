@@ -87,12 +87,34 @@ object StreamingOps {
     // dev-only override so the per-round A/B can sweep the cap without a
     // recompile; production sizes this per query at first deploy (above)
     val cap = sys.env.get("SPARK_GRAFT_STREAM_PARTS")
-      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(2)
+      .flatMap(s => scala.util.Try(s.toInt).toOption)
+      .filter(_ > 0) // 0/negative would poison every streaming shuffle
+      .getOrElse(2)
     // never RAISE the count: a session already below the state-volume
     // target must not be lifted to the cap (that would ADD fan-out)
     val target = math.min(cap, scala.util.Try(prev.toInt).getOrElse(cap))
     spark.conf.set(key, target.toString)
     try body finally spark.conf.set(key, prev)
+  }
+
+  /** Await an AvailableNow drain AND prove it ingested at least one row.
+    * Every drain in the registry reads a non-empty source, so zero input
+    * rows has exactly one cause worth failing loudly for: a FIXED
+    * checkpoint location silently resuming a prior run's committed offsets
+    * (observed once in benching — 5 queries "ran" in 1.16 s total; see the
+    * checkpoint note in Bench.scala). Per-query temp checkpoints avoid it
+    * by convention; this converts the convention into an invariant at
+    * every drain site, batch-count independent (`numInputRows` summed over
+    * the run's progress events — no observe() plumbing needed).
+    */
+  private[graft] def awaitDrained(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.awaitTermination()
+    val rows = q.recentProgress.map(_.numInputRows).sum
+    require(rows > 0,
+      s"streaming drain '${Option(q.name).getOrElse(q.id)}' processed ZERO " +
+        "input rows — silent checkpoint resume or empty source (the fixed-" +
+        "checkpoint footgun documented in Bench.scala)")
   }
 
   /** The events table as a normalized `readStream` source — the ONE
@@ -144,7 +166,7 @@ object StreamingOps {
         .queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      awaitDrained(q)
     }
     spark.table(name)
       .select(
@@ -221,7 +243,7 @@ object StreamingOps {
         .queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      awaitDrained(q)
     }
     spark.table(name)
       .select(col("user_id"), col("session_seq"), col("n_events"),
@@ -272,7 +294,7 @@ object StreamingOps {
         .queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      awaitDrained(q)
     }
     spark.table(name)
       .groupBy(col("event_type"))
@@ -326,7 +348,7 @@ object StreamingOps {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      awaitDrained(q)
     }
     import scala.jdk.CollectionConverters._
     import spark.implicits._
@@ -381,7 +403,7 @@ object StreamingOps {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      awaitDrained(q)
     }
     spark.table(serving).orderBy("event_type")
   }
@@ -407,7 +429,7 @@ object StreamingOps {
         .queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      awaitDrained(q)
     }
     spark.table(name).orderBy("c_mktsegment")
   }
@@ -439,7 +461,7 @@ object StreamingOps {
         .queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      awaitDrained(q)
     }
     spark.table(name)
       .select(col("signup_id"), col("purchase_id"),
@@ -486,20 +508,26 @@ object StreamingOps {
       | AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL '30 minutes'
       |ORDER BY signup_id, purchase_id""".stripMargin
 
-  /** The events table staged as 8 ts-range part files — the landing-zone
+  /** The events table staged as 4 ts-range part files — the landing-zone
     * shape for genuinely incremental streaming tests: with
-    * `maxFilesPerTrigger=1` an AvailableNow drain becomes 8 micro-batches
+    * `maxFilesPerTrigger=1` an AvailableNow drain becomes 4 micro-batches
     * whose state must carry across batch boundaries (the single-batch
     * drains elsewhere never exercise that). Range partitioning makes file
     * order ≈ event-time order, so watermarks advance monotonically batch
-    * over batch.
+    * over batch. FOUR chunks, not more: cross-batch state carry is proven
+    * by ANY multi-batch split, and the round-8 sf1 sweep measured the
+    * chunked queries' cost as almost pure per-micro-batch machinery
+    * (wall-time exponents ≤0.11 in data size) — so batch count IS the
+    * family's fixed cost, and 4 is the smallest count that still gives
+    * state several boundaries to survive (open sessions spanning 3 cuts,
+    * watermark advancing 3 times mid-stream).
     */
   private[graft] def chunkedEventsDir(
       spark: SparkSession, sfDir: String): java.io.File =
     graft.operators.Staging.stagedDir("graft_stream_chunks", sfDir,
-      spec = "8-range-files;mtime-sequenced-v2") { d =>
+      spec = "4-range-files;mtime-sequenced-v3") { d =>
       Tables(spark, sfDir, "events")
-        .repartitionByRange(8, col("ts"), col("event_id"))
+        .repartitionByRange(4, col("ts"), col("event_id"))
         .write.mode("overwrite").parquet(d.getAbsolutePath)
       // the file stream source ingests in MODIFICATION-TIME order, and the
       // 8 parallel write tasks finish within the same millisecond — left
@@ -551,9 +579,9 @@ object StreamingOps {
   private[graft] def chunkedEventsWithSentinelDir(
       spark: SparkSession, sfDir: String): java.io.File =
     graft.operators.Staging.stagedDir("graft_stream_chunks_sent", sfDir,
-      spec = "8-range-files+2-sentinels;mtime-sequenced-v3") { d =>
+      spec = "4-range-files+2-sentinels;mtime-sequenced-v4") { d =>
       val ev = Tables(spark, sfDir, "events")
-      ev.repartitionByRange(8, col("ts"), col("event_id"))
+      ev.repartitionByRange(4, col("ts"), col("event_id"))
         .write.mode("overwrite").parquet(d.getAbsolutePath)
       Seq(("2", "z1"), ("4", "z2")).foreach { case (hours, tag) =>
         val tmp = new java.io.File(d, "_sentinel_tmp")
@@ -702,7 +730,7 @@ object StreamingOps {
           .queryName(name)
           .trigger(Trigger.AvailableNow())
           .start()
-        q.awaitTermination()
+        awaitDrained(q)
       }
     } finally {
       prevProvider match {
@@ -749,7 +777,7 @@ object StreamingOps {
         .queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      awaitDrained(q)
     }
     spark.table(name)
       .filter(col("event_type") =!= "sentinel")
@@ -782,7 +810,7 @@ object StreamingOps {
         .queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      awaitDrained(q)
     }
     spark.table(name)
       .select(
@@ -846,7 +874,7 @@ object StreamingOps {
         .queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      awaitDrained(q)
     }
     spark.table(name)
       .filter(col("event_type") =!= "sentinel")
@@ -870,8 +898,8 @@ object StreamingOps {
        |ORDER BY wstart, event_type""".stripMargin
 
   /** TRUE incremental sessionization — the production semantics the
-    * single-batch [[sessionizeStateful]] never has to face: 10 micro-batches
-    * (8 event-time-ranged files + 2 sentinels), sessions SPANNING batch
+    * single-batch [[sessionizeStateful]] never has to face: 6 micro-batches
+    * (4 event-time-ranged files + 2 sentinels), sessions SPANNING batch
     * boundaries carried as open state, closed sessions emitted the moment a
     * successor event proves the gap, and tail sessions flushed by
     * EVENT-TIME TIMEOUT once the watermark passes (end + gap) — at which
@@ -958,7 +986,7 @@ object StreamingOps {
         .queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      awaitDrained(q)
     }
     spark.table(name)
       .filter(col("user_id") >= 0) // drop the sentinel user's sessions
@@ -968,10 +996,10 @@ object StreamingOps {
       .orderBy("user_id", "session_seq")
   }
 
-  /** Tumbling counts again, but TRULY incremental: 8 micro-batches, each
+  /** Tumbling counts again, but TRULY incremental: 4 micro-batches, each
     * merging its partial counts into windows opened by earlier batches —
     * the cross-batch state accumulation a one-batch AvailableNow drain
-    * never tests (StreamingSpec asserts the 8-batch split; the shared
+    * never tests (StreamingSpec asserts the 4-batch split; the shared
     * batch oracle pins the merged result). This is the closest local-mode
     * gets to the production continuous query: state outlives the trigger
     * that created it.
@@ -989,7 +1017,7 @@ object StreamingOps {
         .queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      awaitDrained(q)
     }
     spark.table(name)
       .select(
@@ -1028,7 +1056,7 @@ object StreamingOps {
         .queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      awaitDrained(q)
     }
     spark.table(name)
       .filter(col("s_user") >= 0)
@@ -1066,7 +1094,7 @@ object StreamingOps {
         .queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      awaitDrained(q)
     }
     spark.table(name)
       .filter(col("s_user") >= 0)
@@ -1120,7 +1148,7 @@ object StreamingOps {
         .queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      awaitDrained(q)
     }
     spark.table(name)
       .filter(coalesce(col("s_user"), col("p_user")) >= 0)
@@ -1171,7 +1199,7 @@ object StreamingOps {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      awaitDrained(q)
     }
     spark.read.parquet(dir.getAbsolutePath)
       .groupBy(col("event_type"))
@@ -1193,7 +1221,7 @@ object StreamingOps {
     * `StreamingQueryProgress.observedMetrics` (read synchronously off the
     * finished query — no listener race). The audit row the query emits is
     * the SUM of the per-batch metrics, and the oracle proves it equals
-    * the batch totals: every row was observed exactly once across the 8
+    * the batch totals: every row was observed exactly once across the 4
     * file-chunk micro-batches — the continuous ingest-reconciliation
     * counter a production stream publishes next to its output.
     *
@@ -1219,7 +1247,7 @@ object StreamingOps {
         .queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      awaitDrained(q)
       q
     }
     val audits = q.recentProgress.toSeq
@@ -1276,7 +1304,7 @@ object StreamingOps {
         .queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      awaitDrained(q)
     }
     spark.table(name)
       .filter(col("user_id") >= 0)
@@ -1319,7 +1347,7 @@ object StreamingOps {
         }
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      awaitDrained(q)
     }
 
   /** Offset-managed restart over the Kafka-shaped DSv2 source
@@ -1403,7 +1431,7 @@ object StreamingOps {
       sessionWindowStream,
       Some(graft.operators.TimeWindows.sessionWindowOracle)),
     Query("stream_incremental_drain",
-      "8-micro-batch chunked drain, state merged across batches (= batch)",
+      "4-micro-batch chunked drain, state merged across batches (= batch)",
       incrementalDrain, Some(tumblingStreamOracle)),
     Query("stream_sessionize_incremental",
       "multi-batch sessionization: open tails carried, event-time timeouts",

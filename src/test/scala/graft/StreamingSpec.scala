@@ -56,7 +56,7 @@ class StreamingSpec extends SparkTestBase with StreamingRestartHarness {
     assert(got.sameElements(want))
   }
 
-  test("incremental drain splits into 8 micro-batches and still equals batch") {
+  test("incremental drain splits into 4 micro-batches and still equals batch") {
     // the oracle-gated result equality, locally
     val got = run("stream_incremental_drain").collect().map(_.toSeq)
     val want = run("win_time_tumbling").collect().map(_.toSeq)
@@ -71,7 +71,7 @@ class StreamingSpec extends SparkTestBase with StreamingRestartHarness {
       .writeStream.foreachBatch(fn)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    assert(batches.get() == 8, s"expected 8 file-batches, got ${batches.get()}")
+    assert(batches.get() == 4, s"expected 4 file-batches, got ${batches.get()}")
   }
 
   test("incremental sessionization equals batch despite batch-boundary tails") {
@@ -458,6 +458,31 @@ class StreamingSpec extends SparkTestBase with StreamingRestartHarness {
     val landed = spark.read.parquet(sink.getAbsolutePath)
     assert(landed.count() == n && landed.select("event_id").distinct()
       .count() == n, "each log record written exactly once across restart")
+    StreamingOps.deleteRecursively(tmp)
+  }
+
+  test("a silent zero-row streaming run fails loudly (checkpoint-resume guard)") {
+    // THE benching footgun (Bench.scala checkpoint note): a fixed
+    // checkpoint base makes a re-run resume the previous run's committed
+    // offsets and "process" zero rows in near-zero time — a fake-fast
+    // bench number. awaitDrained turns that silence into a hard failure
+    // at every drain site; this reproduces the exact scenario: same
+    // checkpoint, no new data since the committed drain.
+    import graft.streaming.{InMemoryLog, StreamingOps}
+    import InMemoryLog.Record
+    val topic = "spec_zero_row_topic"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_zero_spec").toFile
+    val chk = new java.io.File(tmp, "chk")
+    val sink = new java.io.File(tmp, "sink")
+    InMemoryLog.reset(topic)
+    InMemoryLog.append(topic,
+      (0 until 10).map(i => Record(i.toLong, i % 3L, s"t${i % 2}", i.toDouble)))
+    StreamingOps.drainLog(spark, topic, chk, sink, maxRecordsPerTrigger = 5)
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.drainLog(spark, topic, chk, sink, maxRecordsPerTrigger = 5)
+    }
+    assert(e.getMessage.contains("ZERO"),
+      s"guard must name the zero-row condition, got: ${e.getMessage}")
     StreamingOps.deleteRecursively(tmp)
   }
 }
