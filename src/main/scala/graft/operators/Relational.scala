@@ -1912,6 +1912,70 @@ object Relational {
       |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept_cents
       |FROM m ORDER BY g""".stripMargin
 
+  /** Fit DIAGNOSTICS for the per-group OLS ([[groupRegression]] emits the
+    * line; this emits how well it fits): R² and the residual standard
+    * deviation, from the SAME one-pass exact sufficient statistics plus
+    * Σy². The centered second moments are formed in DECIMAL (exact:
+    * nSxy−SxSy, nSxx−Sx², nSyy−Sy²), cast ONCE to double, and then
+    * combined in a fixed IEEE expression tree — R² = num²/(denx·deny),
+    * SSE·n = deny − num²/denx — mirrored token-for-token in the oracle,
+    * so both engines execute identical correctly-rounded operations on
+    * identical operands (the same cross-engine discipline as
+    * `agg_corr_moments`; naive per-row float residual accumulation would
+    * differ per partitioning). Rounded to 6dp at emission.
+    *
+    * 100 TB shape: one hash aggregation, map-side combined, six decimal
+    * accumulators per group — no second pass over the data for residuals,
+    * which is the entire point of moment-based fit diagnostics.
+    */
+  def groupRegressionFit(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables(spark, sfDir, "events")
+      .select(col("event_type").as("g"),
+        (unix_timestamp(col("ts")) - lit(1704067200L))
+          .cast(DecimalType(38, 0)).as("x"),
+        col("value").cast(DecimalType(18, 2)).multiply(lit(100))
+          .cast(DecimalType(38, 0)).as("y"))
+    val m = ev.groupBy(col("g"))
+      .agg(count(lit(1)).cast(DecimalType(38, 0)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+    val denx = (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+    val deny = (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType)
+    val nd = col("n").cast(DoubleType)
+    m.select(col("g"), col("n").cast(LongType).as("n"),
+        round(num * num / (denx * deny), 6).as("r2"),
+        round(sqrt((deny - num * num / denx) / nd / nd), 6)
+          .as("resid_stddev_cents"))
+      .orderBy("g")
+  }
+
+  private val groupRegressionFitOracle =
+    """WITH ev AS (
+      |  SELECT event_type AS g,
+      |    CAST(epoch_us(ts) // 1000000 - 1704067200 AS DECIMAL(38,0)) AS x,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) AS y
+      |  FROM events),
+      |m AS (
+      |  SELECT g, CAST(count(*) AS DECIMAL(38,0)) AS n,
+      |    sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx,
+      |    sum(y*y) AS syy
+      |  FROM ev GROUP BY g),
+      |d AS (
+      |  SELECT g, n,
+      |    CAST(n*sxy - sx*sy AS DOUBLE) AS num,
+      |    CAST(n*sxx - sx*sx AS DOUBLE) AS denx,
+      |    CAST(n*syy - sy*sy AS DOUBLE) AS deny,
+      |    CAST(n AS DOUBLE) AS nd
+      |  FROM m)
+      |SELECT g, CAST(n AS BIGINT) AS n,
+      |  round(num * num / (denx * deny), 6) AS r2,
+      |  round(sqrt((deny - num * num / denx) / nd / nd), 6)
+      |    AS resid_stddev_cents
+      |FROM d ORDER BY g""".stripMargin
+
   /** Robust outlier detection — median/MAD, the resistant sibling of
     * `agg_zscore_outliers` (mean/σ are themselves dragged by the outliers
     * they're hunting; median and MAD have 50% breakdown). Test:
@@ -3338,6 +3402,9 @@ object Relational {
     Query("agg_group_regression",
       "per-group OLS slope/intercept from one pass of exact moments",
       groupRegression, Some(groupRegressionOracle)),
+    Query("agg_group_regression_fit",
+      "OLS fit diagnostics (R², residual stddev) from the same moments",
+      groupRegressionFit, Some(groupRegressionFitOracle)),
     Query("agg_robust_outliers",
       "median/MAD outlier screen, all-integer cross-multiplied test",
       robustOutliers, Some(robustOutliersOracle)),

@@ -235,4 +235,22 @@ class RelationalSpec extends SparkTestBase {
     assert(m("gross_revenue") == revenue,
       "observed decimal revenue must be bitwise equal to the exact agg")
   }
+
+  test("regression fit diagnostics are bounded and consistent with the line") {
+    val fit = run("agg_group_regression_fit").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    val line = run("agg_group_regression").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fit.keySet == line.keySet,
+      "fit and line must cover the same groups")
+    fit.foreach { case (g, (n, r2, resid)) =>
+      assert(n == line(g), s"$g: n must match the line query")
+      assert(r2 >= 0.0 && r2 <= 1.0, s"$g: R² out of [0,1]: $r2")
+      assert(resid >= 0.0, s"$g: negative residual stddev: $resid")
+      // value-vs-time is near-noise in the generated events: a strong fit
+      // (R² near 1) would mean the fixture or the math broke
+      assert(r2 < 0.5, s"$g: implausibly strong trend fit, R²=$r2")
+    }
+  }
 }
