@@ -94,25 +94,49 @@ def main(sf_dir, out_dir):
     # float32 (widening to float64 is reader-dependent), and no BIGINT
     # whose observed |value| exceeds 2^53 (same corruption risk, reached
     # the honest way).
+    def max_abs_int(v):
+        # recursive max |int| over scalars and nested lists/arrays/structs,
+        # so BIGINT[] and STRUCT(.. BIGINT) columns are value-checked too
+        import numpy as np
+        if v is None:
+            return 0
+        if isinstance(v, (bool, float, np.floating)):
+            return 0
+        if isinstance(v, (int, np.integer)):
+            return abs(int(v))
+        if isinstance(v, dict):
+            return max((max_abs_int(x) for x in v.values()), default=0)
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return max((max_abs_int(x) for x in v), default=0)
+        return 0
+
     n_hazard = 0
     for name in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, name)
         if not os.path.isdir(p):
             continue
+        # substring match so hazard types nested in STRUCT(...)/LIST(...)
+        # are caught: DESCRIBE renders e.g. 'STRUCT(x FLOAT)', 'DECIMAL[]'
+        int_cols = []
         for col, typ in con.execute(
                 f"SELECT column_name, column_type FROM "
                 f"(DESCRIBE SELECT * FROM '{p}/*.parquet')").fetchall():
             t = typ.upper()
-            if "DECIMAL" in t or t in ("FLOAT", "REAL") or "FLOAT[" in t:
+            if ("DECIMAL" in t or "FLOAT" in t or "REAL" in t
+                    or "HUGEINT" in t):
                 print(f"HAZARD {name}.{col}: {typ} (driver-hash-unsafe "
                       f"output type — normalize to BIGINT/DOUBLE/STRING)")
                 n_hazard += 1
-            elif t == "BIGINT":
-                mx = con.execute(
-                    f'SELECT max(abs(CAST("{col}" AS HUGEINT))) '
-                    f"FROM '{p}/*.parquet'").fetchone()[0]
-                if mx is not None and mx > 2 ** 53:
-                    print(f"HAZARD {name}.{col}: BIGINT value {mx} exceeds "
+            elif "BIGINT" in t:
+                int_cols.append(col)
+        if int_cols:
+            # one scan per directory: walk values python-side so nested
+            # ints (arrays/structs) get the same 2^53 bound as scalars
+            df = con.execute(f"SELECT * FROM '{p}/*.parquet'").fetchdf()
+            for col in int_cols:
+                mx = max((max_abs_int(v) for v in df[col]), default=0)
+                if mx > 2 ** 53:
+                    print(f"HAZARD {name}.{col}: integer value {mx} exceeds "
                           f"float64-exact range (2^53)")
                     n_hazard += 1
     if n_hazard:

@@ -1886,11 +1886,18 @@ object Relational {
         sum(col("x") * col("x")).as("sxx"))
     val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
     val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+    // den = 0 (single point, or all x equal) has no defined line: emit NULL
+    // on BOTH sides — Spark's IEEE x/0 (NaN/Inf) and DuckDB's x/0 (NULL)
+    // diverge, so neither raw behavior can cross the oracle gate. The
+    // double-cast test is exact: den is an integer-valued DECIMAL, and no
+    // nonzero integer casts to 0.0.
     m.select(col("g"), col("n").cast(LongType).as("n"),
-        round(num / den, 6).as("slope_cents_per_sec"),
-        round((col("sy").cast(DoubleType)
-          - (num / den) * col("sx").cast(DoubleType))
-          / col("n").cast(DoubleType), 6).as("intercept_cents"))
+        when(den === 0d, lit(null).cast(DoubleType))
+          .otherwise(round(num / den, 6)).as("slope_cents_per_sec"),
+        when(den === 0d, lit(null).cast(DoubleType))
+          .otherwise(round((col("sy").cast(DoubleType)
+            - (num / den) * col("sx").cast(DoubleType))
+            / col("n").cast(DoubleType), 6)).as("intercept_cents"))
       .orderBy("g")
   }
 
@@ -1905,11 +1912,14 @@ object Relational {
       |    sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
       |  FROM ev GROUP BY g)
       |SELECT g, CAST(n AS BIGINT) AS n,
-      |  round(CAST(n*sxy - sx*sy AS DOUBLE)
-      |    / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope_cents_per_sec,
-      |  round((CAST(sy AS DOUBLE)
-      |    - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
-      |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept_cents
+      |  CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) = 0 THEN NULL
+      |    ELSE round(CAST(n*sxy - sx*sy AS DOUBLE)
+      |      / CAST(n*sxx - sx*sx AS DOUBLE), 6) END AS slope_cents_per_sec,
+      |  CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) = 0 THEN NULL
+      |    ELSE round((CAST(sy AS DOUBLE)
+      |      - (CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE))
+      |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+      |    END AS intercept_cents
       |FROM m ORDER BY g""".stripMargin
 
   /** Fit DIAGNOSTICS for the per-group OLS ([[groupRegression]] emits the
@@ -1945,9 +1955,19 @@ object Relational {
     val denx = (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
     val deny = (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType)
     val nd = col("n").cast(DoubleType)
+    // Degenerate groups emit NULL on BOTH sides (no defined fit): r2 needs
+    // both variances nonzero, resid needs x-variance — Spark's IEEE x/0
+    // (NaN/Inf) and DuckDB's x/0 (NULL) diverge, so neither raw behavior
+    // can cross the oracle gate. The sqrt argument is clamped at 0 on both
+    // sides: a mathematically-perfect fit makes deny − num²/denx a tiny
+    // NEGATIVE under IEEE rounding, which Spark maps to NaN but DuckDB
+    // raises on. The double-cast zero tests are exact (integer decimals).
     m.select(col("g"), col("n").cast(LongType).as("n"),
-        round(num * num / (denx * deny), 6).as("r2"),
-        round(sqrt((deny - num * num / denx) / nd / nd), 6)
+        when(denx * deny === 0d, lit(null).cast(DoubleType))
+          .otherwise(round(num * num / (denx * deny), 6)).as("r2"),
+        when(denx === 0d, lit(null).cast(DoubleType))
+          .otherwise(round(sqrt(
+            greatest(lit(0d), deny - num * num / denx) / nd / nd), 6))
           .as("resid_stddev_cents"))
       .orderBy("g")
   }
@@ -1971,9 +1991,12 @@ object Relational {
       |    CAST(n AS DOUBLE) AS nd
       |  FROM m)
       |SELECT g, CAST(n AS BIGINT) AS n,
-      |  round(num * num / (denx * deny), 6) AS r2,
-      |  round(sqrt((deny - num * num / denx) / nd / nd), 6)
-      |    AS resid_stddev_cents
+      |  CASE WHEN denx * deny = 0 THEN NULL
+      |    ELSE round(num * num / (denx * deny), 6) END AS r2,
+      |  CASE WHEN denx = 0 THEN NULL
+      |    ELSE round(sqrt(
+      |      greatest(0.0, deny - num * num / denx) / nd / nd), 6)
+      |    END AS resid_stddev_cents
       |FROM d ORDER BY g""".stripMargin
 
   /** Robust outlier detection — median/MAD, the resistant sibling of

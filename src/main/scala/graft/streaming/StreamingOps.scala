@@ -530,7 +530,7 @@ object StreamingOps {
         .repartitionByRange(4, col("ts"), col("event_id"))
         .write.mode("overwrite").parquet(d.getAbsolutePath)
       // the file stream source ingests in MODIFICATION-TIME order, and the
-      // 8 parallel write tasks finish within the same millisecond — left
+      // 4 parallel write tasks finish within the same millisecond — left
       // alone, batch order is arbitrary, a late-range file can go first,
       // and its watermark marks every earlier-range file late (stateful
       // joins then drop them ALL; complete-mode aggs hide this because

@@ -238,12 +238,12 @@ class RelationalSpec extends SparkTestBase {
 
   test("regression fit diagnostics are bounded and consistent with the line") {
     val fit = run("agg_group_regression_fit").collect()
+      .filter(r => !r.isNullAt(2)) // degenerate groups emit NULL by contract
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
         r.getDouble(3))).toMap
     val line = run("agg_group_regression").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(fit.keySet == line.keySet,
-      "fit and line must cover the same groups")
+    assert(fit.nonEmpty, "generated events must have non-degenerate groups")
     fit.foreach { case (g, (n, r2, resid)) =>
       assert(n == line(g), s"$g: n must match the line query")
       assert(r2 >= 0.0 && r2 <= 1.0, s"$g: R² out of [0,1]: $r2")
@@ -252,5 +252,57 @@ class RelationalSpec extends SparkTestBase {
       // (R² near 1) would mean the fixture or the math broke
       assert(r2 < 0.5, s"$g: implausibly strong trend fit, R²=$r2")
     }
+  }
+
+  test("regression line+fit NULL degenerate groups, exact on crafted ones") {
+    // Spark IEEE x/0 (NaN/Inf) and DuckDB x/0 (NULL) diverge, and DuckDB
+    // RAISES on sqrt(tiny negative) where Spark yields NaN — so degenerate
+    // groups must short-circuit to NULL and the sqrt argument must be
+    // clamped on BOTH sides. This fixture forces every degenerate shape the
+    // harness events never contain: a 1-row group, an all-same-timestamp
+    // group (zero x-variance), a constant-value group (zero y-variance),
+    // and a mathematically perfect fit (the sqrt-clamp case).
+    import spark.implicits._
+    val base = 1704067200L
+    val rows = Seq(
+      ("single", 0L, 12.34),
+      ("same_ts", 50L, 1.00), ("same_ts", 50L, 2.00), ("same_ts", 50L, 3.00),
+      ("const_y", 0L, 5.00), ("const_y", 10L, 5.00), ("const_y", 20L, 5.00),
+      ("perfect", 0L, 10.00), ("perfect", 100L, 13.00),
+      ("perfect", 200L, 16.00),
+      ("normal", 0L, 1.00), ("normal", 10L, 2.50), ("normal", 20L, 3.00))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_reg_degenerate").toString
+    rows.zipWithIndex
+      .map { case ((g, off, v), i) => (i.toLong, base + off, 1L, g, v, "{}") }
+      .toDF("event_id", "epoch", "user_id", "event_type", "value", "props")
+      .select(col("event_id"),
+        timestamp_seconds(col("epoch"))
+          .cast(org.apache.spark.sql.types.TimestampNTZType).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val line = run("agg_group_regression", dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(line("single") == ((1L, None, None)), s"got ${line("single")}")
+    assert(line("same_ts") == ((3L, None, None)), s"got ${line("same_ts")}")
+    assert(line("const_y") == ((3L, Some(0.0), Some(500.0))))
+    assert(line("perfect") == ((3L, Some(3.0), Some(1000.0))))
+    assert(line("normal") == ((3L, Some(10.0), Some(116.666667))))
+
+    val fit = run("agg_group_regression_fit", dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(fit("single") == ((1L, None, None)), s"got ${fit("single")}")
+    assert(fit("same_ts") == ((3L, None, None)), s"got ${fit("same_ts")}")
+    // zero y-variance: R² undefined (NULL), residuals exactly zero
+    assert(fit("const_y") == ((3L, None, Some(0.0))))
+    assert(fit("perfect") == ((3L, Some(1.0), Some(0.0))))
+    assert(fit("normal") == ((3L, Some(0.923077), Some(23.570226))))
   }
 }
