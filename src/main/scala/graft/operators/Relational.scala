@@ -2644,9 +2644,18 @@ object Relational {
     def corr(a: String, b: String): Column = {
       val n = col("n").cast(DoubleType)
       def d(name: String) = col(name).cast(DoubleType)
-      (n * d(s"s_$a$b") - d(s"s_$a") * d(s"s_$b")) /
-        (sqrt(n * d(s"s_$a$a") - d(s"s_$a") * d(s"s_$a"))
-          * sqrt(n * d(s"s_$b$b") - d(s"s_$b") * d(s"s_$b")))
+      def variance(x: String) = n * d(s"s_$x$x") - d(s"s_$x") * d(s"s_$x")
+      // a constant column has zero variance: corr is undefined, and the
+      // raw expressions diverge cross-engine (Spark x/0 → NaN, DuckDB →
+      // NULL; DuckDB RAISES on sqrt of an IEEE-rounded tiny negative) —
+      // emit NULL from both sides. <= catches the rounded-negative case
+      // without a separate clamp; degenerate moments are small enough
+      // (n·c² at realistic n) to stay float64-exact, so both engines
+      // agree on the test.
+      when(variance(a) <= 0d || variance(b) <= 0d,
+          lit(null).cast(DoubleType))
+        .otherwise((n * d(s"s_$a$b") - d(s"s_$a") * d(s"s_$b")) /
+          (sqrt(variance(a)) * sqrt(variance(b))))
     }
     // final corr rounded to 12 dp: the moments are exact, but once a
     // moment exceeds 64 bits DuckDB's HUGEINT→DOUBLE cast is 1 ulp off
@@ -2675,21 +2684,27 @@ object Relational {
       |    CAST(sum(d*d) AS DOUBLE) AS s_dd,
       |    CAST(sum(p*q) AS DOUBLE) AS s_pq, CAST(sum(d*p) AS DOUBLE) AS s_dp,
       |    CAST(sum(d*q) AS DOUBLE) AS s_dq
-      |  FROM q)
+      |  FROM q),
+      |v AS (
+      |  SELECT n,
+      |    CAST(n AS DOUBLE) * s_qq - s_q * s_q AS v_q,
+      |    CAST(n AS DOUBLE) * s_pp - s_p * s_p AS v_p,
+      |    CAST(n AS DOUBLE) * s_dd - s_d * s_d AS v_d,
+      |    CAST(n AS DOUBLE) * s_pq - s_p * s_q AS c_pq,
+      |    CAST(n AS DOUBLE) * s_dq - s_d * s_q AS c_dq,
+      |    CAST(n AS DOUBLE) * s_dp - s_d * s_p AS c_dp
+      |  FROM m)
       |SELECT n,
-      |  round((CAST(n AS DOUBLE) * s_pq - s_p * s_q)
-      |    / (sqrt(CAST(n AS DOUBLE) * s_pp - s_p * s_p)
-      |       * sqrt(CAST(n AS DOUBLE) * s_qq - s_q * s_q)), 12)
-      |    AS corr_price_qty,
-      |  round((CAST(n AS DOUBLE) * s_dq - s_d * s_q)
-      |    / (sqrt(CAST(n AS DOUBLE) * s_dd - s_d * s_d)
-      |       * sqrt(CAST(n AS DOUBLE) * s_qq - s_q * s_q)), 12)
-      |    AS corr_disc_qty,
-      |  round((CAST(n AS DOUBLE) * s_dp - s_d * s_p)
-      |    / (sqrt(CAST(n AS DOUBLE) * s_dd - s_d * s_d)
-      |       * sqrt(CAST(n AS DOUBLE) * s_pp - s_p * s_p)), 12)
-      |    AS corr_disc_price
-      |FROM m""".stripMargin
+      |  CASE WHEN v_p <= 0 OR v_q <= 0 THEN NULL
+      |    ELSE round(c_pq / (sqrt(v_p) * sqrt(v_q)), 12)
+      |    END AS corr_price_qty,
+      |  CASE WHEN v_d <= 0 OR v_q <= 0 THEN NULL
+      |    ELSE round(c_dq / (sqrt(v_d) * sqrt(v_q)), 12)
+      |    END AS corr_disc_qty,
+      |  CASE WHEN v_d <= 0 OR v_p <= 0 THEN NULL
+      |    ELSE round(c_dp / (sqrt(v_d) * sqrt(v_p)), 12)
+      |    END AS corr_disc_price
+      |FROM v""".stripMargin
 
   /** Top-3 customers per nation through the bounded-heap aggregate
     * [[graft.functions.BoundedTopK]] — per-group top-k WITHOUT a window:

@@ -305,4 +305,24 @@ class RelationalSpec extends SparkTestBase {
     assert(fit("perfect") == ((3L, Some(1.0), Some(0.0))))
     assert(fit("normal") == ((3L, Some(0.923077), Some(23.570226))))
   }
+
+  test("corr moments NULL the pairs touching a zero-variance column") {
+    // same degenerate-group contract as the regression family: a constant
+    // column has no defined correlation, and the unguarded expressions
+    // diverge cross-engine (Spark x/0 → NaN vs DuckDB NULL; DuckDB raises
+    // on sqrt of a rounded tiny negative). Constant l_discount ⇒ both
+    // disc corrs NULL, price×qty unaffected — the DuckDB oracle on this
+    // exact fixture returns (3, 0.981980506062, NULL, NULL).
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_corr_degenerate").toString
+    Seq((1.00, 10.00, 0.05), (2.00, 30.00, 0.05), (3.00, 40.00, 0.05))
+      .toDF("l_quantity", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = run("agg_corr_moments", dir).collect()(0)
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == 0.981980506062, s"got ${r.getDouble(1)}")
+    assert(r.isNullAt(2) && r.isNullAt(3),
+      "corrs against the constant column must be NULL")
+  }
 }
