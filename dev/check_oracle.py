@@ -110,6 +110,7 @@ def main(sf_dir, out_dir):
             return max((max_abs_int(x) for x in v), default=0)
         return 0
 
+
     n_hazard = 0
     for name in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, name)
@@ -117,7 +118,7 @@ def main(sf_dir, out_dir):
             continue
         # substring match so hazard types nested in STRUCT(...)/LIST(...)
         # are caught: DESCRIBE renders e.g. 'STRUCT(x FLOAT)', 'DECIMAL[]'
-        int_cols = []
+        int_cols, dbl_cols = [], []
         for col, typ in con.execute(
                 f"SELECT column_name, column_type FROM "
                 f"(DESCRIBE SELECT * FROM '{p}/*.parquet')").fetchall():
@@ -129,6 +130,11 @@ def main(sf_dir, out_dir):
                 n_hazard += 1
             elif "BIGINT" in t:
                 int_cols.append(col)
+            elif t == "DOUBLE" or t == "DOUBLE[]":
+                dbl_cols.append((col, t))
+            elif "DOUBLE" in t:
+                print(f"WARN {name}.{col}: {typ} nested DOUBLE not "
+                      f"NaN/Inf-checked (extend the audit if this lands)")
         if int_cols:
             # one scan per directory: walk values python-side so nested
             # ints (arrays/structs) get the same 2^53 bound as scalars
@@ -139,6 +145,28 @@ def main(sf_dir, out_dir):
                     print(f"HAZARD {name}.{col}: integer value {mx} exceeds "
                           f"float64-exact range (2^53)")
                     n_hazard += 1
+        if dbl_cols:
+            # NaN/Inf agree between engines when both COMPUTE them, so the
+            # value compare passes — but the driver's canonicalization may
+            # render them differently between a parquet read and a DuckDB
+            # fetch (the ref_replica_checksums trap shape). Outputs must
+            # be finite-or-NULL; operators emit NULL for undefined
+            # results. Checked in SQL (isnan on NULL is NULL, so NULLs
+            # pass) — fetchdf would conflate NULL with NaN.
+            bad = []
+            for c, t in dbl_cols:
+                src = (f"SELECT \"{c}\" AS u FROM '{p}/*.parquet'"
+                       if t == "DOUBLE" else
+                       f"SELECT unnest(\"{c}\") AS u FROM '{p}/*.parquet'")
+                nf = con.execute(
+                    f"SELECT max(isnan(u) OR isinf(u)) FROM ({src})"
+                ).fetchone()[0]
+                if nf:
+                    bad.append(c)
+            for c in bad:
+                print(f"HAZARD {name}.{c}: NaN/Inf value (emit NULL for "
+                      f"undefined results — canonicalization-unsafe)")
+                n_hazard += 1
     if n_hazard:
         print(f"{n_hazard} HAZARD column(s) — driver hash may corrupt them")
     print(f"\n{n_pass} pass, {n_fail} fail, {n_hazard} hazard")
