@@ -118,6 +118,8 @@ def main(sf_dir, out_dir):
             continue
         # substring match so hazard types nested in STRUCT(...)/LIST(...)
         # are caught: DESCRIBE renders e.g. 'STRUCT(x FLOAT)', 'DECIMAL[]'
+        # independent membership tests (not elif): a STRUCT(n BIGINT,
+        # x DOUBLE) column needs BOTH the int bound and the double check
         int_cols, dbl_cols = [], []
         for col, typ in con.execute(
                 f"SELECT column_name, column_type FROM "
@@ -128,9 +130,10 @@ def main(sf_dir, out_dir):
                 print(f"HAZARD {name}.{col}: {typ} (driver-hash-unsafe "
                       f"output type — normalize to BIGINT/DOUBLE/STRING)")
                 n_hazard += 1
-            elif "BIGINT" in t:
+                continue
+            if "BIGINT" in t:
                 int_cols.append(col)
-            elif t == "DOUBLE" or t == "DOUBLE[]":
+            if t in ("DOUBLE", "DOUBLE[]"):
                 dbl_cols.append((col, t))
             elif "DOUBLE" in t:
                 print(f"WARN {name}.{col}: {typ} nested DOUBLE not "
@@ -152,21 +155,22 @@ def main(sf_dir, out_dir):
             # fetch (the ref_replica_checksums trap shape). Outputs must
             # be finite-or-NULL; operators emit NULL for undefined
             # results. Checked in SQL (isnan on NULL is NULL, so NULLs
-            # pass) — fetchdf would conflate NULL with NaN.
-            bad = []
-            for c, t in dbl_cols:
-                src = (f"SELECT \"{c}\" AS u FROM '{p}/*.parquet'"
-                       if t == "DOUBLE" else
-                       f"SELECT unnest(\"{c}\") AS u FROM '{p}/*.parquet'")
-                nf = con.execute(
-                    f"SELECT max(isnan(u) OR isinf(u)) FROM ({src})"
-                ).fetchone()[0]
+            # pass) — fetchdf would conflate NULL with NaN. One combined
+            # aggregate = one scan per directory.
+            aggs = ", ".join(
+                (f'max(isnan("{c}") OR isinf("{c}"))' if t == "DOUBLE" else
+                 f'max(list_max(list_transform("{c}", '
+                 f'x -> CASE WHEN isnan(x) OR isinf(x) THEN 1 ELSE 0 END))'
+                 f' = 1)')
+                for c, t in dbl_cols)
+            flags = con.execute(
+                f"SELECT {aggs} FROM '{p}/*.parquet'").fetchone()
+            for (c, _), nf in zip(dbl_cols, flags):
                 if nf:
-                    bad.append(c)
-            for c in bad:
-                print(f"HAZARD {name}.{c}: NaN/Inf value (emit NULL for "
-                      f"undefined results — canonicalization-unsafe)")
-                n_hazard += 1
+                    print(f"HAZARD {name}.{c}: NaN/Inf value (emit NULL "
+                          f"for undefined results — canonicalization-"
+                          f"unsafe)")
+                    n_hazard += 1
     if n_hazard:
         print(f"{n_hazard} HAZARD column(s) — driver hash may corrupt them")
     print(f"\n{n_pass} pass, {n_fail} fail, {n_hazard} hazard")

@@ -2642,20 +2642,29 @@ object Relational {
           yield sum((col(a) * col(b)).cast(DecimalType(38, 0)))
             .as(s"s_$a$b")): _*)
     def corr(a: String, b: String): Column = {
-      val n = col("n").cast(DoubleType)
-      def d(name: String) = col(name).cast(DoubleType)
-      def variance(x: String) = n * d(s"s_$x$x") - d(s"s_$x") * d(s"s_$x")
+      // centered moments formed in DECIMAL (exact integers — same
+      // discipline as groupRegression/Fit), then ONE cast to double.
+      // Double-combining the cast sums instead (the pre-round-9 shape)
+      // makes the cancellation n·Σxx − Σx² pure rounding noise once
+      // moments pass 2^53 — at sf1 a constant high-cent column gave
+      // v = 0.0 on Spark but +2.75e11 on DuckDB, so even the degeneracy
+      // BRANCH diverged. Exact centering kills the class: both engines
+      // agree on the integer (DuckDB sums in HUGEINT), the variance cast
+      // is 0.0 iff the integer is 0, and the sqrt argument can never
+      // round negative. Envelope: n·Σxx must fit DECIMAL(38)/HUGEINT —
+      // cents ≤1e7 and rows ≤1e12 keep it under 1e38.
+      val nDec = col("n").cast(DecimalType(38, 0))
+      def variance(x: String) =
+        (nDec * col(s"s_$x$x") - col(s"s_$x") * col(s"s_$x"))
+          .cast(DoubleType)
+      val cov = (nDec * col(s"s_$a$b") - col(s"s_$a") * col(s"s_$b"))
+        .cast(DoubleType)
       // a constant column has zero variance: corr is undefined, and the
       // raw expressions diverge cross-engine (Spark x/0 → NaN, DuckDB →
-      // NULL; DuckDB RAISES on sqrt of an IEEE-rounded tiny negative) —
-      // emit NULL from both sides. <= catches the rounded-negative case
-      // without a separate clamp; degenerate moments are small enough
-      // (n·c² at realistic n) to stay float64-exact, so both engines
-      // agree on the test.
+      // NULL) — emit NULL from both sides.
       when(variance(a) <= 0d || variance(b) <= 0d,
           lit(null).cast(DoubleType))
-        .otherwise((n * d(s"s_$a$b") - d(s"s_$a") * d(s"s_$b")) /
-          (sqrt(variance(a)) * sqrt(variance(b))))
+        .otherwise(cov / (sqrt(variance(a)) * sqrt(variance(b))))
     }
     // final corr rounded to 12 dp: the moments are exact, but once a
     // moment exceeds 64 bits DuckDB's HUGEINT→DOUBLE cast is 1 ulp off
@@ -2678,21 +2687,18 @@ object Relational {
       |  FROM lineitem),
       |m AS (
       |  SELECT CAST(count(*) AS BIGINT) AS n,
-      |    CAST(sum(q) AS DOUBLE) AS s_q, CAST(sum(p) AS DOUBLE) AS s_p,
-      |    CAST(sum(d) AS DOUBLE) AS s_d,
-      |    CAST(sum(q*q) AS DOUBLE) AS s_qq, CAST(sum(p*p) AS DOUBLE) AS s_pp,
-      |    CAST(sum(d*d) AS DOUBLE) AS s_dd,
-      |    CAST(sum(p*q) AS DOUBLE) AS s_pq, CAST(sum(d*p) AS DOUBLE) AS s_dp,
-      |    CAST(sum(d*q) AS DOUBLE) AS s_dq
+      |    sum(q) AS s_q, sum(p) AS s_p, sum(d) AS s_d,
+      |    sum(q*q) AS s_qq, sum(p*p) AS s_pp, sum(d*d) AS s_dd,
+      |    sum(p*q) AS s_pq, sum(d*p) AS s_dp, sum(d*q) AS s_dq
       |  FROM q),
       |v AS (
       |  SELECT n,
-      |    CAST(n AS DOUBLE) * s_qq - s_q * s_q AS v_q,
-      |    CAST(n AS DOUBLE) * s_pp - s_p * s_p AS v_p,
-      |    CAST(n AS DOUBLE) * s_dd - s_d * s_d AS v_d,
-      |    CAST(n AS DOUBLE) * s_pq - s_p * s_q AS c_pq,
-      |    CAST(n AS DOUBLE) * s_dq - s_d * s_q AS c_dq,
-      |    CAST(n AS DOUBLE) * s_dp - s_d * s_p AS c_dp
+      |    CAST(n*s_qq - s_q*s_q AS DOUBLE) AS v_q,
+      |    CAST(n*s_pp - s_p*s_p AS DOUBLE) AS v_p,
+      |    CAST(n*s_dd - s_d*s_d AS DOUBLE) AS v_d,
+      |    CAST(n*s_pq - s_p*s_q AS DOUBLE) AS c_pq,
+      |    CAST(n*s_dq - s_d*s_q AS DOUBLE) AS c_dq,
+      |    CAST(n*s_dp - s_d*s_p AS DOUBLE) AS c_dp
       |  FROM m)
       |SELECT n,
       |  CASE WHEN v_p <= 0 OR v_q <= 0 THEN NULL
