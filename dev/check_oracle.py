@@ -139,11 +139,16 @@ def main(sf_dir, out_dir):
                 print(f"WARN {name}.{col}: {typ} nested DOUBLE not "
                       f"NaN/Inf-checked (extend the audit if this lands)")
         if int_cols:
-            # one scan per directory: walk values python-side so nested
-            # ints (arrays/structs) get the same 2^53 bound as scalars
-            df = con.execute(f"SELECT * FROM '{p}/*.parquet'").fetchdf()
-            for col in int_cols:
-                mx = max((max_abs_int(v) for v in df[col]), default=0)
+            # one scan per directory, int columns only, via fetchall():
+            # cursor rows carry exact python ints (None for NULL, lists/
+            # dicts for nested) — fetchdf would convert a NULLABLE int64
+            # column to float64 and corrupt >2^53 values BEFORE the check
+            # sees them, silently neutralizing the gate
+            sel = ", ".join(f'"{c}"' for c in int_cols)
+            rows = con.execute(
+                f"SELECT {sel} FROM '{p}/*.parquet'").fetchall()
+            for i, col in enumerate(int_cols):
+                mx = max((max_abs_int(r[i]) for r in rows), default=0)
                 if mx > 2 ** 53:
                     print(f"HAZARD {name}.{col}: integer value {mx} exceeds "
                           f"float64-exact range (2^53)")

@@ -2651,8 +2651,9 @@ object Relational {
       // BRANCH diverged. Exact centering kills the class: both engines
       // agree on the integer (DuckDB sums in HUGEINT), the variance cast
       // is 0.0 iff the integer is 0, and the sqrt argument can never
-      // round negative. Envelope: n·Σxx must fit DECIMAL(38)/HUGEINT —
-      // cents ≤1e7 and rows ≤1e12 keep it under 1e38.
+      // round negative. Envelope: n·Σxx (≤ n²·max_cents²) must stay
+      // BELOW 10³⁸ to fit DECIMAL(38)/HUGEINT — e.g. cents < 1e7 at
+      // 1e12 rows, or cents ≤ 1e7 at 1e10 rows.
       val nDec = col("n").cast(DecimalType(38, 0))
       def variance(x: String) =
         (nDec * col(s"s_$x$x") - col(s"s_$x") * col(s"s_$x"))
