@@ -110,6 +110,21 @@ def main(sf_dir, out_dir):
             return max((max_abs_int(x) for x in v), default=0)
         return 0
 
+    def has_nonfinite(v):
+        # recursive NaN/Inf detector for DOUBLEs nested in STRUCT/LIST —
+        # the shapes the SQL isnan/isinf aggregate below can't reach
+        import math
+        import numpy as np
+        if v is None:
+            return False
+        if isinstance(v, (float, np.floating)):
+            return not math.isfinite(v)
+        if isinstance(v, dict):
+            return any(has_nonfinite(x) for x in v.values())
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return any(has_nonfinite(x) for x in v)
+        return False
+
 
     n_hazard = 0
     for name in sorted(os.listdir(out_dir)):
@@ -120,7 +135,7 @@ def main(sf_dir, out_dir):
         # are caught: DESCRIBE renders e.g. 'STRUCT(x FLOAT)', 'DECIMAL[]'
         # independent membership tests (not elif): a STRUCT(n BIGINT,
         # x DOUBLE) column needs BOTH the int bound and the double check
-        int_cols, dbl_cols = [], []
+        int_cols, dbl_cols, nested_dbl_cols = [], [], []
         for col, typ in con.execute(
                 f"SELECT column_name, column_type FROM "
                 f"(DESCRIBE SELECT * FROM '{p}/*.parquet')").fetchall():
@@ -136,8 +151,11 @@ def main(sf_dir, out_dir):
             if t in ("DOUBLE", "DOUBLE[]"):
                 dbl_cols.append((col, t))
             elif "DOUBLE" in t:
-                print(f"WARN {name}.{col}: {typ} nested DOUBLE not "
-                      f"NaN/Inf-checked (extend the audit if this lands)")
+                # DOUBLE nested in STRUCT(...) or deeper lists: checked
+                # value-by-value in python below (the SQL aggregate can't
+                # reach inside arbitrary nesting) — a real check, not the
+                # former advisory WARN that let nested NaN pass the gate
+                nested_dbl_cols.append(col)
         if int_cols:
             # one scan per directory, int columns only, via fetchall():
             # cursor rows carry exact python ints (None for NULL, lists/
@@ -175,6 +193,18 @@ def main(sf_dir, out_dir):
                     print(f"HAZARD {name}.{c}: NaN/Inf value (emit NULL "
                           f"for undefined results — canonicalization-"
                           f"unsafe)")
+                    n_hazard += 1
+        if nested_dbl_cols:
+            # fetchall keeps NULL as None and nested values as dicts/lists,
+            # so NaN/Inf inside STRUCT/LIST nesting is actually visible
+            sel = ", ".join(f'"{c}"' for c in nested_dbl_cols)
+            rows = con.execute(
+                f"SELECT {sel} FROM '{p}/*.parquet'").fetchall()
+            for i, col in enumerate(nested_dbl_cols):
+                if any(has_nonfinite(r[i]) for r in rows):
+                    print(f"HAZARD {name}.{col}: NaN/Inf inside nested "
+                          f"DOUBLE (emit NULL for undefined results — "
+                          f"canonicalization-unsafe)")
                     n_hazard += 1
     if n_hazard:
         print(f"{n_hazard} HAZARD column(s) — driver hash may corrupt them")

@@ -278,7 +278,16 @@ object Lakehouse {
     * updated, unmatched source rows inserted, untouched rows carried —
     * and the result must equal the hand-rolled full-outer merge
     * (`ref_upsert_merge` shares the oracle). Same fixture slices, so the
-    * two paths are directly comparable. */
+    * two paths are directly comparable.
+    *
+    * Granularity is FILE-GROUP, not whole-table (round-10): the table's
+    * committed state is a set of files, the operation's scan is
+    * runtime-group-filtered on the `_file` metadata column, and the
+    * ReplaceData commit rewrites only the groups holding matched rows —
+    * LakehouseSpec pins carried-by-identity for untouched groups. This
+    * bench fixture's merge batch (every even key) matches rows in every
+    * group, so it measures the worst case; the scale win is the
+    * single-key statement that now touches one file of 10k. */
   def mergeIntoSql(spark: SparkSession, sfDir: String): DataFrame = {
     val t = freshLakeTable(spark, sfDir, "merge")
     Tables(spark, sfDir, "orders")
@@ -301,7 +310,8 @@ object Lakehouse {
   /** Real `UPDATE` and `DELETE FROM` SQL against the same row-level
     * table: both statements rewrite to ReplaceData (no SupportsDelete
     * filter shortcut is implemented, deliberately — the row-level path is
-    * the one under test). Output aggregates the surviving state. */
+    * the one under test), each replacing only its runtime-filtered file
+    * groups. Output aggregates the surviving state. */
   def updateDeleteSql(spark: SparkSession, sfDir: String): DataFrame = {
     val t = freshLakeTable(spark, sfDir, "upddel")
     spark.sql(

@@ -9,12 +9,14 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsReportPartitioning}
-import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 
 /** A minimal TableCatalog whose tables support ROW-LEVEL SQL — the
   * surface the reference's blind warehouse append lacks and VERDICT
@@ -23,17 +25,30 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * row-level-operation rewrite (RewriteMergeIntoTable → ReplaceData) and
   * executed against a [[SupportsRowLevelOperations]] table.
   *
-  * The table is GROUP-BASED copy-on-write with the whole table as one
-  * group (no `requiredMetadataAttributes`): Spark scans current rows,
-  * computes the post-merge row set declaratively (the same full-outer
-  * merge shape as `ref_upsert_merge`, but derived by the ANALYZER from
-  * the MERGE clauses), and the write REPLACES the group. That is exactly
-  * Iceberg/Delta copy-on-write semantics with file granularity coarsened
-  * to table granularity — the rewrite machinery, clause semantics, and
-  * exactly-once replacement contract are the real thing; only the
-  * storage is an in-process buffer (single-JVM harness stand-in, like
-  * [[graft.streaming.InMemoryLog]]; a production table stores groups as
-  * files and exposes `_file` metadata so only touched files rewrite).
+  * The table is GROUP-BASED copy-on-write with FILE-GROUP granularity —
+  * the real Iceberg/Delta CoW contract, not a whole-table stand-in:
+  *
+  *  - committed state is an ordered set of immutable FILES (one per
+  *    writer task commit), each with a stable id exposed through the
+  *    `_file` metadata column ([[SupportsMetadataColumns]]);
+  *  - a row-level statement's scan implements
+  *    [[SupportsRuntimeV2Filtering]] on `_file`, so Spark's
+  *    `RowLevelOperationRuntimeGroupFiltering` rule plans a runtime
+  *    subquery (a REGULAR scan of the table) that computes the distinct
+  *    `_file` ids containing matching rows and narrows the operation's
+  *    scan to exactly those groups;
+  *  - the ReplaceData write then REPLACES only the scanned groups: at
+  *    commit, files the filtered scan never read are CARRIED by
+  *    reference (same object identity), not rewritten. A single-key
+  *    MERGE against a 10k-file table rewrites one file, exactly like a
+  *    production lakehouse; only the storage is an in-process buffer
+  *    (single-JVM harness stand-in, like [[graft.streaming.InMemoryLog]]).
+  *
+  * If the group filter cannot fire (rule disabled, or a statement whose
+  * predicate matches every group), the scan keeps its full file set and
+  * the commit degrades to whole-snapshot replacement — semantics are
+  * identical either way, which is what keeps the oracle green
+  * independently of the optimization.
   *
   * Register per session: `spark.sql.catalog.<name>` →
   * [[GraftLakeCatalog]] class name. Table state is JVM-wide per catalog
@@ -96,27 +111,58 @@ object GraftLakeCatalog {
     * with the same configured name (sessions, micro-batch clones). */
   private val registries = new ConcurrentHashMap[
     String, ConcurrentHashMap[Identifier, GraftLakeTable]]()
+
+  /** Test hook: the live table for `catalog.name`, so specs can assert
+    * on FILE IDENTITY (which groups a row-level statement carried vs
+    * rewrote) — the one property the SQL surface cannot express. */
+  private[graft] def tableFor(
+      catalog: String, name: String): Option[GraftLakeTable] =
+    Option(registries.get(catalog)).flatMap(ts =>
+      ts.asScala.collectFirst { case (id, t) if id.name() == name => t })
 }
 
+/** One immutable committed file (group): the unit of copy-on-write. */
+final case class GraftLakeFile(id: String, rows: Vector[InternalRow])
+
 /** In-memory batch table: plain scans, appends, truncation, and the
-  * row-level operation hook. Rows live on the driver; readers ship an
-  * immutable snapshot into tasks, writers buffer per task and the commit
-  * applies atomically on the driver (the DSv2 commit protocol in
-  * miniature). */
+  * row-level operation hook. Rows live on the driver in immutable FILES;
+  * readers ship a file snapshot into tasks, writers buffer per task and
+  * the commit applies atomically on the driver (the DSv2 commit protocol
+  * in miniature — each task commit message becomes one new file, the way
+  * a real task writes one parquet file). */
 class GraftLakeTable(tableName: String, tableSchema: StructType,
     partCols: Seq[String] = Nil)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   // the committed table state; replaced atomically under this lock
-  private var rows: Vector[InternalRow] = Vector.empty
+  private var files: Vector[GraftLakeFile] = Vector.empty
+  private var fileSeq = 0
 
-  private[sources] def snapshot: Vector[InternalRow] =
-    synchronized(rows)
-  private def replaceAll(next: Vector[InternalRow]): Unit =
-    synchronized { rows = next }
-  private def appendAll(next: Vector[InternalRow]): Unit =
-    synchronized { rows = rows ++ next }
+  private def mkFiles(
+      batches: Vector[Vector[InternalRow]]): Vector[GraftLakeFile] =
+    batches.filter(_.nonEmpty).map { rows =>
+      fileSeq += 1
+      GraftLakeFile(s"$tableName#f$fileSeq", rows)
+    }
+
+  private[sources] def snapshotFiles: Vector[GraftLakeFile] =
+    synchronized(files)
+  /** Current file ids, in commit order — the spec's carry-vs-rewrite probe. */
+  private[graft] def fileIds: Seq[String] = snapshotFiles.map(_.id)
+  private[graft] def snapshotRowCount: Int = snapshotFiles.map(_.rows.size).sum
+
+  private def appendFiles(batches: Vector[Vector[InternalRow]]): Unit =
+    synchronized { files = files ++ mkFiles(batches) }
+  private def truncateTo(batches: Vector[Vector[InternalRow]]): Unit =
+    synchronized { files = mkFiles(batches) }
+  /** The group-replacing commit: drop exactly `removed`, add the new
+    * files; everything else is carried by reference. */
+  private def replaceGroups(removed: Set[String],
+      batches: Vector[Vector[InternalRow]]): Unit =
+    synchronized {
+      files = files.filterNot(f => removed.contains(f.id)) ++ mkFiles(batches)
+    }
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
@@ -126,11 +172,16 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
 
+  // `_file`: which group a row lives in — the handle both the runtime
+  // group filter and the spec's carry/rewrite assertions key on.
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(GraftLakeTable.FileColumn)
+
   // ---- read path ----------------------------------------------------------
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new GraftLakeScan(snapshot, tableSchema, partCols)
+    new GraftLakeScanBuilder(snapshotFiles, tableSchema, partCols, None)
 
   // ---- plain write path (append / truncate-overwrite) ---------------------
 
@@ -142,8 +193,9 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new GraftLakeBatchWrite(batch =>
-            if (truncateRequested) replaceAll(batch) else appendAll(batch))
+          new GraftLakeBatchWrite(batches =>
+            if (truncateRequested) truncateTo(batches)
+            else appendFiles(batches))
       }
     }
 
@@ -152,90 +204,173 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     () => new RowLevelOperation {
+      // one consistent snapshot shared by the operation's scan and its
+      // ReplaceData commit; starts as "every group" and is narrowed by
+      // the runtime group filter
+      private val snap = snapshotFiles
+      private val state = new GroupScanState(snap.map(_.id).toSet)
+
       override def command(): RowLevelOperation.Command = info.command()
-      // the rewrite scans current rows through the normal read path
+      // `_file` must ride through the rewritten plan: it is both the
+      // runtime-group-filter pruning key on the operation's scan side
+      // and the build key the filter subquery projects
+      override def requiredMetadataAttributes(): Array[NamedReference] =
+        Array(Expressions.column(GraftLakeTable.FileCol))
       override def newScanBuilder(
           options: CaseInsensitiveStringMap): ScanBuilder =
-        GraftLakeTable.this.newScanBuilder(options)
-      // group-based ReplaceData: the written set REPLACES the (single)
-      // group the scan produced — i.e. the whole table state. Spark 4.1
-      // prepends a `__row_operation` INT to every row it hands the
-      // writer (RowDeltaUtils: 5=WRITE, 6=WRITE_WITH_METADATA, 1=DELETE)
-      // even though LogicalWriteInfo.schema() lists only data columns —
-      // the connector strips it (and drops DELETE rows, which group-based
-      // plans normally just omit).
+        new GraftLakeScanBuilder(snap, tableSchema, partCols, Some(state))
+      // group-based ReplaceData: the written set replaces exactly the
+      // groups the (runtime-filtered) scan read. Spark 4.1 prepends a
+      // `__row_operation` INT to every row it hands the writer
+      // (RowDeltaUtils: 5=WRITE, 6=WRITE_WITH_METADATA, 1=DELETE) and,
+      // because `_file` is a required metadata attribute, appends the
+      // metadata column(s) after the data columns — the connector strips
+      // both (and drops DELETE rows, which group-based plans normally
+      // just omit).
       override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
         new WriteBuilder {
           override def build(): Write = new Write {
             override def toBatch: BatchWrite =
-              new GraftLakeBatchWrite(replaceAll,
+              new GraftLakeBatchWrite(
+                batches => replaceGroups(state.scanned, batches),
                 rowLevel = Some(tableSchema.fields.map(_.dataType)))
           }
         }
     }
 }
 
-/** Scan over the committed snapshot. An unpartitioned table ships one
-  * partition; a `PARTITIONED BY (cols)` table ships ONE INPUT PARTITION
-  * PER DISTINCT KEY, each tagged via [[HasPartitionKey]], and reports
+object GraftLakeTable {
+  private[sources] val FileCol = "_file"
+  private[sources] object FileColumn extends MetadataColumn {
+    override def name(): String = FileCol
+    override def dataType(): DataType = StringType
+    override def isNullable: Boolean = false
+    override def comment(): String = "id of the file group holding the row"
+  }
+}
+
+/** Which groups the row-level operation's scan actually read — written
+  * by the scan (after runtime filtering), read by the commit. */
+final class GroupScanState(allIds: Set[String]) {
+  @volatile var scanned: Set[String] = allIds
+}
+
+/** Column-pruning scan builder over a file snapshot. The pruned schema
+  * may include the `_file` metadata column; readers synthesize it from
+  * the file id. */
+class GraftLakeScanBuilder(files: Vector[GraftLakeFile],
+    fullSchema: StructType, partCols: Seq[String],
+    rowLevel: Option[GroupScanState])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    new GraftLakeScan(files, fullSchema, required, partCols, rowLevel)
+}
+
+/** Scan over a committed file snapshot.
+  *
+  * An unpartitioned table ships ONE INPUT PARTITION PER FILE (natural
+  * read parallelism, and the granularity runtime group filtering prunes
+  * at). A `PARTITIONED BY (cols)` table ships one input partition per
+  * distinct key, each tagged via [[HasPartitionKey]], and reports
   * [[KeyGroupedPartitioning]] — which is all Spark needs to plan a
   * STORAGE-PARTITIONED JOIN (SPARK-37375): two tables co-partitioned on
   * the join key join with ZERO exchange on either side, the DSv2
   * generalization of bucketed-join co-location that Iceberg/Delta use at
-  * lake scale (`spark.sql.sources.v2.bucketing.enabled`). Per-key
-  * grouping is computed driver-side from the in-memory snapshot; a file
-  * table gets the same for free from its manifest's partition values. */
-class GraftLakeScan(snapshot: Vector[InternalRow], schema: StructType,
-    partCols: Seq[String] = Nil)
-    extends Scan with Batch with SupportsReportPartitioning {
-  override def readSchema(): StructType = schema
+  * lake scale (`spark.sql.sources.v2.bucketing.enabled`).
+  *
+  * A row-level operation's scan (`rowLevel` set) additionally supports
+  * RUNTIME V2 FILTERING on `_file`: Spark's group-filter rule hands it
+  * `IN (_file, ...)` built from the matching-rows subquery, the scan
+  * narrows its file set, and records the surviving group ids so the
+  * ReplaceData commit replaces exactly those. */
+class GraftLakeScan(allFiles: Vector[GraftLakeFile], fullSchema: StructType,
+    requiredSchema: StructType, partCols: Seq[String],
+    rowLevel: Option[GroupScanState])
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsRuntimeV2Filtering {
+
+  @volatile private var active: Vector[GraftLakeFile] = allFiles
+
+  override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
 
+  override def filterAttributes(): Array[NamedReference] =
+    if (rowLevel.isDefined) Array(Expressions.column(GraftLakeTable.FileCol))
+    else Array.empty
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val keeps = predicates.flatMap(fileIdsOf)
+    if (keeps.nonEmpty) {
+      val keep = keeps.reduce(_ intersect _)
+      active = active.filter(f => keep.contains(f.id))
+      rowLevel.foreach(_.scanned = active.map(_.id).toSet)
+    }
+  }
+
+  /** Parse `_file IN (...)` / `_file = v` into the kept id set; any
+    * other predicate is ignored (conservative: no narrowing). */
+  private def fileIdsOf(p: Predicate): Option[Set[String]] = {
+    def isFileRef(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case r: NamedReference =>
+          r.fieldNames().sameElements(Array(GraftLakeTable.FileCol))
+        case _ => false
+      }
+    val kids = p.children()
+    p.name() match {
+      case "IN" if kids.nonEmpty && isFileRef(kids.head) =>
+        Some(kids.tail.collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            String.valueOf(l.value)
+        }.toSet)
+      case "=" if kids.length == 2 && isFileRef(kids.head) =>
+        kids(1) match {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            Some(Set(String.valueOf(l.value)))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   private lazy val keyed: Array[(InternalRow, Vector[InternalRow])] = {
-    val idx = partCols.map(schema.fieldIndex)
-    val types = idx.map(schema.fields(_).dataType)
-    snapshot
+    val idx = partCols.map(fullSchema.fieldIndex)
+    val types = idx.map(fullSchema.fields(_).dataType)
+    active.flatMap(_.rows)
       .groupBy(r => idx.zip(types).map { case (i, t) => r.get(i, t) })
       .toArray
       // deterministic partition order; Spark re-sorts by grouped key
       // values when aligning the two sides of an SPJ
-      .sortBy(_._1.map(String.valueOf).mkString("\u0000"))
+      .sortBy(_._1.map(String.valueOf).mkString(" "))
       .map { case (k, rs) => (new GenericInternalRow(k.toArray), rs) }
   }
 
   override def outputPartitioning(): Partitioning =
-    if (partCols.isEmpty) new org.apache.spark.sql.connector.read
-      .partitioning.UnknownPartitioning(1)
+    if (partCols.isEmpty) new UnknownPartitioning(active.length.max(1))
     else new KeyGroupedPartitioning(
       partCols.map(Expressions.identity).toArray[
         org.apache.spark.sql.connector.expressions.Expression],
       keyed.length)
 
   override def planInputPartitions(): Array[InputPartition] =
-    if (partCols.isEmpty) Array(GraftLakePartition(snapshot))
-    else keyed.map { case (k, rs) => GraftLakeKeyedPartition(rs, k) }
+    if (partCols.isEmpty)
+      active.map(f => GraftLakeFilePartition(f.id, f.rows)).toArray
+    else {
+      require(!requiredSchema.fieldNames.contains(GraftLakeTable.FileCol),
+        "_file metadata is not supported on key-partitioned scans " +
+          "(partitions interleave files)")
+      keyed.map { case (k, rs) => GraftLakeKeyedPartition(rs, k) }
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(
-          p: InputPartition): PartitionReader[InternalRow] = {
-        val it = p match {
-          case GraftLakePartition(rows) => rows.iterator
-          case GraftLakeKeyedPartition(rows, _) => rows.iterator
-        }
-        new PartitionReader[InternalRow] {
-          private var cur: InternalRow = _
-          override def next(): Boolean =
-            if (it.hasNext) { cur = it.next(); true } else false
-          override def get(): InternalRow = cur
-          override def close(): Unit = ()
-        }
-      }
-    }
+    new GraftLakeReaderFactory(fullSchema, requiredSchema)
 }
 
-final case class GraftLakePartition(rows: Vector[InternalRow])
-    extends InputPartition
+final case class GraftLakeFilePartition(
+    fileId: String, rows: Vector[InternalRow]) extends InputPartition
 
 final case class GraftLakeKeyedPartition(
     rows: Vector[InternalRow], key: InternalRow)
@@ -243,13 +378,53 @@ final case class GraftLakeKeyedPartition(
   override def partitionKey(): InternalRow = key
 }
 
-/** Tasks buffer copies of their rows; the driver applies the union via
-  * `apply` exactly once at commit. `rowLevel` (the table's column types)
-  * enables row-level mode: rows arrive as [__row_operation, data...] —
-  * DELETEs are dropped, writes keep the data slice. */
+/** Projects stored full-schema rows to the pruned read schema,
+  * synthesizing `_file` from the partition's file id. */
+class GraftLakeReaderFactory(fullSchema: StructType,
+    requiredSchema: StructType) extends PartitionReaderFactory {
+
+  override def createReader(
+      p: InputPartition): PartitionReader[InternalRow] = {
+    val (fileId, rows) = p match {
+      case GraftLakeFilePartition(id, rs) => (id, rs)
+      case GraftLakeKeyedPartition(rs, _) => ("", rs)
+    }
+    val it = rows.iterator
+    val identity = requiredSchema == fullSchema
+    // per-field extractors: data columns by position in the stored row,
+    // `_file` synthesized from the file id
+    val fileUtf8 = UTF8String.fromString(fileId)
+    val extract: Array[InternalRow => Any] = requiredSchema.fields.map { f =>
+      if (f.name == GraftLakeTable.FileCol) (_: InternalRow) => fileUtf8
+      else {
+        val i = fullSchema.fieldIndex(f.name)
+        val dt = fullSchema.fields(i).dataType
+        (r: InternalRow) => r.get(i, dt)
+      }
+    }
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) {
+          val r = it.next()
+          cur = if (identity) r
+          else new GenericInternalRow(extract.map(_(r)): Array[Any])
+          true
+        } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Tasks buffer copies of their rows; the driver applies the per-task
+  * batches via `apply` exactly once at commit (each non-empty batch
+  * becomes one file). `rowLevel` (the table's column types) enables
+  * row-level mode: rows arrive as [__row_operation, data..., metadata...]
+  * — DELETEs are dropped, writes keep the data slice. */
 class GraftLakeBatchWrite(
-    apply: Vector[InternalRow] => Unit,
-    rowLevel: Option[Array[org.apache.spark.sql.types.DataType]] = None)
+    apply: Vector[Vector[InternalRow]] => Unit,
+    rowLevel: Option[Array[DataType]] = None)
     extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
@@ -257,12 +432,11 @@ class GraftLakeBatchWrite(
     // this BatchWrite (whose `apply` closes over the driver-side table)
     new GraftLakeWriterFactory(rowLevel)
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    apply(messages.toVector.flatMap(_.asInstanceOf[GraftLakeCommit].rows))
+    apply(messages.toVector.map(_.asInstanceOf[GraftLakeCommit].rows))
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-class GraftLakeWriterFactory(
-    rowLevel: Option[Array[org.apache.spark.sql.types.DataType]])
+class GraftLakeWriterFactory(rowLevel: Option[Array[DataType]])
     extends DataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -270,16 +444,18 @@ class GraftLakeWriterFactory(
       private val buf = Vector.newBuilder[InternalRow]
       // rows are reused buffers — copy before retaining
       override def write(row: InternalRow): Unit = rowLevel match {
-        case Some(types) if row.numFields == types.length + 1 =>
+        case Some(types) if row.numFields > types.length =>
+          // [__row_operation, data(0..n-1), metadata...]: keep non-DELETE
+          // data slices; trailing metadata (`_file`) is scan lineage the
+          // replaced-group commit no longer needs
           if (row.getInt(0) != 1) { // 1 = DELETE_OPERATION
             val r = row.copy()
-            buf += new org.apache.spark.sql.catalyst.expressions
-              .GenericInternalRow(
-                Array.tabulate[Any](types.length) { i =>
-                  // typed extract from the copied row's buffer: UTF8String
-                  // etc. keep that buffer alive — GC-safe
-                  r.get(i + 1, types(i))
-                })
+            buf += new GenericInternalRow(
+              Array.tabulate[Any](types.length) { i =>
+                // typed extract from the copied row's buffer: UTF8String
+                // etc. keep that buffer alive — GC-safe
+                r.get(i + 1, types(i))
+              })
           }
         case _ => buf += row.copy()
       }

@@ -61,6 +61,93 @@ class LakehouseSpec extends SparkTestBase {
       s"MERGE must go through the row-level rewrite, got:\n$plan")
   }
 
+  test("row-level UPDATE rewrites only the file groups holding matches") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_groups_upd"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING)")
+    for (b <- 0 until 4)
+      spark.range(b * 100L, (b + 1) * 100L)
+        .selectExpr("id AS k", s"'f$b' AS s")
+        .coalesce(1).writeTo(t).append()
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_groups_upd").get
+    val before = table.fileIds
+    assert(before.size == 4, s"fixture: one file per append, got $before")
+    spark.sql(s"UPDATE $t SET s = 'X' WHERE k = 150") // file 2 of 4 only
+    val after = table.fileIds
+    assert(before.count(after.contains) == 3,
+      s"3 of 4 groups must be CARRIED by identity, not rewritten: " +
+        s"$before -> $after")
+    assert(!after.contains(before(1)), "the matched group was replaced")
+    assert((after.toSet -- before.toSet).size == 1,
+      "exactly one new group holds the rewritten rows")
+    assert(spark.table(t).count() == 400)
+    assert(spark.table(t).where("s = 'X'").count() == 1)
+    assert(spark.table(t).where("k = 150").select("s").head().getString(0)
+      == "X")
+  }
+
+  test("MERGE rewrites only matched groups; untouched groups are carried") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_groups_mrg"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING)")
+    for (b <- 0 until 3)
+      spark.range(b * 100L, (b + 1) * 100L)
+        .selectExpr("id AS k", s"'f$b' AS s")
+        .coalesce(1).writeTo(t).append()
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_groups_mrg").get
+    val before = table.fileIds
+    assert(before.size == 3)
+    // matches hit ONLY file 0 (keys 10, 20); the other two rows insert
+    spark.createDataFrame(Seq((10L, "U"), (20L, "U"),
+        (1000L, "I"), (1001L, "I")))
+      .toDF("k", "s").createOrReplaceTempView("spec_groups_mrg_src")
+    spark.sql(
+      s"""MERGE INTO $t t USING spec_groups_mrg_src b ON t.k = b.k
+         |WHEN MATCHED THEN UPDATE SET s = b.s
+         |WHEN NOT MATCHED THEN INSERT (k, s) VALUES (b.k, b.s)
+         |""".stripMargin)
+    val after = table.fileIds
+    assert(after.contains(before(1)) && after.contains(before(2)),
+      s"unmatched groups carried by identity: $before -> $after")
+    assert(!after.contains(before(0)), "the matched group was replaced")
+    assert(spark.table(t).count() == 302)
+    assert(spark.table(t).where("s = 'U'").count() == 2)
+    assert(spark.table(t).where("s = 'I'").count() == 2)
+    // row-for-row: carried + rewritten + inserted = expected relation
+    assert(spark.table(t).orderBy("k").collect().map(r =>
+        (r.getLong(0), r.getString(1))).toSeq ==
+      ((0L until 300L).map(k => (k,
+        if (k == 10L || k == 20L) "U" else s"f${k / 100}"))
+        ++ Seq((1000L, "I"), (1001L, "I"))))
+  }
+
+  test("DELETE drops matched groups' rows without rewriting the rest") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_groups_del"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING)")
+    for (b <- 0 until 3)
+      spark.range(b * 100L, (b + 1) * 100L)
+        .selectExpr("id AS k", s"'f$b' AS s")
+        .coalesce(1).writeTo(t).append()
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_groups_del").get
+    val before = table.fileIds
+    spark.sql(s"DELETE FROM $t WHERE k >= 200") // exactly file 2
+    val after = table.fileIds
+    assert(after.contains(before(0)) && after.contains(before(1)),
+      s"groups without matches carried: $before -> $after")
+    assert(!after.contains(before(2)), "the fully-matched group is gone")
+    assert(spark.table(t).count() == 200)
+  }
+
   test("manifest skipping prunes files before read and stays exact") {
     val (_, stats) = Lakehouse.statsManifest(spark, Sf)
     val keep = Lakehouse.survivingFiles(stats, "1995-01-01", "1995-12-31")
