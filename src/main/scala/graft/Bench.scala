@@ -33,11 +33,21 @@ object Bench {
     graft.streaming.StreamingOps.chunkedEventsWithSentinelDir(spark, sfDir)
     // fixed name order: run-to-run and round-to-round comparability
     // (Map iteration order is hash-dependent)
+    // a failed query must be DISTINCT in the output, not a silently-timed
+    // row (ADVICE r9: the old catch-all would have recorded the fake-fast
+    // silent-checkpoint-resume number the awaitDrained guard exists to
+    // prevent) — its elapsed time still counts toward the total, but the
+    // name lands in an "errors" list any consumer can see
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(120)
+      }
       // queries may cache small intermediates (signature tables etc.);
       // drop them so later queries aren't measured under memory pressure
       spark.catalog.clearCache()
@@ -55,8 +65,13 @@ object Bench {
     // a name-filtered dev subset is marked INSIDE the JSON so a file
     // consumer can never mistake a partial total for a full benchmark
     val partial = if (only.isDefined) """"partial":true,""" else ""
+    // failures surface in BOTH emitted lines; an empty key is omitted so
+    // a clean run's JSON is unchanged round-over-round
+    val errs = if (failed.isEmpty) "" else failed
+      .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString(""""errors":{""", ",", "},")
     val json =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec",$partial"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec",$partial$errs"queries":$qs,"sf":"$sfDir"}"""
     // the bare println proved losable to sbt log interleaving/truncation in
     // round 1 ("parsed": null) — emit the line under a unique grep-able
     // marker AND persist it to a file so the round's number can't be lost.
@@ -75,12 +90,15 @@ object Bench {
     // json (total + the 20 slowest queries); the complete per-query map
     // stays in the marker line above and in the bench.json file.
     spark.stop()
-    val top = results.sortBy(-_._2).take(20)
+    // slowest-30 (VERDICT r9 task 4): wide enough that the driver's
+    // truncated stdout tail keeps every historically-heavy row visible;
+    // still fits the ~2.9 KB tail window with the error list
+    val top = results.sortBy(-_._2).take(30)
       .map { case (k, v) => s"\"" + k + "\":" + sec3(v) }
       .mkString("{", ",", "}")
-    // "slowest", NOT "queries": the truncated 20-entry map must not be
+    // "slowest", NOT "queries": the truncated 30-entry map must not be
     // mistakable for the complete per-query map in the marker line / file
     println(
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec",$partial"n_queries":${results.size},"slowest":$top,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec",$partial${errs}"n_queries":${results.size},"slowest":$top,"sf":"$sfDir"}""")
   }
 }

@@ -110,11 +110,30 @@ object StreamingOps {
   private[graft] def awaitDrained(
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     q.awaitTermination()
-    val rows = q.recentProgress.map(_.numInputRows).sum
-    require(rows > 0,
-      s"streaming drain '${Option(q.name).getOrElse(q.id)}' processed ZERO " +
-        "input rows — silent checkpoint resume or empty source (the fixed-" +
-        "checkpoint footgun documented in Bench.scala)")
+    val progress = q.recentProgress
+    val rows = progress.map(_.numInputRows).sum
+    if (rows == 0) {
+      // recentProgress is a RING BUFFER capped at
+      // spark.sql.streaming.numRecentProgressUpdates (default 100): a
+      // drain that ran >= cap micro-batches may have evicted its
+      // data-bearing batches, making "sum == 0" inconclusive rather than
+      // proof of a silent resume. Registry drains run 4-6 batches, far
+      // under the cap — but the invariant must state its own validity
+      // domain instead of silently depending on it (ADVICE r9).
+      val cap = q.sparkSession.conf
+        .get("spark.sql.streaming.numRecentProgressUpdates", "100").toInt
+      require(progress.length < cap,
+        s"streaming drain '${Option(q.name).getOrElse(q.id)}' ran " +
+          s"${progress.length} >= $cap (numRecentProgressUpdates) micro-" +
+          "batches with zero VISIBLE input rows — the progress ring buffer " +
+          "may have evicted the data-bearing batches; raise the conf or " +
+          "track rows via a StreamingQueryListener before trusting this " +
+          "drain")
+      require(rows > 0,
+        s"streaming drain '${Option(q.name).getOrElse(q.id)}' processed " +
+          "ZERO input rows — silent checkpoint resume or empty source " +
+          "(the fixed-checkpoint footgun documented in Bench.scala)")
+    }
   }
 
   /** The events table as a normalized `readStream` source — the ONE

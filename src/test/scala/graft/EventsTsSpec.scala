@@ -48,11 +48,29 @@ class EventsTsSpec extends SparkTestBase {
     val millisStable = norm.filter(
       date_trunc("millisecond", col("ts")) === col("ts")).count()
     // sub-milli variation is a property of the CURRENT generated fixture,
-    // not of the normalization contract — a legitimately millis-aligned
-    // regeneration must not read as jar drift, so skip rather than fail
-    if (millisStable == n)
-      cancel("events fixture is millis-aligned on this generation — " +
-        "sub-milli precision check not exercisable (not a drift signal)")
+    // not of the normalization contract — but "normalized output is
+    // millis-aligned" has two causes with opposite meanings. Distinguish
+    // them against the RAW fixture (ADVICE r9): if the raw data carries
+    // sub-milli variation that the normalized output lost, that IS the
+    // upstream-truncation drift this test exists to catch — hard fail;
+    // only a fixture that is millis-aligned at the SOURCE may skip.
+    if (millisStable == n) {
+      val raw = spark.read.parquet(s"$Sf/events.parquet")
+      val rawSubMilli = raw.schema("ts").dataType match {
+        case LongType => // nanos since epoch: remainder inside the milli
+          raw.filter(col("ts") % 1000000L =!= 0L).count()
+        case _ =>
+          raw.filter(
+            date_trunc("millisecond", col("ts")) =!= col("ts")).count()
+      }
+      assert(rawSubMilli == 0L,
+        s"normalization LOST sub-millisecond precision: $rawSubMilli raw " +
+          "rows carry sub-milli variation but the normalized output is " +
+          "millis-aligned — the truncation drift this test guards against")
+      cancel("events fixture is millis-aligned at the source on this " +
+        "generation — sub-milli precision check not exercisable " +
+        "(verified against the raw data, not assumed)")
+    }
   }
 
   test("streaming normalization equals batch normalization value-for-value") {
