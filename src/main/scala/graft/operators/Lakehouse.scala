@@ -307,6 +307,47 @@ object Lakehouse {
     spark.table(t).orderBy("o_orderkey")
   }
 
+  /** The MERGE-ON-READ twin of [[mergeIntoSql]] (the read-side complement
+    * of file-group copy-on-write, VERDICT r9's blessed extension): the
+    * same MERGE statement against a table created with
+    * `graft.mode = merge-on-read`, planned through Spark's DELTA-based
+    * row-level rewrite (`SupportsDelta` → WriteDelta) instead of
+    * ReplaceData. Matched rows become DELETION-VECTOR entries keyed by
+    * (_file, _pos) — Iceberg's position-delete shape — and updated/new
+    * rows land in new files; NO committed file is rewritten, trading the
+    * CoW path's write amplification for a DV filter at read time. Shares
+    * the [[mergeIntoSqlOracle]] contract: both rewrites must produce the
+    * identical relation. LakehouseSpec pins the no-rewrite property
+    * (every pre-merge file id survives) the oracle can't see. */
+  def mergeOnReadSql(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.orders_mor"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t " +
+      "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE) " +
+      "TBLPROPERTIES ('graft.mode' = 'merge-on-read')")
+    Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .filter(col("o_orderkey") % 3 =!= 0)
+      .writeTo(t).append()
+    Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .createOrReplaceTempView("graft_mor_batch")
+    spark.sql(
+      s"""MERGE INTO $t t USING graft_mor_batch b
+         |ON t.o_orderkey = b.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET
+         |  o_orderstatus = b.o_orderstatus, o_totalprice = b.o_totalprice
+         |WHEN NOT MATCHED THEN INSERT
+         |  (o_orderkey, o_orderstatus, o_totalprice)
+         |  VALUES (b.o_orderkey, b.o_orderstatus, b.o_totalprice)
+         |""".stripMargin)
+    spark.table(t).orderBy("o_orderkey")
+  }
+
   /** Real `UPDATE` and `DELETE FROM` SQL against the same row-level
     * table: both statements rewrite to ReplaceData (no SupportsDelete
     * filter shortcut is implemented, deliberately — the row-level path is
@@ -485,6 +526,9 @@ object Lakehouse {
     Query("ref_update_delete_sql",
       "real UPDATE + DELETE FROM SQL through the row-level rewrite",
       updateDeleteSql, Some(updateDeleteSqlOracle)),
+    Query("ref_merge_on_read",
+      "MERGE via SupportsDelta deltas: deletion vectors, zero file rewrites",
+      mergeOnReadSql, Some(mergeIntoSqlOracle)),
     Query("join_spj_storage",
       "storage-partitioned join: co-partitioned DSv2 tables, zero exchanges",
       storagePartitionedJoin, Some(storagePartitionedJoinOracle)),

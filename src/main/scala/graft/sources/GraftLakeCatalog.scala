@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -90,7 +90,11 @@ class GraftLakeCatalog extends TableCatalog {
         s"unsupported partition transform ${t.describe()}")
       t.references()(0).fieldNames().mkString(".")
     }
-    val t = new GraftLakeTable(ident.toString, schema, partCols)
+    val mode = properties.getOrDefault("graft.mode", "copy-on-write")
+    require(mode == "copy-on-write" || mode == "merge-on-read",
+      s"unknown graft.mode '$mode'")
+    val t = new GraftLakeTable(ident.toString, schema, partCols,
+      mergeOnRead = mode == "merge-on-read")
     if (tables.putIfAbsent(ident, t) != null)
       throw new TableAlreadyExistsException(ident.toString)
     t
@@ -124,6 +128,19 @@ object GraftLakeCatalog {
 /** One immutable committed file (group): the unit of copy-on-write. */
 final case class GraftLakeFile(id: String, rows: Vector[InternalRow])
 
+/** A consistent view of committed state: the file list plus the
+  * deletion vectors (per-file sets of dead row positions — always empty
+  * for a copy-on-write table). */
+final case class GraftLakeSnapshot(files: Vector[GraftLakeFile],
+    dvs: Map[String, Set[Long]]) {
+  def liveRows(f: GraftLakeFile): Vector[InternalRow] =
+    dvs.get(f.id) match {
+      case None => f.rows
+      case Some(dead) => f.rows.zipWithIndex
+        .collect { case (r, i) if !dead.contains(i.toLong) => r }
+    }
+}
+
 /** In-memory batch table: plain scans, appends, truncation, and the
   * row-level operation hook. Rows live on the driver in immutable FILES;
   * readers ship a file snapshot into tasks, writers buffer per task and
@@ -131,12 +148,13 @@ final case class GraftLakeFile(id: String, rows: Vector[InternalRow])
   * in miniature — each task commit message becomes one new file, the way
   * a real task writes one parquet file). */
 class GraftLakeTable(tableName: String, tableSchema: StructType,
-    partCols: Seq[String] = Nil)
+    partCols: Seq[String] = Nil, mergeOnRead: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   // the committed table state; replaced atomically under this lock
   private var files: Vector[GraftLakeFile] = Vector.empty
+  private var dvs: Map[String, Set[Long]] = Map.empty
   private var fileSeq = 0
 
   private def mkFiles(
@@ -146,23 +164,48 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       GraftLakeFile(s"$tableName#f$fileSeq", rows)
     }
 
-  private[sources] def snapshotFiles: Vector[GraftLakeFile] =
-    synchronized(files)
+  private[sources] def snapshot: GraftLakeSnapshot =
+    synchronized(GraftLakeSnapshot(files, dvs))
   /** Current file ids, in commit order — the spec's carry-vs-rewrite probe. */
-  private[graft] def fileIds: Seq[String] = snapshotFiles.map(_.id)
-  private[graft] def snapshotRowCount: Int = snapshotFiles.map(_.rows.size).sum
+  private[graft] def fileIds: Seq[String] = snapshot.files.map(_.id)
+  /** Current deletion vectors — the spec's no-rewrite merge-on-read probe. */
+  private[graft] def deletionVectors: Map[String, Set[Long]] =
+    synchronized(dvs)
 
   private def appendFiles(batches: Vector[Vector[InternalRow]]): Unit =
     synchronized { files = files ++ mkFiles(batches) }
   private def truncateTo(batches: Vector[Vector[InternalRow]]): Unit =
-    synchronized { files = mkFiles(batches) }
-  /** The group-replacing commit: drop exactly `removed`, add the new
-    * files; everything else is carried by reference. */
+    synchronized { files = mkFiles(batches); dvs = Map.empty }
+  /** The group-replacing (copy-on-write) commit: drop exactly `removed`
+    * (and their deletion vectors), add the new files; everything else is
+    * carried by reference. */
   private def replaceGroups(removed: Set[String],
       batches: Vector[Vector[InternalRow]]): Unit =
     synchronized {
       files = files.filterNot(f => removed.contains(f.id)) ++ mkFiles(batches)
+      dvs = dvs.filterNot { case (id, _) => removed.contains(id) }
     }
+  /** The merge-on-read commit: NO file is rewritten — deletes land as
+    * deletion-vector positions, inserts as new files. */
+  private def applyDelta(deleted: Map[String, Set[Long]],
+      batches: Vector[Vector[InternalRow]]): Unit =
+    synchronized {
+      dvs = (dvs.keySet ++ deleted.keySet).map(id =>
+        id -> (dvs.getOrElse(id, Set.empty) ++
+          deleted.getOrElse(id, Set.empty))).toMap
+      files = files ++ mkFiles(batches)
+    }
+  /** Compact ONE file's deletion vector away: rewrite the file as its
+    * live rows (or drop it if fully dead) and clear the DV — the
+    * maintenance that amortizes merge-on-read's read debt, file-at-a-
+    * time, never table-at-a-time. A file without a DV is untouched. */
+  private[graft] def compactFile(fileId: String): Unit = synchronized {
+    if (dvs.contains(fileId)) files.find(_.id == fileId).foreach { f =>
+      val live = GraftLakeSnapshot(files, dvs).liveRows(f)
+      files = files.filterNot(_.id == fileId) ++ mkFiles(Vector(live))
+      dvs -= fileId
+    }
+  }
 
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
@@ -174,14 +217,16 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
 
   // `_file`: which group a row lives in — the handle both the runtime
   // group filter and the spec's carry/rewrite assertions key on.
+  // `_pos`: the row's position within its file — with `_file` it forms
+  // the merge-on-read row id (exactly Iceberg's position-delete key).
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(GraftLakeTable.FileColumn)
+    Array(GraftLakeTable.FileColumn, GraftLakeTable.PosColumn)
 
   // ---- read path ----------------------------------------------------------
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftLakeScanBuilder(snapshotFiles, tableSchema, partCols, None)
+    new GraftLakeScanBuilder(snapshot, tableSchema, partCols, None)
 
   // ---- plain write path (append / truncate-overwrite) ---------------------
 
@@ -203,12 +248,40 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
 
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
-    () => new RowLevelOperation {
+    if (mergeOnRead) () => new SupportsDelta {
+      // merge-on-read: matched rows become DELETION-VECTOR entries keyed
+      // by (_file, _pos) and inserts/updated rows land in new files — no
+      // committed file is ever rewritten (the write-amplification
+      // complement of the CoW path below; reads pay the DV filter
+      // instead). Updates arrive as delete+insert pairs so the writer
+      // only needs the two primitives, exactly Iceberg's position-delta
+      // shape.
+      private val snap = snapshot
+
+      override def command(): RowLevelOperation.Command = info.command()
+      override def rowId(): Array[NamedReference] =
+        Array(Expressions.column(GraftLakeTable.FileCol),
+          Expressions.column(GraftLakeTable.PosCol))
+      override def representUpdateAsDeleteAndInsert(): Boolean = true
+      override def newScanBuilder(
+          options: CaseInsensitiveStringMap): ScanBuilder =
+        new GraftLakeScanBuilder(snap, tableSchema, partCols, None)
+      override def newWriteBuilder(
+          info: LogicalWriteInfo): DeltaWriteBuilder =
+        new DeltaWriteBuilder {
+          override def build(): DeltaWrite = new DeltaWrite {
+            override def toBatch: DeltaBatchWrite =
+              new GraftLakeDeltaBatchWrite(applyDelta,
+                tableSchema.fields.map(_.dataType))
+          }
+        }
+    }
+    else () => new RowLevelOperation {
       // one consistent snapshot shared by the operation's scan and its
       // ReplaceData commit; starts as "every group" and is narrowed by
       // the runtime group filter
-      private val snap = snapshotFiles
-      private val state = new GroupScanState(snap.map(_.id).toSet)
+      private val snap = snapshot
+      private val state = new GroupScanState(snap.files.map(_.id).toSet)
 
       override def command(): RowLevelOperation.Command = info.command()
       // `_file` must ride through the rewritten plan: it is both the
@@ -241,11 +314,18 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
 
 object GraftLakeTable {
   private[sources] val FileCol = "_file"
+  private[sources] val PosCol = "_pos"
   private[sources] object FileColumn extends MetadataColumn {
     override def name(): String = FileCol
     override def dataType(): DataType = StringType
     override def isNullable: Boolean = false
     override def comment(): String = "id of the file group holding the row"
+  }
+  private[sources] object PosColumn extends MetadataColumn {
+    override def name(): String = PosCol
+    override def dataType(): DataType = LongType
+    override def isNullable: Boolean = false
+    override def comment(): String = "row position within its file group"
   }
 }
 
@@ -258,7 +338,7 @@ final class GroupScanState(allIds: Set[String]) {
 /** Column-pruning scan builder over a file snapshot. The pruned schema
   * may include the `_file` metadata column; readers synthesize it from
   * the file id. */
-class GraftLakeScanBuilder(files: Vector[GraftLakeFile],
+class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
     fullSchema: StructType, partCols: Seq[String],
     rowLevel: Option[GroupScanState])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
@@ -266,7 +346,7 @@ class GraftLakeScanBuilder(files: Vector[GraftLakeFile],
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
-    new GraftLakeScan(files, fullSchema, required, partCols, rowLevel)
+    new GraftLakeScan(snapshot, fullSchema, required, partCols, rowLevel)
 }
 
 /** Scan over a committed file snapshot.
@@ -286,13 +366,13 @@ class GraftLakeScanBuilder(files: Vector[GraftLakeFile],
   * `IN (_file, ...)` built from the matching-rows subquery, the scan
   * narrows its file set, and records the surviving group ids so the
   * ReplaceData commit replaces exactly those. */
-class GraftLakeScan(allFiles: Vector[GraftLakeFile], fullSchema: StructType,
+class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
     requiredSchema: StructType, partCols: Seq[String],
     rowLevel: Option[GroupScanState])
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeV2Filtering {
 
-  @volatile private var active: Vector[GraftLakeFile] = allFiles
+  @volatile private var active: Vector[GraftLakeFile] = snapshot.files
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
@@ -339,7 +419,7 @@ class GraftLakeScan(allFiles: Vector[GraftLakeFile], fullSchema: StructType,
   private lazy val keyed: Array[(InternalRow, Vector[InternalRow])] = {
     val idx = partCols.map(fullSchema.fieldIndex)
     val types = idx.map(fullSchema.fields(_).dataType)
-    active.flatMap(_.rows)
+    active.flatMap(snapshot.liveRows)
       .groupBy(r => idx.zip(types).map { case (i, t) => r.get(i, t) })
       .toArray
       // deterministic partition order; Spark re-sorts by grouped key
@@ -357,10 +437,12 @@ class GraftLakeScan(allFiles: Vector[GraftLakeFile], fullSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] =
     if (partCols.isEmpty)
-      active.map(f => GraftLakeFilePartition(f.id, f.rows)).toArray
+      active.map(f => GraftLakeFilePartition(f.id, f.rows,
+        snapshot.dvs.getOrElse(f.id, Set.empty))).toArray
     else {
-      require(!requiredSchema.fieldNames.contains(GraftLakeTable.FileCol),
-        "_file metadata is not supported on key-partitioned scans " +
+      require(Seq(GraftLakeTable.FileCol, GraftLakeTable.PosCol)
+          .forall(!requiredSchema.fieldNames.contains(_)),
+        "_file/_pos metadata is not supported on key-partitioned scans " +
           "(partitions interleave files)")
       keyed.map { case (k, rs) => GraftLakeKeyedPartition(rs, k) }
     }
@@ -370,7 +452,8 @@ class GraftLakeScan(allFiles: Vector[GraftLakeFile], fullSchema: StructType,
 }
 
 final case class GraftLakeFilePartition(
-    fileId: String, rows: Vector[InternalRow]) extends InputPartition
+    fileId: String, rows: Vector[InternalRow],
+    deleted: Set[Long] = Set.empty) extends InputPartition
 
 final case class GraftLakeKeyedPartition(
     rows: Vector[InternalRow], key: InternalRow)
@@ -385,32 +468,42 @@ class GraftLakeReaderFactory(fullSchema: StructType,
 
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
-    val (fileId, rows) = p match {
-      case GraftLakeFilePartition(id, rs) => (id, rs)
-      case GraftLakeKeyedPartition(rs, _) => ("", rs)
+    val (fileId, rows, deleted) = p match {
+      case GraftLakeFilePartition(id, rs, dv) => (id, rs, dv)
+      case GraftLakeKeyedPartition(rs, _) =>
+        ("", rs, Set.empty[Long]) // keyed rows are pre-DV-filtered
     }
-    val it = rows.iterator
-    val identity = requiredSchema == fullSchema
+    val identity = requiredSchema == fullSchema && deleted.isEmpty
     // per-field extractors: data columns by position in the stored row,
-    // `_file` synthesized from the file id
+    // `_file`/`_pos` synthesized from the partition's file id and the
+    // row's original position (positions survive DV filtering — that is
+    // what makes a position-delete key stable)
     val fileUtf8 = UTF8String.fromString(fileId)
-    val extract: Array[InternalRow => Any] = requiredSchema.fields.map { f =>
-      if (f.name == GraftLakeTable.FileCol) (_: InternalRow) => fileUtf8
-      else {
-        val i = fullSchema.fieldIndex(f.name)
-        val dt = fullSchema.fields(i).dataType
-        (r: InternalRow) => r.get(i, dt)
+    val extract: Array[(InternalRow, Long) => Any] =
+      requiredSchema.fields.map { f =>
+        if (f.name == GraftLakeTable.FileCol)
+          (_: InternalRow, _: Long) => fileUtf8
+        else if (f.name == GraftLakeTable.PosCol)
+          (_: InternalRow, pos: Long) => pos
+        else {
+          val i = fullSchema.fieldIndex(f.name)
+          val dt = fullSchema.fields(i).dataType
+          (r: InternalRow, _: Long) => r.get(i, dt)
+        }
       }
-    }
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
-      override def next(): Boolean =
-        if (it.hasNext) {
-          val r = it.next()
+      private var pos = -1L
+      override def next(): Boolean = {
+        pos += 1
+        while (pos < rows.length && deleted.contains(pos)) pos += 1
+        if (pos < rows.length) {
+          val r = rows(pos.toInt)
           cur = if (identity) r
-          else new GenericInternalRow(extract.map(_(r)): Array[Any])
+          else new GenericInternalRow(extract.map(_(r, pos)): Array[Any])
           true
         } else false
+      }
       override def get(): InternalRow = cur
       override def close(): Unit = ()
     }
@@ -468,3 +561,55 @@ class GraftLakeWriterFactory(rowLevel: Option[Array[DataType]])
 
 final case class GraftLakeCommit(rows: Vector[InternalRow])
     extends WriterCommitMessage
+
+/** Merge-on-read batch write: tasks report (file, pos) deletes and
+  * inserted rows; the commit merges the deletes into the table's
+  * deletion vectors and appends the inserts as new files. */
+class GraftLakeDeltaBatchWrite(
+    apply: (Map[String, Set[Long]], Vector[Vector[InternalRow]]) => Unit,
+    types: Array[DataType]) extends DeltaBatchWrite {
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DeltaWriterFactory =
+    new GraftLakeDeltaWriterFactory(types)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val ms = messages.toVector.map(_.asInstanceOf[GraftLakeDeltaCommit])
+    val deleted = ms.flatMap(_.deleted)
+      .groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2).toSet }
+    apply(deleted, ms.map(_.inserted))
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class GraftLakeDeltaWriterFactory(types: Array[DataType])
+    extends DeltaWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      private val dels = Vector.newBuilder[(String, Long)]
+      private val ins = Vector.newBuilder[InternalRow]
+      // `id` is the rowId projection in declared order: (_file, _pos)
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        dels += ((id.getUTF8String(0).toString, id.getLong(1)))
+      override def update(meta: InternalRow, id: InternalRow,
+          row: InternalRow): Unit =
+        // representUpdateAsDeleteAndInsert = true: Spark decomposes
+        // updates before the writer ever sees them
+        throw new IllegalStateException(
+          "updates must arrive as delete+insert")
+      override def insert(row: InternalRow): Unit = {
+        require(row.numFields == types.length,
+          s"insert row has ${row.numFields} fields, expected " +
+            s"${types.length} data columns")
+        val r = row.copy()
+        ins += new GenericInternalRow(
+          Array.tabulate[Any](types.length)(i => r.get(i, types(i))))
+      }
+      override def commit(): WriterCommitMessage =
+        GraftLakeDeltaCommit(dels.result(), ins.result())
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+}
+
+final case class GraftLakeDeltaCommit(deleted: Vector[(String, Long)],
+    inserted: Vector[InternalRow]) extends WriterCommitMessage

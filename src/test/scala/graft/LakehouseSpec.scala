@@ -127,6 +127,71 @@ class LakehouseSpec extends SparkTestBase {
         ++ Seq((1000L, "I"), (1001L, "I"))))
   }
 
+  test("merge-on-read: MERGE/DELETE write deletion vectors, rewrite zero files") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_mor"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.mode' = 'merge-on-read')")
+    for (b <- 0 until 3)
+      spark.range(b * 100L, (b + 1) * 100L)
+        .selectExpr("id AS k", s"'f$b' AS s")
+        .coalesce(1).writeTo(t).append()
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_mor").get
+    val before = table.fileIds
+    assert(before.size == 3)
+    spark.createDataFrame(Seq((10L, "U"), (150L, "U"), (1000L, "I")))
+      .toDF("k", "s").createOrReplaceTempView("spec_mor_src")
+    spark.sql(
+      s"""MERGE INTO $t t USING spec_mor_src b ON t.k = b.k
+         |WHEN MATCHED THEN UPDATE SET s = b.s
+         |WHEN NOT MATCHED THEN INSERT (k, s) VALUES (b.k, b.s)
+         |""".stripMargin)
+    val after = table.fileIds
+    assert(before.forall(after.contains),
+      s"merge-on-read must rewrite NO file: $before -> $after")
+    // matched rows became position deletes on their original files
+    // (appends are coalesce(1) ordered ranges, so k == position)
+    val dvs = table.deletionVectors
+    assert(dvs.get(before(0)).contains(Set(10L)), s"dv on file 0: $dvs")
+    assert(dvs.get(before(1)).contains(Set(50L)),
+      s"dv on file 1 at k=150 -> pos 50: $dvs")
+    // updated rows were re-inserted into new files, insert landed too
+    assert(spark.table(t).count() == 301)
+    assert(spark.table(t).where("s = 'U'").count() == 2)
+    assert(spark.table(t).where("k = 1000").select("s").head().getString(0)
+      == "I")
+    // DELETE: one more DV entry, still zero rewrites
+    val mid = table.fileIds
+    spark.sql(s"DELETE FROM $t WHERE k = 250")
+    assert(mid.forall(table.fileIds.contains), "DELETE rewrites no file")
+    assert(table.deletionVectors.get(before(2)).contains(Set(50L)),
+      s"dv on file 2 at k=250 -> pos 50: ${table.deletionVectors}")
+    assert(spark.table(t).count() == 300)
+    assert(spark.table(t).where("k = 250").count() == 0)
+    // compaction amortizes the read debt: rewrite exactly that one file
+    // as its live rows, DV cleared, data unchanged; other files untouched
+    val preCompact = table.fileIds
+    table.compactFile(before(2))
+    assert(!table.fileIds.contains(before(2)) &&
+      (table.fileIds.toSet -- preCompact.toSet).size == 1,
+      "compaction rewrites the one DV'd file")
+    assert(!table.deletionVectors.contains(before(2)), "DV cleared")
+    assert(preCompact.filterNot(_ == before(2))
+      .forall(table.fileIds.contains), "all other files carried")
+    assert(spark.table(t).count() == 300)
+    assert(spark.table(t).where("k = 251").count() == 1)
+    assert(spark.table(t).where("k = 250").count() == 0)
+  }
+
+  test("merge-on-read MERGE equals the copy-on-write merge, row for row") {
+    assert(run("ref_merge_on_read").collect().toSeq ==
+      run("ref_upsert_merge").collect().toSeq,
+      "the delta-based rewrite must reproduce the declarative merge")
+  }
+
   test("DELETE drops matched groups' rows without rewriting the rest") {
     spark.conf.set("spark.sql.catalog.graftlake",
       classOf[graft.sources.GraftLakeCatalog].getName)
