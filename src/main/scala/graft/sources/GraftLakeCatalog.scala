@@ -424,7 +424,7 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
       .toArray
       // deterministic partition order; Spark re-sorts by grouped key
       // values when aligning the two sides of an SPJ
-      .sortBy(_._1.map(String.valueOf).mkString(" "))
+      .sortBy(_._1.map(String.valueOf).mkString("\u0000"))
       .map { case (k, rs) => (new GenericInternalRow(k.toArray), rs) }
   }
 
