@@ -178,18 +178,35 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     synchronized { files = mkFiles(batches); dvs = Map.empty }
   /** The group-replacing (copy-on-write) commit: drop exactly `removed`
     * (and their deletion vectors), add the new files; everything else is
-    * carried by reference. */
+    * carried by reference. Optimistic-concurrency validation first: if a
+    * group this operation scanned no longer exists, a concurrent commit
+    * replaced it and blindly proceeding would RESURRECT the stale rows
+    * this write re-derives from its snapshot — the classic lost update.
+    * Abort loudly instead (Iceberg's validateDataFilesExist contract). */
   private def replaceGroups(removed: Set[String],
       batches: Vector[Vector[InternalRow]]): Unit =
     synchronized {
+      val gone = removed -- files.map(_.id).toSet
+      if (gone.nonEmpty) throw new IllegalStateException(
+        s"write conflict on $tableName: scanned group(s) ${gone.mkString(", ")} " +
+          "were replaced by a concurrent commit after this operation's " +
+          "snapshot — retry the statement against the current state")
       files = files.filterNot(f => removed.contains(f.id)) ++ mkFiles(batches)
       dvs = dvs.filterNot { case (id, _) => removed.contains(id) }
     }
   /** The merge-on-read commit: NO file is rewritten — deletes land as
-    * deletion-vector positions, inserts as new files. */
+    * deletion-vector positions, inserts as new files. Same conflict
+    * validation as the CoW commit: a position delete against a file a
+    * concurrent commit replaced (e.g. compaction) would target rows that
+    * no longer exist at those positions. */
   private def applyDelta(deleted: Map[String, Set[Long]],
       batches: Vector[Vector[InternalRow]]): Unit =
     synchronized {
+      val gone = deleted.keySet -- files.map(_.id).toSet
+      if (gone.nonEmpty) throw new IllegalStateException(
+        s"write conflict on $tableName: delete target file(s) " +
+          s"${gone.mkString(", ")} were replaced by a concurrent commit " +
+          "after this operation's snapshot — retry the statement")
       dvs = (dvs.keySet ++ deleted.keySet).map(id =>
         id -> (dvs.getOrElse(id, Set.empty) ++
           deleted.getOrElse(id, Set.empty))).toMap

@@ -186,6 +186,72 @@ class LakehouseSpec extends SparkTestBase {
     assert(spark.table(t).where("k = 250").count() == 0)
   }
 
+  test("a stale row-level commit aborts instead of resurrecting replaced groups") {
+    import org.apache.spark.sql.connector.write._
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val opInfo = new RowLevelOperationInfo {
+      override def options(): CaseInsensitiveStringMap =
+        CaseInsensitiveStringMap.empty()
+      override def command(): RowLevelOperation.Command =
+        RowLevelOperation.Command.UPDATE
+    }
+    def writeInfo(tableSchema: org.apache.spark.sql.types.StructType) =
+      new LogicalWriteInfo {
+        override def options(): CaseInsensitiveStringMap =
+          CaseInsensitiveStringMap.empty()
+        override def queryId(): String = "spec-stale"
+        override def schema(): org.apache.spark.sql.types.StructType =
+          tableSchema
+      }
+
+    // copy-on-write: operation A snapshots, a concurrent UPDATE replaces
+    // a group A scanned, A's ReplaceData commit must abort — proceeding
+    // would resurrect the pre-UPDATE rows A derived from its snapshot
+    val t = "graftlake.spec_conflict"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING)")
+    for (b <- 0 until 2)
+      spark.range(b * 10L, (b + 1) * 10L).selectExpr("id AS k", "'a' AS s")
+        .coalesce(1).writeTo(t).append()
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_conflict").get
+    val opA = table.newRowLevelOperationBuilder(opInfo).build()
+    spark.sql(s"UPDATE $t SET s = 'B' WHERE k = 3") // replaces group 1
+    val staleWrite = opA.newWriteBuilder(writeInfo(spark.table(t).schema))
+      .build().toBatch
+    val ex = intercept[IllegalStateException] {
+      staleWrite.commit(Array(graft.sources.GraftLakeCommit(Vector.empty)))
+    }
+    assert(ex.getMessage.contains("write conflict"))
+    assert(spark.table(t).where("s = 'B'").count() == 1,
+      "the committed concurrent update survives the aborted stale commit")
+
+    // merge-on-read: a position delete against a file that compaction
+    // replaced after the operation's snapshot must abort the same way
+    val tm = "graftlake.spec_conflict_mor"
+    spark.sql(s"DROP TABLE IF EXISTS $tm")
+    spark.sql(s"CREATE TABLE $tm (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.mode' = 'merge-on-read')")
+    spark.range(0L, 10L).selectExpr("id AS k", "'a' AS s")
+      .coalesce(1).writeTo(tm).append()
+    val tableM = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_conflict_mor").get
+    spark.sql(s"DELETE FROM $tm WHERE k = 5") // DV makes f1 compactable
+    val f1 = tableM.fileIds.head
+    val opM = tableM.newRowLevelOperationBuilder(opInfo).build()
+    tableM.compactFile(f1) // concurrent maintenance replaces f1
+    val staleDelta = opM.newWriteBuilder(writeInfo(spark.table(tm).schema))
+      .build().toBatch
+    val exM = intercept[IllegalStateException] {
+      staleDelta.commit(Array(graft.sources.GraftLakeDeltaCommit(
+        Vector((f1, 1L)), Vector.empty)))
+    }
+    assert(exM.getMessage.contains("write conflict"))
+    assert(spark.table(tm).count() == 9, "compacted state intact")
+  }
+
   test("merge-on-read MERGE equals the copy-on-write merge, row for row") {
     assert(run("ref_merge_on_read").collect().toSeq ==
       run("ref_upsert_merge").collect().toSeq,
