@@ -186,6 +186,34 @@ class LakehouseSpec extends SparkTestBase {
     assert(spark.table(t).where("k = 250").count() == 0)
   }
 
+  test("merge-on-read: a fully-dead file reads empty and compacts away") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_mor_dead"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.mode' = 'merge-on-read')")
+    for (b <- 0 until 2)
+      spark.range(b * 10L, (b + 1) * 10L).selectExpr("id AS k", "'a' AS s")
+        .coalesce(1).writeTo(t).append()
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_mor_dead").get
+    val before = table.fileIds
+    spark.sql(s"DELETE FROM $t WHERE k < 10") // every row of file 0
+    assert(before.forall(table.fileIds.contains), "DELETE rewrites no file")
+    assert(table.deletionVectors(before(0)).size == 10, "full-file DV")
+    assert(spark.table(t).count() == 10, "dead file reads as empty")
+    assert(spark.table(t).where("k < 10").count() == 0)
+    // compacting a fully-dead file drops it outright — zero live rows
+    // means no replacement file, the DV-debt fully reclaimed
+    table.compactFile(before(0))
+    assert(!table.fileIds.contains(before(0)) &&
+      table.fileIds == Seq(before(1)),
+      s"fully-dead file vanishes without a successor: ${table.fileIds}")
+    assert(table.deletionVectors.isEmpty)
+    assert(spark.table(t).count() == 10)
+  }
+
   test("a stale row-level commit aborts instead of resurrecting replaced groups") {
     import org.apache.spark.sql.connector.write._
     import org.apache.spark.sql.util.CaseInsensitiveStringMap

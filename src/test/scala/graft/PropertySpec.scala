@@ -211,4 +211,45 @@ object PropertySpec extends Properties("graft.kernels") {
       }
       buf.size <= k
     }
+
+  // ---- merge-on-read deletion-vector kernels (no session needed) ---------
+
+  private val rowsAndDeletes: Gen[(Int, Set[Int])] = for {
+    n <- Gen.choose(0, 24)
+    d <- Gen.someOf(0 until n)
+  } yield (n, d.toSet)
+
+  private def lakeRows(n: Int) = Vector.tabulate(n)(i =>
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](i.toLong))
+      : org.apache.spark.sql.catalyst.InternalRow)
+
+  property("DV filter keeps exactly the non-deleted rows, in order") =
+    Prop.forAll(rowsAndDeletes) { case (n, dead) =>
+      import graft.sources.{GraftLakeFile, GraftLakeSnapshot}
+      val rows = lakeRows(n)
+      val f = GraftLakeFile("f", rows)
+      val live = GraftLakeSnapshot(Vector(f),
+        Map("f" -> dead.map(_.toLong))).liveRows(f)
+      live == (0 until n).filterNot(dead).map(rows)
+    }
+
+  property("DV reader skips deleted positions and _pos stays original") =
+    Prop.forAll(rowsAndDeletes) { case (n, dead) =>
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      import graft.sources.{GraftLakeFilePartition, GraftLakeReaderFactory}
+      val full = StructType(Seq(StructField("k", LongType)))
+      val req = StructType(
+        Seq(StructField("k", LongType), StructField("_pos", LongType)))
+      val reader = new GraftLakeReaderFactory(full, req)
+        .createReader(
+          GraftLakeFilePartition("f", lakeRows(n), dead.map(_.toLong)))
+      val got = List.newBuilder[(Long, Long)]
+      while (reader.next()) {
+        val r = reader.get()
+        got += ((r.getLong(0), r.getLong(1)))
+      }
+      got.result() ==
+        (0 until n).filterNot(dead).map(i => (i.toLong, i.toLong)).toList
+    }
 }
