@@ -15,6 +15,9 @@ import math
 import sys
 
 import duckdb
+# top-level so a missing dependency fails fast at startup, not only on
+# outputs that happen to carry nested int/double columns (ADVICE r10)
+import numpy as np
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -97,7 +100,6 @@ def main(sf_dir, out_dir):
     def max_abs_int(v):
         # recursive max |int| over scalars and nested lists/arrays/structs,
         # so BIGINT[] and STRUCT(.. BIGINT) columns are value-checked too
-        import numpy as np
         if v is None:
             return 0
         if isinstance(v, (bool, float, np.floating)):
@@ -113,8 +115,6 @@ def main(sf_dir, out_dir):
     def has_nonfinite(v):
         # recursive NaN/Inf detector for DOUBLEs nested in STRUCT/LIST —
         # the shapes the SQL isnan/isinf aggregate below can't reach
-        import math
-        import numpy as np
         if v is None:
             return False
         if isinstance(v, (float, np.floating)):
@@ -162,11 +162,20 @@ def main(sf_dir, out_dir):
             # dicts for nested) — fetchdf would convert a NULLABLE int64
             # column to float64 and corrupt >2^53 values BEFORE the check
             # sees them, silently neutralizing the gate
+            # chunked cursor iteration (ADVICE r10): bounded memory at any
+            # scale factor instead of materializing every row at once
             sel = ", ".join(f'"{c}"' for c in int_cols)
-            rows = con.execute(
-                f"SELECT {sel} FROM '{p}/*.parquet'").fetchall()
-            for i, col in enumerate(int_cols):
-                mx = max((max_abs_int(r[i]) for r in rows), default=0)
+            cur = con.execute(f"SELECT {sel} FROM '{p}/*.parquet'")
+            mxs = [0] * len(int_cols)
+            while True:
+                chunk = cur.fetchmany(10_000)
+                if not chunk:
+                    break
+                for i in range(len(int_cols)):
+                    mxs[i] = max(mxs[i],
+                                 max((max_abs_int(r[i]) for r in chunk),
+                                     default=0))
+            for col, mx in zip(int_cols, mxs):
                 if mx > 2 ** 53:
                     print(f"HAZARD {name}.{col}: integer value {mx} exceeds "
                           f"float64-exact range (2^53)")
@@ -197,11 +206,21 @@ def main(sf_dir, out_dir):
         if nested_dbl_cols:
             # fetchall keeps NULL as None and nested values as dicts/lists,
             # so NaN/Inf inside STRUCT/LIST nesting is actually visible
+            # chunked cursor iteration (ADVICE r10): bounded memory at any
+            # scale factor or struct width; early exit once every column
+            # is already flagged
             sel = ", ".join(f'"{c}"' for c in nested_dbl_cols)
-            rows = con.execute(
-                f"SELECT {sel} FROM '{p}/*.parquet'").fetchall()
-            for i, col in enumerate(nested_dbl_cols):
-                if any(has_nonfinite(r[i]) for r in rows):
+            cur = con.execute(f"SELECT {sel} FROM '{p}/*.parquet'")
+            flagged = [False] * len(nested_dbl_cols)
+            while not all(flagged):
+                chunk = cur.fetchmany(10_000)
+                if not chunk:
+                    break
+                for i in range(len(nested_dbl_cols)):
+                    if not flagged[i]:
+                        flagged[i] = any(has_nonfinite(r[i]) for r in chunk)
+            for col, bad in zip(nested_dbl_cols, flagged):
+                if bad:
                     print(f"HAZARD {name}.{col}: NaN/Inf inside nested "
                           f"DOUBLE (emit NULL for undefined results — "
                           f"canonicalization-unsafe)")

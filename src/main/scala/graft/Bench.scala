@@ -1,4 +1,5 @@
 package graft
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,14 +40,46 @@ object Bench {
     // prevent) — its elapsed time still counts toward the total, but the
     // name lands in an "errors" list any consumer can see
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // PER-BATCH STREAMING TRACE (VERDICT r10): the driver's r10 run
+    // recorded stream_windowed_rollup at 35.8 s against a 4.2 s history
+    // with the code unchanged, and nothing in the bench output could say
+    // WHICH micro-batch stalled. A listener records every streaming
+    // micro-batch's trigger duration keyed by the bench query running at
+    // the time; the full trace lands in bench.trace.json and any query
+    // whose wall time crosses the anomaly threshold gets a compact
+    // stdout marker line — so a recurrence arrives self-diagnosed
+    // (stalled batch id + duration) instead of as a bare total.
+    val currentQuery = new java.util.concurrent.atomic.AtomicReference("")
+    val traces = new java.util.concurrent.ConcurrentHashMap[
+      String, scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]]()
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit = {
+          val p = e.progress
+          val ms = Option(p.durationMs.get("triggerExecution"))
+            .map(_.longValue).getOrElse(-1L)
+          val buf = traces.computeIfAbsent(currentQuery.get,
+            _ => scala.collection.mutable.ArrayBuffer.empty)
+          buf.synchronized {
+            if (buf.length < 500) buf += ((p.batchId, ms, p.numInputRows))
+          }
+        }
+      })
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .map { case (name, fn) =>
+      currentQuery.set(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
+          // whitelist printable ASCII (ADVICE r10: \b, \f, \u0000 etc.
+          // would still break the JSON line), then drop the two printable
+          // chars that are JSON-structural in a quoted string
           failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\n\r\t]", " ").take(120)
+            .replaceAll("[^\\x20-\\x7e]|[\"\\\\]", " ").take(120)
       }
       // queries may cache small intermediates (signature tables etc.);
       // drop them so later queries aren't measured under memory pressure
@@ -78,6 +111,33 @@ object Bench {
     val marker =
       if (only.isDefined) "GRAFT_BENCH_JSON_PARTIAL" else "GRAFT_BENCH_JSON"
     println(s"$marker $json")
+    // full per-batch streaming trace to a file; compact stdout marker for
+    // queries whose wall time crossed the anomaly threshold (12 s: the
+    // heaviest healthy streaming query reads ~7 s at sf0.1) — printed
+    // HERE, before the final compact line, so the driver's ~2.9 KB stdout
+    // tail still ends with the canonical summary
+    val timeByName = results.toMap
+    val traceJson = traces.asScala.toSeq.sortBy(_._1).map { case (n, buf) =>
+      val bs = buf.synchronized(buf.toVector)
+      val batches = bs.map { case (id, ms, rows) =>
+        s"[$id,$ms,$rows]" }.mkString("[", ",", "]")
+      "\"" + n + "\":{\"wall_sec\":" +
+        sec3(timeByName.getOrElse(n, -1.0)) +
+        ",\"batches_id_ms_rows\":" + batches + "}"
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench.trace.json"), traceJson + "\n")
+    val anomalies = traces.asScala.toSeq
+      .filter { case (n, _) => timeByName.getOrElse(n, 0.0) > 12.0 }
+      .sortBy { case (n, _) => -timeByName(n) }.take(2)
+    anomalies.foreach { case (n, buf) =>
+      val bs = buf.synchronized(buf.toVector)
+      val top = bs.sortBy(-_._2).take(6)
+        .map { case (id, ms, rows) => s"\"b$id\":[$ms,$rows]" }
+        .mkString("{", ",", "}")
+      println(s"""GRAFT_BENCH_TRACE {"query":"$n","wall_sec":${
+        sec3(timeByName(n))},"n_batches":${bs.length},"slowest_ms_rows":$top}""")
+    }
     // a filtered dev run must not clobber the last FULL run's bench.json —
     // without an explicit output override it lands in its own default file
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",

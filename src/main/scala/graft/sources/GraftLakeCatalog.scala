@@ -76,8 +76,19 @@ class GraftLakeCatalog extends TableCatalog {
       .toArray
 
   override def loadTable(ident: Identifier): Table =
-    Option(tables.get(ident))
-      .getOrElse(throw new NoSuchTableException(ident))
+    Option(tables.get(ident)).getOrElse {
+      // Iceberg-style metadata table: `<catalog>.<table>.changes` is the
+      // parent's CHANGE FEED as a first-class read-only table — batch
+      // (full or `graft.changes.*`-ranged history replay) and streaming
+      // (micro-batch source with commit-version offsets). A real table
+      // registered at the exact identifier always wins.
+      val ns = ident.namespace()
+      if (ident.name() == "changes" && ns.nonEmpty)
+        Option(tables.get(Identifier.of(ns.init, ns.last)))
+          .map(new GraftLakeChangesTable(_))
+          .getOrElse(throw new NoSuchTableException(ident))
+      else throw new NoSuchTableException(ident)
+    }
 
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
@@ -156,6 +167,32 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
   private var files: Vector[GraftLakeFile] = Vector.empty
   private var dvs: Map[String, Set[Long]] = Map.empty
   private var fileSeq = 0
+  // COMMIT HISTORY: snapshot after every commit, version = index. The
+  // `dataChange` flag mirrors Delta's: maintenance commits (DV
+  // compaction) reorganize bytes without changing the relation, and the
+  // change feed must skip them or every OPTIMIZE would replay the whole
+  // file as spurious delete+insert churn downstream.
+  private var history: Vector[(GraftLakeSnapshot, Boolean)] =
+    Vector((GraftLakeSnapshot(Vector.empty, Map.empty), true))
+  private def recordCommit(dataChange: Boolean): Unit =
+    history = history :+ (GraftLakeSnapshot(files, dvs), dataChange)
+
+  /** Latest committed version (0 = the empty table at creation). */
+  private[graft] def currentVersion: Int = synchronized(history.length - 1)
+  private[sources] def snapshotAt(v: Int): GraftLakeSnapshot =
+    synchronized {
+      require(v >= 0 && v < history.length,
+        s"version $v out of range [0, ${history.length - 1}] for $tableName")
+      history(v)._1
+    }
+  private[sources] def historySlice(
+      from: Int, to: Int): Vector[(GraftLakeSnapshot, Boolean)] =
+    synchronized {
+      require(from >= 0 && to < history.length && from <= to,
+        s"change range [$from, $to] out of bounds " +
+          s"[0, ${history.length - 1}] for $tableName")
+      history.slice(from, to + 1)
+    }
 
   private def mkFiles(
       batches: Vector[Vector[InternalRow]]): Vector[GraftLakeFile] =
@@ -173,9 +210,11 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     synchronized(dvs)
 
   private def appendFiles(batches: Vector[Vector[InternalRow]]): Unit =
-    synchronized { files = files ++ mkFiles(batches) }
+    synchronized { files = files ++ mkFiles(batches); recordCommit(true) }
   private def truncateTo(batches: Vector[Vector[InternalRow]]): Unit =
-    synchronized { files = mkFiles(batches); dvs = Map.empty }
+    synchronized {
+      files = mkFiles(batches); dvs = Map.empty; recordCommit(true)
+    }
   /** The group-replacing (copy-on-write) commit: drop exactly `removed`
     * (and their deletion vectors), add the new files; everything else is
     * carried by reference. Optimistic-concurrency validation first: if a
@@ -193,6 +232,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           "snapshot — retry the statement against the current state")
       files = files.filterNot(f => removed.contains(f.id)) ++ mkFiles(batches)
       dvs = dvs.filterNot { case (id, _) => removed.contains(id) }
+      recordCommit(true)
     }
   /** The merge-on-read commit: NO file is rewritten — deletes land as
     * deletion-vector positions, inserts as new files. Same conflict
@@ -211,6 +251,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
         id -> (dvs.getOrElse(id, Set.empty) ++
           deleted.getOrElse(id, Set.empty))).toMap
       files = files ++ mkFiles(batches)
+      recordCommit(true)
     }
   /** Compact ONE file's deletion vector away: rewrite the file as its
     * live rows (or drop it if fully dead) and clear the DV — the
@@ -221,6 +262,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       val live = GraftLakeSnapshot(files, dvs).liveRows(f)
       files = files.filterNot(_.id == fileId) ++ mkFiles(Vector(live))
       dvs -= fileId
+      recordCommit(dataChange = false) // maintenance: relation unchanged
     }
   }
 
@@ -236,14 +278,49 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
   // group filter and the spec's carry/rewrite assertions key on.
   // `_pos`: the row's position within its file — with `_file` it forms
   // the merge-on-read row id (exactly Iceberg's position-delete key).
+  // `_change_type`/`_commit_version`: populated only by a CHANGE FEED
+  // scan (the `graft.changes.*` read options); a regular scan asked to
+  // project them fails loudly rather than fabricating values.
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(GraftLakeTable.FileColumn, GraftLakeTable.PosColumn)
+    Array(GraftLakeTable.FileColumn, GraftLakeTable.PosColumn,
+      GraftLakeTable.ChangeTypeColumn, GraftLakeTable.CommitVersionColumn)
 
   // ---- read path ----------------------------------------------------------
 
+  /** Three read shapes, selected by read OPTIONS (the Delta/Iceberg
+    * surface: `spark.read.option(...).table(t)` routes options here):
+    *  - none: the current snapshot;
+    *  - `graft.snapshot-version = v`: VERSION TIME TRAVEL — the exact
+    *    committed state at version v (0 = empty table at creation);
+    *  - `graft.changes.from = v1, graft.changes.to = v2`: the CHANGE
+    *    FEED — every row change committed in versions (v1, v2], each
+    *    tagged `_change_type` insert/delete and `_commit_version`. An
+    *    update arrives as delete+insert (Iceberg changelog shape; CoW
+    *    group rewrites and MoR deletion-vector deltas both reduce to
+    *    it). Maintenance commits (dataChange = false) are skipped. Scan
+    *    cost is ∝ CHANGED files across the range, never table size —
+    *    the property that makes incremental downstream consumption
+    *    viable at 100 TB. */
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftLakeScanBuilder(snapshot, tableSchema, partCols, None)
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val from = Option(options.get("graft.changes.from")).map(_.trim.toInt)
+    val to = Option(options.get("graft.changes.to")).map(_.trim.toInt)
+    val asOf = Option(options.get("graft.snapshot-version"))
+      .map(_.trim.toInt)
+    require(from.isDefined == to.isDefined,
+      "graft.changes.from and graft.changes.to must be set together")
+    require(asOf.isEmpty || from.isEmpty,
+      "graft.snapshot-version and graft.changes.* are mutually exclusive")
+    (from, to) match {
+      case (Some(lo), Some(hi)) =>
+        new GraftLakeChangeFeedScanBuilder(
+          historySlice(lo, hi), lo, tableSchema)
+      case _ =>
+        new GraftLakeScanBuilder(
+          asOf.map(snapshotAt).getOrElse(snapshot), tableSchema, partCols,
+          None, () => fileIds.toSet)
+    }
+  }
 
   // ---- plain write path (append / truncate-overwrite) ---------------------
 
@@ -282,7 +359,8 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       override def representUpdateAsDeleteAndInsert(): Boolean = true
       override def newScanBuilder(
           options: CaseInsensitiveStringMap): ScanBuilder =
-        new GraftLakeScanBuilder(snap, tableSchema, partCols, None)
+        new GraftLakeScanBuilder(snap, tableSchema, partCols, None,
+          () => fileIds.toSet)
       override def newWriteBuilder(
           info: LogicalWriteInfo): DeltaWriteBuilder =
         new DeltaWriteBuilder {
@@ -308,7 +386,8 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
         Array(Expressions.column(GraftLakeTable.FileCol))
       override def newScanBuilder(
           options: CaseInsensitiveStringMap): ScanBuilder =
-        new GraftLakeScanBuilder(snap, tableSchema, partCols, Some(state))
+        new GraftLakeScanBuilder(snap, tableSchema, partCols, Some(state),
+          () => fileIds.toSet)
       // group-based ReplaceData: the written set replaces exactly the
       // groups the (runtime-filtered) scan read. Spark 4.1 prepends a
       // `__row_operation` INT to every row it hands the writer
@@ -344,6 +423,22 @@ object GraftLakeTable {
     override def isNullable: Boolean = false
     override def comment(): String = "row position within its file group"
   }
+  private[sources] val ChangeTypeCol = "_change_type"
+  private[sources] val CommitVersionCol = "_commit_version"
+  private[sources] object ChangeTypeColumn extends MetadataColumn {
+    override def name(): String = ChangeTypeCol
+    override def dataType(): DataType = StringType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "insert | delete (change feed scans only)"
+  }
+  private[sources] object CommitVersionColumn extends MetadataColumn {
+    override def name(): String = CommitVersionCol
+    override def dataType(): DataType = LongType
+    override def isNullable: Boolean = false
+    override def comment(): String =
+      "version that committed the change (change feed scans only)"
+  }
 }
 
 /** Which groups the row-level operation's scan actually read — written
@@ -357,13 +452,15 @@ final class GroupScanState(allIds: Set[String]) {
   * the file id. */
 class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
     fullSchema: StructType, partCols: Seq[String],
-    rowLevel: Option[GroupScanState])
+    rowLevel: Option[GroupScanState],
+    currentIds: () => Set[String] = () => Set.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
-    new GraftLakeScan(snapshot, fullSchema, required, partCols, rowLevel)
+    new GraftLakeScan(snapshot, fullSchema, required, partCols, rowLevel,
+      currentIds)
 }
 
 /** Scan over a committed file snapshot.
@@ -382,14 +479,31 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
   * RUNTIME V2 FILTERING on `_file`: Spark's group-filter rule hands it
   * `IN (_file, ...)` built from the matching-rows subquery, the scan
   * narrows its file set, and records the surviving group ids so the
-  * ReplaceData commit replaces exactly those. */
+  * ReplaceData commit replaces exactly those.
+  *
+  * PARTITIONED tables fall back to FILE-GRAINED partitions whenever the
+  * scan needs `_file`/`_pos` (a row-level operation's scan, or any scan
+  * projecting the metadata columns — including the group filter's
+  * matching-rows subquery): keyed partitions interleave rows from many
+  * files, so they cannot carry per-row file lineage. The fallback trades
+  * the KeyGroupedPartitioning report (no SPJ for THAT scan) for working
+  * row-level SQL — exactly Iceberg's shape, where a CoW rewrite reads
+  * data files directly and only regular reads ride the partition
+  * grouping. Regular scans without metadata columns keep the SPJ path. */
 class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
     requiredSchema: StructType, partCols: Seq[String],
-    rowLevel: Option[GroupScanState])
+    rowLevel: Option[GroupScanState],
+    currentIds: () => Set[String] = () => Set.empty)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeV2Filtering {
 
   @volatile private var active: Vector[GraftLakeFile] = snapshot.files
+
+  // file-grained partitions whenever per-row file lineage is required;
+  // keyed partitions interleave files and cannot synthesize _file/_pos
+  private val fileGrained = partCols.isEmpty || rowLevel.isDefined ||
+    requiredSchema.fieldNames.exists(n =>
+      n == GraftLakeTable.FileCol || n == GraftLakeTable.PosCol)
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
@@ -401,6 +515,40 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
   override def filter(predicates: Array[Predicate]): Unit = {
     val keeps = predicates.flatMap(fileIdsOf)
     if (keeps.nonEmpty) {
+      // SNAPSHOT-DIVERGENCE validation (ADVICE r10): the group-filter
+      // subquery plans through the table's REGULAR newScanBuilder (Spark's
+      // RowLevelOperationRuntimeGroupFiltering deliberately swaps the
+      // row-level operation table for the original one "to leverage a
+      // regular batch scan"), which takes a FRESH snapshot — while this
+      // operation scan and its commit use the snapshot pinned at operation
+      // creation. A commit landing between the two snapshots could
+      // otherwise narrow `active` with ids from the wrong universe and
+      // silently no-op the matched-row updates without ever tripping the
+      // replaceGroups conflict check. File ids are NEVER reused (fileSeq
+      // is monotonic), so divergence is detectable exactly:
+      //  - an op-snapshot file missing from the CURRENT state proves a
+      //    concurrent replace/compact since this operation's snapshot;
+      //  - a subquery id outside the op universe proves the subquery saw
+      //    files committed after it.
+      // Either way the statement's read no longer reflects a single
+      // snapshot — abort loudly (Iceberg validateDataFilesExist applied
+      // at scan-narrowing time), the same retry contract as the commit.
+      rowLevel.foreach { _ =>
+        val opIds = snapshot.files.map(_.id).toSet
+        val replaced = opIds -- currentIds()
+        if (replaced.nonEmpty) throw new IllegalStateException(
+          "write conflict: file group(s) " + replaced.mkString(", ") +
+            " from this row-level operation's snapshot were replaced by a " +
+            "concurrent commit before its runtime group filter ran — " +
+            "retry the statement against the current state")
+        val unknown = keeps.flatten.toSet -- opIds
+        if (unknown.nonEmpty) throw new IllegalStateException(
+          "write conflict: the runtime group-filter subquery returned file " +
+            "group(s) " + unknown.mkString(", ") + " unknown to this " +
+            "row-level operation's snapshot — a concurrent commit landed " +
+            "between the subquery's snapshot and the operation's; retry " +
+            "the statement against the current state")
+      }
       val keep = keeps.reduce(_ intersect _)
       active = active.filter(f => keep.contains(f.id))
       rowLevel.foreach(_.scanned = active.map(_.id).toSet)
@@ -446,23 +594,18 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
   }
 
   override def outputPartitioning(): Partitioning =
-    if (partCols.isEmpty) new UnknownPartitioning(active.length.max(1))
+    if (fileGrained) new UnknownPartitioning(active.length.max(1))
     else new KeyGroupedPartitioning(
       partCols.map(Expressions.identity).toArray[
         org.apache.spark.sql.connector.expressions.Expression],
       keyed.length)
 
   override def planInputPartitions(): Array[InputPartition] =
-    if (partCols.isEmpty)
+    if (fileGrained)
       active.map(f => GraftLakeFilePartition(f.id, f.rows,
         snapshot.dvs.getOrElse(f.id, Set.empty))).toArray
-    else {
-      require(Seq(GraftLakeTable.FileCol, GraftLakeTable.PosCol)
-          .forall(!requiredSchema.fieldNames.contains(_)),
-        "_file/_pos metadata is not supported on key-partitioned scans " +
-          "(partitions interleave files)")
+    else
       keyed.map { case (k, rs) => GraftLakeKeyedPartition(rs, k) }
-    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLakeReaderFactory(fullSchema, requiredSchema)
@@ -478,6 +621,241 @@ final case class GraftLakeKeyedPartition(
   override def partitionKey(): InternalRow = key
 }
 
+/** One changed file in one commit: the unit of change-feed parallelism.
+  * `rows` carry their ORIGINAL in-file positions so `_pos` stays the
+  * stable merge-on-read row id even for rows surfaced as deletes. */
+final case class GraftLakeChangePartition(fileId: String,
+    rows: Vector[(Long, InternalRow)], changeType: String, version: Long)
+    extends InputPartition
+
+/** Change-feed scan over a commit-history slice: emits the row-level
+  * diff of each consecutive snapshot pair as insert/delete partitions.
+  * The diff is computed from file IDENTITY (ids are never reused), so
+  * its cost is proportional to the files each commit touched:
+  *  - a file present in `cur` but not `prev` → its rows as inserts
+  *    (new files are born DV-free; deltas only target existing files);
+  *  - a file present in `prev` but not `cur` → its prev-LIVE rows as
+  *    deletes (a CoW group rewrite = that delete + the new file's
+  *    insert, which is exactly the update-as-delete+insert contract);
+  *  - a surviving file whose deletion vector GREW → the newly dead
+  *    positions as deletes (the merge-on-read delta shape).
+  * Commits flagged dataChange = false (DV compaction) are skipped:
+  * they reorganize storage without changing the relation. */
+class GraftLakeChangeFeedScanBuilder(
+    history: Vector[(GraftLakeSnapshot, Boolean)], fromVersion: Int,
+    fullSchema: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = fullSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GraftLakeChangeReaderFactory(fullSchema, required)
+    override def planInputPartitions(): Array[InputPartition] =
+      GraftLakeChanges.partitions(history, fromVersion)
+  }
+}
+
+/** Read-only `<table>.changes` metadata table: the parent's commit
+  * history exposed as a relation of (data columns, `_change_type`,
+  * `_commit_version`) — change-feed columns are REGULAR columns here, so
+  * the table works identically under batch SQL and `readStream` (no
+  * metadata-column resolution dependency on the streaming path).
+  *
+  *  - BATCH: replays the range `[graft.changes.from, graft.changes.to]`
+  *    (defaults: the full history up to the current version).
+  *  - STREAMING: a MicroBatchStream whose OFFSETS ARE COMMIT VERSIONS —
+  *    the Delta streaming-source shape. Each trigger reads exactly the
+  *    commits that landed since the last processed version, so a
+  *    downstream pipeline tails the table incrementally (cost ∝ new
+  *    commits' churn) with exactly-once progress recorded in the
+  *    checkpoint as a plain version number. `graft.stream.startingVersion`
+  *    backfills from an old version first (0 = full-history replay, the
+  *    Delta `startingVersion` contract); the default starts at the
+  *    CURRENT version — new changes only. */
+class GraftLakeChangesTable(parent: GraftLakeTable)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  import org.apache.spark.sql.types.StructField
+
+  private val changesSchema = StructType(parent.schema().fields ++ Seq(
+    StructField(GraftLakeTable.ChangeTypeCol, StringType, nullable = false),
+    StructField(GraftLakeTable.CommitVersionCol, LongType,
+      nullable = false)))
+
+  override def name(): String = parent.name() + ".changes"
+  override def schema(): StructType = changesSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = changesSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = required
+        override def toBatch: Batch = {
+          val to = Option(options.get("graft.changes.to"))
+            .map(_.trim.toInt).getOrElse(parent.currentVersion)
+          val from = Option(options.get("graft.changes.from"))
+            .map(_.trim.toInt).getOrElse(0)
+          val hist = parent.historySlice(from, to)
+          new Batch {
+            override def planInputPartitions(): Array[InputPartition] =
+              GraftLakeChanges.partitions(hist, from)
+            override def createReaderFactory(): PartitionReaderFactory =
+              new GraftLakeChangeReaderFactory(parent.schema(), required)
+          }
+        }
+        override def toMicroBatchStream(
+            checkpointLocation: String): MicroBatchStream =
+          new GraftLakeChangeStream(parent, required,
+            Option(options.get("graft.stream.startingVersion"))
+              .map(_.trim.toInt))
+      }
+    }
+}
+
+/** Version-offset micro-batch stream over the parent's commit history.
+  * Offsets serialize as the plain version integer; the streaming engine
+  * persists them in the checkpoint and hands back (start, end] ranges,
+  * which map 1:1 onto [[GraftLakeChanges.partitions]] diffs. */
+class GraftLakeChangeStream(parent: GraftLakeTable,
+    requiredSchema: StructType, startingVersion: Option[Int])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  // resolved ONCE at stream construction: "new changes only" must not
+  // drift forward while the first trigger is being planned
+  private val initV = startingVersion.getOrElse(parent.currentVersion)
+  // AvailableNow contract: pin the drain's end BEFORE the first trigger
+  // so commits landing mid-drain wait for the next run
+  @volatile private var availableNowEnd: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(parent.currentVersion)
+  override def initialOffset(): Offset = new GraftLakeVersionOffset(initV)
+  override def latestOffset(): Offset = new GraftLakeVersionOffset(
+    availableNowEnd.getOrElse(parent.currentVersion))
+  // SupportsTriggerAvailableNow extends SupportsAdmissionControl: the
+  // engine asks through this overload; version commits are atomic units,
+  // so no read limit is applied (ReadLimit.allAvailable semantics)
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = latestOffset()
+  override def deserializeOffset(json: String): Offset =
+    new GraftLakeVersionOffset(json.trim.toInt)
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftLakeVersionOffset].v
+    val e = end.asInstanceOf[GraftLakeVersionOffset].v
+    if (e <= s) Array.empty
+    else GraftLakeChanges.partitions(parent.historySlice(s, e), s)
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftLakeChangeReaderFactory(parent.schema(), requiredSchema)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** A commit version as a streaming offset (equality is by `json()`,
+  * which the base class derives). */
+class GraftLakeVersionOffset(val v: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = v.toString
+}
+
+/** The commit-range diff shared by the batch change feed and the
+  * streaming change source: one partition per (commit, changed file). */
+private[sources] object GraftLakeChanges {
+  def partitions(history: Vector[(GraftLakeSnapshot, Boolean)],
+      fromVersion: Int): Array[InputPartition] = {
+    val parts = Vector.newBuilder[InputPartition]
+    for (i <- 1 until history.length) {
+      val (prev, _) = history(i - 1)
+      val (cur, dataChange) = history(i)
+      if (dataChange) {
+        val v = (fromVersion + i).toLong
+        val prevIds = prev.files.map(_.id).toSet
+        val curIds = cur.files.map(_.id).toSet
+        cur.files.filterNot(f => prevIds.contains(f.id)).foreach { f =>
+          parts += GraftLakeChangePartition(f.id,
+            f.rows.zipWithIndex.map { case (r, p) => (p.toLong, r) },
+            "insert", v)
+        }
+        prev.files.filterNot(f => curIds.contains(f.id)).foreach { f =>
+          val dead = prev.dvs.getOrElse(f.id, Set.empty)
+          val live = f.rows.zipWithIndex
+            .collect { case (r, p) if !dead.contains(p.toLong) =>
+              (p.toLong, r) }
+          if (live.nonEmpty)
+            parts += GraftLakeChangePartition(f.id, live, "delete", v)
+        }
+        cur.files.filter(f => prevIds.contains(f.id)).foreach { f =>
+          val grown = cur.dvs.getOrElse(f.id, Set.empty) --
+            prev.dvs.getOrElse(f.id, Set.empty)
+          if (grown.nonEmpty)
+            parts += GraftLakeChangePartition(f.id,
+              grown.toVector.sorted.map(p => (p, f.rows(p.toInt))),
+              "delete", v)
+        }
+      }
+    }
+    parts.result().toArray
+  }
+}
+
+/** Projects stored rows to the pruned read schema, synthesizing the
+  * change-feed metadata (`_change_type`, `_commit_version`) alongside
+  * `_file`/`_pos` from the partition's tags. */
+class GraftLakeChangeReaderFactory(fullSchema: StructType,
+    requiredSchema: StructType) extends PartitionReaderFactory {
+  override def createReader(
+      p: InputPartition): PartitionReader[InternalRow] = {
+    val cp = p.asInstanceOf[GraftLakeChangePartition]
+    val fileUtf8 = UTF8String.fromString(cp.fileId)
+    val typeUtf8 = UTF8String.fromString(cp.changeType)
+    val extract: Array[(InternalRow, Long) => Any] =
+      requiredSchema.fields.map { f =>
+        if (f.name == GraftLakeTable.FileCol)
+          (_: InternalRow, _: Long) => fileUtf8
+        else if (f.name == GraftLakeTable.PosCol)
+          (_: InternalRow, pos: Long) => pos
+        else if (f.name == GraftLakeTable.ChangeTypeCol)
+          (_: InternalRow, _: Long) => typeUtf8
+        else if (f.name == GraftLakeTable.CommitVersionCol)
+          (_: InternalRow, _: Long) => cp.version
+        else {
+          val i = fullSchema.fieldIndex(f.name)
+          val dt = fullSchema.fields(i).dataType
+          (r: InternalRow, _: Long) => r.get(i, dt)
+        }
+      }
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        i += 1
+        if (i < cp.rows.length) {
+          val (pos, r) = cp.rows(i)
+          cur = new GenericInternalRow(extract.map(_(r, pos)): Array[Any])
+          true
+        } else false
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}
+
 /** Projects stored full-schema rows to the pruned read schema,
   * synthesizing `_file` from the partition's file id. */
 class GraftLakeReaderFactory(fullSchema: StructType,
@@ -488,7 +866,13 @@ class GraftLakeReaderFactory(fullSchema: StructType,
     val (fileId, rows, deleted) = p match {
       case GraftLakeFilePartition(id, rs, dv) => (id, rs, dv)
       case GraftLakeKeyedPartition(rs, _) =>
-        ("", rs, Set.empty[Long]) // keyed rows are pre-DV-filtered
+        // keyed rows are pre-DV-filtered; scans needing _file/_pos are
+        // planned file-grained, so no extractor below can ask for them
+        require(requiredSchema.fieldNames.forall(n =>
+          n != GraftLakeTable.FileCol && n != GraftLakeTable.PosCol),
+          "keyed partition asked for _file/_pos — file-grained fallback " +
+            "should have been planned")
+        ("", rs, Set.empty[Long])
     }
     val identity = requiredSchema == fullSchema && deleted.isEmpty
     // per-field extractors: data columns by position in the stored row,

@@ -307,6 +307,242 @@ class LakehouseSpec extends SparkTestBase {
     assert(spark.table(t).count() == 200)
   }
 
+  test("row-level UPDATE/DELETE work on a PARTITIONED BY table (file-grained fallback)") {
+    // ADVICE r10: the KeyGroupedPartitioning scan rejects _file/_pos, so
+    // row-level SQL on a partitioned table used to fail at runtime. The
+    // scan now falls back to file-grained partitions whenever per-row
+    // file lineage is needed — row-level statements work, stay GROUP
+    // granular, and regular reads keep the SPJ partitioning report.
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_part_rls"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, p BIGINT, s STRING) " +
+      "PARTITIONED BY (p)")
+    for (b <- 0 until 3)
+      spark.range(b * 100L, (b + 1) * 100L)
+        .selectExpr("id AS k", "id % 4 AS p", s"'f$b' AS s")
+        .coalesce(1).writeTo(t).append()
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_part_rls").get
+    val before = table.fileIds
+    assert(before.size == 3)
+    spark.sql(s"UPDATE $t SET s = 'X' WHERE k = 150") // file 2 only
+    val afterUpd = table.fileIds
+    assert(afterUpd.contains(before(0)) && afterUpd.contains(before(2)),
+      s"group granularity survives partitioning: $before -> $afterUpd")
+    assert(!afterUpd.contains(before(1)), "the matched group was replaced")
+    assert(spark.table(t).where("s = 'X'").collect().map(_.getLong(0))
+      .toSeq == Seq(150L))
+    spark.sql(s"DELETE FROM $t WHERE k >= 200 AND k < 300")
+    assert(spark.table(t).count() == 200)
+    assert(afterUpd.take(1).forall(table.fileIds.contains),
+      "the DELETE carried the untouched first group")
+    // the regular read path still reports key-grouped partitioning
+    val scan = table.newScanBuilder(
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()).build()
+    assert(scan.toBatch.asInstanceOf[
+        org.apache.spark.sql.connector.read.SupportsReportPartitioning]
+      .outputPartitioning().isInstanceOf[
+        org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning],
+      "a regular full scan of the partitioned table keeps the SPJ report")
+    // and the aggregate over the surviving state is exact
+    assert(spark.table(t).groupBy("p").count().orderBy("p").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 50L), (1L, 50L), (2L, 50L), (3L, 50L)))
+  }
+
+  test("merge-on-read MERGE works on a PARTITIONED BY table: DVs, zero rewrites") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_part_mor"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, p BIGINT, s STRING) " +
+      "PARTITIONED BY (p) " +
+      "TBLPROPERTIES ('graft.mode' = 'merge-on-read')")
+    for (b <- 0 until 2)
+      spark.range(b * 50L, (b + 1) * 50L)
+        .selectExpr("id AS k", "id % 2 AS p", s"'f$b' AS s")
+        .coalesce(1).writeTo(t).append()
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_part_mor").get
+    val before = table.fileIds
+    spark.createDataFrame(Seq((10L, 0L, "U"), (999L, 1L, "I")))
+      .toDF("k", "p", "s").createOrReplaceTempView("spec_part_mor_src")
+    spark.sql(
+      s"""MERGE INTO $t t USING spec_part_mor_src b ON t.k = b.k
+         |WHEN MATCHED THEN UPDATE SET s = b.s, p = b.p
+         |WHEN NOT MATCHED THEN INSERT (k, p, s) VALUES (b.k, b.p, b.s)
+         |""".stripMargin)
+    assert(before.forall(table.fileIds.contains),
+      "merge-on-read on a partitioned table rewrites NO committed file")
+    assert(table.deletionVectors.values.map(_.size).sum == 1,
+      "exactly the matched row is position-deleted")
+    assert(spark.table(t).count() == 101)
+    assert(spark.table(t).where("s = 'U'").collect().map(_.getLong(0))
+      .toSeq == Seq(10L))
+    assert(spark.table(t).where("s = 'I'").count() == 1)
+  }
+
+  test("group-filter snapshot divergence aborts instead of silently no-op'ing") {
+    // ADVICE r10: the runtime group-filter subquery plans through the
+    // table's REGULAR scan builder (fresh snapshot) while the operation
+    // scan uses its pinned snapshot. The scan's filter() now validates
+    // the two universes and aborts on divergence. Driven directly — the
+    // SQL surface cannot interleave a commit between the two snapshots.
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.sources.{GraftLakeFile, GraftLakeScan, GraftLakeSnapshot, GroupScanState}
+    val schema = StructType(Seq(StructField("k", LongType)))
+    def mkIn(ids: Seq[String]): Array[Predicate] = Array(new Predicate("IN",
+      (Expressions.column("_file") +: ids.map(id =>
+        Expressions.literal(UTF8String.fromString(id)))).toArray[
+        org.apache.spark.sql.connector.expressions.Expression]))
+    val snap = GraftLakeSnapshot(
+      Vector(GraftLakeFile("t#f1", Vector.empty),
+        GraftLakeFile("t#f2", Vector.empty)), Map.empty)
+    def scanWith(current: Set[String]) = new GraftLakeScan(snap, schema,
+      schema, Nil, Some(new GroupScanState(Set("t#f1", "t#f2"))),
+      () => current)
+    // consistent universes: narrows and records the scanned group
+    val ok = scanWith(Set("t#f1", "t#f2"))
+    ok.filter(mkIn(Seq("t#f1")))
+    assert(ok.planInputPartitions().length == 1)
+    // an op-snapshot file replaced before the filter ran -> abort
+    val replaced = intercept[IllegalStateException] {
+      scanWith(Set("t#f2", "t#f3")).filter(mkIn(Seq("t#f2")))
+    }
+    assert(replaced.getMessage.contains("write conflict"))
+    // the subquery saw a file this operation's snapshot doesn't have
+    val unknown = intercept[IllegalStateException] {
+      scanWith(Set("t#f1", "t#f2")).filter(mkIn(Seq("t#f3")))
+    }
+    assert(unknown.getMessage.contains("write conflict"))
+  }
+
+  test("change feed: maintenance commits invisible, version time travel exact") {
+    val feed = run("ref_change_feed").collect()
+    assert(feed.nonEmpty)
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "orders_cdf").get
+    val t = "graftlake.orders_cdf"
+    // version time travel: the pre-merge version is the prev slice,
+    // version 0 is the empty table at creation
+    val preMerge = spark.read.option("graft.snapshot-version", "1").table(t)
+    assert(preMerge.count() ==
+      spark.table(t).count() - feed.count(_.getString(0) == "insert")
+        + feed.count(_.getString(0) == "delete"),
+      "v1 + feed inserts - feed deletes = current relation size")
+    assert(spark.read.option("graft.snapshot-version", "0").table(t)
+      .count() == 0, "version 0 is the empty table")
+    // DV compaction commits bump the version but are dataChange = false:
+    // the feed over the widened range is unchanged — no spurious
+    // delete+insert churn from storage reorganization
+    val vBefore = table.currentVersion
+    table.deletionVectors.keys.toVector.foreach(table.compactFile)
+    assert(table.currentVersion > vBefore, "compaction commits recorded")
+    val widened = spark.read
+      .option("graft.changes.from", "1")
+      .option("graft.changes.to", table.currentVersion.toString)
+      .table(t)
+      .select("_change_type", "o_orderkey").collect()
+    assert(widened.length == feed.length,
+      "maintenance commits must add zero rows to the change feed")
+    // and the compacted current relation still matches the merged state
+    assert(spark.table(t).count() == preMerge.count()
+      - feed.count(_.getString(0) == "delete")
+      + feed.count(_.getString(0) == "insert"))
+    // option misuse fails loudly
+    assert(intercept[Exception] {
+      spark.read.option("graft.changes.from", "1").table(t).collect()
+    }.getMessage.contains("must be set together"))
+    assert(intercept[Exception] {
+      spark.read.option("graft.snapshot-version", "9999").table(t).collect()
+    }.getMessage.contains("out of range"))
+  }
+
+  test("change feed on copy-on-write surfaces whole-group churn (Iceberg changelog shape)") {
+    // CoW's unit of change IS the file group: an UPDATE of one row in a
+    // group surfaces the group's pre-image as deletes and its rewrite as
+    // inserts — the documented Iceberg file-diff changelog semantics,
+    // and the reason the registry's ref_change_feed runs on the
+    // merge-on-read table (DV deltas give the minimal per-row feed).
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_cdf_cow"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING)")
+    for (b <- 0 until 2)
+      spark.range(b * 10L, (b + 1) * 10L).selectExpr("id AS k", "'a' AS s")
+        .coalesce(1).writeTo(t).append()
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_cdf_cow").get
+    val v0 = table.currentVersion
+    spark.sql(s"UPDATE $t SET s = 'X' WHERE k = 15") // rewrites group 2
+    val feed = spark.read
+      .option("graft.changes.from", v0.toString)
+      .option("graft.changes.to", table.currentVersion.toString)
+      .table(t)
+      .select("_change_type", "k", "s", "_commit_version").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val dels = feed.filter(_._1 == "delete").map(x => (x._2, x._3)).sorted
+    val ins = feed.filter(_._1 == "insert").map(x => (x._2, x._3)).sorted
+    assert(dels.toSeq == (10L until 20L).map(k => (k, "a")),
+      "the rewritten group's full pre-image surfaces as deletes")
+    assert(ins.toSeq == (10L until 20L).map(k =>
+      (k, if (k == 15L) "X" else "a")),
+      "the rewritten group's post-image surfaces as inserts")
+    assert(!feed.exists { case (_, k, _) => k < 10L },
+      "the carried group contributes nothing to the feed")
+  }
+
+  test("streaming change source: empty drain ships nothing, tail is exactly-once") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_scdf"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.mode' = 'merge-on-read')")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_spec_scdf").toFile
+    val chk = new java.io.File(tmp, "chk")
+    val sink = new java.io.File(tmp, "sink")
+    def drain(): Unit = {
+      val q = spark.readStream
+        .option("graft.stream.startingVersion", "0")
+        .table(s"$t.changes")
+        .writeStream.format("parquet")
+        .option("path", sink.getAbsolutePath)
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination() // not awaitDrained: the empty drain is LEGAL here
+    }
+    spark.range(0, 10).selectExpr("id AS k", "'a' AS s")
+      .coalesce(1).writeTo(t).append()
+    drain()
+    assert(spark.read.parquet(sink.getAbsolutePath).count() == 10,
+      "first drain ships the load's inserts")
+    // an empty drain (no new commits) must ship NOTHING — the version
+    // offset in the checkpoint already covers the history
+    drain()
+    assert(spark.read.parquet(sink.getAbsolutePath).count() == 10,
+      "a drain with no new commits appends zero rows (exactly-once)")
+    spark.sql(s"DELETE FROM $t WHERE k = 3")
+    drain()
+    val rows = spark.read.parquet(sink.getAbsolutePath)
+      .select("_change_type", "k", "_commit_version").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 11, "third drain ships exactly the DELETE's row")
+    assert(rows.count(_._1 == "delete") == 1)
+    assert(rows.find(_._1 == "delete").get._2 == 3L)
+    assert(rows.filter(_._1 == "insert").forall(_._3 == 1L),
+      "inserts carry the load commit's version")
+  }
+
   test("manifest skipping prunes files before read and stays exact") {
     val (_, stats) = Lakehouse.statsManifest(spark, Sf)
     val keep = Lakehouse.survivingFiles(stats, "1995-01-01", "1995-12-31")
