@@ -669,6 +669,66 @@ object Lakehouse {
       |FROM prev p FULL OUTER JOIN batch b ON p.o_orderkey = b.o_orderkey
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Lake-native SCHEMA EVOLUTION: `ALTER TABLE ADD COLUMNS` on the DSv2
+    * catalog table. No committed file is rewritten — each file carries
+    * its COLUMN MANIFEST (the schema it was written under) and readers
+    * resolve BY NAME, so pre-evolution files serve NULL for the new
+    * column (the Iceberg add-column contract; the `ref_schema_evolution`
+    * registry twin covers the raw-parquet `mergeSchema` shape, this one
+    * covers the managed-table DDL shape). The fixture then runs a
+    * row-level UPDATE that back-fills the new column on one key stripe —
+    * old 3-column files and new 4-column files flow through the same
+    * group-based rewrite, proving the evolved schema holds end-to-end
+    * (scan, group filter, MergeRows, writer). */
+  def alterAddColumn(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.orders_evolve"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t " +
+      "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)")
+    Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .filter(col("o_orderkey") % 3 =!= 0)
+      .writeTo(t).append()
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (o_channel STRING)")
+    Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        when(col("o_orderkey") % 2 === 0, lit("web")).otherwise(lit("app"))
+          .as("o_channel"))
+      .filter(col("o_orderkey") % 3 === 0)
+      .writeTo(t).append()
+    spark.sql(
+      s"UPDATE $t SET o_channel = 'bulk' WHERE o_orderkey % 10 = 1")
+    spark.table(t)
+      .groupBy(coalesce(col("o_channel"), lit("legacy")).as("channel"),
+        col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price"))
+      .orderBy("channel", "o_orderstatus")
+  }
+
+  private val alterAddColumnOracle =
+    """WITH prev AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |    CAST(NULL AS VARCHAR) AS o_channel
+      |  FROM orders WHERE o_orderkey % 3 <> 0),
+      |added AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |    CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'app' END AS o_channel
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |upd AS (
+      |  SELECT o_orderstatus, o_totalprice,
+      |    CASE WHEN o_orderkey % 10 = 1 THEN 'bulk' ELSE o_channel END
+      |      AS o_channel
+      |  FROM (SELECT * FROM prev UNION ALL SELECT * FROM added))
+      |SELECT coalesce(o_channel, 'legacy') AS channel, o_orderstatus,
+      | CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM upd GROUP BY channel, o_orderstatus
+      |ORDER BY channel, o_orderstatus""".stripMargin
+
   /** STREAMING change-feed consumption — the `<table>.changes` metadata
     * table read as a `readStream` source whose offsets are COMMIT
     * VERSIONS (the Delta streaming-source shape). The query runs the
@@ -809,6 +869,9 @@ object Lakehouse {
     Query("stream_lake_cdf",
       "streaming change source: version offsets, checkpointed two-drain tail",
       streamLakeCdf, Some(streamLakeCdfOracle)),
+    Query("ref_alter_add_column",
+      "ALTER TABLE ADD COLUMNS: per-file manifests null-fill, no rewrite",
+      alterAddColumn, Some(alterAddColumnOracle)),
     Query("join_spj_storage",
       "storage-partitioned join: co-partitioned DSv2 tables, zero exchanges",
       storagePartitionedJoin, Some(storagePartitionedJoinOracle)),

@@ -111,8 +111,26 @@ class GraftLakeCatalog extends TableCatalog {
     t
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("ALTER TABLE not supported")
+  /** Schema evolution: top-level nullable ADD COLUMN only (the Iceberg
+    * add-column contract — existing files never rewrite; their rows
+    * null-fill the new column through the per-file column manifest).
+    * Everything else stays loudly unsupported. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = Option(tables.get(ident))
+      .getOrElse(throw new NoSuchTableException(ident))
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          s"nested ADD COLUMN unsupported: ${add.fieldNames().mkString(".")}")
+        require(add.isNullable,
+          s"added column ${add.fieldNames()(0)} must be nullable: " +
+            "files written before the evolution null-fill it")
+        t.addColumn(add.fieldNames()(0), add.dataType())
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change: $other")
+    }
+    t
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     tables.remove(ident) != null
@@ -136,8 +154,15 @@ object GraftLakeCatalog {
       ts.asScala.collectFirst { case (id, t) if id.name() == name => t })
 }
 
-/** One immutable committed file (group): the unit of copy-on-write. */
-final case class GraftLakeFile(id: String, rows: Vector[InternalRow])
+/** One immutable committed file (group): the unit of copy-on-write.
+  * `cols` is the file's COLUMN MANIFEST — the table's data columns at
+  * write time, in stored order. Readers project through it, so a file
+  * written before an ADD COLUMN serves NULL for the new column without
+  * ever being rewritten (the Iceberg/parquet schema-evolution contract:
+  * resolution is by name against per-file schemas, not by position
+  * against the table's current one). */
+final case class GraftLakeFile(id: String, rows: Vector[InternalRow],
+    cols: Seq[String])
 
 /** A consistent view of committed state: the file list plus the
   * deletion vectors (per-file sets of dead row positions — always empty
@@ -167,6 +192,19 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
   private var files: Vector[GraftLakeFile] = Vector.empty
   private var dvs: Map[String, Set[Long]] = Map.empty
   private var fileSeq = 0
+  // current schema; grows via ALTER TABLE ADD COLUMNS (addColumn below)
+  private var schemaNow: StructType = tableSchema
+
+  private[sources] def addColumn(name: String, dt: DataType): Unit =
+    synchronized {
+      require(!schemaNow.fieldNames.contains(name),
+        s"column $name already exists on $tableName")
+      require(name != GraftLakeTable.FileCol && name != GraftLakeTable.PosCol
+          && name != GraftLakeTable.ChangeTypeCol
+          && name != GraftLakeTable.CommitVersionCol,
+        s"column $name collides with a metadata column")
+      schemaNow = schemaNow.add(name, dt, nullable = true)
+    }
   // COMMIT HISTORY: snapshot after every commit, version = index. The
   // `dataChange` flag mirrors Delta's: maintenance commits (DV
   // compaction) reorganize bytes without changing the relation, and the
@@ -198,7 +236,9 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       batches: Vector[Vector[InternalRow]]): Vector[GraftLakeFile] =
     batches.filter(_.nonEmpty).map { rows =>
       fileSeq += 1
-      GraftLakeFile(s"$tableName#f$fileSeq", rows)
+      // stamp the CURRENT data columns: rows were written under them
+      GraftLakeFile(s"$tableName#f$fileSeq", rows,
+        schemaNow.fieldNames.toSeq)
     }
 
   private[sources] def snapshot: GraftLakeSnapshot =
@@ -267,7 +307,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
   }
 
   override def name(): String = tableName
-  override def schema(): StructType = tableSchema
+  override def schema(): StructType = synchronized(schemaNow)
   override def partitioning(): Array[Transform] =
     partCols.map(Expressions.identity).toArray
   override def capabilities(): util.Set[TableCapability] =
@@ -314,10 +354,10 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     (from, to) match {
       case (Some(lo), Some(hi)) =>
         new GraftLakeChangeFeedScanBuilder(
-          historySlice(lo, hi), lo, tableSchema)
+          historySlice(lo, hi), lo, schema())
       case _ =>
         new GraftLakeScanBuilder(
-          asOf.map(snapshotAt).getOrElse(snapshot), tableSchema, partCols,
+          asOf.map(snapshotAt).getOrElse(snapshot), schema(), partCols,
           None, () => fileIds.toSet)
     }
   }
@@ -350,7 +390,10 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       // instead). Updates arrive as delete+insert pairs so the writer
       // only needs the two primitives, exactly Iceberg's position-delta
       // shape.
+      // snapshot AND schema pinned at operation creation: a concurrent
+      // ADD COLUMN mid-statement must not skew the writer's row layout
       private val snap = snapshot
+      private val opSchema = schema()
 
       override def command(): RowLevelOperation.Command = info.command()
       override def rowId(): Array[NamedReference] =
@@ -359,7 +402,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       override def representUpdateAsDeleteAndInsert(): Boolean = true
       override def newScanBuilder(
           options: CaseInsensitiveStringMap): ScanBuilder =
-        new GraftLakeScanBuilder(snap, tableSchema, partCols, None,
+        new GraftLakeScanBuilder(snap, opSchema, partCols, None,
           () => fileIds.toSet)
       override def newWriteBuilder(
           info: LogicalWriteInfo): DeltaWriteBuilder =
@@ -367,7 +410,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           override def build(): DeltaWrite = new DeltaWrite {
             override def toBatch: DeltaBatchWrite =
               new GraftLakeDeltaBatchWrite(applyDelta,
-                tableSchema.fields.map(_.dataType))
+                opSchema.fields.map(_.dataType))
           }
         }
     }
@@ -376,6 +419,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       // ReplaceData commit; starts as "every group" and is narrowed by
       // the runtime group filter
       private val snap = snapshot
+      private val opSchema = schema()
       private val state = new GroupScanState(snap.files.map(_.id).toSet)
 
       override def command(): RowLevelOperation.Command = info.command()
@@ -386,7 +430,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
         Array(Expressions.column(GraftLakeTable.FileCol))
       override def newScanBuilder(
           options: CaseInsensitiveStringMap): ScanBuilder =
-        new GraftLakeScanBuilder(snap, tableSchema, partCols, Some(state),
+        new GraftLakeScanBuilder(snap, opSchema, partCols, Some(state),
           () => fileIds.toSet)
       // group-based ReplaceData: the written set replaces exactly the
       // groups the (runtime-filtered) scan read. Spark 4.1 prepends a
@@ -402,7 +446,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
             override def toBatch: BatchWrite =
               new GraftLakeBatchWrite(
                 batches => replaceGroups(state.scanned, batches),
-                rowLevel = Some(tableSchema.fields.map(_.dataType)))
+                rowLevel = Some(opSchema.fields.map(_.dataType)))
           }
         }
     }
@@ -584,7 +628,22 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
   private lazy val keyed: Array[(InternalRow, Vector[InternalRow])] = {
     val idx = partCols.map(fullSchema.fieldIndex)
     val types = idx.map(fullSchema.fields(_).dataType)
-    active.flatMap(snapshot.liveRows)
+    val names = fullSchema.fieldNames.toSeq
+    // keyed partitions interleave files, so rows are normalized to the
+    // CURRENT schema here (null-filling post-evolution columns); the
+    // file-grained path projects lazily in the reader instead
+    def normalized(f: GraftLakeFile): Vector[InternalRow] = {
+      val rows = snapshot.liveRows(f)
+      if (f.cols == names) rows
+      else {
+        val slots = fullSchema.fields.map(fd =>
+          (f.cols.indexOf(fd.name), fd.dataType))
+        rows.map(r => new GenericInternalRow(slots.map { case (i, dt) =>
+          (if (i < 0) null else r.get(i, dt)): Any
+        }))
+      }
+    }
+    active.flatMap(normalized)
       .groupBy(r => idx.zip(types).map { case (i, t) => r.get(i, t) })
       .toArray
       // deterministic partition order; Spark re-sorts by grouped key
@@ -603,7 +662,7 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
   override def planInputPartitions(): Array[InputPartition] =
     if (fileGrained)
       active.map(f => GraftLakeFilePartition(f.id, f.rows,
-        snapshot.dvs.getOrElse(f.id, Set.empty))).toArray
+        snapshot.dvs.getOrElse(f.id, Set.empty), f.cols)).toArray
     else
       keyed.map { case (k, rs) => GraftLakeKeyedPartition(rs, k) }
 
@@ -613,7 +672,7 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
 
 final case class GraftLakeFilePartition(
     fileId: String, rows: Vector[InternalRow],
-    deleted: Set[Long] = Set.empty) extends InputPartition
+    deleted: Set[Long], cols: Seq[String]) extends InputPartition
 
 final case class GraftLakeKeyedPartition(
     rows: Vector[InternalRow], key: InternalRow)
@@ -625,8 +684,8 @@ final case class GraftLakeKeyedPartition(
   * `rows` carry their ORIGINAL in-file positions so `_pos` stays the
   * stable merge-on-read row id even for rows surfaced as deletes. */
 final case class GraftLakeChangePartition(fileId: String,
-    rows: Vector[(Long, InternalRow)], changeType: String, version: Long)
-    extends InputPartition
+    rows: Vector[(Long, InternalRow)], changeType: String, version: Long,
+    cols: Seq[String]) extends InputPartition
 
 /** Change-feed scan over a commit-history slice: emits the row-level
   * diff of each consecutive snapshot pair as insert/delete partitions.
@@ -789,7 +848,7 @@ private[sources] object GraftLakeChanges {
         cur.files.filterNot(f => prevIds.contains(f.id)).foreach { f =>
           parts += GraftLakeChangePartition(f.id,
             f.rows.zipWithIndex.map { case (r, p) => (p.toLong, r) },
-            "insert", v)
+            "insert", v, f.cols)
         }
         prev.files.filterNot(f => curIds.contains(f.id)).foreach { f =>
           val dead = prev.dvs.getOrElse(f.id, Set.empty)
@@ -797,7 +856,8 @@ private[sources] object GraftLakeChanges {
             .collect { case (r, p) if !dead.contains(p.toLong) =>
               (p.toLong, r) }
           if (live.nonEmpty)
-            parts += GraftLakeChangePartition(f.id, live, "delete", v)
+            parts += GraftLakeChangePartition(f.id, live, "delete", v,
+              f.cols)
         }
         cur.files.filter(f => prevIds.contains(f.id)).foreach { f =>
           val grown = cur.dvs.getOrElse(f.id, Set.empty) --
@@ -805,7 +865,7 @@ private[sources] object GraftLakeChanges {
           if (grown.nonEmpty)
             parts += GraftLakeChangePartition(f.id,
               grown.toVector.sorted.map(p => (p, f.rows(p.toInt))),
-              "delete", v)
+              "delete", v, f.cols)
         }
       }
     }
@@ -815,7 +875,9 @@ private[sources] object GraftLakeChanges {
 
 /** Projects stored rows to the pruned read schema, synthesizing the
   * change-feed metadata (`_change_type`, `_commit_version`) alongside
-  * `_file`/`_pos` from the partition's tags. */
+  * `_file`/`_pos` from the partition's tags. Data columns resolve BY
+  * NAME against the partition's column manifest (absent → NULL), so the
+  * feed replays commits written under OLDER schemas correctly. */
 class GraftLakeChangeReaderFactory(fullSchema: StructType,
     requiredSchema: StructType) extends PartitionReaderFactory {
   override def createReader(
@@ -834,9 +896,10 @@ class GraftLakeChangeReaderFactory(fullSchema: StructType,
         else if (f.name == GraftLakeTable.CommitVersionCol)
           (_: InternalRow, _: Long) => cp.version
         else {
-          val i = fullSchema.fieldIndex(f.name)
-          val dt = fullSchema.fields(i).dataType
-          (r: InternalRow, _: Long) => r.get(i, dt)
+          val i = cp.cols.indexOf(f.name)
+          val dt = f.dataType
+          if (i < 0) (_: InternalRow, _: Long) => null
+          else (r: InternalRow, _: Long) => r.get(i, dt)
         }
       }
     new PartitionReader[InternalRow] {
@@ -856,26 +919,31 @@ class GraftLakeChangeReaderFactory(fullSchema: StructType,
   }
 }
 
-/** Projects stored full-schema rows to the pruned read schema,
-  * synthesizing `_file` from the partition's file id. */
+/** Projects stored rows to the pruned read schema through the
+  * partition's COLUMN MANIFEST (name-based resolution: a column absent
+  * from the file — added after it was written — reads NULL), synthesizing
+  * `_file` from the partition's file id. */
 class GraftLakeReaderFactory(fullSchema: StructType,
     requiredSchema: StructType) extends PartitionReaderFactory {
 
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
-    val (fileId, rows, deleted) = p match {
-      case GraftLakeFilePartition(id, rs, dv) => (id, rs, dv)
+    val (fileId, rows, deleted, cols) = p match {
+      case GraftLakeFilePartition(id, rs, dv, cs) => (id, rs, dv, cs)
       case GraftLakeKeyedPartition(rs, _) =>
-        // keyed rows are pre-DV-filtered; scans needing _file/_pos are
-        // planned file-grained, so no extractor below can ask for them
+        // keyed rows are pre-DV-filtered AND pre-normalized to the
+        // current schema; scans needing _file/_pos are planned
+        // file-grained, so no extractor below can ask for them
         require(requiredSchema.fieldNames.forall(n =>
           n != GraftLakeTable.FileCol && n != GraftLakeTable.PosCol),
           "keyed partition asked for _file/_pos — file-grained fallback " +
             "should have been planned")
-        ("", rs, Set.empty[Long])
+        ("", rs, Set.empty[Long], fullSchema.fieldNames.toSeq)
     }
-    val identity = requiredSchema == fullSchema && deleted.isEmpty
-    // per-field extractors: data columns by position in the stored row,
+    val identity = requiredSchema == fullSchema && deleted.isEmpty &&
+      cols == fullSchema.fieldNames.toSeq
+    // per-field extractors: data columns resolved BY NAME against the
+    // file's manifest (absent → NULL: schema evolution without rewrite),
     // `_file`/`_pos` synthesized from the partition's file id and the
     // row's original position (positions survive DV filtering — that is
     // what makes a position-delete key stable)
@@ -887,9 +955,10 @@ class GraftLakeReaderFactory(fullSchema: StructType,
         else if (f.name == GraftLakeTable.PosCol)
           (_: InternalRow, pos: Long) => pos
         else {
-          val i = fullSchema.fieldIndex(f.name)
-          val dt = fullSchema.fields(i).dataType
-          (r: InternalRow, _: Long) => r.get(i, dt)
+          val i = cols.indexOf(f.name)
+          val dt = f.dataType
+          if (i < 0) (_: InternalRow, _: Long) => null
+          else (r: InternalRow, _: Long) => r.get(i, dt)
         }
       }
     new PartitionReader[InternalRow] {

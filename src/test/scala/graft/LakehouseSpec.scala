@@ -402,8 +402,8 @@ class LakehouseSpec extends SparkTestBase {
         Expressions.literal(UTF8String.fromString(id)))).toArray[
         org.apache.spark.sql.connector.expressions.Expression]))
     val snap = GraftLakeSnapshot(
-      Vector(GraftLakeFile("t#f1", Vector.empty),
-        GraftLakeFile("t#f2", Vector.empty)), Map.empty)
+      Vector(GraftLakeFile("t#f1", Vector.empty, Seq("k")),
+        GraftLakeFile("t#f2", Vector.empty, Seq("k"))), Map.empty)
     def scanWith(current: Set[String]) = new GraftLakeScan(snap, schema,
       schema, Nil, Some(new GroupScanState(Set("t#f1", "t#f2"))),
       () => current)
@@ -541,6 +541,65 @@ class LakehouseSpec extends SparkTestBase {
     assert(rows.find(_._1 == "delete").get._2 == 3L)
     assert(rows.filter(_._1 == "insert").forall(_._3 == 1L),
       "inserts carry the load commit's version")
+  }
+
+  test("ADD COLUMNS: old files null-fill with zero rewrites, feed and SPJ survive") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_evolve"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING)")
+    spark.range(0, 10).selectExpr("id AS k", "'a' AS s")
+      .coalesce(1).writeTo(t).append()
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_evolve").get
+    val oldFile = table.fileIds.head
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (tag STRING)")
+    assert(table.fileIds == Seq(oldFile),
+      "ADD COLUMNS must rewrite nothing")
+    spark.range(10, 15).selectExpr("id AS k", "'b' AS s", "'new' AS tag")
+      .coalesce(1).writeTo(t).append()
+    // old rows read NULL for the new column; new rows carry their values
+    assert(spark.table(t).where("tag IS NULL").count() == 10)
+    assert(spark.table(t).where("tag = 'new'").count() == 5)
+    // row-level back-fill UNDER the evolved schema across OLD files
+    spark.sql(s"UPDATE $t SET tag = 'back' WHERE k = 3")
+    assert(!table.fileIds.contains(oldFile),
+      "the matched old-schema group was rewritten under the new schema")
+    assert(spark.table(t).where("tag = 'back'").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+    assert(spark.table(t).where("tag IS NULL").count() == 9,
+      "unmatched old rows in the rewritten group keep their NULL")
+    // the change feed replays pre-evolution commits with NULL for the
+    // added column (per-partition column manifests, not current schema)
+    val feed = spark.read
+      .option("graft.changes.from", "0").option("graft.changes.to", "1")
+      .table(t).select("k", "tag", "_change_type").collect()
+    assert(feed.length == 10 && feed.forall(_.isNullAt(1)),
+      "v1 commit predates the column: feed must null-fill it")
+    // invalid evolutions fail loudly
+    assert(intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (tag2 STRING NOT NULL)")
+    }.getMessage.contains("nullable"))
+    assert(intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (tag STRING)")
+    }.getMessage.contains("already exists"))
+    // keyed (SPJ) scans normalize mixed-schema files to the current one
+    val tp = "graftlake.spec_evolve_part"
+    spark.sql(s"DROP TABLE IF EXISTS $tp")
+    spark.sql(s"CREATE TABLE $tp (k BIGINT, p BIGINT) PARTITIONED BY (p)")
+    spark.range(0, 20).selectExpr("id AS k", "id % 2 AS p")
+      .coalesce(1).writeTo(tp).append()
+    spark.sql(s"ALTER TABLE $tp ADD COLUMNS (w DOUBLE)")
+    spark.range(20, 30)
+      .selectExpr("id AS k", "id % 2 AS p", "CAST(id AS DOUBLE) AS w")
+      .coalesce(1).writeTo(tp).append()
+    val agg = spark.table(tp).groupBy("p")
+      .agg(count(lit(1)).as("n"), sum("w").as("sw"))
+      .orderBy("p").collect()
+    assert(agg.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq == Seq((0L, 15L, 120.0), (1L, 15L, 125.0)),
+      "keyed partitions must null-fill old files and aggregate the new")
   }
 
   test("manifest skipping prunes files before read and stays exact") {

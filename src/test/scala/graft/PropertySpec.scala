@@ -228,7 +228,7 @@ object PropertySpec extends Properties("graft.kernels") {
     Prop.forAll(rowsAndDeletes) { case (n, dead) =>
       import graft.sources.{GraftLakeFile, GraftLakeSnapshot}
       val rows = lakeRows(n)
-      val f = GraftLakeFile("f", rows)
+      val f = GraftLakeFile("f", rows, Seq("k"))
       val live = GraftLakeSnapshot(Vector(f),
         Map("f" -> dead.map(_.toLong))).liveRows(f)
       live == (0 until n).filterNot(dead).map(rows)
@@ -243,7 +243,8 @@ object PropertySpec extends Properties("graft.kernels") {
         Seq(StructField("k", LongType), StructField("_pos", LongType)))
       val reader = new GraftLakeReaderFactory(full, req)
         .createReader(
-          GraftLakeFilePartition("f", lakeRows(n), dead.map(_.toLong)))
+          GraftLakeFilePartition("f", lakeRows(n), dead.map(_.toLong),
+            Seq("k")))
       val got = List.newBuilder[(Long, Long)]
       while (reader.next()) {
         val r = reader.get()
