@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write._
-import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -58,7 +58,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * tables, exactly as real sessions sharing a metastore do. Queries keep
   * isolation by DROP/CREATE-ing their own table names.
   */
-class GraftLakeCatalog extends TableCatalog {
+class GraftLakeCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private def tables = GraftLakeCatalog.registries
@@ -137,6 +137,26 @@ class GraftLakeCatalog extends TableCatalog {
 
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME not supported")
+
+  // ---- maintenance procedures (Spark 4 DSv2 CALL statement) ---------------
+  // `CALL <catalog>.system.<proc>(...)` — the Iceberg maintenance surface:
+  // rollback to a version, expire old versions, compact deletion vectors.
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"procedures live in the 'system' namespace, got $ident")
+    GraftLakeProcedures.byName(catalogName, ident.name()).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown procedure ${ident.name()}; available: " +
+          GraftLakeProcedures.names.mkString(", ")))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftLakeProcedures.names
+        .map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
 }
 
 object GraftLakeCatalog {
@@ -212,25 +232,68 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
   // file as spurious delete+insert churn downstream.
   private var history: Vector[(GraftLakeSnapshot, Boolean)] =
     Vector((GraftLakeSnapshot(Vector.empty, Map.empty), true))
+  // versions below this were expired (expire_versions): version v lives
+  // at history(v - baseVersion)
+  private var baseVersion = 0
   private def recordCommit(dataChange: Boolean): Unit =
     history = history :+ (GraftLakeSnapshot(files, dvs), dataChange)
 
   /** Latest committed version (0 = the empty table at creation). */
-  private[graft] def currentVersion: Int = synchronized(history.length - 1)
+  private[graft] def currentVersion: Int =
+    synchronized(baseVersion + history.length - 1)
+  /** Oldest RETAINED version — the change-feed / time-travel floor. */
+  private[graft] def earliestVersion: Int = synchronized(baseVersion)
   private[sources] def snapshotAt(v: Int): GraftLakeSnapshot =
     synchronized {
-      require(v >= 0 && v < history.length,
-        s"version $v out of range [0, ${history.length - 1}] for $tableName")
-      history(v)._1
+      require(v >= baseVersion && v - baseVersion < history.length,
+        s"version $v out of range " +
+          s"[$baseVersion, ${currentVersion}] for $tableName" +
+          (if (baseVersion > 0) " (older versions were expired)" else ""))
+      history(v - baseVersion)._1
     }
   private[sources] def historySlice(
       from: Int, to: Int): Vector[(GraftLakeSnapshot, Boolean)] =
     synchronized {
-      require(from >= 0 && to < history.length && from <= to,
+      require(from >= baseVersion && to - baseVersion < history.length
+          && from <= to,
         s"change range [$from, $to] out of bounds " +
-          s"[0, ${history.length - 1}] for $tableName")
-      history.slice(from, to + 1)
+          s"[$baseVersion, ${currentVersion}] for $tableName" +
+          (if (baseVersion > 0) " (older versions were expired)" else ""))
+      history.slice(from - baseVersion, to - baseVersion + 1)
     }
+
+  // ---- maintenance (the CALL <catalog>.system.* procedures) ---------------
+
+  /** Restore the table to the state it had at `v`, as a NEW data-change
+    * commit (history keeps the undone versions — the change feed shows
+    * the reverse churn, and a second rollback can undo the undo). */
+  private[sources] def rollbackTo(v: Int): Unit = synchronized {
+    val snap = snapshotAt(v)
+    files = snap.files
+    dvs = snap.dvs
+    recordCommit(dataChange = true)
+  }
+
+  /** Drop history so only the last `keepLast` versions stay readable.
+    * Bounds the history's memory (snapshots share file objects, but an
+    * unbounded commit log is still a leak at streaming commit rates) —
+    * exactly Iceberg's expire_snapshots contract: time travel and change
+    * feeds below the floor fail loudly afterwards. Returns the floor. */
+  private[sources] def expireVersions(keepLast: Int): Int = synchronized {
+    require(keepLast >= 1, s"keep_last must be >= 1, got $keepLast")
+    val drop = math.max(0, history.length - keepLast)
+    history = history.drop(drop)
+    baseVersion += drop
+    baseVersion
+  }
+
+  /** Compact every file that carries a deletion vector. Returns how many
+    * files were rewritten (each as its own maintenance commit). */
+  private[sources] def compactAll(): Int = synchronized {
+    val ids = dvs.keys.toVector.sorted
+    ids.foreach(compactFile)
+    ids.size
+  }
 
   private def mkFiles(
       batches: Vector[Vector[InternalRow]]): Vector[GraftLakeFile] =
@@ -763,7 +826,7 @@ class GraftLakeChangesTable(parent: GraftLakeTable)
           val to = Option(options.get("graft.changes.to"))
             .map(_.trim.toInt).getOrElse(parent.currentVersion)
           val from = Option(options.get("graft.changes.from"))
-            .map(_.trim.toInt).getOrElse(0)
+            .map(_.trim.toInt).getOrElse(parent.earliestVersion)
           val hist = parent.historySlice(from, to)
           new Batch {
             override def planInputPartitions(): Array[InputPartition] =
@@ -1083,3 +1146,96 @@ class GraftLakeDeltaWriterFactory(types: Array[DataType])
 
 final case class GraftLakeDeltaCommit(deleted: Vector[(String, Long)],
     inserted: Vector[InternalRow]) extends WriterCommitMessage
+
+/** The catalog's maintenance procedures — Spark 4's DSv2 `CALL`
+  * statement (`CALL <catalog>.system.<proc>(...)`), the surface Iceberg
+  * ships its table maintenance on:
+  *
+  *  - `rollback(table, version)` — restore a previous version as a new
+  *    data-change commit (undo-the-bad-batch; the feed shows the
+  *    reverse churn, so downstream CDC consumers self-heal);
+  *  - `expire_versions(table, keep_last)` — raise the history floor,
+  *    bounding commit-log growth; reads below the floor fail loudly;
+  *  - `compact(table)` — rewrite every deletion-vector'd file to its
+  *    live rows (maintenance commits: invisible to the change feed).
+  *
+  * Each procedure is both Unbound and Bound (fixed signatures, nothing
+  * to specialize at bind time) and returns its result through a
+  * driver-local scan — procedure outputs are control-plane-sized. */
+private[sources] object GraftLakeProcedures {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.LocalScan
+  import org.apache.spark.sql.types.IntegerType
+
+  val names: Seq[String] = Seq("rollback", "expire_versions", "compact")
+
+  def byName(catalog: String, name: String): Option[UnboundProcedure] =
+    name match {
+      case "rollback" => Some(new Proc(catalog, "rollback",
+        Array(in("table", StringType), in("version", IntegerType)),
+        StructType(Seq(
+          StructField("previous_version", IntegerType, nullable = false),
+          StructField("current_version", IntegerType, nullable = false)))) {
+        override def run(t: GraftLakeTable, input: InternalRow)
+            : Array[InternalRow] = {
+          val prev = t.currentVersion
+          t.rollbackTo(input.getInt(1))
+          Array(new GenericInternalRow(
+            Array[Any](prev, t.currentVersion)))
+        }
+      })
+      case "expire_versions" => Some(new Proc(catalog, "expire_versions",
+        Array(in("table", StringType), in("keep_last", IntegerType)),
+        StructType(Seq(
+          StructField("earliest_version", IntegerType, nullable = false),
+          StructField("current_version", IntegerType, nullable = false)))) {
+        override def run(t: GraftLakeTable, input: InternalRow)
+            : Array[InternalRow] = {
+          val floor = t.expireVersions(input.getInt(1))
+          Array(new GenericInternalRow(
+            Array[Any](floor, t.currentVersion)))
+        }
+      })
+      case "compact" => Some(new Proc(catalog, "compact",
+        Array(in("table", StringType)),
+        StructType(Seq(
+          StructField("compacted_files", IntegerType, nullable = false)))) {
+        override def run(t: GraftLakeTable, input: InternalRow)
+            : Array[InternalRow] =
+          Array(new GenericInternalRow(Array[Any](t.compactAll())))
+      })
+      case _ => None
+    }
+
+  private def in(n: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(n, dt).build()
+
+  private final class ResultScan(out: StructType, rs: Array[InternalRow])
+      extends LocalScan {
+    override def readSchema(): StructType = out
+    override def rows(): Array[InternalRow] = rs
+  }
+
+  private abstract class Proc(catalog: String, procName: String,
+      params: Array[ProcedureParameter], out: StructType)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String =
+      s"graft lake maintenance procedure $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+
+    def run(t: GraftLakeTable, input: InternalRow): Array[InternalRow]
+
+    override def call(input: InternalRow)
+        : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+      val tn = input.getUTF8String(0).toString
+      val t = GraftLakeCatalog.tableFor(catalog, tn).getOrElse(
+        throw new IllegalArgumentException(
+          s"no table '$tn' in catalog '$catalog'"))
+      java.util.List.of[org.apache.spark.sql.connector.read.Scan](
+        new ResultScan(out, run(t, input))).iterator()
+    }
+  }
+}
