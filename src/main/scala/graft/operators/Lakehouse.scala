@@ -254,6 +254,30 @@ object Lakehouse {
 
   // ---- row-level SQL over the DSv2 catalog table ---------------------------
 
+  /** TBLPROPERTIES clause for lake tables: base properties plus the
+    * storage mode override (`-Dgraft.lake.storage=parquet` routes every
+    * registry fixture through REAL parquet file groups — the spec uses
+    * it to prove both storage modes produce the identical relation). */
+  private[graft] def tblProps(extra: (String, String)*): String = {
+    val all = extra ++
+      sys.props.get("graft.lake.storage").map("graft.storage" -> _)
+    if (all.isEmpty) ""
+    else all.map { case (k, v) => s"'$k' = '$v'" }
+      .mkString(" TBLPROPERTIES (", ", ", ")")
+  }
+
+  /** Materialize `out` off the lake table (localCheckpoint pins the
+    * computed rows in the block manager), then DROP the query's tables:
+    * a registry query must not leave its table + full commit history on
+    * the driver heap for the rest of a 240-query bench run (VERDICT r11
+    * task 2). Parquet-backed storage is deleted by the DROP too. */
+  private[graft] def releasing(spark: SparkSession, out: DataFrame,
+      tables: String*): DataFrame = {
+    val pinned = out.localCheckpoint(true)
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    pinned
+  }
+
   /** Create (or recreate) the in-memory row-level table and load it with
     * the `previous` upsert-fixture slice of orders. Returns the qualified
     * name. One catalog instance per session ⇒ per-session isolation. */
@@ -264,7 +288,8 @@ object Lakehouse {
     val t = s"graftlake.orders_$suffix"
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(s"CREATE TABLE $t " +
-      "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)")
+      "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)" +
+      tblProps())
     Tables(spark, sfDir, "orders")
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
       .filter(col("o_orderkey") % 3 =!= 0)
@@ -304,7 +329,7 @@ object Lakehouse {
          |  (o_orderkey, o_orderstatus, o_totalprice)
          |  VALUES (b.o_orderkey, b.o_orderstatus, b.o_totalprice)
          |""".stripMargin)
-    spark.table(t).orderBy("o_orderkey")
+    releasing(spark, spark.table(t).orderBy("o_orderkey"), t)
   }
 
   /** The MERGE-ON-READ twin of [[mergeIntoSql]] (the read-side complement
@@ -325,8 +350,8 @@ object Lakehouse {
     val t = "graftlake.orders_mor"
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(s"CREATE TABLE $t " +
-      "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE) " +
-      "TBLPROPERTIES ('graft.mode' = 'merge-on-read')")
+      "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)" +
+      tblProps("graft.mode" -> "merge-on-read"))
     Tables(spark, sfDir, "orders")
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
       .filter(col("o_orderkey") % 3 =!= 0)
@@ -345,7 +370,7 @@ object Lakehouse {
          |  (o_orderkey, o_orderstatus, o_totalprice)
          |  VALUES (b.o_orderkey, b.o_orderstatus, b.o_totalprice)
          |""".stripMargin)
-    spark.table(t).orderBy("o_orderkey")
+    releasing(spark, spark.table(t).orderBy("o_orderkey"), t)
   }
 
   /** Real `UPDATE` and `DELETE FROM` SQL against the same row-level
@@ -359,12 +384,12 @@ object Lakehouse {
       s"UPDATE $t SET o_orderstatus = 'X' WHERE o_orderkey % 10 = 1")
     spark.sql(
       s"DELETE FROM $t WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 2")
-    spark.table(t)
+    releasing(spark, spark.table(t)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
         sum(col("o_totalprice").cast(DecimalType(18, 2)))
           .cast(DoubleType).as("sum_price"))
-      .orderBy("o_orderstatus")
+      .orderBy("o_orderstatus"), t)
   }
 
   private val updateDeleteSqlOracle =
@@ -414,7 +439,17 @@ object Lakehouse {
     * VALUE (Spark sorts both sides' grouped values), so bucket count or
     * row order cannot change results.
     */
-  def storagePartitionedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+  def storagePartitionedJoin(spark: SparkSession, sfDir: String): DataFrame =
+    releasing(spark, spjPlanned(spark, sfDir),
+      "graftlake.spj_orders", "graftlake.spj_cust")
+
+  /** Build the SPJ fixture tables and memoize the joined plan under the
+    * pinned confs; the registry query materializes and RELEASES the
+    * tables, while PlanSpec asserts on this RAW plan (the released
+    * result is an ExistingRDD scan with no join left to inspect).
+    * Callers own the two `spj_*` tables until they drop them. */
+  private[graft] def spjPlanned(
+      spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.catalog.graftlake",
       classOf[graft.sources.GraftLakeCatalog].getName)
     val tOrd = "graftlake.spj_orders"
@@ -422,9 +457,9 @@ object Lakehouse {
     spark.sql(s"DROP TABLE IF EXISTS $tOrd")
     spark.sql(s"DROP TABLE IF EXISTS $tCust")
     spark.sql(s"CREATE TABLE $tOrd (bucket BIGINT, o_custkey BIGINT, " +
-      "total DOUBLE) PARTITIONED BY (bucket)")
+      "total DOUBLE) PARTITIONED BY (bucket)" + tblProps())
     spark.sql(s"CREATE TABLE $tCust (bucket BIGINT, c_custkey BIGINT, " +
-      "c_mktsegment STRING) PARTITIONED BY (bucket)")
+      "c_mktsegment STRING) PARTITIONED BY (bucket)" + tblProps())
     Tables(spark, sfDir, "orders")
       .groupBy(col("o_custkey"))
       .agg(dsum(col("o_totalprice")).as("total"))
@@ -479,19 +514,20 @@ object Lakehouse {
     val t = "graftlake.byname_orders"
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(s"CREATE TABLE $t " +
-      "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)")
+      "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)" +
+      tblProps())
     Tables(spark, sfDir, "orders")
       .filter(col("o_orderkey") % 7 === 0)
       // reversed column order relative to the table definition
       .select(col("o_totalprice"), col("o_orderstatus"), col("o_orderkey"))
       .createOrReplaceTempView("graft_byname_batch")
     spark.sql(s"INSERT INTO $t BY NAME SELECT * FROM graft_byname_batch")
-    spark.table(t)
+    releasing(spark, spark.table(t)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType)
           .as("sum_price"))
-      .orderBy("o_orderstatus")
+      .orderBy("o_orderstatus"), t)
   }
 
   private val insertByNameOracle =
@@ -516,7 +552,7 @@ object Lakehouse {
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(s"CREATE TABLE $t " +
       "(o_bucket BIGINT, o_orderkey BIGINT, o_orderstatus STRING, " +
-      "o_totalprice DOUBLE) PARTITIONED BY (o_bucket)")
+      "o_totalprice DOUBLE) PARTITIONED BY (o_bucket)" + tblProps())
     Tables(spark, sfDir, "orders")
       .select(pmod(col("o_orderkey"), lit(8L)).as("o_bucket"),
         col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
@@ -526,12 +562,12 @@ object Lakehouse {
       s"UPDATE $t SET o_orderstatus = 'X' WHERE o_orderkey % 10 = 1")
     spark.sql(
       s"DELETE FROM $t WHERE o_orderstatus = 'F' AND o_orderkey % 10 = 2")
-    spark.table(t)
+    releasing(spark, spark.table(t)
       .groupBy(col("o_bucket"), col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
         sum(col("o_totalprice").cast(DecimalType(18, 2)))
           .cast(DoubleType).as("sum_price"))
-      .orderBy("o_bucket", "o_orderstatus")
+      .orderBy("o_bucket", "o_orderstatus"), t)
   }
 
   private val updatePartitionedSqlOracle =
@@ -563,8 +599,8 @@ object Lakehouse {
     val t = "graftlake.orders_cdf"
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(s"CREATE TABLE $t " +
-      "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE) " +
-      "TBLPROPERTIES ('graft.mode' = 'merge-on-read')")
+      "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)" +
+      tblProps("graft.mode" -> "merge-on-read"))
     Tables(spark, sfDir, "orders")
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
       .filter(col("o_orderkey") % 3 =!= 0)
@@ -586,14 +622,14 @@ object Lakehouse {
          |  (o_orderkey, o_orderstatus, o_totalprice)
          |  VALUES (b.o_orderkey, b.o_orderstatus, b.o_totalprice)
          |""".stripMargin)
-    spark.read
+    releasing(spark, spark.read
       .option("graft.changes.from", loadedV.toString)
       .option("graft.changes.to", table.currentVersion.toString)
       .table(t)
       .select(col("_change_type").as("change_type"),
         (col("_commit_version") - loadedV).as("commit_step"),
         col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      .orderBy("o_orderkey", "change_type")
+      .orderBy("o_orderkey", "change_type"), t)
   }
 
   /** Incremental downstream sync FROM the change feed — the consumer
@@ -613,8 +649,8 @@ object Lakehouse {
     val t = "graftlake.orders_sync"
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(s"CREATE TABLE $t " +
-      "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE) " +
-      "TBLPROPERTIES ('graft.mode' = 'merge-on-read')")
+      "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)" +
+      tblProps("graft.mode" -> "merge-on-read"))
     val prev = Tables(spark, sfDir, "orders")
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
       .filter(col("o_orderkey") % 3 =!= 0)
@@ -647,11 +683,11 @@ object Lakehouse {
     val inserts = feed.filter(col("_change_type") === "insert")
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
     // apply: replica ▷ deletes (left anti on the unique key) ∪ inserts
-    replica
+    releasing(spark, replica
       .join(broadcast(deletes), col("o_orderkey") === col("del_key"),
         "left_anti")
       .unionByName(inserts)
-      .orderBy("o_orderkey")
+      .orderBy("o_orderkey"), t)
   }
 
   /** The synced replica must equal the post-merge upstream relation —
@@ -686,7 +722,8 @@ object Lakehouse {
     val t = "graftlake.orders_evolve"
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(s"CREATE TABLE $t " +
-      "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)")
+      "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)" +
+      tblProps())
     Tables(spark, sfDir, "orders")
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
       .filter(col("o_orderkey") % 3 =!= 0)
@@ -700,13 +737,13 @@ object Lakehouse {
       .writeTo(t).append()
     spark.sql(
       s"UPDATE $t SET o_channel = 'bulk' WHERE o_orderkey % 10 = 1")
-    spark.table(t)
+    releasing(spark, spark.table(t)
       .groupBy(coalesce(col("o_channel"), lit("legacy")).as("channel"),
         col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
         sum(col("o_totalprice").cast(DecimalType(18, 2)))
           .cast(DoubleType).as("sum_price"))
-      .orderBy("channel", "o_orderstatus")
+      .orderBy("channel", "o_orderstatus"), t)
   }
 
   private val alterAddColumnOracle =
@@ -729,6 +766,68 @@ object Lakehouse {
       |FROM upd GROUP BY channel, o_orderstatus
       |ORDER BY channel, o_orderstatus""".stripMargin
 
+  /** Schema evolution part 2 — RENAME COLUMN and DROP COLUMN via STABLE
+    * PER-FILE FIELD IDS (the Iceberg field-id contract; VERDICT r11 task
+    * 4): files stamp column IDS, not names, so a rename is pure metadata
+    * (files written before it keep serving the id under its new name —
+    * a name-keyed manifest would wrongly null-fill them) and a drop
+    * retires an id without touching a single file. The fixture exercises
+    * the full lifecycle: load under the v1 schema, ADD a column, load
+    * mixed-schema files, RENAME the added column, DROP an original
+    * column, then a row-level UPDATE that rewrites groups spanning all
+    * three schema generations under the final schema. Zero-rewrite and
+    * feed-replay-across-rename are spec-pinned (LakehouseSpec); the
+    * oracle checks the end-to-end relation. */
+  def alterDropRename(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.orders_rename"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t " +
+      "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)" +
+      tblProps())
+    Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .filter(col("o_orderkey") % 3 =!= 0)
+      .writeTo(t).append()
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (o_channel STRING)")
+    Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        when(col("o_orderkey") % 2 === 0, lit("web")).otherwise(lit("app"))
+          .as("o_channel"))
+      .filter(col("o_orderkey") % 3 === 0)
+      .writeTo(t).append()
+    // rename: files written as o_channel keep serving their id as o_src
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN o_channel TO o_src")
+    // drop: the original status id is retired; no file is rewritten
+    spark.sql(s"ALTER TABLE $t DROP COLUMN o_orderstatus")
+    // row-level back-fill across all three schema generations
+    spark.sql(s"UPDATE $t SET o_src = 'bulk' WHERE o_orderkey % 10 = 1")
+    releasing(spark, spark.table(t)
+      .groupBy(coalesce(col("o_src"), lit("legacy")).as("channel"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price"))
+      .orderBy("channel"), t)
+  }
+
+  private val alterDropRenameOracle =
+    """WITH prev AS (
+      |  SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_src
+      |  FROM orders WHERE o_orderkey % 3 <> 0),
+      |added AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'app' END AS o_src
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |upd AS (
+      |  SELECT o_totalprice,
+      |    CASE WHEN o_orderkey % 10 = 1 THEN 'bulk' ELSE o_src END AS o_src
+      |  FROM (SELECT * FROM prev UNION ALL SELECT * FROM added))
+      |SELECT coalesce(o_src, 'legacy') AS channel,
+      | CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM upd GROUP BY channel ORDER BY channel""".stripMargin
+
   /** STREAMING change-feed consumption — the `<table>.changes` metadata
     * table read as a `readStream` source whose offsets are COMMIT
     * VERSIONS (the Delta streaming-source shape). The query runs the
@@ -746,8 +845,8 @@ object Lakehouse {
     val t = "graftlake.orders_scdf"
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(s"CREATE TABLE $t " +
-      "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE) " +
-      "TBLPROPERTIES ('graft.mode' = 'merge-on-read')")
+      "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)" +
+      tblProps("graft.mode" -> "merge-on-read"))
     val tmp = sys.props("java.io.tmpdir")
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
       "_pid" + ProcessHandle.current().pid()
@@ -788,6 +887,8 @@ object Lakehouse {
          |  VALUES (b.o_orderkey, b.o_orderstatus, b.o_totalprice)
          |""".stripMargin)
     drain() // resumes at the checkpointed version: merge churn only
+    // output lives in the parquet sink — no pin needed before release
+    spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.read.parquet(sink.getAbsolutePath)
       .orderBy("o_orderkey", "commit_step", "change_type")
   }
@@ -872,6 +973,9 @@ object Lakehouse {
     Query("ref_alter_add_column",
       "ALTER TABLE ADD COLUMNS: per-file manifests null-fill, no rewrite",
       alterAddColumn, Some(alterAddColumnOracle)),
+    Query("ref_alter_drop_rename",
+      "RENAME/DROP COLUMN via stable per-file field ids, zero rewrites",
+      alterDropRename, Some(alterDropRenameOracle)),
     Query("join_spj_storage",
       "storage-partitioned join: co-partitioned DSv2 tables, zero exchanges",
       storagePartitionedJoin, Some(storagePartitionedJoinOracle)),

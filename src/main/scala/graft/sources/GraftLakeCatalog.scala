@@ -104,36 +104,37 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog {
     val mode = properties.getOrDefault("graft.mode", "copy-on-write")
     require(mode == "copy-on-write" || mode == "merge-on-read",
       s"unknown graft.mode '$mode'")
+    val storage = properties.getOrDefault("graft.storage", "memory")
+    require(storage == "memory" || storage == "parquet",
+      s"unknown graft.storage '$storage'")
     val t = new GraftLakeTable(ident.toString, schema, partCols,
-      mergeOnRead = mode == "merge-on-read")
+      mergeOnRead = mode == "merge-on-read", storage = storage)
     if (tables.putIfAbsent(ident, t) != null)
       throw new TableAlreadyExistsException(ident.toString)
     t
   }
 
-  /** Schema evolution: top-level nullable ADD COLUMN only (the Iceberg
-    * add-column contract — existing files never rewrite; their rows
-    * null-fill the new column through the per-file column manifest).
-    * Everything else stays loudly unsupported. */
+  /** Schema evolution: top-level ADD COLUMN (nullable), RENAME COLUMN
+    * and DROP COLUMN — the Iceberg field-id contract: every file's
+    * manifest records stable COLUMN IDS, never names, so existing files
+    * are NEVER rewritten. Old files null-fill added ids, keep serving a
+    * renamed id under its new name, and simply stop projecting a dropped
+    * id. The statement is ATOMIC: all changes validate against a local
+    * copy of the schema and install in one assignment — a failing change
+    * in `ADD COLUMNS (a, b NOT NULL)` leaves the table untouched, so the
+    * corrected retry cannot trip over a half-applied `a` (ADVICE r11). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = Option(tables.get(ident))
       .getOrElse(throw new NoSuchTableException(ident))
-    changes.foreach {
-      case add: TableChange.AddColumn =>
-        require(add.fieldNames().length == 1,
-          s"nested ADD COLUMN unsupported: ${add.fieldNames().mkString(".")}")
-        require(add.isNullable,
-          s"added column ${add.fieldNames()(0)} must be nullable: " +
-            "files written before the evolution null-fill it")
-        t.addColumn(add.fieldNames()(0), add.dataType())
-      case other => throw new UnsupportedOperationException(
-        s"unsupported ALTER TABLE change: $other")
-    }
+    t.applySchemaChanges(changes)
     t
   }
 
   override def dropTable(ident: Identifier): Boolean =
-    tables.remove(ident) != null
+    Option(tables.remove(ident)) match {
+      case Some(t) => t.deleteStorage(); true
+      case None => false
+    }
 
   override def renameTable(from: Identifier, to: Identifier): Unit =
     throw new UnsupportedOperationException("RENAME not supported")
@@ -172,17 +173,43 @@ object GraftLakeCatalog {
       catalog: String, name: String): Option[GraftLakeTable] =
     Option(registries.get(catalog)).flatMap(ts =>
       ts.asScala.collectFirst { case (id, t) if id.name() == name => t })
+
+  /** Test hook: every live table name in `catalog` — the no-leftover-
+    * state assertion's probe (registry queries must DROP what they
+    * CREATE so a long bench run cannot accumulate commit histories on
+    * the driver heap). */
+  private[graft] def tableNames(catalog: String): Seq[String] =
+    Option(registries.get(catalog))
+      .map(_.keySet().asScala.map(_.name()).toSeq.sorted)
+      .getOrElse(Nil)
 }
 
 /** One immutable committed file (group): the unit of copy-on-write.
-  * `cols` is the file's COLUMN MANIFEST — the table's data columns at
-  * write time, in stored order. Readers project through it, so a file
-  * written before an ADD COLUMN serves NULL for the new column without
-  * ever being rewritten (the Iceberg/parquet schema-evolution contract:
-  * resolution is by name against per-file schemas, not by position
-  * against the table's current one). */
+  * `cols` is the file's COLUMN MANIFEST — the STABLE FIELD IDS of the
+  * table's data columns at write time, in stored order (the Iceberg
+  * field-id contract). Scans resolve ids to the table's CURRENT names at
+  * planning time, so a file written before an ADD COLUMN serves NULL for
+  * the new id, a RENAME needs no rewrite (the id keeps resolving, under
+  * its new name), and a DROP simply stops projecting the retired id —
+  * name-keyed manifests would wrongly null-fill a renamed column. */
 final case class GraftLakeFile(id: String, rows: Vector[InternalRow],
-    cols: Seq[String])
+    cols: Seq[Int], path: Option[String] = None,
+    types: Seq[DataType] = Nil, bytes: Long = 0L) {
+  /** The file's rows: in-memory for the default storage, decoded from
+    * the REAL parquet file for `graft.storage = parquet`. */
+  def loadRows: Vector[InternalRow] = path match {
+    case None => rows
+    case Some(p) => GraftParquetIO.read(p, types)
+  }
+}
+
+private[sources] object GraftLakeFieldIds {
+  /** Resolve a file's id manifest to CURRENT column names; retired
+    * (dropped) ids map to a sentinel no live field name can equal, so
+    * readers never project them. */
+  def resolve(cols: Seq[Int], idToName: Map[Int, String]): Seq[String] =
+    cols.map(id => idToName.getOrElse(id, "\u0000dropped#" + id))
+}
 
 /** A consistent view of committed state: the file list plus the
   * deletion vectors (per-file sets of dead row positions — always empty
@@ -191,8 +218,8 @@ final case class GraftLakeSnapshot(files: Vector[GraftLakeFile],
     dvs: Map[String, Set[Long]]) {
   def liveRows(f: GraftLakeFile): Vector[InternalRow] =
     dvs.get(f.id) match {
-      case None => f.rows
-      case Some(dead) => f.rows.zipWithIndex
+      case None => f.loadRows
+      case Some(dead) => f.loadRows.zipWithIndex
         .collect { case (r, i) if !dead.contains(i.toLong) => r }
     }
 }
@@ -204,26 +231,114 @@ final case class GraftLakeSnapshot(files: Vector[GraftLakeFile],
   * in miniature — each task commit message becomes one new file, the way
   * a real task writes one parquet file). */
 class GraftLakeTable(tableName: String, tableSchema: StructType,
-    partCols: Seq[String] = Nil, mergeOnRead: Boolean = false)
+    partCols: Seq[String] = Nil, mergeOnRead: Boolean = false,
+    storage: String = "memory")
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  // `graft.storage = parquet`: file groups land as REAL parquet files
+  // under a per-table temp dir; driver state keeps only paths + DVs —
+  // write amplification becomes measurable bytes and the driver heap
+  // stops holding row data (VERDICT r11 task 3)
+  if (storage == "parquet") tableSchema.fields.foreach(f =>
+    require(GraftParquetIO.supported(f.dataType),
+      s"graft.storage=parquet cannot store column ${f.name}: " +
+        f.dataType.sql))
+  private val lakeDir: Option[java.io.File] =
+    if (storage == "parquet") Some(java.nio.file.Files
+      .createTempDirectory("graft_lake_").toFile)
+    else None
+  private[sources] def deleteStorage(): Unit =
+    lakeDir.foreach(GraftParquetIO.deleteRecursively)
+  /** Current per-file sizes in bytes (0 for in-memory storage) — the
+    * write-amplification spec's probe. */
+  private[graft] def fileBytes: Map[String, Long] =
+    synchronized(files.map(f => f.id -> f.bytes).toMap)
+  /** Current on-disk paths (parquet storage only). */
+  private[graft] def filePaths: Map[String, String] =
+    synchronized(files.flatMap(f => f.path.map(f.id -> _)).toMap)
+  /** Test hook: invoked at the ENTRY of every data commit, before the
+    * table lock — lets a concurrency spec latch two writers so both pin
+    * their snapshots before either commit applies. */
+  @volatile private[graft] var commitHook: () => Unit = () => ()
 
   // the committed table state; replaced atomically under this lock
   private var files: Vector[GraftLakeFile] = Vector.empty
   private var dvs: Map[String, Set[Long]] = Map.empty
   private var fileSeq = 0
-  // current schema; grows via ALTER TABLE ADD COLUMNS (addColumn below)
+  // current schema; evolves via ALTER TABLE (applySchemaChanges below).
+  // `colIds(i)` is the STABLE FIELD ID of schemaNow.fields(i) — the
+  // Iceberg field-id contract: files stamp ids, not names, so RENAME is
+  // a pure metadata edit (old files keep serving the id under its new
+  // name) and DROP retires an id without touching any file.
   private var schemaNow: StructType = tableSchema
+  private var colIds: Vector[Int] = tableSchema.indices.toVector
+  private var nextColId: Int = tableSchema.length
 
-  private[sources] def addColumn(name: String, dt: DataType): Unit =
+  /** Current (field id → name) mapping — what scans resolve per-file id
+    * manifests through at planning time. */
+  private[sources] def idToName: Map[Int, String] = synchronized(
+    colIds.zip(schemaNow.fieldNames).map { case (id, n) => id -> n }.toMap)
+
+  /** Validate EVERY change against a local copy of the schema, then
+    * install the result in one assignment — atomic by construction: no
+    * table state mutates until the whole statement has passed. */
+  private[sources] def applySchemaChanges(changes: Seq[TableChange]): Unit =
     synchronized {
-      require(!schemaNow.fieldNames.contains(name),
-        s"column $name already exists on $tableName")
-      require(name != GraftLakeTable.FileCol && name != GraftLakeTable.PosCol
-          && name != GraftLakeTable.ChangeTypeCol
-          && name != GraftLakeTable.CommitVersionCol,
-        s"column $name collides with a metadata column")
-      schemaNow = schemaNow.add(name, dt, nullable = true)
+      var fields = schemaNow.fields.toVector
+      var ids = colIds
+      var next = nextColId
+      def indexOf(fieldNames: Array[String], what: String): Int = {
+        require(fieldNames.length == 1,
+          s"nested $what unsupported: ${fieldNames.mkString(".")}")
+        val i = fields.indexWhere(_.name == fieldNames(0))
+        require(i >= 0, s"no column ${fieldNames(0)} on $tableName")
+        i
+      }
+      def checkFresh(name: String): Unit = {
+        require(!fields.exists(_.name == name),
+          s"column $name already exists on $tableName")
+        require(name != GraftLakeTable.FileCol
+            && name != GraftLakeTable.PosCol
+            && name != GraftLakeTable.ChangeTypeCol
+            && name != GraftLakeTable.CommitVersionCol,
+          s"column $name collides with a metadata column")
+      }
+      changes.foreach {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames().length == 1,
+            s"nested ADD COLUMN unsupported: " +
+              add.fieldNames().mkString("."))
+          require(add.isNullable,
+            s"added column ${add.fieldNames()(0)} must be nullable: " +
+              "files written before the evolution null-fill it")
+          if (storage == "parquet")
+            require(GraftParquetIO.supported(add.dataType()),
+              s"graft.storage=parquet cannot store added column " +
+                s"${add.fieldNames()(0)}: ${add.dataType().sql}")
+          checkFresh(add.fieldNames()(0))
+          fields :+= StructField(add.fieldNames()(0), add.dataType(),
+            nullable = true)
+          ids :+= next
+          next += 1
+        case ren: TableChange.RenameColumn =>
+          val i = indexOf(ren.fieldNames(), "RENAME COLUMN")
+          checkFresh(ren.newName())
+          fields = fields.updated(i, fields(i).copy(name = ren.newName()))
+        case del: TableChange.DeleteColumn =>
+          val i = indexOf(del.fieldNames(), "DROP COLUMN")
+          require(!partCols.contains(fields(i).name),
+            s"cannot drop partition column ${fields(i).name}")
+          require(fields.length > 1,
+            s"cannot drop the last column of $tableName")
+          fields = fields.patch(i, Nil, 1)
+          ids = ids.patch(i, Nil, 1)
+        case other => throw new UnsupportedOperationException(
+          s"unsupported ALTER TABLE change: $other")
+      }
+      schemaNow = StructType(fields)
+      colIds = ids
+      nextColId = next
     }
   // COMMIT HISTORY: snapshot after every commit, version = index. The
   // `dataChange` flag mirrors Delta's: maintenance commits (DV
@@ -299,9 +414,25 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       batches: Vector[Vector[InternalRow]]): Vector[GraftLakeFile] =
     batches.filter(_.nonEmpty).map { rows =>
       fileSeq += 1
-      // stamp the CURRENT data columns: rows were written under them
-      GraftLakeFile(s"$tableName#f$fileSeq", rows,
-        schemaNow.fieldNames.toSeq)
+      // stamp the CURRENT column ids: rows were written under them. A
+      // schema change between the write's planning and its commit would
+      // skew row arity against the manifest — abort loudly, never stamp
+      // a manifest the rows don't match.
+      require(rows.head.numFields == colIds.length,
+        s"write to $tableName carries ${rows.head.numFields} columns but " +
+          s"the table now has ${colIds.length}: a concurrent ALTER TABLE " +
+          "landed mid-statement — retry against the current schema")
+      val id = s"$tableName#f$fileSeq"
+      lakeDir match {
+        case Some(dir) =>
+          val types = schemaNow.fields.map(_.dataType).toSeq
+          val p = new java.io.File(dir, s"f$fileSeq.parquet")
+            .getAbsolutePath
+          val bytes = GraftParquetIO.write(p,
+            schemaNow.fieldNames.toSeq, types, rows)
+          GraftLakeFile(id, Vector.empty, colIds, Some(p), types, bytes)
+        case None => GraftLakeFile(id, rows, colIds)
+      }
     }
 
   private[sources] def snapshot: GraftLakeSnapshot =
@@ -326,7 +457,8 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     * this write re-derives from its snapshot — the classic lost update.
     * Abort loudly instead (Iceberg's validateDataFilesExist contract). */
   private def replaceGroups(removed: Set[String],
-      batches: Vector[Vector[InternalRow]]): Unit =
+      batches: Vector[Vector[InternalRow]]): Unit = {
+    commitHook()
     synchronized {
       val gone = removed -- files.map(_.id).toSet
       if (gone.nonEmpty) throw new IllegalStateException(
@@ -337,25 +469,41 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       dvs = dvs.filterNot { case (id, _) => removed.contains(id) }
       recordCommit(true)
     }
+  }
   /** The merge-on-read commit: NO file is rewritten — deletes land as
-    * deletion-vector positions, inserts as new files. Same conflict
-    * validation as the CoW commit: a position delete against a file a
-    * concurrent commit replaced (e.g. compaction) would target rows that
-    * no longer exist at those positions. */
-  private def applyDelta(deleted: Map[String, Set[Long]],
-      batches: Vector[Vector[InternalRow]]): Unit =
+    * deletion-vector positions, inserts as new files. Conflict
+    * validation is two-level (Iceberg's serializable-isolation delete
+    * checks): a position delete against a file a concurrent commit
+    * REPLACED (compaction) targets rows that no longer exist at those
+    * positions; and a delete against a file whose DELETION VECTOR
+    * changed since `expected` (the operation's pinned snapshot) means a
+    * concurrent writer touched the same file's rows — this operation's
+    * inserts were derived from values that may now be dead, the MoR
+    * shape of the lost update. Both abort loudly for retry. */
+  private def applyDelta(expected: Map[String, Set[Long]])(
+      deleted: Map[String, Set[Long]],
+      batches: Vector[Vector[InternalRow]]): Unit = {
+    commitHook()
     synchronized {
       val gone = deleted.keySet -- files.map(_.id).toSet
       if (gone.nonEmpty) throw new IllegalStateException(
         s"write conflict on $tableName: delete target file(s) " +
           s"${gone.mkString(", ")} were replaced by a concurrent commit " +
           "after this operation's snapshot — retry the statement")
+      val skewed = deleted.keySet.filter(id =>
+        dvs.getOrElse(id, Set.empty) != expected.getOrElse(id, Set.empty))
+      if (skewed.nonEmpty) throw new IllegalStateException(
+        s"write conflict on $tableName: deletion vector(s) of " +
+          s"${skewed.mkString(", ")} changed since this operation's " +
+          "snapshot — a concurrent row-level commit touched the same " +
+          "file(s); retry the statement against the current state")
       dvs = (dvs.keySet ++ deleted.keySet).map(id =>
         id -> (dvs.getOrElse(id, Set.empty) ++
           deleted.getOrElse(id, Set.empty))).toMap
       files = files ++ mkFiles(batches)
       recordCommit(true)
     }
+  }
   /** Compact ONE file's deletion vector away: rewrite the file as its
     * live rows (or drop it if fully dead) and clear the DV — the
     * maintenance that amortizes merge-on-read's read debt, file-at-a-
@@ -417,11 +565,11 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     (from, to) match {
       case (Some(lo), Some(hi)) =>
         new GraftLakeChangeFeedScanBuilder(
-          historySlice(lo, hi), lo, schema())
+          historySlice(lo, hi), lo, schema(), idToName)
       case _ =>
         new GraftLakeScanBuilder(
           asOf.map(snapshotAt).getOrElse(snapshot), schema(), partCols,
-          None, () => fileIds.toSet)
+          None, () => fileIds.toSet, idToName)
     }
   }
 
@@ -453,10 +601,12 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       // instead). Updates arrive as delete+insert pairs so the writer
       // only needs the two primitives, exactly Iceberg's position-delta
       // shape.
-      // snapshot AND schema pinned at operation creation: a concurrent
-      // ADD COLUMN mid-statement must not skew the writer's row layout
+      // snapshot AND schema (with its id mapping) pinned at operation
+      // creation: a concurrent ALTER mid-statement must not skew the
+      // writer's row layout
       private val snap = snapshot
       private val opSchema = schema()
+      private val opIds = idToName
 
       override def command(): RowLevelOperation.Command = info.command()
       override def rowId(): Array[NamedReference] =
@@ -466,13 +616,13 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       override def newScanBuilder(
           options: CaseInsensitiveStringMap): ScanBuilder =
         new GraftLakeScanBuilder(snap, opSchema, partCols, None,
-          () => fileIds.toSet)
+          () => fileIds.toSet, opIds)
       override def newWriteBuilder(
           info: LogicalWriteInfo): DeltaWriteBuilder =
         new DeltaWriteBuilder {
           override def build(): DeltaWrite = new DeltaWrite {
             override def toBatch: DeltaBatchWrite =
-              new GraftLakeDeltaBatchWrite(applyDelta,
+              new GraftLakeDeltaBatchWrite(applyDelta(snap.dvs),
                 opSchema.fields.map(_.dataType))
           }
         }
@@ -483,6 +633,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       // the runtime group filter
       private val snap = snapshot
       private val opSchema = schema()
+      private val opIds = idToName
       private val state = new GroupScanState(snap.files.map(_.id).toSet)
 
       override def command(): RowLevelOperation.Command = info.command()
@@ -494,7 +645,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       override def newScanBuilder(
           options: CaseInsensitiveStringMap): ScanBuilder =
         new GraftLakeScanBuilder(snap, opSchema, partCols, Some(state),
-          () => fileIds.toSet)
+          () => fileIds.toSet, opIds)
       // group-based ReplaceData: the written set replaces exactly the
       // groups the (runtime-filtered) scan read. Spark 4.1 prepends a
       // `__row_operation` INT to every row it hands the writer
@@ -560,14 +711,15 @@ final class GroupScanState(allIds: Set[String]) {
 class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
     fullSchema: StructType, partCols: Seq[String],
     rowLevel: Option[GroupScanState],
-    currentIds: () => Set[String] = () => Set.empty)
+    currentIds: () => Set[String] = () => Set.empty,
+    idToName: Map[Int, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan =
     new GraftLakeScan(snapshot, fullSchema, required, partCols, rowLevel,
-      currentIds)
+      currentIds, idToName)
 }
 
 /** Scan over a committed file snapshot.
@@ -600,11 +752,16 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
 class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
     requiredSchema: StructType, partCols: Seq[String],
     rowLevel: Option[GroupScanState],
-    currentIds: () => Set[String] = () => Set.empty)
+    currentIds: () => Set[String] = () => Set.empty,
+    idToName: Map[Int, String] = Map.empty)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeV2Filtering {
 
   @volatile private var active: Vector[GraftLakeFile] = snapshot.files
+
+  // per-file id manifest resolved to CURRENT names once at planning
+  private def namesOf(f: GraftLakeFile): Seq[String] =
+    GraftLakeFieldIds.resolve(f.cols, idToName)
 
   // file-grained partitions whenever per-row file lineage is required;
   // keyed partitions interleave files and cannot synthesize _file/_pos
@@ -697,10 +854,11 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
     // file-grained path projects lazily in the reader instead
     def normalized(f: GraftLakeFile): Vector[InternalRow] = {
       val rows = snapshot.liveRows(f)
-      if (f.cols == names) rows
+      val fileNames = namesOf(f)
+      if (fileNames == names) rows
       else {
         val slots = fullSchema.fields.map(fd =>
-          (f.cols.indexOf(fd.name), fd.dataType))
+          (fileNames.indexOf(fd.name), fd.dataType))
         rows.map(r => new GenericInternalRow(slots.map { case (i, dt) =>
           (if (i < 0) null else r.get(i, dt)): Any
         }))
@@ -724,8 +882,12 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] =
     if (fileGrained)
+      // parquet-backed files ship only their PATH to tasks; the reader
+      // decodes real columnar bytes executor-side (memory-backed files
+      // ship their rows, as before)
       active.map(f => GraftLakeFilePartition(f.id, f.rows,
-        snapshot.dvs.getOrElse(f.id, Set.empty), f.cols)).toArray
+        snapshot.dvs.getOrElse(f.id, Set.empty), namesOf(f),
+        f.path, f.types)).toArray
     else
       keyed.map { case (k, rs) => GraftLakeKeyedPartition(rs, k) }
 
@@ -735,7 +897,9 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
 
 final case class GraftLakeFilePartition(
     fileId: String, rows: Vector[InternalRow],
-    deleted: Set[Long], cols: Seq[String]) extends InputPartition
+    deleted: Set[Long], cols: Seq[String],
+    path: Option[String] = None, types: Seq[DataType] = Nil)
+    extends InputPartition
 
 final case class GraftLakeKeyedPartition(
     rows: Vector[InternalRow], key: InternalRow)
@@ -765,7 +929,7 @@ final case class GraftLakeChangePartition(fileId: String,
   * they reorganize storage without changing the relation. */
 class GraftLakeChangeFeedScanBuilder(
     history: Vector[(GraftLakeSnapshot, Boolean)], fromVersion: Int,
-    fullSchema: StructType)
+    fullSchema: StructType, idToName: Map[Int, String])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -777,7 +941,7 @@ class GraftLakeChangeFeedScanBuilder(
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftLakeChangeReaderFactory(fullSchema, required)
     override def planInputPartitions(): Array[InputPartition] =
-      GraftLakeChanges.partitions(history, fromVersion)
+      GraftLakeChanges.partitions(history, fromVersion, idToName)
   }
 }
 
@@ -830,7 +994,7 @@ class GraftLakeChangesTable(parent: GraftLakeTable)
           val hist = parent.historySlice(from, to)
           new Batch {
             override def planInputPartitions(): Array[InputPartition] =
-              GraftLakeChanges.partitions(hist, from)
+              GraftLakeChanges.partitions(hist, from, parent.idToName)
             override def createReaderFactory(): PartitionReaderFactory =
               new GraftLakeChangeReaderFactory(parent.schema(), required)
           }
@@ -880,7 +1044,8 @@ class GraftLakeChangeStream(parent: GraftLakeTable,
     val s = start.asInstanceOf[GraftLakeVersionOffset].v
     val e = end.asInstanceOf[GraftLakeVersionOffset].v
     if (e <= s) Array.empty
-    else GraftLakeChanges.partitions(parent.historySlice(s, e), s)
+    else GraftLakeChanges.partitions(parent.historySlice(s, e), s,
+      parent.idToName)
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLakeChangeReaderFactory(parent.schema(), requiredSchema)
@@ -899,7 +1064,9 @@ class GraftLakeVersionOffset(val v: Int)
   * streaming change source: one partition per (commit, changed file). */
 private[sources] object GraftLakeChanges {
   def partitions(history: Vector[(GraftLakeSnapshot, Boolean)],
-      fromVersion: Int): Array[InputPartition] = {
+      fromVersion: Int, idToName: Map[Int, String]): Array[InputPartition] = {
+    def namesOf(f: GraftLakeFile): Seq[String] =
+      GraftLakeFieldIds.resolve(f.cols, idToName)
     val parts = Vector.newBuilder[InputPartition]
     for (i <- 1 until history.length) {
       val (prev, _) = history(i - 1)
@@ -909,26 +1076,49 @@ private[sources] object GraftLakeChanges {
         val prevIds = prev.files.map(_.id).toSet
         val curIds = cur.files.map(_.id).toSet
         cur.files.filterNot(f => prevIds.contains(f.id)).foreach { f =>
-          parts += GraftLakeChangePartition(f.id,
-            f.rows.zipWithIndex.map { case (r, p) => (p.toLong, r) },
-            "insert", v, f.cols)
+          // a commit can introduce a file TOGETHER with a deletion vector
+          // (rollback past a compaction restores the pre-compaction file
+          // plus its DV): only the file's LIVE-in-cur rows are inserts —
+          // emitting the DV'd positions would resurrect dead rows
+          // downstream (ADVICE r11).
+          val dead = cur.dvs.getOrElse(f.id, Set.empty[Long])
+          val live = f.loadRows.zipWithIndex
+            .collect { case (r, p) if !dead.contains(p.toLong) =>
+              (p.toLong, r) }
+          if (live.nonEmpty)
+            parts += GraftLakeChangePartition(f.id, live, "insert", v,
+              namesOf(f))
         }
         prev.files.filterNot(f => curIds.contains(f.id)).foreach { f =>
           val dead = prev.dvs.getOrElse(f.id, Set.empty)
-          val live = f.rows.zipWithIndex
+          val live = f.loadRows.zipWithIndex
             .collect { case (r, p) if !dead.contains(p.toLong) =>
               (p.toLong, r) }
           if (live.nonEmpty)
             parts += GraftLakeChangePartition(f.id, live, "delete", v,
-              f.cols)
+              namesOf(f))
         }
         cur.files.filter(f => prevIds.contains(f.id)).foreach { f =>
-          val grown = cur.dvs.getOrElse(f.id, Set.empty) --
-            prev.dvs.getOrElse(f.id, Set.empty)
+          val prevDead = prev.dvs.getOrElse(f.id, Set.empty[Long])
+          val curDead = cur.dvs.getOrElse(f.id, Set.empty[Long])
+          // loaded at most once per TOUCHED file (feed cost stays ∝ the
+          // files a commit changed, parquet storage included)
+          lazy val frows = f.loadRows
+          val grown = curDead -- prevDead
           if (grown.nonEmpty)
             parts += GraftLakeChangePartition(f.id,
-              grown.toVector.sorted.map(p => (p, f.rows(p.toInt))),
-              "delete", v, f.cols)
+              grown.toVector.sorted.map(p => (p, frows(p.toInt))),
+              "delete", v, namesOf(f))
+          // a deletion vector that SHRANK (rollback undoing a MERGE/DELETE)
+          // resurrects the previously position-deleted rows: without the
+          // insert leg a CDC replica applying the feed would permanently
+          // miss them — the self-heal contract rollback's docstring
+          // promises (ADVICE r11).
+          val shrunk = prevDead -- curDead
+          if (shrunk.nonEmpty)
+            parts += GraftLakeChangePartition(f.id,
+              shrunk.toVector.sorted.map(p => (p, frows(p.toInt))),
+              "insert", v, namesOf(f))
         }
       }
     }
@@ -992,7 +1182,12 @@ class GraftLakeReaderFactory(fullSchema: StructType,
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
     val (fileId, rows, deleted, cols) = p match {
-      case GraftLakeFilePartition(id, rs, dv, cs) => (id, rs, dv, cs)
+      case fp: GraftLakeFilePartition =>
+        val rs = fp.path match {
+          case Some(pq) => GraftParquetIO.read(pq, fp.types)
+          case None => fp.rows
+        }
+        (fp.fileId, rs, fp.deleted, fp.cols)
       case GraftLakeKeyedPartition(rs, _) =>
         // keyed rows are pre-DV-filtered AND pre-normalized to the
         // current schema; scans needing _file/_pos are planned

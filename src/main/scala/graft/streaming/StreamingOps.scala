@@ -424,7 +424,8 @@ object StreamingOps {
         .start()
       awaitDrained(q)
     }
-    spark.table(serving).orderBy("event_type")
+    graft.operators.Lakehouse.releasing(spark,
+      spark.table(serving).orderBy("event_type"), serving)
   }
 
   /** Stream–static join: the event stream enriched against the static

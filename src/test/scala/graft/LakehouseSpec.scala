@@ -402,11 +402,11 @@ class LakehouseSpec extends SparkTestBase {
         Expressions.literal(UTF8String.fromString(id)))).toArray[
         org.apache.spark.sql.connector.expressions.Expression]))
     val snap = GraftLakeSnapshot(
-      Vector(GraftLakeFile("t#f1", Vector.empty, Seq("k")),
-        GraftLakeFile("t#f2", Vector.empty, Seq("k"))), Map.empty)
+      Vector(GraftLakeFile("t#f1", Vector.empty, Seq(0)),
+        GraftLakeFile("t#f2", Vector.empty, Seq(0))), Map.empty)
     def scanWith(current: Set[String]) = new GraftLakeScan(snap, schema,
       schema, Nil, Some(new GroupScanState(Set("t#f1", "t#f2"))),
-      () => current)
+      () => current, Map(0 -> "k"))
     // consistent universes: narrows and records the scanned group
     val ok = scanWith(Set("t#f1", "t#f2"))
     ok.filter(mkIn(Seq("t#f1")))
@@ -424,11 +424,40 @@ class LakehouseSpec extends SparkTestBase {
   }
 
   test("change feed: maintenance commits invisible, version time travel exact") {
-    val feed = run("ref_change_feed").collect()
-    assert(feed.nonEmpty)
+    // registry queries now RELEASE their tables (VERDICT r11 task 2), so
+    // this spec builds its own fixture instead of reading orders_cdf's
+    // leftovers
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_cdf_maint"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t " +
+      "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE) " +
+      "TBLPROPERTIES ('graft.mode' = 'merge-on-read')")
+    spark.range(0, 100)
+      .selectExpr("id AS o_orderkey", "'O' AS o_orderstatus",
+        "CAST(id AS DOUBLE) AS o_totalprice")
+      .coalesce(2).writeTo(t).append() // v1
+    spark.range(0, 100).filter("id % 2 = 0")
+      .selectExpr("id AS o_orderkey", "'U' AS o_orderstatus",
+        "CAST(id AS DOUBLE) AS o_totalprice")
+      .createOrReplaceTempView("spec_cdf_maint_src")
+    spark.sql(
+      s"""MERGE INTO $t t USING spec_cdf_maint_src b
+         |ON t.o_orderkey = b.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET
+         |  o_orderstatus = b.o_orderstatus, o_totalprice = b.o_totalprice
+         |WHEN NOT MATCHED THEN INSERT
+         |  (o_orderkey, o_orderstatus, o_totalprice)
+         |  VALUES (b.o_orderkey, b.o_orderstatus, b.o_totalprice)
+         |""".stripMargin) // v2: 50 DV deletes + re-inserts
     val table = graft.sources.GraftLakeCatalog
-      .tableFor("graftlake", "orders_cdf").get
-    val t = "graftlake.orders_cdf"
+      .tableFor("graftlake", "spec_cdf_maint").get
+    val feed = spark.read
+      .option("graft.changes.from", "1")
+      .option("graft.changes.to", table.currentVersion.toString)
+      .table(t).select("_change_type", "o_orderkey").collect()
+    assert(feed.nonEmpty)
     // version time travel: the pre-merge version is the prev slice,
     // version 0 is the empty table at creation
     val preMerge = spark.read.option("graft.snapshot-version", "1").table(t)
@@ -600,6 +629,287 @@ class LakehouseSpec extends SparkTestBase {
     assert(agg.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSeq == Seq((0L, 15L, 120.0), (1L, 15L, 125.0)),
       "keyed partitions must null-fill old files and aggregate the new")
+  }
+
+  test("RENAME/DROP COLUMN: field-id manifests, zero rewrites, feed replays the rename") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_rename"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, status STRING, tag STRING)")
+    spark.range(0, 10)
+      .selectExpr("id AS k", "'a' AS status", "concat('t', id) AS tag")
+      .coalesce(1).writeTo(t).append()
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_rename").get
+    val oldFile = table.fileIds.head
+    // rename is pure metadata: the pre-rename file keeps serving the ID
+    // under the new name (a name-keyed manifest would null-fill here)
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN tag TO label")
+    assert(table.fileIds == Seq(oldFile), "RENAME rewrites nothing")
+    assert(spark.table(t).where("label = 't3'").count() == 1,
+      "pre-rename file data serves under the renamed column")
+    // drop retires the id; the file still physically holds the column
+    // but no read can project it
+    spark.sql(s"ALTER TABLE $t DROP COLUMN status")
+    assert(table.fileIds == Seq(oldFile), "DROP rewrites nothing")
+    assert(spark.table(t).columns.toSeq == Seq("k", "label"))
+    assert(intercept[Exception] {
+      spark.table(t).select("status").collect()
+    }.getMessage.toLowerCase.contains("status"))
+    // a NEW column reusing the dropped NAME gets a FRESH id: old files
+    // must null-fill it, never resurrect the dropped id's data
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (status STRING)")
+    assert(spark.table(t).where("status IS NULL").count() == 10,
+      "a re-added name is a new id — dropped data must not resurrect")
+    // mixed-schema row-level UPDATE under the final schema
+    spark.range(10, 15)
+      .selectExpr("id AS k", "concat('n', id) AS label", "'new' AS status")
+      .coalesce(1).writeTo(t).append()
+    spark.sql(s"UPDATE $t SET label = 'X' WHERE k IN (3, 12)")
+    assert(spark.table(t).where("label = 'X'").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(3L, 12L))
+    assert(spark.table(t).count() == 15)
+    // the change feed replays the PRE-RENAME commit under the current
+    // name (field-id resolution, Delta column-mapping semantics)
+    val feed = spark.read
+      .option("graft.changes.from", "0").option("graft.changes.to", "1")
+      .table(t).select("k", "label", "_change_type").collect()
+    assert(feed.length == 10 &&
+      feed.forall(r => r.getString(1) == s"t${r.getLong(0)}"),
+      "feed replay across the rename resolves ids to current names")
+  }
+
+  test("ALTER TABLE is atomic: one failing change leaves the statement unapplied") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_alter_atomic"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT)")
+    // second column fails the nullability check AFTER the first passed:
+    // the whole statement must roll off — no half-applied 'a'
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ADD COLUMNS (a STRING, b STRING NOT NULL)")
+    }
+    assert(spark.table(t).columns.toSeq == Seq("k"),
+      "a failing multi-ADD must not half-apply its leading columns")
+    // the corrected retry succeeds — no 'column a already exists' debris
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (a STRING, b STRING)")
+    assert(spark.table(t).columns.toSeq == Seq("k", "a", "b"))
+  }
+
+  test("change feed represents rollback: shrunk DVs resurrect, restored files respect DVs") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_rollback_cdf"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.mode' = 'merge-on-read')")
+    spark.range(0, 10).selectExpr("id AS k", "'a' AS s")
+      .coalesce(1).writeTo(t).append() // v1: f1
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_rollback_cdf").get
+    spark.sql(s"DELETE FROM $t WHERE k = 3") // v2: dv {3} on f1
+    spark.sql(s"CALL graftlake.system.rollback('spec_rollback_cdf', 1)")
+    // v3 = rollback: f1's DV SHRANK {3} -> {} — the resurrected row must
+    // surface as an insert or a CDC replica permanently misses it
+    val rb = spark.read
+      .option("graft.changes.from", "2")
+      .option("graft.changes.to", "3")
+      .table(t).select("_change_type", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rb == Seq(("insert", 3L)),
+      s"rollback's shrunk DV surfaces the resurrected row: $rb")
+    // rollback PAST a compaction: the restored file carries a DV — its
+    // dead row must NOT be emitted as a spurious insert
+    spark.sql(s"DELETE FROM $t WHERE k = 5") // v4: dv {5} on f1
+    spark.sql(s"CALL graftlake.system.compact('spec_rollback_cdf')")
+    // v5 (maintenance): f1 -> f2, no DV
+    spark.sql(s"CALL graftlake.system.rollback('spec_rollback_cdf', 4)")
+    val rb2 = spark.read
+      .option("graft.changes.from", "5")
+      .option("graft.changes.to", "6")
+      .table(t).select("_change_type", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(!rb2.contains(("insert", 5L)),
+      s"the restored file's DV'd row must not return as an insert: " +
+        rb2.toSeq)
+    // END-TO-END self-heal: replaying the FULL feed reproduces the
+    // current relation exactly (the CDC-replica contract across both
+    // rollbacks and the compaction)
+    val feed = spark.read
+      .option("graft.changes.from", "0")
+      .option("graft.changes.to", table.currentVersion.toString)
+      .table(t).select("_commit_version", "_change_type", "k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val replica = scala.collection.mutable.Set.empty[Long]
+    feed.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, changes) =>
+      changes.filter(_._2 == "delete").foreach(c => replica -= c._3)
+      changes.filter(_._2 == "insert").foreach(c => replica += c._3)
+    }
+    val current = spark.table(t).select("k").collect()
+      .map(_.getLong(0)).toSet
+    assert(replica.toSet == current,
+      s"full-feed replay must converge to the live relation: " +
+        s"replica=${replica.toSeq.sorted} live=${current.toSeq.sorted}")
+  }
+
+  test("registry lakehouse queries leave no graftlake tables behind") {
+    // VERDICT r11 task 2: a 240-query bench run must not accumulate
+    // table state + commit histories on the driver heap — every query
+    // materializes its output, then DROPs what it created
+    val names = Lakehouse.queries.map(_.name) :+ "stream_merge_sink"
+    for (n <- names) {
+      val before = graft.sources.GraftLakeCatalog
+        .tableNames("graftlake").toSet
+      run(n).collect()
+      val leftover = graft.sources.GraftLakeCatalog
+        .tableNames("graftlake").toSet -- before
+      assert(leftover.isEmpty, s"$n left tables behind: $leftover")
+    }
+  }
+
+  test("concurrent MERGE writers converge under retry (CoW and MoR)") {
+    // VERDICT r11 task 5: the conflict-abort contract needs proof that a
+    // retry LOOP converges. A commit-entry latch forces both writers to
+    // pin their snapshots before either commit applies — the loser must
+    // abort (not lose its update) and succeed on retry; the final state
+    // must equal a serial application. The increment merge is
+    // order-commutative, so serial-in-either-order is one fixed answer.
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    def conflictIn(e: Throwable): Boolean = {
+      var c: Throwable = e
+      var seen = List.empty[Throwable]
+      while (c != null && !seen.exists(_ eq c)) {
+        if (Option(c.getMessage).exists(_.contains("write conflict")))
+          return true
+        seen ::= c; c = c.getCause
+      }
+      false
+    }
+    for (mode <- Seq("copy-on-write", "merge-on-read")) {
+      val tag = if (mode == "copy-on-write") "cow" else "mor"
+      val t = s"graftlake.spec_conc_$tag"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT) " +
+        s"TBLPROPERTIES ('graft.mode' = '$mode')")
+      for (b <- 0 until 3)
+        spark.range(b * 100L, (b + 1) * 100L)
+          .selectExpr("id AS k", "CAST(0 AS BIGINT) AS v")
+          .coalesce(1).writeTo(t).append()
+      val table = graft.sources.GraftLakeCatalog
+        .tableFor("graftlake", s"spec_conc_$tag").get
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      table.commitHook = () =>
+        try barrier.await(10, java.util.concurrent.TimeUnit.SECONDS)
+        catch { case _: Throwable => () }
+      val retries = new java.util.concurrent.atomic.AtomicInteger
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[
+        Throwable]()
+      def merge(lo: Long, hi: Long, view: String): Runnable = () =>
+        try {
+          spark.range(lo, hi).selectExpr("id AS k")
+            .createOrReplaceTempView(view)
+          var done = false
+          while (!done) {
+            try {
+              spark.sql(s"MERGE INTO $t t USING $view b ON t.k = b.k " +
+                "WHEN MATCHED THEN UPDATE SET v = t.v + 1")
+              done = true
+            } catch {
+              case e: Throwable if conflictIn(e) =>
+                retries.incrementAndGet()
+              case e: Throwable => throw e
+            }
+          }
+        } catch { case e: Throwable => failures.add(e) }
+      val a = new Thread(merge(0, 200, s"spec_conc_a_$tag"))
+      val b = new Thread(merge(100, 300, s"spec_conc_b_$tag"))
+      a.start(); b.start(); a.join(60000); b.join(60000)
+      table.commitHook = () => ()
+      assert(failures.isEmpty, s"$mode: ${failures.peek()}")
+      assert(retries.get >= 1,
+        s"$mode: the latch must force at least one conflict-retry")
+      val got = spark.table(t).groupBy("v").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == Map(1L -> 200L, 2L -> 100L),
+        s"$mode: overlap stripe must see BOTH increments (no lost " +
+          s"update), got $got after ${retries.get} retries")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
+  test("parquet storage mode: row-level registry queries are mode-identical") {
+    // VERDICT r11 task 3: with graft.storage=parquet the same fixtures
+    // run over REAL parquet file groups; memory mode is oracle-green, so
+    // row-for-row equality proves parquet mode is too
+    def collected(n: String) = run(n).collect().toSeq
+    val names =
+      Seq("ref_merge_into_sql", "ref_merge_on_read", "ref_change_feed")
+    val mem = names.map(n => n -> collected(n)).toMap
+    sys.props("graft.lake.storage") = "parquet"
+    try names.foreach { n =>
+      assert(collected(n) == mem(n),
+        s"$n must produce the identical relation in parquet storage")
+    } finally sys.props -= "graft.lake.storage"
+  }
+
+  test("parquet storage: write amplification is measured bytes (CoW one file, MoR ~zero)") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    for (mode <- Seq("copy-on-write", "merge-on-read")) {
+      val tag = if (mode == "copy-on-write") "cow" else "mor"
+      val t = s"graftlake.spec_pq_$tag"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+        s"TBLPROPERTIES ('graft.mode' = '$mode', " +
+        "'graft.storage' = 'parquet')")
+      for (b <- 0 until 4)
+        spark.range(b * 1000L, (b + 1) * 1000L)
+          .selectExpr("id AS k", "repeat('x', 32) AS s")
+          .coalesce(1).writeTo(t).append()
+      val table = graft.sources.GraftLakeCatalog
+        .tableFor("graftlake", s"spec_pq_$tag").get
+      val paths = table.filePaths
+      val bytes = table.fileBytes
+      assert(paths.size == 4 && paths.values.forall(p =>
+        new java.io.File(p).isFile), "file groups are real parquet files")
+      assert(bytes.values.forall(_ > 0))
+      val before = table.fileIds
+      // single-key statement: touches exactly one of the four files
+      spark.createDataFrame(Seq((1500L, "U")))
+        .toDF("k", "s").createOrReplaceTempView(s"spec_pq_src_$tag")
+      spark.sql(s"MERGE INTO $t t USING spec_pq_src_$tag b ON t.k = b.k " +
+        "WHEN MATCHED THEN UPDATE SET s = b.s")
+      val newFiles = table.fileIds.toSet -- before.toSet
+      val newBytes = newFiles.toSeq.map(table.fileBytes).sum
+      val oneFile = bytes(before(1)) // the touched group's size
+      if (mode == "copy-on-write") {
+        assert(before.count(table.fileIds.contains) == 3,
+          "CoW: three untouched groups carried")
+        assert(newBytes > oneFile / 2 && newBytes < oneFile * 2,
+          s"CoW rewrote ~one file's bytes: $newBytes vs $oneFile")
+      } else {
+        assert(before.forall(table.fileIds.contains),
+          "MoR: no committed file rewritten")
+        assert(newBytes < oneFile / 5,
+          s"MoR writes ~zero bytes (one-row insert file): " +
+            s"$newBytes vs $oneFile")
+      }
+      // untouched files are byte-identical on disk
+      before.filter(table.fileIds.contains).foreach { id =>
+        assert(new java.io.File(paths(id)).length() == bytes(id),
+          s"untouched file $id must not change on disk")
+      }
+      assert(spark.table(t).where("s = 'U'").collect()
+        .map(_.getLong(0)).toSeq == Seq(1500L))
+      assert(spark.table(t).count() == 4000)
+      // DROP deletes the backing storage
+      val dir = new java.io.File(paths.values.head).getParentFile
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      assert(!dir.exists(), "DROP must delete the parquet lake dir")
+    }
   }
 
   test("manifest skipping prunes files before read and stays exact") {

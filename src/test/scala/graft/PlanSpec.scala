@@ -86,11 +86,17 @@ class PlanSpec extends SparkTestBase {
     // both DSv2 scans report KeyGroupedPartitioning(bucket); the join AND
     // the follow-on groupBy(bucket) must ride it — the only exchange in
     // the plan is the final 16-row orderBy's range partitioning
-    val p = plan(run("join_spj_storage"))
-    assert(p.contains("SortMergeJoin"), s"expected a shuffled-shape join:\n$p")
-    assert(!p.contains("Exchange hashpartitioning"),
-      s"SPJ must not shuffle either side or the bucket agg:\n$p")
-    assert(p.contains("BatchScan"), s"expected DSv2 scans:\n$p")
+    // the registry query RELEASES its result (ExistingRDD — no join left
+    // to inspect), so assert on the raw planned join instead
+    val p = plan(graft.operators.Lakehouse.spjPlanned(spark, Sf))
+    try {
+      assert(p.contains("SortMergeJoin"),
+        s"expected a shuffled-shape join:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"SPJ must not shuffle either side or the bucket agg:\n$p")
+      assert(p.contains("BatchScan"), s"expected DSv2 scans:\n$p")
+    } finally Seq("graftlake.spj_orders", "graftlake.spj_cust")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("SQL table function decorrelates to one equi-join, filters inferred") {

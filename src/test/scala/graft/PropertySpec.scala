@@ -228,7 +228,7 @@ object PropertySpec extends Properties("graft.kernels") {
     Prop.forAll(rowsAndDeletes) { case (n, dead) =>
       import graft.sources.{GraftLakeFile, GraftLakeSnapshot}
       val rows = lakeRows(n)
-      val f = GraftLakeFile("f", rows, Seq("k"))
+      val f = GraftLakeFile("f", rows, Seq(0))
       val live = GraftLakeSnapshot(Vector(f),
         Map("f" -> dead.map(_.toLong))).liveRows(f)
       live == (0 until n).filterNot(dead).map(rows)
