@@ -52,26 +52,88 @@ object Bench {
     val currentQuery = new java.util.concurrent.atomic.AtomicReference("")
     val traces = new java.util.concurrent.ConcurrentHashMap[
       String, scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]]()
+    // runId → bench query name, captured at query START (ADVICE r11):
+    // listener-bus events are async, so a query's final micro-batches can
+    // arrive after currentQuery moved on — keying progress rows by the
+    // runId mapping pins every batch to the query that actually ran it
+    val runToBench = new java.util.concurrent.ConcurrentHashMap[
+      java.util.UUID, String]()
     spark.streams.addListener(
       new org.apache.spark.sql.streaming.StreamingQueryListener {
         import org.apache.spark.sql.streaming.StreamingQueryListener._
-        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryStarted(e: QueryStartedEvent): Unit =
+          runToBench.put(e.runId, currentQuery.get)
         override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
         override def onQueryProgress(e: QueryProgressEvent): Unit = {
           val p = e.progress
           val ms = Option(p.durationMs.get("triggerExecution"))
             .map(_.longValue).getOrElse(-1L)
-          val buf = traces.computeIfAbsent(currentQuery.get,
+          val name = runToBench.getOrDefault(p.runId, currentQuery.get)
+          val buf = traces.computeIfAbsent(name,
             _ => scala.collection.mutable.ArrayBuffer.empty)
           buf.synchronized {
             if (buf.length < 500) buf += ((p.batchId, ms, p.numInputRows))
           }
         }
       })
+    // BATCH SELF-DIAGNOSIS (VERDICT r11 task 1): the streaming trace
+    // closed r10's weak but said nothing about batch queries. A
+    // SparkListener aggregates per-query task metrics — executor run
+    // time, JVM GC, peak execution memory, shuffle bytes — keyed by the
+    // query running when the task ENDED; the bus is drained between
+    // queries (below) so attribution is exact, and the whole vector
+    // lands in bench.trace.json. A driver anomaly reading (e.g.
+    // scalar_datetime at 8 s for a date_trunc rollup) then arrives with
+    // the evidence to classify it: GC storm vs executor time vs pure
+    // driver-side stall (wall ≫ exec).
+    final class QStats {
+      val tasks = new java.util.concurrent.atomic.AtomicLong
+      val execMs = new java.util.concurrent.atomic.AtomicLong
+      val gcMs = new java.util.concurrent.atomic.AtomicLong
+      val peakMem = new java.util.concurrent.atomic.AtomicLong
+      val shufRead = new java.util.concurrent.atomic.AtomicLong
+      val shufWrite = new java.util.concurrent.atomic.AtomicLong
+    }
+    val qstats = new java.util.concurrent.ConcurrentHashMap[String, QStats]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            val s = qstats.computeIfAbsent(currentQuery.get, _ => new QStats)
+            s.tasks.incrementAndGet()
+            s.execMs.addAndGet(m.executorRunTime)
+            s.gcMs.addAndGet(m.jvmGCTime)
+            s.peakMem.getAndAccumulate(m.peakExecutionMemory, Math.max(_, _))
+            s.shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+            s.shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        }
+      })
+    // LiveListenerBus.waitUntilEmpty is private[spark]; bytecode-public,
+    // so reflection reaches it — best-effort (a diagnostic must never
+    // fail the bench), falling back to a short sleep
+    val drainBus: () => Unit = {
+      try {
+        val sc = spark.sparkContext
+        val busM = sc.getClass.getMethods.find(_.getName == "listenerBus").get
+        val bus = busM.invoke(sc)
+        val wait = bus.getClass.getMethods.find(m =>
+          m.getName == "waitUntilEmpty" && m.getParameterCount == 1).get
+        () => try wait.invoke(bus, java.lang.Long.valueOf(3000L))
+          catch { case _: Throwable => () }
+      } catch { case _: Throwable => () => Thread.sleep(50) }
+    }
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+    def driverGcMs(): Long = gcBeans.map(_.getCollectionTime).sum
+    val driverGc = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .map { case (name, fn) =>
       currentQuery.set(name)
+      val gc0 = driverGcMs()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -84,6 +146,10 @@ object Bench {
       // queries may cache small intermediates (signature tables etc.);
       // drop them so later queries aren't measured under memory pressure
       spark.catalog.clearCache()
+      // drain the listener bus so in-flight task/progress events land
+      // under THIS query's name before currentQuery moves on
+      drainBus()
+      driverGc(name) = driverGcMs() - gc0
       name -> (System.nanoTime() - t0) / 1e9
     }
     // millisecond precision: noise floor is ±30% run-to-run, and the full
@@ -117,26 +183,45 @@ object Bench {
     // HERE, before the final compact line, so the driver's ~2.9 KB stdout
     // tail still ends with the canonical summary
     val timeByName = results.toMap
-    val traceJson = traces.asScala.toSeq.sortBy(_._1).map { case (n, buf) =>
-      val bs = buf.synchronized(buf.toVector)
+    // one trace row per query: wall time, driver GC, aggregated task
+    // metrics (exec/GC/peak-mem/shuffle), plus the per-micro-batch vector
+    // for streaming queries — the full self-diagnosis record
+    val allNames = (results.map(_._1) ++ traces.asScala.keys).distinct.sorted
+    val traceJson = allNames.map { n =>
+      val bs = traces.asScala.get(n)
+        .map(b => b.synchronized(b.toVector)).getOrElse(Vector.empty)
       val batches = bs.map { case (id, ms, rows) =>
         s"[$id,$ms,$rows]" }.mkString("[", ",", "]")
+      val s = Option(qstats.get(n))
+      def l(f: QStats => Long): Long = s.map(f).getOrElse(0L)
       "\"" + n + "\":{\"wall_sec\":" +
         sec3(timeByName.getOrElse(n, -1.0)) +
-        ",\"batches_id_ms_rows\":" + batches + "}"
+        ",\"driver_gc_ms\":" + driverGc.getOrElse(n, 0L) +
+        ",\"n_tasks\":" + l(_.tasks.get) +
+        ",\"exec_ms\":" + l(_.execMs.get) +
+        ",\"task_gc_ms\":" + l(_.gcMs.get) +
+        ",\"peak_task_mem\":" + l(_.peakMem.get) +
+        ",\"shuffle_read_b\":" + l(_.shufRead.get) +
+        ",\"shuffle_write_b\":" + l(_.shufWrite.get) +
+        (if (bs.isEmpty) "" else ",\"batches_id_ms_rows\":" + batches) +
+        "}"
     }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench.trace.json"), traceJson + "\n")
-    val anomalies = traces.asScala.toSeq
-      .filter { case (n, _) => timeByName.getOrElse(n, 0.0) > 12.0 }
-      .sortBy { case (n, _) => -timeByName(n) }.take(2)
-    anomalies.foreach { case (n, buf) =>
-      val bs = buf.synchronized(buf.toVector)
+    val anomalies = results.filter(_._2 > 12.0).sortBy(-_._2).take(3)
+    anomalies.foreach { case (n, _) =>
+      val bs = traces.asScala.get(n)
+        .map(b => b.synchronized(b.toVector)).getOrElse(Vector.empty)
       val top = bs.sortBy(-_._2).take(6)
         .map { case (id, ms, rows) => s"\"b$id\":[$ms,$rows]" }
         .mkString("{", ",", "}")
+      val s = Option(qstats.get(n))
+      def l(f: QStats => Long): Long = s.map(f).getOrElse(0L)
+      val batch = if (bs.isEmpty) ""
+        else s""","n_batches":${bs.length},"slowest_ms_rows":$top"""
       println(s"""GRAFT_BENCH_TRACE {"query":"$n","wall_sec":${
-        sec3(timeByName(n))},"n_batches":${bs.length},"slowest_ms_rows":$top}""")
+        sec3(timeByName(n))},"exec_ms":${l(_.execMs.get)},"task_gc_ms":${
+        l(_.gcMs.get)},"driver_gc_ms":${driverGc.getOrElse(n, 0L)}$batch}""")
     }
     // a filtered dev run must not clobber the last FULL run's bench.json —
     // without an explicit output override it lands in its own default file
