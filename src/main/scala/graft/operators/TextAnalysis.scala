@@ -908,7 +908,15 @@ object TextAnalysis {
     * `replace` share these scan semantics, so the oracle unrolls the same
     * five rounds in SQL.
     */
-  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame = {
+  def bpeTrain(spark: SparkSession, sfDir: String): DataFrame =
+    bpeFit(spark, sfDir)._2.reduce(_ unionByName _).orderBy("round")
+
+  /** The shared BPE training fold: returns the dictionary AFTER all
+    * merge rounds (each word's seq is its merged token sequence) plus
+    * the per-round merge rows — [[bpeTrain]] emits the merge table,
+    * [[bpeEncode]] replays the final dictionary over the corpus. */
+  private def bpeFit(
+      spark: SparkSession, sfDir: String): (DataFrame, Seq[DataFrame]) = {
     val vocab0 = Tables(spark, sfDir, "documents")
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
@@ -942,7 +950,64 @@ object TextAnalysis {
           .as("seq"), col("wc"))
         .localCheckpoint(true)
     }
-    merges.reduce(_ unionByName _).orderBy("round")
+    (vocab, merges)
+  }
+
+  /** BPE APPLY (`text_bpe_encode`) — the production half a tokenization
+    * pipeline actually runs at 100 TB: encode the corpus with the learned
+    * merge list and report per-document token counts plus the merged-
+    * symbol rate (how much of the stream the learned vocab absorbed —
+    * the compression the merges bought).
+    *
+    * Scale shape — encode the DICTIONARY, not the corpus: the training
+    * fold's final dictionary ([[bpeFit]]) already holds every word's
+    * merged token sequence (the ordered merge rewrites applied
+    * vocabulary-sized, broadcast per round). Per-word token stats are
+    * computed once per DISTINCT word; the corpus is then a single
+    * explode + hash join against that dictionary + per-doc hash agg —
+    * exactly how a production tokenizer amortizes: vocab-sized encode
+    * work, corpus-sized only in the replay join. The oracle unrolls the
+    * same five rewrite passes as CTEs ([[bpeTrainOracle]]'s discipline)
+    * and re-derives the word from its seq (merges only delete spaces,
+    * so `replace(seq, ' ', '')` inverts the char split). */
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val (vocab, _) = bpeFit(spark, sfDir)
+    val encoded = vocab.select(
+      regexp_replace(col("seq"), " ", "").as("word"),
+      size(split(col("seq"), " ")).cast(LongType).as("w_tokens"),
+      size(filter(split(col("seq"), " "), t => length(t) >= 2))
+        .cast(LongType).as("w_merged"))
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(encoded, "word")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w_tokens")).as("n_tokens"),
+        sum(col("w_merged")).as("n_merged"))
+      .withColumn("merged_rate",
+        col("n_merged").cast(DoubleType) / col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  // lazy: splices [[bpeTrainOracle]], which is declared later in the file
+  private lazy val bpeEncodeOracle: String = {
+    val i = bpeTrainOracle.lastIndexOf("SELECT * FROM (")
+    // reuse the training oracle's CTE chain (v0..v5, b1..b5) verbatim,
+    // swap the merge-table projection for the dictionary replay
+    bpeTrainOracle.take(i).stripTrailing() + ",\n" +
+      s"""enc AS MATERIALIZED (
+         |  SELECT replace(seq, ' ', '') AS word,
+         |    CAST(len(string_split(seq, ' ')) AS BIGINT) AS w_tokens,
+         |    CAST(len(list_filter(string_split(seq, ' '),
+         |      t -> length(t) >= 2)) AS BIGINT) AS w_merged
+         |  FROM v$BpeRounds)
+         |SELECT d.doc_id, CAST(sum(e.w_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(e.w_merged) AS BIGINT) AS n_merged,
+         |  CAST(sum(e.w_merged) AS DOUBLE) / CAST(sum(e.w_tokens) AS DOUBLE)
+         |    AS merged_rate
+         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         |      FROM documents) d
+         |JOIN enc e ON d.word = e.word
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
   }
 
   private val bpeTrainOracle: String = {
@@ -1280,6 +1345,9 @@ object TextAnalysis {
     Query("text_bpe_train",
       "BPE tokenizer training: 5 most-frequent-pair merges over the dict",
       bpeTrain, Some(bpeTrainOracle)),
+    Query("text_bpe_encode",
+      "BPE apply: dictionary-encoded corpus, tokens/doc + merged rate",
+      bpeEncode, Some(bpeEncodeOracle)),
     Query("text_bm25_topk",
       "BM25 ranked retrieval: rational-idf top-10 per query via bounded heap",
       bm25TopK, Some(bm25TopKOracle)),
