@@ -912,6 +912,54 @@ class LakehouseSpec extends SparkTestBase {
     }
   }
 
+  test("parquet storage composes with schema evolution and partitioned tables") {
+    // the cross-feature seams: keyed (SPJ) planning must normalize
+    // parquet-backed mixed-schema files driver-side, the file-grained
+    // row-level fallback must decode parquet in tasks under the evolved
+    // schema, and the change feed must replay pre-rename parquet commits
+    // under current names
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_pq_evolve"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, p BIGINT, s STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('graft.storage' = 'parquet')")
+    spark.range(0, 20).selectExpr("id AS k", "id % 2 AS p",
+      "concat('v', id) AS s").coalesce(1).writeTo(t).append()
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (w DOUBLE)")
+    spark.range(20, 30).selectExpr("id AS k", "id % 2 AS p",
+      "concat('v', id) AS s", "CAST(id AS DOUBLE) AS w")
+      .coalesce(1).writeTo(t).append()
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN s TO label")
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_pq_evolve").get
+    assert(table.filePaths.size == 2, "two parquet-backed groups")
+    // keyed (SPJ-shaped) read: mixed-schema parquet files normalized
+    val agg = spark.table(t).groupBy("p")
+      .agg(count(lit(1)).as("n"), sum("w").as("sw"))
+      .orderBy("p").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(agg.toSeq == Seq((0L, 15L, 120.0), (1L, 15L, 125.0)),
+      s"keyed parquet read must null-fill old files: ${agg.toSeq}")
+    // row-level statements through the file-grained parquet path, under
+    // the evolved + renamed schema
+    spark.sql(s"UPDATE $t SET w = 1.5 WHERE k = 3")
+    spark.sql(s"DELETE FROM $t WHERE k = 25")
+    assert(spark.table(t).where("w = 1.5").collect()
+      .map(_.getLong(0)).toSeq == Seq(3L))
+    assert(spark.table(t).count() == 29)
+    assert(spark.table(t).where("label = 'v7'").count() == 1,
+      "pre-rename parquet data serves under the renamed column")
+    // feed replay across the rename out of parquet-backed history
+    val feed = spark.read
+      .option("graft.changes.from", "0").option("graft.changes.to", "1")
+      .table(t).select("k", "label").collect()
+    assert(feed.length == 20 &&
+      feed.forall(r => r.getString(1) == s"v${r.getLong(0)}"),
+      "feed replays pre-rename parquet commits under current names")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("manifest skipping prunes files before read and stays exact") {
     val (_, stats) = Lakehouse.statsManifest(spark, Sf)
     val keep = Lakehouse.survivingFiles(stats, "1995-01-01", "1995-12-31")
