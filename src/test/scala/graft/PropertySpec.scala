@@ -234,6 +234,47 @@ object PropertySpec extends Properties("graft.kernels") {
       live == (0 until n).filterNot(dead).map(rows)
     }
 
+  // ---- parquet-backed lake storage round trip -----------------------------
+
+  private val pqRows: Gen[List[(Option[Long], Option[Double],
+      Option[String], Option[Boolean])]] =
+    Gen.listOfN(40, for {
+      l <- Gen.option(Gen.choose(Long.MinValue, Long.MaxValue))
+      d <- Gen.option(Gen.oneOf(Gen.choose(-1e12, 1e12),
+        Gen.oneOf(0.0, -0.0, Double.MaxValue, Double.MinPositiveValue)))
+      s <- Gen.option(asciiText)
+      b <- Gen.option(Gen.oneOf(true, false))
+    } yield (l, d, s, b)).map(_.take(40))
+
+  property("GraftParquetIO round-trips rows, order and nulls intact") =
+    Prop.forAll(pqRows) { xs =>
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      import org.apache.spark.sql.types._
+      val types: Seq[DataType] =
+        Seq(LongType, DoubleType, StringType, BooleanType)
+      val rows = xs.map { case (l, d, s, b) =>
+        new GenericInternalRow(Array[Any](
+          l.map(Long.box).orNull, d.map(Double.box).orNull,
+          s.map(UTF8String.fromString).orNull, b.map(Boolean.box).orNull))
+          : org.apache.spark.sql.catalyst.InternalRow
+      }.toVector
+      val f = java.io.File.createTempFile("graft_pq_prop", ".parquet")
+      f.delete() // parquet-mr refuses to overwrite an existing file
+      try {
+        val bytes = graft.sources.GraftParquetIO.write(f.getAbsolutePath,
+          Seq("l", "d", "s", "b"), types, rows)
+        val back = graft.sources.GraftParquetIO.read(f.getAbsolutePath, types)
+        bytes > 0 && back.length == rows.length &&
+          back.zip(rows).forall { case (g, e) =>
+            (0 until 4).forall { i =>
+              (g.isNullAt(i) && e.isNullAt(i)) ||
+                (!g.isNullAt(i) && !e.isNullAt(i) &&
+                  g.get(i, types(i)) == e.get(i, types(i)))
+            }
+          }
+      } finally { f.delete(); () }
+    }
+
   property("DV reader skips deleted positions and _pos stays original") =
     Prop.forAll(rowsAndDeletes) { case (n, dead) =>
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
