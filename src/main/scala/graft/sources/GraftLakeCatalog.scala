@@ -399,6 +399,19 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     val drop = math.max(0, history.length - keepLast)
     history = history.drop(drop)
     baseVersion += drop
+    // parquet storage: VACUUM — a data file referenced ONLY by expired
+    // versions (e.g. the pre-compaction original) is dead storage; delete
+    // everything no retained snapshot still lists (the current state is
+    // the last retained snapshot, so live files are always kept). The
+    // reference-counted orphan rule is the whole safety story of
+    // expire_snapshots: a file shared with a retained version survives.
+    lakeDir.foreach { dir =>
+      val live = (history.flatMap(_._1.files) ++ files)
+        .flatMap(_.path).toSet
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filterNot(f => live.contains(f.getAbsolutePath))
+        .foreach(_.delete())
+    }
     baseVersion
   }
 

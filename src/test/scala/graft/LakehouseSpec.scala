@@ -960,6 +960,36 @@ class LakehouseSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("expire_versions vacuums parquet files only expired versions reference") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_pq_expire"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.mode' = 'merge-on-read', " +
+      "'graft.storage' = 'parquet')")
+    spark.range(0, 10).selectExpr("id AS k", "'a' AS s")
+      .coalesce(1).writeTo(t).append() // v1: f1
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_pq_expire").get
+    val f1 = table.fileIds.head
+    val f1Path = new java.io.File(table.filePaths(f1))
+    spark.sql(s"DELETE FROM $t WHERE k = 3") // v2: DV on f1
+    spark.sql(s"CALL graftlake.system.compact('spec_pq_expire')")
+    // v3 (maintenance): f1 -> f2; f1 now referenced by history only
+    val f2Path = new java.io.File(table.filePaths(table.fileIds.head))
+    assert(f1Path.isFile && f2Path.isFile,
+      "both generations on disk while history retains them")
+    spark.sql(
+      s"CALL graftlake.system.expire_versions('spec_pq_expire', 1)")
+    assert(!f1Path.exists(),
+      "the expired-only pre-compaction file is vacuumed")
+    assert(f2Path.exists(), "the live file survives the vacuum")
+    assert(spark.table(t).count() == 9)
+    assert(spark.table(t).where("k = 3").count() == 0)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("manifest skipping prunes files before read and stays exact") {
     val (_, stats) = Lakehouse.statsManifest(spark, Sf)
     val keep = Lakehouse.survivingFiles(stats, "1995-01-01", "1995-12-31")
