@@ -194,12 +194,131 @@ object GraftLakeCatalog {
   * name-keyed manifests would wrongly null-fill a renamed column. */
 final case class GraftLakeFile(id: String, rows: Vector[InternalRow],
     cols: Seq[Int], path: Option[String] = None,
-    types: Seq[DataType] = Nil, bytes: Long = 0L) {
+    types: Seq[DataType] = Nil, bytes: Long = 0L,
+    stats: Map[Int, (Any, Any)] = Map.empty) {
   /** The file's rows: in-memory for the default storage, decoded from
     * the REAL parquet file for `graft.storage = parquet`. */
   def loadRows: Vector[InternalRow] = path match {
     case None => rows
     case Some(p) => GraftParquetIO.read(p, types)
+  }
+}
+
+/** Per-file MIN/MAX column statistics and the predicate evaluator that
+  * prunes files against them — the Iceberg manifest-stats contract at
+  * the DSv2 layer: a range/equality predicate excludes whole file groups
+  * DRIVER-SIDE before any partition is planned. Pruning is strictly
+  * result-transparent (every predicate is also returned to Spark as a
+  * post-scan filter), so a stats bug can cost performance, never
+  * correctness — the same safety split parquet row-group skipping has.
+  * Stats are keyed by FIELD ID like the column manifests, so they
+  * survive RENAME and never confuse a re-added name with a dropped id. */
+private[sources] object GraftLakeStats {
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Literal}
+
+  private def statsSupported(dt: DataType): Boolean = dt match {
+    case LongType | org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.DoubleType |
+         org.apache.spark.sql.types.FloatType | StringType => true
+    case _ => false
+  }
+
+  /** Min/max of non-null values per supported column; a supported column
+    * with only nulls records (null, null) — provably unmatched by any
+    * null-rejecting comparison. Unsupported types record nothing (and
+    * are never pruned on). */
+  def collect(rows: Vector[InternalRow], colIds: Seq[Int],
+      types: Seq[DataType]): Map[Int, (Any, Any)] =
+    colIds.zipWithIndex.flatMap { case (id, i) =>
+      val dt = types(i)
+      if (!statsSupported(dt)) None
+      else {
+        var mn: Any = null
+        var mx: Any = null
+        rows.foreach { r =>
+          if (!r.isNullAt(i)) {
+            val v = r.get(i, dt)
+            if (mn == null || cmp(v, mn) < 0) mn = v
+            if (mx == null || cmp(v, mx) > 0) mx = v
+          }
+        }
+        Some(id -> ((mn, mx)))
+      }
+    }.toMap
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
+    case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y)
+    case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
+    case (x: java.lang.Float, y: java.lang.Float) => x.compareTo(y)
+    case (x: UTF8String, y: UTF8String) => x.compareTo(y)
+    case _ => throw new IllegalArgumentException(
+      s"incomparable stats values: ${a.getClass} vs ${b.getClass}")
+  }
+
+  /** Can any row of `f` possibly satisfy ALL of `predicates`? False only
+    * when provably not: a comparison conjunct whose column is absent
+    * from the file (all NULL — null-rejecting comparisons cannot match)
+    * or whose min/max range excludes the literal. Anything unparseable
+    * is conservatively a match. */
+  def mayMatch(f: GraftLakeFile, predicates: Seq[Predicate],
+      nameToId: Map[String, Int]): Boolean =
+    predicates.forall(p => may(f, p, nameToId))
+
+  private def may(f: GraftLakeFile, p: Predicate,
+      nameToId: Map[String, Int]): Boolean = p.name() match {
+    case "AND" => p.children().forall {
+      case c: Predicate => may(f, c, nameToId)
+      case _ => true
+    }
+    case "OR" => p.children().exists {
+      case c: Predicate => may(f, c, nameToId)
+      case _ => true
+    }
+    case op @ ("=" | "<" | "<=" | ">" | ">=") =>
+      comparison(f, op, p.children(), nameToId)
+    case _ => true
+  }
+
+  private def comparison(f: GraftLakeFile, op: String,
+      kids: Array[V2Expr], nameToId: Map[String, Int]): Boolean = {
+    if (kids.length != 2) return true
+    // col OP lit, or lit OP col (mirrored)
+    val parsed = (kids(0), kids(1)) match {
+      case (r: NamedReference, l: V2Literal[_]) => Some((r, l.value, op))
+      case (l: V2Literal[_], r: NamedReference) =>
+        val m = op match {
+          case "<" => ">"
+          case "<=" => ">="
+          case ">" => "<"
+          case ">=" => "<="
+          case other => other
+        }
+        Some((r, l.value, m))
+      case _ => None
+    }
+    parsed match {
+      case Some((ref, lit, o)) if ref.fieldNames().length == 1 =>
+        nameToId.get(ref.fieldNames()(0)) match {
+          case None => true // metadata/unknown column: no pruning
+          case Some(id) =>
+            if (!f.cols.contains(id)) false // all-NULL: cmp can't match
+            else f.stats.get(id) match {
+              case None => true // unsupported type: no stats, no pruning
+              case Some((null, null)) => false // supported but all-NULL
+              case Some((mn, mx)) =>
+                try o match {
+                  case "=" => cmp(mn, lit) <= 0 && cmp(lit, mx) <= 0
+                  case "<" => cmp(mn, lit) < 0
+                  case "<=" => cmp(mn, lit) <= 0
+                  case ">" => cmp(mx, lit) > 0
+                  case ">=" => cmp(mx, lit) >= 0
+                  case _ => true
+                } catch { case _: IllegalArgumentException => true }
+            }
+        }
+      case _ => true
+    }
   }
 }
 
@@ -436,15 +555,19 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           s"the table now has ${colIds.length}: a concurrent ALTER TABLE " +
           "landed mid-statement — retry against the current schema")
       val id = s"$tableName#f$fileSeq"
+      val types = schemaNow.fields.map(_.dataType).toSeq
+      // per-file min/max stats, collected once at write time (what a
+      // table format reads back out of parquet footers)
+      val stats = GraftLakeStats.collect(rows, colIds, types)
       lakeDir match {
         case Some(dir) =>
-          val types = schemaNow.fields.map(_.dataType).toSeq
           val p = new java.io.File(dir, s"f$fileSeq.parquet")
             .getAbsolutePath
           val bytes = GraftParquetIO.write(p,
             schemaNow.fieldNames.toSeq, types, rows)
-          GraftLakeFile(id, Vector.empty, colIds, Some(p), types, bytes)
-        case None => GraftLakeFile(id, rows, colIds)
+          GraftLakeFile(id, Vector.empty, colIds, Some(p), types, bytes,
+            stats)
+        case None => GraftLakeFile(id, rows, colIds, stats = stats)
       }
     }
 
@@ -726,13 +849,28 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
     rowLevel: Option[GroupScanState],
     currentIds: () => Set[String] = () => Set.empty,
     idToName: Map[Int, String] = Map.empty)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters {
   private var required: StructType = fullSchema
+  private var skipPreds: Array[Predicate] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+  /** Record every predicate for min/max FILE SKIPPING, but hand them
+    * ALL back as residuals: Spark re-applies them post-scan, so stats
+    * pruning is result-transparent by construction (the parquet
+    * row-group-skipping safety split). Row-level operation scans get
+    * the statement's WHERE here too — a single-key UPDATE on a
+    * range-clustered table narrows to its file STATICALLY, before the
+    * runtime group-filter subquery even runs. */
+  override def pushPredicates(
+      predicates: Array[Predicate]): Array[Predicate] = {
+    skipPreds = predicates
+    predicates
+  }
+  override def pushedPredicates(): Array[Predicate] = skipPreds
   override def build(): Scan =
     new GraftLakeScan(snapshot, fullSchema, required, partCols, rowLevel,
-      currentIds, idToName)
+      currentIds, idToName, skipPreds.toSeq)
 }
 
 /** Scan over a committed file snapshot.
@@ -766,11 +904,24 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
     requiredSchema: StructType, partCols: Seq[String],
     rowLevel: Option[GroupScanState],
     currentIds: () => Set[String] = () => Set.empty,
-    idToName: Map[Int, String] = Map.empty)
+    idToName: Map[Int, String] = Map.empty,
+    skipPreds: Seq[Predicate] = Nil)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeV2Filtering {
 
-  @volatile private var active: Vector[GraftLakeFile] = snapshot.files
+  // STATIC min/max file skipping: drop every group the pushed predicates
+  // provably exclude, before any partition is planned. A row-level
+  // operation's scanned-group set must shrink WITH the active set —
+  // the ReplaceData commit replaces exactly `scanned`, and a group this
+  // scan never reads must be CARRIED, not dropped.
+  @volatile private var active: Vector[GraftLakeFile] =
+    if (skipPreds.isEmpty) snapshot.files
+    else {
+      val nameToId = idToName.map(_.swap)
+      snapshot.files.filter(f =>
+        GraftLakeStats.mayMatch(f, skipPreds, nameToId))
+    }
+  rowLevel.foreach(_.scanned = active.map(_.id).toSet)
 
   // per-file id manifest resolved to CURRENT names once at planning
   private def namesOf(f: GraftLakeFile): Seq[String] =

@@ -990,6 +990,77 @@ class LakehouseSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("min/max file stats skip groups at plan time, result-transparent") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_stats_skip"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING)")
+    for (b <- 0 until 4) // range-clustered: one file per 100-key stripe
+      spark.range(b * 100L, (b + 1) * 100L)
+        .selectExpr("id AS k", s"concat('f', id) AS s")
+        .coalesce(1).writeTo(t).append()
+    def parts(df: org.apache.spark.sql.DataFrame): Int =
+      df.rdd.getNumPartitions
+    // equality and range predicates prune to the covering stripe(s)
+    assert(parts(spark.table(t).where("k = 150")) == 1,
+      "k = 150 must plan exactly the one covering file")
+    assert(parts(spark.table(t).where("k >= 250")) == 2,
+      "k >= 250 must plan the last two stripes")
+    assert(parts(spark.table(t).where("k > 1000")) == 0,
+      "an out-of-range predicate plans zero partitions")
+    assert(parts(spark.table(t).where("150 > k")) == 2,
+      "mirrored literal-first comparisons prune too")
+    assert(parts(spark.table(t).where("k = 150 OR k = 350")) == 2,
+      "OR prunes to the union of matching stripes")
+    // result transparency: pruned scans return exactly the full answer
+    assert(spark.table(t).where("k = 150").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((150L, "f150")))
+    assert(spark.table(t).where("k >= 250").count() == 150)
+    // strings prune as well
+    assert(parts(spark.table(t).where("s = 'f42'")) >= 1)
+    // an unparseable predicate (arithmetic) must not prune
+    assert(parts(spark.table(t).where("k % 10 = 1")) == 4,
+      "non-pushable predicates keep the full file set")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("static stats pruning narrows row-level ops without losing carried groups") {
+    // the sharp edge: a CoW commit replaces exactly the SCANNED group
+    // set — static pruning must shrink that set in lockstep with the
+    // active files, or an UPDATE would drop never-read groups. Runtime
+    // group filtering is disabled to isolate the static path.
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val conf = "spark.sql.optimizer.runtime.rowLevelOperationGroupFilter.enabled"
+    val prev = spark.conf.getOption(conf)
+    spark.conf.set(conf, "false")
+    try {
+      val t = "graftlake.spec_stats_rls"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING)")
+      for (b <- 0 until 4)
+        spark.range(b * 100L, (b + 1) * 100L)
+          .selectExpr("id AS k", "'a' AS s")
+          .coalesce(1).writeTo(t).append()
+      val table = graft.sources.GraftLakeCatalog
+        .tableFor("graftlake", "spec_stats_rls").get
+      val before = table.fileIds
+      spark.sql(s"UPDATE $t SET s = 'X' WHERE k = 150")
+      val after = table.fileIds
+      assert(before.count(after.contains) == 3,
+        s"stats pruning alone must carry 3 of 4 groups: $before -> $after")
+      assert(!after.contains(before(1)), "the covering group was replaced")
+      assert(spark.table(t).count() == 400, "no carried group lost")
+      assert(spark.table(t).where("s = 'X'").collect()
+        .map(_.getLong(0)).toSeq == Seq(150L))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    } finally prev match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None => spark.conf.unset(conf)
+    }
+  }
+
   test("manifest skipping prunes files before read and stays exact") {
     val (_, stats) = Lakehouse.statsManifest(spark, Sf)
     val keep = Lakehouse.survivingFiles(stats, "1995-01-01", "1995-12-31")
