@@ -213,7 +213,7 @@ final case class GraftLakeFile(id: String, rows: Vector[InternalRow],
   * correctness — the same safety split parquet row-group skipping has.
   * Stats are keyed by FIELD ID like the column manifests, so they
   * survive RENAME and never confuse a re-added name with a dropped id. */
-private[sources] object GraftLakeStats {
+private[graft] object GraftLakeStats {
   import org.apache.spark.sql.connector.expressions.{Expression => V2Expr, Literal => V2Literal}
 
   private def statsSupported(dt: DataType): Boolean = dt match {

@@ -275,6 +275,46 @@ object PropertySpec extends Properties("graft.kernels") {
       } finally { f.delete(); () }
     }
 
+  // ---- min/max file-skipping soundness ------------------------------------
+
+  private val statsCase: Gen[(List[Option[Long]], String, Long)] = for {
+    vals <- Gen.listOfN(20, Gen.option(Gen.choose(-100L, 100L)))
+    op <- Gen.oneOf("=", "<", "<=", ">", ">=")
+    lit <- Gen.choose(-120L, 120L)
+  } yield (vals, op, lit)
+
+  property("stats pruning is SOUND: an excluded file has no matching row") =
+    Prop.forAll(statsCase) { case (vals, op, lit) =>
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.connector.expressions.Expressions
+      import org.apache.spark.sql.connector.expressions.filter.Predicate
+      import org.apache.spark.sql.types.LongType
+      val rows = vals.map(v => new GenericInternalRow(
+        Array[Any](v.map(Long.box).orNull)): InternalRow).toVector
+      val stats = graft.sources.GraftLakeStats.collect(
+        rows, Seq(7), Seq(LongType))
+      val f = graft.sources.GraftLakeFile("f", rows, Seq(7), stats = stats)
+      val pred = new Predicate(op, Array(
+        Expressions.column("k"), Expressions.literal(lit)))
+      val may = graft.sources.GraftLakeStats.mayMatch(
+        f, Seq(pred), Map("k" -> 7))
+      val truly = vals.flatten.exists { v =>
+        op match {
+          case "=" => v == lit
+          case "<" => v < lit
+          case "<=" => v <= lit
+          case ">" => v > lit
+          case ">=" => v >= lit
+        }
+      }
+      // SOUNDNESS always: pruning (may == false) implies no row matches.
+      // TIGHTNESS only for range ops, where min/max decide exactly; "="
+      // is correctly conservative for interior literals (a range can
+      // cover a value no row holds).
+      if (op == "=") !truly || may else may == truly
+    }
+
   property("DV reader skips deleted positions and _pos stays original") =
     Prop.forAll(rowsAndDeletes) { case (n, dead) =>
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
