@@ -195,7 +195,11 @@ object GraftLakeCatalog {
 final case class GraftLakeFile(id: String, rows: Vector[InternalRow],
     cols: Seq[Int], path: Option[String] = None,
     types: Seq[DataType] = Nil, bytes: Long = 0L,
-    stats: Map[Int, (Any, Any)] = Map.empty) {
+    stats: Map[Int, (Any, Any)] = Map.empty,
+    nRows: Long = -1L) {
+  /** Committed row count (manifest metadata — parquet-backed files keep
+    * no rows in memory, so the count must be recorded at write time). */
+  def numRows: Long = if (nRows >= 0) nRows else rows.length.toLong
   /** The file's rows: in-memory for the default storage, decoded from
     * the REAL parquet file for `graft.storage = parquet`. */
   def loadRows: Vector[InternalRow] = path match {
@@ -245,6 +249,10 @@ private[graft] object GraftLakeStats {
         Some(id -> ((mn, mx)))
       }
     }.toMap
+
+  /** a < b for stats values of the same runtime type (aggregate
+    * pushdown's reducer). */
+  def lt(a: Any, b: Any): Boolean = cmp(a, b) < 0
 
   private def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
@@ -566,7 +574,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           val bytes = GraftParquetIO.write(p,
             schemaNow.fieldNames.toSeq, types, rows)
           GraftLakeFile(id, Vector.empty, colIds, Some(p), types, bytes,
-            stats)
+            stats, rows.length.toLong)
         case None => GraftLakeFile(id, rows, colIds, stats = stats)
       }
     }
@@ -850,7 +858,8 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
     currentIds: () => Set[String] = () => Set.empty,
     idToName: Map[Int, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = fullSchema
   private var skipPreds: Array[Predicate] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -868,10 +877,119 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
     predicates
   }
   override def pushedPredicates(): Array[Predicate] = skipPreds
-  override def build(): Scan =
-    new GraftLakeScan(snapshot, fullSchema, required, partCols, rowLevel,
-      currentIds, idToName, skipPreds.toSeq)
+
+  // ---- metadata-only aggregates (COUNT(*) / MIN / MAX from stats) ---------
+  // The Iceberg scan-less aggregate: an ungrouped COUNT(*) is the sum of
+  // manifest row counts minus deletion-vector sizes, and MIN/MAX come
+  // straight from the per-file stats (valid only with NO deletion
+  // vectors — a dead row could hold the extreme — and only when every
+  // file carrying the column has stats for it; nulls are naturally
+  // excluded because stats cover non-null values, matching SQL MIN/MAX).
+  // Only COMPLETE pushdown is offered: the answer is exact or refused.
+  private var aggAnswer: Option[(StructType, InternalRow)] = None
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = statsAggregate(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean =
+    statsAggregate(agg) match {
+      case some @ Some(_) => aggAnswer = some; true
+      case None => false
+    }
+
+  private def statsAggregate(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, InternalRow)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    // row-level op scans and filtered scans never answer from metadata
+    // (we return every predicate as residual, so a WHERE query reaches
+    // here only if Spark skipped filter pushdown entirely — refuse)
+    if (rowLevel.isDefined || skipPreds.nonEmpty ||
+        agg.groupByExpressions().nonEmpty) return None
+    val nameToId = idToName.map(_.swap)
+    val anyDv = snapshot.dvs.values.exists(_.nonEmpty)
+    def colId(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[Int] = e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        nameToId.get(r.fieldNames()(0))
+      case _ => None
+    }
+    // (name, type, value) per aggregate, or bail out entirely
+    def extreme(id: Int, takeMin: Boolean): Option[Any] = {
+      if (anyDv) return None // a position-deleted row could be the extreme
+      val carrying = snapshot.files.filter(_.cols.contains(id))
+      // every carrying file must have a stats entry (supported type);
+      // (null, null) entries are all-null files and drop out like SQL
+      if (!carrying.forall(_.stats.contains(id))) return None
+      val vals = carrying.flatMap(f => f.stats(id) match {
+        case (null, null) => None
+        case (mn, mx) => Some(if (takeMin) mn else mx)
+      })
+      // an empty vals means MIN/MAX over only-nulls -> SQL NULL (valid)
+      Some(vals.reduceOption((a, b) =>
+        if (GraftLakeStats.lt(a, b) == takeMin) a else b).orNull)
+    }
+    def typeOf(id: Int): DataType =
+      fullSchema.fields(fullSchema.fieldNames.indexOf(idToName(id))).dataType
+    val cols = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar =>
+        val live = snapshot.files.map(f => f.numRows -
+          snapshot.dvs.getOrElse(f.id, Set.empty).size.toLong).sum
+        Some(("COUNT(*)", LongType: DataType, live: Any))
+      case m: Min => for {
+        id <- colId(m.column()); v <- extreme(id, takeMin = true)
+      } yield (s"MIN(${idToName(id)})", typeOf(id), v)
+      case m: Max => for {
+        id <- colId(m.column()); v <- extreme(id, takeMin = false)
+      } yield (s"MAX(${idToName(id)})", typeOf(id), v)
+      case _ => None
+    }
+    if (cols.exists(_.isEmpty)) None
+    else {
+      val cs = cols.flatten
+      Some((StructType(cs.map { case (n, t, _) =>
+        StructField(n, t, nullable = true) }),
+        new GenericInternalRow(cs.map(_._3).toArray)))
+    }
+  }
+
+  override def build(): Scan = aggAnswer match {
+    case Some((schema, row)) => new GraftLakeAggScan(schema, row)
+    case None =>
+      new GraftLakeScan(snapshot, fullSchema, required, partCols, rowLevel,
+        currentIds, idToName, skipPreds.toSeq)
+  }
 }
+
+/** The metadata-only answer to a completely-pushed aggregate: one
+  * partition, one precomputed row — no data file is ever opened. */
+class GraftLakeAggScan(outSchema: StructType, row: InternalRow)
+    extends Scan with Batch {
+  override def readSchema(): StructType = outSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftLakeAggScan[stats-only: ${outSchema.fieldNames.mkString(", ")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftLakeAggPartition(row))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var done = false
+          private val r = p.asInstanceOf[GraftLakeAggPartition].row
+          override def next(): Boolean = !done && { done = true; true }
+          override def get(): InternalRow = r
+          override def close(): Unit = ()
+        }
+    }
+}
+
+final case class GraftLakeAggPartition(row: InternalRow)
+    extends InputPartition
 
 /** Scan over a committed file snapshot.
   *

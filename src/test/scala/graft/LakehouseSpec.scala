@@ -1061,6 +1061,64 @@ class LakehouseSpec extends SparkTestBase {
     }
   }
 
+  test("COUNT/MIN/MAX answer from manifest stats without opening a data file") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_agg_push"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    for (b <- 0 until 3)
+      spark.range(b * 100L, (b + 1) * 100L)
+        .selectExpr("id AS k", "concat('s', id) AS s")
+        .coalesce(1).writeTo(t).append()
+    val q = s"SELECT count(*) AS c, min(k) AS mn, max(k) AS mx FROM $t"
+    assert(spark.sql(q).collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((300L, 0L, 299L)))
+    // complete pushdown: the plan carries the stats-only scan, no agg
+    val plan = spark.sql(q).queryExecution.executedPlan.toString
+    assert(plan.contains("GraftLakeAggScan"),
+      s"expected the metadata-only scan:\n$plan")
+    // the decisive probe: delete every data file behind the table — a
+    // metadata answer survives, a data scan cannot
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_agg_push").get
+    table.filePaths.values.foreach(p => new java.io.File(p).delete())
+    assert(spark.sql(q).collect().head.getLong(0) == 300L,
+      "COUNT/MIN/MAX must not touch data files")
+    intercept[Exception] { spark.table(t).collect() } // data really gone
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+
+    // deletion vectors: COUNT(*) stays exact metadata (subtract DV
+    // sizes); MIN/MAX refuse (a dead row could hold the extreme) and
+    // fall back to a real scan — both stay correct
+    val tm = "graftlake.spec_agg_push_mor"
+    spark.sql(s"DROP TABLE IF EXISTS $tm")
+    spark.sql(s"CREATE TABLE $tm (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.mode' = 'merge-on-read')")
+    spark.range(0, 100).selectExpr("id AS k", "'a' AS s")
+      .coalesce(1).writeTo(tm).append()
+    spark.sql(s"DELETE FROM $tm WHERE k = 0 OR k = 99")
+    assert(spark.sql(s"SELECT count(*) AS c FROM $tm").head().getLong(0)
+      == 98L)
+    assert(spark.sql(s"SELECT count(*) AS c FROM $tm").queryExecution
+      .executedPlan.toString.contains("GraftLakeAggScan"),
+      "bare COUNT(*) stays metadata-only under DVs")
+    val mm = spark.sql(s"SELECT min(k) AS mn, max(k) AS mx FROM $tm")
+    assert(mm.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 98L)), "MIN/MAX under DVs fall back to the data scan")
+    assert(!mm.queryExecution.executedPlan.toString
+      .contains("GraftLakeAggScan"),
+      "MIN/MAX must refuse the stats answer when deletion vectors exist")
+    // grouped and filtered aggregates never answer from metadata
+    assert(!spark.sql(s"SELECT count(*) FROM $tm WHERE k > 5")
+      .queryExecution.executedPlan.toString.contains("GraftLakeAggScan"))
+    assert(spark.sql(s"SELECT count(*) FROM $tm WHERE k > 5")
+      .head().getLong(0) == 93L)
+    spark.sql(s"DROP TABLE IF EXISTS $tm")
+  }
+
   test("manifest skipping prunes files before read and stays exact") {
     val (_, stats) = Lakehouse.statsManifest(spark, Sf)
     val keep = Lakehouse.survivingFiles(stats, "1995-01-01", "1995-12-31")
