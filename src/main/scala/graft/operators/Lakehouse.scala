@@ -811,6 +811,70 @@ object Lakehouse {
       .orderBy("channel"), t)
   }
 
+  /** Schema evolution part 3 — ADD COLUMN ... DEFAULT and widening
+    * ALTER COLUMN TYPE (VERDICT r12 task 5), both pure-metadata on the
+    * field-id manifests: a defaulted add stores (id → default) in table
+    * metadata and PRE-EVOLUTION files serve the EXISTS-default instead
+    * of NULL (the Delta/Iceberg default-value contract — readers
+    * back-fill, no file is touched); INT→BIGINT stores the new logical
+    * type while each file keeps its physical type, widened per value at
+    * scan planning (Iceberg type promotion). The fixture spans three
+    * schema generations plus a row-level UPDATE that writes widened
+    * values only a BIGINT can hold; zero-rewrite is spec-pinned
+    * (LakehouseSpec), the oracle checks the end-to-end relation. */
+  def alterDefaultWiden(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.orders_defwiden"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t " +
+      "(o_orderkey BIGINT, o_qty INT, o_totalprice DOUBLE)" + tblProps())
+    def base = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"),
+        (col("o_orderkey") % 1000).cast("int").as("o_qty"),
+        col("o_totalprice"))
+    // generation 1: the pre-default schema
+    base.filter(col("o_orderkey") % 3 =!= 0).writeTo(t).append()
+    // generation 2: defaulted add — gen-1 files read back 'legacy'
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (o_src STRING DEFAULT 'legacy')")
+    base.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_src",
+        when(col("o_orderkey") % 2 === 0, lit("web")).otherwise(lit("app")))
+      .writeTo(t).append()
+    // generation 3: widen INT → BIGINT, then back-fill values that only
+    // the widened type can hold (no file rewritten by the ALTER itself)
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN o_qty TYPE BIGINT")
+    spark.sql(s"UPDATE $t SET o_qty = o_qty * 10000000 " +
+      "WHERE o_orderkey % 10 = 1")
+    releasing(spark, spark.table(t)
+      .groupBy(col("o_src").as("src"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_qty")).as("sum_qty"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price"))
+      .orderBy("src"), t)
+  }
+
+  private val alterDefaultWidenOracle =
+    """WITH gen1 AS (
+      |  SELECT o_orderkey, CAST(o_orderkey % 1000 AS BIGINT) AS o_qty,
+      |    o_totalprice, 'legacy' AS o_src
+      |  FROM orders WHERE o_orderkey % 3 <> 0),
+      |gen2 AS (
+      |  SELECT o_orderkey, CAST(o_orderkey % 1000 AS BIGINT) AS o_qty,
+      |    o_totalprice,
+      |    CASE WHEN o_orderkey % 2 = 0 THEN 'web' ELSE 'app' END AS o_src
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |upd AS (
+      |  SELECT o_src, o_totalprice,
+      |    CASE WHEN o_orderkey % 10 = 1 THEN o_qty * 10000000
+      |      ELSE o_qty END AS o_qty
+      |  FROM (SELECT * FROM gen1 UNION ALL SELECT * FROM gen2))
+      |SELECT o_src AS src, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(o_qty) AS BIGINT) AS sum_qty,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM upd GROUP BY src ORDER BY src""".stripMargin
+
   private val alterDropRenameOracle =
     """WITH prev AS (
       |  SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_src
@@ -976,6 +1040,9 @@ object Lakehouse {
     Query("ref_alter_drop_rename",
       "RENAME/DROP COLUMN via stable per-file field ids, zero rewrites",
       alterDropRename, Some(alterDropRenameOracle)),
+    Query("ref_alter_default_widen",
+      "ADD COLUMN DEFAULT + INT->BIGINT widening: metadata-only evolution",
+      alterDefaultWiden, Some(alterDefaultWidenOracle)),
     Query("join_spj_storage",
       "storage-partitioned join: co-partitioned DSv2 tables, zero exchanges",
       storagePartitionedJoin, Some(storagePartitionedJoinOracle)),

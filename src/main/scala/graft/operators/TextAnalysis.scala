@@ -988,12 +988,13 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  // lazy: splices [[bpeTrainOracle]], which is declared later in the file
-  private lazy val bpeEncodeOracle: String = {
-    val i = bpeTrainOracle.lastIndexOf("SELECT * FROM (")
-    // reuse the training oracle's CTE chain (v0..v5, b1..b5) verbatim,
-    // swap the merge-table projection for the dictionary replay
-    bpeTrainOracle.take(i).stripTrailing() + ",\n" +
+  // lazy: references [[bpeCteChain]], which is declared later in the file
+  // (object-val init order); the chain is SHARED with the training oracle
+  // rather than spliced out of it by string surgery, so a reworded
+  // training projection can no longer silently corrupt this one
+  // (ADVICE r12)
+  private lazy val bpeEncodeOracle: String =
+    bpeCteChain + ",\n" +
       s"""enc AS MATERIALIZED (
          |  SELECT replace(seq, ' ', '') AS word,
          |    CAST(len(string_split(seq, ' ')) AS BIGINT) AS w_tokens,
@@ -1008,9 +1009,11 @@ object TextAnalysis {
          |      FROM documents) d
          |JOIN enc e ON d.word = e.word
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
-  }
 
-  private val bpeTrainOracle: String = {
+  /** The CTE chain (v0 char-split word table + per-round p/b/v rewrite
+    * CTEs) SHARED by [[bpeTrainOracle]] and [[bpeEncodeOracle]] — each
+    * appends its own final projection. */
+  private val bpeCteChain: String = {
     val rounds = (1 to BpeRounds).map { r =>
       val pv = s"v${r - 1}"
       // the argmax pair rides in as scalar subqueries; two replace passes
@@ -1033,16 +1036,20 @@ object TextAnalysis {
          |    AS seq, wc
          |  FROM $pv)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to BpeRounds)
-      .map(r => s"SELECT CAST($r AS BIGINT) AS round, lhs, rhs," +
-        s" cnt AS pair_count FROM b$r")
-      .mkString("\nUNION ALL\n")
     s"""WITH v0 AS MATERIALIZED (
        |  SELECT array_to_string(string_split(word, ''), ' ') AS seq,
        |         CAST(count(*) AS BIGINT) AS wc
        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
        |  GROUP BY 1),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private val bpeTrainOracle: String = {
+    val out = (1 to BpeRounds)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, lhs, rhs," +
+        s" cnt AS pair_count FROM b$r")
+      .mkString("\nUNION ALL\n")
+    s"""$bpeCteChain
        |SELECT * FROM (
        |$out)
        |ORDER BY round""".stripMargin

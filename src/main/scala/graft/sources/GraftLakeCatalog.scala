@@ -71,6 +71,11 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog {
 
   override def name(): String = catalogName
 
+  // opt in to `ADD COLUMN ... DEFAULT <literal>`: the analyzer refuses
+  // to route default clauses to a catalog that doesn't declare support
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def listTables(namespace: Array[String]): Array[Identifier] =
     tables.keySet().asScala.filter(_.namespace().sameElements(namespace))
       .toArray
@@ -114,14 +119,18 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog {
     t
   }
 
-  /** Schema evolution: top-level ADD COLUMN (nullable), RENAME COLUMN
-    * and DROP COLUMN — the Iceberg field-id contract: every file's
-    * manifest records stable COLUMN IDS, never names, so existing files
-    * are NEVER rewritten. Old files null-fill added ids, keep serving a
-    * renamed id under its new name, and simply stop projecting a dropped
-    * id. The statement is ATOMIC: all changes validate against a local
-    * copy of the schema and install in one assignment — a failing change
-    * in `ADD COLUMNS (a, b NOT NULL)` leaves the table untouched, so the
+  /** Schema evolution: top-level ADD COLUMN (nullable, optionally with
+    * a DEFAULT literal), RENAME COLUMN, DROP COLUMN and widening ALTER
+    * COLUMN TYPE (INT→BIGINT, FLOAT→DOUBLE) — the Iceberg field-id
+    * contract: every file's manifest records stable COLUMN IDS, never
+    * names, so existing files are NEVER rewritten. Old files fill an
+    * added id with its EXISTS-DEFAULT (NULL when none was declared),
+    * keep serving a renamed id under its new name, simply stop
+    * projecting a dropped id, and serve a widened id through a per-file
+    * physical→logical conversion resolved at scan planning. The
+    * statement is ATOMIC: all changes validate against a local copy of
+    * the schema and install in one assignment — a failing change in
+    * `ADD COLUMNS (a, b NOT NULL)` leaves the table untouched, so the
     * corrected retry cannot trip over a half-applied `a` (ADVICE r11). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = Option(tables.get(ident))
@@ -196,7 +205,8 @@ final case class GraftLakeFile(id: String, rows: Vector[InternalRow],
     cols: Seq[Int], path: Option[String] = None,
     types: Seq[DataType] = Nil, bytes: Long = 0L,
     stats: Map[Int, (Any, Any)] = Map.empty,
-    nRows: Long = -1L) {
+    nRows: Long = -1L,
+    nulls: Map[Int, Long] = Map.empty) {
   /** Committed row count (manifest metadata — parquet-backed files keep
     * no rows in memory, so the count must be recorded at write time). */
   def numRows: Long = if (nRows >= 0) nRows else rows.length.toLong
@@ -223,8 +233,30 @@ private[graft] object GraftLakeStats {
   private def statsSupported(dt: DataType): Boolean = dt match {
     case LongType | org.apache.spark.sql.types.IntegerType |
          org.apache.spark.sql.types.DoubleType |
-         org.apache.spark.sql.types.FloatType | StringType => true
+         org.apache.spark.sql.types.FloatType | StringType |
+         // temporal stats ride the INTERNAL physical values (Date = days
+         // as Int, Timestamp = micros as Long) — comparison on those is
+         // already total, and V2 pushed literals arrive in the same
+         // representation, so Date is a first-class prune key (the
+         // dominant production lake pattern: skip on o_orderdate)
+         org.apache.spark.sql.types.DateType |
+         org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType => true
     case _ => false
+  }
+
+  /** -0.0 stores and compares as 0.0: java compareTo orders -0.0 < 0.0
+    * but SQL `=` treats them equal, so un-normalized float stats could
+    * prune a file whose every value is -0.0 against `x = 0.0` — and a
+    * pruned file is unrecoverable by the residual filter (ADVICE r12
+    * medium). NaN keeps java ordering (greater than everything), which
+    * matches Spark's SQL ordering for NaN. */
+  private def norm(v: Any): Any = v match {
+    case d: java.lang.Double if d.doubleValue() == 0.0d =>
+      java.lang.Double.valueOf(0.0d)
+    case f: java.lang.Float if f.floatValue() == 0.0f =>
+      java.lang.Float.valueOf(0.0f)
+    case other => other
   }
 
   /** Min/max of non-null values per supported column; a supported column
@@ -241,7 +273,7 @@ private[graft] object GraftLakeStats {
         var mx: Any = null
         rows.foreach { r =>
           if (!r.isNullAt(i)) {
-            val v = r.get(i, dt)
+            val v = norm(r.get(i, dt))
             if (mn == null || cmp(v, mn) < 0) mn = v
             if (mx == null || cmp(v, mx) > 0) mx = v
           }
@@ -250,25 +282,56 @@ private[graft] object GraftLakeStats {
       }
     }.toMap
 
+  /** Per-column null counts over EVERY column (type-independent): the
+    * IS [NOT] NULL pruning input and the COUNT(col) pushdown's
+    * subtrahend. Recorded at write time like min/max. */
+  def nullCounts(rows: Vector[InternalRow],
+      colIds: Seq[Int]): Map[Int, Long] =
+    colIds.zipWithIndex.map { case (id, i) =>
+      id -> rows.count(_.isNullAt(i)).toLong
+    }.toMap
+
   /** a < b for stats values of the same runtime type (aggregate
     * pushdown's reducer). */
   def lt(a: Any, b: Any): Boolean = cmp(a, b) < 0
 
-  private def cmp(a: Any, b: Any): Int = (a, b) match {
+  /** Widen an internal value to `dt` when it predates a widening ALTER
+    * COLUMN TYPE (Int stats/defaults under a now-BIGINT column). */
+  def widen(v: Any, dt: DataType): Any = (v, dt) match {
+    case (x: java.lang.Integer, LongType) =>
+      java.lang.Long.valueOf(x.longValue())
+    case (x: java.lang.Float, org.apache.spark.sql.types.DoubleType) =>
+      java.lang.Double.valueOf(x.doubleValue())
+    case _ => v
+  }
+
+  /** Total order across stats values, tolerant of the WIDENING pairs
+    * type evolution allows (Int→Long, Float→Double): a pre-widening
+    * file's Int stats compare against a post-widening Long literal. */
+  private def cmp(a: Any, b: Any): Int = (norm(a), norm(b)) match {
     case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
     case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y)
+    case (x: java.lang.Integer, y: java.lang.Long) =>
+      java.lang.Long.compare(x.longValue(), y)
+    case (x: java.lang.Long, y: java.lang.Integer) =>
+      java.lang.Long.compare(x, y.longValue())
     case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
     case (x: java.lang.Float, y: java.lang.Float) => x.compareTo(y)
+    case (x: java.lang.Float, y: java.lang.Double) =>
+      java.lang.Double.compare(x.doubleValue(), y)
+    case (x: java.lang.Double, y: java.lang.Float) =>
+      java.lang.Double.compare(x, y.doubleValue())
     case (x: UTF8String, y: UTF8String) => x.compareTo(y)
-    case _ => throw new IllegalArgumentException(
-      s"incomparable stats values: ${a.getClass} vs ${b.getClass}")
+    case (x, y) => throw new IllegalArgumentException(
+      s"incomparable stats values: ${x.getClass} vs ${y.getClass}")
   }
 
   /** Can any row of `f` possibly satisfy ALL of `predicates`? False only
     * when provably not: a comparison conjunct whose column is absent
     * from the file (all NULL — null-rejecting comparisons cannot match)
-    * or whose min/max range excludes the literal. Anything unparseable
-    * is conservatively a match. */
+    * or whose min/max range excludes the literal; an IS NULL against a
+    * null-count-0 file; an IS NOT NULL against an all-null one. Anything
+    * unparseable is conservatively a match. */
   def mayMatch(f: GraftLakeFile, predicates: Seq[Predicate],
       nameToId: Map[String, Int]): Boolean =
     predicates.forall(p => may(f, p, nameToId))
@@ -285,7 +348,39 @@ private[graft] object GraftLakeStats {
     }
     case op @ ("=" | "<" | "<=" | ">" | ">=") =>
       comparison(f, op, p.children(), nameToId)
+    case "IN" =>
+      // col IN (l1, l2, ...) = a disjunction of equalities
+      val kids = p.children()
+      if (kids.isEmpty) true
+      else kids.tail.exists { lit =>
+        comparison(f, "=", Array(kids.head, lit), nameToId)
+      }
+    case "IS_NULL" => colIdOf(p.children(), nameToId) match {
+      case Some(id) =>
+        if (!f.cols.contains(id)) true // absent column: all NULL, matches
+        else f.nulls.get(id) match {
+          case Some(0L) => false // recorded zero nulls: cannot match
+          case _ => true
+        }
+      case None => true
+    }
+    case "IS_NOT_NULL" => colIdOf(p.children(), nameToId) match {
+      case Some(id) =>
+        if (!f.cols.contains(id)) false // absent column: all NULL
+        else f.nulls.get(id) match {
+          case Some(n) if n == f.numRows => false // every value null
+          case _ => true
+        }
+      case None => true
+    }
     case _ => true
+  }
+
+  private def colIdOf(kids: Array[V2Expr],
+      nameToId: Map[String, Int]): Option[Int] = kids match {
+    case Array(r: NamedReference) if r.fieldNames().length == 1 =>
+      nameToId.get(r.fieldNames()(0))
+    case _ => None
   }
 
   private def comparison(f: GraftLakeFile, op: String,
@@ -327,6 +422,24 @@ private[graft] object GraftLakeStats {
         }
       case _ => true
     }
+  }
+}
+
+private[sources] object GraftLakeReaders {
+  /** Per-field extractor from a stored row: reads slot `i` as the
+    * file's PHYSICAL type and widens to the current logical type when
+    * the column was retyped after the file was written (INT→BIGINT,
+    * FLOAT→DOUBLE — the only changes ALTER COLUMN TYPE admits). */
+  def extractor(i: Int, phys: DataType,
+      logical: DataType): InternalRow => Any = (phys, logical) match {
+    case (org.apache.spark.sql.types.IntegerType, LongType) =>
+      r => if (r.isNullAt(i)) null
+        else java.lang.Long.valueOf(r.getInt(i).toLong)
+    case (org.apache.spark.sql.types.FloatType,
+        org.apache.spark.sql.types.DoubleType) =>
+      r => if (r.isNullAt(i)) null
+        else java.lang.Double.valueOf(r.getFloat(i).toDouble)
+    case _ => r => r.get(i, phys)
   }
 }
 
@@ -401,11 +514,24 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
   private var schemaNow: StructType = tableSchema
   private var colIds: Vector[Int] = tableSchema.indices.toVector
   private var nextColId: Int = tableSchema.length
+  // (field id → Catalyst internal value) EXISTS-defaults from
+  // `ADD COLUMN ... DEFAULT`: files written before the add serve this
+  // value for the id instead of NULL
+  private var colDefaults: Map[Int, Any] = Map.empty
 
   /** Current (field id → name) mapping — what scans resolve per-file id
     * manifests through at planning time. */
   private[sources] def idToName: Map[Int, String] = synchronized(
     colIds.zip(schemaNow.fieldNames).map { case (id, n) => id -> n }.toMap)
+
+  /** Current id-keyed EXISTS-defaults (see [[colDefaults]]). */
+  private[sources] def defaults: Map[Int, Any] = synchronized(colDefaults)
+
+  /** Defaults resolved to CURRENT column names (change-feed readers). */
+  private[sources] def nameDefaults: Map[String, Any] = synchronized {
+    val i2n = colIds.zip(schemaNow.fieldNames).toMap
+    colDefaults.flatMap { case (id, v) => i2n.get(id).map(_ -> v) }
+  }
 
   /** Validate EVERY change against a local copy of the schema, then
     * install the result in one assignment — atomic by construction: no
@@ -415,6 +541,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       var fields = schemaNow.fields.toVector
       var ids = colIds
       var next = nextColId
+      var defs = colDefaults
       def indexOf(fieldNames: Array[String], what: String): Int = {
         require(fieldNames.length == 1,
           s"nested $what unsupported: ${fieldNames.mkString(".")}")
@@ -444,8 +571,25 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
               s"graft.storage=parquet cannot store added column " +
                 s"${add.fieldNames()(0)}: ${add.dataType().sql}")
           checkFresh(add.fieldNames()(0))
-          fields :+= StructField(add.fieldNames()(0), add.dataType(),
-            nullable = true)
+          // DEFAULT <literal>: the internal value becomes the id's
+          // EXISTS-DEFAULT (what pre-evolution files read back — the
+          // Delta/Iceberg default-value contract) and the SQL text is
+          // stamped into the field metadata so the analyzer fills the
+          // CURRENT default on inserts that omit the column
+          val defaulted = Option(add.defaultValue()) match {
+            case Some(d) =>
+              defs += next -> d.getValue.value
+              val sql = Option(d.getSql)
+                .getOrElse(String.valueOf(d.getValue.value))
+              StructField(add.fieldNames()(0), add.dataType(),
+                nullable = true)
+                .withExistenceDefaultValue(sql)
+                .withCurrentDefaultValue(sql)
+            case None =>
+              StructField(add.fieldNames()(0), add.dataType(),
+                nullable = true)
+          }
+          fields :+= defaulted
           ids :+= next
           next += 1
         case ren: TableChange.RenameColumn =>
@@ -458,14 +602,37 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
             s"cannot drop partition column ${fields(i).name}")
           require(fields.length > 1,
             s"cannot drop the last column of $tableName")
+          defs -= ids(i)
           fields = fields.patch(i, Nil, 1)
           ids = ids.patch(i, Nil, 1)
+        case upd: TableChange.UpdateColumnType =>
+          // WIDENING only — a widened read is lossless, so no file is
+          // rewritten: each file keeps its physical type in the manifest
+          // and scans widen per-file at planning (Iceberg type promotion)
+          val i = indexOf(upd.fieldNames(), "ALTER COLUMN TYPE")
+          val old = fields(i).dataType
+          val nw = upd.newDataType()
+          val widens = (old, nw) match {
+            case (org.apache.spark.sql.types.IntegerType, LongType) => true
+            case (org.apache.spark.sql.types.FloatType,
+                org.apache.spark.sql.types.DoubleType) => true
+            case _ => old == nw
+          }
+          require(widens, s"only widening type changes are supported " +
+            s"(INT->BIGINT, FLOAT->DOUBLE), got ${old.sql} -> ${nw.sql}")
+          require(!partCols.contains(fields(i).name),
+            s"cannot retype partition column ${fields(i).name}")
+          fields = fields.updated(i, fields(i).copy(dataType = nw))
+          // widen a stored default alongside its column
+          defs.get(ids(i)).foreach(v =>
+            defs += ids(i) -> GraftLakeStats.widen(v, nw))
         case other => throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change: $other")
       }
       schemaNow = StructType(fields)
       colIds = ids
       nextColId = next
+      colDefaults = defs
     }
   // COMMIT HISTORY: snapshot after every commit, version = index. The
   // `dataChange` flag mirrors Delta's: maintenance commits (DV
@@ -520,7 +687,16 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     * Bounds the history's memory (snapshots share file objects, but an
     * unbounded commit log is still a leak at streaming commit rates) —
     * exactly Iceberg's expire_snapshots contract: time travel and change
-    * feeds below the floor fail loudly afterwards. Returns the floor. */
+    * feeds below the floor fail loudly afterwards. Returns the floor.
+    *
+    * RETENTION HAZARD (ADVICE r12): an in-flight ROW-LEVEL OPERATION
+    * pins its snapshot at creation, so its files are excluded from the
+    * vacuum below even when every retained version has dropped them. A
+    * plain in-flight READ of an expired version has no such pin (DSv2
+    * offers no reader-release hook) — exactly Iceberg's documented
+    * expire_snapshots hazard, where a too-aggressive retention can fail
+    * a concurrent time-travel query mid-scan; size keep_last to cover
+    * the longest-running reader. */
   private[sources] def expireVersions(keepLast: Int): Int = synchronized {
     require(keepLast >= 1, s"keep_last must be >= 1, got $keepLast")
     val drop = math.max(0, history.length - keepLast)
@@ -531,16 +707,35 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     // everything no retained snapshot still lists (the current state is
     // the last retained snapshot, so live files are always kept). The
     // reference-counted orphan rule is the whole safety story of
-    // expire_snapshots: a file shared with a retained version survives.
+    // expire_snapshots: a file shared with a retained version survives —
+    // and so does a file pinned by an active row-level operation.
     lakeDir.foreach { dir =>
       val live = (history.flatMap(_._1.files) ++ files)
-        .flatMap(_.path).toSet
+        .flatMap(_.path).toSet ++
+        pinnedPaths.values().asScala.flatten
       Option(dir.listFiles()).getOrElse(Array.empty)
         .filterNot(f => live.contains(f.getAbsolutePath))
         .foreach(_.delete())
     }
     baseVersion
   }
+
+  // data-file paths pinned by in-flight row-level operations: registered
+  // when the operation's write is built, released at commit/abort — the
+  // vacuum above must not unlink a file the operation's scan still reads
+  private val pinnedPaths =
+    new ConcurrentHashMap[AnyRef, Set[String]]()
+  private[graft] def pinPaths(s: GraftLakeSnapshot): () => Unit = {
+    val ps = s.files.flatMap(_.path).toSet
+    if (ps.isEmpty) () => ()
+    else {
+      val token = new AnyRef
+      pinnedPaths.put(token, ps)
+      () => { pinnedPaths.remove(token); () }
+    }
+  }
+  /** Test hook: how many operations currently pin paths. */
+  private[graft] def pinnedOpCount: Int = pinnedPaths.size()
 
   /** Compact every file that carries a deletion vector. Returns how many
     * files were rewritten (each as its own maintenance commit). */
@@ -564,9 +759,10 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           "landed mid-statement — retry against the current schema")
       val id = s"$tableName#f$fileSeq"
       val types = schemaNow.fields.map(_.dataType).toSeq
-      // per-file min/max stats, collected once at write time (what a
-      // table format reads back out of parquet footers)
+      // per-file min/max + null-count stats, collected once at write
+      // time (what a table format reads back out of parquet footers)
       val stats = GraftLakeStats.collect(rows, colIds, types)
+      val nulls = GraftLakeStats.nullCounts(rows, colIds)
       lakeDir match {
         case Some(dir) =>
           val p = new java.io.File(dir, s"f$fileSeq.parquet")
@@ -574,12 +770,17 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           val bytes = GraftParquetIO.write(p,
             schemaNow.fieldNames.toSeq, types, rows)
           GraftLakeFile(id, Vector.empty, colIds, Some(p), types, bytes,
-            stats, rows.length.toLong)
-        case None => GraftLakeFile(id, rows, colIds, stats = stats)
+            stats, rows.length.toLong, nulls)
+        // memory files record their write-time types too: compaction
+        // rewrites and type-widened scans both need the file's PHYSICAL
+        // layout, which the current schema no longer describes after an
+        // ALTER (ADVICE r12)
+        case None => GraftLakeFile(id, rows, colIds, types = types,
+          stats = stats, nulls = nulls)
       }
     }
 
-  private[sources] def snapshot: GraftLakeSnapshot =
+  private[graft] def snapshot: GraftLakeSnapshot =
     synchronized(GraftLakeSnapshot(files, dvs))
   /** Current file ids, in commit order — the spec's carry-vs-rewrite probe. */
   private[graft] def fileIds: Seq[String] = snapshot.files.map(_.id)
@@ -651,15 +852,48 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
   /** Compact ONE file's deletion vector away: rewrite the file as its
     * live rows (or drop it if fully dead) and clear the DV — the
     * maintenance that amortizes merge-on-read's read debt, file-at-a-
-    * time, never table-at-a-time. A file without a DV is untouched. */
+    * time, never table-at-a-time. A file without a DV is untouched.
+    *
+    * The rewrite preserves the file's OWN manifest (cols/types): the
+    * live rows are still in the file's write-time layout, and stamping
+    * them with the CURRENT schema's ids (mkFiles) would break after any
+    * ALTER — an arity change made CALL system.compact throw, and an
+    * arity-PRESERVING evolution (DROP one + ADD another) would silently
+    * serve old values under the wrong field id (ADVICE r12 high). */
   private[graft] def compactFile(fileId: String): Unit = synchronized {
     if (dvs.contains(fileId)) files.find(_.id == fileId).foreach { f =>
       val live = GraftLakeSnapshot(files, dvs).liveRows(f)
-      files = files.filterNot(_.id == fileId) ++ mkFiles(Vector(live))
+      files = files.filterNot(_.id == fileId) ++ rewriteFile(f, live)
       dvs -= fileId
       recordCommit(dataChange = false) // maintenance: relation unchanged
     }
   }
+
+  /** Rewrite `rows` as a new file under `f`'s write-time manifest —
+    * same field ids, same physical types, freshly collected stats. */
+  private def rewriteFile(
+      f: GraftLakeFile, rows: Vector[InternalRow]): Vector[GraftLakeFile] =
+    if (rows.isEmpty) Vector.empty
+    else {
+      fileSeq += 1
+      val id = s"$tableName#f$fileSeq"
+      val stats = GraftLakeStats.collect(rows, f.cols, f.types)
+      val nulls = GraftLakeStats.nullCounts(rows, f.cols)
+      Vector(lakeDir match {
+        case Some(dir) =>
+          val p = new java.io.File(dir, s"f$fileSeq.parquet")
+            .getAbsolutePath
+          // parquet column names are labels only (reads are positional by
+          // the file's recorded types); dropped ids get a synthetic name
+          val names = f.cols.map(cid =>
+            idToName.getOrElse(cid, s"_dropped_$cid"))
+          val bytes = GraftParquetIO.write(p, names, f.types, rows)
+          GraftLakeFile(id, Vector.empty, f.cols, Some(p), f.types, bytes,
+            stats, rows.length.toLong, nulls)
+        case None => GraftLakeFile(id, rows, f.cols, types = f.types,
+          stats = stats, nulls = nulls)
+      })
+    }
 
   override def name(): String = tableName
   override def schema(): StructType = synchronized(schemaNow)
@@ -709,11 +943,11 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     (from, to) match {
       case (Some(lo), Some(hi)) =>
         new GraftLakeChangeFeedScanBuilder(
-          historySlice(lo, hi), lo, schema(), idToName)
+          historySlice(lo, hi), lo, schema(), idToName, defaults)
       case _ =>
         new GraftLakeScanBuilder(
           asOf.map(snapshotAt).getOrElse(snapshot), schema(), partCols,
-          None, () => fileIds.toSet, idToName)
+          None, () => fileIds.toSet, idToName, defaults)
     }
   }
 
@@ -751,6 +985,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       private val snap = snapshot
       private val opSchema = schema()
       private val opIds = idToName
+      private val opDefaults = defaults
 
       override def command(): RowLevelOperation.Command = info.command()
       override def rowId(): Array[NamedReference] =
@@ -760,14 +995,14 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       override def newScanBuilder(
           options: CaseInsensitiveStringMap): ScanBuilder =
         new GraftLakeScanBuilder(snap, opSchema, partCols, None,
-          () => fileIds.toSet, opIds)
+          () => fileIds.toSet, opIds, opDefaults)
       override def newWriteBuilder(
           info: LogicalWriteInfo): DeltaWriteBuilder =
         new DeltaWriteBuilder {
           override def build(): DeltaWrite = new DeltaWrite {
             override def toBatch: DeltaBatchWrite =
               new GraftLakeDeltaBatchWrite(applyDelta(snap.dvs),
-                opSchema.fields.map(_.dataType))
+                opSchema.fields.map(_.dataType), onDone = pinPaths(snap))
           }
         }
     }
@@ -778,6 +1013,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       private val snap = snapshot
       private val opSchema = schema()
       private val opIds = idToName
+      private val opDefaults = defaults
       private val state = new GroupScanState(snap.files.map(_.id).toSet)
 
       override def command(): RowLevelOperation.Command = info.command()
@@ -789,7 +1025,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       override def newScanBuilder(
           options: CaseInsensitiveStringMap): ScanBuilder =
         new GraftLakeScanBuilder(snap, opSchema, partCols, Some(state),
-          () => fileIds.toSet, opIds)
+          () => fileIds.toSet, opIds, opDefaults)
       // group-based ReplaceData: the written set replaces exactly the
       // groups the (runtime-filtered) scan read. Spark 4.1 prepends a
       // `__row_operation` INT to every row it hands the writer
@@ -804,7 +1040,8 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
             override def toBatch: BatchWrite =
               new GraftLakeBatchWrite(
                 batches => replaceGroups(state.scanned, batches),
-                rowLevel = Some(opSchema.fields.map(_.dataType)))
+                rowLevel = Some(opSchema.fields.map(_.dataType)),
+                onDone = pinPaths(snap))
           }
         }
     }
@@ -856,7 +1093,8 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
     fullSchema: StructType, partCols: Seq[String],
     rowLevel: Option[GroupScanState],
     currentIds: () => Set[String] = () => Set.empty,
-    idToName: Map[Int, String] = Map.empty)
+    idToName: Map[Int, String] = Map.empty,
+    colDefaults: Map[Int, Any] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -878,15 +1116,24 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
   }
   override def pushedPredicates(): Array[Predicate] = skipPreds
 
-  // ---- metadata-only aggregates (COUNT(*) / MIN / MAX from stats) ---------
+  // ---- metadata-only aggregates (COUNT / MIN / MAX from stats) ------------
   // The Iceberg scan-less aggregate: an ungrouped COUNT(*) is the sum of
-  // manifest row counts minus deletion-vector sizes, and MIN/MAX come
-  // straight from the per-file stats (valid only with NO deletion
-  // vectors — a dead row could hold the extreme — and only when every
-  // file carrying the column has stats for it; nulls are naturally
-  // excluded because stats cover non-null values, matching SQL MIN/MAX).
+  // manifest row counts minus deletion-vector sizes, COUNT(col) is
+  // rows − per-file null counts (refused under any DV on a carrying
+  // file — a dead row's nullness is unknowable from the manifest), and
+  // MIN/MAX come straight from the per-file stats (valid only with NO
+  // deletion vectors and only when every file carrying the column has
+  // stats for it; nulls are naturally excluded because stats cover
+  // non-null values, matching SQL MIN/MAX semantics).
+  //
+  // GROUP BY answers from the manifest too when every file is SINGLE-
+  // VALUED in every group column (min == max, no nulls — the layout a
+  // partition-keyed writer produces): each file contributes wholly to
+  // one group, so per-group COUNT/MIN/MAX reduce over per-file stats —
+  // the Iceberg per-partition manifest-aggregate contract. One impure
+  // file refuses the whole pushdown.
   // Only COMPLETE pushdown is offered: the answer is exact or refused.
-  private var aggAnswer: Option[(StructType, InternalRow)] = None
+  private var aggAnswer: Option[(StructType, Seq[InternalRow])] = None
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate
@@ -902,25 +1149,63 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
 
   private def statsAggregate(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, InternalRow)] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+      : Option[(StructType, Seq[InternalRow])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     // row-level op scans and filtered scans never answer from metadata
     // (we return every predicate as residual, so a WHERE query reaches
     // here only if Spark skipped filter pushdown entirely — refuse)
-    if (rowLevel.isDefined || skipPreds.nonEmpty ||
-        agg.groupByExpressions().nonEmpty) return None
+    if (rowLevel.isDefined || skipPreds.nonEmpty) return None
     val nameToId = idToName.map(_.swap)
-    val anyDv = snapshot.dvs.values.exists(_.nonEmpty)
     def colId(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[Int] = e match {
       case r: NamedReference if r.fieldNames().length == 1 =>
         nameToId.get(r.fieldNames()(0))
       case _ => None
     }
-    // (name, type, value) per aggregate, or bail out entirely
-    def extreme(id: Int, takeMin: Boolean): Option[Any] = {
+    def typeOf(id: Int): DataType =
+      fullSchema.fields(fullSchema.fieldNames.indexOf(idToName(id))).dataType
+
+    // resolve the GROUP BY columns; None = not answerable from stats
+    val groupIds: Option[Seq[Int]] = {
+      val ids = agg.groupByExpressions().toSeq.map(colId)
+      if (ids.exists(_.isEmpty)) None else Some(ids.flatten)
+    }
+    if (groupIds.isEmpty) return None
+
+    // each file's group key, or None if the file is not single-valued in
+    // some group column (all-null counts as the single value NULL)
+    def keyOf(f: GraftLakeFile): Option[Seq[Any]] = {
+      val vals = groupIds.get.map { id =>
+        if (!f.cols.contains(id)) Some(null: Any) // absent = all NULL
+        else (f.stats.get(id), f.nulls.get(id)) match {
+          case (Some((null, null)), Some(n)) if n == f.numRows =>
+            Some(null: Any)
+          case (Some((mn, mx)), Some(0L))
+              if mn != null && !GraftLakeStats.lt(mn, mx) &&
+                !GraftLakeStats.lt(mx, mn) =>
+            Some(GraftLakeStats.widen(mn, typeOf(id)))
+          case _ => None // mixed values, mixed nullness, or no stats
+        }
+      }
+      if (vals.exists(_.isEmpty)) None else Some(vals.flatten)
+    }
+    val grouped: Option[Seq[(Seq[Any], Vector[GraftLakeFile])]] =
+      if (groupIds.get.isEmpty) Some(Seq(Nil -> snapshot.files))
+      else {
+        val keyed = snapshot.files.map(f => keyOf(f).map(_ -> f))
+        if (keyed.exists(_.isEmpty)) None
+        else Some(keyed.flatten.groupBy(_._1).toSeq
+          .map { case (k, fs) => k -> fs.map(_._2).toVector })
+      }
+    if (grouped.isEmpty) return None
+
+    val anyDv = snapshot.dvs.values.exists(_.nonEmpty)
+    def dvIn(fs: Vector[GraftLakeFile]): Boolean =
+      fs.exists(f => snapshot.dvs.getOrElse(f.id, Set.empty).nonEmpty)
+    def extreme(fs: Vector[GraftLakeFile], id: Int,
+        takeMin: Boolean): Option[Any] = {
       if (anyDv) return None // a position-deleted row could be the extreme
-      val carrying = snapshot.files.filter(_.cols.contains(id))
+      val carrying = fs.filter(_.cols.contains(id))
       // every carrying file must have a stats entry (supported type);
       // (null, null) entries are all-null files and drop out like SQL
       if (!carrying.forall(_.stats.contains(id))) return None
@@ -929,66 +1214,102 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
         case (mn, mx) => Some(if (takeMin) mn else mx)
       })
       // an empty vals means MIN/MAX over only-nulls -> SQL NULL (valid)
-      Some(vals.reduceOption((a, b) =>
-        if (GraftLakeStats.lt(a, b) == takeMin) a else b).orNull)
+      Some(GraftLakeStats.widen(vals.reduceOption((a, b) =>
+        if (GraftLakeStats.lt(a, b) == takeMin) a else b).orNull,
+        typeOf(id)))
     }
-    def typeOf(id: Int): DataType =
-      fullSchema.fields(fullSchema.fieldNames.indexOf(idToName(id))).dataType
-    val cols = agg.aggregateExpressions().toSeq.map {
-      case _: CountStar =>
-        val live = snapshot.files.map(f => f.numRows -
-          snapshot.dvs.getOrElse(f.id, Set.empty).size.toLong).sum
-        Some(("COUNT(*)", LongType: DataType, live: Any))
-      case m: Min => for {
-        id <- colId(m.column()); v <- extreme(id, takeMin = true)
-      } yield (s"MIN(${idToName(id)})", typeOf(id), v)
-      case m: Max => for {
-        id <- colId(m.column()); v <- extreme(id, takeMin = false)
-      } yield (s"MAX(${idToName(id)})", typeOf(id), v)
-      case _ => None
+    // COUNT(col) = Σ (rows − nulls) over carrying files (absent column =
+    // all NULL = 0); refused when a carrying file lacks a null count or
+    // holds a DV (dead rows' nullness is not in the manifest)
+    def countCol(fs: Vector[GraftLakeFile], id: Int): Option[Any] = {
+      val carrying = fs.filter(_.cols.contains(id))
+      if (carrying.exists(f =>
+          snapshot.dvs.getOrElse(f.id, Set.empty).nonEmpty ||
+            !f.nulls.contains(id))) None
+      else Some(carrying.map(f => f.numRows - f.nulls(id)).sum: Any)
     }
-    if (cols.exists(_.isEmpty)) None
-    else {
-      val cs = cols.flatten
-      Some((StructType(cs.map { case (n, t, _) =>
-        StructField(n, t, nullable = true) }),
-        new GenericInternalRow(cs.map(_._3).toArray)))
+    // per-aggregate (name, type, per-group evaluator), or bail out
+    val aggCols: Seq[Option[(String, DataType,
+        Vector[GraftLakeFile] => Option[Any])]] =
+      agg.aggregateExpressions().toSeq.map {
+        case _: CountStar =>
+          Some(("COUNT(*)", LongType: DataType,
+            (fs: Vector[GraftLakeFile]) => Some(fs.map(f => f.numRows -
+              snapshot.dvs.getOrElse(f.id, Set.empty).size.toLong)
+              .sum: Any)))
+        case c: Count if !c.isDistinct => colId(c.column()).map(id =>
+          (s"COUNT(${idToName(id)})", LongType: DataType,
+            (fs: Vector[GraftLakeFile]) => countCol(fs, id)))
+        case m: Min => colId(m.column()).map(id =>
+          (s"MIN(${idToName(id)})", typeOf(id),
+            (fs: Vector[GraftLakeFile]) => extreme(fs, id, takeMin = true)))
+        case m: Max => colId(m.column()).map(id =>
+          (s"MAX(${idToName(id)})", typeOf(id),
+            (fs: Vector[GraftLakeFile]) => extreme(fs, id, takeMin = false)))
+        case _ => None
+      }
+    if (aggCols.exists(_.isEmpty)) return None
+    val evals = aggCols.flatten
+
+    // a group whose every row is deletion-vector-dead has NO live rows:
+    // SQL emits no group for it (the ungrouped single row stays — an
+    // empty table still answers COUNT(*) = 0 / MIN = NULL)
+    val liveGroups = grouped.get.filter { case (_, fs) =>
+      groupIds.get.isEmpty || fs.exists(f =>
+        f.numRows > snapshot.dvs.getOrElse(f.id, Set.empty).size)
     }
+    // evaluate every aggregate for every group; any refusal kills all
+    val maybeRows: Seq[Option[InternalRow]] =
+      liveGroups.map { case (key, fs) =>
+        val vs = evals.map(_._3(fs))
+        if (vs.exists(_.isEmpty)) None
+        else Some(new GenericInternalRow((key ++ vs.flatten).toArray))
+      }
+    if (maybeRows.exists(_.isEmpty)) return None
+    val rows = maybeRows.flatten
+    // scan output schema: group columns first, then aggregate columns —
+    // Spark maps complete-pushdown output positionally
+    val schema = StructType(
+      groupIds.get.map(id => StructField(idToName(id), typeOf(id),
+        nullable = true)) ++
+        evals.map { case (n, t, _) => StructField(n, t, nullable = true) })
+    Some((schema, rows))
   }
 
   override def build(): Scan = aggAnswer match {
-    case Some((schema, row)) => new GraftLakeAggScan(schema, row)
+    case Some((schema, rows)) => new GraftLakeAggScan(schema, rows)
     case None =>
       new GraftLakeScan(snapshot, fullSchema, required, partCols, rowLevel,
-        currentIds, idToName, skipPreds.toSeq)
+        currentIds, idToName, skipPreds.toSeq, colDefaults)
   }
 }
 
 /** The metadata-only answer to a completely-pushed aggregate: one
-  * partition, one precomputed row — no data file is ever opened. */
-class GraftLakeAggScan(outSchema: StructType, row: InternalRow)
+  * partition, one precomputed row PER GROUP (one total for ungrouped) —
+  * no data file is ever opened. */
+class GraftLakeAggScan(outSchema: StructType, rows: Seq[InternalRow])
     extends Scan with Batch {
   override def readSchema(): StructType = outSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftLakeAggScan[stats-only: ${outSchema.fieldNames.mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftLakeAggPartition(row))
+    Array(GraftLakeAggPartition(rows.toVector))
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(
           p: InputPartition): PartitionReader[InternalRow] =
         new PartitionReader[InternalRow] {
-          private var done = false
-          private val r = p.asInstanceOf[GraftLakeAggPartition].row
-          override def next(): Boolean = !done && { done = true; true }
-          override def get(): InternalRow = r
+          private val rs = p.asInstanceOf[GraftLakeAggPartition].rows
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rs.length }
+          override def get(): InternalRow = rs(i)
           override def close(): Unit = ()
         }
     }
 }
 
-final case class GraftLakeAggPartition(row: InternalRow)
+final case class GraftLakeAggPartition(rows: Vector[InternalRow])
     extends InputPartition
 
 /** Scan over a committed file snapshot.
@@ -1023,9 +1344,15 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
     rowLevel: Option[GroupScanState],
     currentIds: () => Set[String] = () => Set.empty,
     idToName: Map[Int, String] = Map.empty,
-    skipPreds: Seq[Predicate] = Nil)
+    skipPreds: Seq[Predicate] = Nil,
+    colDefaults: Map[Int, Any] = Map.empty)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeV2Filtering {
+
+  // EXISTS-defaults resolved to current names once at planning: what a
+  // file that predates an `ADD COLUMN ... DEFAULT` serves for the column
+  private val nameDefaults: Map[String, Any] =
+    colDefaults.flatMap { case (id, v) => idToName.get(id).map(_ -> v) }
 
   // STATIC min/max file skipping: drop every group the pushed predicates
   // provably exclude, before any partition is planned. A row-level
@@ -1131,19 +1458,29 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
     val idx = partCols.map(fullSchema.fieldIndex)
     val types = idx.map(fullSchema.fields(_).dataType)
     val names = fullSchema.fieldNames.toSeq
+    val curTypes = fullSchema.fields.map(_.dataType).toSeq
     // keyed partitions interleave files, so rows are normalized to the
-    // CURRENT schema here (null-filling post-evolution columns); the
-    // file-grained path projects lazily in the reader instead
+    // CURRENT schema here (default- or null-filling post-evolution
+    // columns, widening pre-widening physical values); the file-grained
+    // path projects lazily in the reader instead
     def normalized(f: GraftLakeFile): Vector[InternalRow] = {
       val rows = snapshot.liveRows(f)
       val fileNames = namesOf(f)
-      if (fileNames == names) rows
+      if (fileNames == names && (f.types.isEmpty || f.types == curTypes))
+        rows
       else {
-        val slots = fullSchema.fields.map(fd =>
-          (fileNames.indexOf(fd.name), fd.dataType))
-        rows.map(r => new GenericInternalRow(slots.map { case (i, dt) =>
-          (if (i < 0) null else r.get(i, dt)): Any
-        }))
+        val slots: Array[InternalRow => Any] =
+          fullSchema.fields.map { fd =>
+            val i = fileNames.indexOf(fd.name)
+            if (i < 0) {
+              val d = nameDefaults.getOrElse(fd.name, null)
+              (_: InternalRow) => d
+            } else {
+              val phys = if (f.types.nonEmpty) f.types(i) else fd.dataType
+              GraftLakeReaders.extractor(i, phys, fd.dataType)
+            }
+          }
+        rows.map(r => new GenericInternalRow(slots.map(_(r)): Array[Any]))
       }
     }
     active.flatMap(normalized)
@@ -1174,7 +1511,7 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
       keyed.map { case (k, rs) => GraftLakeKeyedPartition(rs, k) }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLakeReaderFactory(fullSchema, requiredSchema)
+    new GraftLakeReaderFactory(fullSchema, requiredSchema, nameDefaults)
 }
 
 final case class GraftLakeFilePartition(
@@ -1194,7 +1531,7 @@ final case class GraftLakeKeyedPartition(
   * stable merge-on-read row id even for rows surfaced as deletes. */
 final case class GraftLakeChangePartition(fileId: String,
     rows: Vector[(Long, InternalRow)], changeType: String, version: Long,
-    cols: Seq[String]) extends InputPartition
+    cols: Seq[String], types: Seq[DataType] = Nil) extends InputPartition
 
 /** Change-feed scan over a commit-history slice: emits the row-level
   * diff of each consecutive snapshot pair as insert/delete partitions.
@@ -1211,7 +1548,8 @@ final case class GraftLakeChangePartition(fileId: String,
   * they reorganize storage without changing the relation. */
 class GraftLakeChangeFeedScanBuilder(
     history: Vector[(GraftLakeSnapshot, Boolean)], fromVersion: Int,
-    fullSchema: StructType, idToName: Map[Int, String])
+    fullSchema: StructType, idToName: Map[Int, String],
+    colDefaults: Map[Int, Any] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -1221,7 +1559,9 @@ class GraftLakeChangeFeedScanBuilder(
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
     override def createReaderFactory(): PartitionReaderFactory =
-      new GraftLakeChangeReaderFactory(fullSchema, required)
+      new GraftLakeChangeReaderFactory(fullSchema, required,
+        colDefaults.flatMap { case (id, v) =>
+          idToName.get(id).map(_ -> v) })
     override def planInputPartitions(): Array[InputPartition] =
       GraftLakeChanges.partitions(history, fromVersion, idToName)
   }
@@ -1278,7 +1618,8 @@ class GraftLakeChangesTable(parent: GraftLakeTable)
             override def planInputPartitions(): Array[InputPartition] =
               GraftLakeChanges.partitions(hist, from, parent.idToName)
             override def createReaderFactory(): PartitionReaderFactory =
-              new GraftLakeChangeReaderFactory(parent.schema(), required)
+              new GraftLakeChangeReaderFactory(parent.schema(), required,
+                parent.nameDefaults)
           }
         }
         override def toMicroBatchStream(
@@ -1330,7 +1671,8 @@ class GraftLakeChangeStream(parent: GraftLakeTable,
       parent.idToName)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLakeChangeReaderFactory(parent.schema(), requiredSchema)
+    new GraftLakeChangeReaderFactory(parent.schema(), requiredSchema,
+      parent.nameDefaults)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -1369,7 +1711,7 @@ private[sources] object GraftLakeChanges {
               (p.toLong, r) }
           if (live.nonEmpty)
             parts += GraftLakeChangePartition(f.id, live, "insert", v,
-              namesOf(f))
+              namesOf(f), f.types)
         }
         prev.files.filterNot(f => curIds.contains(f.id)).foreach { f =>
           val dead = prev.dvs.getOrElse(f.id, Set.empty)
@@ -1378,7 +1720,7 @@ private[sources] object GraftLakeChanges {
               (p.toLong, r) }
           if (live.nonEmpty)
             parts += GraftLakeChangePartition(f.id, live, "delete", v,
-              namesOf(f))
+              namesOf(f), f.types)
         }
         cur.files.filter(f => prevIds.contains(f.id)).foreach { f =>
           val prevDead = prev.dvs.getOrElse(f.id, Set.empty[Long])
@@ -1390,7 +1732,7 @@ private[sources] object GraftLakeChanges {
           if (grown.nonEmpty)
             parts += GraftLakeChangePartition(f.id,
               grown.toVector.sorted.map(p => (p, frows(p.toInt))),
-              "delete", v, namesOf(f))
+              "delete", v, namesOf(f), f.types)
           // a deletion vector that SHRANK (rollback undoing a MERGE/DELETE)
           // resurrects the previously position-deleted rows: without the
           // insert leg a CDC replica applying the feed would permanently
@@ -1400,7 +1742,7 @@ private[sources] object GraftLakeChanges {
           if (shrunk.nonEmpty)
             parts += GraftLakeChangePartition(f.id,
               shrunk.toVector.sorted.map(p => (p, frows(p.toInt))),
-              "insert", v, namesOf(f))
+              "insert", v, namesOf(f), f.types)
         }
       }
     }
@@ -1414,7 +1756,9 @@ private[sources] object GraftLakeChanges {
   * NAME against the partition's column manifest (absent → NULL), so the
   * feed replays commits written under OLDER schemas correctly. */
 class GraftLakeChangeReaderFactory(fullSchema: StructType,
-    requiredSchema: StructType) extends PartitionReaderFactory {
+    requiredSchema: StructType,
+    defaults: Map[String, Any] = Map.empty)
+    extends PartitionReaderFactory {
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[GraftLakeChangePartition]
@@ -1432,9 +1776,15 @@ class GraftLakeChangeReaderFactory(fullSchema: StructType,
           (_: InternalRow, _: Long) => cp.version
         else {
           val i = cp.cols.indexOf(f.name)
-          val dt = f.dataType
-          if (i < 0) (_: InternalRow, _: Long) => null
-          else (r: InternalRow, _: Long) => r.get(i, dt)
+          if (i < 0) {
+            val d = defaults.getOrElse(f.name, null)
+            (_: InternalRow, _: Long) => d
+          } else {
+            val phys =
+              if (cp.types.nonEmpty) cp.types(i) else f.dataType
+            val ex = GraftLakeReaders.extractor(i, phys, f.dataType)
+            (r: InternalRow, _: Long) => ex(r)
+          }
         }
       }
     new PartitionReader[InternalRow] {
@@ -1456,20 +1806,23 @@ class GraftLakeChangeReaderFactory(fullSchema: StructType,
 
 /** Projects stored rows to the pruned read schema through the
   * partition's COLUMN MANIFEST (name-based resolution: a column absent
-  * from the file — added after it was written — reads NULL), synthesizing
-  * `_file` from the partition's file id. */
+  * from the file — added after it was written — reads its EXISTS-default
+  * or NULL; a column retyped after the write widens per value),
+  * synthesizing `_file` from the partition's file id. */
 class GraftLakeReaderFactory(fullSchema: StructType,
-    requiredSchema: StructType) extends PartitionReaderFactory {
+    requiredSchema: StructType,
+    defaults: Map[String, Any] = Map.empty)
+    extends PartitionReaderFactory {
 
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
-    val (fileId, rows, deleted, cols) = p match {
+    val (fileId, rows, deleted, cols, ptypes) = p match {
       case fp: GraftLakeFilePartition =>
         val rs = fp.path match {
           case Some(pq) => GraftParquetIO.read(pq, fp.types)
           case None => fp.rows
         }
-        (fp.fileId, rs, fp.deleted, fp.cols)
+        (fp.fileId, rs, fp.deleted, fp.cols, fp.types)
       case GraftLakeKeyedPartition(rs, _) =>
         // keyed rows are pre-DV-filtered AND pre-normalized to the
         // current schema; scans needing _file/_pos are planned
@@ -1478,12 +1831,16 @@ class GraftLakeReaderFactory(fullSchema: StructType,
           n != GraftLakeTable.FileCol && n != GraftLakeTable.PosCol),
           "keyed partition asked for _file/_pos — file-grained fallback " +
             "should have been planned")
-        ("", rs, Set.empty[Long], fullSchema.fieldNames.toSeq)
+        ("", rs, Set.empty[Long], fullSchema.fieldNames.toSeq,
+          Nil: Seq[DataType])
     }
     val identity = requiredSchema == fullSchema && deleted.isEmpty &&
-      cols == fullSchema.fieldNames.toSeq
+      cols == fullSchema.fieldNames.toSeq &&
+      (ptypes.isEmpty ||
+        ptypes == fullSchema.fields.map(_.dataType).toSeq)
     // per-field extractors: data columns resolved BY NAME against the
-    // file's manifest (absent → NULL: schema evolution without rewrite),
+    // file's manifest (absent → exists-default/NULL: schema evolution
+    // without rewrite; physical-type mismatch → widened read),
     // `_file`/`_pos` synthesized from the partition's file id and the
     // row's original position (positions survive DV filtering — that is
     // what makes a position-delete key stable)
@@ -1496,9 +1853,14 @@ class GraftLakeReaderFactory(fullSchema: StructType,
           (_: InternalRow, pos: Long) => pos
         else {
           val i = cols.indexOf(f.name)
-          val dt = f.dataType
-          if (i < 0) (_: InternalRow, _: Long) => null
-          else (r: InternalRow, _: Long) => r.get(i, dt)
+          if (i < 0) {
+            val d = defaults.getOrElse(f.name, null)
+            (_: InternalRow, _: Long) => d
+          } else {
+            val phys = if (ptypes.nonEmpty) ptypes(i) else f.dataType
+            val ex = GraftLakeReaders.extractor(i, phys, f.dataType)
+            (r: InternalRow, _: Long) => ex(r)
+          }
         }
       }
     new PartitionReader[InternalRow] {
@@ -1527,7 +1889,8 @@ class GraftLakeReaderFactory(fullSchema: StructType,
   * — DELETEs are dropped, writes keep the data slice. */
 class GraftLakeBatchWrite(
     apply: Vector[Vector[InternalRow]] => Unit,
-    rowLevel: Option[Array[DataType]] = None)
+    rowLevel: Option[Array[DataType]] = None,
+    onDone: () => Unit = () => ())
     extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
@@ -1535,8 +1898,9 @@ class GraftLakeBatchWrite(
     // this BatchWrite (whose `apply` closes over the driver-side table)
     new GraftLakeWriterFactory(rowLevel)
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    apply(messages.toVector.map(_.asInstanceOf[GraftLakeCommit].rows))
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+    try apply(messages.toVector.map(_.asInstanceOf[GraftLakeCommit].rows))
+    finally onDone()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = onDone()
 }
 
 class GraftLakeWriterFactory(rowLevel: Option[Array[DataType]])
@@ -1577,17 +1941,19 @@ final case class GraftLakeCommit(rows: Vector[InternalRow])
   * deletion vectors and appends the inserts as new files. */
 class GraftLakeDeltaBatchWrite(
     apply: (Map[String, Set[Long]], Vector[Vector[InternalRow]]) => Unit,
-    types: Array[DataType]) extends DeltaBatchWrite {
+    types: Array[DataType],
+    onDone: () => Unit = () => ()) extends DeltaBatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DeltaWriterFactory =
     new GraftLakeDeltaWriterFactory(types)
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val ms = messages.toVector.map(_.asInstanceOf[GraftLakeDeltaCommit])
-    val deleted = ms.flatMap(_.deleted)
-      .groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2).toSet }
-    apply(deleted, ms.map(_.inserted))
-  }
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    try {
+      val ms = messages.toVector.map(_.asInstanceOf[GraftLakeDeltaCommit])
+      val deleted = ms.flatMap(_.deleted)
+        .groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2).toSet }
+      apply(deleted, ms.map(_.inserted))
+    } finally onDone()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = onDone()
 }
 
 class GraftLakeDeltaWriterFactory(types: Array[DataType])

@@ -20,41 +20,64 @@ import org.apache.spark.unsafe.types.UTF8String
   * in BYTES on disk rather than driver-object identity, and the reader
   * factories exercise genuine columnar decode in tasks.
   *
-  * Deliberately scoped to FLAT schemas of primitive/string/temporal
-  * columns — the shapes every lakehouse registry fixture uses; nested
-  * types reject loudly at table creation ([[supported]]). Row order is
-  * write order (single sequential writer per file), which is what keeps
-  * `_pos`-keyed deletion vectors stable across the storage modes. */
+  * Scoped to schemas of primitive/string/temporal columns plus
+  * single-level ARRAYs of those (written as standard parquet 3-level
+  * LIST groups — `optional group (LIST) { repeated group list {
+  * optional element } }` — so the embeddings fixtures' ARRAY<FLOAT>
+  * lands as real columnar data); deeper nesting rejects loudly at
+  * table creation ([[supported]]). Row order is write order (single
+  * sequential writer per file), which is what keeps `_pos`-keyed
+  * deletion vectors stable across the storage modes. */
 object GraftParquetIO {
 
-  def supported(dt: DataType): Boolean = dt match {
+  private def primSupported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | FloatType | BooleanType |
          StringType | DateType | TimestampType | TimestampNTZType => true
     case _ => false
   }
 
+  def supported(dt: DataType): Boolean = dt match {
+    case ArrayType(et, _) => primSupported(et)
+    case _ => primSupported(dt)
+  }
+
+  private def primType(dt: DataType)
+      : PTypes.PrimitiveBuilder[org.apache.parquet.schema.PrimitiveType] =
+    dt match {
+      case LongType => PTypes.optional(INT64)
+      case IntegerType => PTypes.optional(INT32)
+      case DoubleType => PTypes.optional(DOUBLE)
+      case FloatType => PTypes.optional(FLOAT)
+      case BooleanType => PTypes.optional(BOOLEAN)
+      case StringType => PTypes.optional(BINARY)
+        .as(LogicalTypeAnnotation.stringType())
+      case DateType => PTypes.optional(INT32)
+        .as(LogicalTypeAnnotation.dateType())
+      case TimestampType | TimestampNTZType => PTypes.optional(INT64)
+        .as(LogicalTypeAnnotation.timestampType(false,
+          LogicalTypeAnnotation.TimeUnit.MICROS))
+      case other => throw new UnsupportedOperationException(
+        s"graft.storage=parquet cannot store ${other.sql}")
+    }
+
   private def messageType(
       names: Seq[String], types: Seq[DataType]): MessageType = {
     val b = PTypes.buildMessage()
     names.zip(types).foreach { case (n, dt) =>
-      val f = dt match {
-        case LongType => PTypes.optional(INT64)
-        case IntegerType => PTypes.optional(INT32)
-        case DoubleType => PTypes.optional(DOUBLE)
-        case FloatType => PTypes.optional(FLOAT)
-        case BooleanType => PTypes.optional(BOOLEAN)
-        case StringType => PTypes.optional(BINARY)
-          .as(LogicalTypeAnnotation.stringType())
-        case DateType => PTypes.optional(INT32)
-          .as(LogicalTypeAnnotation.dateType())
-        case TimestampType | TimestampNTZType => PTypes.optional(INT64)
-          .as(LogicalTypeAnnotation.timestampType(false,
-            LogicalTypeAnnotation.TimeUnit.MICROS))
-        case other => throw new UnsupportedOperationException(
-          s"graft.storage=parquet supports flat primitive columns, got " +
-            s"$n: ${other.sql}")
+      val f: org.apache.parquet.schema.Type = dt match {
+        case ArrayType(et, _) =>
+          // standard LIST shape, built explicitly: outer optional group
+          // annotated LIST, repeated middle group `list`, optional leaf
+          // `element` — what parquet-backed lakehouse arrays look like
+          PTypes.optionalGroup()
+            .as(LogicalTypeAnnotation.listType())
+            .addField(PTypes.repeatedGroup()
+              .addField(primType(et).named("element"))
+              .named("list"))
+            .named(n)
+        case prim => primType(prim).named(n)
       }
-      b.addField(f.named(n))
+      b.addField(f)
     }
     b.named("graft_lake_file")
   }
@@ -81,6 +104,30 @@ object GraftParquetIO {
             g.add(i, Binary.fromConstantByteArray(r.getUTF8String(i).getBytes))
           case DateType => g.add(i, r.getInt(i))
           case TimestampType | TimestampNTZType => g.add(i, r.getLong(i))
+          case ArrayType(et, _) =>
+            // one `list` entry group per element; a null element is an
+            // entry with no `element` value (empty array = LIST group
+            // with zero entries — distinct from a null column)
+            val arr = r.getArray(i)
+            val lg = g.addGroup(i)
+            var j = 0
+            while (j < arr.numElements()) {
+              val entry = lg.addGroup(0)
+              if (!arr.isNullAt(j)) et match {
+                case LongType => entry.add(0, arr.getLong(j))
+                case IntegerType => entry.add(0, arr.getInt(j))
+                case DoubleType => entry.add(0, arr.getDouble(j))
+                case FloatType => entry.add(0, arr.getFloat(j))
+                case BooleanType => entry.add(0, arr.getBoolean(j))
+                case StringType => entry.add(0, Binary
+                  .fromConstantByteArray(arr.getUTF8String(j).getBytes))
+                case DateType => entry.add(0, arr.getInt(j))
+                case TimestampType | TimestampNTZType =>
+                  entry.add(0, arr.getLong(j))
+                case _ => ()
+              }
+              j += 1
+            }
           case _ => ()
         }
         i += 1
@@ -115,6 +162,32 @@ object GraftParquetIO {
                 UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
               case DateType => g.getInteger(i, 0)
               case TimestampType | TimestampNTZType => g.getLong(i, 0)
+              case ArrayType(et, _) =>
+                val lg = g.getGroup(i, 0)
+                val n = lg.getFieldRepetitionCount(0)
+                val vals = new Array[Any](n)
+                var j = 0
+                while (j < n) {
+                  val entry = lg.getGroup(0, j)
+                  vals(j) =
+                    if (entry.getFieldRepetitionCount(0) == 0) null
+                    else et match {
+                      case LongType => entry.getLong(0, 0)
+                      case IntegerType => entry.getInteger(0, 0)
+                      case DoubleType => entry.getDouble(0, 0)
+                      case FloatType => entry.getFloat(0, 0)
+                      case BooleanType => entry.getBoolean(0, 0)
+                      case StringType => UTF8String
+                        .fromBytes(entry.getBinary(0, 0).getBytes)
+                      case DateType => entry.getInteger(0, 0)
+                      case TimestampType | TimestampNTZType =>
+                        entry.getLong(0, 0)
+                      case _ => null
+                    }
+                  j += 1
+                }
+                new org.apache.spark.sql.catalyst.util
+                  .GenericArrayData(vals)
               case _ => null
             }
           i += 1

@@ -1135,4 +1135,312 @@ class LakehouseSpec extends SparkTestBase {
       .count()
     assert(leaked == 0, "no qualifying row may live in a skipped file")
   }
+
+  test("compaction preserves each file's own manifest across schema evolution") {
+    // ADVICE r12 high: compactFile used to restamp a file's live rows
+    // with the CURRENT schema's ids — an arity change broke CALL
+    // system.compact outright, and an arity-PRESERVING evolution (DROP
+    // one + ADD another) silently served old values under the wrong id
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_compact_evolve"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.mode' = 'merge-on-read')")
+    spark.range(0, 10).selectExpr("id AS k", "concat('s', id) AS s")
+      .coalesce(1).writeTo(t).append()
+    // arity change: pre-evolution 2-col file + a DV, then compact
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (extra BIGINT)")
+    spark.sql(s"DELETE FROM $t WHERE k = 3")
+    spark.sql(s"CALL graftlake.system.compact('spec_compact_evolve')")
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_compact_evolve").get
+    assert(table.deletionVectors.isEmpty, "compaction cleared the DV")
+    assert(spark.table(t).where("s = 's4'").selectExpr("k", "extra")
+      .collect().map(r => (r.getLong(0), r.isNullAt(1))).toSeq ==
+      Seq((4L, true)),
+      "compacted pre-evolution rows keep serving under their own manifest")
+    assert(spark.table(t).count() == 9)
+
+    // arity-preserving evolution: DROP s + ADD s2 (same column count);
+    // the compacted file's old `s` id must NOT leak into `s2`
+    val t2 = "graftlake.spec_compact_swap"
+    spark.sql(s"DROP TABLE IF EXISTS $t2")
+    spark.sql(s"CREATE TABLE $t2 (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.mode' = 'merge-on-read')")
+    spark.range(0, 10).selectExpr("id AS k", "concat('s', id) AS s")
+      .coalesce(1).writeTo(t2).append()
+    spark.sql(s"ALTER TABLE $t2 DROP COLUMN s")
+    spark.sql(s"ALTER TABLE $t2 ADD COLUMNS (s2 STRING)")
+    spark.sql(s"DELETE FROM $t2 WHERE k = 0")
+    spark.sql(s"CALL graftlake.system.compact('spec_compact_swap')")
+    val rows = spark.table(t2).selectExpr("k", "s2").collect()
+    assert(rows.length == 9 && rows.forall(_.isNullAt(1)),
+      "a compacted pre-swap file must serve NULL for the re-added name, " +
+        "never the dropped column's values")
+    Seq(t, t2).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
+  test("date stats, IN-list and IS [NOT] NULL prune files at plan time") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_stats_date"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, d DATE, s STRING)")
+    for (b <- 0 until 4) // one file per month stripe
+      spark.range(b * 100L, (b + 1) * 100L)
+        .selectExpr("id AS k",
+          s"date_add(DATE'2024-0${b + 1}-01', CAST(id % 28 AS INT)) AS d",
+          // stripe 3's s column is entirely NULL; others have no nulls
+          if (b == 3) "CAST(NULL AS STRING) AS s"
+          else "concat('v', id) AS s")
+        .coalesce(1).writeTo(t).append()
+    def parts(df: org.apache.spark.sql.DataFrame): Int =
+      df.rdd.getNumPartitions
+    // DATE range pruning — the dominant production prune key
+    assert(parts(spark.table(t).where("d = DATE'2024-02-10'")) == 1,
+      "a date equality must plan exactly its covering month file")
+    assert(parts(spark.table(t)
+      .where("d >= DATE'2024-03-01' AND d < DATE'2024-04-01'")) == 1,
+      "a month range must plan one stripe")
+    assert(parts(spark.table(t).where("d > DATE'2024-12-31'")) == 0,
+      "an out-of-range date plans zero partitions")
+    // IN-list = disjunction of equalities
+    assert(parts(spark.table(t).where("k IN (50, 350)")) == 2,
+      "IN must prune to the union of covering stripes")
+    assert(parts(spark.table(t).where("k IN (5000)")) == 0)
+    // IS NULL / IS NOT NULL on recorded null counts
+    assert(parts(spark.table(t).where("s IS NULL")) == 1,
+      "IS NULL must plan only the all-null stripe")
+    assert(parts(spark.table(t).where("s IS NOT NULL")) == 3,
+      "IS NOT NULL must skip the all-null stripe")
+    // result transparency
+    assert(spark.table(t).where("d = DATE'2024-02-10'").count() ==
+      spark.table(t).collect().count(r => r.getDate(1).toString ==
+        "2024-02-10"))
+    assert(spark.table(t).where("s IS NULL").count() == 100)
+    assert(spark.table(t).where("k IN (50, 350)").count() == 2)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("signed zero never prunes a matching float/double file") {
+    // ADVICE r12 medium: -0.0 < 0.0 under java compareTo but SQL `=`
+    // treats them equal — stats must normalize, or `x = 0.0` prunes a
+    // file whose values are all -0.0 (and the row-level scan narrowing
+    // would silently skip an UPDATE's target rows)
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_stats_zero"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, x DOUBLE)")
+    spark.sql(s"INSERT INTO $t VALUES (1, -0.0), (2, -0.0)")
+    spark.sql(s"INSERT INTO $t VALUES (3, 100.0)")
+    assert(spark.table(t).where("x = 0.0").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L),
+      "x = 0.0 must still find the all-negative-zero file")
+    assert(spark.table(t).where("x = -0.0").count() == 2)
+    spark.sql(s"UPDATE $t SET k = 99 WHERE x = 0.0")
+    assert(spark.table(t).where("k = 99").count() == 2,
+      "the row-level scan must not prune the -0.0 file either")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("COUNT(col) and partition-pure GROUP BY answer from manifests") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_agg_group"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, st STRING, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    // a partition-keyed writer lands one single-valued file per key —
+    // exactly the layout Iceberg answers per-partition aggregates on
+    for ((st, b) <- Seq("A", "B", "C").zipWithIndex)
+      spark.range(b * 100L, (b + 1) * 100L)
+        .selectExpr("id AS k", s"'$st' AS st",
+          "CASE WHEN id % 10 = 0 THEN NULL ELSE CAST(id AS DOUBLE) END AS v")
+        .coalesce(1).writeTo(t).append()
+    // COUNT(col) = rows − per-file null counts, no scan
+    val qc = s"SELECT count(v) AS c FROM $t"
+    assert(spark.sql(qc).head().getLong(0) == 270L)
+    assert(spark.sql(qc).queryExecution.executedPlan.toString
+      .contains("GraftLakeAggScan"),
+      "COUNT(col) must answer from null-count manifests")
+    // grouped COUNT/MIN/MAX over single-valued files
+    val qg = s"SELECT st, count(*) AS n, count(v) AS nv, min(k) AS mn, " +
+      s"max(k) AS mx FROM $t GROUP BY st ORDER BY st"
+    assert(spark.sql(qg).collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).toSeq ==
+      Seq(("A", 100L, 90L, 0L, 99L), ("B", 100L, 90L, 100L, 199L),
+        ("C", 100L, 90L, 200L, 299L)))
+    assert(spark.sql(qg).queryExecution.executedPlan.toString
+      .contains("GraftLakeAggScan"),
+      "partition-pure GROUP BY must answer from per-file stats")
+    // the decisive probe: data files gone, the group-by still answers
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_agg_group").get
+    table.filePaths.values.foreach(p => new java.io.File(p).delete())
+    assert(spark.sql(qg).collect().length == 3,
+      "grouped aggregates must not touch data files")
+    intercept[Exception] { spark.table(t).collect() }
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+
+    // an IMPURE file (two group values interleaved) refuses the whole
+    // pushdown — correctness beats the optimization
+    val ti = "graftlake.spec_agg_impure"
+    spark.sql(s"DROP TABLE IF EXISTS $ti")
+    spark.sql(s"CREATE TABLE $ti (k BIGINT, st STRING)")
+    spark.range(0, 100).selectExpr("id AS k",
+      "CASE WHEN id % 2 = 0 THEN 'A' ELSE 'B' END AS st")
+      .coalesce(1).writeTo(ti).append()
+    val qi = s"SELECT st, count(*) AS n FROM $ti GROUP BY st"
+    assert(!spark.sql(qi).queryExecution.executedPlan.toString
+      .contains("GraftLakeAggScan"),
+      "a mixed-value file must refuse the manifest answer")
+    assert(spark.sql(qi).collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSet ==
+      Set(("A", 50L), ("B", 50L)))
+    // COUNT(col) refuses under a DV on a carrying file
+    val tm = "graftlake.spec_agg_countdv"
+    spark.sql(s"DROP TABLE IF EXISTS $tm")
+    spark.sql(s"CREATE TABLE $tm (k BIGINT, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.mode' = 'merge-on-read')")
+    spark.range(0, 50).selectExpr("id AS k",
+      "CASE WHEN id < 5 THEN NULL ELSE CAST(id AS DOUBLE) END AS v")
+      .coalesce(1).writeTo(tm).append()
+    spark.sql(s"DELETE FROM $tm WHERE k = 7")
+    val qdv = s"SELECT count(v) AS c FROM $tm"
+    assert(!spark.sql(qdv).queryExecution.executedPlan.toString
+      .contains("GraftLakeAggScan"),
+      "COUNT(col) under a deletion vector must scan (dead-row nullness " +
+        "is not in the manifest)")
+    assert(spark.sql(qdv).head().getLong(0) == 44L)
+    Seq(ti, tm).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
+  test("ARRAY columns land in parquet storage and survive row-level SQL") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    def build(t: String, props: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t (k BIGINT, emb ARRAY<FLOAT>, " +
+        s"tags ARRAY<STRING>)$props")
+      spark.range(0, 100).selectExpr("id AS k",
+        "CASE WHEN id % 7 = 0 THEN NULL ELSE array(CAST(id AS FLOAT), " +
+          "CAST(-id AS FLOAT), CAST(0.5 AS FLOAT)) END AS emb",
+        "CASE WHEN id % 5 = 0 THEN array() ELSE " +
+          "array(concat('t', id), NULL) END AS tags")
+        .coalesce(2).writeTo(t).append()
+      spark.createDataFrame(Seq((3L, Array(9.0f)), (999L, Array(1.5f))))
+        .toDF("k", "emb")
+        .selectExpr("k", "emb", "array('new') AS tags")
+        .createOrReplaceTempView(s"${t.split('.').last}_src")
+      spark.sql(s"MERGE INTO $t t USING ${t.split('.').last}_src b " +
+        "ON t.k = b.k " +
+        "WHEN MATCHED THEN UPDATE SET emb = b.emb, tags = b.tags " +
+        "WHEN NOT MATCHED THEN INSERT (k, emb, tags) " +
+        "VALUES (b.k, b.emb, b.tags)")
+    }
+    build("graftlake.spec_arr_mem", "")
+    build("graftlake.spec_arr_pq",
+      " TBLPROPERTIES ('graft.storage' = 'parquet')")
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_arr_pq").get
+    assert(table.filePaths.nonEmpty && table.filePaths.values.forall(p =>
+      new java.io.File(p).isFile),
+      "array file groups are real parquet files")
+    def rows(t: String) = spark.table(t).orderBy("k").collect()
+      .map(r => (r.getLong(0),
+        Option(r.getSeq[Float](1)).map(_.toList),
+        Option(r.getSeq[String](2)).map(_.toList))).toSeq
+    val mem = rows("graftlake.spec_arr_mem")
+    val pq = rows("graftlake.spec_arr_pq")
+    assert(mem == pq,
+      "parquet-backed arrays must be row-identical to memory storage")
+    assert(pq.length == 101 && pq.exists(_._1 == 999L))
+    assert(pq.find(_._1 == 3L).get._2.contains(List(9.0f)))
+    assert(pq.find(_._1 == 11L).get._3.contains(List("t11", null)),
+      "null ELEMENTS survive the parquet round-trip")
+    assert(pq.find(_._1 == 5L).get._3.contains(Nil),
+      "an EMPTY array stays distinct from a NULL column")
+    assert(pq.find(_._1 == 7L).get._2.isEmpty, "null arrays stay null")
+    Seq("graftlake.spec_arr_mem", "graftlake.spec_arr_pq")
+      .foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
+  test("ADD COLUMN DEFAULT back-fills old files; INT widens to BIGINT in place") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_evolve_dw"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, n INT, s STRING)")
+    spark.sql(s"INSERT INTO $t VALUES (1, 10, 'a'), (2, 20, 'b')")
+    // generation 2: defaulted add — old files serve the EXISTS-default
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (src STRING DEFAULT 'legacy')")
+    spark.sql(s"INSERT INTO $t VALUES (3, 30, 'c', 'live')")
+    // generation 3: widening — no file rewritten, old INT values widen
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_evolve_dw").get
+    val before = table.fileIds
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN n TYPE BIGINT")
+    assert(table.fileIds == before,
+      "neither the defaulted add nor the widen rewrites any file")
+    spark.sql(s"INSERT INTO $t VALUES (4, ${Long.MaxValue}, 'd', 'live')")
+    val got = spark.table(t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSeq
+    assert(got == Seq((1L, 10L, "legacy"), (2L, 20L, "legacy"),
+      (3L, 30L, "live"), (4L, Long.MaxValue, "live")),
+      s"defaults + widened reads must hold across generations: $got")
+    // an INSERT omitting the defaulted column fills the CURRENT default
+    spark.sql(s"INSERT INTO $t (k, n, s) VALUES (5, 50, 'e')")
+    assert(spark.table(t).where("k = 5").head().getString(3) == "legacy")
+    // stats stay usable across the widen: both pre- and post-widen
+    // files prune/aggregate correctly
+    assert(spark.sql(s"SELECT min(n) AS mn, max(n) AS mx FROM $t")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((10L, Long.MaxValue)))
+    // row-level SQL across all three generations under the final schema
+    spark.sql(s"UPDATE $t SET src = 'patched' WHERE n = 20")
+    assert(spark.table(t).where("src = 'patched'").head().getLong(0) == 2L)
+    // non-widening retypes refuse loudly
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t ALTER COLUMN k TYPE INT")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("vacuum spares files pinned by an in-flight row-level operation") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_vacuum_pin"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.mode' = 'merge-on-read', " +
+      "'graft.storage' = 'parquet')")
+    spark.range(0, 100).selectExpr("id AS k", "'a' AS s")
+      .coalesce(1).writeTo(t).append()
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_vacuum_pin").get
+    spark.sql(s"DELETE FROM $t WHERE k = 1") // DV → compactable
+    val preCompactionPath = table.filePaths.values.head
+    // pin the pre-compaction snapshot the way an in-flight operation
+    // would, then compact + expire: the pinned file must survive the
+    // vacuum until release
+    val release = table.pinPaths(table.snapshot)
+    spark.sql(s"CALL graftlake.system.compact('spec_vacuum_pin')")
+    spark.sql(
+      s"CALL graftlake.system.expire_versions('spec_vacuum_pin', 1)")
+    assert(new java.io.File(preCompactionPath).isFile,
+      "a pinned file must survive the vacuum")
+    release()
+    spark.sql(
+      s"CALL graftlake.system.expire_versions('spec_vacuum_pin', 1)")
+    assert(!new java.io.File(preCompactionPath).exists(),
+      "after release the orphan is vacuumed")
+    // the write-path wiring releases its pin: no pins leak after a
+    // completed row-level statement
+    spark.sql(s"UPDATE $t SET s = 'x' WHERE k = 2")
+    assert(table.pinnedOpCount == 0,
+      "a committed row-level statement must release its snapshot pin")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }

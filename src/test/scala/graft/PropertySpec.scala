@@ -275,6 +275,52 @@ object PropertySpec extends Properties("graft.kernels") {
       } finally { f.delete(); () }
     }
 
+  // arrays (parquet 3-level LIST groups): null arrays, EMPTY arrays and
+  // null elements must all survive distinctly — the embeddings-fixture
+  // shapes (ARRAY<FLOAT>) plus string arrays
+  private val pqArrayRows: Gen[List[(Option[List[Option[Float]]],
+      Option[List[Option[String]]])]] =
+    Gen.listOfN(25, for {
+      fa <- Gen.option(Gen.listOf(Gen.option(
+        Gen.oneOf(Gen.choose(-1e6f, 1e6f),
+          Gen.oneOf(0.0f, -0.0f, Float.MaxValue)))))
+      sa <- Gen.option(Gen.listOf(Gen.option(asciiText)))
+    } yield (fa, sa))
+
+  property("GraftParquetIO round-trips ARRAY columns incl empty/null shapes") =
+    Prop.forAll(pqArrayRows) { xs =>
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      import org.apache.spark.sql.types._
+      val types: Seq[DataType] =
+        Seq(ArrayType(FloatType), ArrayType(StringType))
+      def arr(vs: Option[List[Option[Any]]]): Any =
+        vs.map(l => new GenericArrayData(
+          l.map(_.orNull).toArray[Any])).orNull
+      val rows = xs.map { case (fa, sa) =>
+        new GenericInternalRow(Array[Any](
+          arr(fa.map(_.map(_.map(Float.box)))),
+          arr(sa.map(_.map(_.map(UTF8String.fromString))))))
+          : org.apache.spark.sql.catalyst.InternalRow
+      }.toVector
+      val f = java.io.File.createTempFile("graft_pq_arr", ".parquet")
+      f.delete()
+      try {
+        graft.sources.GraftParquetIO.write(f.getAbsolutePath,
+          Seq("emb", "tags"), types, rows)
+        val back = graft.sources.GraftParquetIO.read(f.getAbsolutePath,
+          types)
+        def norm(r: org.apache.spark.sql.catalyst.InternalRow)
+            : (Option[List[Any]], Option[List[Any]]) = (
+          if (r.isNullAt(0)) None
+          else Some(r.getArray(0).toObjectArray(FloatType).toList),
+          if (r.isNullAt(1)) None
+          else Some(r.getArray(1).toObjectArray(StringType).toList))
+        back.length == rows.length &&
+          back.map(norm) == rows.map(norm)
+      } finally { f.delete(); () }
+    }
+
   // ---- min/max file-skipping soundness ------------------------------------
 
   private val statsCase: Gen[(List[Option[Long]], String, Long)] = for {
@@ -313,6 +359,73 @@ object PropertySpec extends Properties("graft.kernels") {
       // is correctly conservative for interior literals (a range can
       // cover a value no row holds).
       if (op == "=") !truly || may else may == truly
+    }
+
+  // Doubles including the SQL-equal-but-compareTo-unequal ±0.0 pair and
+  // NaN (ADVICE r12 medium), plus IS [NOT] NULL and IN over the
+  // recorded null counts — soundness must hold for every op
+  private val doubleStatsCase
+      : Gen[(List[Option[Double]], String, List[Double])] = for {
+    vals <- Gen.listOfN(20, Gen.option(Gen.oneOf(
+      Gen.choose(-100.0, 100.0).map(v => math.rint(v) / 2),
+      Gen.oneOf(0.0, -0.0, Double.NaN, -50.0, 50.0))))
+    op <- Gen.oneOf("=", "<", "<=", ">", ">=", "IN",
+      "IS_NULL", "IS_NOT_NULL")
+    lits <- Gen.listOfN(3, Gen.oneOf(
+      Gen.choose(-120.0, 120.0).map(v => math.rint(v) / 2),
+      Gen.oneOf(0.0, -0.0, Double.NaN)))
+  } yield (vals, op, lits)
+
+  property("stats pruning stays SOUND on doubles incl ±0.0/NaN and null ops") =
+    Prop.forAll(doubleStatsCase) { case (vals, op, lits) =>
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.connector.expressions.Expressions
+      import org.apache.spark.sql.connector.expressions.filter.Predicate
+      import org.apache.spark.sql.types.DoubleType
+      val rows = vals.map(v => new GenericInternalRow(
+        Array[Any](v.map(Double.box).orNull)): InternalRow).toVector
+      val stats = graft.sources.GraftLakeStats.collect(
+        rows, Seq(7), Seq(DoubleType))
+      val nulls = graft.sources.GraftLakeStats.nullCounts(rows, Seq(7))
+      val f = graft.sources.GraftLakeFile("f", rows, Seq(7),
+        stats = stats, nulls = nulls)
+      val colRef = Expressions.column("k")
+      val pred = op match {
+        case "IS_NULL" | "IS_NOT_NULL" =>
+          new Predicate(op, Array[
+            org.apache.spark.sql.connector.expressions.Expression](colRef))
+        case "IN" => new Predicate("IN",
+          (colRef +: lits.map(Expressions.literal(_))).toArray[
+            org.apache.spark.sql.connector.expressions.Expression])
+        case o => new Predicate(o,
+          Array(colRef, Expressions.literal(lits.head)))
+      }
+      val may = graft.sources.GraftLakeStats.mayMatch(
+        f, Seq(pred), Map("k" -> 7))
+      // ground truth via Spark SQL semantics: NaN equals NaN and sorts
+      // greatest; -0.0 == 0.0
+      def sqlCmp(a: Double, b: Double): Int =
+        java.lang.Double.compare(if (a == 0.0) 0.0 else a,
+          if (b == 0.0) 0.0 else b)
+      val truly = op match {
+        case "IS_NULL" => vals.exists(_.isEmpty)
+        case "IS_NOT_NULL" => vals.exists(_.nonEmpty)
+        case "IN" =>
+          vals.flatten.exists(v => lits.exists(l => sqlCmp(v, l) == 0))
+        case o => vals.flatten.exists { v =>
+          val c = sqlCmp(v, lits.head)
+          o match {
+            case "=" => c == 0
+            case "<" => c < 0
+            case "<=" => c <= 0
+            case ">" => c > 0
+            case ">=" => c >= 0
+          }
+        }
+      }
+      // SOUNDNESS: pruning implies no matching row, for every op
+      !truly || may
     }
 
   property("DV reader skips deleted positions and _pos stays original") =
