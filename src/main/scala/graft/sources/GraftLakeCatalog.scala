@@ -373,7 +373,146 @@ private[graft] object GraftLakeStats {
         }
       case None => true
     }
+    case "STARTS_WITH" => p.children() match {
+      case Array(r: NamedReference, l: V2Literal[_])
+          if r.fieldNames().length == 1 =>
+        (nameToId.get(r.fieldNames()(0)), l.value) match {
+          case (Some(id), pre: UTF8String) =>
+            if (!f.cols.contains(id)) false // all-NULL: prefix can't match
+            else f.stats.get(id) match {
+              case None => true
+              case Some((null, null)) => false // supported but all-NULL
+              case Some((mn: UTF8String, mx: UTF8String)) =>
+                // v has prefix p iff its first |p| bytes equal p, and
+                // byte-truncation is monotone under the byte order the
+                // stats were collected in — so trunc(min) > p or
+                // trunc(max) < p proves no row matches (the Iceberg
+                // startsWith bound evaluation)
+                val pb = pre.getBytes
+                !(cmpPrefix(mn, pb) > 0 || cmpPrefix(mx, pb) < 0)
+              case _ => true
+            }
+          case _ => true
+        }
+      case _ => true
+    }
     case _ => true
+  }
+
+  /** Compare `u`'s first `pb.length` bytes against `pb`, unsigned
+    * byte-wise (UTF8String's own order). A shorter `u` compares by its
+    * full length (lexicographic tie-break). */
+  private def cmpPrefix(u: UTF8String, pb: Array[Byte]): Int = {
+    val b = u.getBytes
+    val t = if (b.length <= pb.length) b
+      else java.util.Arrays.copyOf(b, pb.length)
+    java.util.Arrays.compareUnsigned(t, pb)
+  }
+
+  /** Is `p` EXACTLY decidable for `f` — does every row of the file
+    * (nulls included) evaluate the predicate to the same kept/dropped
+    * outcome, provably from stats alone? True when the file is either
+    * provably all-dropped (!may) or provably all-kept ([[allTrue]]).
+    * The scan builder claims a predicate as FULLY PUSHED (non-residual)
+    * only when every snapshot file decides it: pruning the all-dropped
+    * files and keeping the all-kept ones whole IS the filter, which is
+    * what lets aggregate pushdown answer under a WHERE clause. */
+  def decides(f: GraftLakeFile, p: Predicate,
+      nameToId: Map[String, Int]): Boolean =
+    !may(f, p, nameToId) || allTrue(f, p, nameToId)
+
+  /** Does EVERY row of `f` provably satisfy `p`? Null-rejecting ops
+    * additionally require a recorded ZERO null count — a NULL row
+    * evaluates a comparison to NULL and is dropped by the filter, so a
+    * file with any null cannot be all-kept. Conservative: false when
+    * unprovable. */
+  private def allTrue(f: GraftLakeFile, p: Predicate,
+      nameToId: Map[String, Int]): Boolean = p.name() match {
+    case "AND" => p.children().forall {
+      case c: Predicate => allTrue(f, c, nameToId)
+      case _ => false
+    }
+    // a child true for every row makes the OR true for every row
+    case "OR" => p.children().exists {
+      case c: Predicate => allTrue(f, c, nameToId)
+      case _ => false
+    }
+    case op @ ("=" | "<" | "<=" | ">" | ">=") =>
+      cmpAllTrue(f, op, p.children(), nameToId)
+    case "IN" =>
+      val kids = p.children()
+      kids.nonEmpty && kids.tail.exists { lit =>
+        cmpAllTrue(f, "=", Array(kids.head, lit), nameToId)
+      }
+    case "IS_NULL" => colIdOf(p.children(), nameToId) match {
+      case Some(id) =>
+        !f.cols.contains(id) || // absent column: every row NULL
+          f.nulls.get(id).contains(f.numRows)
+      case None => false
+    }
+    case "IS_NOT_NULL" => colIdOf(p.children(), nameToId) match {
+      case Some(id) => f.cols.contains(id) &&
+        f.nulls.get(id).contains(0L)
+      case None => false
+    }
+    case "STARTS_WITH" => p.children() match {
+      case Array(r: NamedReference, l: V2Literal[_])
+          if r.fieldNames().length == 1 =>
+        (nameToId.get(r.fieldNames()(0)), l.value) match {
+          case (Some(id), pre: UTF8String) =>
+            f.cols.contains(id) && f.nulls.get(id).contains(0L) &&
+              (f.stats.get(id) match {
+                // trunc monotone: trunc(min) = p = trunc(max) forces
+                // trunc(v) = p for every value in between
+                case Some((mn: UTF8String, mx: UTF8String)) =>
+                  val pb = pre.getBytes
+                  cmpPrefix(mn, pb) == 0 && cmpPrefix(mx, pb) == 0
+                case _ => false
+              })
+          case _ => false
+        }
+      case _ => false
+    }
+    case _ => false
+  }
+
+  private def cmpAllTrue(f: GraftLakeFile, op: String,
+      kids: Array[V2Expr], nameToId: Map[String, Int]): Boolean = {
+    if (kids.length != 2) return false
+    val parsed = (kids(0), kids(1)) match {
+      case (r: NamedReference, l: V2Literal[_]) => Some((r, l.value, op))
+      case (l: V2Literal[_], r: NamedReference) =>
+        val m = op match {
+          case "<" => ">"
+          case "<=" => ">="
+          case ">" => "<"
+          case ">=" => "<="
+          case other => other
+        }
+        Some((r, l.value, m))
+      case _ => None
+    }
+    parsed match {
+      case Some((ref, lit, o)) if ref.fieldNames().length == 1 =>
+        nameToId.get(ref.fieldNames()(0)) match {
+          case Some(id) if f.cols.contains(id) &&
+              f.nulls.get(id).contains(0L) =>
+            f.stats.get(id) match {
+              case Some((mn, mx)) if mn != null =>
+                try o match {
+                  case "=" => cmp(mn, lit) == 0 && cmp(mx, lit) == 0
+                  case "<" => cmp(mx, lit) < 0
+                  case "<=" => cmp(mx, lit) <= 0
+                  case ">" => cmp(mn, lit) > 0
+                  case ">=" => cmp(mn, lit) >= 0
+                  case _ => false
+                } catch { case _: IllegalArgumentException => false }
+              case _ => false
+            }
+          case _ => false
+        }
+      case _ => false
+    }
   }
 
   private def colIdOf(kids: Array[V2Expr],
@@ -1100,19 +1239,32 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = fullSchema
   private var skipPreds: Array[Predicate] = Array.empty
+  private var residualPreds: Array[Predicate] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  /** Record every predicate for min/max FILE SKIPPING, but hand them
-    * ALL back as residuals: Spark re-applies them post-scan, so stats
-    * pruning is result-transparent by construction (the parquet
-    * row-group-skipping safety split). Row-level operation scans get
-    * the statement's WHERE here too — a single-key UPDATE on a
-    * range-clustered table narrows to its file STATICALLY, before the
-    * runtime group-filter subquery even runs. */
+  /** Record every predicate for min/max FILE SKIPPING. A predicate that
+    * EVERY snapshot file decides exactly from stats (provably all-kept
+    * or all-dropped per file — [[GraftLakeStats.decides]]: the layout a
+    * partition-keyed writer produces) is claimed FULLY PUSHED: pruning
+    * the dropped files and keeping the kept ones whole IS the filter,
+    * and a residual-free WHERE is what lets Spark offer AGGREGATE
+    * pushdown on filtered queries (`SELECT count(*) ... WHERE dt = X`
+    * answered from manifests). Everything else comes back as residual:
+    * Spark re-applies it post-scan, so stats pruning stays result-
+    * transparent (the parquet row-group-skipping safety split).
+    * Row-level operation scans get the statement's WHERE here too — a
+    * single-key UPDATE on a range-clustered table narrows to its file
+    * STATICALLY, before the runtime group-filter subquery even runs —
+    * but always as residual (their writers rewrite whole groups). */
   override def pushPredicates(
       predicates: Array[Predicate]): Array[Predicate] = {
     skipPreds = predicates
-    predicates
+    val nameToId = idToName.map(_.swap)
+    residualPreds =
+      if (rowLevel.isDefined) predicates
+      else predicates.filterNot(p => snapshot.files.forall(f =>
+        GraftLakeStats.decides(f, p, nameToId)))
+    residualPreds
   }
   override def pushedPredicates(): Array[Predicate] = skipPreds
 
@@ -1151,11 +1303,18 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Seq[InternalRow])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
-    // row-level op scans and filtered scans never answer from metadata
-    // (we return every predicate as residual, so a WHERE query reaches
-    // here only if Spark skipped filter pushdown entirely — refuse)
-    if (rowLevel.isDefined || skipPreds.nonEmpty) return None
+    // row-level op scans never answer from metadata; a WHERE clause is
+    // admissible ONLY when every predicate was claimed fully pushed
+    // (every file decides it exactly) — then restricting to the
+    // surviving files IS the filter and the manifests still answer
+    if (rowLevel.isDefined || residualPreds.nonEmpty) return None
     val nameToId = idToName.map(_.swap)
+    // under a fully-decided WHERE, the aggregate's input is exactly the
+    // all-kept files (decided files that may-match are all-kept)
+    val candidates: Vector[GraftLakeFile] =
+      if (skipPreds.isEmpty) snapshot.files
+      else snapshot.files.filter(f =>
+        GraftLakeStats.mayMatch(f, skipPreds.toSeq, nameToId))
     def colId(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[Int] = e match {
       case r: NamedReference if r.fieldNames().length == 1 =>
@@ -1190,18 +1349,19 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
       if (vals.exists(_.isEmpty)) None else Some(vals.flatten)
     }
     val grouped: Option[Seq[(Seq[Any], Vector[GraftLakeFile])]] =
-      if (groupIds.get.isEmpty) Some(Seq(Nil -> snapshot.files))
+      if (groupIds.get.isEmpty) Some(Seq(Nil -> candidates))
       else {
-        val keyed = snapshot.files.map(f => keyOf(f).map(_ -> f))
+        val keyed = candidates.map(f => keyOf(f).map(_ -> f))
         if (keyed.exists(_.isEmpty)) None
         else Some(keyed.flatten.groupBy(_._1).toSeq
           .map { case (k, fs) => k -> fs.map(_._2).toVector })
       }
     if (grouped.isEmpty) return None
 
-    val anyDv = snapshot.dvs.values.exists(_.nonEmpty)
-    def dvIn(fs: Vector[GraftLakeFile]): Boolean =
-      fs.exists(f => snapshot.dvs.getOrElse(f.id, Set.empty).nonEmpty)
+    // only a DV on an INPUT file can hide an extreme — a deletion
+    // vector on a filtered-out file is irrelevant to this aggregate
+    val anyDv = candidates.exists(f =>
+      snapshot.dvs.getOrElse(f.id, Set.empty).nonEmpty)
     def extreme(fs: Vector[GraftLakeFile], id: Int,
         takeMin: Boolean): Option[Any] = {
       if (anyDv) return None // a position-deleted row could be the extreme

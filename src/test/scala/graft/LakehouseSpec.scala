@@ -1111,7 +1111,9 @@ class LakehouseSpec extends SparkTestBase {
     assert(!mm.queryExecution.executedPlan.toString
       .contains("GraftLakeAggScan"),
       "MIN/MAX must refuse the stats answer when deletion vectors exist")
-    // grouped and filtered aggregates never answer from metadata
+    // a within-file-MIXED filter stays residual, so the aggregate
+    // refuses (a fully-decided filter would answer — see the
+    // filtered-aggregate spec below)
     assert(!spark.sql(s"SELECT count(*) FROM $tm WHERE k > 5")
       .queryExecution.executedPlan.toString.contains("GraftLakeAggScan"))
     assert(spark.sql(s"SELECT count(*) FROM $tm WHERE k > 5")
@@ -1315,6 +1317,76 @@ class LakehouseSpec extends SparkTestBase {
         "is not in the manifest)")
     assert(spark.sql(qdv).head().getLong(0) == 44L)
     Seq(ti, tm).foreach(x => spark.sql(s"DROP TABLE IF EXISTS $x"))
+  }
+
+  test("STARTS_WITH prunes files at plan time, soundly") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_startswith"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING)")
+    for (w <- Seq("apple", "banana", "cherry")) // one prefix per file
+      spark.range(0, 100).selectExpr("id AS k", s"concat('$w', id) AS s")
+        .coalesce(1).writeTo(t).append()
+    def parts(df: org.apache.spark.sql.DataFrame): Int =
+      df.rdd.getNumPartitions
+    assert(parts(spark.table(t).where("s LIKE 'ban%'")) == 1,
+      "a prefix predicate must plan only its covering file")
+    assert(parts(spark.table(t).where("s LIKE 'zebra%'")) == 0,
+      "an uncovered prefix plans zero partitions")
+    // prefix SHORTER than the stats values and one CROSSING files
+    assert(parts(spark.table(t).where("s LIKE 'b%'")) == 1)
+    assert(spark.table(t).where("s LIKE 'ban%'").count() == 100)
+    assert(spark.table(t).where("s LIKE 'banana1%'").count() == 11,
+      "banana1 + banana10..banana19 — longer prefixes filter within " +
+        "the kept file")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("aggregates answer from manifests under a fully-decided WHERE") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_agg_where"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, st STRING, v DOUBLE) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    for ((st, b) <- Seq("A", "B", "C").zipWithIndex)
+      spark.range(b * 100L, (b + 1) * 100L)
+        .selectExpr("id AS k", s"'$st' AS st", "CAST(id AS DOUBLE) AS v")
+        .coalesce(1).writeTo(t).append()
+    def plan(sql: String): String =
+      spark.sql(sql).queryExecution.executedPlan.toString
+    // every file decides `st = 'B'` (single-valued, zero nulls), so the
+    // predicate is claimed FULLY PUSHED and the aggregate still answers
+    // from manifests — `SELECT count(*) WHERE dt = X` in milliseconds
+    val qf = s"SELECT count(*) AS c FROM $t WHERE st = 'B'"
+    assert(spark.sql(qf).head().getLong(0) == 100L)
+    assert(plan(qf).contains("GraftLakeAggScan"),
+      "a fully-decided WHERE must keep the aggregate metadata-only")
+    // the fully-pushed filter must also be EXACT on the data-scan path
+    // (Spark does not re-apply a non-residual predicate)
+    assert(spark.table(t).where("st = 'B'")
+      .select("st").distinct().collect().map(_.getString(0)).toSeq ==
+      Seq("B"), "a claimed-pushed filter must filter exactly")
+    // grouped + filtered, both from manifests
+    val qg = s"SELECT st, count(*) AS n, min(k) AS mn FROM $t " +
+      s"WHERE st IN ('A', 'C') GROUP BY st ORDER BY st"
+    assert(spark.sql(qg).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("A", 100L, 0L), ("C", 100L, 200L)))
+    assert(plan(qg).contains("GraftLakeAggScan"))
+    // a within-file-mixed predicate cannot be decided — residual, refuse
+    val qm = s"SELECT count(*) AS c FROM $t WHERE k > 50"
+    assert(!plan(qm).contains("GraftLakeAggScan"),
+      "a mixed-file predicate must stay residual and scan")
+    assert(spark.sql(qm).head().getLong(0) == 249L)
+    // decisive probe: data files gone, the filtered aggregate answers
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_agg_where").get
+    table.filePaths.values.foreach(p => new java.io.File(p).delete())
+    assert(spark.sql(qf).head().getLong(0) == 100L,
+      "the filtered aggregate must not touch data files")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
   test("ARRAY columns land in parquet storage and survive row-level SQL") {

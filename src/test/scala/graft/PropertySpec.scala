@@ -428,6 +428,76 @@ object PropertySpec extends Properties("graft.kernels") {
       !truly || may
     }
 
+  // Strings incl. STARTS_WITH, and the EXACTNESS contract behind
+  // fully-pushed predicates: whenever `decides` claims a file, the
+  // predicate must evaluate identically for every row — all kept
+  // (allTrue, may) or all dropped (!may) — because the scan builder
+  // then returns it as NON-residual and Spark never re-applies it
+  private val stringStatsCase
+      : Gen[(List[Option[String]], String, List[String])] = for {
+    alpha <- Gen.const("ab")
+    word = Gen.choose(0, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(alpha.toSeq)).map(_.mkString))
+    vals <- Gen.listOfN(12, Gen.option(word))
+    op <- Gen.oneOf("=", "<", "<=", ">", ">=", "IN",
+      "IS_NULL", "IS_NOT_NULL", "STARTS_WITH")
+    lits <- Gen.listOfN(2, word)
+  } yield (vals, op, lits)
+
+  property("string pruning+decide stay sound and EXACT incl STARTS_WITH") =
+    Prop.forAll(stringStatsCase) { case (vals, op, lits) =>
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.connector.expressions.Expressions
+      import org.apache.spark.sql.connector.expressions.filter.Predicate
+      import org.apache.spark.sql.types.StringType
+      val rows = vals.map(v => new GenericInternalRow(
+        Array[Any](v.map(UTF8String.fromString).orNull)): InternalRow)
+        .toVector
+      val stats = graft.sources.GraftLakeStats.collect(
+        rows, Seq(3), Seq(StringType))
+      val nulls = graft.sources.GraftLakeStats.nullCounts(rows, Seq(3))
+      val f = graft.sources.GraftLakeFile("f", rows, Seq(3),
+        stats = stats, nulls = nulls)
+      val colRef = Expressions.column("s")
+      val pred = op match {
+        case "IS_NULL" | "IS_NOT_NULL" =>
+          new Predicate(op, Array[
+            org.apache.spark.sql.connector.expressions.Expression](colRef))
+        case "IN" => new Predicate("IN",
+          (colRef +: lits.map(l => Expressions.literal(
+            UTF8String.fromString(l)))).toArray[
+            org.apache.spark.sql.connector.expressions.Expression])
+        case o => new Predicate(o, Array(colRef,
+          Expressions.literal(UTF8String.fromString(lits.head))))
+      }
+      val nameToId = Map("s" -> 3)
+      val may = graft.sources.GraftLakeStats.mayMatch(f, Seq(pred), nameToId)
+      val decided = graft.sources.GraftLakeStats.decides(f, pred, nameToId)
+      // per-row SQL evaluation (NULL comparisons drop the row)
+      def keeps(v: Option[String]): Boolean = op match {
+        case "IS_NULL" => v.isEmpty
+        case "IS_NOT_NULL" => v.nonEmpty
+        case "IN" => v.exists(lits.contains)
+        case "STARTS_WITH" => v.exists(_.startsWith(lits.head))
+        case o => v.exists { s =>
+          val c = s.compareTo(lits.head) // ASCII: byte order = string order
+          o match {
+            case "=" => c == 0
+            case "<" => c < 0
+            case "<=" => c <= 0
+            case ">" => c > 0
+            case ">=" => c >= 0
+          }
+        }
+      }
+      val kept = vals.count(keeps)
+      val sound = kept == 0 || may
+      val exact = !decided ||
+        (if (may) kept == vals.length else kept == 0)
+      sound && exact
+    }
+
   property("DV reader skips deleted positions and _pos stays original") =
     Prop.forAll(rowsAndDeletes) { case (n, dead) =>
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
