@@ -855,6 +855,48 @@ object Lakehouse {
       .orderBy("src"), t)
   }
 
+  /** Range-clustering maintenance — `CALL system.cluster(table, cols,
+    * n)` rewrites the whole table sorted by the cluster key into n
+    * tight-range files, the Iceberg `rewrite_data_files` sort strategy.
+    * The fixture makes clustering NECESSARY: four interleaved appends
+    * (`o_orderkey % 4`) give every file the full key range, so min/max
+    * skipping can prune nothing; after the CALL the stripes are
+    * near-disjoint and the range query below plans a fraction of the
+    * files (partition-count pinned in LakehouseSpec; this query pins
+    * the RESULT is unchanged by the rewrite — clustering is pure
+    * layout). */
+  def clusterFiles(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.orders_cluster"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t " +
+      "(o_orderkey BIGINT, o_totalprice DOUBLE)" + tblProps())
+    val base = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    // interleaved appends: every file spans the whole key range
+    for (b <- 0 until 4)
+      base.filter(col("o_orderkey") % 4 === b).writeTo(t).append()
+    spark.sql(s"CALL graftlake.system.cluster('orders_cluster', " +
+      "'o_orderkey', 8)")
+    releasing(spark, spark.table(t)
+      .where(col("o_orderkey") >= 1000 && col("o_orderkey") < 50000)
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("mn"),
+        max(col("o_orderkey")).as("mx"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price")), t)
+  }
+
+  private val clusterFilesOracle =
+    """SELECT CAST(count(*) AS BIGINT) AS n,
+      | CAST(min(o_orderkey) AS BIGINT) AS mn,
+      | CAST(max(o_orderkey) AS BIGINT) AS mx,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |   AS sum_price
+      |FROM orders
+      |WHERE o_orderkey >= 1000 AND o_orderkey < 50000""".stripMargin
+
   private val alterDefaultWidenOracle =
     """WITH gen1 AS (
       |  SELECT o_orderkey, CAST(o_orderkey % 1000 AS BIGINT) AS o_qty,
@@ -1043,6 +1085,9 @@ object Lakehouse {
     Query("ref_alter_default_widen",
       "ADD COLUMN DEFAULT + INT->BIGINT widening: metadata-only evolution",
       alterDefaultWiden, Some(alterDefaultWidenOracle)),
+    Query("ref_cluster_files",
+      "CALL system.cluster: range-sort rewrite makes file skipping bite",
+      clusterFiles, Some(clusterFilesOracle)),
     Query("join_spj_storage",
       "storage-partitioned join: co-partitioned DSv2 tables, zero exchanges",
       storagePartitionedJoin, Some(storagePartitionedJoinOracle)),

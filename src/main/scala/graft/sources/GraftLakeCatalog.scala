@@ -346,7 +346,7 @@ private[graft] object GraftLakeStats {
       case c: Predicate => may(f, c, nameToId)
       case _ => true
     }
-    case op @ ("=" | "<" | "<=" | ">" | ">=") =>
+    case op @ ("=" | "<" | "<=" | ">" | ">=" | "<>") =>
       comparison(f, op, p.children(), nameToId)
     case "IN" =>
       // col IN (l1, l2, ...) = a disjunction of equalities
@@ -396,6 +396,13 @@ private[graft] object GraftLakeStats {
         }
       case _ => true
     }
+    // WHERE NOT p keeps rows where p IS FALSE (NOT NULL = NULL drops the
+    // row), so a file whose EVERY row provably satisfies p — allTrue,
+    // which requires zero nulls — cannot contribute a row to NOT p
+    case "NOT" => p.children() match {
+      case Array(c: Predicate) => !allTrue(f, c, nameToId)
+      case _ => true
+    }
     case _ => true
   }
 
@@ -437,8 +444,17 @@ private[graft] object GraftLakeStats {
       case c: Predicate => allTrue(f, c, nameToId)
       case _ => false
     }
-    case op @ ("=" | "<" | "<=" | ">" | ">=") =>
+    case op @ ("=" | "<" | "<=" | ">" | ">=" | "<>") =>
       cmpAllTrue(f, op, p.children(), nameToId)
+    // all rows keep NOT p iff p IS FALSE everywhere: no row matches p
+    // (!may) and no referenced column holds a null (NULL would make p
+    // NULL, and NOT NULL drops the row)
+    case "NOT" => p.children() match {
+      case Array(c: Predicate) =>
+        !may(f, c, nameToId) && refIds(c, nameToId).exists(_.forall(id =>
+          f.cols.contains(id) && f.nulls.get(id).contains(0L)))
+      case _ => false
+    }
     case "IN" =>
       val kids = p.children()
       kids.nonEmpty && kids.tail.exists { lit =>
@@ -505,6 +521,8 @@ private[graft] object GraftLakeStats {
                   case "<=" => cmp(mx, lit) <= 0
                   case ">" => cmp(mn, lit) > 0
                   case ">=" => cmp(mn, lit) >= 0
+                  // the literal lies outside the file's whole range
+                  case "<>" => cmp(lit, mn) < 0 || cmp(lit, mx) > 0
                   case _ => false
                 } catch { case _: IllegalArgumentException => false }
               case _ => false
@@ -520,6 +538,21 @@ private[graft] object GraftLakeStats {
     case Array(r: NamedReference) if r.fieldNames().length == 1 =>
       nameToId.get(r.fieldNames()(0))
     case _ => None
+  }
+
+  /** All column ids referenced under `p`; None when any reference is
+    * nested or unresolvable (caller must then stay conservative). */
+  private def refIds(p: V2Expr,
+      nameToId: Map[String, Int]): Option[Set[Int]] = p match {
+    case r: NamedReference =>
+      if (r.fieldNames().length == 1)
+        nameToId.get(r.fieldNames()(0)).map(Set(_))
+      else None
+    case _: V2Literal[_] => Some(Set.empty)
+    case other =>
+      val kids = other.children().map(refIds(_, nameToId))
+      if (kids.exists(_.isEmpty)) None
+      else Some(kids.flatMap(_.get).toSet)
   }
 
   private def comparison(f: GraftLakeFile, op: String,
@@ -555,6 +588,8 @@ private[graft] object GraftLakeStats {
                   case "<=" => cmp(mn, lit) <= 0
                   case ">" => cmp(mx, lit) > 0
                   case ">=" => cmp(mx, lit) >= 0
+                  // every non-null value equals lit → no row can differ
+                  case "<>" => !(cmp(mn, lit) == 0 && cmp(mx, lit) == 0)
                   case _ => true
                 } catch { case _: IllegalArgumentException => true }
             }
@@ -875,6 +910,68 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
   }
   /** Test hook: how many operations currently pin paths. */
   private[graft] def pinnedOpCount: Int = pinnedPaths.size()
+
+  /** Rewrite the whole table RANGE-CLUSTERED by `colNames`: all live
+    * rows, normalized to the current schema, sorted by the cluster key
+    * and re-split into `targetFiles` files whose min/max ranges are
+    * tight and near-disjoint — the maintenance that makes stats
+    * skipping EFFECTIVE (interleaved writes give every file the full
+    * value range, so min/max pruning keeps everything; Iceberg ships
+    * this as rewrite_data_files with a sort strategy). One maintenance
+    * commit: the relation is unchanged, the change feed stays silent.
+    * At cluster scale this is a distributed
+    * `repartitionByRange(cols).sortWithinPartitions(cols)` write; the
+    * driver-side sort here mirrors this table's driver-resident write
+    * path. Returns (files before, files after). */
+  private[sources] def clusterBy(colNames: Seq[String],
+      targetFiles: Int): (Int, Int) = synchronized {
+    require(targetFiles >= 1, s"target_files must be >= 1, got $targetFiles")
+    val names = schemaNow.fieldNames.toSeq
+    val curTypes = schemaNow.fields.map(_.dataType).toSeq
+    colNames.foreach(n => require(names.contains(n),
+      s"unknown cluster column $n; table has ${names.mkString(", ")}"))
+    val i2n = colIds.zip(names).toMap
+    val nameDefs = colDefaults.flatMap { case (id, v) =>
+      i2n.get(id).map(_ -> v) }
+    val snap = GraftLakeSnapshot(files, dvs)
+    def normalized(f: GraftLakeFile): Vector[InternalRow] = {
+      val rows = snap.liveRows(f)
+      val fileNames = GraftLakeFieldIds.resolve(f.cols, i2n)
+      if (fileNames == names && (f.types.isEmpty || f.types == curTypes))
+        rows
+      else {
+        val slots: Array[InternalRow => Any] =
+          schemaNow.fields.map { fd =>
+            val i = fileNames.indexOf(fd.name)
+            if (i < 0) {
+              val d = nameDefs.getOrElse(fd.name, null)
+              (_: InternalRow) => d
+            } else {
+              val phys = if (f.types.nonEmpty) f.types(i) else fd.dataType
+              GraftLakeReaders.extractor(i, phys, fd.dataType)
+            }
+          }
+        rows.map(r => new GenericInternalRow(slots.map(_(r)): Array[Any]))
+      }
+    }
+    val before = files.length
+    val all = files.flatMap(normalized)
+    val keyIdx = colNames.map(names.indexOf).toArray
+    val keyTypes = keyIdx.toSeq.map(curTypes(_))
+    val ord = org.apache.spark.sql.catalyst.expressions.RowOrdering
+      .createNaturalAscendingOrdering(keyTypes)
+    val sorted = all
+      .map(r => (new GenericInternalRow(
+        keyIdx.map(i => r.get(i, curTypes(i))): Array[Any])
+        : InternalRow, r))
+      .sortBy(_._1)(ord).map(_._2)
+    val n = math.min(targetFiles.toLong, math.max(1L, sorted.length.toLong))
+    val chunk = math.max(1L, math.ceil(sorted.length.toDouble / n).toLong)
+    files = mkFiles(sorted.grouped(chunk.toInt).toVector)
+    dvs = Map.empty
+    recordCommit(dataChange = false) // maintenance: relation unchanged
+    (before, files.length)
+  }
 
   /** Compact every file that carries a deletion vector. Returns how many
     * files were rewritten (each as its own maintenance commit). */
@@ -2170,7 +2267,8 @@ private[sources] object GraftLakeProcedures {
   import org.apache.spark.sql.connector.read.LocalScan
   import org.apache.spark.sql.types.IntegerType
 
-  val names: Seq[String] = Seq("rollback", "expire_versions", "compact")
+  val names: Seq[String] =
+    Seq("rollback", "expire_versions", "compact", "cluster")
 
   def byName(catalog: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -2206,6 +2304,24 @@ private[sources] object GraftLakeProcedures {
         override def run(t: GraftLakeTable, input: InternalRow)
             : Array[InternalRow] =
           Array(new GenericInternalRow(Array[Any](t.compactAll())))
+      })
+      // range-cluster the table by a comma-separated column list so
+      // min/max file skipping becomes effective (Iceberg's
+      // rewrite_data_files sort strategy)
+      case "cluster" => Some(new Proc(catalog, "cluster",
+        Array(in("table", StringType), in("cols", StringType),
+          in("target_files", IntegerType)),
+        StructType(Seq(
+          StructField("files_before", IntegerType, nullable = false),
+          StructField("files_after", IntegerType, nullable = false)))) {
+        override def run(t: GraftLakeTable, input: InternalRow)
+            : Array[InternalRow] = {
+          val cols = input.getUTF8String(1).toString.split(",")
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          require(cols.nonEmpty, "cluster needs at least one column")
+          val (b, a) = t.clusterBy(cols, input.getInt(2))
+          Array(new GenericInternalRow(Array[Any](b, a)))
+        }
       })
       case _ => None
     }

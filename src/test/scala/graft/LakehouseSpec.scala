@@ -1343,6 +1343,45 @@ class LakehouseSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("CALL system.cluster makes stats pruning effective, relation intact") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_cluster"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    // INTERLEAVED writes: every file spans the full key range, so
+    // min/max pruning can skip nothing
+    for (b <- 0 until 4)
+      spark.range(0, 100).selectExpr(s"id * 4 + $b AS k",
+        s"concat('v', id * 4 + $b) AS v")
+        .coalesce(1).writeTo(t).append()
+    def parts(df: org.apache.spark.sql.DataFrame): Int =
+      df.rdd.getNumPartitions
+    val q = () => spark.table(t).where("k >= 100 AND k < 200")
+    assert(parts(q()) == 4, "interleaved files: nothing can be skipped")
+    val before = spark.table(t).collect().map(_.toString).sorted.toSeq
+    val feedBefore = spark.read.table(s"$t.changes").count()
+    // one maintenance commit: sort by k, rewrite as 4 tight stripes
+    val res = spark.sql(
+      s"CALL graftlake.system.cluster('spec_cluster', 'k', 4)").head()
+    assert((res.getInt(0), res.getInt(1)) == (4, 4))
+    assert(parts(q()) == 1,
+      "after clustering, a quarter-range predicate plans ONE stripe")
+    assert(spark.table(t).collect().map(_.toString).sorted.toSeq == before,
+      "clustering must not change the relation")
+    assert(spark.read.table(s"$t.changes").count() == feedBefore,
+      "a maintenance rewrite must stay invisible to the change feed")
+    // clustering normalizes across schema generations and clears DVs
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (s STRING DEFAULT 'old')")
+    spark.sql(s"DELETE FROM $t WHERE k = 0")
+    spark.sql(s"CALL graftlake.system.cluster('spec_cluster', 'k', 2)")
+    assert(spark.table(t).count() == 399)
+    assert(spark.table(t).where("s = 'old'").count() == 399,
+      "pre-evolution rows must carry their exists-default through the " +
+        "cluster rewrite")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("aggregates answer from manifests under a fully-decided WHERE") {
     spark.conf.set("spark.sql.catalog.graftlake",
       classOf[graft.sources.GraftLakeCatalog].getName)

@@ -369,7 +369,7 @@ object PropertySpec extends Properties("graft.kernels") {
     vals <- Gen.listOfN(20, Gen.option(Gen.oneOf(
       Gen.choose(-100.0, 100.0).map(v => math.rint(v) / 2),
       Gen.oneOf(0.0, -0.0, Double.NaN, -50.0, 50.0))))
-    op <- Gen.oneOf("=", "<", "<=", ">", ">=", "IN",
+    op <- Gen.oneOf("=", "<", "<=", ">", ">=", "<>", "IN",
       "IS_NULL", "IS_NOT_NULL")
     lits <- Gen.listOfN(3, Gen.oneOf(
       Gen.choose(-120.0, 120.0).map(v => math.rint(v) / 2),
@@ -421,6 +421,7 @@ object PropertySpec extends Properties("graft.kernels") {
             case "<=" => c <= 0
             case ">" => c > 0
             case ">=" => c >= 0
+            case "<>" => c != 0
           }
         }
       }
@@ -439,8 +440,8 @@ object PropertySpec extends Properties("graft.kernels") {
     word = Gen.choose(0, 4).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf(alpha.toSeq)).map(_.mkString))
     vals <- Gen.listOfN(12, Gen.option(word))
-    op <- Gen.oneOf("=", "<", "<=", ">", ">=", "IN",
-      "IS_NULL", "IS_NOT_NULL", "STARTS_WITH")
+    op <- Gen.oneOf("=", "<", "<=", ">", ">=", "<>", "IN",
+      "IS_NULL", "IS_NOT_NULL", "STARTS_WITH", "NOT_EQ", "NOT_SW")
     lits <- Gen.listOfN(2, word)
   } yield (vals, op, lits)
 
@@ -468,6 +469,13 @@ object PropertySpec extends Properties("graft.kernels") {
           (colRef +: lits.map(l => Expressions.literal(
             UTF8String.fromString(l)))).toArray[
             org.apache.spark.sql.connector.expressions.Expression])
+        case "NOT_EQ" | "NOT_SW" =>
+          val inner = new Predicate(
+            if (op == "NOT_EQ") "=" else "STARTS_WITH",
+            Array(colRef,
+              Expressions.literal(UTF8String.fromString(lits.head))))
+          new Predicate("NOT", Array[
+            org.apache.spark.sql.connector.expressions.Expression](inner))
         case o => new Predicate(o, Array(colRef,
           Expressions.literal(UTF8String.fromString(lits.head))))
       }
@@ -480,6 +488,10 @@ object PropertySpec extends Properties("graft.kernels") {
         case "IS_NOT_NULL" => v.nonEmpty
         case "IN" => v.exists(lits.contains)
         case "STARTS_WITH" => v.exists(_.startsWith(lits.head))
+        // NOT p keeps a row only when p IS FALSE (NULL stays dropped)
+        case "NOT_EQ" => v.exists(_ != lits.head)
+        case "NOT_SW" => v.exists(!_.startsWith(lits.head))
+        case "<>" => v.exists(_ != lits.head)
         case o => v.exists { s =>
           val c = s.compareTo(lits.head) // ASCII: byte order = string order
           o match {
