@@ -88,9 +88,17 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog {
       // (micro-batch source with commit-version offsets). A real table
       // registered at the exact identifier always wins.
       val ns = ident.namespace()
-      if (ident.name() == "changes" && ns.nonEmpty)
-        Option(tables.get(Identifier.of(ns.init, ns.last)))
-          .map(new GraftLakeChangesTable(_))
+      def parent: Option[GraftLakeTable] =
+        if (ns.isEmpty) None
+        else Option(tables.get(Identifier.of(ns.init, ns.last)))
+      if (ident.name() == "changes")
+        parent.map(new GraftLakeChangesTable(_))
+          .getOrElse(throw new NoSuchTableException(ident))
+      // `<table>.files`: the manifest as a queryable relation — per-file
+      // row/live/DV counts, byte sizes and column-level stats (what
+      // pruning decisions read), Iceberg's files metadata table
+      else if (ident.name() == "files")
+        parent.map(new GraftLakeFilesTable(_))
           .getOrElse(throw new NoSuchTableException(ident))
       else throw new NoSuchTableException(ident)
     }
@@ -1841,6 +1849,74 @@ class GraftLakeChangeFeedScanBuilder(
   *    backfills from an old version first (0 = full-history replay, the
   *    Delta `startingVersion` contract); the default starts at the
   *    CURRENT version — new changes only. */
+/** `<catalog>.<table>.files` — the MANIFEST as a queryable relation
+  * (Iceberg's files metadata table): one row per data file with its
+  * row/live/DV-dead counts, on-disk bytes, resolved column manifest and
+  * the column-level stats (null counts, min/max) that drive pruning and
+  * scan-less aggregates. Stats values are string-rendered INTERNAL
+  * representations (dates as day ordinals, timestamps as micros — the
+  * exact values the pruning comparisons run on). Control-plane-sized by
+  * construction, so it plans as a driver-local scan. */
+class GraftLakeFilesTable(parent: GraftLakeTable)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types.{ArrayType, StructField}
+
+  private val filesSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("path", StringType, nullable = true),
+    StructField("row_count", LongType, nullable = false),
+    StructField("live_rows", LongType, nullable = false),
+    StructField("dv_dead", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false),
+    StructField("columns", ArrayType(StringType), nullable = false),
+    StructField("null_counts", ArrayType(LongType), nullable = false),
+    StructField("min_values", ArrayType(StringType), nullable = false),
+    StructField("max_values", ArrayType(StringType), nullable = false)))
+
+  override def name(): String = parent.name() + ".files"
+  override def schema(): StructType = filesSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = () => {
+    // time travel composes: the manifest AT a version is how a user
+    // audits what an AS-OF read would scan
+    val snap = Option(options.get("graft.snapshot-version"))
+      .map(v => parent.snapshotAt(v.trim.toInt))
+      .getOrElse(parent.snapshot)
+    val i2n = parent.idToName
+    val fileRows: Array[InternalRow] = snap.files.map { f =>
+      val dead = snap.dvs.getOrElse(f.id, Set.empty).size.toLong
+      // dropped ids surface readably instead of via the NUL sentinel
+      val names = GraftLakeFieldIds.resolve(f.cols, i2n)
+        .map(n => if (n.startsWith("\u0000dropped#"))
+          "<" + n.substring(1) + ">" else n)
+      def render(v: Any): Any =
+        if (v == null) null else UTF8String.fromString(String.valueOf(v))
+      new GenericInternalRow(Array[Any](
+        UTF8String.fromString(f.id),
+        f.path.map(UTF8String.fromString).orNull,
+        f.numRows, f.numRows - dead, dead, f.bytes,
+        new GenericArrayData(
+          names.map(n => UTF8String.fromString(n): Any).toArray),
+        new GenericArrayData(f.cols.map(id =>
+          f.nulls.get(id).map(Long.box).orNull: Any).toArray),
+        new GenericArrayData(f.cols.map(id =>
+          render(f.stats.get(id).map(_._1).orNull)).toArray),
+        new GenericArrayData(f.cols.map(id =>
+          render(f.stats.get(id).map(_._2).orNull)).toArray)))
+        : InternalRow
+    }.toArray
+    new org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = filesSchema
+      override def rows(): Array[InternalRow] = fileRows
+      override def description(): String = s"GraftLakeFiles[${parent.name()}]"
+    }
+  }
+}
+
 class GraftLakeChangesTable(parent: GraftLakeTable)
     extends Table with SupportsRead {
   import org.apache.spark.sql.connector.read.streaming.MicroBatchStream

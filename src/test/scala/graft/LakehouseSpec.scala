@@ -1343,6 +1343,52 @@ class LakehouseSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("the .files metadata table exposes the manifest stats scans run on") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_files_meta"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('graft.mode' = 'merge-on-read')")
+    spark.range(0, 10).selectExpr("id AS k",
+      "CASE WHEN id = 3 THEN NULL ELSE concat('v', id) END AS v")
+      .coalesce(1).writeTo(t).append()
+    spark.range(10, 30).selectExpr("id AS k", "concat('v', id) AS v")
+      .coalesce(1).writeTo(t).append()
+    spark.sql(s"DELETE FROM $t WHERE k = 5")
+    val rows = spark.read.table(s"$t.files")
+      .orderBy("file").collect()
+    assert(rows.length == 2)
+    val f1 = rows(0)
+    assert(f1.getAs[Long]("row_count") == 10L)
+    assert(f1.getAs[Long]("live_rows") == 9L, "the DV'd row is dead")
+    assert(f1.getAs[Long]("dv_dead") == 1L)
+    assert(f1.getAs[scala.collection.Seq[String]]("columns").toSeq == Seq("k", "v"))
+    assert(f1.getAs[scala.collection.Seq[Long]]("null_counts").toSeq == Seq(0L, 1L))
+    assert(f1.getAs[scala.collection.Seq[String]]("min_values").toSeq == Seq("0", "v0"))
+    // stats include DV-dead rows (collected at write time, like
+    // parquet footers) and nulls are excluded from min/max
+    assert(f1.getAs[scala.collection.Seq[String]]("max_values").toSeq == Seq("9", "v9"))
+    val f2 = rows(1)
+    assert(f2.getAs[Long]("row_count") == 20L &&
+      f2.getAs[Long]("dv_dead") == 0L)
+    assert(f2.getAs[scala.collection.Seq[String]]("min_values").toSeq == Seq("10", "v10"))
+    // time travel composes: the manifest BEFORE the DELETE has no DVs
+    val atV2 = spark.read.option("graft.snapshot-version", "2")
+      .table(s"$t.files").collect()
+    assert(atV2.length == 2 &&
+      atV2.map(_.getAs[Long]("dv_dead")).sum == 0L,
+      "the pre-DELETE manifest must show zero deletion-vector rows")
+    // a dropped column's id stays in old manifests, readably labeled
+    spark.sql(s"ALTER TABLE $t DROP COLUMN v")
+    val cols = spark.read.table(s"$t.files")
+      .selectExpr("explode(columns) AS c").collect().map(_.getString(0))
+    assert(cols.count(_ == "k") == 2)
+    assert(cols.count(_ == "<dropped#1>") == 2,
+      s"dropped id must surface readably, got ${cols.toSeq}")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("CALL system.cluster makes stats pruning effective, relation intact") {
     spark.conf.set("spark.sql.catalog.graftlake",
       classOf[graft.sources.GraftLakeCatalog].getName)
