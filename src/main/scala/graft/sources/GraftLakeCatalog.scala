@@ -253,12 +253,15 @@ private[graft] object GraftLakeStats {
     case _ => false
   }
 
-  /** -0.0 stores and compares as 0.0: java compareTo orders -0.0 < 0.0
-    * but SQL `=` treats them equal, so un-normalized float stats could
-    * prune a file whose every value is -0.0 against `x = 0.0` — and a
-    * pruned file is unrecoverable by the residual filter (ADVICE r12
-    * medium). NaN keeps java ordering (greater than everything), which
-    * matches Spark's SQL ordering for NaN. */
+  /** -0.0 COMPARES as 0.0: java compareTo orders -0.0 < 0.0 but SQL `=`
+    * treats them equal, so an un-normalized comparison could prune a
+    * file whose every value is -0.0 against `x = 0.0` — and a pruned
+    * file is unrecoverable by the residual filter (ADVICE r12 medium).
+    * Normalization happens ONLY inside [[cmp]], never at collection:
+    * stored extremes stay the values actually present, so a stats-only
+    * MIN over a file of -0.0 renders -0.0 exactly like the scanned
+    * answer would. NaN keeps java ordering (greater than everything),
+    * which matches Spark's SQL ordering for NaN. */
   private def norm(v: Any): Any = v match {
     case d: java.lang.Double if d.doubleValue() == 0.0d =>
       java.lang.Double.valueOf(0.0d)
@@ -281,7 +284,7 @@ private[graft] object GraftLakeStats {
         var mx: Any = null
         rows.foreach { r =>
           if (!r.isNullAt(i)) {
-            val v = norm(r.get(i, dt))
+            val v = r.get(i, dt)
             if (mn == null || cmp(v, mn) < 0) mn = v
             if (mx == null || cmp(v, mx) > 0) mx = v
           }
@@ -289,6 +292,21 @@ private[graft] object GraftLakeStats {
         Some(id -> ((mn, mx)))
       }
     }.toMap
+
+  /** Effective stats view of column `id` in file `f`: (min/max entry,
+    * null count). A file NOT carrying the column serves its
+    * EXISTS-DEFAULT for every row (`ADD COLUMN ... DEFAULT`), so it is
+    * SINGLE-VALUED at the default — or all-NULL when none was declared.
+    * Every pruning/decision path below reads columns through this view;
+    * bypassing it reintroduces the absent-means-NULL bug that silently
+    * pruned defaulted columns. */
+  private def colView(f: GraftLakeFile, id: Int,
+      defaults: Map[Int, Any]): (Option[(Any, Any)], Option[Long]) =
+    if (f.cols.contains(id)) (f.stats.get(id), f.nulls.get(id))
+    else defaults.get(id) match {
+      case Some(d) if d != null => (Some((d, d)), Some(0L))
+      case _ => (Some((null, null)), Some(f.numRows))
+    }
 
   /** Per-column null counts over EVERY column (type-independent): the
     * IS [NOT] NULL pruning input and the COUNT(col) pushdown's
@@ -335,50 +353,48 @@ private[graft] object GraftLakeStats {
   }
 
   /** Can any row of `f` possibly satisfy ALL of `predicates`? False only
-    * when provably not: a comparison conjunct whose column is absent
-    * from the file (all NULL — null-rejecting comparisons cannot match)
-    * or whose min/max range excludes the literal; an IS NULL against a
-    * null-count-0 file; an IS NOT NULL against an all-null one. Anything
-    * unparseable is conservatively a match. */
+    * when provably not: a comparison whose EFFECTIVE min/max range
+    * ([[colView]] — an absent column serves its exists-default, or NULL)
+    * excludes the literal; an IS NULL against a provably null-free
+    * view; an IS NOT NULL against an all-null one. Anything unparseable
+    * is conservatively a match. */
   def mayMatch(f: GraftLakeFile, predicates: Seq[Predicate],
-      nameToId: Map[String, Int]): Boolean =
-    predicates.forall(p => may(f, p, nameToId))
+      nameToId: Map[String, Int],
+      defaults: Map[Int, Any] = Map.empty): Boolean =
+    predicates.forall(p => may(f, p, nameToId, defaults))
 
   private def may(f: GraftLakeFile, p: Predicate,
-      nameToId: Map[String, Int]): Boolean = p.name() match {
+      nameToId: Map[String, Int],
+      defaults: Map[Int, Any]): Boolean = p.name() match {
     case "AND" => p.children().forall {
-      case c: Predicate => may(f, c, nameToId)
+      case c: Predicate => may(f, c, nameToId, defaults)
       case _ => true
     }
     case "OR" => p.children().exists {
-      case c: Predicate => may(f, c, nameToId)
+      case c: Predicate => may(f, c, nameToId, defaults)
       case _ => true
     }
     case op @ ("=" | "<" | "<=" | ">" | ">=" | "<>") =>
-      comparison(f, op, p.children(), nameToId)
+      comparison(f, op, p.children(), nameToId, defaults)
     case "IN" =>
       // col IN (l1, l2, ...) = a disjunction of equalities
       val kids = p.children()
       if (kids.isEmpty) true
       else kids.tail.exists { lit =>
-        comparison(f, "=", Array(kids.head, lit), nameToId)
+        comparison(f, "=", Array(kids.head, lit), nameToId, defaults)
       }
     case "IS_NULL" => colIdOf(p.children(), nameToId) match {
-      case Some(id) =>
-        if (!f.cols.contains(id)) true // absent column: all NULL, matches
-        else f.nulls.get(id) match {
-          case Some(0L) => false // recorded zero nulls: cannot match
-          case _ => true
-        }
+      case Some(id) => colView(f, id, defaults)._2 match {
+        case Some(0L) => false // provably zero nulls: cannot match
+        case _ => true
+      }
       case None => true
     }
     case "IS_NOT_NULL" => colIdOf(p.children(), nameToId) match {
-      case Some(id) =>
-        if (!f.cols.contains(id)) false // absent column: all NULL
-        else f.nulls.get(id) match {
-          case Some(n) if n == f.numRows => false // every value null
-          case _ => true
-        }
+      case Some(id) => colView(f, id, defaults)._2 match {
+        case Some(n) if n == f.numRows => false // every value null
+        case _ => true
+      }
       case None => true
     }
     case "STARTS_WITH" => p.children() match {
@@ -386,10 +402,9 @@ private[graft] object GraftLakeStats {
           if r.fieldNames().length == 1 =>
         (nameToId.get(r.fieldNames()(0)), l.value) match {
           case (Some(id), pre: UTF8String) =>
-            if (!f.cols.contains(id)) false // all-NULL: prefix can't match
-            else f.stats.get(id) match {
+            colView(f, id, defaults)._1 match {
               case None => true
-              case Some((null, null)) => false // supported but all-NULL
+              case Some((null, null)) => false // all-NULL: no prefix match
               case Some((mn: UTF8String, mx: UTF8String)) =>
                 // v has prefix p iff its first |p| bytes equal p, and
                 // byte-truncation is monotone under the byte order the
@@ -408,7 +423,7 @@ private[graft] object GraftLakeStats {
     // row), so a file whose EVERY row provably satisfies p — allTrue,
     // which requires zero nulls — cannot contribute a row to NOT p
     case "NOT" => p.children() match {
-      case Array(c: Predicate) => !allTrue(f, c, nameToId)
+      case Array(c: Predicate) => !allTrue(f, c, nameToId, defaults)
       case _ => true
     }
     case _ => true
@@ -433,50 +448,53 @@ private[graft] object GraftLakeStats {
     * files and keeping the all-kept ones whole IS the filter, which is
     * what lets aggregate pushdown answer under a WHERE clause. */
   def decides(f: GraftLakeFile, p: Predicate,
-      nameToId: Map[String, Int]): Boolean =
-    !may(f, p, nameToId) || allTrue(f, p, nameToId)
+      nameToId: Map[String, Int],
+      defaults: Map[Int, Any] = Map.empty): Boolean =
+    !may(f, p, nameToId, defaults) || allTrue(f, p, nameToId, defaults)
 
   /** Does EVERY row of `f` provably satisfy `p`? Null-rejecting ops
-    * additionally require a recorded ZERO null count — a NULL row
+    * additionally require a provably ZERO null count — a NULL row
     * evaluates a comparison to NULL and is dropped by the filter, so a
-    * file with any null cannot be all-kept. Conservative: false when
+    * file with any null cannot be all-kept. Reads columns through
+    * [[colView]], so a file that predates an `ADD COLUMN ... DEFAULT`
+    * is single-valued at the default. Conservative: false when
     * unprovable. */
   private def allTrue(f: GraftLakeFile, p: Predicate,
-      nameToId: Map[String, Int]): Boolean = p.name() match {
+      nameToId: Map[String, Int],
+      defaults: Map[Int, Any]): Boolean = p.name() match {
     case "AND" => p.children().forall {
-      case c: Predicate => allTrue(f, c, nameToId)
+      case c: Predicate => allTrue(f, c, nameToId, defaults)
       case _ => false
     }
     // a child true for every row makes the OR true for every row
     case "OR" => p.children().exists {
-      case c: Predicate => allTrue(f, c, nameToId)
+      case c: Predicate => allTrue(f, c, nameToId, defaults)
       case _ => false
     }
     case op @ ("=" | "<" | "<=" | ">" | ">=" | "<>") =>
-      cmpAllTrue(f, op, p.children(), nameToId)
+      cmpAllTrue(f, op, p.children(), nameToId, defaults)
     // all rows keep NOT p iff p IS FALSE everywhere: no row matches p
     // (!may) and no referenced column holds a null (NULL would make p
     // NULL, and NOT NULL drops the row)
     case "NOT" => p.children() match {
       case Array(c: Predicate) =>
-        !may(f, c, nameToId) && refIds(c, nameToId).exists(_.forall(id =>
-          f.cols.contains(id) && f.nulls.get(id).contains(0L)))
+        !may(f, c, nameToId, defaults) &&
+          refIds(c, nameToId).exists(_.forall(id =>
+            colView(f, id, defaults)._2.contains(0L)))
       case _ => false
     }
     case "IN" =>
       val kids = p.children()
       kids.nonEmpty && kids.tail.exists { lit =>
-        cmpAllTrue(f, "=", Array(kids.head, lit), nameToId)
+        cmpAllTrue(f, "=", Array(kids.head, lit), nameToId, defaults)
       }
     case "IS_NULL" => colIdOf(p.children(), nameToId) match {
-      case Some(id) =>
-        !f.cols.contains(id) || // absent column: every row NULL
-          f.nulls.get(id).contains(f.numRows)
+      case Some(id) => // every row null, per the effective view
+        colView(f, id, defaults)._2.contains(f.numRows)
       case None => false
     }
     case "IS_NOT_NULL" => colIdOf(p.children(), nameToId) match {
-      case Some(id) => f.cols.contains(id) &&
-        f.nulls.get(id).contains(0L)
+      case Some(id) => colView(f, id, defaults)._2.contains(0L)
       case None => false
     }
     case "STARTS_WITH" => p.children() match {
@@ -484,15 +502,15 @@ private[graft] object GraftLakeStats {
           if r.fieldNames().length == 1 =>
         (nameToId.get(r.fieldNames()(0)), l.value) match {
           case (Some(id), pre: UTF8String) =>
-            f.cols.contains(id) && f.nulls.get(id).contains(0L) &&
-              (f.stats.get(id) match {
-                // trunc monotone: trunc(min) = p = trunc(max) forces
-                // trunc(v) = p for every value in between
-                case Some((mn: UTF8String, mx: UTF8String)) =>
-                  val pb = pre.getBytes
-                  cmpPrefix(mn, pb) == 0 && cmpPrefix(mx, pb) == 0
-                case _ => false
-              })
+            val (st, nulls) = colView(f, id, defaults)
+            nulls.contains(0L) && (st match {
+              // trunc monotone: trunc(min) = p = trunc(max) forces
+              // trunc(v) = p for every value in between
+              case Some((mn: UTF8String, mx: UTF8String)) =>
+                val pb = pre.getBytes
+                cmpPrefix(mn, pb) == 0 && cmpPrefix(mx, pb) == 0
+              case _ => false
+            })
           case _ => false
         }
       case _ => false
@@ -501,7 +519,8 @@ private[graft] object GraftLakeStats {
   }
 
   private def cmpAllTrue(f: GraftLakeFile, op: String,
-      kids: Array[V2Expr], nameToId: Map[String, Int]): Boolean = {
+      kids: Array[V2Expr], nameToId: Map[String, Int],
+      defaults: Map[Int, Any]): Boolean = {
     if (kids.length != 2) return false
     val parsed = (kids(0), kids(1)) match {
       case (r: NamedReference, l: V2Literal[_]) => Some((r, l.value, op))
@@ -519,9 +538,9 @@ private[graft] object GraftLakeStats {
     parsed match {
       case Some((ref, lit, o)) if ref.fieldNames().length == 1 =>
         nameToId.get(ref.fieldNames()(0)) match {
-          case Some(id) if f.cols.contains(id) &&
-              f.nulls.get(id).contains(0L) =>
-            f.stats.get(id) match {
+          case Some(id) =>
+            val (st, nulls) = colView(f, id, defaults)
+            nulls.contains(0L) && (st match {
               case Some((mn, mx)) if mn != null =>
                 try o match {
                   case "=" => cmp(mn, lit) == 0 && cmp(mx, lit) == 0
@@ -534,7 +553,7 @@ private[graft] object GraftLakeStats {
                   case _ => false
                 } catch { case _: IllegalArgumentException => false }
               case _ => false
-            }
+            })
           case _ => false
         }
       case _ => false
@@ -564,7 +583,8 @@ private[graft] object GraftLakeStats {
   }
 
   private def comparison(f: GraftLakeFile, op: String,
-      kids: Array[V2Expr], nameToId: Map[String, Int]): Boolean = {
+      kids: Array[V2Expr], nameToId: Map[String, Int],
+      defaults: Map[Int, Any]): Boolean = {
     if (kids.length != 2) return true
     // col OP lit, or lit OP col (mirrored)
     val parsed = (kids(0), kids(1)) match {
@@ -584,23 +604,21 @@ private[graft] object GraftLakeStats {
       case Some((ref, lit, o)) if ref.fieldNames().length == 1 =>
         nameToId.get(ref.fieldNames()(0)) match {
           case None => true // metadata/unknown column: no pruning
-          case Some(id) =>
-            if (!f.cols.contains(id)) false // all-NULL: cmp can't match
-            else f.stats.get(id) match {
-              case None => true // unsupported type: no stats, no pruning
-              case Some((null, null)) => false // supported but all-NULL
-              case Some((mn, mx)) =>
-                try o match {
-                  case "=" => cmp(mn, lit) <= 0 && cmp(lit, mx) <= 0
-                  case "<" => cmp(mn, lit) < 0
-                  case "<=" => cmp(mn, lit) <= 0
-                  case ">" => cmp(mx, lit) > 0
-                  case ">=" => cmp(mx, lit) >= 0
-                  // every non-null value equals lit → no row can differ
-                  case "<>" => !(cmp(mn, lit) == 0 && cmp(mx, lit) == 0)
-                  case _ => true
-                } catch { case _: IllegalArgumentException => true }
-            }
+          case Some(id) => colView(f, id, defaults)._1 match {
+            case None => true // unsupported type: no stats, no pruning
+            case Some((null, null)) => false // every row NULL: no match
+            case Some((mn, mx)) =>
+              try o match {
+                case "=" => cmp(mn, lit) <= 0 && cmp(lit, mx) <= 0
+                case "<" => cmp(mn, lit) < 0
+                case "<=" => cmp(mn, lit) <= 0
+                case ">" => cmp(mx, lit) > 0
+                case ">=" => cmp(mx, lit) >= 0
+                // every non-null value equals lit: no row can differ
+                case "<>" => !(cmp(mn, lit) == 0 && cmp(mx, lit) == 0)
+                case _ => true
+              } catch { case _: IllegalArgumentException => true }
+          }
         }
       case _ => true
     }
@@ -622,6 +640,35 @@ private[sources] object GraftLakeReaders {
       r => if (r.isNullAt(i)) null
         else java.lang.Double.valueOf(r.getFloat(i).toDouble)
     case _ => r => r.get(i, phys)
+  }
+
+  /** Row normalizer from a file's write-time layout to the CURRENT
+    * schema: absent columns fill with their exists-default (or NULL),
+    * retyped columns widen per value. None when the file already
+    * matches the schema exactly (caller skips the copy). THE single
+    * spelling of schema-generation normalization — the keyed scan path
+    * and the cluster rewrite both route here, so a defaults/widening
+    * fix lands in every path at once. */
+  def normalizer(schema: StructType, fileNames: Seq[String],
+      fileTypes: Seq[DataType], nameDefaults: Map[String, Any])
+      : Option[InternalRow => InternalRow] = {
+    val names = schema.fieldNames.toSeq
+    val curTypes = schema.fields.map(_.dataType).toSeq
+    if (fileNames == names &&
+        (fileTypes.isEmpty || fileTypes == curTypes)) None
+    else {
+      val slots: Array[InternalRow => Any] = schema.fields.map { fd =>
+        val i = fileNames.indexOf(fd.name)
+        if (i < 0) {
+          val d = nameDefaults.getOrElse(fd.name, null)
+          (_: InternalRow) => d
+        } else {
+          val phys = if (fileTypes.nonEmpty) fileTypes(i) else fd.dataType
+          extractor(i, phys, fd.dataType)
+        }
+      }
+      Some(r => new GenericInternalRow(slots.map(_(r)): Array[Any]))
+    }
   }
 }
 
@@ -939,27 +986,14 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     colNames.foreach(n => require(names.contains(n),
       s"unknown cluster column $n; table has ${names.mkString(", ")}"))
     val i2n = colIds.zip(names).toMap
-    val nameDefs = colDefaults.flatMap { case (id, v) =>
-      i2n.get(id).map(_ -> v) }
+    val nameDefs = nameDefaults
     val snap = GraftLakeSnapshot(files, dvs)
     def normalized(f: GraftLakeFile): Vector[InternalRow] = {
       val rows = snap.liveRows(f)
-      val fileNames = GraftLakeFieldIds.resolve(f.cols, i2n)
-      if (fileNames == names && (f.types.isEmpty || f.types == curTypes))
-        rows
-      else {
-        val slots: Array[InternalRow => Any] =
-          schemaNow.fields.map { fd =>
-            val i = fileNames.indexOf(fd.name)
-            if (i < 0) {
-              val d = nameDefs.getOrElse(fd.name, null)
-              (_: InternalRow) => d
-            } else {
-              val phys = if (f.types.nonEmpty) f.types(i) else fd.dataType
-              GraftLakeReaders.extractor(i, phys, fd.dataType)
-            }
-          }
-        rows.map(r => new GenericInternalRow(slots.map(_(r)): Array[Any]))
+      GraftLakeReaders.normalizer(schemaNow,
+          GraftLakeFieldIds.resolve(f.cols, i2n), f.types, nameDefs) match {
+        case None => rows
+        case Some(nz) => rows.map(nz)
       }
     }
     val before = files.length
@@ -1368,7 +1402,7 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
     residualPreds =
       if (rowLevel.isDefined) predicates
       else predicates.filterNot(p => snapshot.files.forall(f =>
-        GraftLakeStats.decides(f, p, nameToId)))
+        GraftLakeStats.decides(f, p, nameToId, colDefaults)))
     residualPreds
   }
   override def pushedPredicates(): Array[Predicate] = skipPreds
@@ -1391,15 +1425,29 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
   // file refuses the whole pushdown.
   // Only COMPLETE pushdown is offered: the answer is exact or refused.
   private var aggAnswer: Option[(StructType, Seq[InternalRow])] = None
+  // supportCompletePushDown and pushAggregation arrive back to back with
+  // the same Aggregation — compute the (possibly many-file) answer once
+  private var aggMemo
+      : Option[(AnyRef, Option[(StructType, Seq[InternalRow])])] = None
+
+  private def statsAggregateMemo(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[InternalRow])] = aggMemo match {
+    case Some((key, r)) if key eq agg => r
+    case _ =>
+      val r = statsAggregate(agg)
+      aggMemo = Some((agg, r))
+      r
+  }
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate
-        .Aggregation): Boolean = statsAggregate(agg).isDefined
+        .Aggregation): Boolean = statsAggregateMemo(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean =
-    statsAggregate(agg) match {
+    statsAggregateMemo(agg) match {
       case some @ Some(_) => aggAnswer = some; true
       case None => false
     }
@@ -1419,7 +1467,7 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
     val candidates: Vector[GraftLakeFile] =
       if (skipPreds.isEmpty) snapshot.files
       else snapshot.files.filter(f =>
-        GraftLakeStats.mayMatch(f, skipPreds.toSeq, nameToId))
+        GraftLakeStats.mayMatch(f, skipPreds.toSeq, nameToId, colDefaults))
     def colId(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[Int] = e match {
       case r: NamedReference if r.fieldNames().length == 1 =>
@@ -1440,7 +1488,10 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
     // some group column (all-null counts as the single value NULL)
     def keyOf(f: GraftLakeFile): Option[Seq[Any]] = {
       val vals = groupIds.get.map { id =>
-        if (!f.cols.contains(id)) Some(null: Any) // absent = all NULL
+        if (!f.cols.contains(id)) // absent = single-valued at the
+          // exists-default (NULL when none was declared)
+          Some(GraftLakeStats.widen(
+            colDefaults.get(id).orNull, typeOf(id)))
         else (f.stats.get(id), f.nulls.get(id)) match {
           case (Some((null, null)), Some(n)) if n == f.numRows =>
             Some(null: Any)
@@ -1474,24 +1525,40 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
       // every carrying file must have a stats entry (supported type);
       // (null, null) entries are all-null files and drop out like SQL
       if (!carrying.forall(_.stats.contains(id))) return None
+      // a file that predates the column serves its exists-default for
+      // every row — a candidate extreme like any other value
+      val dflt = colDefaults.get(id).orNull
+      val defaulted =
+        if (dflt != null && fs.exists(!_.cols.contains(id))) Seq(dflt)
+        else Nil
       val vals = carrying.flatMap(f => f.stats(id) match {
         case (null, null) => None
         case (mn, mx) => Some(if (takeMin) mn else mx)
-      })
+      }) ++ defaulted
       // an empty vals means MIN/MAX over only-nulls -> SQL NULL (valid)
       Some(GraftLakeStats.widen(vals.reduceOption((a, b) =>
         if (GraftLakeStats.lt(a, b) == takeMin) a else b).orNull,
         typeOf(id)))
     }
-    // COUNT(col) = Σ (rows − nulls) over carrying files (absent column =
-    // all NULL = 0); refused when a carrying file lacks a null count or
-    // holds a DV (dead rows' nullness is not in the manifest)
+    // COUNT(col) = Σ (rows − nulls) over carrying files; a file that
+    // predates the column contributes its LIVE row count when a non-null
+    // exists-default was declared (every live row serves it), else 0
+    // (all NULL). Refused when a carrying file lacks a null count or
+    // holds a DV (dead rows' nullness is not in the manifest).
     def countCol(fs: Vector[GraftLakeFile], id: Int): Option[Any] = {
-      val carrying = fs.filter(_.cols.contains(id))
-      if (carrying.exists(f =>
-          snapshot.dvs.getOrElse(f.id, Set.empty).nonEmpty ||
-            !f.nulls.contains(id))) None
-      else Some(carrying.map(f => f.numRows - f.nulls(id)).sum: Any)
+      val dflt = colDefaults.get(id).orNull
+      val parts = fs.map { f =>
+        if (f.cols.contains(id)) {
+          if (snapshot.dvs.getOrElse(f.id, Set.empty).nonEmpty ||
+              !f.nulls.contains(id)) None
+          else Some(f.numRows - f.nulls(id))
+        } else if (dflt != null)
+          Some(f.numRows -
+            snapshot.dvs.getOrElse(f.id, Set.empty).size.toLong)
+        else Some(0L)
+      }
+      if (parts.exists(_.isEmpty)) None
+      else Some(parts.flatten.sum: Any)
     }
     // per-aggregate (name, type, per-group evaluator), or bail out
     val aggCols: Seq[Option[(String, DataType,
@@ -1629,7 +1696,7 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
     else {
       val nameToId = idToName.map(_.swap)
       snapshot.files.filter(f =>
-        GraftLakeStats.mayMatch(f, skipPreds, nameToId))
+        GraftLakeStats.mayMatch(f, skipPreds, nameToId, colDefaults))
     }
   rowLevel.foreach(_.scanned = active.map(_.id).toSet)
 
@@ -1722,30 +1789,16 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
   private lazy val keyed: Array[(InternalRow, Vector[InternalRow])] = {
     val idx = partCols.map(fullSchema.fieldIndex)
     val types = idx.map(fullSchema.fields(_).dataType)
-    val names = fullSchema.fieldNames.toSeq
-    val curTypes = fullSchema.fields.map(_.dataType).toSeq
     // keyed partitions interleave files, so rows are normalized to the
     // CURRENT schema here (default- or null-filling post-evolution
     // columns, widening pre-widening physical values); the file-grained
     // path projects lazily in the reader instead
     def normalized(f: GraftLakeFile): Vector[InternalRow] = {
       val rows = snapshot.liveRows(f)
-      val fileNames = namesOf(f)
-      if (fileNames == names && (f.types.isEmpty || f.types == curTypes))
-        rows
-      else {
-        val slots: Array[InternalRow => Any] =
-          fullSchema.fields.map { fd =>
-            val i = fileNames.indexOf(fd.name)
-            if (i < 0) {
-              val d = nameDefaults.getOrElse(fd.name, null)
-              (_: InternalRow) => d
-            } else {
-              val phys = if (f.types.nonEmpty) f.types(i) else fd.dataType
-              GraftLakeReaders.extractor(i, phys, fd.dataType)
-            }
-          }
-        rows.map(r => new GenericInternalRow(slots.map(_(r)): Array[Any]))
+      GraftLakeReaders.normalizer(fullSchema, namesOf(f), f.types,
+          nameDefaults) match {
+        case None => rows
+        case Some(nz) => rows.map(nz)
       }
     }
     active.flatMap(normalized)

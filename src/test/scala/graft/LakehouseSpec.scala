@@ -1343,6 +1343,70 @@ class LakehouseSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("stats pruning and manifest aggregates see exists-defaults") {
+    // the r13 review bug: the stats layer treated an absent column as
+    // all-NULL, but a pre-evolution file SERVES its exists-default —
+    // WHERE src = 'legacy' silently pruned the file (0 rows instead of
+    // 3), IS NULL claimed it whole, and count/min/GROUP BY answered
+    // from manifests with the default invisible
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_default_stats"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1), (2), (3)")
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (src STRING DEFAULT 'legacy')")
+    assert(spark.table(t).where("src = 'legacy'").count() == 3,
+      "a defaulted column must not prune its pre-evolution file")
+    assert(spark.table(t).where("src IS NULL").count() == 0,
+      "the pre-evolution file serves the default, never NULL")
+    assert(spark.table(t).where("src IS NOT NULL").count() == 3)
+    assert(spark.table(t).where("src LIKE 'leg%'").count() == 3)
+    assert(spark.table(t).where("src <> 'legacy'").count() == 0)
+    spark.sql(s"INSERT INTO $t VALUES (4, 'web'), (5, 'web')")
+    def plan(sql: String): String =
+      spark.sql(sql).queryExecution.executedPlan.toString
+    // manifest-only aggregates must count the defaulted rows
+    val qc = s"SELECT count(src) AS c, min(src) AS mn FROM $t"
+    assert(spark.sql(qc).collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq == Seq((5L, "legacy")))
+    assert(plan(qc).contains("GraftLakeAggScan"),
+      "defaulted files stay manifest-answerable")
+    val qg = s"SELECT src, count(*) AS n FROM $t GROUP BY src ORDER BY src"
+    assert(spark.sql(qg).collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("legacy", 3L), ("web", 2L)),
+      "GROUP BY must land pre-evolution files in the DEFAULT's group")
+    assert(plan(qg).contains("GraftLakeAggScan"))
+    // row-level ops route through the same pruning — the UPDATE's WHERE
+    // must find the pre-evolution file
+    spark.sql(s"UPDATE $t SET k = 0 WHERE src = 'legacy'")
+    assert(spark.table(t).where("k = 0").count() == 3,
+      "UPDATE ... WHERE defaulted-col must not no-op")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("stats-only MIN preserves -0.0 exactly like a scan would") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_negzero_min"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, x DOUBLE)")
+    spark.sql(s"INSERT INTO $t SELECT 1, CAST('-0.0' AS DOUBLE) " +
+      s"UNION ALL SELECT 2, 1.5")
+    // what the SCAN path serves — the stats answer must match it
+    assert(spark.table(t).where("k = 1")
+      .selectExpr("CAST(x AS STRING)").head().getString(0) == "-0.0",
+      "fixture: the stored value itself must be -0.0")
+    val q = s"SELECT CAST(min(x) AS STRING) AS mn FROM $t"
+    assert(spark.sql(q).queryExecution.executedPlan.toString
+      .contains("GraftLakeAggScan"))
+    assert(spark.sql(q).head().getString(0) == "-0.0",
+      "the stored extreme must be the value actually present, not its " +
+        "comparison-normalized form")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("the .files metadata table exposes the manifest stats scans run on") {
     spark.conf.set("spark.sql.catalog.graftlake",
       classOf[graft.sources.GraftLakeCatalog].getName)

@@ -510,6 +510,69 @@ object PropertySpec extends Properties("graft.kernels") {
       sound && exact
     }
 
+  // A file that predates `ADD COLUMN ... DEFAULT` serves the default
+  // for EVERY row — the stats layer must treat the absent column as
+  // single-valued at the default, not as all-NULL (r13 review bug:
+  // WHERE src = 'legacy' silently pruned pre-evolution files)
+  private val defaultWord: Gen[String] =
+    Gen.choose(0, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b')).map(_.mkString))
+
+  private val defaultCase
+      : Gen[(Option[String], String, String, Int)] = for {
+    dflt <- Gen.option(defaultWord)
+    op <- Gen.oneOf("=", "<", ">", "<>", "IN",
+      "IS_NULL", "IS_NOT_NULL", "STARTS_WITH")
+    lit <- defaultWord
+    n <- Gen.choose(1, 8)
+  } yield (dflt, op, lit, n)
+
+  property("absent columns prune and decide as their exists-default") =
+    Prop.forAll(defaultCase) { case (dflt, op, lit, n) =>
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.connector.expressions.Expressions
+      import org.apache.spark.sql.connector.expressions.filter.Predicate
+      // the file carries only column id 1; the predicate targets id 3,
+      // added later with (or without) a declared default
+      val rows = Vector.fill(n)(new GenericInternalRow(
+        Array[Any](0L)): InternalRow)
+      val f = graft.sources.GraftLakeFile("f", rows, Seq(1))
+      val defaults: Map[Int, Any] =
+        dflt.map(d => Map(3 -> (UTF8String.fromString(d): Any)))
+          .getOrElse(Map.empty)
+      val colRef = Expressions.column("s")
+      val pred = op match {
+        case "IS_NULL" | "IS_NOT_NULL" =>
+          new Predicate(op, Array[
+            org.apache.spark.sql.connector.expressions.Expression](colRef))
+        case "IN" => new Predicate("IN", Array[
+          org.apache.spark.sql.connector.expressions.Expression](
+          colRef, Expressions.literal(UTF8String.fromString(lit))))
+        case o => new Predicate(o, Array(colRef,
+          Expressions.literal(UTF8String.fromString(lit))))
+      }
+      val nameToId = Map("s" -> 3)
+      val may = graft.sources.GraftLakeStats.mayMatch(
+        f, Seq(pred), nameToId, defaults)
+      val decided = graft.sources.GraftLakeStats.decides(
+        f, pred, nameToId, defaults)
+      // ground truth: every row serves the default (or NULL)
+      val rowKept = op match {
+        case "IS_NULL" => dflt.isEmpty
+        case "IS_NOT_NULL" => dflt.nonEmpty
+        case "IN" | "=" => dflt.contains(lit)
+        case "<>" => dflt.exists(_ != lit)
+        case "<" => dflt.exists(_ < lit)
+        case ">" => dflt.exists(_ > lit)
+        case "STARTS_WITH" => dflt.exists(_.startsWith(lit))
+      }
+      val kept = if (rowKept) n else 0
+      val sound = kept == 0 || may
+      val exact = !decided || (if (may) kept == n else kept == 0)
+      sound && exact
+    }
+
   property("DV reader skips deleted positions and _pos stays original") =
     Prop.forAll(rowsAndDeletes) { case (n, dead) =>
       import org.apache.spark.sql.types.{LongType, StructField, StructType}
