@@ -1490,6 +1490,24 @@ class LakehouseSpec extends SparkTestBase {
       "pre-evolution rows must carry their exists-default through the " +
         "cluster rewrite")
     spark.sql(s"DROP TABLE IF EXISTS $t")
+
+    // parquet storage mode: the rewrite lands REAL files and the
+    // relation survives byte-identical
+    val tp = "graftlake.spec_cluster_pq"
+    spark.sql(s"DROP TABLE IF EXISTS $tp")
+    spark.sql(s"CREATE TABLE $tp (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    for (b <- 0 until 3)
+      spark.range(0, 50).selectExpr(s"id * 3 + $b AS k",
+        s"concat('v', id * 3 + $b) AS v")
+        .coalesce(1).writeTo(tp).append()
+    val beforePq = spark.table(tp).collect().map(_.toString).sorted.toSeq
+    spark.sql(s"CALL graftlake.system.cluster('spec_cluster_pq', 'k', 3)")
+    assert(spark.table(tp).collect().map(_.toString).sorted.toSeq
+      == beforePq, "parquet-mode clustering must not change the relation")
+    assert(parts(spark.table(tp).where("k < 50")) == 1,
+      "parquet-mode stripes must prune like memory-mode ones")
+    spark.sql(s"DROP TABLE IF EXISTS $tp")
   }
 
   test("aggregates answer from manifests under a fully-decided WHERE") {
