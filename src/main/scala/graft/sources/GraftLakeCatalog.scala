@@ -100,6 +100,11 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog {
       else if (ident.name() == "files")
         parent.map(new GraftLakeFilesTable(_))
           .getOrElse(throw new NoSuchTableException(ident))
+      // `<table>.history`: one row per RETAINED commit — the DESCRIBE
+      // HISTORY surface (Delta) / snapshots metadata table (Iceberg)
+      else if (ident.name() == "history")
+        parent.map(new GraftLakeHistoryTable(_))
+          .getOrElse(throw new NoSuchTableException(ident))
       else throw new NoSuchTableException(ident)
     }
 
@@ -879,6 +884,12 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
   /** Latest committed version (0 = the empty table at creation). */
   private[graft] def currentVersion: Int =
     synchronized(baseVersion + history.length - 1)
+  /** (version, snapshot, dataChange) for every RETAINED commit — the
+    * `.history` metadata table's input. */
+  private[sources] def retainedHistory
+      : Vector[(Int, GraftLakeSnapshot, Boolean)] = synchronized(
+    history.zipWithIndex.map { case ((s, dc), i) =>
+      (baseVersion + i, s, dc) })
   /** Oldest RETAINED version — the change-feed / time-travel floor. */
   private[graft] def earliestVersion: Int = synchronized(baseVersion)
   private[sources] def snapshotAt(v: Int): GraftLakeSnapshot =
@@ -1966,6 +1977,52 @@ class GraftLakeFilesTable(parent: GraftLakeTable)
       override def readSchema(): StructType = filesSchema
       override def rows(): Array[InternalRow] = fileRows
       override def description(): String = s"GraftLakeFiles[${parent.name()}]"
+    }
+  }
+}
+
+/** `<catalog>.<table>.history` — one row per RETAINED commit (Delta's
+  * DESCRIBE HISTORY / Iceberg's snapshots metadata table): version,
+  * whether the commit changed the RELATION (`data_change = false` for
+  * maintenance rewrites — compaction, clustering — which the change
+  * feed also skips), and the snapshot's file/row/byte footprint. The
+  * table's floor rises when `expire_versions` runs: expired commits
+  * disappear here exactly when time travel to them starts failing. */
+class GraftLakeHistoryTable(parent: GraftLakeTable)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.types.{BooleanType, IntegerType, StructField}
+
+  private val historySchema = StructType(Seq(
+    StructField("version", IntegerType, nullable = false),
+    StructField("data_change", BooleanType, nullable = false),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("n_live_rows", LongType, nullable = false),
+    StructField("n_dv_files", IntegerType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false)))
+
+  override def name(): String = parent.name() + ".history"
+  override def schema(): StructType = historySchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = () => {
+    val commitRows: Array[InternalRow] =
+      parent.retainedHistory.map { case (v, snap, dc) =>
+        val dead = snap.dvs.values.map(_.size.toLong).sum
+        val rows = snap.files.map(_.numRows).sum
+        new GenericInternalRow(Array[Any](
+          v, dc, snap.files.length, rows, rows - dead,
+          snap.files.count(f =>
+            snap.dvs.getOrElse(f.id, Set.empty).nonEmpty),
+          snap.files.map(_.bytes).sum)): InternalRow
+      }.toArray
+    new org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = historySchema
+      override def rows(): Array[InternalRow] = commitRows
+      override def description(): String =
+        s"GraftLakeHistory[${parent.name()}]"
     }
   }
 }

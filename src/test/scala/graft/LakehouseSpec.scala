@@ -1453,6 +1453,39 @@ class LakehouseSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test(".history exposes retained commits with data-change flags") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_history_meta"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT) " +
+      "TBLPROPERTIES ('graft.mode' = 'merge-on-read')")
+    // single-slice ranges: one task commit = one file per INSERT
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(0, 10, 1, 1)")
+    spark.sql(s"INSERT INTO $t SELECT id FROM range(10, 30, 1, 1)")
+    spark.sql(s"DELETE FROM $t WHERE k = 5") // MoR: DV commit
+    spark.sql(s"CALL graftlake.system.compact('spec_history_meta')")
+    val h = spark.read.table(s"$t.history").orderBy("version").collect()
+      .map(r => (r.getInt(0), r.getBoolean(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getInt(5)))
+    // v0 empty, v1/v2 appends, v3 the DV delete, v4 the compaction
+    // (maintenance: data_change = false, relation identical to v3)
+    assert(h.toSeq == Seq(
+      (0, true, 0, 0L, 0L, 0),
+      (1, true, 1, 10L, 10L, 0),
+      (2, true, 2, 30L, 30L, 0),
+      (3, true, 2, 30L, 29L, 1),
+      (4, false, 2, 29L, 29L, 0)),
+      s"unexpected history: ${h.toSeq}")
+    // expiry raises the floor here exactly as it does for time travel
+    spark.sql(s"CALL graftlake.system.expire_versions(" +
+      "'spec_history_meta', 2)")
+    assert(spark.read.table(s"$t.history")
+      .select("version").collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(3, 4), "expired commits must leave the history table")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("CALL system.cluster makes stats pruning effective, relation intact") {
     spark.conf.set("spark.sql.catalog.graftlake",
       classOf[graft.sources.GraftLakeCatalog].getName)
@@ -1535,6 +1568,13 @@ class LakehouseSpec extends SparkTestBase {
     assert(spark.table(t).where("st = 'B'")
       .select("st").distinct().collect().map(_.getString(0)).toSeq ==
       Seq("B"), "a claimed-pushed filter must filter exactly")
+    // and the plan proves the claim: no post-scan Filter node remains
+    // (logical-plan check — the text form would false-match the
+    // scan's own "PushedFilters" label)
+    assert(spark.table(t).where("st = 'B'").queryExecution.optimizedPlan
+      .collect { case f: org.apache.spark.sql.catalyst.plans.logical
+        .Filter => f }.isEmpty,
+      "a fully-decided predicate must leave NO residual Filter")
     // grouped + filtered, both from manifests
     val qg = s"SELECT st, count(*) AS n, min(k) AS mn FROM $t " +
       s"WHERE st IN ('A', 'C') GROUP BY st ORDER BY st"
