@@ -326,6 +326,12 @@ private[graft] object GraftLakeStats {
     * pushdown's reducer). */
   def lt(a: Any, b: Any): Boolean = cmp(a, b) < 0
 
+  /** Signed-zero normalization for values SURFACED as grouping keys:
+    * Spark normalizes -0.0 grouping keys to 0.0 (SPARK-26021), and our
+    * driver-side groupBy uses java equals where (-0.0).equals(0.0) is
+    * FALSE — un-normalized keys would split one SQL group in two. */
+  def zeroNorm(v: Any): Any = norm(v)
+
   /** Widen an internal value to `dt` when it predates a widening ALTER
     * COLUMN TYPE (Int stats/defaults under a now-BIGINT column). */
   def widen(v: Any, dt: DataType): Any = (v, dt) match {
@@ -997,12 +1003,12 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     colNames.foreach(n => require(names.contains(n),
       s"unknown cluster column $n; table has ${names.mkString(", ")}"))
     val i2n = colIds.zip(names).toMap
-    val nameDefs = nameDefaults
     val snap = GraftLakeSnapshot(files, dvs)
     def normalized(f: GraftLakeFile): Vector[InternalRow] = {
       val rows = snap.liveRows(f)
       GraftLakeReaders.normalizer(schemaNow,
-          GraftLakeFieldIds.resolve(f.cols, i2n), f.types, nameDefs) match {
+          GraftLakeFieldIds.resolve(f.cols, i2n), f.types,
+          nameDefaults) match {
         case None => rows
         case Some(nz) => rows.map(nz)
       }
@@ -1501,15 +1507,16 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
       val vals = groupIds.get.map { id =>
         if (!f.cols.contains(id)) // absent = single-valued at the
           // exists-default (NULL when none was declared)
-          Some(GraftLakeStats.widen(
-            colDefaults.get(id).orNull, typeOf(id)))
+          Some(GraftLakeStats.widen(GraftLakeStats.zeroNorm(
+            colDefaults.get(id).orNull), typeOf(id)))
         else (f.stats.get(id), f.nulls.get(id)) match {
           case (Some((null, null)), Some(n)) if n == f.numRows =>
             Some(null: Any)
           case (Some((mn, mx)), Some(0L))
               if mn != null && !GraftLakeStats.lt(mn, mx) &&
                 !GraftLakeStats.lt(mx, mn) =>
-            Some(GraftLakeStats.widen(mn, typeOf(id)))
+            Some(GraftLakeStats.widen(
+              GraftLakeStats.zeroNorm(mn), typeOf(id)))
           case _ => None // mixed values, mixed nullness, or no stats
         }
       }
@@ -1546,9 +1553,13 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
         case (null, null) => None
         case (mn, mx) => Some(if (takeMin) mn else mx)
       }) ++ defaulted
-      // an empty vals means MIN/MAX over only-nulls -> SQL NULL (valid)
+      // an empty vals means MIN/MAX over only-nulls -> SQL NULL (valid).
+      // Ties (e.g. -0.0 vs 0.0, equal under SQL) keep the FIRST value,
+      // mirroring the scan-side least/greatest first-seen-wins — so the
+      // pushed and scanned answers render identically
       Some(GraftLakeStats.widen(vals.reduceOption((a, b) =>
-        if (GraftLakeStats.lt(a, b) == takeMin) a else b).orNull,
+        if (takeMin) { if (GraftLakeStats.lt(b, a)) b else a }
+        else { if (GraftLakeStats.lt(a, b)) b else a }).orNull,
         typeOf(id)))
     }
     // COUNT(col) = Σ (rows − nulls) over carrying files; a file that
@@ -2008,8 +2019,19 @@ class GraftLakeHistoryTable(parent: GraftLakeTable)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = () => {
+    // time travel composes like on .files: the history AS OF v is every
+    // retained commit up to v (the version must itself be retained)
+    val retained = parent.retainedHistory
+    val hist = Option(options.get("graft.snapshot-version")) match {
+      case Some(v) =>
+        val vi = v.trim.toInt
+        require(retained.exists(_._1 == vi),
+          s"version $vi is not retained by ${parent.name()}")
+        retained.filter(_._1 <= vi)
+      case None => retained
+    }
     val commitRows: Array[InternalRow] =
-      parent.retainedHistory.map { case (v, snap, dc) =>
+      hist.map { case (v, snap, dc) =>
         val dead = snap.dvs.values.map(_.size.toLong).sum
         val rows = snap.files.map(_.numRows).sum
         new GenericInternalRow(Array[Any](

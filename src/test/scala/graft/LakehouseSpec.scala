@@ -1386,6 +1386,37 @@ class LakehouseSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("pushed aggregates merge -0.0/0.0 groups and break MIN ties first-seen") {
+    // review r13 follow-up: after the faithful-extremes change, raw
+    // stored -0.0 leaked into GROUP BY keys (java equals splits the one
+    // SQL group in two) and MIN's tie-breaking picked the LATER file
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_zero_groups"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, x DOUBLE)")
+    // file 1: all +0.0; file 2: all -0.0 (SQL-equal keys)
+    spark.sql(s"INSERT INTO $t SELECT id, CAST('0.0' AS DOUBLE) " +
+      "FROM range(0, 3, 1, 1)")
+    spark.sql(s"INSERT INTO $t SELECT id, CAST('-0.0' AS DOUBLE) " +
+      "FROM range(3, 5, 1, 1)")
+    val qg = s"SELECT x, count(*) AS n FROM $t GROUP BY x"
+    assert(spark.sql(qg).queryExecution.executedPlan.toString
+      .contains("GraftLakeAggScan"))
+    val groups = spark.sql(qg).collect()
+      .map(r => (r.getDouble(0).toString, r.getLong(1)))
+    assert(groups.toSeq == Seq(("0.0", 5L)),
+      s"SQL has ONE zero group (normalized +0.0), got ${groups.toSeq}")
+    // MIN over SQL-equal extremes keeps the FIRST file's rendering,
+    // matching the scan-side least() first-seen-wins
+    val qm = s"SELECT CAST(min(x) AS STRING) AS mn FROM $t"
+    assert(spark.sql(qm).queryExecution.executedPlan.toString
+      .contains("GraftLakeAggScan"))
+    assert(spark.sql(qm).head().getString(0) == "0.0",
+      "tie between 0.0 (first file) and -0.0 must keep the first")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("stats-only MIN preserves -0.0 exactly like a scan would") {
     spark.conf.set("spark.sql.catalog.graftlake",
       classOf[graft.sources.GraftLakeCatalog].getName)
@@ -1477,6 +1508,11 @@ class LakehouseSpec extends SparkTestBase {
       (3, true, 2, 30L, 29L, 1),
       (4, false, 2, 29L, 29L, 0)),
       s"unexpected history: ${h.toSeq}")
+    // time travel composes: history AS OF v2 stops at v2
+    assert(spark.read.option("graft.snapshot-version", "2")
+      .table(s"$t.history").select("version").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 2),
+      "version-pinned history must truncate at the pinned commit")
     // expiry raises the floor here exactly as it does for time travel
     spark.sql(s"CALL graftlake.system.expire_versions(" +
       "'spec_history_meta', 2)")
