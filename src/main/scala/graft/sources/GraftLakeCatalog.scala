@@ -108,6 +108,23 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog {
       else throw new NoSuchTableException(ident)
     }
 
+  /** `SELECT ... FROM t VERSION AS OF v` — the SQL time-travel surface.
+    * Spark's RelationTimeTravel resolves through this overload; the
+    * returned table is the parent READ-pinned at the version, riding
+    * the exact same snapshot-selection path as the
+    * `graft.snapshot-version` read option (one spelling of AS-OF). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = loadTable(ident)
+    t match {
+      case g: GraftLakeTable =>
+        require(version.matches("\\d+"),
+          s"VERSION AS OF expects a commit version number, got '$version'")
+        new GraftLakePinnedTable(g, version)
+      case _ => throw new UnsupportedOperationException(
+        s"$ident does not support VERSION AS OF")
+    }
+  }
+
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -1989,6 +2006,26 @@ class GraftLakeFilesTable(parent: GraftLakeTable)
       override def rows(): Array[InternalRow] = fileRows
       override def description(): String = s"GraftLakeFiles[${parent.name()}]"
     }
+  }
+}
+
+/** A read-only view of `parent` pinned at commit `version` — what
+  * `VERSION AS OF` resolves to. Scans inject the
+  * `graft.snapshot-version` option, so both AS-OF spellings share one
+  * snapshot-selection path (including scan-less aggregates over the
+  * pinned manifest). Writes are not a capability: time travel is a
+  * read. */
+class GraftLakePinnedTable(parent: GraftLakeTable, version: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"${parent.name()}@v$version"
+  override def schema(): StructType = parent.schema()
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new java.util.HashMap[String, String](options)
+    merged.put("graft.snapshot-version", version)
+    parent.newScanBuilder(new CaseInsensitiveStringMap(merged))
   }
 }
 

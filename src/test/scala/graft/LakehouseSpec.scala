@@ -1623,6 +1623,19 @@ class LakehouseSpec extends SparkTestBase {
     assert(!plan(qm).contains("GraftLakeAggScan"),
       "a mixed-file predicate must stay residual and scan")
     assert(spark.sql(qm).head().getLong(0) == 249L)
+    // time travel composes: COUNT(*) AS OF an earlier version answers
+    // from that version's manifests — the "row count at any version in
+    // milliseconds" path (the scan builder aggregates over the PINNED
+    // snapshot by construction)
+    val qv = s"SELECT count(*) AS c FROM $t VERSION AS OF 1"
+    assert(spark.sql(qv).head().getLong(0) == 100L,
+      "v1 holds only the first append")
+    assert(plan(qv).contains("GraftLakeAggScan"),
+      "a time-travel COUNT(*) must stay metadata-only")
+    // a non-pushable aggregate rides the pinned DATA scan: sum of
+    // 0..99 at v1, proving VERSION AS OF reads the right snapshot
+    assert(spark.sql(s"SELECT sum(k) AS s FROM $t VERSION AS OF 1")
+      .head().getLong(0) == 4950L)
     // decisive probe: data files gone, the filtered aggregate answers
     val table = graft.sources.GraftLakeCatalog
       .tableFor("graftlake", "spec_agg_where").get
