@@ -125,6 +125,19 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog {
     }
   }
 
+  /** `SELECT ... FROM t TIMESTAMP AS OF ts` — resolves to the latest
+    * commit at or before the timestamp (Spark hands MICROS since
+    * epoch), then rides the same pinned-table path as VERSION AS OF. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    loadTable(ident) match {
+      case g: GraftLakeTable =>
+        new GraftLakePinnedTable(g,
+          g.versionAsOfTime(timestamp / 1000L).toString)
+      case _ => throw new UnsupportedOperationException(
+        s"$ident does not support TIMESTAMP AS OF")
+    }
+  }
+
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -901,18 +914,47 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
   // versions below this were expired (expire_versions): version v lives
   // at history(v - baseVersion)
   private var baseVersion = 0
-  private def recordCommit(dataChange: Boolean): Unit =
+  // wall-clock commit times, index-aligned with `history` (the v0
+  // creation commit stamps at table construction): TIMESTAMP AS OF
+  // resolution and the .history table's timestamp column
+  private var commitTimes: Vector[Long] =
+    Vector(System.currentTimeMillis())
+  private def recordCommit(dataChange: Boolean): Unit = {
     history = history :+ (GraftLakeSnapshot(files, dvs), dataChange)
+    // clamped monotonic: a wall clock stepping backwards (NTP, VM
+    // suspend) must not break TIMESTAMP AS OF's sorted-times invariant
+    // (Delta stamps the same way)
+    commitTimes = commitTimes :+
+      math.max(System.currentTimeMillis(), commitTimes.last)
+  }
 
   /** Latest committed version (0 = the empty table at creation). */
   private[graft] def currentVersion: Int =
     synchronized(baseVersion + history.length - 1)
-  /** (version, snapshot, dataChange) for every RETAINED commit — the
-    * `.history` metadata table's input. */
+  /** (version, snapshot, dataChange, commitMillis) for every RETAINED
+    * commit — the `.history` metadata table's input. */
   private[sources] def retainedHistory
-      : Vector[(Int, GraftLakeSnapshot, Boolean)] = synchronized(
+      : Vector[(Int, GraftLakeSnapshot, Boolean, Long)] = synchronized(
     history.zipWithIndex.map { case ((s, dc), i) =>
-      (baseVersion + i, s, dc) })
+      (baseVersion + i, s, dc, commitTimes(i)) })
+
+  /** Largest retained version committed at or before `tsMillis` — the
+    * TIMESTAMP AS OF resolution (Delta's contract on both edges: latest
+    * commit not after the asked time; BEFORE the earliest retained
+    * commit and AFTER the latest commit both fail loudly — a silently
+    * satisfied future timestamp is usually a typo'd year reading
+    * present-day data). */
+  private[sources] def versionAsOfTime(tsMillis: Long): Int =
+    synchronized {
+      require(tsMillis <= commitTimes.last,
+        s"timestamp $tsMillis is after $tableName's latest commit " +
+          s"(${commitTimes.last}) — query the table directly for the " +
+          "current state")
+      val at = commitTimes.lastIndexWhere(_ <= tsMillis)
+      require(at >= 0, s"no retained commit of $tableName at or before " +
+        s"timestamp $tsMillis (earliest is ${commitTimes.head})")
+      baseVersion + at
+    }
   /** Oldest RETAINED version — the change-feed / time-travel floor. */
   private[graft] def earliestVersion: Int = synchronized(baseVersion)
   private[sources] def snapshotAt(v: Int): GraftLakeSnapshot =
@@ -964,6 +1006,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     require(keepLast >= 1, s"keep_last must be >= 1, got $keepLast")
     val drop = math.max(0, history.length - keepLast)
     history = history.drop(drop)
+    commitTimes = commitTimes.drop(drop)
     baseVersion += drop
     // parquet storage: VACUUM — a data file referenced ONLY by expired
     // versions (e.g. the pre-compaction original) is dead storage; delete
@@ -2038,10 +2081,11 @@ class GraftLakePinnedTable(parent: GraftLakeTable, version: String)
   * disappear here exactly when time travel to them starts failing. */
 class GraftLakeHistoryTable(parent: GraftLakeTable)
     extends Table with SupportsRead {
-  import org.apache.spark.sql.types.{BooleanType, IntegerType, StructField}
+  import org.apache.spark.sql.types.{BooleanType, IntegerType, StructField, TimestampType}
 
   private val historySchema = StructType(Seq(
     StructField("version", IntegerType, nullable = false),
+    StructField("commit_time", TimestampType, nullable = false),
     StructField("data_change", BooleanType, nullable = false),
     StructField("n_files", IntegerType, nullable = false),
     StructField("n_rows", LongType, nullable = false),
@@ -2068,11 +2112,11 @@ class GraftLakeHistoryTable(parent: GraftLakeTable)
       case None => retained
     }
     val commitRows: Array[InternalRow] =
-      hist.map { case (v, snap, dc) =>
+      hist.map { case (v, snap, dc, tsMillis) =>
         val dead = snap.dvs.values.map(_.size.toLong).sum
         val rows = snap.files.map(_.numRows).sum
         new GenericInternalRow(Array[Any](
-          v, dc, snap.files.length, rows, rows - dead,
+          v, tsMillis * 1000L, dc, snap.files.length, rows, rows - dead,
           snap.files.count(f =>
             snap.dvs.getOrElse(f.id, Set.empty).nonEmpty),
           snap.files.map(_.bytes).sum)): InternalRow

@@ -1493,10 +1493,15 @@ class LakehouseSpec extends SparkTestBase {
       "TBLPROPERTIES ('graft.mode' = 'merge-on-read')")
     // single-slice ranges: one task commit = one file per INSERT
     spark.sql(s"INSERT INTO $t SELECT id FROM range(0, 10, 1, 1)")
+    Thread.sleep(5)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(5)
     spark.sql(s"INSERT INTO $t SELECT id FROM range(10, 30, 1, 1)")
     spark.sql(s"DELETE FROM $t WHERE k = 5") // MoR: DV commit
     spark.sql(s"CALL graftlake.system.compact('spec_history_meta')")
-    val h = spark.read.table(s"$t.history").orderBy("version").collect()
+    val h = spark.read.table(s"$t.history").orderBy("version")
+      .select("version", "data_change", "n_files", "n_rows",
+        "n_live_rows", "n_dv_files").collect()
       .map(r => (r.getInt(0), r.getBoolean(1), r.getInt(2),
         r.getLong(3), r.getLong(4), r.getInt(5)))
     // v0 empty, v1/v2 appends, v3 the DV delete, v4 the compaction
@@ -1508,6 +1513,28 @@ class LakehouseSpec extends SparkTestBase {
       (3, true, 2, 30L, 29L, 1),
       (4, false, 2, 29L, 29L, 0)),
       s"unexpected history: ${h.toSeq}")
+    // commit times are recorded and non-decreasing
+    val ts = spark.read.table(s"$t.history").orderBy("version")
+      .select("commit_time").collect().map(_.getTimestamp(0).getTime)
+    assert(ts.length == 5 && ts.sorted.sameElements(ts),
+      "commit_time must be recorded, ascending with version")
+    // TIMESTAMP AS OF between v1 and v2 resolves to v1 (latest commit
+    // at or before the asked time — the Delta contract)
+    assert(spark.sql(s"SELECT count(*) AS c FROM $t " +
+      s"TIMESTAMP AS OF timestamp_millis(${betweenMs}L)")
+      .head().getLong(0) == 10L,
+      "a timestamp between v1 and v2 must read v1")
+    intercept[Exception] { // before the table existed: loud failure
+      spark.sql(s"SELECT count(*) FROM $t " +
+        s"TIMESTAMP AS OF timestamp_millis(${ts.head - 60000}L)")
+        .collect()
+    }
+    intercept[Exception] { // after the latest commit: a typo'd year
+      // must not silently read present-day data (Delta contract)
+      spark.sql(s"SELECT count(*) FROM $t " +
+        s"TIMESTAMP AS OF timestamp_millis(${ts.last + 3600000}L)")
+        .collect()
+    }
     // time travel composes: history AS OF v2 stops at v2
     assert(spark.read.option("graft.snapshot-version", "2")
       .table(s"$t.history").select("version").collect()
