@@ -1002,6 +1002,16 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     * expire_snapshots hazard, where a too-aggressive retention can fail
     * a concurrent time-travel query mid-scan; size keep_last to cover
     * the longest-running reader. */
+  /** Expire every version committed strictly BEFORE `tsMillis`, always
+    * keeping at least the latest commit — Iceberg's
+    * `expire_snapshots(older_than => ts)`. Returns the new floor. */
+  private[sources] def expireBefore(tsMillis: Long): Int = synchronized {
+    val firstKept = commitTimes.indexWhere(_ >= tsMillis)
+    val keepLast =
+      if (firstKept < 0) 1 else history.length - firstKept
+    expireVersions(math.max(1, keepLast))
+  }
+
   private[sources] def expireVersions(keepLast: Int): Int = synchronized {
     require(keepLast >= 1, s"keep_last must be >= 1, got $keepLast")
     val drop = math.max(0, history.length - keepLast)
@@ -2557,7 +2567,8 @@ private[sources] object GraftLakeProcedures {
   import org.apache.spark.sql.types.IntegerType
 
   val names: Seq[String] =
-    Seq("rollback", "expire_versions", "compact", "cluster")
+    Seq("rollback", "expire_versions", "expire_before", "compact",
+      "cluster")
 
   def byName(catalog: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -2593,6 +2604,22 @@ private[sources] object GraftLakeProcedures {
         override def run(t: GraftLakeTable, input: InternalRow)
             : Array[InternalRow] =
           Array(new GenericInternalRow(Array[Any](t.compactAll())))
+      })
+      // expire every version committed before a wall-clock cutoff,
+      // always keeping the latest — Iceberg's expire_snapshots
+      // older_than spelling (the cutoff arrives as epoch millis)
+      case "expire_before" => Some(new Proc(catalog, "expire_before",
+        Array(in("table", StringType),
+          in("older_than_millis", LongType)),
+        StructType(Seq(
+          StructField("earliest_version", IntegerType, nullable = false),
+          StructField("current_version", IntegerType, nullable = false)))) {
+        override def run(t: GraftLakeTable, input: InternalRow)
+            : Array[InternalRow] = {
+          val floor = t.expireBefore(input.getLong(1))
+          Array(new GenericInternalRow(
+            Array[Any](floor, t.currentVersion)))
+        }
       })
       // range-cluster the table by a comma-separated column list so
       // min/max file skipping becomes effective (Iceberg's

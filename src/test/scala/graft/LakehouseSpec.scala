@@ -1540,12 +1540,21 @@ class LakehouseSpec extends SparkTestBase {
       .table(s"$t.history").select("version").collect()
       .map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 2),
       "version-pinned history must truncate at the pinned commit")
-    // expiry raises the floor here exactly as it does for time travel
-    spark.sql(s"CALL graftlake.system.expire_versions(" +
-      "'spec_history_meta', 2)")
+    // time-based expiry: everything committed before v2's time goes,
+    // v2..v4 stay (Iceberg's expire_snapshots older_than contract)
+    val v2t = ts(2)
+    val res = spark.sql(s"CALL graftlake.system.expire_before(" +
+      s"'spec_history_meta', ${v2t}L)").head()
+    assert(res.getInt(0) == 2, s"floor must land on v2, got $res")
     assert(spark.read.table(s"$t.history")
       .select("version").collect().map(_.getInt(0)).sorted.toSeq ==
-      Seq(3, 4), "expired commits must leave the history table")
+      Seq(2, 3, 4), "commits before the cutoff must expire")
+    // a cutoff after EVERY commit still keeps the latest
+    spark.sql(s"CALL graftlake.system.expire_before(" +
+      s"'spec_history_meta', ${ts.last + 3600000}L)")
+    assert(spark.read.table(s"$t.history")
+      .select("version").collect().map(_.getInt(0)).toSeq == Seq(4),
+      "expire_before never drops the current state")
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
