@@ -249,7 +249,8 @@ final case class GraftLakeFile(id: String, rows: Vector[InternalRow],
     types: Seq[DataType] = Nil, bytes: Long = 0L,
     stats: Map[Int, (Any, Any)] = Map.empty,
     nRows: Long = -1L,
-    nulls: Map[Int, Long] = Map.empty) {
+    nulls: Map[Int, Long] = Map.empty,
+    sums: Map[Int, Long] = Map.empty) {
   /** Committed row count (manifest metadata — parquet-backed files keep
     * no rows in memory, so the count must be recorded at write time). */
   def numRows: Long = if (nRows >= 0) nRows else rows.length.toLong
@@ -342,6 +343,31 @@ private[graft] object GraftLakeStats {
       case Some(d) if d != null => (Some((d, d)), Some(0L))
       case _ => (Some((null, null)), Some(f.numRows))
     }
+
+  /** Per-file SUMs of integral columns (Int/Long), overflow-checked:
+    * integer sums are exact and ADDITION-ORDER-FREE — unlike doubles,
+    * whose scan-order-dependent rounding makes a manifest sum
+    * unfaithful — so `SUM(bigint_col)` can answer from manifests. A
+    * column whose in-file sum overflows a Long records NO entry (the
+    * pushdown then refuses and the scan answers; all-null columns
+    * record 0 and the null count disambiguates SQL's NULL). */
+  def intSums(rows: Vector[InternalRow], colIds: Seq[Int],
+      types: Seq[DataType]): Map[Int, Long] =
+    colIds.zipWithIndex.flatMap { case (id, i) =>
+      types(i) match {
+        case LongType | org.apache.spark.sql.types.IntegerType =>
+          try {
+            var acc = 0L
+            rows.foreach { r =>
+              if (!r.isNullAt(i)) acc = Math.addExact(acc,
+                if (types(i) == LongType) r.getLong(i)
+                else r.getInt(i).toLong)
+            }
+            Some(id -> acc)
+          } catch { case _: ArithmeticException => None }
+        case _ => None
+      }
+    }.toMap
 
   /** Per-column null counts over EVERY column (type-independent): the
     * IS [NOT] NULL pruning input and the COUNT(col) pushdown's
@@ -1128,6 +1154,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       // time (what a table format reads back out of parquet footers)
       val stats = GraftLakeStats.collect(rows, colIds, types)
       val nulls = GraftLakeStats.nullCounts(rows, colIds)
+      val sums = GraftLakeStats.intSums(rows, colIds, types)
       lakeDir match {
         case Some(dir) =>
           val p = new java.io.File(dir, s"f$fileSeq.parquet")
@@ -1135,13 +1162,13 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           val bytes = GraftParquetIO.write(p,
             schemaNow.fieldNames.toSeq, types, rows)
           GraftLakeFile(id, Vector.empty, colIds, Some(p), types, bytes,
-            stats, rows.length.toLong, nulls)
+            stats, rows.length.toLong, nulls, sums)
         // memory files record their write-time types too: compaction
         // rewrites and type-widened scans both need the file's PHYSICAL
         // layout, which the current schema no longer describes after an
         // ALTER (ADVICE r12)
         case None => GraftLakeFile(id, rows, colIds, types = types,
-          stats = stats, nulls = nulls)
+          stats = stats, nulls = nulls, sums = sums)
       }
     }
 
@@ -1244,6 +1271,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       val id = s"$tableName#f$fileSeq"
       val stats = GraftLakeStats.collect(rows, f.cols, f.types)
       val nulls = GraftLakeStats.nullCounts(rows, f.cols)
+      val sums = GraftLakeStats.intSums(rows, f.cols, f.types)
       Vector(lakeDir match {
         case Some(dir) =>
           val p = new java.io.File(dir, s"f$fileSeq.parquet")
@@ -1254,9 +1282,9 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
             idToName.getOrElse(cid, s"_dropped_$cid"))
           val bytes = GraftParquetIO.write(p, names, f.types, rows)
           GraftLakeFile(id, Vector.empty, f.cols, Some(p), f.types, bytes,
-            stats, rows.length.toLong, nulls)
+            stats, rows.length.toLong, nulls, sums)
         case None => GraftLakeFile(id, rows, f.cols, types = f.types,
-          stats = stats, nulls = nulls)
+          stats = stats, nulls = nulls, sums = sums)
       })
     }
 
@@ -1542,7 +1570,7 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
   private def statsAggregate(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Seq[InternalRow])] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
     // row-level op scans never answer from metadata; a WHERE clause is
     // admissible ONLY when every predicate was claimed fully pushed
     // (every file decides it exactly) — then restricting to the
@@ -1652,6 +1680,46 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
       if (parts.exists(_.isEmpty)) None
       else Some(parts.flatten.sum: Any)
     }
+    // SUM(col) for integral columns: Σ per-file overflow-checked sums
+    // (exact and order-free for integers — doubles stay refused, their
+    // scan answer is addition-order-dependent). Refused under a DV on a
+    // carrying file (dead rows are inside the recorded sum) or any
+    // missing/overflowed entry; a file that predates the column
+    // contributes default × live-rows. All-null input → SQL NULL,
+    // decided by the null counts.
+    def sumCol(fs: Vector[GraftLakeFile], id: Int): Option[Any] = {
+      val dflt: Any = colDefaults.get(id).orNull
+      try {
+        var total = 0L
+        var nonNull = 0L
+        fs.foreach { f =>
+          if (f.cols.contains(id)) {
+            if (snapshot.dvs.getOrElse(f.id, Set.empty).nonEmpty ||
+                !f.sums.contains(id) || !f.nulls.contains(id))
+              return None
+            total = Math.addExact(total, f.sums(id))
+            nonNull += f.numRows - f.nulls(id)
+          } else dflt match {
+            case null => ()
+            case d =>
+              val live = f.numRows -
+                snapshot.dvs.getOrElse(f.id, Set.empty).size.toLong
+              val dl = d match {
+                case x: java.lang.Long => x.longValue()
+                case x: java.lang.Integer => x.longValue()
+                case _ => return None
+              }
+              total = Math.addExact(total, Math.multiplyExact(dl, live))
+              nonNull += live
+          }
+        }
+        if (nonNull == 0L) Some(null: Any) else Some(total: Any)
+      } catch { case _: ArithmeticException => None }
+    }
+    def integral(id: Int): Boolean = typeOf(id) match {
+      case LongType | org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
     // per-aggregate (name, type, per-group evaluator), or bail out
     val aggCols: Seq[Option[(String, DataType,
         Vector[GraftLakeFile] => Option[Any])]] =
@@ -1670,6 +1738,11 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
         case m: Max => colId(m.column()).map(id =>
           (s"MAX(${idToName(id)})", typeOf(id),
             (fs: Vector[GraftLakeFile]) => extreme(fs, id, takeMin = false)))
+        case sm: Sum if !sm.isDistinct =>
+          colId(sm.column()).filter(integral).map(id =>
+            // Spark's Sum over int/long yields LONG
+            (s"SUM(${idToName(id)})", LongType: DataType,
+              (fs: Vector[GraftLakeFile]) => sumCol(fs, id)))
         case _ => None
       }
     if (aggCols.exists(_.isEmpty)) return None

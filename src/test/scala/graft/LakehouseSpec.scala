@@ -1343,6 +1343,58 @@ class LakehouseSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("SUM(integral) answers from overflow-checked manifest sums") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_sum_push"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v DOUBLE, st STRING)")
+    for ((st, b) <- Seq("A", "B").zipWithIndex)
+      spark.range(b * 100L, (b + 1) * 100L)
+        .selectExpr("id AS k",
+          "CASE WHEN id % 10 = 0 THEN NULL ELSE CAST(id AS DOUBLE) END v",
+          s"'$st' AS st")
+        .coalesce(1).writeTo(t).append()
+    def plan(sql: String): String =
+      spark.sql(sql).queryExecution.executedPlan.toString
+    // ungrouped + grouped integral SUM: manifests answer
+    val q = s"SELECT sum(k) AS s FROM $t"
+    assert(spark.sql(q).head().getLong(0) == (0L until 200L).sum)
+    assert(plan(q).contains("GraftLakeAggScan"),
+      "SUM(bigint) must answer from per-file sums")
+    val qg = s"SELECT st, sum(k) AS s, count(*) AS n FROM $t " +
+      "GROUP BY st ORDER BY st"
+    assert(spark.sql(qg).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq(("A", (0L until 100L).sum, 100L),
+        ("B", (100L until 200L).sum, 100L)))
+    assert(plan(qg).contains("GraftLakeAggScan"))
+    // DOUBLE sums stay refused: the scan answer is addition-order-
+    // dependent, a manifest sum could diverge bit-wise
+    assert(!plan(s"SELECT sum(v) FROM $t").contains("GraftLakeAggScan"),
+      "floating-point SUM must never answer from manifests")
+    // exists-defaults contribute default x live-rows
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (w BIGINT DEFAULT 7)")
+    val qd = s"SELECT sum(w) AS s FROM $t"
+    assert(spark.sql(qd).head().getLong(0) == 7L * 200L)
+    assert(plan(qd).contains("GraftLakeAggScan"))
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+
+    // a per-file OVERFLOWING sum records no entry and refuses loudly-
+    // correctly at plan time (falls back to the scan path)
+    val to = "graftlake.spec_sum_overflow"
+    spark.sql(s"DROP TABLE IF EXISTS $to")
+    spark.sql(s"CREATE TABLE $to (k BIGINT)")
+    spark.sql(s"INSERT INTO $to VALUES (${Long.MaxValue}L), (1L), (-2L)")
+    assert(!spark.sql(s"SELECT sum(k) FROM $to")
+      .queryExecution.executedPlan.toString.contains("GraftLakeAggScan"),
+      "an overflowed per-file sum must refuse the manifest answer")
+    // COUNT/MIN/MAX on the same file still answer (their stats are fine)
+    assert(spark.sql(s"SELECT count(*) AS c, max(k) AS mx FROM $to")
+      .queryExecution.executedPlan.toString.contains("GraftLakeAggScan"))
+    spark.sql(s"DROP TABLE IF EXISTS $to")
+  }
+
   test("stats pruning and manifest aggregates see exists-defaults") {
     // the r13 review bug: the stats layer treated an absent column as
     // all-NULL, but a pre-evolution file SERVES its exists-default —

@@ -510,6 +510,34 @@ object PropertySpec extends Properties("graft.kernels") {
       sound && exact
     }
 
+  // Manifest SUMs: exact reference fold over non-nulls, refused (no
+  // entry) exactly when the running Long sum overflows — an unfaithful
+  // sum must never be recorded
+  private val sumVals: Gen[List[Option[Long]]] =
+    Gen.listOfN(12, Gen.option(Gen.oneOf(
+      Gen.choose(-1000L, 1000L),
+      Gen.oneOf(Long.MaxValue, Long.MinValue, Long.MaxValue - 5, 0L))))
+
+  property("intSums equals the reference fold or refuses on overflow") =
+    Prop.forAll(sumVals) { vals =>
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.types.LongType
+      val rows = vals.map(v => new GenericInternalRow(
+        Array[Any](v.map(Long.box).orNull)): InternalRow).toVector
+      val got = graft.sources.GraftLakeStats
+        .intSums(rows, Seq(4), Seq(LongType)).get(4)
+      // reference: running sum in arbitrary precision, overflow = any
+      // PREFIX leaving the Long range (addExact is sequential)
+      var acc = BigInt(0)
+      var overflow = false
+      vals.flatten.foreach { v =>
+        acc += v
+        if (acc < Long.MinValue || acc > Long.MaxValue) overflow = true
+      }
+      if (overflow) got.isEmpty else got.contains(acc.toLong)
+    }
+
   // A file that predates `ADD COLUMN ... DEFAULT` serves the default
   // for EVERY row — the stats layer must treat the absent column as
   // single-valued at the default, not as all-NULL (r13 review bug:
