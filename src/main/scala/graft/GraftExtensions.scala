@@ -22,6 +22,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => graft.plans.ThresholdLevenshteinRule)
+    // physical: global-sort elision over manifest-certified ordered
+    // lake scans (runs post-EnsureRequirements in AQE preparation)
+    extensions.injectQueryStagePrepRule(_ =>
+      graft.plans.OrderedScanSortElision)
     extensions.injectFunction((
       FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),

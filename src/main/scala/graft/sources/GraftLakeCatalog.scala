@@ -58,7 +58,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * tables, exactly as real sessions sharing a metastore do. Queries keep
   * isolation by DROP/CREATE-ing their own table names.
   */
-class GraftLakeCatalog extends TableCatalog with ProcedureCatalog {
+class GraftLakeCatalog extends TableCatalog with ProcedureCatalog
+    with FunctionCatalog {
 
   private var catalogName: String = _
   private def tables = GraftLakeCatalog.registries
@@ -119,6 +120,16 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog {
       case g: GraftLakeTable =>
         require(version.matches("\\d+"),
           s"VERSION AS OF expects a commit version number, got '$version'")
+        // validate AT RESOLUTION, not at scan build: an invalid version
+        // must fail here the way an invalid timestamp does — a lazily
+        // resolved DataFrame over a bogus version is a latent error the
+        // user only hits at action time (ADVICE r13)
+        val v = version.toInt
+        require(v >= g.earliestVersion && v <= g.currentVersion,
+          s"VERSION AS OF $v out of range " +
+            s"[${g.earliestVersion}, ${g.currentVersion}] for $ident" +
+            (if (g.earliestVersion > 0) " (older versions were expired)"
+             else ""))
         new GraftLakePinnedTable(g, version)
       case _ => throw new UnsupportedOperationException(
         s"$ident does not support VERSION AS OF")
@@ -141,13 +152,43 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog {
   override def createTable(
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    // identity transforms only (PARTITIONED BY (col)): the storage-
-    // partitioned-join surface. Anything fancier is rejected loudly
-    // rather than silently ignored.
-    val partCols = partitions.toSeq.map { t =>
-      require(t.name == "identity",
-        s"unsupported partition transform ${t.describe()}")
-      t.references()(0).fieldNames().mkString(".")
+    // identity + HIDDEN transforms (`days(ts)`, `bucket(n, key)`) —
+    // the Iceberg partition-transform surface. Anything else is
+    // rejected loudly rather than silently ignored.
+    val partSpec: Seq[GraftPartTransform] = partitions.toSeq.map { t =>
+      def ref: String = {
+        val r = t.references()(0).fieldNames()
+        require(r.length == 1,
+          s"nested partition column unsupported: ${r.mkString(".")}")
+        r(0)
+      }
+      def srcType(col: String): DataType = {
+        val i = schema.fieldNames.indexOf(col)
+        require(i >= 0, s"unknown partition source column $col")
+        schema.fields(i).dataType
+      }
+      t.name match {
+        case "identity" => IdentityPart(ref)
+        case "days" =>
+          require(GraftLakeFunctions.daysCapable(srcType(ref)),
+            s"days($ref) needs a TIMESTAMP/TIMESTAMP_NTZ/DATE column, " +
+              s"got ${srcType(ref).sql}")
+          DaysPart(ref)
+        case "bucket" =>
+          val n = t.arguments().collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                if l.value.isInstanceOf[Number] =>
+              l.value.asInstanceOf[Number].intValue()
+          }.getOrElse(throw new IllegalArgumentException(
+            s"bucket transform needs a bucket count: ${t.describe()}"))
+          require(n >= 1, s"bucket count must be >= 1, got $n")
+          require(GraftLakeFunctions.bucketCapable(srcType(ref)),
+            s"bucket($n, $ref) needs an INT/BIGINT/STRING/DATE column, " +
+              s"got ${srcType(ref).sql}")
+          BucketPart(n, ref)
+        case other => throw new UnsupportedOperationException(
+          s"unsupported partition transform ${t.describe()}")
+      }
     }
     val mode = properties.getOrDefault("graft.mode", "copy-on-write")
     require(mode == "copy-on-write" || mode == "merge-on-read",
@@ -155,7 +196,7 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog {
     val storage = properties.getOrDefault("graft.storage", "memory")
     require(storage == "memory" || storage == "parquet",
       s"unknown graft.storage '$storage'")
-    val t = new GraftLakeTable(ident.toString, schema, partCols,
+    val t = new GraftLakeTable(ident.toString, schema, partSpec,
       mergeOnRead = mode == "merge-on-read", storage = storage)
     if (tables.putIfAbsent(ident, t) != null)
       throw new TableAlreadyExistsException(ident.toString)
@@ -210,6 +251,24 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog {
       GraftLakeProcedures.names
         .map(Identifier.of(Array("system"), _)).toArray
     else Array.empty
+
+  // ---- partition-transform functions (FunctionCatalog) --------------------
+  // Spark's V2ExpressionUtils resolves a scan's reported bucket/days
+  // transforms through the owning catalog's loadFunction (empty
+  // namespace) — the hook storage-partitioned-join planning needs.
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    (if (ident.namespace().isEmpty) GraftLakeFunctions.byName(ident.name())
+     else None).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident))
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty)
+      GraftLakeFunctions.names.map(Identifier.of(Array.empty[String], _))
+        .toArray
+    else Array.empty
 }
 
 object GraftLakeCatalog {
@@ -250,7 +309,12 @@ final case class GraftLakeFile(id: String, rows: Vector[InternalRow],
     stats: Map[Int, (Any, Any)] = Map.empty,
     nRows: Long = -1L,
     nulls: Map[Int, Long] = Map.empty,
-    sums: Map[Int, Long] = Map.empty) {
+    sums: Map[Int, Long] = Map.empty,
+    dsums: Map[Int, java.math.BigDecimal] = Map.empty,
+    // field ids this file's rows are SORTED by (ascending, nulls
+    // first — Spark's natural ordering), stamped by the cluster
+    // maintenance rewrite; Nil for ordinary writes
+    sortedBy: Seq[Int] = Nil) {
   /** Committed row count (manifest metadata — parquet-backed files keep
     * no rows in memory, so the count must be recorded at write time). */
   def numRows: Long = if (nRows >= 0) nRows else rows.length.toLong
@@ -286,6 +350,9 @@ private[graft] object GraftLakeStats {
          org.apache.spark.sql.types.DateType |
          org.apache.spark.sql.types.TimestampType |
          org.apache.spark.sql.types.TimestampNTZType => true
+    // money columns: Decimal has a total order and exact comparisons,
+    // so it prunes and serves MIN/MAX like any other ordered type
+    case _: org.apache.spark.sql.types.DecimalType => true
     case _ => false
   }
 
@@ -369,6 +436,27 @@ private[graft] object GraftLakeStats {
       }
     }.toMap
 
+  /** Per-file SUMs of DECIMAL columns as UNBOUNDED BigDecimal — decimal
+    * addition is exact and order-free (unlike doubles), so
+    * `SUM(decimal_col)` can answer from manifests; collection never
+    * overflows (unbounded precision), the PUSHDOWN checks the result
+    * fits Spark's `decimal(p+10, s)` sum type and refuses otherwise. */
+  def decSums(rows: Vector[InternalRow], colIds: Seq[Int],
+      types: Seq[DataType]): Map[Int, java.math.BigDecimal] =
+    colIds.zipWithIndex.flatMap { case (id, i) =>
+      types(i) match {
+        case d: org.apache.spark.sql.types.DecimalType =>
+          var acc = java.math.BigDecimal.ZERO
+          rows.foreach { r =>
+            if (!r.isNullAt(i))
+              acc = acc.add(
+                r.getDecimal(i, d.precision, d.scale).toJavaBigDecimal)
+          }
+          Some(id -> acc)
+        case _ => None
+      }
+    }.toMap
+
   /** Per-column null counts over EVERY column (type-independent): the
     * IS [NOT] NULL pruning input and the COUNT(col) pushdown's
     * subtrahend. Recorded at write time like min/max. */
@@ -415,6 +503,8 @@ private[graft] object GraftLakeStats {
     case (x: java.lang.Double, y: java.lang.Float) =>
       java.lang.Double.compare(x, y.doubleValue())
     case (x: UTF8String, y: UTF8String) => x.compareTo(y)
+    case (x: org.apache.spark.sql.types.Decimal,
+        y: org.apache.spark.sql.types.Decimal) => x.compare(y)
     case (x, y) => throw new IllegalArgumentException(
       s"incomparable stats values: ${x.getClass} vs ${y.getClass}")
   }
@@ -692,6 +782,157 @@ private[graft] object GraftLakeStats {
   }
 }
 
+/** HIDDEN (transform) partitioning — the Iceberg partition-transform
+  * contract: `PARTITIONED BY (days(ts))` / `bucket(n, key)` declare a
+  * DERIVED partition key the table maintains itself, so the reference's
+  * date-prefixed layout (/root/reference/app.py:26) needs no
+  * user-maintained derived column. Each transform knows how to EVALUATE
+  * a source value into its partition key (the scan's key-grouping and
+  * the V2 ScalarFunction below must agree — SPJ may re-evaluate the
+  * function when aligning partially-clustered sides) and how to render
+  * itself as a V2 [[Transform]] for `partitioning()` /
+  * [[KeyGroupedPartitioning]] reports. */
+private[sources] sealed trait GraftPartTransform {
+  def srcCol: String
+  /** Partition-key value for a source value of type `srcType` (null
+    * source → null key). */
+  def eval(v: Any, srcType: DataType): Any
+  /** Partition-key type given the source column's type. */
+  def keyType(srcType: DataType): DataType
+  def toV2: Transform
+}
+private[sources] final case class IdentityPart(srcCol: String)
+    extends GraftPartTransform {
+  override def eval(v: Any, srcType: DataType): Any = v
+  override def keyType(srcType: DataType): DataType = srcType
+  override def toV2: Transform = Expressions.identity(srcCol)
+}
+private[sources] final case class DaysPart(srcCol: String)
+    extends GraftPartTransform {
+  override def eval(v: Any, srcType: DataType): Any = v match {
+    case null => null
+    case micros: java.lang.Long => // Timestamp/TimestampNTZ internal
+      Int.box(GraftLakeFunctions.microsToDays(micros.longValue()))
+    case days: java.lang.Integer => days // Date internal is already days
+  }
+  override def keyType(srcType: DataType): DataType =
+    org.apache.spark.sql.types.DateType
+  override def toV2: Transform = Expressions.days(srcCol)
+}
+private[sources] final case class BucketPart(n: Int, srcCol: String)
+    extends GraftPartTransform {
+  override def eval(v: Any, srcType: DataType): Any =
+    if (v == null) null
+    else Int.box(GraftLakeFunctions.bucketOf(v, srcType, n))
+  override def keyType(srcType: DataType): DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def toV2: Transform = Expressions.bucket(n, srcCol)
+}
+
+/** The catalog's V2 FUNCTIONS (`FunctionCatalog`): `bucket` and `days`,
+  * resolved by Spark's `V2ExpressionUtils` when it translates a scan's
+  * reported transform partitioning into catalyst `TransformExpression`s
+  * — the resolution step STORAGE-PARTITIONED JOIN planning needs (two
+  * sides are co-partitioned iff their bound functions' canonicalName
+  * and bucket counts match). `produceResult` is the same arithmetic the
+  * scan's key-grouping uses, so a runtime re-evaluation (partially
+  * clustered SPJ) reproduces the reported keys exactly. */
+private[sources] object GraftLakeFunctions {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+  import org.apache.spark.sql.types.{DateType, IntegerType, TimestampNTZType, TimestampType}
+
+  val names: Seq[String] = Seq("bucket", "days")
+
+  def microsToDays(micros: Long): Int =
+    Math.floorDiv(micros, 86400000000L).toInt
+
+  /** Deterministic bucket id: murmur3 of the INTERNAL value (Spark's
+    * own shuffle hash — `Murmur3HashFunction` with the standard seed),
+    * floor-mod the bucket count. Widening-stable across INT→BIGINT is
+    * NOT promised (hashes differ), which is why bucket source columns
+    * refuse retyping like identity partition columns do. */
+  def bucketOf(v: Any, dt: DataType, n: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions
+      .Murmur3HashFunction.hash(v, dt, 42L).toInt
+    ((h % n) + n) % n
+  }
+
+  def byName(name: String): Option[UnboundFunction] = name match {
+    case "bucket" => Some(BucketUnbound)
+    case "days" => Some(DaysUnbound)
+    case _ => None
+  }
+
+  private def bucketable(dt: DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.IntegerType | LongType | StringType |
+         DateType => true
+    case _ => false
+  }
+  private[sources] def daysCapable(dt: DataType): Boolean = dt match {
+    case TimestampType | TimestampNTZType | DateType => true
+    case _ => false
+  }
+  private[sources] def bucketCapable(dt: DataType): Boolean = bucketable(dt)
+
+  private object BucketUnbound extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(n, col): murmur3 hash partition id in [0, n)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == 2 &&
+        inputType.fields(0).dataType == IntegerType &&
+        bucketable(inputType.fields(1).dataType),
+        s"bucket expects (INT n, INT|BIGINT|STRING|DATE col), got " +
+          inputType.catalogString)
+      new BucketBound(inputType.fields(1).dataType)
+    }
+  }
+  private final class BucketBound(keyType: DataType)
+      extends ScalarFunction[Integer] {
+    override def name(): String = "bucket"
+    // type-qualified: bucket-of-int and bucket-of-bigint hash
+    // differently, so they must never look SPJ-compatible
+    override def canonicalName(): String =
+      s"graft.bucket(${keyType.catalogString})"
+    override def inputTypes(): Array[DataType] =
+      Array(IntegerType, keyType)
+    override def resultType(): DataType = IntegerType
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): Integer =
+      if (input.isNullAt(1)) null
+      else Int.box(bucketOf(input.get(1, keyType), keyType,
+        input.getInt(0)))
+  }
+
+  private object DaysUnbound extends UnboundFunction {
+    override def name(): String = "days"
+    override def description(): String =
+      "days(ts): UTC day ordinal of a timestamp/date"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.length == 1 &&
+        daysCapable(inputType.fields(0).dataType),
+        s"days expects (TIMESTAMP|TIMESTAMP_NTZ|DATE), got " +
+          inputType.catalogString)
+      new DaysBound(inputType.fields(0).dataType)
+    }
+  }
+  private final class DaysBound(srcType: DataType)
+      extends ScalarFunction[Integer] {
+    override def name(): String = "days"
+    override def canonicalName(): String =
+      s"graft.days(${srcType.catalogString})"
+    override def inputTypes(): Array[DataType] = Array(srcType)
+    override def resultType(): DataType = DateType
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): Integer =
+      if (input.isNullAt(0)) null
+      else srcType match {
+        case DateType => Int.box(input.getInt(0))
+        case _ => Int.box(microsToDays(input.getLong(0)))
+      }
+  }
+}
+
 private[sources] object GraftLakeReaders {
   /** Per-field extractor from a stored row: reads slot `i` as the
     * file's PHYSICAL type and widens to the current logical type when
@@ -767,10 +1008,14 @@ final case class GraftLakeSnapshot(files: Vector[GraftLakeFile],
   * in miniature — each task commit message becomes one new file, the way
   * a real task writes one parquet file). */
 class GraftLakeTable(tableName: String, tableSchema: StructType,
-    partCols: Seq[String] = Nil, mergeOnRead: Boolean = false,
+    partSpec: Seq[GraftPartTransform] = Nil, mergeOnRead: Boolean = false,
     storage: String = "memory")
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  // partition SOURCE columns (what DROP/retype guards protect; for
+  // identity transforms this is the partition column itself)
+  private val partCols: Seq[String] = partSpec.map(_.srcCol)
 
   // `graft.storage = parquet`: file groups land as REAL parquet files
   // under a per-table temp dir; driver state keeps only paths + DVs —
@@ -875,8 +1120,14 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           val defaulted = Option(add.defaultValue()) match {
             case Some(d) =>
               defs += next -> d.getValue.value
-              val sql = Option(d.getSql)
-                .getOrElse(String.valueOf(d.getValue.value))
+              // fallback renders through catalyst Literal.sql — TYPE-AWARE
+              // quoting (UTF8String 'legacy' → 'legacy', not bare legacy):
+              // the stamped text is re-parsed by the analyzer for INSERT
+              // default fill, so an unquoted string would mis-parse
+              // (ADVICE r13)
+              val sql = Option(d.getSql).getOrElse(
+                org.apache.spark.sql.catalyst.expressions.Literal(
+                  d.getValue.value, d.getValue.dataType).sql)
               StructField(add.fieldNames()(0), add.dataType(),
                 nullable = true)
                 .withExistenceDefaultValue(sql)
@@ -929,6 +1180,14 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       colIds = ids
       nextColId = next
       colDefaults = defs
+      // ALTER TABLE is a COMMIT (dataChange = false: the relation's
+      // data is untouched, the change feed stays silent) — exactly
+      // Delta's metadata commits. Recording it is what gives time
+      // travel a version boundary to pin the OLD schema at: VERSION AS
+      // OF any pre-ALTER version now resolves that version's schema
+      // (see [[schemaInfoAt]]), instead of serving current columns over
+      // old data (ADVICE r13).
+      recordCommit(dataChange = false)
     }
   // COMMIT HISTORY: snapshot after every commit, version = index. The
   // `dataChange` flag mirrors Delta's: maintenance commits (DV
@@ -945,6 +1204,15 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
   // resolution and the .history table's timestamp column
   private var commitTimes: Vector[Long] =
     Vector(System.currentTimeMillis())
+  // per-commit SCHEMA record (schema, field ids, exists-defaults),
+  // index-aligned with `history`: time travel resolves a version's
+  // columns through the schema that version was committed under, so a
+  // post-DROP pin still serves the dropped column and a post-ADD pin
+  // does NOT back-fill the new one (the Delta/Iceberg snapshot-schema
+  // contract, ADVICE r13). Entries share references — O(1) per commit.
+  private var commitSchemas
+      : Vector[(StructType, Vector[Int], Map[Int, Any])] =
+    Vector((tableSchema, tableSchema.indices.toVector, Map.empty))
   private def recordCommit(dataChange: Boolean): Unit = {
     history = history :+ (GraftLakeSnapshot(files, dvs), dataChange)
     // clamped monotonic: a wall clock stepping backwards (NTP, VM
@@ -952,6 +1220,22 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     // (Delta stamps the same way)
     commitTimes = commitTimes :+
       math.max(System.currentTimeMillis(), commitTimes.last)
+    commitSchemas = commitSchemas :+ ((schemaNow, colIds, colDefaults))
+  }
+
+  /** The (schema, field ids, exists-defaults) a RETAINED version was
+    * committed under — what a pinned read resolves through. */
+  private[sources] def schemaInfoAt(
+      v: Int): (StructType, Vector[Int], Map[Int, Any]) = synchronized {
+    require(v >= baseVersion && v - baseVersion < commitSchemas.length,
+      s"version $v out of range [$baseVersion, ${currentVersion}] " +
+        s"for $tableName" +
+        (if (baseVersion > 0) " (older versions were expired)" else ""))
+    commitSchemas(v - baseVersion)
+  }
+  private[sources] def idToNameAt(v: Int): Map[Int, String] = {
+    val (sch, ids, _) = schemaInfoAt(v)
+    ids.zip(sch.fieldNames).map { case (id, n) => id -> n }.toMap
   }
 
   /** Latest committed version (0 = the empty table at creation). */
@@ -1043,6 +1327,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     val drop = math.max(0, history.length - keepLast)
     history = history.drop(drop)
     commitTimes = commitTimes.drop(drop)
+    commitSchemas = commitSchemas.drop(drop)
     baseVersion += drop
     // parquet storage: VACUUM — a data file referenced ONLY by expired
     // versions (e.g. the pre-compaction original) is dead storage; delete
@@ -1053,8 +1338,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     // and so does a file pinned by an active row-level operation.
     lakeDir.foreach { dir =>
       val live = (history.flatMap(_._1.files) ++ files)
-        .flatMap(_.path).toSet ++
-        pinnedPaths.values().asScala.flatten
+        .flatMap(_.path).toSet ++ livePinnedPaths()
       Option(dir.listFiles()).getOrElse(Array.empty)
         .filterNot(f => live.contains(f.getAbsolutePath))
         .foreach(_.delete())
@@ -1064,20 +1348,40 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
 
   // data-file paths pinned by in-flight row-level operations: registered
   // when the operation's write is built, released at commit/abort — the
-  // vacuum above must not unlink a file the operation's scan still reads
+  // vacuum above must not unlink a file the operation's scan still reads.
+  // Each pin carries its REGISTRATION TIME: a query that dies after
+  // planning without ever reaching commit/abort would otherwise leak its
+  // pin for the table's lifetime, permanently shielding dead files from
+  // vacuum (ADVICE r13) — pins older than [[GraftLakeTable.PinStaleMillis]]
+  // are treated as abandoned and dropped at the next vacuum.
   private val pinnedPaths =
-    new ConcurrentHashMap[AnyRef, Set[String]]()
+    new ConcurrentHashMap[AnyRef, (Long, Set[String])]()
+  private def livePinnedPaths(): Set[String] = {
+    val cutoff = System.currentTimeMillis() - GraftLakeTable.PinStaleMillis
+    val it = pinnedPaths.entrySet().iterator()
+    val live = Set.newBuilder[String]
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue._1 < cutoff) it.remove() // abandoned: reap the pin
+      else live ++= e.getValue._2
+    }
+    live.result()
+  }
   private[graft] def pinPaths(s: GraftLakeSnapshot): () => Unit = {
     val ps = s.files.flatMap(_.path).toSet
     if (ps.isEmpty) () => ()
     else {
       val token = new AnyRef
-      pinnedPaths.put(token, ps)
+      pinnedPaths.put(token, (System.currentTimeMillis(), ps))
       () => { pinnedPaths.remove(token); () }
     }
   }
   /** Test hook: how many operations currently pin paths. */
   private[graft] def pinnedOpCount: Int = pinnedPaths.size()
+  /** Test hook: age a pin artificially so the staleness reaper is
+    * testable without a wall-clock wait. */
+  private[graft] def agePins(byMillis: Long): Unit =
+    pinnedPaths.replaceAll((_, v) => (v._1 - byMillis, v._2))
 
   /** Rewrite the whole table RANGE-CLUSTERED by `colNames`: all live
     * rows, normalized to the current schema, sorted by the cluster key
@@ -1122,7 +1426,11 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       .sortBy(_._1)(ord).map(_._2)
     val n = math.min(targetFiles.toLong, math.max(1L, sorted.length.toLong))
     val chunk = math.max(1L, math.ceil(sorted.length.toDouble / n).toLong)
-    files = mkFiles(sorted.grouped(chunk.toInt).toVector)
+    // stamp the cluster key's field ids as the files' SORT ORDER: each
+    // output file is an ascending run, which the scan reports through
+    // SupportsReportOrdering so downstream sorts on the key are elided
+    val sortIds = colNames.map(c => colIds(names.indexOf(c)))
+    files = mkFiles(sorted.grouped(chunk.toInt).toVector, sortIds)
     dvs = Map.empty
     recordCommit(dataChange = false) // maintenance: relation unchanged
     (before, files.length)
@@ -1136,8 +1444,62 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     ids.size
   }
 
-  private def mkFiles(
-      batches: Vector[Vector[InternalRow]]): Vector[GraftLakeFile] =
+  /** BIN-PACKING small-file compaction (Iceberg `rewrite_data_files`
+    * binpack strategy, VERDICT r13 task 2): coalesce fragmented files
+    * toward `targetRows` rows per output file in ONE maintenance commit
+    * (`dataChange = false` — the relation is unchanged, the change feed
+    * stays silent, `.files` shows the shrunken inventory, stats/nulls/
+    * sums are freshly collected per output file). Candidates are files
+    * below the target or carrying a deletion vector (packing clears the
+    * DV — the same read-debt amortization [[compactFile]] does, but
+    * batched). Files are packed ONLY within their schema GENERATION
+    * (identical cols+types manifests — the mkFiles-vs-rewriteFile
+    * lesson: rows keep their write-time layout, and stamping them under
+    * another generation's manifest would serve values under wrong field
+    * ids). Returns (files before, files after); a no-op packs nothing
+    * and commits nothing (idempotent). At cluster scale each bin is one
+    * task's rewrite — no global sort, no shuffle, cost ∝ bytes in
+    * undersized files. */
+  private[sources] def compactFiles(targetRows: Long): (Int, Int) =
+    synchronized {
+      require(targetRows >= 1, s"target_rows must be >= 1, got $targetRows")
+      val snap = GraftLakeSnapshot(files, dvs)
+      def liveCount(f: GraftLakeFile): Long =
+        f.numRows - snap.dvs.getOrElse(f.id, Set.empty).size
+      val before = files.length
+      // pack within each (cols, types) generation, keeping file order
+      val packedIds = Set.newBuilder[String]
+      val packedOut = Vector.newBuilder[GraftLakeFile]
+      files.groupBy(f => (f.cols, f.types)).foreach { case (_, gen) =>
+        val candidates = gen.filter(f =>
+          liveCount(f) < targetRows ||
+            snap.dvs.getOrElse(f.id, Set.empty).nonEmpty)
+        // one DV-free candidate has nothing to merge with — leave it
+        // (compacting a lone small file is pure write amplification)
+        val worthIt = candidates.length > 1 ||
+          candidates.exists(f => snap.dvs.getOrElse(f.id, Set.empty).nonEmpty)
+        if (candidates.nonEmpty && worthIt) {
+          val donor = candidates.head
+          val rows = candidates.flatMap(snap.liveRows)
+          packedIds ++= candidates.map(_.id)
+          rows.grouped(targetRows.toInt).foreach { chunk =>
+            packedOut ++= rewriteFile(donor, chunk.toVector)
+          }
+        }
+      }
+      val gone = packedIds.result()
+      if (gone.isEmpty) (before, before)
+      else {
+        files = files.filterNot(f => gone.contains(f.id)) ++
+          packedOut.result()
+        dvs = dvs.filterNot { case (id, _) => gone.contains(id) }
+        recordCommit(dataChange = false) // maintenance: relation unchanged
+        (before, files.length)
+      }
+    }
+
+  private def mkFiles(batches: Vector[Vector[InternalRow]],
+      sortedBy: Seq[Int] = Nil): Vector[GraftLakeFile] =
     batches.filter(_.nonEmpty).map { rows =>
       fileSeq += 1
       // stamp the CURRENT column ids: rows were written under them. A
@@ -1155,6 +1517,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       val stats = GraftLakeStats.collect(rows, colIds, types)
       val nulls = GraftLakeStats.nullCounts(rows, colIds)
       val sums = GraftLakeStats.intSums(rows, colIds, types)
+      val dsums = GraftLakeStats.decSums(rows, colIds, types)
       lakeDir match {
         case Some(dir) =>
           val p = new java.io.File(dir, s"f$fileSeq.parquet")
@@ -1162,13 +1525,14 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           val bytes = GraftParquetIO.write(p,
             schemaNow.fieldNames.toSeq, types, rows)
           GraftLakeFile(id, Vector.empty, colIds, Some(p), types, bytes,
-            stats, rows.length.toLong, nulls, sums)
+            stats, rows.length.toLong, nulls, sums, dsums, sortedBy)
         // memory files record their write-time types too: compaction
         // rewrites and type-widened scans both need the file's PHYSICAL
         // layout, which the current schema no longer describes after an
         // ALTER (ADVICE r12)
         case None => GraftLakeFile(id, rows, colIds, types = types,
-          stats = stats, nulls = nulls, sums = sums)
+          stats = stats, nulls = nulls, sums = sums, dsums = dsums,
+          sortedBy = sortedBy)
       }
     }
 
@@ -1272,6 +1636,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       val stats = GraftLakeStats.collect(rows, f.cols, f.types)
       val nulls = GraftLakeStats.nullCounts(rows, f.cols)
       val sums = GraftLakeStats.intSums(rows, f.cols, f.types)
+      val dsums = GraftLakeStats.decSums(rows, f.cols, f.types)
       Vector(lakeDir match {
         case Some(dir) =>
           val p = new java.io.File(dir, s"f$fileSeq.parquet")
@@ -1282,16 +1647,16 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
             idToName.getOrElse(cid, s"_dropped_$cid"))
           val bytes = GraftParquetIO.write(p, names, f.types, rows)
           GraftLakeFile(id, Vector.empty, f.cols, Some(p), f.types, bytes,
-            stats, rows.length.toLong, nulls, sums)
+            stats, rows.length.toLong, nulls, sums, dsums)
         case None => GraftLakeFile(id, rows, f.cols, types = f.types,
-          stats = stats, nulls = nulls, sums = sums)
+          stats = stats, nulls = nulls, sums = sums, dsums = dsums)
       })
     }
 
   override def name(): String = tableName
   override def schema(): StructType = synchronized(schemaNow)
   override def partitioning(): Array[Transform] =
-    partCols.map(Expressions.identity).toArray
+    partSpec.map(_.toV2).toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
@@ -1338,10 +1703,27 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
         new GraftLakeChangeFeedScanBuilder(
           historySlice(lo, hi), lo, schema(), idToName, defaults)
       case _ =>
+        // NOTE the read-OPTION spelling of time travel serves the
+        // CURRENT schema over the old snapshot: the analyzer binds the
+        // relation's columns from the Table BEFORE options reach this
+        // builder, so a per-version schema here would skew scan output
+        // against the analyzed plan. The SQL `VERSION/TIMESTAMP AS OF`
+        // spelling resolves a [[GraftLakePinnedTable]] instead, whose
+        // TABLE schema is the version's own — use that for
+        // schema-faithful travel across ALTERs.
         new GraftLakeScanBuilder(
-          asOf.map(snapshotAt).getOrElse(snapshot), schema(), partCols,
+          asOf.map(snapshotAt).getOrElse(snapshot), schema(), partSpec,
           None, () => fileIds.toSet, idToName, defaults)
     }
+  }
+
+  /** Scan builder pinned at `v` resolving through the VERSION's schema
+    * triple — the [[GraftLakePinnedTable]] read path. */
+  private[sources] def scanBuilderAt(v: Int): ScanBuilder = {
+    val (sch, ids, defs) = schemaInfoAt(v)
+    new GraftLakeScanBuilder(snapshotAt(v), sch, partSpec, None,
+      () => fileIds.toSet,
+      ids.zip(sch.fieldNames).map { case (id, n) => id -> n }.toMap, defs)
   }
 
   // ---- plain write path (append / truncate-overwrite) ---------------------
@@ -1387,7 +1769,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       override def representUpdateAsDeleteAndInsert(): Boolean = true
       override def newScanBuilder(
           options: CaseInsensitiveStringMap): ScanBuilder =
-        new GraftLakeScanBuilder(snap, opSchema, partCols, None,
+        new GraftLakeScanBuilder(snap, opSchema, partSpec, None,
           () => fileIds.toSet, opIds, opDefaults)
       override def newWriteBuilder(
           info: LogicalWriteInfo): DeltaWriteBuilder =
@@ -1417,7 +1799,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
         Array(Expressions.column(GraftLakeTable.FileCol))
       override def newScanBuilder(
           options: CaseInsensitiveStringMap): ScanBuilder =
-        new GraftLakeScanBuilder(snap, opSchema, partCols, Some(state),
+        new GraftLakeScanBuilder(snap, opSchema, partSpec, Some(state),
           () => fileIds.toSet, opIds, opDefaults)
       // group-based ReplaceData: the written set replaces exactly the
       // groups the (runtime-filtered) scan read. Spark 4.1 prepends a
@@ -1441,6 +1823,10 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
 }
 
 object GraftLakeTable {
+  /** Row-level-operation pins older than this are considered abandoned
+    * (planned but never committed/aborted) and reaped at vacuum time —
+    * sized far above any statement's real plan→commit latency. */
+  private[graft] val PinStaleMillis: Long = 60L * 60 * 1000
   private[sources] val FileCol = "_file"
   private[sources] val PosCol = "_pos"
   private[sources] object FileColumn extends MetadataColumn {
@@ -1483,7 +1869,7 @@ final class GroupScanState(allIds: Set[String]) {
   * may include the `_file` metadata column; readers synthesize it from
   * the file id. */
 class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
-    fullSchema: StructType, partCols: Seq[String],
+    fullSchema: StructType, partSpec: Seq[GraftPartTransform],
     rowLevel: Option[GroupScanState],
     currentIds: () => Set[String] = () => Set.empty,
     idToName: Map[Int, String] = Map.empty,
@@ -1570,7 +1956,7 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
   private def statsAggregate(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Seq[InternalRow])] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Avg, Count, CountStar, Max, Min, Sum}
     // row-level op scans never answer from metadata; a WHERE clause is
     // admissible ONLY when every predicate was claimed fully pushed
     // (every file decides it exactly) — then restricting to the
@@ -1720,6 +2106,43 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
       case LongType | org.apache.spark.sql.types.IntegerType => true
       case _ => false
     }
+    // SUM(decimal): Σ per-file exact BigDecimal sums — decimal addition
+    // is order-free like integers (the refused case stays DOUBLE, whose
+    // scan answer depends on addition order). Same refusal discipline:
+    // DV on a carrying file, missing manifest entry, or a total that
+    // does not fit Spark's decimal(p+10, s) sum type → scan. A file
+    // predating the column contributes default × live-rows; all-null →
+    // SQL NULL via the null counts.
+    def sumDecCol(fs: Vector[GraftLakeFile], id: Int,
+        rt: org.apache.spark.sql.types.DecimalType): Option[Any] = {
+      val dflt: Any = colDefaults.get(id).orNull
+      var total = java.math.BigDecimal.ZERO
+      var nonNull = 0L
+      fs.foreach { f =>
+        if (f.cols.contains(id)) {
+          if (snapshot.dvs.getOrElse(f.id, Set.empty).nonEmpty ||
+              !f.dsums.contains(id) || !f.nulls.contains(id))
+            return None
+          total = total.add(f.dsums(id))
+          nonNull += f.numRows - f.nulls(id)
+        } else dflt match {
+          case null => ()
+          case d: org.apache.spark.sql.types.Decimal =>
+            val live = f.numRows -
+              snapshot.dvs.getOrElse(f.id, Set.empty).size.toLong
+            total = total.add(d.toJavaBigDecimal
+              .multiply(java.math.BigDecimal.valueOf(live)))
+            nonNull += live
+          case _ => return None
+        }
+      }
+      if (nonNull == 0L) Some(null: Any)
+      else {
+        val dec = org.apache.spark.sql.types.Decimal(total)
+        if (dec.changePrecision(rt.precision, rt.scale)) Some(dec: Any)
+        else None // result overflows the SQL sum type: let the scan decide
+      }
+    }
     // per-aggregate (name, type, per-group evaluator), or bail out
     val aggCols: Seq[Option[(String, DataType,
         Vector[GraftLakeFile] => Option[Any])]] =
@@ -1739,10 +2162,35 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
           (s"MAX(${idToName(id)})", typeOf(id),
             (fs: Vector[GraftLakeFile]) => extreme(fs, id, takeMin = false)))
         case sm: Sum if !sm.isDistinct =>
-          colId(sm.column()).filter(integral).map(id =>
-            // Spark's Sum over int/long yields LONG
-            (s"SUM(${idToName(id)})", LongType: DataType,
-              (fs: Vector[GraftLakeFile]) => sumCol(fs, id)))
+          colId(sm.column()).flatMap(id => typeOf(id) match {
+            case LongType | org.apache.spark.sql.types.IntegerType =>
+              // Spark's Sum over int/long yields LONG
+              Some((s"SUM(${idToName(id)})", LongType: DataType,
+                (fs: Vector[GraftLakeFile]) => sumCol(fs, id)))
+            case d: org.apache.spark.sql.types.DecimalType =>
+              // Spark's Sum over decimal(p, s) yields decimal(p+10, s)
+              // capped at 38 — order-free exact arithmetic, pushable
+              val rt = org.apache.spark.sql.types.DecimalType(
+                math.min(38, d.precision + 10), d.scale)
+              Some((s"SUM(${idToName(id)})", rt: DataType,
+                (fs: Vector[GraftLakeFile]) => sumDecCol(fs, id, rt)))
+            case _ => None // DOUBLE refused: scan order-dependent
+          })
+        // AVG(integral) = the already-pushable SUM/COUNT pair, divided
+        // the way Spark's Average does (cast both to double) — any
+        // refusal in either leg refuses the AVG
+        case a: Avg if !a.isDistinct =>
+          colId(a.column()).filter(integral).map(id =>
+            (s"AVG(${idToName(id)})",
+              org.apache.spark.sql.types.DoubleType: DataType,
+              (fs: Vector[GraftLakeFile]) =>
+                sumCol(fs, id).zip(countCol(fs, id)).map {
+                  case (s, c) =>
+                    val cnt = c.asInstanceOf[Long]
+                    if (s == null || cnt == 0L) null
+                    else Double.box(
+                      s.asInstanceOf[Long].toDouble / cnt.toDouble)
+                }))
         case _ => None
       }
     if (aggCols.exists(_.isEmpty)) return None
@@ -1776,7 +2224,7 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
   override def build(): Scan = aggAnswer match {
     case Some((schema, rows)) => new GraftLakeAggScan(schema, rows)
     case None =>
-      new GraftLakeScan(snapshot, fullSchema, required, partCols, rowLevel,
+      new GraftLakeScan(snapshot, fullSchema, required, partSpec, rowLevel,
         currentIds, idToName, skipPreds.toSeq, colDefaults)
   }
 }
@@ -1837,14 +2285,15 @@ final case class GraftLakeAggPartition(rows: Vector[InternalRow])
   * data files directly and only regular reads ride the partition
   * grouping. Regular scans without metadata columns keep the SPJ path. */
 class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
-    requiredSchema: StructType, partCols: Seq[String],
+    requiredSchema: StructType, partSpec: Seq[GraftPartTransform],
     rowLevel: Option[GroupScanState],
     currentIds: () => Set[String] = () => Set.empty,
     idToName: Map[Int, String] = Map.empty,
     skipPreds: Seq[Predicate] = Nil,
     colDefaults: Map[Int, Any] = Map.empty)
     extends Scan with Batch with SupportsReportPartitioning
-    with SupportsRuntimeV2Filtering {
+    with SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   // EXISTS-defaults resolved to current names once at planning: what a
   // file that predates an `ADD COLUMN ... DEFAULT` serves for the column
@@ -1871,7 +2320,7 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
 
   // file-grained partitions whenever per-row file lineage is required;
   // keyed partitions interleave files and cannot synthesize _file/_pos
-  private val fileGrained = partCols.isEmpty || rowLevel.isDefined ||
+  private val fileGrained = partSpec.isEmpty || rowLevel.isDefined ||
     requiredSchema.fieldNames.exists(n =>
       n == GraftLakeTable.FileCol || n == GraftLakeTable.PosCol)
 
@@ -1952,7 +2401,7 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
   }
 
   private lazy val keyed: Array[(InternalRow, Vector[InternalRow])] = {
-    val idx = partCols.map(fullSchema.fieldIndex)
+    val idx = partSpec.map(t => fullSchema.fieldIndex(t.srcCol))
     val types = idx.map(fullSchema.fields(_).dataType)
     // keyed partitions interleave files, so rows are normalized to the
     // CURRENT schema here (default- or null-filling post-evolution
@@ -1966,8 +2415,12 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
         case Some(nz) => rows.map(nz)
       }
     }
+    // group by the TRANSFORMED key (identity: the value itself;
+    // days/bucket: the derived partition id) — hidden partitioning's
+    // read side: each distinct transform value is one input split
     active.flatMap(normalized)
-      .groupBy(r => idx.zip(types).map { case (i, t) => r.get(i, t) })
+      .groupBy(r => partSpec.indices.map(i =>
+        partSpec(i).eval(r.get(idx(i), types(i)), types(i))))
       .toArray
       // deterministic partition order; Spark re-sorts by grouped key
       // values when aligning the two sides of an SPJ
@@ -1978,9 +2431,75 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
   override def outputPartitioning(): Partitioning =
     if (fileGrained) new UnknownPartitioning(active.length.max(1))
     else new KeyGroupedPartitioning(
-      partCols.map(Expressions.identity).toArray[
+      partSpec.map(_.toV2).toArray[
         org.apache.spark.sql.connector.expressions.Expression],
       keyed.length)
+
+  /** Is the WHOLE scan globally ordered on its files' first sort
+    * column — partitions planned in file order, each an ascending run,
+    * consecutive ranges nondecreasing (manifest min/max), nulls (which
+    * sort first) confined to the leading files? Then concatenating the
+    * partitions in index order IS the globally sorted relation, and
+    * [[graft.plans.OrderedScanSortElision]] may drop a single-key
+    * global Sort (+ its range exchange) outright — the planner-visible
+    * payoff of `CALL system.cluster`. Stats bound dead (DV'd) rows too,
+    * so DV filtering cannot break the claim. */
+  private[graft] lazy val isGloballyOrdered: Boolean = {
+    if (!fileGrained || active.isEmpty) false
+    else {
+      val heads = active.map(_.sortedBy.headOption)
+      heads.forall(_.isDefined) && heads.distinct.length == 1 && {
+        val id = heads.head.get
+        active.forall(f => f.stats.contains(id) && f.nulls.contains(id)) && {
+          val nonNullIdx =
+            active.indices.filter(i => active(i).stats(id)._1 != null)
+          val allNullIdx =
+            active.indices.filterNot(nonNullIdx.contains)
+          // all-NULL files strictly precede every value-bearing file
+          val nullsFront =
+            allNullIdx.forall(i => nonNullIdx.forall(_ > i))
+          // only the FIRST value-bearing file may contain nulls
+          val innerNullsOk =
+            nonNullIdx.drop(1).forall(i => active(i).nulls(id) == 0L)
+          // consecutive ranges nondecreasing: min(next) >= max(prev)
+          val chain = nonNullIdx.map(active(_)).sliding(2).forall {
+            case Seq(a, b) =>
+              !GraftLakeStats.lt(b.stats(id)._1, a.stats(id)._2)
+            case _ => true
+          }
+          nullsFront && innerNullsOk && chain
+        }
+      }
+    }
+  }
+
+  /** Per-partition SORT ORDER (SupportsReportOrdering, VERDICT r13 task
+    * 4): each file-grained partition is one file, and files written by
+    * `CALL system.cluster` are ascending runs on the cluster key — the
+    * manifest records it ([[GraftLakeFile.sortedBy]]). Report the
+    * common sorted prefix across ALL active files (resolved to live,
+    * still-projected names) so a downstream per-partition sort on the
+    * key is ELIDED (RemoveRedundantSorts), and a single-partition
+    * global ORDER BY needs no sort at all. DV filtering and schema
+    * normalization both preserve row order, so the stamp survives them.
+    * Keyed (transform-partitioned) scans interleave files and report
+    * nothing. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    if (!fileGrained || active.isEmpty) return Array.empty
+    val runs = active.map(_.sortedBy)
+    if (runs.exists(_.isEmpty)) return Array.empty
+    val common = runs.reduce((a, b) =>
+      a.zip(b).takeWhile { case (x, y) => x == y }.map(_._1))
+    common.iterator
+      .map(id => idToName.get(id)) // a dropped sort id ends the prefix
+      .takeWhile(n => n.exists(requiredSchema.fieldNames.contains))
+      .flatten
+      .map(n => Expressions.sort(Expressions.column(n),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING,
+        org.apache.spark.sql.connector.expressions.NullOrdering.NULLS_FIRST))
+      .toArray
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
     if (fileGrained)
@@ -2100,11 +2619,13 @@ class GraftLakeFilesTable(parent: GraftLakeTable)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = () => {
     // time travel composes: the manifest AT a version is how a user
-    // audits what an AS-OF read would scan
-    val snap = Option(options.get("graft.snapshot-version"))
-      .map(v => parent.snapshotAt(v.trim.toInt))
-      .getOrElse(parent.snapshot)
-    val i2n = parent.idToName
+    // audits what an AS-OF read would scan — resolved through the
+    // VERSION's id→name mapping, so the audit shows the names that
+    // version actually served
+    val asOf = Option(options.get("graft.snapshot-version"))
+      .map(_.trim.toInt)
+    val snap = asOf.map(parent.snapshotAt).getOrElse(parent.snapshot)
+    val i2n = asOf.map(parent.idToNameAt).getOrElse(parent.idToName)
     val fileRows: Array[InternalRow] = snap.files.map { f =>
       val dead = snap.dvs.getOrElse(f.id, Set.empty).size.toLong
       // dropped ids surface readably instead of via the NUL sentinel
@@ -2136,23 +2657,30 @@ class GraftLakeFilesTable(parent: GraftLakeTable)
 }
 
 /** A read-only view of `parent` pinned at commit `version` — what
-  * `VERSION AS OF` resolves to. Scans inject the
-  * `graft.snapshot-version` option, so both AS-OF spellings share one
-  * snapshot-selection path (including scan-less aggregates over the
-  * pinned manifest). Writes are not a capability: time travel is a
-  * read. */
+  * `VERSION AS OF` / `TIMESTAMP AS OF` resolves to. The pin is
+  * SCHEMA-FAITHFUL: `schema()` is the schema the version was COMMITTED
+  * under (per-commit schema record), so a pre-ALTER pin still serves a
+  * since-dropped column and does not back-fill a since-added one — the
+  * Delta/Iceberg snapshot-schema contract (ADVICE r13). The scan rides
+  * [[GraftLakeTable.scanBuilderAt]] (same snapshot-selection machinery
+  * as the read-option spelling, including scan-less aggregates over the
+  * pinned manifest, but resolving names/defaults through the version's
+  * own triple). Writes are not a capability: time travel is a read. */
 class GraftLakePinnedTable(parent: GraftLakeTable, version: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsMetadataColumns {
   override def name(): String = s"${parent.name()}@v$version"
-  override def schema(): StructType = parent.schema()
+  override def schema(): StructType =
+    parent.schemaInfoAt(version.toInt)._1
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
+  // metadata columns delegate to the parent: `SELECT _file FROM t
+  // VERSION AS OF v` must resolve exactly like the read-option spelling
+  // of the same snapshot read (ADVICE r13)
+  override def metadataColumns(): Array[MetadataColumn] =
+    parent.metadataColumns()
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder = {
-    val merged = new java.util.HashMap[String, String](options)
-    merged.put("graft.snapshot-version", version)
-    parent.newScanBuilder(new CaseInsensitiveStringMap(merged))
-  }
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    parent.scanBuilderAt(version.toInt)
 }
 
 /** `<catalog>.<table>.history` — one row per RETAINED commit (Delta's
@@ -2641,7 +3169,7 @@ private[sources] object GraftLakeProcedures {
 
   val names: Seq[String] =
     Seq("rollback", "expire_versions", "expire_before", "compact",
-      "cluster")
+      "compact_files", "cluster")
 
   def byName(catalog: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -2677,6 +3205,20 @@ private[sources] object GraftLakeProcedures {
         override def run(t: GraftLakeTable, input: InternalRow)
             : Array[InternalRow] =
           Array(new GenericInternalRow(Array[Any](t.compactAll())))
+      })
+      // bin-pack undersized / DV'd files toward target_rows per output
+      // file, one silent maintenance commit — Iceberg's
+      // rewrite_data_files binpack strategy
+      case "compact_files" => Some(new Proc(catalog, "compact_files",
+        Array(in("table", StringType), in("target_rows", IntegerType)),
+        StructType(Seq(
+          StructField("files_before", IntegerType, nullable = false),
+          StructField("files_after", IntegerType, nullable = false)))) {
+        override def run(t: GraftLakeTable, input: InternalRow)
+            : Array[InternalRow] = {
+          val (b, a) = t.compactFiles(input.getInt(1).toLong)
+          Array(new GenericInternalRow(Array[Any](b, a)))
+        }
       })
       // expire every version committed before a wall-clock cutoff,
       // always keeping the latest — Iceberg's expire_snapshots

@@ -33,6 +33,9 @@ object GraftParquetIO {
   private def primSupported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | FloatType | BooleanType |
          StringType | DateType | TimestampType | TimestampNTZType => true
+    // money columns: unscaled-INT64 decimal (the parquet DECIMAL
+    // annotation for precision <= 18 — the common lakehouse encoding)
+    case d: DecimalType => d.precision <= 18
     case _ => false
   }
 
@@ -56,6 +59,8 @@ object GraftParquetIO {
       case TimestampType | TimestampNTZType => PTypes.optional(INT64)
         .as(LogicalTypeAnnotation.timestampType(false,
           LogicalTypeAnnotation.TimeUnit.MICROS))
+      case d: DecimalType if d.precision <= 18 => PTypes.optional(INT64)
+        .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
       case other => throw new UnsupportedOperationException(
         s"graft.storage=parquet cannot store ${other.sql}")
     }
@@ -104,6 +109,8 @@ object GraftParquetIO {
             g.add(i, Binary.fromConstantByteArray(r.getUTF8String(i).getBytes))
           case DateType => g.add(i, r.getInt(i))
           case TimestampType | TimestampNTZType => g.add(i, r.getLong(i))
+          case d: DecimalType =>
+            g.add(i, r.getDecimal(i, d.precision, d.scale).toUnscaledLong)
           case ArrayType(et, _) =>
             // one `list` entry group per element; a null element is an
             // entry with no `element` value (empty array = LIST group
@@ -124,6 +131,8 @@ object GraftParquetIO {
                 case DateType => entry.add(0, arr.getInt(j))
                 case TimestampType | TimestampNTZType =>
                   entry.add(0, arr.getLong(j))
+                case d: DecimalType => entry.add(0,
+                  arr.getDecimal(j, d.precision, d.scale).toUnscaledLong)
                 case _ => ()
               }
               j += 1
@@ -162,6 +171,8 @@ object GraftParquetIO {
                 UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
               case DateType => g.getInteger(i, 0)
               case TimestampType | TimestampNTZType => g.getLong(i, 0)
+              case d: DecimalType =>
+                Decimal(g.getLong(i, 0), d.precision, d.scale)
               case ArrayType(et, _) =>
                 val lg = g.getGroup(i, 0)
                 val n = lg.getFieldRepetitionCount(0)
@@ -182,6 +193,8 @@ object GraftParquetIO {
                       case DateType => entry.getInteger(0, 0)
                       case TimestampType | TimestampNTZType =>
                         entry.getLong(0, 0)
+                      case d: DecimalType =>
+                        Decimal(entry.getLong(0, 0), d.precision, d.scale)
                       case _ => null
                     }
                   j += 1

@@ -1859,4 +1859,291 @@ class LakehouseSpec extends SparkTestBase {
       "a committed row-level statement must release its snapshot pin")
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
+
+  test("an abandoned row-level pin is reaped by the staleness bound") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_stale_pin"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.mode' = 'merge-on-read', " +
+      "'graft.storage' = 'parquet')")
+    spark.range(0, 50).selectExpr("id AS k", "'a' AS s")
+      .coalesce(1).writeTo(t).append()
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_stale_pin").get
+    spark.sql(s"DELETE FROM $t WHERE k = 1")
+    val orphanToBe = table.filePaths.values.head
+    // simulate a query that died after planning: the pin is registered
+    // but commit/abort never runs, so release is never called
+    table.pinPaths(table.snapshot)
+    spark.sql(s"CALL graftlake.system.compact('spec_stale_pin')")
+    spark.sql(s"CALL graftlake.system.expire_versions('spec_stale_pin', 1)")
+    assert(new java.io.File(orphanToBe).isFile,
+      "a fresh pin still shields its files")
+    // age the pin past the staleness bound: the next vacuum reaps it
+    // (ADVICE r13 — a leaked pin must not shield dead files forever)
+    table.agePins(graft.sources.GraftLakeTable.PinStaleMillis + 1000)
+    spark.sql(s"CALL graftlake.system.expire_versions('spec_stale_pin', 1)")
+    assert(!new java.io.File(orphanToBe).exists(),
+      "a stale (abandoned) pin must be reaped and its orphan vacuumed")
+    assert(table.pinnedOpCount == 0, "the reaped pin is gone")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("SQL time travel pins the version's SCHEMA across ALTERs") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_tt_schema"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING)")       // v0
+    spark.sql(s"INSERT INTO $t VALUES (1, 'one'), (2, 'two')") // v1
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (c STRING DEFAULT 'd')") // v2
+    spark.sql(s"INSERT INTO $t VALUES (3, 'three', 'live')")  // v3
+    spark.sql(s"ALTER TABLE $t DROP COLUMN s")                // v4
+    // a pre-ADD pin serves the v1 schema: s present, c ABSENT (no
+    // back-fill of later columns — Delta/Iceberg snapshot-schema)
+    val v1 = spark.sql(s"SELECT * FROM $t VERSION AS OF 1")
+    assert(v1.columns.toSeq == Seq("k", "s"),
+      s"v1 pins the pre-ALTER schema, got ${v1.columns.toSeq}")
+    assert(v1.orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "one"), (2L, "two")))
+    // a post-ADD pre-DROP pin serves all three columns, with the
+    // exists-default filled for pre-ADD files
+    val v3 = spark.sql(s"SELECT * FROM $t VERSION AS OF 3")
+    assert(v3.columns.toSeq == Seq("k", "s", "c"))
+    assert(v3.orderBy("k").collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((1L, "one", "d"), (2L, "two", "d"), (3L, "three", "live")))
+    // the CURRENT table no longer has s; the pin still serves it
+    assert(spark.table(t).columns.toSeq == Seq("k", "c"))
+    // ALTER commits are metadata-only: dataChange = false in .history,
+    // and the change feed stays silent across them
+    val alters = spark.sql(s"SELECT version FROM $t.history " +
+      "WHERE NOT data_change ORDER BY version")
+      .collect().map(_.getInt(0)).toSeq
+    assert(alters == Seq(2, 4), s"ALTER versions are metadata commits: $alters")
+    // metadata columns resolve on a pinned read (ADVICE r13): the two
+    // per-task v1 files surface through _file
+    assert(spark.sql(s"SELECT DISTINCT _file FROM $t VERSION AS OF 1")
+      .collect().length == 2)
+    // an out-of-range version fails AT RESOLUTION, like a bad timestamp
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $t VERSION AS OF 9999")
+    }
+    assert(e.getMessage.contains("out of range"),
+      s"bad version must fail at resolution: ${e.getMessage}")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("cluster's sort order is reported and redundant sorts are elided") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_report_order"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v DOUBLE)")
+    for (b <- 0 until 4) // interleaved: nothing is sorted yet
+      spark.range(0, 400).filter(s"id % 4 = $b")
+        .selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+        .coalesce(1).writeTo(t).append()
+    // "Sort [" is the SortExec node's render; SortMergeJoin prints
+    // "SortMergeJoin [" and never matches
+    def sorted(df: org.apache.spark.sql.DataFrame): Boolean = {
+      df.collect()
+      df.queryExecution.executedPlan.toString.contains("Sort [")
+    }
+    // pre-cluster: a per-partition sort must really sort
+    assert(sorted(spark.table(t).sortWithinPartitions("k")),
+      "unsorted files cannot elide a sort")
+    // cluster to 8 ascending runs: per-partition sorts on the key are
+    // redundant and elided via the reported ordering; the GLOBAL
+    // ORDER BY is elided too — the manifest certifies disjoint
+    // nondecreasing ranges in partition order, so concatenation IS the
+    // sorted relation (OrderedScanSortElision drops Sort + exchange)
+    spark.sql(s"CALL graftlake.system.cluster('spec_report_order', 'k', 8)")
+    assert(!sorted(spark.table(t).sortWithinPartitions("k")),
+      "clustered runs must elide the per-partition sort")
+    val q8 = spark.table(t).orderBy("k")
+    assert(!sorted(q8),
+      "a global ORDER BY over disjoint clustered runs must plan no Sort")
+    val ks8 = q8.collect().map(_.getLong(0)).toSeq
+    assert(ks8 == ks8.sorted && ks8.length == 400, "result stays ordered")
+    // scope guard: a multi-key ORDER BY still sorts (a key tie spanning
+    // two files could order the secondary column across partitions
+    // arbitrarily — the manifest cannot certify it)
+    assert(sorted(spark.table(t).orderBy("k", "v")),
+      "multi-key global ORDER BY must keep its Sort")
+    // cluster to ONE file: same elision in the degenerate case
+    spark.sql(s"CALL graftlake.system.cluster('spec_report_order', 'k', 1)")
+    val q = spark.table(t).orderBy("k")
+    assert(!sorted(q), "single-run ORDER BY must plan no Sort node")
+    val ks = q.collect().map(_.getLong(0)).toSeq
+    assert(ks == ks.sorted && ks.length == 400, "result stays ordered")
+    // an ordinary append is an unsorted file: the report withdraws
+    spark.sql(s"INSERT INTO $t VALUES (999, 1.0)")
+    assert(sorted(spark.table(t).sortWithinPartitions("k")),
+      "a fresh unsorted file must withdraw the ordering report")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("AVG and DECIMAL SUM answer from manifests with the refusal discipline") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_agg_avgdec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (st STRING, qty INT, " +
+      "price DECIMAL(12,2), d DOUBLE) " +
+      "TBLPROPERTIES ('graft.mode' = 'merge-on-read')")
+    // two single-valued stripes (what a partition-keyed writer lands)
+    for (s <- Seq("A", "B"))
+      spark.range(0, 100).selectExpr(s"'$s' AS st", "CAST(id AS INT) AS qty",
+        "CAST(CAST(id AS DECIMAL(10,2)) * 1.50 AS DECIMAL(12,2)) AS price",
+        "CAST(id AS DOUBLE) AS d")
+        .coalesce(1).writeTo(t).append()
+    def plan(q: String): String =
+      spark.sql(q).queryExecution.executedPlan.toString
+    // AVG(integral) pushes: the SUM/COUNT pair divided like Spark's
+    // Average (sum 0..99 = 4950 over 100 rows → 49.5)
+    val qa = s"SELECT avg(qty) AS a FROM $t"
+    assert(plan(qa).contains("GraftLakeAggScan"),
+      s"AVG(int) must answer from manifests:\n${plan(qa)}")
+    assert(spark.sql(qa).head().getDouble(0) == 49.5)
+    // SUM(decimal) pushes exactly: 2 * 1.5 * 4950 = 14850.00
+    val qs = s"SELECT sum(price) AS s FROM $t"
+    assert(plan(qs).contains("GraftLakeAggScan"),
+      s"SUM(decimal) must answer from manifests:\n${plan(qs)}")
+    assert(spark.sql(qs).head().getDecimal(0)
+      .compareTo(new java.math.BigDecimal("14850.00")) == 0)
+    // grouped over single-valued files: per-stripe AVG + decimal SUM
+    val qg = s"SELECT st, avg(qty) AS a, sum(price) AS s FROM $t " +
+      "GROUP BY st ORDER BY st"
+    assert(plan(qg).contains("GraftLakeAggScan"))
+    assert(spark.sql(qg).collect().map(r => (r.getString(0),
+      r.getDouble(1), r.getDecimal(2).toPlainString)).toSeq ==
+      Seq(("A", 49.5, "7425.00"), ("B", 49.5, "7425.00")))
+    // DOUBLE stays refused: scan answers depend on addition order
+    assert(!plan(s"SELECT sum(d) AS s FROM $t").contains("GraftLakeAggScan"),
+      "SUM(double) must never answer from manifests")
+    assert(!plan(s"SELECT avg(d) AS a FROM $t").contains("GraftLakeAggScan"),
+      "AVG(double) must never answer from manifests")
+    // a deletion vector on a carrying file refuses BOTH (dead rows are
+    // inside the recorded sums) — and the scan still answers exactly
+    spark.sql(s"DELETE FROM $t WHERE st = 'A' AND qty = 99")
+    assert(!plan(qs).contains("GraftLakeAggScan"),
+      "a DV on a carrying file must refuse the decimal-sum pushdown")
+    assert(!plan(qa).contains("GraftLakeAggScan"),
+      "a DV on a carrying file must refuse the AVG pushdown")
+    assert(spark.sql(qs).head().getDecimal(0)
+      .compareTo(new java.math.BigDecimal("14701.50")) == 0)
+    assert(spark.sql(qa).head().getDouble(0) ==
+      (4950.0 + 4950.0 - 99.0) / 199.0)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("bin-packing compaction: one silent commit, lossless, generation-scoped") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_binpack"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.mode' = 'merge-on-read')")
+    // 64 fragment appends: one 1-row file each (the streaming-ingest
+    // small-file pathology this maintenance exists for)
+    for (i <- 0 until 60)
+      spark.sql(s"INSERT INTO $t VALUES ($i, 'x$i')")
+    // an ALTER creates a SECOND schema generation; post-ALTER fragments
+    // must never pack under a pre-ALTER manifest
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (extra BIGINT)")
+    for (i <- 60 until 64)
+      spark.sql(s"INSERT INTO $t VALUES ($i, 'x$i', ${i * 10})")
+    // a deletion vector on one fragment: packing absorbs it
+    spark.sql(s"DELETE FROM $t WHERE k = 5")
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_binpack").get
+    assert(table.fileIds.length == 64, "fixture: 64 fragment files")
+    assert(table.deletionVectors.nonEmpty, "fixture: one DV")
+    val vBefore = table.currentVersion
+    val res = spark.sql(
+      s"CALL graftlake.system.compact_files('spec_binpack', 30)").head()
+    assert(res.getInt(0) == 64, "64 files before")
+    // 59 live pre-ALTER rows pack into ceil(60/30) = 2 files; the 4
+    // post-ALTER rows pack into 1 — generations never mix
+    assert(res.getInt(1) == 3, s"expected 3 packed files, got $res")
+    assert(table.fileIds.length == 3)
+    assert(table.deletionVectors.isEmpty, "packing clears the DV")
+    // ONE maintenance commit, invisible to the change feed
+    assert(table.currentVersion == vBefore + 1, "exactly one commit")
+    assert(spark.read
+      .option("graft.changes.from", vBefore.toString)
+      .option("graft.changes.to", table.currentVersion.toString)
+      .table(t).count() == 0,
+      "a maintenance commit must be silent in the change feed")
+    // lossless: 63 live rows, content intact across both generations
+    assert(spark.table(t).count() == 63)
+    assert(spark.table(t).where("k = 5").count() == 0, "the DV'd row stays dead")
+    assert(spark.table(t).where("extra IS NOT NULL").count() == 4)
+    assert(spark.table(t).agg(org.apache.spark.sql.functions.sum("k"))
+      .head().getLong(0) == (0 until 64).sum - 5)
+    // idempotent: a second call packs nothing and commits nothing
+    val again = spark.sql(
+      s"CALL graftlake.system.compact_files('spec_binpack', 30)").head()
+    assert(again.getInt(0) == again.getInt(1),
+      "re-running on a packed table is a no-op")
+    assert(table.currentVersion == vBefore + 1, "no empty commit")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("hidden partitioning: days()/bucket() transforms key the scan") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_hidden_part"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    // the Iceberg hidden-partitioning contract: the partition key is
+    // DERIVED (days(ts), bucket(4, k)) — no user-maintained column
+    spark.sql(s"CREATE TABLE $t (ts TIMESTAMP_NTZ, k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (days(ts), bucket(4, k))")
+    // day-aligned appends (one file per day, the arrival pattern a
+    // date-partitioned writer produces) so file stats can prune on ts
+    for (d <- 0 until 3)
+      spark.range(0, 40)
+        .selectExpr(
+          s"timestamp_ntz'2024-03-0${d + 1} 00:00:00' + " +
+            "make_interval(0,0,0,0,0,0,id*60) AS ts",
+          "id AS k", "CAST(id AS DOUBLE) / 2 AS v")
+        .coalesce(1).writeTo(t).append()
+    // relation correctness through the keyed (transform-grouped) scan
+    assert(spark.table(t).count() == 120)
+    assert(spark.table(t).agg(sum("k")).head().getLong(0) == 3 * 780L)
+    // the scan is keyed by the TRANSFORM values: 3 days x 4 buckets
+    val scan = spark.table(t).queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2
+        .BatchScanExec => b
+    }.get
+    assert(scan.inputRDD.getNumPartitions == 12,
+      "3 days x 4 buckets = 12 keyed partitions")
+    scan.outputPartitioning match {
+      case p: org.apache.spark.sql.catalyst.plans.physical
+          .KeyGroupedPartitioning =>
+        assert(p.expressions.length == 2,
+          s"both transforms reported: ${p.expressions}")
+      case other => fail(s"expected KeyGroupedPartitioning, got $other")
+    }
+    // HIDDEN pruning: a plain ts predicate prunes day files via min/max
+    // stats — the user never mentions the partition transform
+    assert(spark.table(t)
+      .where("ts >= timestamp_ntz'2024-03-03 00:00:00'")
+      .rdd.getNumPartitions <= 4,
+      "a ts range predicate must prune to the covering day's buckets")
+    // row-level SQL works over a transform-partitioned table (falls
+    // back to file-grained scans for the operation itself)
+    spark.sql(s"UPDATE $t SET v = -1.0 WHERE k = 7")
+    assert(spark.table(t).where("v = -1.0").count() == 3)
+    // DROP/retype of a transform SOURCE column refuses (the partition
+    // derivation would dangle)
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t DROP COLUMN ts")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }

@@ -99,6 +99,50 @@ class PlanSpec extends SparkTestBase {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("SPJ rides bucket() TRANSFORM partitioning with zero exchanges") {
+    // hidden-partitioned SPJ (VERDICT r13 task 1): both tables are
+    // PARTITIONED BY (bucket(8, key)) — no user-maintained bucket
+    // column — and the scans report KeyGroupedPartitioning over the
+    // bucket TransformExpression, resolved through the catalog's
+    // FunctionCatalog. The join on the SOURCE column plans with no
+    // hash exchange on either side.
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val tA = "graftlake.spj_tf_a"
+    val tB = "graftlake.spj_tf_b"
+    val pinned = Map(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = pinned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    pinned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      Seq(tA, tB).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      spark.sql(s"CREATE TABLE $tA (k BIGINT, a DOUBLE) " +
+        "PARTITIONED BY (bucket(8, k))")
+      spark.sql(s"CREATE TABLE $tB (k BIGINT, b STRING) " +
+        "PARTITIONED BY (bucket(8, k))")
+      spark.range(0, 400).selectExpr("id AS k", "CAST(id AS DOUBLE) AS a")
+        .writeTo(tA).append()
+      spark.range(0, 400, 2).selectExpr("id AS k", "concat('x', id) AS b")
+        .writeTo(tB).append()
+      val joined = spark.table(tA).join(spark.table(tB), "k")
+      val p = plan(joined)
+      assert(p.contains("SortMergeJoin"),
+        s"expected a shuffled-shape join:\n$p")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucket-transform SPJ must not shuffle either side:\n$p")
+      assert(joined.count() == 200, "SPJ result stays exact")
+    } finally {
+      prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      Seq(tA, tB).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("SQL table function decorrelates to one equi-join, filters inferred") {
     val p = plan(run("sql_table_function"))
     assert(p.contains("BroadcastHashJoin"),

@@ -538,6 +538,32 @@ object PropertySpec extends Properties("graft.kernels") {
       if (overflow) got.isEmpty else got.contains(acc.toLong)
     }
 
+  // Manifest DECIMAL sums (r14): collection is UNBOUNDED BigDecimal —
+  // exact and never refused (overflow handling moves to the pushdown's
+  // fit-check against decimal(p+10, s)); the recorded sum must equal
+  // the arbitrary-precision reference fold over non-null values
+  private val decVals: Gen[List[Option[Long]]] =
+    Gen.listOfN(12, Gen.option(Gen.oneOf(
+      Gen.choose(-100000L, 100000L),
+      Gen.oneOf(999999999999L, -999999999999L, 0L))))
+
+  property("decSums equals the exact BigDecimal fold over non-nulls") =
+    Prop.forAll(decVals) { vals =>
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.types.{Decimal, DecimalType}
+      val dt = DecimalType(12, 2)
+      val rows = vals.map(v => new GenericInternalRow(
+        Array[Any](v.map(u => Decimal(u, 12, 2)).orNull)): InternalRow)
+        .toVector
+      val got = graft.sources.GraftLakeStats
+        .decSums(rows, Seq(4), Seq(dt)).get(4)
+      val ref = vals.flatten
+        .map(u => java.math.BigDecimal.valueOf(u, 2))
+        .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+      got.exists(_.compareTo(ref) == 0)
+    }
+
   // A file that predates `ADD COLUMN ... DEFAULT` serves the default
   // for EVERY row — the stats layer must treat the absent column as
   // single-valued at the default, not as all-NULL (r13 review bug:
