@@ -169,8 +169,16 @@ object Bench {
     val errs = if (failed.isEmpty) "" else failed
       .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString(""""errors":{""", ",", "},")
+    // per-query EXECUTOR time next to the wall time (VERDICT r13 task
+    // 7): wall ≫ exec at identical task counts is the established
+    // host-contention signature, so shipping exec_ms in the bench JSON
+    // itself lets a reader adjudicate a noisy wall reading without
+    // opening the trace file
+    val execMs = results.map { case (k, _) =>
+      s"\"" + k + "\":" + Option(qstats.get(k)).map(_.execMs.get).getOrElse(0L)
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec",$partial$errs"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec",$partial$errs"queries":$qs,"per_query_exec_ms":$execMs,"sf":"$sfDir"}"""
     // the bare println proved losable to sbt log interleaving/truncation in
     // round 1 ("parsed": null) — emit the line under a unique grep-able
     // marker AND persist it to a file so the round's number can't be lost.
