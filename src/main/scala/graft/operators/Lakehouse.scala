@@ -926,6 +926,76 @@ object Lakehouse {
       .orderBy("event_type"), t)
   }
 
+  /** WRITE-AUDIT-PUBLISH over snapshot refs (VERDICT r13 task 5) — the
+    * Iceberg branch/tag surface: `create_tag` names the audited-good
+    * production version (retention keeps it), `create_branch` forks an
+    * audit branch at the main head, `.option("graft.branch", ...)`
+    * appends STAGE the new batch on it (two commits, INVISIBLE to main —
+    * no version number even exists for them yet), `VERSION AS OF
+    * 'audit'` is the audit read, and `fast_forward` publishes the staged
+    * commits onto main in order. The result pins all three mechanisms
+    * at once: the published relation (init ∪ staged), `pre_publish_n`
+    * (main's row count taken AFTER staging — must still be the initial
+    * load: staged commits are invisible), and `tag_n` (the tagged
+    * version read back after publish — time travel by name). At 100 TB
+    * this is the ingestion pattern that makes bad loads NON-EVENTS: the
+    * audit query rejects the branch, main never saw a byte. */
+  def wapPublish(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.orders_wap"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE)" + tblProps())
+    val base = Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    // the audited-good production state, tagged
+    base.filter(col("o_orderkey") % 4 =!= 0).writeTo(t).append()
+    spark.sql(s"CALL graftlake.system.create_tag('orders_wap', 'prod', 1)")
+    // WRITE: stage the incoming batch on a branch, two commits
+    spark.sql(s"CALL graftlake.system.create_branch('orders_wap', 'audit')")
+    base.filter(col("o_orderkey") % 8 === 0)
+      .writeTo(t).option("graft.branch", "audit").append()
+    base.filter(col("o_orderkey") % 8 === 4)
+      .writeTo(t).option("graft.branch", "audit").append()
+    // AUDIT: the gate queries the BRANCH by name; this fixture's batch
+    // is deterministically clean, so the gate passes
+    val auditBad = spark.sql(s"SELECT count(*) AS n FROM $t " +
+      "VERSION AS OF 'audit' WHERE o_totalprice < 0 OR o_orderkey IS NULL")
+      .head().getLong(0)
+    require(auditBad == 0, s"audit gate rejected the staged batch " +
+      s"($auditBad bad rows) — the branch would be dropped, not published")
+    // invisibility probe: main AFTER staging still serves the initial load
+    val prePublishN = spark.table(t).count()
+    // PUBLISH
+    spark.sql(s"CALL graftlake.system.fast_forward('orders_wap', 'audit')")
+    val tagN = spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 'prod'")
+      .head().getLong(0)
+    releasing(spark, spark.table(t)
+      .groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price"))
+      .withColumn("pre_publish_n", lit(prePublishN))
+      .withColumn("tag_n", lit(tagN))
+      .orderBy("status"), t)
+  }
+
+  private val wapPublishOracle =
+    """WITH init AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderkey % 4 <> 0),
+      |staged AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderkey % 4 = 0),
+      |pub AS (SELECT * FROM init UNION ALL SELECT * FROM staged)
+      |SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |   AS sum_price,
+      | (SELECT CAST(count(*) AS BIGINT) FROM init) AS pre_publish_n,
+      | (SELECT CAST(count(*) AS BIGINT) FROM init) AS tag_n
+      |FROM pub GROUP BY status ORDER BY status""".stripMargin
+
   private val partitionTransformOracle =
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
       | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
@@ -1138,6 +1208,9 @@ object Lakehouse {
     Query("ref_cluster_files",
       "CALL system.cluster: range-sort rewrite makes file skipping bite",
       clusterFiles, Some(clusterFilesOracle)),
+    Query("ref_wap_publish",
+      "write-audit-publish: branch-staged commits, tag reads, fast-forward",
+      wapPublish, Some(wapPublishOracle)),
     Query("join_spj_storage",
       "storage-partitioned join: co-partitioned DSv2 tables, zero exchanges",
       storagePartitionedJoin, Some(storagePartitionedJoinOracle)),

@@ -106,6 +106,12 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog
       else if (ident.name() == "history")
         parent.map(new GraftLakeHistoryTable(_))
           .getOrElse(throw new NoSuchTableException(ident))
+      // `<table>.refs`: the named tags and branches (Iceberg's refs
+      // metadata table) — audit which versions retention must keep and
+      // which branches still hold unpublished commits
+      else if (ident.name() == "refs")
+        parent.map(new GraftLakeRefsTable(_))
+          .getOrElse(throw new NoSuchTableException(ident))
       else throw new NoSuchTableException(ident)
     }
 
@@ -117,9 +123,7 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = loadTable(ident)
     t match {
-      case g: GraftLakeTable =>
-        require(version.matches("\\d+"),
-          s"VERSION AS OF expects a commit version number, got '$version'")
+      case g: GraftLakeTable if version.matches("\\d+") =>
         // validate AT RESOLUTION, not at scan build: an invalid version
         // must fail here the way an invalid timestamp does — a lazily
         // resolved DataFrame over a bogus version is a latent error the
@@ -131,6 +135,19 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog
             (if (g.earliestVersion > 0) " (older versions were expired)"
              else ""))
         new GraftLakePinnedTable(g, version)
+      // non-numeric: a SNAPSHOT REF — `VERSION AS OF 'tag'` pins the
+      // tagged version; `VERSION AS OF 'branch'` is the AUDIT read of
+      // write-audit-publish (the branch's staged head, which main
+      // cannot see)
+      case g: GraftLakeTable =>
+        g.resolveTag(version) match {
+          case Some(v) => new GraftLakePinnedTable(g, v.toString)
+          case None =>
+            require(g.hasBranch(version),
+              s"VERSION AS OF '$version': no such ref on $ident — " +
+                "expected a commit version number, a tag, or a branch")
+            new GraftLakeBranchTable(g, version)
+        }
       case _ => throw new UnsupportedOperationException(
         s"$ident does not support VERSION AS OF")
     }
@@ -1324,7 +1341,15 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
 
   private[sources] def expireVersions(keepLast: Int): Int = synchronized {
     require(keepLast >= 1, s"keep_last must be >= 1, got $keepLast")
-    val drop = math.max(0, history.length - keepLast)
+    // REFS PIN RETENTION: a tagged version stays readable through its
+    // ref, and an unpublished branch reads (and fast-forwards) on top of
+    // its fork-base snapshot — so the floor clamps to the oldest
+    // ref-referenced version (history is contiguous, so everything after
+    // it is retained too). Iceberg's "snapshots referenced by refs are
+    // not expired". Drop the ref to let the floor advance.
+    val refKeep = (tagRefs.values ++ branchRefs.values.map(_.base))
+      .minOption.map(v => history.length - (v - baseVersion)).getOrElse(1)
+    val drop = math.max(0, history.length - math.max(keepLast, refKeep))
     history = history.drop(drop)
     commitTimes = commitTimes.drop(drop)
     commitSchemas = commitSchemas.drop(drop)
@@ -1338,7 +1363,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     // and so does a file pinned by an active row-level operation.
     lakeDir.foreach { dir =>
       val live = (history.flatMap(_._1.files) ++ files)
-        .flatMap(_.path).toSet ++ livePinnedPaths()
+        .flatMap(_.path).toSet ++ livePinnedPaths() ++ branchStagedPaths
       Option(dir.listFiles()).getOrElse(Array.empty)
         .filterNot(f => live.contains(f.getAbsolutePath))
         .foreach(_.delete())
@@ -1383,6 +1408,134 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
   private[graft] def agePins(byMillis: Long): Unit =
     pinnedPaths.replaceAll((_, v) => (v._1 - byMillis, v._2))
 
+  // ---- snapshot refs: tags & branches (write-audit-publish) ----------------
+  // Iceberg's ref surface (VERDICT r13 task 5), minimally expressed over
+  // the linear commit history:
+  //  - a TAG is an immutable named pointer to a RETAINED version.
+  //    `VERSION AS OF 'name'` reads it; retention KEEPS tagged versions
+  //    (the expire floor clamps to the oldest tag — history is a
+  //    contiguous log, so pinning a version retains everything after it,
+  //    the conservative reading of Iceberg's "referenced snapshots are
+  //    never expired").
+  //  - a BRANCH stages commits OUTSIDE the main history: appends routed
+  //    via the `graft.branch` write option base on the branch head and
+  //    are INVISIBLE to main reads, time travel, `.history` and the
+  //    change feed — no main version number even exists for them — until
+  //    `CALL system.fast_forward` publishes the staged commits onto main
+  //    in order (versions assigned at publish; the change feed then
+  //    emits them exactly once). This is the write-audit-publish flow:
+  //    write to the branch, audit it by name, publish with one call.
+  //    Publish REQUIRES main not to have advanced past the branch base
+  //    (the only fast-forwardable shape in a linear history — a diverged
+  //    branch fails loudly and can only be dropped).
+  private final case class StagedBranch(base: Int,
+      staged: Vector[(GraftLakeSnapshot, Boolean)])
+  private var branchRefs: Map[String, StagedBranch] = Map.empty
+  private var tagRefs: Map[String, Int] = Map.empty
+
+  private def checkRefName(name: String): Unit = {
+    require(name.nonEmpty && !name.matches("\\d+"),
+      s"ref name '$name' is invalid: a purely numeric name would be " +
+        "ambiguous with VERSION AS OF <version>")
+    require(!branchRefs.contains(name) && !tagRefs.contains(name),
+      s"ref '$name' already exists on $tableName")
+    require(name != "main", "'main' names the table itself")
+  }
+
+  /** Create a branch forked at the CURRENT main head. */
+  private[sources] def createBranch(name: String): Int = synchronized {
+    checkRefName(name)
+    branchRefs += name -> StagedBranch(currentVersion, Vector.empty)
+    currentVersion
+  }
+
+  /** Tag a retained version. Tags pin retention: expire keeps the
+    * oldest tagged version (and, contiguously, everything after it). */
+  private[sources] def createTag(name: String, v: Int): Unit =
+    synchronized {
+      checkRefName(name)
+      require(v >= baseVersion && v <= currentVersion,
+        s"cannot tag version $v of $tableName: retained range is " +
+          s"[$baseVersion, ${currentVersion}]")
+      tagRefs += name -> v
+    }
+
+  /** Drop a tag or branch (staged-but-unpublished commits are lost —
+    * the whole point of an audit gate that can say no). */
+  private[sources] def dropRef(name: String): Unit = synchronized {
+    require(branchRefs.contains(name) || tagRefs.contains(name),
+      s"no ref '$name' on $tableName")
+    branchRefs -= name
+    tagRefs -= name
+  }
+
+  private[sources] def resolveTag(name: String): Option[Int] =
+    synchronized(tagRefs.get(name))
+  private[sources] def hasBranch(name: String): Boolean =
+    synchronized(branchRefs.contains(name))
+  /** (name, type, version, staged) per ref — version is the tagged
+    * version for tags and the fork base for branches; staged counts a
+    * branch's unpublished commits. The `.refs` metadata table's input. */
+  private[sources] def refEntries: Vector[(String, String, Int, Int)] =
+    synchronized(
+      (tagRefs.toVector.map { case (n, v) => (n, "tag", v, 0) } ++
+        branchRefs.toVector.map { case (n, b) =>
+          (n, "branch", b.base, b.staged.length) }).sortBy(_._1))
+
+  /** The branch's head snapshot: its last staged commit, or its fork
+    * base when nothing is staged yet. */
+  private[sources] def branchSnapshot(name: String): GraftLakeSnapshot =
+    synchronized {
+      val b = branchRefs.getOrElse(name, throw new IllegalArgumentException(
+        s"no branch '$name' on $tableName"))
+      b.staged.lastOption.map(_._1).getOrElse(snapshotAt(b.base))
+    }
+
+  /** Stage an append on the branch: based on the branch HEAD, invisible
+    * to main until fast_forward. Files are materialized eagerly (parquet
+    * storage writes real bytes) but referenced only by the branch. */
+  private def appendToBranch(
+      name: String, batches: Vector[Vector[InternalRow]]): Unit =
+    synchronized {
+      val b = branchRefs.getOrElse(name, throw new IllegalArgumentException(
+        s"no branch '$name' on $tableName — CALL system.create_branch " +
+          "first"))
+      val head = b.staged.lastOption.map(_._1).getOrElse(snapshotAt(b.base))
+      val snap = GraftLakeSnapshot(head.files ++ mkFiles(batches), head.dvs)
+      branchRefs += name -> b.copy(staged = b.staged :+ (snap, true))
+    }
+
+  /** Publish: replay the branch's staged commits onto main, in order,
+    * preserving each commit's dataChange flag — the change feed emits
+    * the staged churn exactly once, at publish. Returns
+    * (main version before, main version after). The branch survives,
+    * re-based at the new head with nothing staged (Iceberg keeps the
+    * ref after a fast-forward too). */
+  private[sources] def fastForward(name: String): (Int, Int) =
+    synchronized {
+      val b = branchRefs.getOrElse(name, throw new IllegalArgumentException(
+        s"no branch '$name' on $tableName"))
+      val from = currentVersion
+      require(b.base == from,
+        s"cannot fast-forward $tableName to branch '$name': main advanced " +
+          s"from the branch's fork base ${b.base} to $from — the branch " +
+          "has diverged; drop it and re-stage against the current state")
+      b.staged.foreach { case (snap, dataChange) =>
+        files = snap.files
+        dvs = snap.dvs
+        recordCommit(dataChange)
+      }
+      branchRefs += name -> StagedBranch(currentVersion, Vector.empty)
+      (from, currentVersion)
+    }
+
+  /** Data-file paths referenced only by unpublished branch commits —
+    * the expire vacuum must not unlink what a staged branch still
+    * reads. */
+  private def branchStagedPaths: Set[String] =
+    branchRefs.values.flatMap(_.staged.flatMap(_._1.files))
+      .flatMap(_.path).toSet
+
   /** Rewrite the whole table RANGE-CLUSTERED by `colNames`: all live
     * rows, normalized to the current schema, sorted by the cluster key
     * and re-split into `targetFiles` files whose min/max ranges are
@@ -1396,7 +1549,8 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     * driver-side sort here mirrors this table's driver-resident write
     * path. Returns (files before, files after). */
   private[sources] def clusterBy(colNames: Seq[String],
-      targetFiles: Int): (Int, Int) = synchronized {
+      targetFiles: Int, strategy: String = "sort"): (Int, Int) =
+    synchronized {
     require(targetFiles >= 1, s"target_files must be >= 1, got $targetFiles")
     val names = schemaNow.fieldNames.toSeq
     val curTypes = schemaNow.fields.map(_.dataType).toSeq
@@ -1416,20 +1570,73 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     val before = files.length
     val all = files.flatMap(normalized)
     val keyIdx = colNames.map(names.indexOf).toArray
-    val keyTypes = keyIdx.toSeq.map(curTypes(_))
-    val ord = org.apache.spark.sql.catalyst.expressions.RowOrdering
-      .createNaturalAscendingOrdering(keyTypes)
-    val sorted = all
-      .map(r => (new GenericInternalRow(
-        keyIdx.map(i => r.get(i, curTypes(i))): Array[Any])
-        : InternalRow, r))
-      .sortBy(_._1)(ord).map(_._2)
+    val sorted = strategy match {
+      case "sort" =>
+        val keyTypes = keyIdx.toSeq.map(curTypes(_))
+        val ord = org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .createNaturalAscendingOrdering(keyTypes)
+        all.map(r => (new GenericInternalRow(
+            keyIdx.map(i => r.get(i, curTypes(i))): Array[Any])
+            : InternalRow, r))
+          .sortBy(_._1)(ord).map(_._2)
+      // Z-ORDER (Morton) layout: per-column RANK codes (16 bits each,
+      // scaled over the column's distinct values — rank-based, so skew
+      // cannot collapse the code space the way raw-value truncation
+      // would) interleaved bit-by-bit into one key. Points close in
+      // EVERY cluster dimension stay close in file order, so min/max
+      // stats prune box predicates on ANY of the columns — the
+      // multi-column skipping a linear sort only gives its leading
+      // column (OPTIMIZE ZORDER BY). At cluster scale the rank map is a
+      // range-sample of boundaries (repartitionByRange's sampler); here
+      // it is exact over the driver-resident rows.
+      case "zorder" =>
+        require(colNames.length >= 2 && colNames.length <= 4,
+          s"zorder interleaves 2-4 columns, got ${colNames.length}")
+        val codes: Array[scala.collection.Map[Any, Long]] =
+          keyIdx.map { i =>
+            val dt = curTypes(i)
+            val ord = org.apache.spark.sql.catalyst.expressions.RowOrdering
+              .createNaturalAscendingOrdering(Seq(dt))
+            val distinct = all.map(r =>
+              GraftLakeStats.zeroNorm(r.get(i, dt))).distinct
+            val ranked = distinct
+              .map(v => (new GenericInternalRow(Array[Any](v))
+                : InternalRow, v))
+              .sortBy(_._1)(ord).map(_._2)
+            val n = ranked.length
+            ranked.zipWithIndex.map { case (v, r) =>
+              v -> (if (n <= 1) 0L else r.toLong * 65535L / (n - 1)) }.toMap
+          }
+        val k = keyIdx.length
+        def zkey(r: InternalRow): Long = {
+          var key = 0L
+          var c = 0
+          while (c < k) {
+            val code = codes(c)(
+              GraftLakeStats.zeroNorm(r.get(keyIdx(c), curTypes(keyIdx(c)))))
+            var b = 0
+            while (b < 16) {
+              key |= ((code >> b) & 1L) << (b * k + c)
+              b += 1
+            }
+            c += 1
+          }
+          key
+        }
+        all.map(r => (zkey(r), r)).sortBy(_._1).map(_._2)
+      case other => throw new IllegalArgumentException(
+        s"unknown cluster strategy '$other' (sort, zorder)")
+    }
     val n = math.min(targetFiles.toLong, math.max(1L, sorted.length.toLong))
     val chunk = math.max(1L, math.ceil(sorted.length.toDouble / n).toLong)
     // stamp the cluster key's field ids as the files' SORT ORDER: each
     // output file is an ascending run, which the scan reports through
-    // SupportsReportOrdering so downstream sorts on the key are elided
-    val sortIds = colNames.map(c => colIds(names.indexOf(c)))
+    // SupportsReportOrdering so downstream sorts on the key are elided.
+    // A z-ordered file is a contiguous MORTON run, not an ascending run
+    // on any source column — it must not claim an order.
+    val sortIds =
+      if (strategy == "sort") colNames.map(c => colIds(names.indexOf(c)))
+      else Nil
     files = mkFiles(sorted.grouped(chunk.toInt).toVector, sortIds)
     dvs = Map.empty
     recordCommit(dataChange = false) // maintenance: relation unchanged
@@ -1726,19 +1933,42 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       ids.zip(sch.fieldNames).map { case (id, n) => id -> n }.toMap, defs)
   }
 
+  /** Scan builder over a BRANCH head — the audit read of
+    * write-audit-publish (`VERSION AS OF '<branch>'`). Branch appends
+    * stamp the current schema's ids (publish requires main — and hence
+    * the schema — not to have moved), so the read resolves through the
+    * current schema triple. */
+  private[sources] def scanBuilderForBranch(name: String): ScanBuilder =
+    new GraftLakeScanBuilder(branchSnapshot(name), schema(), partSpec,
+      None, () => fileIds.toSet, idToName, defaults)
+
   // ---- plain write path (append / truncate-overwrite) ---------------------
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
+      // `graft.branch`: route the append to a STAGED BRANCH instead of
+      // main (the write leg of write-audit-publish) — Iceberg's
+      // `.option("branch", b)` spelling. The `spark.wap.branch` session
+      // conf is the SQL spelling (Iceberg's WAP flow): it routes plain
+      // `INSERT INTO` too, captured at plan time on the planning thread.
+      private val branch = Option(info.options.get("graft.branch"))
+        .orElse(GraftLakeTable.wapBranch)
       private var truncateRequested = false
       override def truncate(): WriteBuilder = {
         truncateRequested = true; this
       }
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
-          new GraftLakeBatchWrite(batches =>
-            if (truncateRequested) truncateTo(batches)
-            else appendFiles(batches))
+        override def toBatch: BatchWrite = {
+          require(branch.isEmpty || !truncateRequested,
+            s"branch writes to $tableName support APPEND only — " +
+              "truncate/overwrite targets main")
+          new GraftLakeBatchWrite(batches => branch match {
+            case Some(b) => appendToBranch(b, batches)
+            case None =>
+              if (truncateRequested) truncateTo(batches)
+              else appendFiles(batches)
+          })
+        }
       }
     }
 
@@ -1775,6 +2005,14 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           info: LogicalWriteInfo): DeltaWriteBuilder =
         new DeltaWriteBuilder {
           override def build(): DeltaWrite = new DeltaWrite {
+            // branch-routing covers APPENDS only; silently committing a
+            // row-level op to main while spark.wap.branch is set would
+            // leak an unaudited change — refuse loudly instead
+            GraftLakeTable.wapBranch.foreach(b => throw
+              new UnsupportedOperationException(
+                s"spark.wap.branch = '$b' is set but row-level " +
+                  s"operations on $tableName only target main — unset " +
+                  "the conf (or publish first) before UPDATE/DELETE/MERGE"))
             override def toBatch: DeltaBatchWrite =
               new GraftLakeDeltaBatchWrite(applyDelta(snap.dvs),
                 opSchema.fields.map(_.dataType), onDone = pinPaths(snap))
@@ -1812,6 +2050,13 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
         new WriteBuilder {
           override def build(): Write = new Write {
+            // see the merge-on-read twin: row-level ops refuse under an
+            // active spark.wap.branch rather than silently writing main
+            GraftLakeTable.wapBranch.foreach(b => throw
+              new UnsupportedOperationException(
+                s"spark.wap.branch = '$b' is set but row-level " +
+                  s"operations on $tableName only target main — unset " +
+                  "the conf (or publish first) before UPDATE/DELETE/MERGE"))
             override def toBatch: BatchWrite =
               new GraftLakeBatchWrite(
                 batches => replaceGroups(state.scanned, batches),
@@ -1827,6 +2072,14 @@ object GraftLakeTable {
     * (planned but never committed/aborted) and reaped at vacuum time —
     * sized far above any statement's real plan→commit latency. */
   private[graft] val PinStaleMillis: Long = 60L * 60 * 1000
+
+  /** The `spark.wap.branch` session conf (Iceberg's write-audit-publish
+    * spelling), read on the PLANNING thread — SQLConf is thread-local,
+    * so this must be captured when the write builder is constructed,
+    * never inside a task. */
+  private[sources] def wapBranch: Option[String] =
+    Option(org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.wap.branch", null)).filter(_.nonEmpty)
   private[sources] val FileCol = "_file"
   private[sources] val PosCol = "_pos"
   private[sources] object FileColumn extends MetadataColumn {
@@ -2683,6 +2936,58 @@ class GraftLakePinnedTable(parent: GraftLakeTable, version: String)
     parent.scanBuilderAt(version.toInt)
 }
 
+/** `SELECT ... FROM t VERSION AS OF '<branch>'` — the AUDIT read of
+  * write-audit-publish: the branch's staged head, invisible to every
+  * main read path until `CALL system.fast_forward` publishes it. */
+class GraftLakeBranchTable(parent: GraftLakeTable, branch: String)
+    extends Table with SupportsRead with SupportsMetadataColumns {
+  override def name(): String = s"${parent.name()}@$branch"
+  override def schema(): StructType = parent.schema()
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def metadataColumns(): Array[MetadataColumn] =
+    parent.metadataColumns()
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    parent.scanBuilderForBranch(branch)
+}
+
+/** `<catalog>.<table>.refs` — one row per named ref (Iceberg's refs
+  * metadata table): tags pin a retained version against expiry;
+  * branches report their fork base and how many commits are still
+  * staged (unpublished). */
+class GraftLakeRefsTable(parent: GraftLakeTable)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.types.{IntegerType, StructField}
+
+  private val refsSchema = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("type", StringType, nullable = false),
+    StructField("version", IntegerType, nullable = false),
+    StructField("staged_commits", IntegerType, nullable = false)))
+
+  override def name(): String = parent.name() + ".refs"
+  override def schema(): StructType = refsSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = () => {
+    val refRows: Array[InternalRow] = parent.refEntries.map {
+      case (n, tpe, v, staged) => new GenericInternalRow(Array[Any](
+        org.apache.spark.unsafe.types.UTF8String.fromString(n),
+        org.apache.spark.unsafe.types.UTF8String.fromString(tpe),
+        v, staged)): InternalRow
+    }.toArray
+    new org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = refsSchema
+      override def rows(): Array[InternalRow] = refRows
+      override def description(): String =
+        s"GraftLakeRefs[${parent.name()}]"
+    }
+  }
+}
+
 /** `<catalog>.<table>.history` — one row per RETAINED commit (Delta's
   * DESCRIBE HISTORY / Iceberg's snapshots metadata table): version,
   * whether the commit changed the RELATION (`data_change = false` for
@@ -2823,6 +3128,19 @@ class GraftLakeChangeStream(parent: GraftLakeTable,
       start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftLakeVersionOffset].v
     val e = end.asInstanceOf[GraftLakeVersionOffset].v
+    // RETENTION vs CHECKPOINT (VERDICT r13 task 6): a restart resumes
+    // from the checkpointed version offset; if retention expired commits
+    // PAST that offset, the unreplayed churn is gone — silently skipping
+    // to the floor would desync every downstream replica. Fail loudly
+    // with the recovery contract instead (Delta's
+    // failOnDataLoss-equivalent for a CDF source).
+    val floor = parent.earliestVersion
+    if (s < floor) throw new IllegalStateException(
+      s"checkpointed change-feed offset $s of ${parent.name()} is below " +
+        s"the retention floor $floor: commits ($s, $floor] were expired " +
+        "and cannot be replayed — rebuild the downstream state from a " +
+        "full snapshot and restart with a fresh checkpoint (or size " +
+        "retention to cover the longest consumer downtime)")
     if (e <= s) Array.empty
     else GraftLakeChanges.partitions(parent.historySlice(s, e), s,
       parent.idToName)
@@ -3169,7 +3487,8 @@ private[sources] object GraftLakeProcedures {
 
   val names: Seq[String] =
     Seq("rollback", "expire_versions", "expire_before", "compact",
-      "compact_files", "cluster")
+      "compact_files", "cluster", "cluster_zorder", "create_branch",
+      "create_tag", "fast_forward", "drop_ref")
 
   def byName(catalog: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -3252,6 +3571,75 @@ private[sources] object GraftLakeProcedures {
           require(cols.nonEmpty, "cluster needs at least one column")
           val (b, a) = t.clusterBy(cols, input.getInt(2))
           Array(new GenericInternalRow(Array[Any](b, a)))
+        }
+      })
+      // Z-ORDER the table by 2-4 columns: Morton-interleaved rank codes
+      // as the rewrite's sort key, so min/max skipping prunes box
+      // predicates on ANY of the columns (OPTIMIZE ZORDER BY / Iceberg's
+      // rewrite_data_files sort_order => zorder(...))
+      case "cluster_zorder" => Some(new Proc(catalog, "cluster_zorder",
+        Array(in("table", StringType), in("cols", StringType),
+          in("target_files", IntegerType)),
+        StructType(Seq(
+          StructField("files_before", IntegerType, nullable = false),
+          StructField("files_after", IntegerType, nullable = false)))) {
+        override def run(t: GraftLakeTable, input: InternalRow)
+            : Array[InternalRow] = {
+          val cols = input.getUTF8String(1).toString.split(",")
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          val (b, a) = t.clusterBy(cols, input.getInt(2), "zorder")
+          Array(new GenericInternalRow(Array[Any](b, a)))
+        }
+      })
+      // fork a branch at the current main head — the WRITE leg of
+      // write-audit-publish starts here (then `.option("graft.branch",
+      // name)` appends stage on it, invisible to main)
+      case "create_branch" => Some(new Proc(catalog, "create_branch",
+        Array(in("table", StringType), in("name", StringType)),
+        StructType(Seq(
+          StructField("base_version", IntegerType, nullable = false)))) {
+        override def run(t: GraftLakeTable, input: InternalRow)
+            : Array[InternalRow] =
+          Array(new GenericInternalRow(Array[Any](
+            t.createBranch(input.getUTF8String(1).toString))))
+      })
+      // name a retained version; retention keeps tagged versions
+      case "create_tag" => Some(new Proc(catalog, "create_tag",
+        Array(in("table", StringType), in("name", StringType),
+          in("version", IntegerType)),
+        StructType(Seq(
+          StructField("version", IntegerType, nullable = false)))) {
+        override def run(t: GraftLakeTable, input: InternalRow)
+            : Array[InternalRow] = {
+          t.createTag(input.getUTF8String(1).toString, input.getInt(2))
+          Array(new GenericInternalRow(Array[Any](input.getInt(2))))
+        }
+      })
+      // PUBLISH: replay the branch's staged commits onto main in order
+      // (fails loudly if main advanced past the fork base)
+      case "fast_forward" => Some(new Proc(catalog, "fast_forward",
+        Array(in("table", StringType), in("branch", StringType)),
+        StructType(Seq(
+          StructField("previous_version", IntegerType, nullable = false),
+          StructField("current_version", IntegerType, nullable = false)))) {
+        override def run(t: GraftLakeTable, input: InternalRow)
+            : Array[InternalRow] = {
+          val (from, to) = t.fastForward(input.getUTF8String(1).toString)
+          Array(new GenericInternalRow(Array[Any](from, to)))
+        }
+      })
+      // drop a tag (unpinning retention) or a branch (discarding its
+      // unpublished commits — the audit gate saying no)
+      case "drop_ref" => Some(new Proc(catalog, "drop_ref",
+        Array(in("table", StringType), in("name", StringType)),
+        StructType(Seq(
+          StructField("dropped", StringType, nullable = false)))) {
+        override def run(t: GraftLakeTable, input: InternalRow)
+            : Array[InternalRow] = {
+          val n = input.getUTF8String(1).toString
+          t.dropRef(n)
+          Array(new GenericInternalRow(Array[Any](
+            org.apache.spark.unsafe.types.UTF8String.fromString(n))))
         }
       })
       case _ => None

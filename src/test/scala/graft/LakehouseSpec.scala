@@ -572,6 +572,77 @@ class LakehouseSpec extends SparkTestBase {
       "inserts carry the load commit's version")
   }
 
+  test("retention past a streaming checkpoint fails the resume loudly") {
+    // VERDICT r13 task 6: expire_versions raises the floor; a `.changes`
+    // stream resuming from a checkpointed offset BELOW the floor has
+    // lost commits it never replayed — silently skipping to the floor
+    // would desync every downstream replica, so the resume must fail
+    // with the documented recovery contract.
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_cdf_ret"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT)")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_spec_cdf_ret").toFile
+    val chk = new java.io.File(tmp, "chk")
+    val sink = new java.io.File(tmp, "sink")
+    def drain(): Unit = {
+      val q = spark.readStream
+        .option("graft.stream.startingVersion", "0")
+        .table(s"$t.changes")
+        .writeStream.format("parquet")
+        .option("path", sink.getAbsolutePath)
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.range(0, 10).selectExpr("id AS k").coalesce(1)
+      .writeTo(t).append() // v1
+    drain() // checkpoint offset now 1
+    // two commits the consumer never saw, then retention expires them
+    spark.range(10, 20).selectExpr("id AS k").writeTo(t).append() // v2
+    spark.range(20, 30).selectExpr("id AS k").writeTo(t).append() // v3
+    spark.sql(s"CALL graftlake.system.expire_versions('spec_cdf_ret', 1)")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    def chain(ex: Throwable): Seq[String] =
+      Iterator.iterate(ex)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("retention floor")),
+      s"the resume must name the retention contract: ${chain(e)}")
+    assert(spark.read.parquet(sink.getAbsolutePath).count() == 10,
+      "the failed resume must not have shipped partial churn")
+    // resume from a floor-or-above offset stays legal: a FRESH
+    // checkpoint starts at the floor state and tails from there
+    val chk2 = new java.io.File(tmp, "chk2")
+    val q2 = spark.readStream
+      .option("graft.stream.startingVersion",
+        "3") // the floor: nothing lost at or after it
+      .table(s"$t.changes")
+      .writeStream.format("parquet")
+      .option("path", sink.getAbsolutePath)
+      .option("checkpointLocation", chk2.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    spark.range(30, 35).selectExpr("id AS k").writeTo(t).append()
+    val q3 = spark.readStream
+      .option("graft.stream.startingVersion", "3")
+      .table(s"$t.changes")
+      .writeStream.format("parquet")
+      .option("path", sink.getAbsolutePath)
+      .option("checkpointLocation", chk2.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q3.awaitTermination()
+    assert(spark.read.parquet(sink.getAbsolutePath).count() == 15,
+      "the fresh checkpoint tails the post-floor commit exactly once")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("ADD COLUMNS: old files null-fill with zero rewrites, feed and SPJ survive") {
     spark.conf.set("spark.sql.catalog.graftlake",
       classOf[graft.sources.GraftLakeCatalog].getName)
@@ -2144,6 +2215,237 @@ class LakehouseSpec extends SparkTestBase {
     intercept[Exception] {
       spark.sql(s"ALTER TABLE $t DROP COLUMN ts")
     }
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("CALL system.cluster_zorder prunes box predicates on EITHER column") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_zcluster"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (x BIGINT, y BIGINT, v STRING)")
+    // a 64x64 grid delivered in row-major slabs: every file spans the
+    // full y range, so a linear sort on x can never help y predicates
+    for (s <- 0 until 4)
+      spark.range(s * 1024, (s + 1) * 1024)
+        .selectExpr("id DIV 64 AS x", "id % 64 AS y",
+          "concat('v', id) AS v")
+        .coalesce(1).writeTo(t).append()
+    def parts(pred: String): Int =
+      spark.table(t).where(pred).rdd.getNumPartitions
+    val before = spark.table(t).collect().map(_.toString).sorted.toSeq
+    val feedBefore = spark.read.table(s"$t.changes").count()
+    assert(parts("y >= 0 AND y < 16") == 4,
+      "row-major slabs: a y box prunes nothing before the rewrite")
+    val res = spark.sql(
+      s"CALL graftlake.system.cluster_zorder('spec_zcluster', 'x, y', 16)")
+      .head()
+    assert((res.getInt(0), res.getInt(1)) == (4, 16))
+    // the z-layout property: EACH dimension's quarter-box plans a strict
+    // subset of the files (a linear (x,y) sort gives this only for x)
+    val px = parts("x >= 0 AND x < 16")
+    val py = parts("y >= 0 AND y < 16")
+    assert(px <= 8, s"x box must prune z-ordered files, planned $px/16")
+    assert(py <= 8, s"y box must prune z-ordered files, planned $py/16")
+    assert(spark.table(t).collect().map(_.toString).sorted.toSeq == before,
+      "z-ordering must not change the relation")
+    assert(spark.read.table(s"$t.changes").count() == feedBefore,
+      "a maintenance rewrite must stay invisible to the change feed")
+    // a z-ordered file is not an ascending run on any ONE column: the
+    // scan must NOT claim a sort order (ORDER BY x still sorts)
+    val sorted = spark.table(t).orderBy("x").queryExecution
+      .executedPlan.toString
+    assert(sorted.contains("Sort"),
+      "z-order must not report a per-column sort order")
+    // strategy hygiene: zorder needs 2-4 columns
+    intercept[Exception] {
+      spark.sql(
+        s"CALL graftlake.system.cluster_zorder('spec_zcluster', 'x', 4)")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("branch staging is invisible to main until fast_forward publishes") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_wap"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v STRING)")
+    spark.range(0, 100).selectExpr("id AS k", "'init' AS v")
+      .coalesce(1).writeTo(t).append() // v1
+    spark.sql(s"CALL graftlake.system.create_branch('spec_wap', 'audit')")
+    // stage TWO commits on the branch
+    spark.range(100, 150).selectExpr("id AS k", "'batch1' AS v")
+      .coalesce(1).writeTo(t).option("graft.branch", "audit").append()
+    spark.range(150, 180).selectExpr("id AS k", "'batch2' AS v")
+      .coalesce(1).writeTo(t).option("graft.branch", "audit").append()
+    // INVISIBLE to every main surface: reads, history, change feed
+    assert(spark.table(t).count() == 100,
+      "staged branch commits must not leak into main reads")
+    assert(spark.read.table(s"$t.history").count() == 2,
+      "no main version exists for a staged commit (v0 create + v1 append)")
+    assert(spark.read.table(s"$t.changes").count() == 100,
+      "the change feed must not emit staged commits")
+    // the AUDIT read sees the staged head, cumulatively
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 'audit'")
+      .head().getLong(0) == 180, "branch read = base + both staged commits")
+    // .refs reports the branch with 2 staged commits
+    val refRow = spark.read.table(s"$t.refs")
+      .where("name = 'audit'").head()
+    assert(refRow.getString(1) == "branch" && refRow.getInt(3) == 2)
+    // PUBLISH: both commits land on main, in order, with version numbers
+    val ff = spark.sql(
+      s"CALL graftlake.system.fast_forward('spec_wap', 'audit')").head()
+    assert((ff.getInt(0), ff.getInt(1)) == (1, 3),
+      "publish assigns one main version per staged commit")
+    assert(spark.table(t).count() == 180)
+    // the change feed emits the published churn exactly once, tagged
+    // with the PUBLISH-time versions
+    val feed = spark.read.table(s"$t.changes")
+      .where("_commit_version > 1")
+      .groupBy("_commit_version").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(feed == Map(2L -> 50L, 3L -> 30L),
+      s"published commits must appear as ordinary feed versions: $feed")
+    // the branch survives, re-based with nothing staged; a second
+    // publish is a no-op
+    val again = spark.sql(
+      s"CALL graftlake.system.fast_forward('spec_wap', 'audit')").head()
+    assert((again.getInt(0), again.getInt(1)) == (3, 3))
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("a diverged branch refuses to fast-forward; audit can drop it") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_wap_div"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT)")
+    spark.range(0, 10).selectExpr("id AS k").writeTo(t).append()
+    spark.sql(s"CALL graftlake.system.create_branch('spec_wap_div', 'b')")
+    spark.range(10, 20).selectExpr("id AS k")
+      .writeTo(t).option("graft.branch", "b").append()
+    // main advances past the fork base → the branch has diverged
+    spark.range(100, 110).selectExpr("id AS k").writeTo(t).append()
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graftlake.system.fast_forward('spec_wap_div', 'b')")
+    }
+    assert(e.getMessage.contains("diverged"),
+      s"divergence must fail loudly: ${e.getMessage}")
+    assert(spark.table(t).count() == 20, "main is untouched by the failure")
+    // the audit gate says no: drop the branch, staged commits discarded
+    spark.sql(s"CALL graftlake.system.drop_ref('spec_wap_div', 'b')")
+    assert(spark.read.table(s"$t.refs").count() == 0)
+    intercept[Exception] {
+      spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 'b'").collect()
+    }
+    // a write to an unknown branch fails loudly (no implicit creation)
+    val e2 = intercept[Exception] {
+      spark.range(0, 5).selectExpr("id AS k")
+        .writeTo(t).option("graft.branch", "nope").append()
+    }
+    assert(e2.getMessage.contains("create_branch"))
+    // branch writes are append-only: overwrite targets main semantics
+    spark.sql(s"CALL graftlake.system.create_branch('spec_wap_div', 'c')")
+    intercept[Exception] {
+      spark.range(0, 5).selectExpr("id AS k")
+        .writeTo(t).option("graft.branch", "c")
+        .overwrite(org.apache.spark.sql.functions.lit(true))
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("spark.wap.branch routes SQL INSERT to the branch, refuses row-level") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_wap_conf"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1), (2)")
+    spark.sql(s"CALL graftlake.system.create_branch('spec_wap_conf', 'w')")
+    spark.conf.set("spark.wap.branch", "w")
+    try {
+      // the SQL spelling of the write leg: plain INSERT INTO stages
+      spark.sql(s"INSERT INTO $t VALUES (3), (4), (5)")
+      assert(spark.table(t).count() == 2,
+        "under spark.wap.branch, INSERT INTO must stage, not publish")
+      assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 'w'")
+        .head().getLong(0) == 5)
+      // a row-level op under an active wap.branch would silently write
+      // MAIN (branch routing covers appends only) — it must refuse
+      val e = intercept[Exception] {
+        spark.sql(s"DELETE FROM $t WHERE k = 1")
+      }
+      assert(e.getMessage.contains("spark.wap.branch"),
+        s"row-level ops must refuse under wap.branch: ${e.getMessage}")
+    } finally spark.conf.unset("spark.wap.branch")
+    spark.sql(s"CALL graftlake.system.fast_forward('spec_wap_conf', 'w')")
+    assert(spark.table(t).count() == 5)
+    spark.sql(s"DELETE FROM $t WHERE k = 1") // legal again once unset
+    assert(spark.table(t).count() == 4)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("tags pin versions by name and against retention") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_tags"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT)")
+    for (i <- 0 until 4) // v1..v4
+      spark.range(i * 10, i * 10 + 10).selectExpr("id AS k")
+        .coalesce(1).writeTo(t).append()
+    spark.sql(s"CALL graftlake.system.create_tag('spec_tags', 'prod', 2)")
+    // the tag reads by name — the state as of v2
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 'prod'")
+      .head().getLong(0) == 20)
+    // retention CLAMPS to the oldest tag: keep_last=1 would drop v2,
+    // but the tag pins it (and, contiguously, everything after)
+    val r = spark.sql(
+      s"CALL graftlake.system.expire_versions('spec_tags', 1)").head()
+    assert(r.getInt(0) == 2,
+      s"the floor must clamp to the tagged version, got ${r.getInt(0)}")
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 'prod'")
+      .head().getLong(0) == 20, "the tagged version stays readable")
+    // drop the tag → the floor can advance
+    spark.sql(s"CALL graftlake.system.drop_ref('spec_tags', 'prod')")
+    val r2 = spark.sql(
+      s"CALL graftlake.system.expire_versions('spec_tags', 1)").head()
+    assert(r2.getInt(0) == 4, "untagged, keep_last=1 keeps only the head")
+    // ref-name hygiene: numeric and duplicate names reject
+    intercept[Exception] {
+      spark.sql(s"CALL graftlake.system.create_tag('spec_tags', '3', 4)")
+    }
+    spark.sql(s"CALL graftlake.system.create_tag('spec_tags', 'x', 4)")
+    intercept[Exception] {
+      spark.sql(s"CALL graftlake.system.create_branch('spec_tags', 'x')")
+    }
+    // tagging an expired version rejects
+    intercept[Exception] {
+      spark.sql(s"CALL graftlake.system.create_tag('spec_tags', 'old', 1)")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("expire vacuum spares parquet files staged on an unpublished branch") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_wap_pq"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    spark.range(0, 10).selectExpr("id AS k").coalesce(1)
+      .writeTo(t).append()
+    spark.sql(s"CALL graftlake.system.create_branch('spec_wap_pq', 'b')")
+    spark.range(10, 30).selectExpr("id AS k").coalesce(1)
+      .writeTo(t).option("graft.branch", "b").append()
+    // churn main, then expire aggressively: the vacuum must not unlink
+    // the branch's staged file (only the branch references it)
+    spark.range(100, 110).selectExpr("id AS k").writeTo(t).append()
+    spark.sql(s"CALL graftlake.system.expire_versions('spec_wap_pq', 1)")
+    assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 'b'")
+      .head().getLong(0) == 30,
+      "staged parquet bytes must survive an expire vacuum")
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 }
