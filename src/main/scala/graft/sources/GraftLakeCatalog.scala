@@ -951,6 +951,20 @@ private[sources] object GraftLakeFunctions {
 }
 
 private[sources] object GraftLakeReaders {
+  /** COLUMN-granular view of a pruned read schema: each required column
+    * widened back to its FULL declared type (names absent from `full` —
+    * metadata columns — pass through). Stored rows always carry
+    * complete nested values, so honoring Spark's nested-FIELD pruning
+    * would make codegen read a 3-field struct through a 1-field layout;
+    * the DSv2 pruning contract is explicitly best-effort, and Spark
+    * projects the nested subset above the scan. */
+  def columnGranular(requiredSchema: StructType,
+      full: StructType): StructType = {
+    val byName = full.fields.map(f => f.name -> f.dataType).toMap
+    StructType(requiredSchema.fields.map(f =>
+      byName.get(f.name).map(dt => f.copy(dataType = dt)).getOrElse(f)))
+  }
+
   /** Per-field extractor from a stored row: reads slot `i` as the
     * file's PHYSICAL type and widens to the current logical type when
     * the column was retyped after the file was written (INT→BIGINT,
@@ -2133,8 +2147,15 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
   private var required: StructType = fullSchema
   private var skipPreds: Array[Predicate] = Array.empty
   private var residualPreds: Array[Predicate] = Array.empty
+  // COLUMN-granular pruning only: stored rows carry complete nested
+  // values, so accepting Spark's nested-FIELD-pruned struct type here
+  // would desync the scan's output layout from codegen's expectations
+  // (a 1-field pruned STRUCT read over a stored 3-field struct casts
+  // the wrong slot). The DSv2 contract allows partial pruning — widen
+  // each required column back to its declared type and Spark projects
+  // the nested subset above the scan.
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    required = GraftLakeReaders.columnGranular(requiredSchema, fullSchema)
   /** Record every predicate for min/max FILE SKIPPING. A predicate that
     * EVERY snapshot file decides exactly from stats (provably all-kept
     * or all-dropped per file — [[GraftLakeStats.decides]]: the layout a
@@ -2807,8 +2828,9 @@ class GraftLakeChangeFeedScanBuilder(
     colDefaults: Map[Int, Any] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = fullSchema
+  // column-granular only — see GraftLakeScanBuilder.pruneColumns
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    required = GraftLakeReaders.columnGranular(requiredSchema, fullSchema)
 
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
@@ -3066,8 +3088,10 @@ class GraftLakeChangesTable(parent: GraftLakeTable)
       options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns {
       private var required: StructType = changesSchema
+      // column-granular only — see GraftLakeScanBuilder.pruneColumns
       override def pruneColumns(requiredSchema: StructType): Unit =
-        required = requiredSchema
+        required =
+          GraftLakeReaders.columnGranular(requiredSchema, changesSchema)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = required
         override def toBatch: Batch = {

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
 import org.apache.parquet.example.data.simple.SimpleGroupFactory
 import org.apache.parquet.hadoop.ParquetReader
 import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
@@ -10,6 +11,7 @@ import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types => P
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -20,14 +22,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * in BYTES on disk rather than driver-object identity, and the reader
   * factories exercise genuine columnar decode in tasks.
   *
-  * Scoped to schemas of primitive/string/temporal columns plus
-  * single-level ARRAYs of those (written as standard parquet 3-level
-  * LIST groups — `optional group (LIST) { repeated group list {
-  * optional element } }` — so the embeddings fixtures' ARRAY<FLOAT>
-  * lands as real columnar data); deeper nesting rejects loudly at
-  * table creation ([[supported]]). Row order is write order (single
-  * sequential writer per file), which is what keeps `_pos`-keyed
-  * deletion vectors stable across the storage modes. */
+  * Supports primitive/string/temporal/decimal(<=18) leaves composed to
+  * ANY nesting depth of ARRAY / STRUCT / MAP — the shapes training-data
+  * tables actually carry (token lists, span structs, per-field score
+  * maps). The encodings are the standard parquet nested shapes any
+  * engine writes: 3-level LIST (`optional group (LIST) { repeated group
+  * list { optional element } }`), plain nested groups for STRUCT, and
+  * 3-level MAP (`optional group (MAP) { repeated group key_value {
+  * required key; optional value } }`). Leaf types outside the supported
+  * set reject loudly at table creation ([[supported]]). Row order is
+  * write order (single sequential writer per file), which is what keeps
+  * `_pos`-keyed deletion vectors stable across the storage modes. */
 object GraftParquetIO {
 
   private def primSupported(dt: DataType): Boolean = dt match {
@@ -40,52 +45,122 @@ object GraftParquetIO {
   }
 
   def supported(dt: DataType): Boolean = dt match {
-    case ArrayType(et, _) => primSupported(et)
+    case ArrayType(et, _) => supported(et)
+    case StructType(fields) =>
+      fields.nonEmpty && fields.forall(f => supported(f.dataType))
+    // parquet MAP keys are physically `required`: a null key has no
+    // encoding, so only non-null primitive keys are accepted
+    case MapType(kt, vt, _) => primSupported(kt) && supported(vt)
     case _ => primSupported(dt)
   }
 
-  private def primType(dt: DataType)
-      : PTypes.PrimitiveBuilder[org.apache.parquet.schema.PrimitiveType] =
+  private def primType(dt: DataType, required: Boolean)
+      : PTypes.PrimitiveBuilder[org.apache.parquet.schema.PrimitiveType] = {
+    def b(t: org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName) =
+      if (required) PTypes.required(t) else PTypes.optional(t)
     dt match {
-      case LongType => PTypes.optional(INT64)
-      case IntegerType => PTypes.optional(INT32)
-      case DoubleType => PTypes.optional(DOUBLE)
-      case FloatType => PTypes.optional(FLOAT)
-      case BooleanType => PTypes.optional(BOOLEAN)
-      case StringType => PTypes.optional(BINARY)
-        .as(LogicalTypeAnnotation.stringType())
-      case DateType => PTypes.optional(INT32)
-        .as(LogicalTypeAnnotation.dateType())
-      case TimestampType | TimestampNTZType => PTypes.optional(INT64)
+      case LongType => b(INT64)
+      case IntegerType => b(INT32)
+      case DoubleType => b(DOUBLE)
+      case FloatType => b(FLOAT)
+      case BooleanType => b(BOOLEAN)
+      case StringType => b(BINARY).as(LogicalTypeAnnotation.stringType())
+      case DateType => b(INT32).as(LogicalTypeAnnotation.dateType())
+      case TimestampType | TimestampNTZType => b(INT64)
         .as(LogicalTypeAnnotation.timestampType(false,
           LogicalTypeAnnotation.TimeUnit.MICROS))
-      case d: DecimalType if d.precision <= 18 => PTypes.optional(INT64)
+      case d: DecimalType if d.precision <= 18 => b(INT64)
         .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision))
       case other => throw new UnsupportedOperationException(
         s"graft.storage=parquet cannot store ${other.sql}")
+    }
+  }
+
+  /** The parquet type of one (possibly nested) field — recursive over
+    * ARRAY/STRUCT/MAP, each in its standard encoding. */
+  private def ptype(n: String, dt: DataType,
+      required: Boolean = false): org.apache.parquet.schema.Type =
+    dt match {
+      case ArrayType(et, _) =>
+        PTypes.optionalGroup()
+          .as(LogicalTypeAnnotation.listType())
+          .addField(PTypes.repeatedGroup()
+            .addField(ptype("element", et))
+            .named("list"))
+          .named(n)
+      case StructType(fields) =>
+        val g = PTypes.optionalGroup()
+        fields.foreach(f => g.addField(ptype(f.name, f.dataType)))
+        g.named(n)
+      case MapType(kt, vt, _) =>
+        PTypes.optionalGroup()
+          .as(LogicalTypeAnnotation.mapType())
+          .addField(PTypes.repeatedGroup()
+            .addField(ptype("key", kt, required = true))
+            .addField(ptype("value", vt))
+            .named("key_value"))
+          .named(n)
+      case prim => primType(prim, required).named(n)
     }
 
   private def messageType(
       names: Seq[String], types: Seq[DataType]): MessageType = {
     val b = PTypes.buildMessage()
-    names.zip(types).foreach { case (n, dt) =>
-      val f: org.apache.parquet.schema.Type = dt match {
-        case ArrayType(et, _) =>
-          // standard LIST shape, built explicitly: outer optional group
-          // annotated LIST, repeated middle group `list`, optional leaf
-          // `element` — what parquet-backed lakehouse arrays look like
-          PTypes.optionalGroup()
-            .as(LogicalTypeAnnotation.listType())
-            .addField(PTypes.repeatedGroup()
-              .addField(primType(et).named("element"))
-              .named("list"))
-            .named(n)
-        case prim => primType(prim).named(n)
-      }
-      b.addField(f)
-    }
+    names.zip(types).foreach { case (n, dt) => b.addField(ptype(n, dt)) }
     b.named("graft_lake_file")
   }
+
+  /** Append the NON-NULL catalyst value `v` of type `dt` at field `i`
+    * of `g`, recursing into nested groups. Callers handle null (absent
+    * field) — parquet encodes null as no value at the position. */
+  private def addTo(g: Group, i: Int, dt: DataType, v: Any): Unit =
+    dt match {
+      case LongType | TimestampType | TimestampNTZType =>
+        g.add(i, v.asInstanceOf[Long])
+      case IntegerType | DateType => g.add(i, v.asInstanceOf[Int])
+      case DoubleType => g.add(i, v.asInstanceOf[Double])
+      case FloatType => g.add(i, v.asInstanceOf[Float])
+      case BooleanType => g.add(i, v.asInstanceOf[Boolean])
+      case StringType => g.add(i, Binary.fromConstantByteArray(
+        v.asInstanceOf[UTF8String].getBytes))
+      case _: DecimalType =>
+        g.add(i, v.asInstanceOf[Decimal].toUnscaledLong)
+      case ArrayType(et, _) =>
+        // one `list` entry group per element; a null element is an
+        // entry with no `element` value (empty array = LIST group with
+        // zero entries — distinct from a null column)
+        val arr = v.asInstanceOf[ArrayData]
+        val lg = g.addGroup(i)
+        var j = 0
+        while (j < arr.numElements()) {
+          val entry = lg.addGroup(0)
+          if (!arr.isNullAt(j)) addTo(entry, 0, et, arr.get(j, et))
+          j += 1
+        }
+      case StructType(fields) =>
+        val sr = v.asInstanceOf[InternalRow]
+        val sg = g.addGroup(i)
+        var j = 0
+        while (j < fields.length) {
+          if (!sr.isNullAt(j))
+            addTo(sg, j, fields(j).dataType, sr.get(j, fields(j).dataType))
+          j += 1
+        }
+      case MapType(kt, vt, _) =>
+        val m = v.asInstanceOf[MapData]
+        val mg = g.addGroup(i)
+        val ks = m.keyArray()
+        val vs = m.valueArray()
+        var j = 0
+        while (j < m.numElements()) {
+          val kv = mg.addGroup(0)
+          addTo(kv, 0, kt, ks.get(j, kt)) // keys are required, never null
+          if (!vs.isNullAt(j)) addTo(kv, 1, vt, vs.get(j, vt))
+          j += 1
+        }
+      case other => throw new UnsupportedOperationException(
+        s"graft.storage=parquet cannot store ${other.sql}")
+    }
 
   /** Write one file group; returns its size in bytes (the currency of
     * the write-amplification assertions). */
@@ -99,51 +174,66 @@ object GraftParquetIO {
       val g = factory.newGroup()
       var i = 0
       while (i < types.length) {
-        if (!r.isNullAt(i)) types(i) match {
-          case LongType => g.add(i, r.getLong(i))
-          case IntegerType => g.add(i, r.getInt(i))
-          case DoubleType => g.add(i, r.getDouble(i))
-          case FloatType => g.add(i, r.getFloat(i))
-          case BooleanType => g.add(i, r.getBoolean(i))
-          case StringType =>
-            g.add(i, Binary.fromConstantByteArray(r.getUTF8String(i).getBytes))
-          case DateType => g.add(i, r.getInt(i))
-          case TimestampType | TimestampNTZType => g.add(i, r.getLong(i))
-          case d: DecimalType =>
-            g.add(i, r.getDecimal(i, d.precision, d.scale).toUnscaledLong)
-          case ArrayType(et, _) =>
-            // one `list` entry group per element; a null element is an
-            // entry with no `element` value (empty array = LIST group
-            // with zero entries — distinct from a null column)
-            val arr = r.getArray(i)
-            val lg = g.addGroup(i)
-            var j = 0
-            while (j < arr.numElements()) {
-              val entry = lg.addGroup(0)
-              if (!arr.isNullAt(j)) et match {
-                case LongType => entry.add(0, arr.getLong(j))
-                case IntegerType => entry.add(0, arr.getInt(j))
-                case DoubleType => entry.add(0, arr.getDouble(j))
-                case FloatType => entry.add(0, arr.getFloat(j))
-                case BooleanType => entry.add(0, arr.getBoolean(j))
-                case StringType => entry.add(0, Binary
-                  .fromConstantByteArray(arr.getUTF8String(j).getBytes))
-                case DateType => entry.add(0, arr.getInt(j))
-                case TimestampType | TimestampNTZType =>
-                  entry.add(0, arr.getLong(j))
-                case d: DecimalType => entry.add(0,
-                  arr.getDecimal(j, d.precision, d.scale).toUnscaledLong)
-                case _ => ()
-              }
-              j += 1
-            }
-          case _ => ()
-        }
+        if (!r.isNullAt(i)) addTo(g, i, types(i), r.get(i, types(i)))
         i += 1
       }
       writer.write(g)
     } finally writer.close()
     new java.io.File(path).length()
+  }
+
+  /** The catalyst value of the PRESENT field `i` of `g` typed `dt`,
+    * recursing into nested groups (dual of [[addTo]]). */
+  private def readValue(g: Group, i: Int, dt: DataType): Any = dt match {
+    case LongType | TimestampType | TimestampNTZType => g.getLong(i, 0)
+    case IntegerType | DateType => g.getInteger(i, 0)
+    case DoubleType => g.getDouble(i, 0)
+    case FloatType => g.getFloat(i, 0)
+    case BooleanType => g.getBoolean(i, 0)
+    case StringType => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
+    case d: DecimalType => Decimal(g.getLong(i, 0), d.precision, d.scale)
+    case ArrayType(et, _) =>
+      val lg = g.getGroup(i, 0)
+      val n = lg.getFieldRepetitionCount(0)
+      val vals = new Array[Any](n)
+      var j = 0
+      while (j < n) {
+        val entry = lg.getGroup(0, j)
+        vals(j) =
+          if (entry.getFieldRepetitionCount(0) == 0) null
+          else readValue(entry, 0, et)
+        j += 1
+      }
+      new GenericArrayData(vals)
+    case StructType(fields) =>
+      val sg = g.getGroup(i, 0)
+      val vals = new Array[Any](fields.length)
+      var j = 0
+      while (j < fields.length) {
+        vals(j) =
+          if (sg.getFieldRepetitionCount(j) == 0) null
+          else readValue(sg, j, fields(j).dataType)
+        j += 1
+      }
+      new GenericInternalRow(vals)
+    case MapType(kt, vt, _) =>
+      val mg = g.getGroup(i, 0)
+      val n = mg.getFieldRepetitionCount(0)
+      val keys = new Array[Any](n)
+      val vals = new Array[Any](n)
+      var j = 0
+      while (j < n) {
+        val kv = mg.getGroup(0, j)
+        keys(j) = readValue(kv, 0, kt)
+        vals(j) =
+          if (kv.getFieldRepetitionCount(1) == 0) null
+          else readValue(kv, 1, vt)
+        j += 1
+      }
+      new ArrayBasedMapData(new GenericArrayData(keys),
+        new GenericArrayData(vals))
+    case other => throw new UnsupportedOperationException(
+      s"graft.storage=parquet cannot read ${other.sql}")
   }
 
   /** Read a file group back, in write order, as InternalRows typed by
@@ -161,48 +251,7 @@ object GraftParquetIO {
         while (i < types.length) {
           arr(i) =
             if (g.getFieldRepetitionCount(i) == 0) null
-            else types(i) match {
-              case LongType => g.getLong(i, 0)
-              case IntegerType => g.getInteger(i, 0)
-              case DoubleType => g.getDouble(i, 0)
-              case FloatType => g.getFloat(i, 0)
-              case BooleanType => g.getBoolean(i, 0)
-              case StringType =>
-                UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
-              case DateType => g.getInteger(i, 0)
-              case TimestampType | TimestampNTZType => g.getLong(i, 0)
-              case d: DecimalType =>
-                Decimal(g.getLong(i, 0), d.precision, d.scale)
-              case ArrayType(et, _) =>
-                val lg = g.getGroup(i, 0)
-                val n = lg.getFieldRepetitionCount(0)
-                val vals = new Array[Any](n)
-                var j = 0
-                while (j < n) {
-                  val entry = lg.getGroup(0, j)
-                  vals(j) =
-                    if (entry.getFieldRepetitionCount(0) == 0) null
-                    else et match {
-                      case LongType => entry.getLong(0, 0)
-                      case IntegerType => entry.getInteger(0, 0)
-                      case DoubleType => entry.getDouble(0, 0)
-                      case FloatType => entry.getFloat(0, 0)
-                      case BooleanType => entry.getBoolean(0, 0)
-                      case StringType => UTF8String
-                        .fromBytes(entry.getBinary(0, 0).getBytes)
-                      case DateType => entry.getInteger(0, 0)
-                      case TimestampType | TimestampNTZType =>
-                        entry.getLong(0, 0)
-                      case d: DecimalType =>
-                        Decimal(entry.getLong(0, 0), d.precision, d.scale)
-                      case _ => null
-                    }
-                  j += 1
-                }
-                new org.apache.spark.sql.catalyst.util
-                  .GenericArrayData(vals)
-              case _ => null
-            }
+            else readValue(g, i, types(i))
           i += 1
         }
         out += new GenericInternalRow(arr)
