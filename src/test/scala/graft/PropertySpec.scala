@@ -321,6 +321,85 @@ object PropertySpec extends Properties("graft.kernels") {
       } finally { f.delete(); () }
     }
 
+  // nested containers (STRUCT groups, 3-level MAP, ARRAY<STRUCT>): the
+  // training-data shapes — null containers, null fields inside present
+  // containers, empty maps/arrays all distinct on the way back
+  private val pqNestedRows: Gen[List[(
+      Option[(Option[Long], Option[String])],
+      Option[List[(String, Option[Double])]],
+      Option[List[Option[(Option[Int], Option[String])]]])]] =
+    Gen.listOfN(20, for {
+      st <- Gen.option(Gen.zip(Gen.option(Gen.choose(-1000L, 1000L)),
+        Gen.option(asciiText)))
+      m <- Gen.option(Gen.listOf(Gen.zip(
+        Gen.identifier.map(_.take(8)),
+        Gen.option(Gen.choose(-1e6, 1e6)))))
+      aos <- Gen.option(Gen.listOf(Gen.option(Gen.zip(
+        Gen.option(Gen.choose(-99, 99)), Gen.option(asciiText)))))
+    } yield (st, m.map(_.distinctBy(_._1)), aos))
+
+  property("GraftParquetIO round-trips STRUCT/MAP/ARRAY<STRUCT> nesting") =
+    Prop.forAll(pqNestedRows) { xs =>
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+      import org.apache.spark.sql.types._
+      val stT = StructType(Seq(StructField("a", LongType),
+        StructField("b", StringType)))
+      val aosElemT = StructType(Seq(StructField("x", IntegerType),
+        StructField("y", StringType)))
+      val types: Seq[DataType] =
+        Seq(stT, MapType(StringType, DoubleType), ArrayType(aosElemT))
+      def struct(a: Option[Long], b: Option[String]) =
+        new GenericInternalRow(Array[Any](a.map(Long.box).orNull,
+          b.map(UTF8String.fromString).orNull))
+      val rows = xs.map { case (st, m, aos) =>
+        new GenericInternalRow(Array[Any](
+          st.map { case (a, b) => struct(a, b) }.orNull,
+          m.map(kvs => new ArrayBasedMapData(
+            new GenericArrayData(
+              kvs.map(kv => UTF8String.fromString(kv._1)).toArray[Any]),
+            new GenericArrayData(
+              kvs.map(_._2.map(Double.box).orNull).toArray[Any]))).orNull,
+          aos.map(l => new GenericArrayData(l.map(_.map {
+            case (x, y) => new GenericInternalRow(Array[Any](
+              x.map(Int.box).orNull,
+              y.map(UTF8String.fromString).orNull))
+          }.orNull).toArray[Any])).orNull))
+          : org.apache.spark.sql.catalyst.InternalRow
+      }.toVector
+      val f = java.io.File.createTempFile("graft_pq_nested", ".parquet")
+      f.delete()
+      try {
+        graft.sources.GraftParquetIO.write(f.getAbsolutePath,
+          Seq("st", "m", "aos"), types, rows)
+        val back = graft.sources.GraftParquetIO.read(f.getAbsolutePath,
+          types)
+        // canonical view: every container flattened to comparable scala
+        def normStruct(v: Any): Any = v match {
+          case null => null
+          case r: org.apache.spark.sql.catalyst.InternalRow =>
+            (if (r.isNullAt(0)) null else r.getLong(0),
+              if (r.isNullAt(1)) null else r.getUTF8String(1).toString)
+        }
+        def norm(r: org.apache.spark.sql.catalyst.InternalRow) = (
+          normStruct(if (r.isNullAt(0)) null else r.getStruct(0, 2)),
+          if (r.isNullAt(1)) null
+          else {
+            val m = r.getMap(1)
+            m.keyArray().toObjectArray(StringType).map(_.toString).toList
+              .zip(m.valueArray().toObjectArray(DoubleType).toList)
+          },
+          if (r.isNullAt(2)) null
+          else r.getArray(2).toObjectArray(aosElemT).toList.map {
+            case null => null
+            case e: org.apache.spark.sql.catalyst.InternalRow =>
+              (if (e.isNullAt(0)) null else e.getInt(0),
+                if (e.isNullAt(1)) null else e.getUTF8String(1).toString)
+          })
+        back.length == rows.length && back.map(norm) == rows.map(norm)
+      } finally { f.delete(); () }
+    }
+
   // ---- min/max file-skipping soundness ------------------------------------
 
   private val statsCase: Gen[(List[Option[Long]], String, Long)] = for {
