@@ -1971,7 +1971,27 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       override def truncate(): WriteBuilder = {
         truncateRequested = true; this
       }
-      override def build(): Write = new Write {
+      override def build(): Write = new Write
+          with org.apache.spark.sql.connector.write
+            .RequiresDistributionAndOrdering {
+        // a PARTITIONED table asks the writer's input to be CLUSTERED
+        // by its transforms (days/bucket/identity, resolved through
+        // this catalog's FunctionCatalog): Spark shuffles rows so each
+        // task holds whole partition keys, and the commit lands one
+        // file per task instead of (input partitions × keys) fragments
+        // — the writer-side half of the small-files story (Iceberg's
+        // write.distribution-mode = hash)
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          if (partSpec.isEmpty)
+            org.apache.spark.sql.connector.distributions.Distributions
+              .unspecified()
+          else org.apache.spark.sql.connector.distributions.Distributions
+            .clustered(partSpec.map(_.toV2).toArray[
+              org.apache.spark.sql.connector.expressions.Expression])
+        override def requiredOrdering(): Array[
+            org.apache.spark.sql.connector.expressions.SortOrder] =
+          Array.empty
         override def toBatch: BatchWrite = {
           require(branch.isEmpty || !truncateRequested,
             s"branch writes to $tableName support APPEND only — " +
@@ -2567,7 +2587,8 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
     colDefaults: Map[Int, Any] = Map.empty)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeV2Filtering
-    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   // EXISTS-defaults resolved to current names once at planning: what a
   // file that predates an `ADD COLUMN ... DEFAULT` serves for the column
@@ -2601,11 +2622,59 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
 
+  /** Post-pruning size estimate (SupportsReportStatistics): Spark folds
+    * this into the relation AFTER pushdown, so a scan whose static
+    * stats skipping kept 2 of 10k files reports the 2-file footprint —
+    * and the planner BROADCASTS the filtered side without a hint, the
+    * decision that matters most at lake scale (Iceberg reports exactly
+    * this). On-disk bytes for parquet storage; a schema-sized row
+    * estimate for driver-resident files (whose `bytes` is 0). */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val liveRows = active.map(f =>
+      f.numRows - snapshot.dvs.getOrElse(f.id, Set.empty).size.toLong).sum
+    val diskBytes = active.map(_.bytes).sum
+    val size =
+      if (diskBytes > 0) diskBytes
+      else liveRows * math.max(1L, fullSchema.defaultSize.toLong)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(size)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(liveRows)
+    }
+  }
+
+  // Runtime (DPP-style) filterable attributes: the row-level group
+  // filter probes on `_file`; a REGULAR scan of a transform-partitioned
+  // table reports its partition SOURCE columns (Iceberg reports
+  // exactly these), so a join keyed on them ships the build side's
+  // value set here and [[filter]] prunes FILES before any task runs —
+  // at 100 TB, a fact-dim join reads only the dim-selected days/buckets
+  // instead of every file surviving static pruning.
   override def filterAttributes(): Array[NamedReference] =
     if (rowLevel.isDefined) Array(Expressions.column(GraftLakeTable.FileCol))
-    else Array.empty
+    // only columns this scan actually READS: Spark resolves these
+    // against the scan's output, so reporting a pruned-away source
+    // column (e.g. a merge-on-read op scan projecting just key +
+    // _file/_pos) would fail analysis
+    else partSpec.map(_.srcCol)
+      .filter(requiredSchema.fieldNames.contains)
+      .map(Expressions.column).toArray
 
   override def filter(predicates: Array[Predicate]): Unit = {
+    // runtime DATA predicates (the join's IN-set over a partition
+    // source column): files whose stats provably exclude every value
+    // are dropped — the same `mayMatch` soundness contract as static
+    // skipping, applied at runtime. Row-level scans narrow on `_file`
+    // only (their scanned-set contract below).
+    if (rowLevel.isEmpty && predicates.nonEmpty) {
+      val nameToId = idToName.map(_.swap)
+      val before = active.length
+      active = active.filter(f =>
+        GraftLakeStats.mayMatch(f, predicates.toSeq, nameToId, colDefaults))
+      if (active.length < before) runtimePruned = true
+    }
     val keeps = predicates.flatMap(fileIdsOf)
     if (keeps.nonEmpty) {
       // SNAPSHOT-DIVERGENCE validation (ADVICE r10): the group-filter
@@ -2674,7 +2743,15 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
     }
   }
 
-  private lazy val keyed: Array[(InternalRow, Vector[InternalRow])] = {
+  // set when runtime filtering shrank the active file set AFTER the
+  // cached key grouping was forced (outputPartitioning runs at planning,
+  // filter() at execution prep): planInputPartitions then re-groups from
+  // the surviving files — Spark's contract allows reporting a SUBSET of
+  // the original partition values after runtime filtering
+  @volatile private var runtimePruned = false
+  private lazy val keyed: Array[(InternalRow, Vector[InternalRow])] =
+    keyGroups()
+  private def keyGroups(): Array[(InternalRow, Vector[InternalRow])] = {
     val idx = partSpec.map(t => fullSchema.fieldIndex(t.srcCol))
     val types = idx.map(fullSchema.fields(_).dataType)
     // keyed partitions interleave files, so rows are normalized to the
@@ -2784,7 +2861,8 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
         snapshot.dvs.getOrElse(f.id, Set.empty), namesOf(f),
         f.path, f.types)).toArray
     else
-      keyed.map { case (k, rs) => GraftLakeKeyedPartition(rs, k) }
+      (if (runtimePruned) keyGroups() else keyed)
+        .map { case (k, rs) => GraftLakeKeyedPartition(rs, k) }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftLakeReaderFactory(fullSchema, requiredSchema, nameDefaults)

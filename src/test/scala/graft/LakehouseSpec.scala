@@ -2218,6 +2218,127 @@ class LakehouseSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("partitioned writes request clustering: keys never fragment files") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_wdist"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (ts TIMESTAMP_NTZ, v BIGINT) " +
+      "PARTITIONED BY (days(ts))")
+    // ADVERSARIAL input: 8 partitions, each interleaving all 4 days —
+    // without the write's clustered-distribution requirement this lands
+    // 8 files each spanning every day
+    spark.range(0, 2000).repartition(8)
+      .selectExpr("timestamp_ntz'2024-02-01 00:00:00' + " +
+        "make_interval(0, 0, 0, CAST(id % 4 AS INT), 0, 0, 0) AS ts",
+        "id AS v")
+      .writeTo(t).append()
+    assert(spark.table(t).count() == 2000)
+    // the distribution requirement shuffled rows so each task held
+    // whole days: a day never spans two files
+    val spread = spark.table(t)
+      .selectExpr("CAST(ts AS DATE) AS day", "_file")
+      .groupBy("day")
+      .agg(countDistinct(col("_file")).as("nf"))
+      .collect().map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    assert(spread.size == 4 && spread.values.forall(_ == 1L),
+      s"each day must land in exactly one file, got $spread")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("pruned scans report their true size and the planner broadcasts them") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_stats_rep"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    // 4 range-pure files, 2000 rows x 16 bytes (defaultSize) = ~32 KB
+    for (b <- 0 until 4)
+      spark.range(b * 500, (b + 1) * 500)
+        .selectExpr("id AS k", "id * 2 AS v")
+        .coalesce(1).writeTo(t).append()
+    // the probe side stays safely ABOVE the threshold (~80 KB), so the
+    // only possible broadcast is the lake side
+    spark.range(0, 10000).selectExpr("id AS rk", "id AS rv")
+      .createOrReplaceTempView("spec_stats_other")
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "16384")
+      def joinPlan(pred: Option[String]): String = {
+        val lake = pred.fold(spark.table(t))(spark.table(t).where(_))
+        lake.join(spark.table("spec_stats_other"),
+            col("k") === col("rk"))
+          .agg(count(lit(1))).queryExecution.executedPlan.toString
+      }
+      // unfiltered: ~32 KB > 16 KB threshold — no auto-broadcast of
+      // the lake side
+      assert(!joinPlan(None).contains("BroadcastHashJoin"),
+        "unfiltered lake side must exceed the broadcast threshold")
+      // stats-pruned to ONE 500-row file (~8 KB): the scan reports the
+      // POST-pruning footprint and the planner broadcasts it unhinted
+      assert(joinPlan(Some("k >= 0 AND k < 500"))
+        .contains("BroadcastHashJoin"),
+        "a stats-pruned scan must report its pruned size and broadcast")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("runtime (DPP-style) filtering prunes lake files on a join's IN-set") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_rtf"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (ts TIMESTAMP_NTZ, v BIGINT) " +
+      "PARTITIONED BY (days(ts))")
+    // four day-pure appends: per-file ts stats are tight per day
+    for (d <- 10 to 13)
+      spark.range(0, 500)
+        .selectExpr(s"timestamp_ntz'2024-01-$d 00:00:00' + " +
+          "make_interval(0, 0, 0, 0, 0, 0, id) AS ts", "id AS v")
+        .coalesce(1).writeTo(t).append()
+    // a dim spanning all four days with a SELECTIVE predicate (Spark's
+    // PartitionPruning only injects a runtime filter when the build
+    // side filters): tags 1000-1099 = day 12's first 100 timestamps
+    spark.range(0, 2000)
+      .selectExpr("timestamp_ntz'2024-01-10 00:00:00' + " +
+        "make_interval(0, 0, 0, CAST(id / 500 AS INT), 0, 0, id % 500) " +
+        "AS d_ts", "id AS tag")
+      .createOrReplaceTempView("spec_rtf_dim")
+    val joined = spark.table(t)
+      .join(spark.table("spec_rtf_dim")
+          .where("tag >= 1000 AND tag < 1100").hint("broadcast"),
+        col("ts") === col("d_ts"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    // collect() (not head(): head plans a SEPARATE limited execution
+    // whose metrics never land on this queryExecution's nodes)
+    val row = joined.collect()(0)
+    assert((row.getLong(0), row.getLong(1)) == (100L, 4950L))
+    // the scan must have emitted ONLY the pruned day's file: the join's
+    // runtime IN-set over ts (the days() SOURCE column, reported via
+    // filterAttributes) drops the other three files before any task runs
+    // descend through AQE stages: the final adaptive plan nests scans
+    // inside QueryStageExec nodes whose `children` is Nil
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive
+        .QueryStageExec => scans(q.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2
+        .BatchScanExec => Seq(b)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(joined.queryExecution.executedPlan)
+      .find(_.scan.isInstanceOf[graft.sources.GraftLakeScan])
+      .getOrElse(fail("no lake BatchScanExec in the join plan"))
+    assert(scan.metrics("numOutputRows").value == 500L,
+      s"runtime filtering must prune to one day's file, " +
+        s"scan emitted ${scan.metrics("numOutputRows").value}")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("parquet storage stores nested STRUCT/ARRAY/MAP columns faithfully") {
     spark.conf.set("spark.sql.catalog.graftlake",
       classOf[graft.sources.GraftLakeCatalog].getName)
