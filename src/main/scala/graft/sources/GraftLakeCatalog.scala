@@ -331,7 +331,15 @@ final case class GraftLakeFile(id: String, rows: Vector[InternalRow],
     // field ids this file's rows are SORTED by (ascending, nulls
     // first — Spark's natural ordering), stamped by the cluster
     // maintenance rewrite; Nil for ordinary writes
-    sortedBy: Seq[Int] = Nil) {
+    sortedBy: Seq[Int] = Nil,
+    // NESTED-LEAF stats, keyed (struct column field id, leaf name):
+    // min/max over rows where both struct and leaf are non-null, and a
+    // null count treating a null STRUCT as a null leaf (what
+    // `s.leaf IS NULL` evaluates to). Iceberg collects stats on nested
+    // leaves the same way; files from before this capability simply
+    // lack entries and stay unprunable (conservative).
+    nstats: Map[(Int, String), (Any, Any)] = Map.empty,
+    nnulls: Map[(Int, String), Long] = Map.empty) {
   /** Committed row count (manifest metadata — parquet-backed files keep
     * no rows in memory, so the count must be recorded at write time). */
   def numRows: Long = if (nRows >= 0) nRows else rows.length.toLong
@@ -412,6 +420,45 @@ private[graft] object GraftLakeStats {
         Some(id -> ((mn, mx)))
       }
     }.toMap
+
+  /** Min/max + null counts for STRUCT LEAF fields of primitive type,
+    * keyed (struct column id, leaf name). A null struct counts as a
+    * null leaf (SQL: `s.leaf` of a null `s` IS NULL), so the null
+    * count is usable for IS [NOT] NULL pruning directly. */
+  def collectNested(rows: Vector[InternalRow], colIds: Seq[Int],
+      types: Seq[DataType])
+      : (Map[(Int, String), (Any, Any)], Map[(Int, String), Long]) = {
+    val st = Map.newBuilder[(Int, String), (Any, Any)]
+    val nu = Map.newBuilder[(Int, String), Long]
+    colIds.zipWithIndex.foreach { case (id, i) =>
+      types(i) match {
+        case s: StructType =>
+          s.fields.zipWithIndex.foreach { case (leaf, j) =>
+            if (statsSupported(leaf.dataType)) {
+              var mn: Any = null
+              var mx: Any = null
+              var nulls = 0L
+              rows.foreach { r =>
+                if (r.isNullAt(i)) nulls += 1
+                else {
+                  val sr = r.getStruct(i, s.length)
+                  if (sr.isNullAt(j)) nulls += 1
+                  else {
+                    val v = sr.get(j, leaf.dataType)
+                    if (mn == null || cmp(v, mn) < 0) mn = v
+                    if (mx == null || cmp(v, mx) > 0) mx = v
+                  }
+                }
+              }
+              st += (id, leaf.name) -> ((mn, mx))
+              nu += (id, leaf.name) -> nulls
+            }
+          }
+        case _ => ()
+      }
+    }
+    (st.result(), nu.result())
+  }
 
   /** Effective stats view of column `id` in file `f`: (min/max entry,
     * null count). A file NOT carrying the column serves its
@@ -562,14 +609,22 @@ private[graft] object GraftLakeStats {
         case Some(0L) => false // provably zero nulls: cannot match
         case _ => true
       }
-      case None => true
+      case None => nestedKeyOf(p.children(), nameToId)
+        .flatMap(f.nnulls.get) match {
+          case Some(0L) => false // leaf (and struct) never null
+          case _ => true
+        }
     }
     case "IS_NOT_NULL" => colIdOf(p.children(), nameToId) match {
       case Some(id) => colView(f, id, defaults)._2 match {
         case Some(n) if n == f.numRows => false // every value null
         case _ => true
       }
-      case None => true
+      case None => nestedKeyOf(p.children(), nameToId)
+        .flatMap(f.nnulls.get) match {
+          case Some(n) if n == f.numRows => false
+          case _ => true
+        }
     }
     case "STARTS_WITH" => p.children() match {
       case Array(r: NamedReference, l: V2Literal[_])
@@ -741,6 +796,14 @@ private[graft] object GraftLakeStats {
     case _ => None
   }
 
+  /** Two-part reference `struct.leaf` → the nested-stats key. */
+  private def nestedKeyOf(kids: Array[V2Expr],
+      nameToId: Map[String, Int]): Option[(Int, String)] = kids match {
+    case Array(r: NamedReference) if r.fieldNames().length == 2 =>
+      nameToId.get(r.fieldNames()(0)).map(_ -> r.fieldNames()(1))
+    case _ => None
+  }
+
   /** All column ids referenced under `p`; None when any reference is
     * nested or unresolvable (caller must then stay conservative). */
   private def refIds(p: V2Expr,
@@ -774,25 +837,36 @@ private[graft] object GraftLakeStats {
         Some((r, l.value, m))
       case _ => None
     }
+    def rangeMay(entry: Option[(Any, Any)], lit: Any, o: String): Boolean =
+      entry match {
+        case None => true // no stats: no pruning
+        case Some((null, null)) => false // every row NULL: no match
+        case Some((mn, mx)) =>
+          try o match {
+            case "=" => cmp(mn, lit) <= 0 && cmp(lit, mx) <= 0
+            case "<" => cmp(mn, lit) < 0
+            case "<=" => cmp(mn, lit) <= 0
+            case ">" => cmp(mx, lit) > 0
+            case ">=" => cmp(mx, lit) >= 0
+            // every non-null value equals lit: no row can differ
+            case "<>" => !(cmp(mn, lit) == 0 && cmp(mx, lit) == 0)
+            case _ => true
+          } catch { case _: IllegalArgumentException => true }
+      }
     parsed match {
       case Some((ref, lit, o)) if ref.fieldNames().length == 1 =>
         nameToId.get(ref.fieldNames()(0)) match {
           case None => true // metadata/unknown column: no pruning
-          case Some(id) => colView(f, id, defaults)._1 match {
-            case None => true // unsupported type: no stats, no pruning
-            case Some((null, null)) => false // every row NULL: no match
-            case Some((mn, mx)) =>
-              try o match {
-                case "=" => cmp(mn, lit) <= 0 && cmp(lit, mx) <= 0
-                case "<" => cmp(mn, lit) < 0
-                case "<=" => cmp(mn, lit) <= 0
-                case ">" => cmp(mx, lit) > 0
-                case ">=" => cmp(mx, lit) >= 0
-                // every non-null value equals lit: no row can differ
-                case "<>" => !(cmp(mn, lit) == 0 && cmp(mx, lit) == 0)
-                case _ => true
-              } catch { case _: IllegalArgumentException => true }
-          }
+          case Some(id) => rangeMay(colView(f, id, defaults)._1, lit, o)
+        }
+      // `struct.leaf OP lit` prunes through the nested-leaf stats —
+      // same range logic, conservative when the file predates nested
+      // stats collection
+      case Some((ref, lit, o)) if ref.fieldNames().length == 2 =>
+        nameToId.get(ref.fieldNames()(0)) match {
+          case None => true
+          case Some(id) =>
+            rangeMay(f.nstats.get((id, ref.fieldNames()(1))), lit, o)
         }
       case _ => true
     }
@@ -1739,6 +1813,8 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       val nulls = GraftLakeStats.nullCounts(rows, colIds)
       val sums = GraftLakeStats.intSums(rows, colIds, types)
       val dsums = GraftLakeStats.decSums(rows, colIds, types)
+      val (nstats, nnulls) = GraftLakeStats.collectNested(rows, colIds,
+        types)
       lakeDir match {
         case Some(dir) =>
           val p = new java.io.File(dir, s"f$fileSeq.parquet")
@@ -1746,14 +1822,15 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           val bytes = GraftParquetIO.write(p,
             schemaNow.fieldNames.toSeq, types, rows)
           GraftLakeFile(id, Vector.empty, colIds, Some(p), types, bytes,
-            stats, rows.length.toLong, nulls, sums, dsums, sortedBy)
+            stats, rows.length.toLong, nulls, sums, dsums, sortedBy,
+            nstats, nnulls)
         // memory files record their write-time types too: compaction
         // rewrites and type-widened scans both need the file's PHYSICAL
         // layout, which the current schema no longer describes after an
         // ALTER (ADVICE r12)
         case None => GraftLakeFile(id, rows, colIds, types = types,
           stats = stats, nulls = nulls, sums = sums, dsums = dsums,
-          sortedBy = sortedBy)
+          sortedBy = sortedBy, nstats = nstats, nnulls = nnulls)
       }
     }
 
@@ -1858,6 +1935,8 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       val nulls = GraftLakeStats.nullCounts(rows, f.cols)
       val sums = GraftLakeStats.intSums(rows, f.cols, f.types)
       val dsums = GraftLakeStats.decSums(rows, f.cols, f.types)
+      val (nstats, nnulls) = GraftLakeStats.collectNested(rows, f.cols,
+        f.types)
       Vector(lakeDir match {
         case Some(dir) =>
           val p = new java.io.File(dir, s"f$fileSeq.parquet")
@@ -1868,9 +1947,11 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
             idToName.getOrElse(cid, s"_dropped_$cid"))
           val bytes = GraftParquetIO.write(p, names, f.types, rows)
           GraftLakeFile(id, Vector.empty, f.cols, Some(p), f.types, bytes,
-            stats, rows.length.toLong, nulls, sums, dsums)
+            stats, rows.length.toLong, nulls, sums, dsums,
+            nstats = nstats, nnulls = nnulls)
         case None => GraftLakeFile(id, rows, f.cols, types = f.types,
-          stats = stats, nulls = nulls, sums = sums, dsums = dsums)
+          stats = stats, nulls = nulls, sums = sums, dsums = dsums,
+          nstats = nstats, nnulls = nnulls)
       })
     }
 

@@ -2218,6 +2218,43 @@ class LakehouseSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("nested-leaf stats prune files on struct-field predicates") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_nested_stats"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, " +
+      "span STRUCT<s: INT, label: STRING>)")
+    // 4 files with disjoint span.s ranges and distinct labels
+    for (b <- 0 until 4)
+      spark.range(b * 100, (b + 1) * 100)
+        .selectExpr("id AS k",
+          s"named_struct('s', CAST(id AS INT), 'label', 'L$b') AS span")
+        .coalesce(1).writeTo(t).append()
+    def parts(pred: String): Int =
+      spark.table(t).where(pred).rdd.getNumPartitions
+    // range predicate on the leaf prunes to the covering file
+    assert(parts("span.s >= 150 AND span.s < 160") == 1,
+      "span.s range must prune to one file via nested-leaf stats")
+    // equality on the string leaf prunes too
+    assert(parts("span.label = 'L2'") == 1,
+      "span.label equality must prune via nested min/max")
+    // zero nested nulls recorded: IS NULL prunes everything
+    assert(parts("span.s IS NULL") == 0,
+      "IS NULL over a never-null leaf must plan zero files")
+    // and the results stay exact (nested predicates are RESIDUAL —
+    // the scan never claims them fully pushed)
+    assert(spark.table(t).where("span.s >= 150 AND span.s < 160")
+      .count() == 10)
+    assert(spark.table(t).where("span.label = 'L2'").count() == 100)
+    // a null STRUCT counts as a null leaf: IS NULL keeps that file
+    spark.sql(s"INSERT INTO $t VALUES (999, NULL)")
+    assert(spark.table(t).where("span.s IS NULL").count() == 1)
+    assert(parts("span.s IS NULL") == 1,
+      "only the null-carrying file survives IS NULL pruning")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("partitioned writes request clustering: keys never fragment files") {
     spark.conf.set("spark.sql.catalog.graftlake",
       classOf[graft.sources.GraftLakeCatalog].getName)

@@ -440,6 +440,62 @@ object PropertySpec extends Properties("graft.kernels") {
       if (op == "=") !truly || may else may == truly
     }
 
+  // Nested-leaf pruning: rows are STRUCT<leaf BIGINT> with null structs
+  // and null leaves; a pruned file must hold no matching row under real
+  // per-row evaluation (null struct ⇒ null leaf), for every op
+  private val nestedStatsCase
+      : Gen[(List[Option[Option[Long]]], String, Long)] = for {
+    vals <- Gen.listOfN(20,
+      Gen.option(Gen.option(Gen.choose(-100L, 100L))))
+    op <- Gen.oneOf("=", "<", "<=", ">", ">=", "<>",
+      "IS_NULL", "IS_NOT_NULL")
+    lit <- Gen.choose(-120L, 120L)
+  } yield (vals, op, lit)
+
+  property("nested-leaf pruning is SOUND: a pruned file has no match") =
+    Prop.forAll(nestedStatsCase) { case (vals, op, lit) =>
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      import org.apache.spark.sql.catalyst.InternalRow
+      import org.apache.spark.sql.connector.expressions.Expressions
+      import org.apache.spark.sql.connector.expressions.filter.Predicate
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val stT = StructType(Seq(StructField("leaf", LongType)))
+      // vals: None = null struct; Some(None) = struct with null leaf
+      val rows = vals.map(v => new GenericInternalRow(Array[Any](
+        v.map(leaf => new GenericInternalRow(
+          Array[Any](leaf.map(Long.box).orNull))).orNull)): InternalRow)
+        .toVector
+      val (nstats, nnulls) = graft.sources.GraftLakeStats.collectNested(
+        rows, Seq(7), Seq(stT))
+      val f = graft.sources.GraftLakeFile("f", rows, Seq(7),
+        types = Seq(stT), nstats = nstats, nnulls = nnulls)
+      val ref = Expressions.column("s.leaf")
+      val pred =
+        if (op == "IS_NULL" || op == "IS_NOT_NULL")
+          new Predicate(op, Array[
+            org.apache.spark.sql.connector.expressions.Expression](ref))
+        else new Predicate(op, Array(ref, Expressions.literal(lit)))
+      val may = graft.sources.GraftLakeStats.mayMatch(
+        f, Seq(pred), Map("s" -> 7))
+      // real evaluation: s.leaf of a null struct IS NULL
+      val leaves = vals.map(_.flatten)
+      val truly = op match {
+        case "IS_NULL" => leaves.exists(_.isEmpty)
+        case "IS_NOT_NULL" => leaves.exists(_.isDefined)
+        case _ => leaves.flatten.exists { v =>
+          op match {
+            case "=" => v == lit
+            case "<" => v < lit
+            case "<=" => v <= lit
+            case ">" => v > lit
+            case ">=" => v >= lit
+            case "<>" => v != lit
+          }
+        }
+      }
+      !truly || may // SOUNDNESS: pruning implies no matching row
+    }
+
   // Doubles including the SQL-equal-but-compareTo-unequal ±0.0 pair and
   // NaN (ADVICE r12 medium), plus IS [NOT] NULL and IN over the
   // recorded null counts — soundness must hold for every op
