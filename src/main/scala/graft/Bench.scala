@@ -28,6 +28,20 @@ object Bench {
     // not the first query's luck of position
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // absorb the DSv2 lake-catalog cold path too (class init + codegen
+    // of the write / row-level / change-feed machinery): the catalog is
+    // large enough that its first use otherwise taxes whichever lake
+    // query happens to run first — a position cost, not a query cost
+    spark.conf.set("spark.sql.catalog.graftwarm",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.sql("DROP TABLE IF EXISTS graftwarm.warmup")
+    spark.sql("CREATE TABLE graftwarm.warmup (k BIGINT)")
+    spark.range(10).selectExpr("id AS k").writeTo("graftwarm.warmup")
+      .append()
+    spark.sql("UPDATE graftwarm.warmup SET k = k + 1 WHERE k = 5")
+    spark.read.option("graft.changes.from", "0")
+      .option("graft.changes.to", "2").table("graftwarm.warmup").count()
+    spark.sql("DROP TABLE IF EXISTS graftwarm.warmup")
     // pre-stage the chunked streaming fixtures: staging is one-time test
     // setup (fingerprint-cached on disk), not part of any operator's cost
     graft.streaming.StreamingOps.chunkedEventsDir(spark, sfDir)
