@@ -2750,10 +2750,18 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
     // skipping, applied at runtime. Row-level scans narrow on `_file`
     // only (their scanned-set contract below).
     if (rowLevel.isEmpty && predicates.nonEmpty) {
+      // BOUND the driver-side work: a runtime IN-set is the build side's
+      // whole key set and Spark does not cap it for V2 filtering — an
+      // unbounded set makes this loop O(files × values) on the driver.
+      // Pruning is optional (the join still filters), so oversized
+      // predicates are simply not used.
+      val usable = predicates.filter(p =>
+        p.name() != "IN" || p.children().length <= 1001)
       val nameToId = idToName.map(_.swap)
       val before = active.length
-      active = active.filter(f =>
-        GraftLakeStats.mayMatch(f, predicates.toSeq, nameToId, colDefaults))
+      if (usable.nonEmpty)
+        active = active.filter(f =>
+          GraftLakeStats.mayMatch(f, usable.toSeq, nameToId, colDefaults))
       if (active.length < before) runtimePruned = true
     }
     val keeps = predicates.flatMap(fileIdsOf)
