@@ -1617,6 +1617,29 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       (from, currentVersion)
     }
 
+  /** Squash-publish: the branch's staged commits land on main as ONE
+    * data-change commit (the change feed shows one version for the
+    * whole audited batch — the atomic-visibility variant of
+    * [[fastForward]]; same divergence contract). Returns
+    * (version before, version after). */
+  private[sources] def fastForwardSquashed(name: String): (Int, Int) =
+    synchronized {
+      val b = branchRefs.getOrElse(name, throw new IllegalArgumentException(
+        s"no branch '$name' on $tableName"))
+      val from = currentVersion
+      require(b.base == from,
+        s"cannot publish $tableName from branch '$name': main advanced " +
+          s"from the branch's fork base ${b.base} to $from — the branch " +
+          "has diverged; drop it and re-stage against the current state")
+      b.staged.lastOption.foreach { case (head, _) =>
+        files = head.files
+        dvs = head.dvs
+        recordCommit(dataChange = true)
+      }
+      branchRefs += name -> StagedBranch(currentVersion, Vector.empty)
+      (from, currentVersion)
+    }
+
   /** Data-file paths referenced only by unpublished branch commits —
     * the expire vacuum must not unlink what a staged branch still
     * reads. */
@@ -3679,7 +3702,7 @@ private[sources] object GraftLakeProcedures {
   val names: Seq[String] =
     Seq("rollback", "expire_versions", "expire_before", "compact",
       "compact_files", "cluster", "cluster_zorder", "create_branch",
-      "create_tag", "fast_forward", "drop_ref")
+      "create_tag", "fast_forward", "publish_squashed", "drop_ref")
 
   def byName(catalog: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -3816,6 +3839,21 @@ private[sources] object GraftLakeProcedures {
         override def run(t: GraftLakeTable, input: InternalRow)
             : Array[InternalRow] = {
           val (from, to) = t.fastForward(input.getUTF8String(1).toString)
+          Array(new GenericInternalRow(Array[Any](from, to)))
+        }
+      })
+      // squash the branch's staged commits into ONE published commit —
+      // the whole audited batch becomes atomically visible (one change
+      // feed version), vs fast_forward's commit-per-commit replay
+      case "publish_squashed" => Some(new Proc(catalog, "publish_squashed",
+        Array(in("table", StringType), in("branch", StringType)),
+        StructType(Seq(
+          StructField("previous_version", IntegerType, nullable = false),
+          StructField("current_version", IntegerType, nullable = false)))) {
+        override def run(t: GraftLakeTable, input: InternalRow)
+            : Array[InternalRow] = {
+          val (from, to) =
+            t.fastForwardSquashed(input.getUTF8String(1).toString)
           Array(new GenericInternalRow(Array[Any](from, to)))
         }
       })

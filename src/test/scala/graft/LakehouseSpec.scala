@@ -2530,6 +2530,34 @@ class LakehouseSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("publish_squashed lands the whole staged batch as ONE commit") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_wap_sq"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT)")
+    spark.range(0, 50).selectExpr("id AS k").coalesce(1)
+      .writeTo(t).append() // v1
+    spark.sql(s"CALL graftlake.system.create_branch('spec_wap_sq', 'b')")
+    for (s <- 0 until 3) // three staged loads
+      spark.range(50 + s * 10, 60 + s * 10).selectExpr("id AS k")
+        .coalesce(1).writeTo(t).option("graft.branch", "b").append()
+    val r = spark.sql(
+      s"CALL graftlake.system.publish_squashed('spec_wap_sq', 'b')").head()
+    assert((r.getInt(0), r.getInt(1)) == (1, 2),
+      "three staged commits must publish as ONE main version")
+    assert(spark.table(t).count() == 80)
+    // the change feed shows the whole batch under a single version
+    val byV = spark.read.table(s"$t.changes")
+      .where("_commit_version = 2").count()
+    assert(byV == 30, s"the squashed commit must carry all 30 rows: $byV")
+    // an empty branch squash-publishes as a no-op (no empty commit)
+    val r2 = spark.sql(
+      s"CALL graftlake.system.publish_squashed('spec_wap_sq', 'b')").head()
+    assert((r2.getInt(0), r2.getInt(1)) == (2, 2))
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("a diverged branch refuses to fast-forward; audit can drop it") {
     spark.conf.set("spark.sql.catalog.graftlake",
       classOf[graft.sources.GraftLakeCatalog].getName)
