@@ -2756,15 +2756,28 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
   // value set here and [[filter]] prunes FILES before any task runs —
   // at 100 TB, a fact-dim join reads only the dim-selected days/buckets
   // instead of every file surviving static pruning.
-  override def filterAttributes(): Array[NamedReference] =
-    if (rowLevel.isDefined) Array(Expressions.column(GraftLakeTable.FileCol))
+  override def filterAttributes(): Array[NamedReference] = {
+    if (rowLevel.isDefined)
+      return Array(Expressions.column(GraftLakeTable.FileCol))
+    // a CLUSTERED table's files are range-pure on the cluster key, so
+    // the key earns runtime pruning exactly like a partition source —
+    // the `CALL system.cluster` payoff extends from static to runtime
+    // filters (reported only when every active file shares the key)
+    val clusterCol =
+      if (partSpec.isEmpty && active.nonEmpty) {
+        val heads = active.map(_.sortedBy.headOption)
+        if (heads.forall(_.isDefined) && heads.distinct.length == 1)
+          idToName.get(heads.head.get).toSeq
+        else Nil
+      } else Nil
     // only columns this scan actually READS: Spark resolves these
     // against the scan's output, so reporting a pruned-away source
     // column (e.g. a merge-on-read op scan projecting just key +
     // _file/_pos) would fail analysis
-    else partSpec.map(_.srcCol)
+    (partSpec.map(_.srcCol) ++ clusterCol).distinct
       .filter(requiredSchema.fieldNames.contains)
       .map(Expressions.column).toArray
+  }
 
   override def filter(predicates: Array[Predicate]): Unit = {
     // runtime DATA predicates (the join's IN-set over a partition

@@ -2376,6 +2376,45 @@ class LakehouseSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("a clustered table's sort key earns runtime file pruning too") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_rtf_cluster"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, v BIGINT)")
+    // interleaved appends, then cluster: 4 range-pure stripes on k
+    for (b <- 0 until 4)
+      spark.range(0, 500).selectExpr(s"id * 4 + $b AS k", "id AS v")
+        .coalesce(1).writeTo(t).append()
+    spark.sql(s"CALL graftlake.system.cluster('spec_rtf_cluster', 'k', 4)")
+    spark.range(0, 2000).selectExpr("id AS rk", "id AS tag")
+      .createOrReplaceTempView("spec_rtfc_dim")
+    val joined = spark.table(t)
+      .join(spark.table("spec_rtfc_dim")
+          .where("tag >= 100 AND tag < 200").hint("broadcast"),
+        col("k") === col("rk"))
+      .agg(count(lit(1)).as("n"))
+    assert(joined.collect()(0).getLong(0) == 100)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive
+        .QueryStageExec => scans(q.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2
+        .BatchScanExec => Seq(b)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(joined.queryExecution.executedPlan)
+      .find(_.scan.isInstanceOf[graft.sources.GraftLakeScan])
+      .getOrElse(fail("no lake BatchScanExec in the join plan"))
+    assert(scan.metrics("numOutputRows").value == 500L,
+      "the IN-set over the cluster key must prune to one stripe, " +
+        s"scan emitted ${scan.metrics("numOutputRows").value}")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("parquet storage stores nested STRUCT/ARRAY/MAP columns faithfully") {
     spark.conf.set("spark.sql.catalog.graftlake",
       classOf[graft.sources.GraftLakeCatalog].getName)
