@@ -2709,6 +2709,27 @@ class LakehouseSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("a tag read resolves the TAGGED version's schema across ALTERs") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_tag_schema"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT)")
+    spark.sql(s"INSERT INTO $t VALUES (1), (2)") // v1
+    spark.sql(s"CALL graftlake.system.create_tag('spec_tag_schema', " +
+      "'pre', 1)")
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (s STRING DEFAULT 'x')")
+    spark.sql(s"INSERT INTO $t VALUES (3, 'y')")
+    // the tag rides the pinned-table path: the TAGGED version's schema
+    // (no s column), not the current one back-filled
+    val tagged = spark.sql(s"SELECT * FROM $t VERSION AS OF 'pre'")
+    assert(tagged.columns.toSeq == Seq("k"),
+      s"tag must serve the tagged version's schema: ${tagged.columns.toSeq}")
+    assert(tagged.count() == 2)
+    assert(spark.table(t).columns.toSeq == Seq("k", "s"))
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("expire vacuum spares parquet files staged on an unpublished branch") {
     spark.conf.set("spark.sql.catalog.graftlake",
       classOf[graft.sources.GraftLakeCatalog].getName)
