@@ -421,38 +421,67 @@ private[graft] object GraftLakeStats {
       }
     }.toMap
 
-  /** Min/max + null counts for STRUCT LEAF fields of primitive type,
-    * keyed (struct column id, leaf name). A null struct counts as a
-    * null leaf (SQL: `s.leaf` of a null `s` IS NULL), so the null
-    * count is usable for IS [NOT] NULL pruning directly. */
+  /** Min/max + null counts for STRUCT LEAF fields of primitive type at
+    * ANY struct-in-struct depth, keyed (struct column id, dotted leaf
+    * path). A null struct anywhere on the path counts as a null leaf
+    * (SQL: `a.b.c` of a null link IS NULL), so the null count is usable
+    * for IS [NOT] NULL pruning directly. */
   def collectNested(rows: Vector[InternalRow], colIds: Seq[Int],
       types: Seq[DataType])
       : (Map[(Int, String), (Any, Any)], Map[(Int, String), Long]) = {
     val st = Map.newBuilder[(Int, String), (Any, Any)]
     val nu = Map.newBuilder[(Int, String), Long]
+    // every primitive leaf reachable through structs only:
+    // (dotted path, leaf type, field-index chain)
+    def leaves(s: StructType, path: Seq[(String, Int)])
+        : Seq[(String, DataType, Seq[Int])] =
+      s.fields.zipWithIndex.flatMap { case (f, j) =>
+        f.dataType match {
+          case inner: StructType =>
+            leaves(inner, path :+ (f.name, j))
+          case dt if statsSupported(dt) =>
+            Seq(((path.map(_._1) :+ f.name).mkString("."), dt,
+              path.map(_._2) :+ j))
+          case _ => Nil
+        }
+      }
+    // sizes of each struct along a chain, for getStruct(ordinal, n)
+    def widths(s: StructType, chain: Seq[Int]): Seq[Int] =
+      if (chain.isEmpty) Nil
+      else s.length +: (s.fields(chain.head).dataType match {
+        case inner: StructType => widths(inner, chain.tail)
+        case _ => Nil
+      })
     colIds.zipWithIndex.foreach { case (id, i) =>
       types(i) match {
         case s: StructType =>
-          s.fields.zipWithIndex.foreach { case (leaf, j) =>
-            if (statsSupported(leaf.dataType)) {
-              var mn: Any = null
-              var mx: Any = null
-              var nulls = 0L
-              rows.foreach { r =>
-                if (r.isNullAt(i)) nulls += 1
+          leaves(s, Nil).foreach { case (path, leafType, chain) =>
+            val w = widths(s, chain)
+            var mn: Any = null
+            var mx: Any = null
+            var nulls = 0L
+            rows.foreach { r =>
+              if (r.isNullAt(i)) nulls += 1
+              else {
+                // walk the struct chain; any null link nulls the leaf
+                var cur: InternalRow = r.getStruct(i, w.head)
+                var d = 0
+                while (d < chain.length - 1 && cur != null) {
+                  cur =
+                    if (cur.isNullAt(chain(d))) null
+                    else cur.getStruct(chain(d), w(d + 1))
+                  d += 1
+                }
+                if (cur == null || cur.isNullAt(chain.last)) nulls += 1
                 else {
-                  val sr = r.getStruct(i, s.length)
-                  if (sr.isNullAt(j)) nulls += 1
-                  else {
-                    val v = sr.get(j, leaf.dataType)
-                    if (mn == null || cmp(v, mn) < 0) mn = v
-                    if (mx == null || cmp(v, mx) > 0) mx = v
-                  }
+                  val v = cur.get(chain.last, leafType)
+                  if (mn == null || cmp(v, mn) < 0) mn = v
+                  if (mx == null || cmp(v, mx) > 0) mx = v
                 }
               }
-              st += (id, leaf.name) -> ((mn, mx))
-              nu += (id, leaf.name) -> nulls
             }
+            st += (id, path) -> ((mn, mx))
+            nu += (id, path) -> nulls
           }
         case _ => ()
       }
@@ -796,11 +825,13 @@ private[graft] object GraftLakeStats {
     case _ => None
   }
 
-  /** Two-part reference `struct.leaf` → the nested-stats key. */
+  /** Multi-part reference `struct.(...).leaf` → the nested-stats key
+    * (top column id, dotted leaf path). */
   private def nestedKeyOf(kids: Array[V2Expr],
       nameToId: Map[String, Int]): Option[(Int, String)] = kids match {
-    case Array(r: NamedReference) if r.fieldNames().length == 2 =>
-      nameToId.get(r.fieldNames()(0)).map(_ -> r.fieldNames()(1))
+    case Array(r: NamedReference) if r.fieldNames().length >= 2 =>
+      nameToId.get(r.fieldNames()(0))
+        .map(_ -> r.fieldNames().tail.mkString("."))
     case _ => None
   }
 
@@ -859,14 +890,15 @@ private[graft] object GraftLakeStats {
           case None => true // metadata/unknown column: no pruning
           case Some(id) => rangeMay(colView(f, id, defaults)._1, lit, o)
         }
-      // `struct.leaf OP lit` prunes through the nested-leaf stats —
-      // same range logic, conservative when the file predates nested
-      // stats collection
-      case Some((ref, lit, o)) if ref.fieldNames().length == 2 =>
+      // `struct.(...).leaf OP lit` prunes through the nested-leaf
+      // stats — same range logic, conservative when the file predates
+      // nested stats collection
+      case Some((ref, lit, o)) if ref.fieldNames().length >= 2 =>
         nameToId.get(ref.fieldNames()(0)) match {
           case None => true
-          case Some(id) =>
-            rangeMay(f.nstats.get((id, ref.fieldNames()(1))), lit, o)
+          case Some(id) => rangeMay(
+            f.nstats.get((id, ref.fieldNames().tail.mkString("."))),
+            lit, o)
         }
       case _ => true
     }

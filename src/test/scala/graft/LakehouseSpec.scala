@@ -2253,6 +2253,34 @@ class LakehouseSpec extends SparkTestBase {
     assert(parts("span.s IS NULL") == 1,
       "only the null-carrying file survives IS NULL pruning")
     spark.sql(s"DROP TABLE IF EXISTS $t")
+
+    // struct-in-struct: a depth-3 reference prunes through the dotted
+    // leaf path, and a null MID-path link counts as a null leaf
+    val t2 = "graftlake.spec_nested_deep_stats"
+    spark.sql(s"DROP TABLE IF EXISTS $t2")
+    spark.sql(s"CREATE TABLE $t2 (k BIGINT, " +
+      "meta STRUCT<src: STRUCT<domain: STRING, score: INT>, v: INT>)")
+    for (b <- 0 until 3)
+      spark.range(b * 50, (b + 1) * 50)
+        .selectExpr("id AS k",
+          s"named_struct('src', named_struct('domain', 'd$b', " +
+            "'score', CAST(id AS INT)), 'v', 1) AS meta")
+        .coalesce(1).writeTo(t2).append()
+    def parts2(pred: String): Int =
+      spark.table(t2).where(pred).rdd.getNumPartitions
+    assert(parts2("meta.src.domain = 'd1'") == 1,
+      "a depth-3 string equality must prune to one file")
+    assert(parts2("meta.src.score >= 100") == 1,
+      "a depth-3 range must prune to the covering file")
+    assert(spark.table(t2).where("meta.src.domain = 'd1'").count() == 50)
+    // null mid-path: meta non-null, meta.src null → src.domain IS NULL
+    spark.sql(s"INSERT INTO $t2 VALUES " +
+      "(998, named_struct('src', CAST(NULL AS " +
+      "STRUCT<domain: STRING, score: INT>), 'v', 2))")
+    assert(spark.table(t2).where("meta.src.domain IS NULL").count() == 1)
+    assert(parts2("meta.src.domain IS NULL") == 1,
+      "only the null-mid-path file survives IS NULL pruning")
+    spark.sql(s"DROP TABLE IF EXISTS $t2")
   }
 
   test("partitioned writes request clustering: keys never fragment files") {
