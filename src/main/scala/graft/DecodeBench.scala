@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only A/B for the lake-scan decode path (VERDICT r15 task 1):
+  * loads orders into a `graft.storage = parquet` lake table once, then
+  * times the same scan-aggregate with the vectorized ColumnarBatch
+  * decode ON vs pinned OFF (`-Dgraft.lake.columnar=off` equivalent,
+  * toggled in-process). Prints one JSON line per leg. Not part of the
+  * driver contract — `sbt "runMain graft.DecodeBench [sfDir] [reps]"`. */
+object DecodeBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = args.drop(1).headOption.map(_.toInt).getOrElse(5)
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.decode_bench"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (o_orderkey BIGINT, o_custkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE, o_orderpriority STRING, " +
+      "o_orderdate TIMESTAMP) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    val base = spark.read.parquet(s"$sfDir/orders.parquet")
+      .selectExpr("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority", "o_orderdate")
+    // 16x self-union: decode cost must dominate the fixed per-query floor
+    (1 to 16).map(_ => base).reduce(_ union _)
+      .repartition(16).writeTo(t).append()
+    val n = spark.table(t).count()
+    def leg(): Double = {
+      val t0 = System.nanoTime()
+      // touch every column so the WHOLE file decodes
+      spark.sql(s"SELECT o_orderstatus, sum(o_totalprice), " +
+        "sum(o_orderkey + o_custkey), count(1), min(o_orderpriority), " +
+        s"min(o_orderdate) FROM $t GROUP BY o_orderstatus").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm both paths' codegen before timing
+    sys.props("graft.lake.columnar") = "off"; leg()
+    sys.props -= "graft.lake.columnar"; leg()
+    def legs(label: String): Unit = {
+      val ts = (1 to reps).map(_ => leg())
+      println(f"""{"path":"$label","rows":$n,"best":${ts.min}%.3f,"median":${
+        ts.sorted.apply(reps / 2)}%.3f,"all":[${
+        ts.map(v => f"$v%.3f").mkString(",")}]}""")
+    }
+    legs("columnar")
+    sys.props("graft.lake.columnar") = "off"
+    legs("row")
+    sys.props -= "graft.lake.columnar"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.stop()
+  }
+}

@@ -339,7 +339,12 @@ final case class GraftLakeFile(id: String, rows: Vector[InternalRow],
     // leaves the same way; files from before this capability simply
     // lack entries and stay unprunable (conservative).
     nstats: Map[(Int, String), (Any, Any)] = Map.empty,
-    nnulls: Map[(Int, String), Long] = Map.empty) {
+    nnulls: Map[(Int, String), Long] = Map.empty,
+    // the parquet file's internal column LABELS (write-time names),
+    // positionally aligned with `cols`: the columnar reader projects by
+    // label, and a post-write RENAME changes only the id→name mapping —
+    // the file keeps its labels (parquet storage only; Nil in memory)
+    pnames: Seq[String] = Nil) {
   /** Committed row count (manifest metadata — parquet-backed files keep
     * no rows in memory, so the count must be recorded at write time). */
   def numRows: Long = if (nRows >= 0) nRows else rows.length.toLong
@@ -1878,7 +1883,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
             schemaNow.fieldNames.toSeq, types, rows)
           GraftLakeFile(id, Vector.empty, colIds, Some(p), types, bytes,
             stats, rows.length.toLong, nulls, sums, dsums, sortedBy,
-            nstats, nnulls)
+            nstats, nnulls, pnames = schemaNow.fieldNames.toSeq)
         // memory files record their write-time types too: compaction
         // rewrites and type-widened scans both need the file's PHYSICAL
         // layout, which the current schema no longer describes after an
@@ -2003,7 +2008,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           val bytes = GraftParquetIO.write(p, names, f.types, rows)
           GraftLakeFile(id, Vector.empty, f.cols, Some(p), f.types, bytes,
             stats, rows.length.toLong, nulls, sums, dsums,
-            nstats = nstats, nnulls = nnulls)
+            nstats = nstats, nnulls = nnulls, pnames = names)
         case None => GraftLakeFile(id, rows, f.cols, types = f.types,
           stats = stats, nulls = nulls, sums = sums, dsums = dsums,
           nstats = nstats, nnulls = nnulls)
@@ -3016,19 +3021,30 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
       // ship their rows, as before)
       active.map(f => GraftLakeFilePartition(f.id, f.rows,
         snapshot.dvs.getOrElse(f.id, Set.empty), namesOf(f),
-        f.path, f.types)).toArray
+        f.path, f.types, f.pnames)).toArray
     else
       (if (runtimePruned) keyGroups() else keyed)
         .map { case (k, rs) => GraftLakeKeyedPartition(rs, k) }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftLakeReaderFactory(fullSchema, requiredSchema, nameDefaults)
+    // columnar (vectorized) decode whenever the WHOLE active set
+    // qualifies — Spark requires scan-uniform columnar-ness, and
+    // runtime filtering only shrinks `active`, so a decision taken
+    // over the current set stays valid for every planned partition
+    // `-Dgraft.lake.columnar=off` pins the row path: the A/B knob the
+    // decode benchmark uses (and a mitigation lever if a decode bug
+    // ever needs ruling out in production)
+    new GraftLakeReaderFactory(fullSchema, requiredSchema, nameDefaults,
+      fileGrained && !sys.props.get("graft.lake.columnar").contains("off") &&
+        GraftLakeColumnar.eligible(active, snapshot.dvs,
+          requiredSchema, namesOf, nameDefaults))
 }
 
 final case class GraftLakeFilePartition(
     fileId: String, rows: Vector[InternalRow],
     deleted: Set[Long], cols: Seq[String],
-    path: Option[String] = None, types: Seq[DataType] = Nil)
+    path: Option[String] = None, types: Seq[DataType] = Nil,
+    pnames: Seq[String] = Nil)
     extends InputPartition
 
 final case class GraftLakeKeyedPartition(
@@ -3545,8 +3561,18 @@ class GraftLakeChangeReaderFactory(fullSchema: StructType,
   * synthesizing `_file` from the partition's file id. */
 class GraftLakeReaderFactory(fullSchema: StructType,
     requiredSchema: StructType,
-    defaults: Map[String, Any] = Map.empty)
+    defaults: Map[String, Any] = Map.empty,
+    columnar: Boolean = false)
     extends PartitionReaderFactory {
+
+  // scan-uniform by construction: the Scan decides once over its whole
+  // active file set (see GraftLakeScan.createReaderFactory)
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    GraftLakeColumnar.reader(p.asInstanceOf[GraftLakeFilePartition],
+      requiredSchema, defaults)
 
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {

@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The vectorized lake-scan contract (VERDICT r15 task 1): parquet-backed
+  * file groups decode through Spark's VectorizedParquetRecordReader into
+  * ColumnarBatches, and the physical plan shows it — `ColumnarToRow`
+  * above the BatchScan is the pin that a refactor can't silently drop
+  * back to row-at-a-time Group decode. Semantics stay the custom scan's:
+  * field-id resolution across RENAME, EXISTS-defaults for post-write ADD
+  * COLUMN, `_file`/`_pos` metadata, and a row fallback wherever a batch
+  * can't express the read (deletion vectors, widened types, nested
+  * columns). */
+class ColumnarScanSpec extends SparkTestBase {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def useCatalog(): Unit =
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+
+  test("parquet-storage scan is columnar (ColumnarToRow) and type-exact") {
+    useCatalog()
+    val t = "graftlake.spec_colscan"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING, d DOUBLE, " +
+      "dt DATE, ts TIMESTAMP, dec DECIMAL(12,2), b BOOLEAN) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    spark.range(0, 1000)
+      .selectExpr("id AS k", "concat('v', id) AS s",
+        "id * 0.5 AS d", "date_add(DATE'2024-01-01', CAST(id % 365 AS INT)) AS dt",
+        "timestamp_millis(1700000000000 + id * 1000) AS ts",
+        "CAST(id AS DECIMAL(12,2)) / 4 AS dec", "id % 2 = 0 AS b")
+      .coalesce(2).writeTo(t).append()
+    val df = spark.table(t)
+    assert(plan(df).contains("ColumnarToRow"),
+      s"parquet-backed lake scan must decode columnar:\n${plan(df)}")
+    val got = df.orderBy("k").collect()
+    assert(got.length == 1000)
+    val r = got(7)
+    assert(r.getLong(0) == 7L && r.getString(1) == "v7" &&
+      r.getDouble(2) == 3.5 &&
+      r.getDate(3).toString == "2024-01-08" &&
+      r.getDecimal(5) == new java.math.BigDecimal("1.75") &&
+      !r.getBoolean(6), s"row 7 decoded wrong: $r")
+    // projection stays columnar and prunes: only requested chunks decode
+    val proj = df.select("k", "dec")
+    assert(plan(proj).contains("ColumnarToRow"), plan(proj))
+    assert(proj.agg(sum("dec")).collect().head.getDecimal(0) ==
+      new java.math.BigDecimal("124875.00"))
+    // memory-storage twin is row-for-row identical
+    val m = "graftlake.spec_colscan_mem"
+    spark.sql(s"DROP TABLE IF EXISTS $m")
+    spark.sql(s"CREATE TABLE $m (k BIGINT, s STRING, d DOUBLE, " +
+      "dt DATE, ts TIMESTAMP, dec DECIMAL(12,2), b BOOLEAN)")
+    spark.table(t).writeTo(m).append()
+    assert(!plan(spark.table(m)).contains("ColumnarToRow"),
+      "memory storage stays on the row path")
+    assert(spark.table(m).orderBy("k").collect().toSeq ==
+      got.toSeq, "storage modes must produce the identical relation")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS $m")
+  }
+
+  test("columnar decode resolves RENAME by write-time label and serves ADD-DEFAULT as a constant vector") {
+    useCatalog()
+    val t = "graftlake.spec_colscan_evolve"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    spark.range(0, 10).selectExpr("id AS k", "concat('old', id) AS s")
+      .coalesce(1).writeTo(t).append()
+    // the first file's parquet labels are (k, s); after the RENAME the
+    // scan must still decode its chunk positionally via the label map
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN s TO label")
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (w DOUBLE DEFAULT 1.5)")
+    spark.range(10, 20).selectExpr("id AS k", "concat('new', id) AS label",
+      "CAST(id AS DOUBLE) AS w").coalesce(1).writeTo(t).append()
+    val df = spark.table(t)
+    assert(plan(df).contains("ColumnarToRow"),
+      s"mixed-schema parquet files must still decode columnar " +
+        s"(old file null-fills w via constant vector):\n${plan(df)}")
+    val got = df.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got(3) == ((3L, "old3", 1.5)),
+      s"pre-ADD file must serve the EXISTS-default columnar: ${got(3)}")
+    assert(got(13) == ((13L, "new13", 13.0)), got(13).toString)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("deletion vectors force the row fallback; compaction restores columnar") {
+    useCatalog()
+    val t = "graftlake.spec_colscan_dv"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet', " +
+      "'graft.mode' = 'merge-on-read')")
+    spark.range(0, 100).selectExpr("id AS k", "concat('v', id) AS s")
+      .coalesce(1).writeTo(t).append()
+    assert(plan(spark.table(t)).contains("ColumnarToRow"))
+    spark.sql(s"DELETE FROM $t WHERE k % 10 = 0")
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_colscan_dv").get
+    assert(table.deletionVectors.values.exists(_.nonEmpty),
+      "precondition: the delete must land as a deletion vector")
+    val withDv = spark.table(t)
+    assert(!plan(withDv).contains("ColumnarToRow"),
+      "a DV'd file cannot serve batches — row fallback required")
+    assert(withDv.count() == 90 &&
+      withDv.agg(sum("k")).collect().head.getLong(0) == 4950L - 450L)
+    spark.sql(s"CALL graftlake.system.compact('spec_colscan_dv')")
+    assert(table.deletionVectors.values.forall(_.isEmpty) ||
+      table.deletionVectors.isEmpty)
+    val compacted = spark.table(t)
+    assert(plan(compacted).contains("ColumnarToRow"),
+      "compaction clears the DV — columnar decode must resume")
+    assert(compacted.count() == 90)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("_file and _pos project columnar as constant / position vectors") {
+    useCatalog()
+    val t = "graftlake.spec_colscan_meta"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    spark.range(0, 50).selectExpr("id AS k").coalesce(1).writeTo(t).append()
+    spark.range(50, 80).selectExpr("id AS k").coalesce(1).writeTo(t).append()
+    val df = spark.table(t).select(col("_file"), col("_pos"), col("k"))
+    assert(plan(df).contains("ColumnarToRow"),
+      s"metadata projection must stay columnar:\n${plan(df)}")
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 80)
+    val byFile = rows.groupBy(_._1)
+    assert(byFile.size == 2)
+    byFile.values.foreach { rs =>
+      // positions are the in-file write ordinals, dense from 0
+      assert(rs.map(_._2).sorted.toSeq == (0L until rs.length).toSeq,
+        s"_pos must be the dense in-file ordinal run: ${rs.take(5).toSeq}")
+    }
+    // position aligns with the written row order (k ascending per file)
+    byFile.values.foreach { rs =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("nested columns stay on the row path, correct") {
+    useCatalog()
+    val t = "graftlake.spec_colscan_nested"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, m STRUCT<a: BIGINT, b: STRING>) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    spark.range(0, 10).selectExpr("id AS k",
+      "named_struct('a', id * 2, 'b', concat('s', id)) AS m")
+      .coalesce(1).writeTo(t).append()
+    val df = spark.table(t)
+    assert(!plan(df).contains("ColumnarToRow"),
+      "nested columns are served by the row reader")
+    assert(df.select(sum(col("m.a"))).collect().head.getLong(0) == 90L)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+}
