@@ -62,13 +62,40 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog
     with FunctionCatalog {
 
   private var catalogName: String = _
+  // `spark.sql.catalog.<name>.warehouse = /path`: the DURABLE root.
+  // Parquet-storage tables created under it land at
+  // `<warehouse>/<namespace…>/<table>` and are REOPENABLE from their
+  // on-disk `_graft_log` after a JVM restart — the registry below is
+  // then a cache, not the source of truth (VERDICT r15 task 2).
+  private var warehouse: Option[java.io.File] = None
   private def tables = GraftLakeCatalog.registries
     .computeIfAbsent(catalogName,
       _ => new ConcurrentHashMap[Identifier, GraftLakeTable]())
 
   override def initialize(
-      name: String, options: CaseInsensitiveStringMap): Unit =
+      name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    warehouse = Option(options.get("warehouse")).map(new java.io.File(_))
+  }
+
+  private def tableRoot(ident: Identifier): Option[java.io.File] =
+    warehouse.map(w => (ident.namespace() :+ ident.name())
+      .foldLeft(w)((d, p) => new java.io.File(d, p)))
+
+  /** Registry miss → disk: restore the table from its durable log (if
+    * the catalog has a warehouse and the root holds one). putIfAbsent
+    * keeps concurrent reopeners convergent — losers adopt the winner. */
+  private def reopenFromDisk(ident: Identifier): Option[GraftLakeTable] =
+    tableRoot(ident).filter(GraftLakeLog.exists).map { root =>
+      val r = GraftLakeLog.restore(root)
+      val t = new GraftLakeTable(r.tableName, r.schemaNow, r.partSpec,
+        r.mergeOnRead, storage = "parquet", location = Some(root),
+        reopenFrom = Some(r))
+      Option(tables.putIfAbsent(ident, t)).getOrElse(t)
+    }
+
+  private def lookup(ident: Identifier): Option[GraftLakeTable] =
+    Option(tables.get(ident)).orElse(reopenFromDisk(ident))
 
   override def name(): String = catalogName
 
@@ -82,7 +109,7 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog
       .toArray
 
   override def loadTable(ident: Identifier): Table =
-    Option(tables.get(ident)).getOrElse {
+    lookup(ident).getOrElse {
       // Iceberg-style metadata table: `<catalog>.<table>.changes` is the
       // parent's CHANGE FEED as a first-class read-only table — batch
       // (full or `graft.changes.*`-ranged history replay) and streaming
@@ -91,7 +118,7 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog
       val ns = ident.namespace()
       def parent: Option[GraftLakeTable] =
         if (ns.isEmpty) None
-        else Option(tables.get(Identifier.of(ns.init, ns.last)))
+        else lookup(Identifier.of(ns.init, ns.last))
       if (ident.name() == "changes")
         parent.map(new GraftLakeChangesTable(_))
           .getOrElse(throw new NoSuchTableException(ident))
@@ -213,8 +240,20 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog
     val storage = properties.getOrDefault("graft.storage", "memory")
     require(storage == "memory" || storage == "parquet",
       s"unknown graft.storage '$storage'")
+    // durable root: explicit `graft.location` wins; else the catalog's
+    // warehouse derives `<warehouse>/<ns…>/<name>`. Either way a root
+    // already holding a table log is an EXISTS error — silently
+    // shadowing someone's durable data is the one unforgivable create.
+    val loc: Option[java.io.File] =
+      if (storage != "parquet") None
+      else Option(properties.get("graft.location"))
+        .map(new java.io.File(_)).orElse(tableRoot(ident))
+    loc.filter(GraftLakeLog.exists).foreach { root =>
+      throw new TableAlreadyExistsException(ident.toString)
+    }
     val t = new GraftLakeTable(ident.toString, schema, partSpec,
-      mergeOnRead = mode == "merge-on-read", storage = storage)
+      mergeOnRead = mode == "merge-on-read", storage = storage,
+      location = loc)
     if (tables.putIfAbsent(ident, t) != null)
       throw new TableAlreadyExistsException(ident.toString)
     t
@@ -234,15 +273,18 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog
     * `ADD COLUMNS (a, b NOT NULL)` leaves the table untouched, so the
     * corrected retry cannot trip over a half-applied `a` (ADVICE r11). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val t = Option(tables.get(ident))
+    val t = lookup(ident)
       .getOrElse(throw new NoSuchTableException(ident))
     t.applySchemaChanges(changes)
     t
   }
 
   override def dropTable(ident: Identifier): Boolean =
-    Option(tables.remove(ident)) match {
-      case Some(t) => t.deleteStorage(); true
+    lookup(ident) match {
+      case Some(t) =>
+        tables.remove(ident)
+        t.deleteStorage() // durable log dies with the root dir
+        true
       case None => false
     }
 
@@ -310,6 +352,15 @@ object GraftLakeCatalog {
     Option(registries.get(catalog))
       .map(_.keySet().asScala.map(_.name()).toSeq.sorted)
       .getOrElse(Nil)
+
+  /** Test hook: evict a table from the in-memory registry WITHOUT
+    * touching its storage — the durable-metadata spec's "JVM restart":
+    * the next loadTable must rebuild the table from `_graft_log` alone. */
+  private[graft] def evict(catalog: String, name: String): Unit =
+    Option(registries.get(catalog)).foreach { ts =>
+      ts.keySet().asScala.filter(_.name() == name)
+        .foreach(ts.remove(_))
+    }
 }
 
 /** One immutable committed file (group): the unit of copy-on-write.
@@ -1151,7 +1202,14 @@ final case class GraftLakeSnapshot(files: Vector[GraftLakeFile],
   * a real task writes one parquet file). */
 class GraftLakeTable(tableName: String, tableSchema: StructType,
     partSpec: Seq[GraftPartTransform] = Nil, mergeOnRead: Boolean = false,
-    storage: String = "memory")
+    storage: String = "memory",
+    // parquet storage: an EXPLICIT durable root (warehouse-derived or
+    // `graft.location`); None keeps the per-table temp dir
+    location: Option[java.io.File] = None,
+    // reopen-from-disk: the restored state a fresh JVM's catalog read
+    // back out of `<root>/_graft_log` — installed verbatim at the end
+    // of construction (the registry is a CACHE over the log)
+    reopenFrom: Option[GraftLakeLog.Restored] = None)
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
@@ -1168,9 +1226,17 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       s"graft.storage=parquet cannot store column ${f.name}: " +
         f.dataType.sql))
   private val lakeDir: Option[java.io.File] =
-    if (storage == "parquet") Some(java.nio.file.Files
-      .createTempDirectory("graft_lake_").toFile)
+    if (storage == "parquet") Some(location.map { d =>
+      d.mkdirs(); d
+    }.getOrElse(java.nio.file.Files
+      .createTempDirectory("graft_lake_").toFile))
     else None
+  // the durable metadata log (VERDICT r15 task 2): every parquet-backed
+  // table journals commits + file manifests under `<root>/_graft_log`,
+  // so its full state (history, schema evolution, DVs, refs) survives
+  // the JVM — see [[GraftLakeLog]] for the layout
+  private val log: Option[GraftLakeLog] =
+    lakeDir.map(new GraftLakeLog(_))
   private[sources] def deleteStorage(): Unit =
     lakeDir.foreach(GraftParquetIO.deleteRecursively)
   /** Current per-file sizes in bytes (0 for in-memory storage) — the
@@ -1363,6 +1429,11 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     commitTimes = commitTimes :+
       math.max(System.currentTimeMillis(), commitTimes.last)
     commitSchemas = commitSchemas :+ ((schemaNow, colIds, colDefaults))
+    // durable manifest list: one small JSON per commit — the write that
+    // makes this version exist after a restart
+    log.foreach(_.writeCommit(baseVersion + history.length - 1,
+      history.last._1, dataChange, commitTimes.last, schemaNow, colIds,
+      colDefaults, fileSeq, nextColId))
   }
 
   /** The (schema, field ids, exists-defaults) a RETAINED version was
@@ -1490,8 +1561,15 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       val live = (history.flatMap(_._1.files) ++ files)
         .flatMap(_.path).toSet ++ livePinnedPaths() ++ branchStagedPaths
       Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.isFile) // never the _graft_log dir
         .filterNot(f => live.contains(f.getAbsolutePath))
         .foreach(_.delete())
+      // durable log follows the vacuum: expired manifest lists go, and
+      // a vacuumed data file's manifest goes with it
+      log.foreach { lg =>
+        lg.dropCommitsBelow(baseVersion)
+        lg.dropManifestsExcept(live.map(p => new java.io.File(p).getName))
+      }
     }
     baseVersion
   }
@@ -1557,6 +1635,10 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       staged: Vector[(GraftLakeSnapshot, Boolean)])
   private var branchRefs: Map[String, StagedBranch] = Map.empty
   private var tagRefs: Map[String, Int] = Map.empty
+  // durable refs: small, rewritten whole on every ref change
+  private def persistRefs(): Unit =
+    log.foreach(_.writeRefs(tagRefs,
+      branchRefs.map { case (n, b) => n -> ((b.base, b.staged)) }))
 
   private def checkRefName(name: String): Unit = {
     require(name.nonEmpty && !name.matches("\\d+"),
@@ -1571,6 +1653,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
   private[sources] def createBranch(name: String): Int = synchronized {
     checkRefName(name)
     branchRefs += name -> StagedBranch(currentVersion, Vector.empty)
+    persistRefs()
     currentVersion
   }
 
@@ -1583,6 +1666,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
         s"cannot tag version $v of $tableName: retained range is " +
           s"[$baseVersion, ${currentVersion}]")
       tagRefs += name -> v
+      persistRefs()
     }
 
   /** Drop a tag or branch (staged-but-unpublished commits are lost —
@@ -1592,6 +1676,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       s"no ref '$name' on $tableName")
     branchRefs -= name
     tagRefs -= name
+    persistRefs()
   }
 
   private[sources] def resolveTag(name: String): Option[Int] =
@@ -1628,6 +1713,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       val head = b.staged.lastOption.map(_._1).getOrElse(snapshotAt(b.base))
       val snap = GraftLakeSnapshot(head.files ++ mkFiles(batches), head.dvs)
       branchRefs += name -> b.copy(staged = b.staged :+ (snap, true))
+      persistRefs()
     }
 
   /** Publish: replay the branch's staged commits onto main, in order,
@@ -1651,6 +1737,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
         recordCommit(dataChange)
       }
       branchRefs += name -> StagedBranch(currentVersion, Vector.empty)
+      persistRefs()
       (from, currentVersion)
     }
 
@@ -1674,6 +1761,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
         recordCommit(dataChange = true)
       }
       branchRefs += name -> StagedBranch(currentVersion, Vector.empty)
+      persistRefs()
       (from, currentVersion)
     }
 
@@ -1881,9 +1969,11 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
             .getAbsolutePath
           val bytes = GraftParquetIO.write(p,
             schemaNow.fieldNames.toSeq, types, rows)
-          GraftLakeFile(id, Vector.empty, colIds, Some(p), types, bytes,
-            stats, rows.length.toLong, nulls, sums, dsums, sortedBy,
+          val gf = GraftLakeFile(id, Vector.empty, colIds, Some(p), types,
+            bytes, stats, rows.length.toLong, nulls, sums, dsums, sortedBy,
             nstats, nnulls, pnames = schemaNow.fieldNames.toSeq)
+          log.foreach(_.writeFileManifest(gf)) // immutable once written
+          gf
         // memory files record their write-time types too: compaction
         // rewrites and type-widened scans both need the file's PHYSICAL
         // layout, which the current schema no longer describes after an
@@ -2006,9 +2096,11 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           val names = f.cols.map(cid =>
             idToName.getOrElse(cid, s"_dropped_$cid"))
           val bytes = GraftParquetIO.write(p, names, f.types, rows)
-          GraftLakeFile(id, Vector.empty, f.cols, Some(p), f.types, bytes,
-            stats, rows.length.toLong, nulls, sums, dsums,
+          val gf = GraftLakeFile(id, Vector.empty, f.cols, Some(p), f.types,
+            bytes, stats, rows.length.toLong, nulls, sums, dsums,
             nstats = nstats, nnulls = nnulls, pnames = names)
+          log.foreach(_.writeFileManifest(gf))
+          gf
         case None => GraftLakeFile(id, rows, f.cols, types = f.types,
           stats = stats, nulls = nulls, sums = sums, dsums = dsums,
           nstats = nstats, nnulls = nnulls)
@@ -2240,6 +2332,37 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           }
         }
     }
+
+  // ---- construction epilogue: durable-log bootstrap -----------------------
+  // Runs after every field above is initialized. A REOPEN installs the
+  // restored state verbatim (files/history/schema/refs — the registry
+  // entry is just a cache over `<root>/_graft_log`); a fresh CREATE
+  // journals its identity + the v0 creation commit so the table is
+  // reopenable from its very first version.
+  reopenFrom match {
+    case Some(r) =>
+      files = r.files
+      dvs = r.dvs
+      fileSeq = r.fileSeq
+      schemaNow = r.schemaNow
+      colIds = r.colIds
+      nextColId = r.nextColId
+      colDefaults = r.colDefaults
+      history = r.history
+      baseVersion = r.baseVersion
+      commitTimes = r.commitTimes
+      commitSchemas = r.commitSchemas
+      tagRefs = r.tagRefs
+      branchRefs = r.branches.map { case (n, (base, staged)) =>
+        n -> StagedBranch(base, staged) }
+    case None =>
+      log.foreach { lg =>
+        lg.writeTable(tableName, partSpec, mergeOnRead)
+        lg.writeCommit(0, history.head._1, dataChange = true,
+          commitTimes.head, schemaNow, colIds, colDefaults, fileSeq,
+          nextColId)
+      }
+  }
 }
 
 object GraftLakeTable {

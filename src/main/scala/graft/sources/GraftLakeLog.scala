@@ -1,0 +1,373 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+import org.apache.spark.sql.types.{DataType, Decimal, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DURABLE table metadata for `graft.storage = parquet` lake tables
+  * (VERDICT r15 task 2): commit history + file manifests persisted as
+  * FILES under the table root, so the table's whole state — data,
+  * schema history, time travel, change feed, refs — survives a JVM
+  * restart and the in-memory registry becomes a cache.
+  *
+  * Layout (the Iceberg metadata-as-files shape, minimally expressed
+  * over this engine's linear history):
+  * {{{
+  *   <root>/f<N>.parquet            the data files (unchanged)
+  *   <root>/_graft_log/
+  *     table.json                   static identity: name, partition
+  *                                  spec, write mode (written once)
+  *     f<N>.manifest.json           ONE PER DATA FILE, written at file
+  *                                  creation and never rewritten: field
+  *                                  ids, physical types, parquet labels,
+  *                                  row/byte counts and the full column
+  *                                  stats block (min/max, nulls, sums,
+  *                                  nested-leaf stats) that drives
+  *                                  pruning and scan-less aggregates
+  *     v<N>.json                    ONE PER COMMIT (the manifest list):
+  *                                  the snapshot as an ORDERED file-id
+  *                                  list + deletion vectors, the
+  *                                  dataChange flag, commit time, and
+  *                                  the schema record (schema JSON,
+  *                                  field ids, exists-defaults) the
+  *                                  commit was made under
+  *     refs.json                    tags + branches (incl. staged
+  *                                  branch commits), rewritten on ref
+  *                                  change — small by construction
+  * }}}
+  *
+  * Write amplification per commit is ONE small JSON (the manifest
+  * list); file manifests are immutable once written — the same
+  * append-only discipline as Iceberg's manifest reuse. Every write
+  * lands via temp-file + atomic rename, so a crash can tear nothing.
+  *
+  * Restore inverts the layout: manifests → file objects (shared across
+  * snapshots, preserving the commit-order id lists), v*.json → history
+  * / commitTimes / commitSchemas (baseVersion = the lowest retained
+  * commit number — expire deletes the files below it), refs.json →
+  * tags/branches. Scale note: this is CONTROL-PLANE data — one small
+  * JSON per file/commit, read once at open; the 100 TB data path never
+  * touches it. */
+private[sources] class GraftLakeLog(root: File) {
+  private val dir = new File(root, GraftLakeLog.LogDir)
+  dir.mkdirs()
+
+  private def writeAtomic(name: String, content: String): Unit = {
+    val tmp = new File(dir, name + ".tmp")
+    Files.write(tmp.toPath, content.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp.toPath, new File(dir, name).toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def writeTable(tableName: String, partSpec: Seq[GraftPartTransform],
+      mergeOnRead: Boolean): Unit =
+    writeAtomic("table.json", JsonMethods.compact(JObject(
+      "name" -> JString(tableName),
+      "partSpec" -> JArray(partSpec.map {
+        case IdentityPart(c) => JString(s"identity:$c")
+        case DaysPart(c) => JString(s"days:$c")
+        case BucketPart(n, c) => JString(s"bucket:$n:$c")
+      }.toList),
+      "mergeOnRead" -> JBool(mergeOnRead))))
+
+  def writeFileManifest(f: GraftLakeFile): Unit = {
+    import GraftLakeLog._
+    val name = new File(f.path.get).getName.stripSuffix(".parquet")
+    writeAtomic(s"$name.manifest.json", JsonMethods.compact(JObject(
+      "id" -> JString(f.id),
+      "file" -> JString(new File(f.path.get).getName),
+      "cols" -> JArray(f.cols.map(i => JInt(BigInt(i))).toList),
+      "types" -> JArray(f.types.map(t => JString(t.json)).toList),
+      "pnames" -> JArray(f.pnames.map(JString(_)).toList),
+      "bytes" -> JLong(f.bytes),
+      "rows" -> JLong(f.numRows),
+      "sortedBy" -> JArray(f.sortedBy.map(i => JInt(BigInt(i))).toList),
+      "stats" -> JObject(f.stats.toList.map { case (k, (lo, hi)) =>
+        k.toString -> JArray(List(enc(lo), enc(hi))) }),
+      "nulls" -> JObject(f.nulls.toList.map { case (k, v) =>
+        k.toString -> JLong(v) }),
+      "sums" -> JObject(f.sums.toList.map { case (k, v) =>
+        k.toString -> JLong(v) }),
+      "dsums" -> JObject(f.dsums.toList.map { case (k, v) =>
+        k.toString -> JString(v.toPlainString) }),
+      "nstats" -> JObject(f.nstats.toList.map { case ((id, leaf), (lo, hi)) =>
+        s"$id:$leaf" -> JArray(List(enc(lo), enc(hi))) }),
+      "nnulls" -> JObject(f.nnulls.toList.map { case ((id, leaf), v) =>
+        s"$id:$leaf" -> JLong(v) }))))
+  }
+
+  def writeCommit(version: Int, snap: GraftLakeSnapshot,
+      dataChange: Boolean, timeMillis: Long, schema: StructType,
+      colIds: Seq[Int], defaults: Map[Int, Any], fileSeq: Int,
+      nextColId: Int): Unit = {
+    import GraftLakeLog._
+    writeAtomic(s"v$version.json", JsonMethods.compact(JObject(
+      "files" -> JArray(snap.files.map(f => JString(f.id)).toList),
+      "dvs" -> dvsJson(snap.dvs),
+      "dataChange" -> JBool(dataChange),
+      "time" -> JLong(timeMillis),
+      "schema" -> JString(schema.json),
+      "colIds" -> JArray(colIds.map(i => JInt(BigInt(i))).toList),
+      "defaults" -> JObject(defaults.toList.map { case (k, v) =>
+        k.toString -> enc(v) }),
+      "fileSeq" -> JInt(BigInt(fileSeq)),
+      "nextColId" -> JInt(BigInt(nextColId)))))
+  }
+
+  def writeRefs(tags: Map[String, Int],
+      branches: Map[String, (Int, Vector[(GraftLakeSnapshot, Boolean)])])
+      : Unit = {
+    import GraftLakeLog._
+    writeAtomic("refs.json", JsonMethods.compact(JObject(
+      "tags" -> JObject(tags.toList.map { case (n, v) =>
+        n -> JInt(BigInt(v)) }),
+      "branches" -> JObject(branches.toList.map { case (n, (base, staged)) =>
+        n -> JObject(
+          "base" -> JInt(BigInt(base)),
+          "staged" -> JArray(staged.map { case (s, dc) => JObject(
+            "files" -> JArray(s.files.map(f => JString(f.id)).toList),
+            "dvs" -> dvsJson(s.dvs),
+            "dataChange" -> JBool(dc))
+          }.toList)) }))))
+  }
+
+  /** Expire: drop the manifest-list files of versions below `floor`. */
+  def dropCommitsBelow(floor: Int): Unit =
+    Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+      f.getName match {
+        case GraftLakeLog.CommitName(v) if v.toInt < floor => f.delete()
+        case _ => ()
+      }
+    }
+
+  /** Vacuum companion: a data file deleted by expire loses its manifest. */
+  def dropManifestsExcept(liveParquetNames: Set[String]): Unit =
+    Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
+      f.getName match {
+        case GraftLakeLog.ManifestName(base)
+            if !liveParquetNames.contains(s"$base.parquet") => f.delete()
+        case _ => ()
+      }
+    }
+}
+
+private[sources] object GraftLakeLog {
+  val LogDir = "_graft_log"
+  private val CommitName = "^v(\\d+)\\.json$".r
+  private val ManifestName = "^(f\\d+)\\.manifest\\.json$".r
+
+  /** Does `root` hold a reopenable table? */
+  def exists(root: File): Boolean =
+    new File(new File(root, LogDir), "table.json").isFile
+
+  // ---- tagged catalyst-value codec -----------------------------------------
+  // Stats / defaults hold INTERNAL values (UTF8String, Decimal, raw
+  // date/timestamp ordinals). Encode as [tag, string] — Double.toString
+  // / parseDouble round-trips bit-exactly, Decimal carries
+  // precision/scale explicitly, and the tag alone recovers the runtime
+  // class (the consuming comparisons are physical-value-driven).
+  def enc(v: Any): JValue = v match {
+    case null => JNull
+    case l: java.lang.Long => JArray(List(JString("l"), JString(l.toString)))
+    case i: java.lang.Integer =>
+      JArray(List(JString("i"), JString(i.toString)))
+    case d: java.lang.Double =>
+      JArray(List(JString("d"), JString(d.toString)))
+    case f: java.lang.Float => JArray(List(JString("f"), JString(f.toString)))
+    case b: java.lang.Boolean =>
+      JArray(List(JString("b"), JString(b.toString)))
+    case u: UTF8String => JArray(List(JString("u"), JString(u.toString)))
+    case dec: Decimal => JArray(List(JString("dec"),
+      JString(dec.toJavaBigDecimal.toPlainString),
+      JString(dec.precision.toString), JString(dec.scale.toString)))
+    case other => throw new UnsupportedOperationException(
+      s"cannot persist lake metadata value of ${other.getClass}")
+  }
+
+  def dec(j: JValue): Any = j match {
+    case JNull => null
+    case JArray(JString(tag) :: JString(s) :: rest) => tag match {
+      case "l" => java.lang.Long.valueOf(s)
+      case "i" => java.lang.Integer.valueOf(s)
+      case "d" => java.lang.Double.valueOf(s)
+      case "f" => java.lang.Float.valueOf(s)
+      case "b" => java.lang.Boolean.valueOf(s)
+      case "u" => UTF8String.fromString(s)
+      case "dec" =>
+        val List(JString(p), JString(sc)) = rest
+        Decimal(new java.math.BigDecimal(s), p.toInt, sc.toInt)
+      case other =>
+        throw new IllegalStateException(s"unknown value tag '$other'")
+    }
+    case other => throw new IllegalStateException(s"bad tagged value $other")
+  }
+
+  private def dvsJson(dvs: Map[String, Set[Long]]): JObject =
+    JObject(dvs.toList.map { case (id, dead) =>
+      id -> JArray(dead.toList.sorted.map(JLong(_))) })
+
+  private def dvsOf(j: JValue): Map[String, Set[Long]] = j match {
+    case JObject(fields) => fields.map { case (id, JArray(vs)) =>
+      id -> vs.map { case v => v.values.toString.toLong }.toSet
+    }.toMap
+    case _ => Map.empty
+  }
+
+  /** Everything a reopen restores — mirrors GraftLakeTable's mutable
+    * state, in declaration order. */
+  final case class Restored(
+      tableName: String,
+      partSpec: Seq[GraftPartTransform],
+      mergeOnRead: Boolean,
+      files: Vector[GraftLakeFile],
+      dvs: Map[String, Set[Long]],
+      fileSeq: Int,
+      schemaNow: StructType,
+      colIds: Vector[Int],
+      nextColId: Int,
+      colDefaults: Map[Int, Any],
+      history: Vector[(GraftLakeSnapshot, Boolean)],
+      baseVersion: Int,
+      commitTimes: Vector[Long],
+      commitSchemas: Vector[(StructType, Vector[Int], Map[Int, Any])],
+      tagRefs: Map[String, Int],
+      branches: Map[String, (Int, Vector[(GraftLakeSnapshot, Boolean)])])
+
+  def restore(root: File): Restored = {
+    val dir = new File(root, LogDir)
+    def parse(f: File): JValue =
+      JsonMethods.parse(Files.readString(f.toPath))
+    def str(j: JValue, k: String): String =
+      (j \ k).asInstanceOf[JString].s
+    def intOf(j: JValue): Int = j.values.toString.toInt
+    def longOf(j: JValue): Long = j.values.toString.toLong
+    def arr(j: JValue, k: String): List[JValue] = (j \ k) match {
+      case JArray(vs) => vs
+      case _ => Nil
+    }
+    def objFields(j: JValue, k: String): List[(String, JValue)] =
+      (j \ k) match {
+        case JObject(fs) => fs
+        case _ => Nil
+      }
+
+    val t = parse(new File(dir, "table.json"))
+    val partSpec: Seq[GraftPartTransform] = arr(t, "partSpec").map {
+      case JString(s) => s.split(":", 3) match {
+        case Array("identity", c) => IdentityPart(c)
+        case Array("days", c) => DaysPart(c)
+        case Array("bucket", n, c) => BucketPart(n.toInt, c)
+        case _ => throw new IllegalStateException(s"bad partSpec '$s'")
+      }
+      case other => throw new IllegalStateException(s"bad partSpec $other")
+    }
+
+    // file manifests → shared file objects
+    val listing = Option(dir.listFiles()).getOrElse(Array.empty)
+    val fileById = listing.collect {
+      case f if ManifestName.pattern.matcher(f.getName).matches() =>
+        val m = parse(f)
+        def statPairs(k: String): List[(String, (Any, Any))] =
+          objFields(m, k).map { case (kk, JArray(List(lo, hi))) =>
+            kk -> ((dec(lo), dec(hi)))
+          }
+        val gf = GraftLakeFile(
+          id = str(m, "id"),
+          rows = Vector.empty,
+          cols = arr(m, "cols").map(intOf),
+          path = Some(new File(root, str(m, "file")).getAbsolutePath),
+          types = arr(m, "types").map(j =>
+            DataType.fromJson(j.asInstanceOf[JString].s)),
+          bytes = longOf(m \ "bytes"),
+          stats = statPairs("stats").map { case (k, v) => k.toInt -> v }.toMap,
+          nRows = longOf(m \ "rows"),
+          nulls = objFields(m, "nulls").map { case (k, v) =>
+            k.toInt -> longOf(v) }.toMap,
+          sums = objFields(m, "sums").map { case (k, v) =>
+            k.toInt -> longOf(v) }.toMap,
+          dsums = objFields(m, "dsums").map { case (k, JString(s)) =>
+            k.toInt -> new java.math.BigDecimal(s) }.toMap,
+          sortedBy = arr(m, "sortedBy").map(intOf),
+          nstats = statPairs("nstats").map { case (k, v) =>
+            val Array(id, leaf) = k.split(":", 2)
+            (id.toInt, leaf) -> v }.toMap,
+          nnulls = objFields(m, "nnulls").map { case (k, v) =>
+            val Array(id, leaf) = k.split(":", 2)
+            (id.toInt, leaf) -> longOf(v) }.toMap,
+          pnames = arr(m, "pnames").map(_.asInstanceOf[JString].s))
+        gf.id -> gf
+    }.toMap
+
+    def snapOf(j: JValue): GraftLakeSnapshot = GraftLakeSnapshot(
+      arr(j, "files").map(f => fileById(f.asInstanceOf[JString].s)).toVector,
+      dvsOf(j \ "dvs"))
+
+    // commits, in version order; baseVersion = lowest retained
+    val commits = listing.flatMap(f => f.getName match {
+      case CommitName(v) => Some(v.toInt -> parse(f))
+      case _ => None
+    }).sortBy(_._1)
+    require(commits.nonEmpty, s"no retained commits under $dir")
+    require(commits.last._1 - commits.head._1 == commits.length - 1,
+      s"commit log under $dir is not contiguous: " +
+        commits.map(_._1).mkString(", "))
+    val baseVersion = commits.head._1
+    val history = commits.map { case (_, c) =>
+      (snapOf(c), (c \ "dataChange").asInstanceOf[JBool].value) }.toVector
+    val commitTimes = commits.map { case (_, c) => longOf(c \ "time") }
+      .toVector
+    val commitSchemas = commits.map { case (_, c) =>
+      (DataType.fromJson(str(c, "schema")).asInstanceOf[StructType],
+        arr(c, "colIds").map(intOf).toVector,
+        objFields(c, "defaults").map { case (k, v) =>
+          k.toInt -> dec(v) }.toMap)
+    }.toVector
+    val last = commits.last._2
+
+    // refs (absent refs.json = no refs ever created)
+    val refsFile = new File(dir, "refs.json")
+    val (tags, branches) =
+      if (!refsFile.isFile) (Map.empty[String, Int],
+        Map.empty[String, (Int, Vector[(GraftLakeSnapshot, Boolean)])])
+      else {
+        val r = parse(refsFile)
+        (objFields(r, "tags").map { case (n, v) => n -> intOf(v) }.toMap,
+          objFields(r, "branches").map { case (n, b) =>
+            n -> ((intOf(b \ "base"), arr(b, "staged").map(s =>
+              (snapOf(s), (s \ "dataChange").asInstanceOf[JBool].value))
+              .toVector))
+          }.toMap)
+      }
+
+    Restored(
+      tableName = str(t, "name"),
+      partSpec = partSpec,
+      mergeOnRead = (t \ "mergeOnRead").asInstanceOf[JBool].value,
+      files = history.last._1.files,
+      dvs = history.last._1.dvs,
+      // a BRANCH append mints files (and manifests) without a main
+      // commit, so the last commit's fileSeq can lag the real
+      // high-water — clamp to the largest manifest number on disk
+      fileSeq = math.max(intOf(last \ "fileSeq"),
+        fileById.keys.map(_.split("#f").last.toInt)
+          .maxOption.getOrElse(0)),
+      schemaNow = commitSchemas.last._1,
+      colIds = commitSchemas.last._2,
+      nextColId = intOf(last \ "nextColId"),
+      colDefaults = commitSchemas.last._3,
+      history = history,
+      baseVersion = baseVersion,
+      commitTimes = commitTimes,
+      commitSchemas = commitSchemas,
+      tagRefs = tags,
+      branches = branches)
+  }
+}
