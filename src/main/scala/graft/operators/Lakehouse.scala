@@ -373,6 +373,98 @@ object Lakehouse {
     releasing(spark, spark.table(t).orderBy("o_orderkey"), t)
   }
 
+  /** SYNC-STYLE MERGE (VERDICT r15 task 3): the full Spark 4 MERGE
+    * grammar including `WHEN NOT MATCHED BY SOURCE` — the clauses that
+    * make a table MIRROR a batch: matched rows update, new source rows
+    * insert, and target rows ABSENT from the batch are conditionally
+    * deleted ('F' rows) or demoted (status → 'S'). Planned by Spark's
+    * RewriteMergeIntoTable over the same row-level operation surface as
+    * the two-clause merge; the BY SOURCE clauses flip the rewrite's
+    * join to keep UNMATCHED TARGET rows as candidates, so every file
+    * group participates (no runtime group filter on source keys — the
+    * correct plan, since absence from the source is precisely what
+    * can't be known per group). At 100 TB the statement is a full
+    * shuffle join by construction; the scale lever is partition-scoped
+    * sources (merge a day at a time), not plan tricks. CoW variant:
+    * groups holding any touched row rewrite. */
+  def mergeSyncSql(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = freshLakeTable(spark, sfDir, "sync")
+    Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .createOrReplaceTempView("graft_sync_batch")
+    spark.sql(
+      s"""MERGE INTO $t t USING graft_sync_batch b
+         |ON t.o_orderkey = b.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET
+         |  o_orderstatus = b.o_orderstatus, o_totalprice = b.o_totalprice
+         |WHEN NOT MATCHED THEN INSERT
+         |  (o_orderkey, o_orderstatus, o_totalprice)
+         |  VALUES (b.o_orderkey, b.o_orderstatus, b.o_totalprice)
+         |WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'F' THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET o_orderstatus = 'S'
+         |""".stripMargin)
+    releasing(spark, spark.table(t).orderBy("o_orderkey"), t)
+  }
+
+  /** Merge-on-read twin of [[mergeSyncSql]]: same statement, same
+    * oracle, planned through SupportsDelta — BY-SOURCE deletes and
+    * demotions land as deletion-vector positions + new files, zero
+    * committed files rewritten (LakehouseSpec pins that plus replay
+    * idempotence, which the oracle can't see). */
+  def mergeSyncMor(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.orders_sync_mor"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t " +
+      "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)" +
+      tblProps("graft.mode" -> "merge-on-read"))
+    Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .filter(col("o_orderkey") % 3 =!= 0)
+      .writeTo(t).append()
+    Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .createOrReplaceTempView("graft_sync_mor_batch")
+    spark.sql(
+      s"""MERGE INTO $t t USING graft_sync_mor_batch b
+         |ON t.o_orderkey = b.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET
+         |  o_orderstatus = b.o_orderstatus, o_totalprice = b.o_totalprice
+         |WHEN NOT MATCHED THEN INSERT
+         |  (o_orderkey, o_orderstatus, o_totalprice)
+         |  VALUES (b.o_orderkey, b.o_orderstatus, b.o_totalprice)
+         |WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'F' THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET o_orderstatus = 'S'
+         |""".stripMargin)
+    releasing(spark, spark.table(t).orderBy("o_orderkey"), t)
+  }
+
+  /** The sync-merge relation derived set-algebraically: matched rows
+    * take the batch's values, batch-only rows insert, target-only rows
+    * drop when 'F' else demote to 'S'. Shared by both storage modes. */
+  private val mergeSyncOracle =
+    """WITH target AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderkey % 3 <> 0),
+      |batch AS (
+      |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderkey % 2 = 0)
+      |SELECT t.o_orderkey, b.o_orderstatus, b.o_totalprice
+      |FROM target t JOIN batch b ON t.o_orderkey = b.o_orderkey
+      |UNION ALL
+      |SELECT o_orderkey, o_orderstatus, o_totalprice FROM batch
+      |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM target)
+      |UNION ALL
+      |SELECT o_orderkey, 'S' AS o_orderstatus, o_totalprice FROM target
+      |WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+      |  AND o_orderstatus <> 'F'
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Real `UPDATE` and `DELETE FROM` SQL against the same row-level
     * table: both statements rewrite to ReplaceData (no SupportsDelete
     * filter shortcut is implemented, deliberately — the row-level path is
@@ -1228,6 +1320,12 @@ object Lakehouse {
     Query("ref_merge_on_read",
       "MERGE via SupportsDelta deltas: deletion vectors, zero file rewrites",
       mergeOnReadSql, Some(mergeIntoSqlOracle)),
+    Query("ref_merge_sync",
+      "MERGE incl. WHEN NOT MATCHED BY SOURCE: mirror-a-batch, CoW rewrite",
+      mergeSyncSql, Some(mergeSyncOracle)),
+    Query("ref_merge_sync_mor",
+      "sync MERGE w/ BY SOURCE via deltas: DV deletes/demotes, no rewrites",
+      mergeSyncMor, Some(mergeSyncOracle)),
     Query("ref_update_partitioned",
       "UPDATE/DELETE on a PARTITIONED BY table: file-grained op scan, SPJ reads",
       updatePartitionedSql, Some(updatePartitionedSqlOracle)),

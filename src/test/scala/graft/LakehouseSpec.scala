@@ -2779,4 +2779,60 @@ class LakehouseSpec extends SparkTestBase {
       "staged parquet bytes must survive an expire vacuum")
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
+
+  test("sync MERGE (WHEN NOT MATCHED BY SOURCE): replay-idempotent, MoR rewrites nothing") {
+    // VERDICT r15 task 3. The mirror-a-batch statement: matched rows
+    // update, new rows insert, target rows absent from the batch delete
+    // ('F') or demote ('S'). Replaying the identical statement must be a
+    // no-op relation-wise (the demote is idempotent: 'S' is not 'F'),
+    // and under merge-on-read the BY SOURCE action lands as DV
+    // positions + new files — no committed file rewritten.
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    for (mode <- Seq("copy-on-write", "merge-on-read")) {
+      val tag = if (mode == "copy-on-write") "cow" else "mor"
+      val t = s"graftlake.spec_sync_$tag"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t (k BIGINT, st STRING, v DOUBLE) " +
+        s"TBLPROPERTIES ('graft.mode' = '$mode')")
+      // keys 0..29; 'F' where k%5==0, else 'O'
+      spark.range(0, 30).selectExpr("id AS k",
+        "CASE WHEN id % 5 = 0 THEN 'F' ELSE 'O' END AS st",
+        "CAST(id AS DOUBLE) AS v").coalesce(3).writeTo(t).append()
+      // batch: keys 20..39 (overlap 20..29, new 30..39), status 'U'
+      spark.range(20, 40).selectExpr("id AS k", "'U' AS st",
+        "CAST(id * 10 AS DOUBLE) AS v")
+        .createOrReplaceTempView(s"spec_sync_batch_$tag")
+      val table = graft.sources.GraftLakeCatalog
+        .tableFor("graftlake", s"spec_sync_$tag").get
+      val before = table.fileIds
+      def merge(): Unit = spark.sql(
+        s"""MERGE INTO $t t USING spec_sync_batch_$tag b ON t.k = b.k
+           |WHEN MATCHED THEN UPDATE SET st = b.st, v = b.v
+           |WHEN NOT MATCHED THEN INSERT (k, st, v) VALUES (b.k, b.st, b.v)
+           |WHEN NOT MATCHED BY SOURCE AND t.st = 'F' THEN DELETE
+           |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET st = 'S'
+           |""".stripMargin)
+      merge()
+      def state() = spark.table(t).orderBy("k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+      val s1 = state()
+      // 0..19 minus F-keys (0,5,10,15) demoted to 'S'; 20..39 all 'U'
+      val expected =
+        (0L until 20L).filterNot(_ % 5 == 0).map(k => (k, "S", k.toDouble)) ++
+        (20L until 40L).map(k => (k, "U", k * 10.0))
+      assert(s1 == expected.sortBy(_._1), s"$mode: wrong sync result")
+      if (mode == "merge-on-read")
+        assert(before.forall(table.fileIds.contains),
+          "MoR sync merge must not rewrite any committed file " +
+            "(BY SOURCE actions land as DV + new files)")
+      else
+        assert(!before.forall(table.fileIds.contains),
+          "CoW sync merge rewrites the touched groups")
+      // replay: the identical statement must be relation-idempotent
+      merge()
+      assert(state() == s1, s"$mode: sync merge replay must be a no-op")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
 }
