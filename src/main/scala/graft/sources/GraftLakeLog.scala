@@ -101,7 +101,16 @@ private[sources] class GraftLakeLog(root: File) {
       "nstats" -> JObject(f.nstats.toList.map { case ((id, leaf), (lo, hi)) =>
         s"$id:$leaf" -> JArray(List(enc(lo), enc(hi))) }),
       "nnulls" -> JObject(f.nnulls.toList.map { case ((id, leaf), v) =>
-        s"$id:$leaf" -> JLong(v) }))))
+        s"$id:$leaf" -> JLong(v) }),
+      // bloom bit-words as base64 of big-endian longs — compact and
+      // byte-exact (a corrupted bloom would be a correctness bug: a
+      // bloom MISS is treated as proof of absence)
+      "blooms" -> JObject(f.blooms.toList.map { case (id, words) =>
+        val bb = java.nio.ByteBuffer.allocate(words.length * 8)
+        words.foreach(bb.putLong)
+        id.toString ->
+          JString(java.util.Base64.getEncoder.encodeToString(bb.array()))
+      }))))
   }
 
   def writeCommit(version: Int, snap: GraftLakeSnapshot,
@@ -302,6 +311,14 @@ private[sources] object GraftLakeLog {
           nnulls = objFields(m, "nnulls").map { case (k, v) =>
             val Array(id, leaf) = k.split(":", 2)
             (id.toInt, leaf) -> longOf(v) }.toMap,
+          blooms = objFields(m, "blooms").map { case (k, JString(b64)) =>
+            val bytes = java.util.Base64.getDecoder.decode(b64)
+            val bb = java.nio.ByteBuffer.wrap(bytes)
+            val words = new Array[Long](bytes.length / 8)
+            var w = 0
+            while (w < words.length) { words(w) = bb.getLong; w += 1 }
+            k.toInt -> words
+          }.toMap,
           pnames = arr(m, "pnames").map(_.asInstanceOf[JString].s))
         gf.id -> gf
     }.toMap

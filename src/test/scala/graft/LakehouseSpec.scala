@@ -2780,6 +2780,80 @@ class LakehouseSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("bloom stats prune equality probes that min/max cannot") {
+    // VERDICT r15 task 4: four files whose key ranges FULLY overlap
+    // (keys interleave mod 4 over 0..3999), so min/max skipping keeps
+    // all four for any in-range probe — the per-file bloom must cut a
+    // point lookup to the one file that actually holds the key, an
+    // IN-list to the union, and an absent key to zero files, while the
+    // residual filter keeps every answer exact.
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_bloom"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING, v DOUBLE)")
+    for (b <- 0 until 4)
+      spark.range(0, 1000)
+        .selectExpr(s"id * 4 + $b AS k", s"concat('key_', id * 4 + $b) AS s",
+          "CAST(id AS DOUBLE) AS v")
+        .coalesce(1).writeTo(t).append()
+    def parts(df: org.apache.spark.sql.DataFrame): Int =
+      df.rdd.getNumPartitions
+    val base = spark.table(t)
+    assert(parts(base) == 4, "precondition: four file-grained partitions")
+    // ranges overlap: min/max alone cannot prune an in-range probe ...
+    val probe = base.where("k = 1001") // 1001 % 4 == 1 → only file 1
+    assert(parts(probe) == 1,
+      s"bloom must prune a point probe to one file, got ${parts(probe)}")
+    assert(probe.collect().map(_.getLong(0)).toSeq == Seq(1001L))
+    // string key probes prune the same way
+    val sprobe = base.where("s = 'key_2002'") // 2002 % 4 == 2
+    assert(parts(sprobe) == 1, "string equality must bloom-prune")
+    assert(sprobe.collect().map(_.getLong(0)).toSeq == Seq(2002L))
+    // IN-list = union of per-value probes (files 1 and 2)
+    val inprobe = base.where("k IN (1001, 2002)")
+    assert(parts(inprobe) == 2, "IN must prune to the union of files")
+    assert(inprobe.collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1001L, 2002L))
+    // an in-range key that was NEVER written prunes everything: the
+    // keys are multiples-of-4 offsets, 4001 > max? no - use a hole:
+    // k spans 0..3999 with every integer present, so probe above range
+    // is min/max territory; delete makes holes instead
+    spark.sql(s"DELETE FROM $t WHERE k = 1001")
+    // CoW delete rewrote file 1 without 1001 → fresh bloom lacks it
+    val gone = spark.table(t).where("k = 1001")
+    assert(parts(gone) == 0 ||
+      gone.queryExecution.executedPlan.toString.contains("Empty"),
+      s"a provably-absent key must plan zero file partitions")
+    assert(gone.count() == 0)
+    // no false negatives: every surviving key still answers (spot the
+    // whole stripe the delete rewrote, plus a full-table checksum)
+    assert(spark.table(t).where("k % 4 = 1").count() == 999)
+    assert(spark.table(t).count() == 3999)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("bloom stats survive the durable log (reopen still prunes)") {
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_wh_bloom_").toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graftblm",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftblm.warehouse", wh)
+    val t = "graftblm.spec_bloom_dur"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    for (b <- 0 until 4)
+      spark.range(0, 500).selectExpr(s"id * 4 + $b AS k")
+        .coalesce(1).writeTo(t).append()
+    graft.sources.GraftLakeCatalog.evict("graftblm", "spec_bloom_dur")
+    val probe = spark.table(t).where("k = 401") // 401 % 4 == 1
+    assert(probe.rdd.getNumPartitions == 1,
+      "a reopened table's manifests must still carry the blooms")
+    assert(probe.collect().map(_.getLong(0)).toSeq == Seq(401L))
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("sync MERGE (WHEN NOT MATCHED BY SOURCE): replay-idempotent, MoR rewrites nothing") {
     // VERDICT r15 task 3. The mirror-a-batch statement: matched rows
     // update, new rows insert, target rows absent from the batch delete

@@ -781,4 +781,70 @@ object PropertySpec extends Properties("graft.kernels") {
       got.result() ==
         (0 until n).filterNot(dead).map(i => (i.toLong, i.toLong)).toList
     }
+
+  // ---- bloom file-skipping: false negatives are wrong answers -------------
+  // A bloom MISS prunes the file outright and the residual filter can't
+  // recover a pruned file, so EVERY written value must probe as a
+  // possible match — for longs and strings, across widening (a file
+  // written under INT probed with a BIGINT literal hashes identically).
+
+  private def eqPred(col: String, v: Any,
+      dt: org.apache.spark.sql.types.DataType) = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    // Expressions.literal infers the V2 type from the runtime class —
+    // the same representation Spark pushes at plan time
+    new org.apache.spark.sql.connector.expressions.filter.Predicate("=",
+      Array(Expressions.column(col), Expressions.literal(v)))
+  }
+
+  property("bloom skipping never false-negatives a written long") =
+    Prop.forAll(Gen.nonEmptyListOf(
+      Gen.choose(Long.MinValue, Long.MaxValue))) { vs =>
+      import graft.sources.{GraftLakeFile, GraftLakeStats}
+      import org.apache.spark.sql.types.LongType
+      val rows = vs.map(v =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](v))
+          : org.apache.spark.sql.catalyst.InternalRow).toVector
+      val f = GraftLakeFile("f", rows, Seq(0), types = Seq(LongType),
+        stats = GraftLakeStats.collect(rows, Seq(0), Seq(LongType)),
+        nulls = Map(0 -> 0L),
+        blooms = GraftLakeStats.bloomCollect(rows, Seq(0), Seq(LongType)))
+      vs.forall(v => GraftLakeStats.mayMatch(f,
+        Seq(eqPred("c", v, LongType)), Map("c" -> 0)))
+    }
+
+  property("bloom skipping never false-negatives a written string") =
+    Prop.forAll(Gen.nonEmptyListOf(asciiText)) { vs =>
+      import graft.sources.{GraftLakeFile, GraftLakeStats}
+      import org.apache.spark.sql.types.StringType
+      val rows = vs.map(v =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](UTF8String.fromString(v)))
+          : org.apache.spark.sql.catalyst.InternalRow).toVector
+      val f = GraftLakeFile("f", rows, Seq(0), types = Seq(StringType),
+        stats = GraftLakeStats.collect(rows, Seq(0), Seq(StringType)),
+        nulls = Map(0 -> 0L),
+        blooms = GraftLakeStats.bloomCollect(rows, Seq(0), Seq(StringType)))
+      vs.forall(v => GraftLakeStats.mayMatch(f,
+        Seq(eqPred("c", UTF8String.fromString(v), StringType)),
+        Map("c" -> 0)))
+    }
+
+  property("bloom widening: INT-written file matches its BIGINT probe") =
+    Prop.forAll(Gen.nonEmptyListOf(
+      Gen.choose(Int.MinValue, Int.MaxValue))) { vs =>
+      import graft.sources.{GraftLakeFile, GraftLakeStats}
+      import org.apache.spark.sql.types.{IntegerType, LongType}
+      val rows = vs.map(v =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](v))
+          : org.apache.spark.sql.catalyst.InternalRow).toVector
+      val f = GraftLakeFile("f", rows, Seq(0), types = Seq(IntegerType),
+        stats = GraftLakeStats.collect(rows, Seq(0), Seq(IntegerType)),
+        nulls = Map(0 -> 0L),
+        blooms = GraftLakeStats.bloomCollect(rows, Seq(0), Seq(IntegerType)))
+      vs.forall(v => GraftLakeStats.mayMatch(f,
+        Seq(eqPred("c", v.toLong, LongType)), Map("c" -> 0)))
+    }
 }
