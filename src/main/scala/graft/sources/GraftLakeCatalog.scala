@@ -1522,18 +1522,29 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       : Vector[(StructType, Vector[Int], Map[Int, Any])] =
     Vector((tableSchema, tableSchema.indices.toVector, Map.empty))
   private def recordCommit(dataChange: Boolean): Unit = {
-    history = history :+ (GraftLakeSnapshot(files, dvs), dataChange)
+    val snap = GraftLakeSnapshot(files, dvs)
     // clamped monotonic: a wall clock stepping backwards (NTP, VM
     // suspend) must not break TIMESTAMP AS OF's sorted-times invariant
     // (Delta stamps the same way)
-    commitTimes = commitTimes :+
-      math.max(System.currentTimeMillis(), commitTimes.last)
+    val time = math.max(System.currentTimeMillis(), commitTimes.last)
+    // durable manifest list FIRST: the version-file claim is the
+    // cross-writer arbiter (O_EXCL — see GraftLakeLog.writeAtomic). A
+    // loser reverts its in-memory mutation to the last DURABLE state
+    // before propagating, so memory never claims a commit disk refused.
+    try log.foreach(_.writeCommit(baseVersion + history.length, snap,
+      dataChange, time, schemaNow, colIds, colDefaults, fileSeq,
+      nextColId))
+    catch {
+      case e: IllegalStateException =>
+        files = history.last._1.files
+        dvs = history.last._1.dvs
+        val (ps, pids, pdefs) = commitSchemas.last
+        schemaNow = ps; colIds = pids; colDefaults = pdefs
+        throw e
+    }
+    history = history :+ (snap, dataChange)
+    commitTimes = commitTimes :+ time
     commitSchemas = commitSchemas :+ ((schemaNow, colIds, colDefaults))
-    // durable manifest list: one small JSON per commit — the write that
-    // makes this version exist after a restart
-    log.foreach(_.writeCommit(baseVersion + history.length - 1,
-      history.last._1, dataChange, commitTimes.last, schemaNow, colIds,
-      colDefaults, fileSeq, nextColId))
   }
 
   /** The (schema, field ids, exists-defaults) a RETAINED version was
@@ -2068,8 +2079,20 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
         case Some(dir) =>
           val p = new java.io.File(dir, s"f$fileSeq.parquet")
             .getAbsolutePath
-          val bytes = GraftParquetIO.write(p,
+          val bytes = try GraftParquetIO.write(p,
             schemaNow.fieldNames.toSeq, types, rows)
+          catch { case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            // cross-writer data-file claim: another driver of the same
+            // durable root already minted this file number — the same
+            // stale-snapshot loss as the version-file CAS, surfaced
+            // BEFORE any state mutates (mkFiles runs ahead of the
+            // files/dvs assignment in every commit path)
+            throw new IllegalStateException(
+              s"write conflict on $tableName: data file f$fileSeq" +
+                ".parquet was already written by another writer — this " +
+                "writer's snapshot is stale; reopen the table and retry " +
+                "the statement", e)
+          }
           val gf = GraftLakeFile(id, Vector.empty, colIds, Some(p), types,
             bytes, stats, rows.length.toLong, nulls, sums, dsums, sortedBy,
             nstats, nnulls, blooms, pnames = schemaNow.fieldNames.toSeq)
@@ -2198,7 +2221,14 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           // the file's recorded types); dropped ids get a synthetic name
           val names = f.cols.map(cid =>
             idToName.getOrElse(cid, s"_dropped_$cid"))
-          val bytes = GraftParquetIO.write(p, names, f.types, rows)
+          val bytes = try GraftParquetIO.write(p, names, f.types, rows)
+          catch { case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            throw new IllegalStateException(
+              s"write conflict on $tableName: data file f$fileSeq" +
+                ".parquet was already written by another writer — this " +
+                "writer's snapshot is stale; reopen the table and retry " +
+                "the statement", e)
+          }
           val gf = GraftLakeFile(id, Vector.empty, f.cols, Some(p), f.types,
             bytes, stats, rows.length.toLong, nulls, sums, dsums,
             nstats = nstats, nnulls = nnulls, blooms = blooms,

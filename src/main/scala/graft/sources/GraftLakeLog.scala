@@ -60,10 +60,29 @@ private[sources] class GraftLakeLog(root: File) {
   private val dir = new File(root, GraftLakeLog.LogDir)
   dir.mkdirs()
 
-  private def writeAtomic(name: String, content: String): Unit = {
+  private def writeAtomic(name: String, content: String,
+      overwrite: Boolean = true): Unit = {
+    val target = new File(dir, name).toPath
+    if (!overwrite) {
+      // OPTIMISTIC COMMIT CLAIM: version files are immutable, and
+      // O_CREAT|O_EXCL is the cross-process arbiter — the second writer
+      // of the same version number loses HERE, loudly, instead of
+      // silently clobbering the first one's commit (the file-layer
+      // analog of Iceberg's metadata-swap CAS). The claimed file is
+      // filled by the atomic replace just below; the claim→fill window
+      // is commit-latency-sized and a reopen validates contiguity.
+      try Files.createFile(target)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalStateException(
+            s"write conflict on ${root.getName}: $name was already " +
+              "committed by another writer — this writer's snapshot is " +
+              "stale; reopen the table and retry the statement")
+      }
+    }
     val tmp = new File(dir, name + ".tmp")
     Files.write(tmp.toPath, content.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp.toPath, new File(dir, name).toPath,
+    Files.move(tmp.toPath, target,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
@@ -128,7 +147,7 @@ private[sources] class GraftLakeLog(root: File) {
       "defaults" -> JObject(defaults.toList.map { case (k, v) =>
         k.toString -> enc(v) }),
       "fileSeq" -> JInt(BigInt(fileSeq)),
-      "nextColId" -> JInt(BigInt(nextColId)))))
+      "nextColId" -> JInt(BigInt(nextColId)))), overwrite = false)
   }
 
   def writeRefs(tags: Map[String, Int],
