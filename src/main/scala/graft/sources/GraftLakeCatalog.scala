@@ -395,6 +395,13 @@ final case class GraftLakeFile(id: String, rows: Vector[InternalRow],
     // id → bit words): equality-probe skipping where min/max can't
     // decide — see GraftLakeStats.bloomCollect
     blooms: Map[Int, Array[Long]] = Map.empty,
+    // PARTITION PURITY: the single partition-key tuple every row of
+    // this file evaluates to (fanout write splits files per key), or
+    // None for pre-split files. What lets a keyed (SPJ) scan ship FILE
+    // LISTS per key and decode in tasks instead of materializing rows
+    // on the driver — the difference between a control-plane plan and
+    // a driver OOM at 100 TB
+    pkey: Option[Vector[Any]] = None,
     // the parquet file's internal column LABELS (write-time names),
     // positionally aligned with `cols`: the columnar reader projects by
     // label, and a post-write RENAME changes only the id→name mapping —
@@ -2053,8 +2060,35 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     }
 
   private def mkFiles(batches: Vector[Vector[InternalRow]],
-      sortedBy: Seq[Int] = Nil): Vector[GraftLakeFile] =
-    batches.filter(_.nonEmpty).map { rows =>
+      sortedBy: Seq[Int] = Nil): Vector[GraftLakeFile] = {
+    // FANOUT WRITE (partitioned tables): split every task batch by its
+    // evaluated partition-key tuple so each committed file is
+    // PARTITION-PURE, and stamp the key into the manifest. The write
+    // distribution already clusters whole keys per task, so the split
+    // yields one file per key — no fragment explosion — and the keyed
+    // (SPJ) read side can then plan per-key FILE LISTS that decode in
+    // executors (Iceberg's fanout-writer + partition-tuple manifest
+    // contract). Row order within a key is preserved (stable split).
+    val keyedBatches: Vector[(Option[Vector[Any]], Vector[InternalRow])] =
+      if (partSpec.isEmpty)
+        batches.filter(_.nonEmpty).map(b => (None, b))
+      else {
+        val idx = partSpec.map(t => schemaNow.fieldIndex(t.srcCol))
+        val tys = idx.map(schemaNow.fields(_).dataType)
+        batches.filter(_.nonEmpty).flatMap { b =>
+          val groups = scala.collection.mutable.LinkedHashMap
+            .empty[Vector[Any],
+              scala.collection.mutable.Builder[InternalRow,
+                Vector[InternalRow]]]
+          b.foreach { r =>
+            val k = Vector.tabulate(partSpec.length)(i =>
+              partSpec(i).eval(r.get(idx(i), tys(i)), tys(i)))
+            groups.getOrElseUpdate(k, Vector.newBuilder[InternalRow]) += r
+          }
+          groups.toVector.map { case (k, rs) => (Some(k), rs.result()) }
+        }
+      }
+    keyedBatches.map { case (pkey, rows) =>
       fileSeq += 1
       // stamp the CURRENT column ids: rows were written under them. A
       // schema change between the write's planning and its commit would
@@ -2095,7 +2129,8 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           }
           val gf = GraftLakeFile(id, Vector.empty, colIds, Some(p), types,
             bytes, stats, rows.length.toLong, nulls, sums, dsums, sortedBy,
-            nstats, nnulls, blooms, pnames = schemaNow.fieldNames.toSeq)
+            nstats, nnulls, blooms, pkey,
+            pnames = schemaNow.fieldNames.toSeq)
           log.foreach(_.writeFileManifest(gf)) // immutable once written
           gf
         // memory files record their write-time types too: compaction
@@ -2105,9 +2140,10 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
         case None => GraftLakeFile(id, rows, colIds, types = types,
           stats = stats, nulls = nulls, sums = sums, dsums = dsums,
           sortedBy = sortedBy, nstats = nstats, nnulls = nnulls,
-          blooms = blooms)
+          blooms = blooms, pkey = pkey)
       }
     }
+  }
 
   private[graft] def snapshot: GraftLakeSnapshot =
     synchronized(GraftLakeSnapshot(files, dvs))
@@ -2232,12 +2268,13 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           val gf = GraftLakeFile(id, Vector.empty, f.cols, Some(p), f.types,
             bytes, stats, rows.length.toLong, nulls, sums, dsums,
             nstats = nstats, nnulls = nnulls, blooms = blooms,
-            pnames = names)
+            pkey = f.pkey, pnames = names)
           log.foreach(_.writeFileManifest(gf))
           gf
         case None => GraftLakeFile(id, rows, f.cols, types = f.types,
           stats = stats, nulls = nulls, sums = sums, dsums = dsums,
-          nstats = nstats, nnulls = nnulls, blooms = blooms)
+          nstats = nstats, nnulls = nnulls, blooms = blooms,
+          pkey = f.pkey)
       })
     }
 
@@ -3203,7 +3240,9 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
     else new KeyGroupedPartitioning(
       partSpec.map(_.toV2).toArray[
         org.apache.spark.sql.connector.expressions.Expression],
-      keyed.length)
+      // the metadata grouping when available — forcing `keyed` here
+      // would decode every file on the driver at planning time
+      fileKeyGroups().map(_.length).getOrElse(keyed.length))
 
   /** Is the WHOLE scan globally ordered on its files' first sort
     * column — partitions planned in file order, each an ascending run,
@@ -3271,17 +3310,43 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
       .toArray
   }
 
+  private def filePartOf(f: GraftLakeFile): GraftLakeFilePartition =
+    GraftLakeFilePartition(f.id, f.rows,
+      snapshot.dvs.getOrElse(f.id, Set.empty), namesOf(f),
+      f.path, f.types, f.pnames)
+
+  /** Keyed planning WITHOUT touching rows: when every active file is
+    * PARTITION-PURE (fanout-written, key stamped in the manifest), the
+    * key grouping is pure metadata — group FILES by their key tuple and
+    * let tasks decode. Files from before the fanout write (or staged
+    * through paths that bypass it) return None and the scan falls back
+    * to the driver-normalized row grouping below. */
+  private def fileKeyGroups()
+      : Option[Array[(InternalRow, Vector[GraftLakeFile])]] =
+    if (active.isEmpty || !active.forall(_.pkey.isDefined)) None
+    else Some(active.groupBy(_.pkey.get).toArray
+      .sortBy(_._1.map(String.valueOf).mkString(" "))
+      .map { case (k, fs) => (new GenericInternalRow(k.toArray): InternalRow,
+        fs) })
+
   override def planInputPartitions(): Array[InputPartition] =
     if (fileGrained)
       // parquet-backed files ship only their PATH to tasks; the reader
       // decodes real columnar bytes executor-side (memory-backed files
       // ship their rows, as before)
-      active.map(f => GraftLakeFilePartition(f.id, f.rows,
-        snapshot.dvs.getOrElse(f.id, Set.empty), namesOf(f),
-        f.path, f.types, f.pnames)).toArray
-    else
-      (if (runtimePruned) keyGroups() else keyed)
-        .map { case (k, rs) => GraftLakeKeyedPartition(rs, k) }
+      active.map(filePartOf).toArray
+    else fileKeyGroups() match {
+      case Some(gs) =>
+        // per-key FILE LISTS: decode + schema-normalization + DV
+        // filtering all happen in tasks (the reader applies the same
+        // by-name extractors as the file-grained path, per file)
+        gs.map { case (k, fs) =>
+          GraftLakeKeyedFilesPartition(fs.map(filePartOf), k)
+            : InputPartition }
+      case None =>
+        (if (runtimePruned) keyGroups() else keyed)
+          .map { case (k, rs) => GraftLakeKeyedPartition(rs, k) }
+    }
 
   override def createReaderFactory(): PartitionReaderFactory =
     // columnar (vectorized) decode whenever the WHOLE active set
@@ -3306,6 +3371,16 @@ final case class GraftLakeFilePartition(
 
 final case class GraftLakeKeyedPartition(
     rows: Vector[InternalRow], key: InternalRow)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
+/** One partition key's PARTITION-PURE files: the keyed (SPJ) input
+  * split that ships paths/manifests instead of rows — tasks decode,
+  * normalize (by-name extractors) and DV-filter each file themselves,
+  * so a partitioned lake scan's driver cost is pure metadata. */
+final case class GraftLakeKeyedFilesPartition(
+    files: Seq[GraftLakeFilePartition], key: InternalRow)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
@@ -3833,6 +3908,31 @@ class GraftLakeReaderFactory(fullSchema: StructType,
 
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
+    p match {
+      // per-key file list (partition-pure SPJ planning): chain the
+      // per-file readers — each applies the same by-name/default/
+      // widening extractors and DV filter as a file-grained partition
+      case kf: GraftLakeKeyedFilesPartition =>
+        return new PartitionReader[InternalRow] {
+          private val it = kf.files.iterator
+          private var cur: PartitionReader[InternalRow] = _
+          private var row: InternalRow = _
+          override def next(): Boolean = {
+            while (true) {
+              if (cur == null) {
+                if (!it.hasNext) return false
+                cur = createReader(it.next())
+              }
+              if (cur.next()) { row = cur.get(); return true }
+              cur.close(); cur = null
+            }
+            false
+          }
+          override def get(): InternalRow = row
+          override def close(): Unit = if (cur != null) cur.close()
+        }
+      case _ => ()
+    }
     val (fileId, rows, deleted, cols, ptypes) = p match {
       case fp: GraftLakeFilePartition =>
         val rs = fp.path match {

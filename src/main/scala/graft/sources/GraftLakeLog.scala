@@ -121,6 +121,9 @@ private[sources] class GraftLakeLog(root: File) {
         s"$id:$leaf" -> JArray(List(enc(lo), enc(hi))) }),
       "nnulls" -> JObject(f.nnulls.toList.map { case ((id, leaf), v) =>
         s"$id:$leaf" -> JLong(v) }),
+      // partition-pure key tuple (fanout write), absent when None
+      "pkey" -> f.pkey.map(k => JArray(k.map(enc).toList): JValue)
+        .getOrElse(JNothing),
       // bloom bit-words as base64 of big-endian longs — compact and
       // byte-exact (a corrupted bloom would be a correctness bug: a
       // bloom MISS is treated as proof of absence)
@@ -330,6 +333,10 @@ private[sources] object GraftLakeLog {
           nnulls = objFields(m, "nnulls").map { case (k, v) =>
             val Array(id, leaf) = k.split(":", 2)
             (id.toInt, leaf) -> longOf(v) }.toMap,
+          pkey = (m \ "pkey") match {
+            case JArray(vs) => Some(vs.map(dec).toVector)
+            case _ => None
+          },
           blooms = objFields(m, "blooms").map { case (k, JString(b64)) =>
             val bytes = java.util.Base64.getDecoder.decode(b64)
             val bb = java.nio.ByteBuffer.wrap(bytes)

@@ -326,18 +326,23 @@ class LakehouseSpec extends SparkTestBase {
     val table = graft.sources.GraftLakeCatalog
       .tableFor("graftlake", "spec_part_rls").get
     val before = table.fileIds
-    assert(before.size == 3)
-    spark.sql(s"UPDATE $t SET s = 'X' WHERE k = 150") // file 2 only
+    // fanout write: each batch splits into one PARTITION-PURE file per
+    // key it holds — 3 batches × 4 keys
+    assert(before.size == 12)
+    spark.sql(s"UPDATE $t SET s = 'X' WHERE k = 150") // one pure file
     val afterUpd = table.fileIds
-    assert(afterUpd.contains(before(0)) && afterUpd.contains(before(2)),
-      s"group granularity survives partitioning: $before -> $afterUpd")
-    assert(!afterUpd.contains(before(1)), "the matched group was replaced")
+    val replaced = before.toSet -- afterUpd.toSet
+    assert(replaced.size == 1,
+      s"group granularity survives partitioning — exactly the one " +
+        s"matched (batch, key) file is replaced: $replaced")
     assert(spark.table(t).where("s = 'X'").collect().map(_.getLong(0))
       .toSeq == Seq(150L))
     spark.sql(s"DELETE FROM $t WHERE k >= 200 AND k < 300")
     assert(spark.table(t).count() == 200)
-    assert(afterUpd.take(1).forall(table.fileIds.contains),
-      "the DELETE carried the untouched first group")
+    // the delete dropped exactly batch 2's four key files; everything
+    // else (7 untouched originals) carried by identity
+    assert(before.count(table.fileIds.contains) == 7,
+      "the DELETE carried every untouched group")
     // the regular read path still reports key-grouped partitioning
     val scan = table.newScanBuilder(
       org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()).build()
@@ -984,8 +989,8 @@ class LakehouseSpec extends SparkTestBase {
   }
 
   test("parquet storage composes with schema evolution and partitioned tables") {
-    // the cross-feature seams: keyed (SPJ) planning must normalize
-    // parquet-backed mixed-schema files driver-side, the file-grained
+    // the cross-feature seams: keyed (SPJ) planning ships per-key file
+    // lists whose readers normalize mixed schemas in tasks, the file-grained
     // row-level fallback must decode parquet in tasks under the evolved
     // schema, and the change feed must replay pre-rename parquet commits
     // under current names
@@ -1004,7 +1009,8 @@ class LakehouseSpec extends SparkTestBase {
     spark.sql(s"ALTER TABLE $t RENAME COLUMN s TO label")
     val table = graft.sources.GraftLakeCatalog
       .tableFor("graftlake", "spec_pq_evolve").get
-    assert(table.filePaths.size == 2, "two parquet-backed groups")
+    // fanout write: each append splits per key → 2 batches × 2 keys
+    assert(table.filePaths.size == 4, "four partition-pure parquet groups")
     // keyed (SPJ-shaped) read: mixed-schema parquet files normalized
     val agg = spark.table(t).groupBy("p")
       .agg(count(lit(1)).as("n"), sum("w").as("sw"))
@@ -2777,6 +2783,71 @@ class LakehouseSpec extends SparkTestBase {
     assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF 'b'")
       .head().getLong(0) == 30,
       "staged parquet bytes must survive an expire vacuum")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("fanout write: partition-pure files, keyed scans plan per-key file lists") {
+    // Driver-decode elimination for SPJ scans: partitioned writes split
+    // each task batch per evaluated partition key and stamp the key in
+    // the manifest, so keyed planning groups FILES by metadata alone
+    // and tasks do the decode/normalize/DV work. The partition count
+    // equals the key count (KeyGroupedPartitioning preserved), results
+    // are identical across schema evolution and MoR deletes, and the
+    // whole thing survives the durable log.
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_wh_fanout_").toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graftfan",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftfan.warehouse", wh)
+    val t = "graftfan.spec_fanout"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, p BIGINT, s STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('graft.storage' = 'parquet', " +
+      "'graft.mode' = 'merge-on-read')")
+    // two appends, each one task batch spanning 3 keys → 6 pure files
+    for (b <- 0 until 2)
+      spark.range(b * 30L, (b + 1) * 30L)
+        .selectExpr("id AS k", "id % 3 AS p", "concat('v', id) AS s")
+        .coalesce(1).writeTo(t).append()
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftfan", "spec_fanout").get
+    val files = table.snapshot.files
+    assert(files.length == 6, s"fanout must split 2 batches × 3 keys")
+    assert(files.forall(_.pkey.isDefined), "every file carries its key")
+    // file-grained cross-check: each physical file holds exactly one p
+    val perFile = spark.table(t).select(col("_file"), col("p")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+      .map { case (_, rs) => rs.map(_._2).distinct.length }
+    assert(perFile.forall(_ == 1), "files must be partition-pure")
+    // keyed scan: one planned partition per key, exact results
+    val keyed = spark.table(t).groupBy("p").agg(count(lit(1)).as("n"),
+      sum("k").as("sk")).orderBy("p")
+    assert(spark.table(t).rdd.getNumPartitions == 3,
+      "keyed planning must yield one partition per key (from metadata)")
+    assert(keyed.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0L, 20L, 570L), (1L, 20L, 590L), (2L, 20L, 610L)))
+    // schema evolution + MoR delete flow through the executor-side path
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (w DOUBLE DEFAULT 0.5)")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN s TO label")
+    spark.range(60, 66).selectExpr("id AS k", "id % 3 AS p",
+      "concat('n', id) AS label", "1.0 AS w").coalesce(1)
+      .writeTo(t).append()
+    spark.sql(s"DELETE FROM $t WHERE k = 10") // DV on a pure file
+    val evolved = spark.table(t).groupBy("p")
+      .agg(count(lit(1)).as("n"), sum("w").as("sw")).orderBy("p").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(evolved.toSeq == Seq((0L, 22L, 12.0), (1L, 21L, 11.5),
+      (2L, 22L, 12.0)),
+      s"evolved keyed read (defaults + rename + DV): ${evolved.toSeq}")
+    // the durable log round-trips the partition keys
+    graft.sources.GraftLakeCatalog.evict("graftfan", "spec_fanout")
+    assert(spark.table(t).rdd.getNumPartitions == 3,
+      "a reopened table must still plan keyed file lists from manifests")
+    val reopened = spark.table(t).groupBy("p")
+      .agg(count(lit(1)).as("n"), sum("w").as("sw")).orderBy("p").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(reopened.toSeq == evolved.toSeq)
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
