@@ -3355,9 +3355,13 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
     // over the current set stays valid for every planned partition
     // `-Dgraft.lake.columnar=off` pins the row path: the A/B knob the
     // decode benchmark uses (and a mitigation lever if a decode bug
-    // ever needs ruling out in production)
+    // ever needs ruling out in production). Keyed (SPJ) scans go
+    // columnar too when their planning is the per-key FILE-LIST shape
+    // (every active file partition-pure) — the chained per-file batch
+    // readers preserve the key grouping.
     new GraftLakeReaderFactory(fullSchema, requiredSchema, nameDefaults,
-      fileGrained && !sys.props.get("graft.lake.columnar").contains("off") &&
+      (fileGrained || active.forall(_.pkey.isDefined)) &&
+        !sys.props.get("graft.lake.columnar").contains("off") &&
         GraftLakeColumnar.eligible(active, snapshot.dvs,
           requiredSchema, namesOf, nameDefaults))
 }
@@ -3903,8 +3907,33 @@ class GraftLakeReaderFactory(fullSchema: StructType,
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    GraftLakeColumnar.reader(p.asInstanceOf[GraftLakeFilePartition],
-      requiredSchema, defaults)
+    p match {
+      case kf: GraftLakeKeyedFilesPartition =>
+        // per-key file list: chain the per-file batch readers
+        import org.apache.spark.sql.vectorized.ColumnarBatch
+        new PartitionReader[ColumnarBatch] {
+          private val it = kf.files.iterator
+          private var cur: PartitionReader[ColumnarBatch] = _
+          override def next(): Boolean = {
+            while (true) {
+              if (cur == null) {
+                if (!it.hasNext) return false
+                cur = GraftLakeColumnar.reader(it.next(),
+                  requiredSchema, defaults)
+              }
+              if (cur.next()) return true
+              cur.close(); cur = null
+            }
+            false
+          }
+          override def get(): ColumnarBatch = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
+        }
+      case fp: GraftLakeFilePartition =>
+        GraftLakeColumnar.reader(fp, requiredSchema, defaults)
+      case other => throw new IllegalStateException(
+        s"columnar read planned for ${other.getClass.getSimpleName}")
+    }
 
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {

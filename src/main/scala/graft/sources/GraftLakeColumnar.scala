@@ -51,14 +51,25 @@ object GraftLakeColumnar {
   /** Decode batch size — Spark's own default parquet batch capacity. */
   val BatchSize = 4096
 
-  /** Leaf types the vectorized path serves: exactly the primitive set
-    * `graft.storage = parquet` can store, minus nothing — nested
-    * containers fall back to the row reader. */
-  def vectorizable(dt: DataType): Boolean = dt match {
+  private def primVectorizable(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | DoubleType | FloatType | BooleanType |
          StringType | DateType | TimestampType | TimestampNTZType => true
     case d: DecimalType => d.precision <= 18
     case _ => false
+  }
+
+  /** Types the vectorized path serves: the full `graft.storage =
+    * parquet` surface — primitives AND nested containers (Spark's
+    * vectorized reader decodes standard 3-level LIST / plain-group
+    * STRUCT / 3-level MAP into nested column vectors; these files are
+    * written in exactly those encodings). */
+  def vectorizable(dt: DataType): Boolean = dt match {
+    case ArrayType(et, _) => vectorizable(et)
+    case StructType(fields) =>
+      fields.nonEmpty && fields.forall(f => vectorizable(f.dataType))
+    case MapType(kt, vt, _) =>
+      primVectorizable(kt) && vectorizable(vt)
+    case other => primVectorizable(other)
   }
 
   /** Scan-level eligibility: EVERY active file must be parquet-backed,
@@ -80,7 +91,11 @@ object GraftLakeColumnar {
         dataFields.exists(fld => names.contains(fld.name)) &&
         dataFields.forall { fld =>
           val i = names.indexOf(fld.name)
-          i < 0 || f.types(i) == fld.dataType
+          if (i >= 0) f.types(i) == fld.dataType
+          // absent column: a constant vector serves it — null for any
+          // type, a non-null EXISTS-default only if primitive
+          else defaults.getOrElse(fld.name, null) == null ||
+            primVectorizable(fld.dataType)
         }
       }
     }
@@ -90,6 +105,9 @@ object GraftLakeColumnar {
     * file serves for a post-write ADD COLUMN, vectorized. */
   private def constant(dt: DataType, v: Any): ConstantColumnVector = {
     val c = new ConstantColumnVector(BatchSize, dt)
+    // null serves ANY type (including nested — isNullAt answers before
+    // any child vector is consulted); non-null constants are primitive
+    // by eligibility
     if (v == null) c.setNull()
     else dt match {
       case LongType | TimestampType | TimestampNTZType =>

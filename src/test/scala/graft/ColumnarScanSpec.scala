@@ -148,19 +148,53 @@ class ColumnarScanSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
-  test("nested columns stay on the row path, correct") {
+  test("nested columns decode columnar (struct/array/map vectors)") {
     useCatalog()
     val t = "graftlake.spec_colscan_nested"
     spark.sql(s"DROP TABLE IF EXISTS $t")
-    spark.sql(s"CREATE TABLE $t (k BIGINT, m STRUCT<a: BIGINT, b: STRING>) " +
+    spark.sql(s"CREATE TABLE $t (k BIGINT, m STRUCT<a: BIGINT, b: STRING>, " +
+      "xs ARRAY<DOUBLE>, tags MAP<STRING, BIGINT>) " +
       "TBLPROPERTIES ('graft.storage' = 'parquet')")
-    spark.range(0, 10).selectExpr("id AS k",
-      "named_struct('a', id * 2, 'b', concat('s', id)) AS m")
+    spark.range(0, 100).selectExpr("id AS k",
+      "named_struct('a', id * 2, 'b', concat('s', id)) AS m",
+      "array(CAST(id AS DOUBLE), id * 0.5) AS xs",
+      "map('h', id % 7, 'q', id % 3) AS tags")
       .coalesce(1).writeTo(t).append()
     val df = spark.table(t)
-    assert(!plan(df).contains("ColumnarToRow"),
-      "nested columns are served by the row reader")
-    assert(df.select(sum(col("m.a"))).collect().head.getLong(0) == 90L)
+    assert(plan(df).contains("ColumnarToRow"),
+      s"nested columns must ride Spark's nested column vectors:\n${plan(df)}")
+    assert(df.select(sum(col("m.a"))).collect().head.getLong(0) == 9900L)
+    assert(df.select(sum(element_at(col("xs"), 2)))
+      .collect().head.getDouble(0) == 2475.0)
+    assert(df.select(sum(element_at(col("tags"), lit("h"))))
+      .collect().head.getLong(0) == (0 until 100).map(_ % 7).sum)
+    val r = df.where("k = 7").collect().head
+    assert(r.getStruct(1).getString(1) == "s7" &&
+      r.getSeq[Double](2) == Seq(7.0, 3.5) &&
+      r.getMap[String, Long](3)("q") == 1L)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("keyed (SPJ) scans of partition-pure parquet files decode columnar") {
+    useCatalog()
+    val t = "graftlake.spec_colscan_keyed"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, p BIGINT, s STRING) " +
+      "PARTITIONED BY (p) TBLPROPERTIES ('graft.storage' = 'parquet')")
+    for (b <- 0 until 2)
+      spark.range(b * 40L, (b + 1) * 40L)
+        .selectExpr("id AS k", "id % 4 AS p", "concat('v', id) AS s")
+        .coalesce(1).writeTo(t).append()
+    val df = spark.table(t)
+    assert(df.rdd.getNumPartitions == 4,
+      "precondition: per-key file-list planning")
+    assert(plan(df).contains("ColumnarToRow"),
+      s"keyed file-list partitions must chain columnar readers:\n${plan(df)}")
+    val agg = df.groupBy("p").agg(count(lit(1)).as("n"), sum("k").as("sk"))
+      .orderBy("p").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(agg.toSeq == (0L until 4L).map(p =>
+      (p, 20L, (0L until 80L).filter(_ % 4 == p).sum)).toSeq, agg.toSeq)
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 }
