@@ -3325,7 +3325,7 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
       : Option[Array[(InternalRow, Vector[GraftLakeFile])]] =
     if (active.isEmpty || !active.forall(_.pkey.isDefined)) None
     else Some(active.groupBy(_.pkey.get).toArray
-      .sortBy(_._1.map(String.valueOf).mkString(" "))
+      .sortBy(_._1.map(String.valueOf).mkString("\u0000"))
       .map { case (k, fs) => (new GenericInternalRow(k.toArray): InternalRow,
         fs) })
 
@@ -3394,7 +3394,17 @@ final case class GraftLakeKeyedFilesPartition(
   * stable merge-on-read row id even for rows surfaced as deletes. */
 final case class GraftLakeChangePartition(fileId: String,
     rows: Vector[(Long, InternalRow)], changeType: String, version: Long,
-    cols: Seq[String], types: Seq[DataType] = Nil) extends InputPartition
+    cols: Seq[String], types: Seq[DataType] = Nil,
+    // parquet-backed files ship their PATH + a position selection and
+    // decode in the task — the driver plans the feed from metadata
+    // alone (`rows` above stays empty then)
+    path: Option[String] = None,
+    // positions to EXCLUDE (the file's deletion vector at the emitting
+    // snapshot) — used by whole-file insert/delete legs
+    drop: Set[Long] = Set.empty,
+    // positions to EMIT EXCLUSIVELY (DV growth/shrink legs); overrides
+    // `drop` when set
+    keepOnly: Option[Set[Long]] = None) extends InputPartition
 
 /** Change-feed scan over a commit-history slice: emits the row-level
   * diff of each consecutive snapshot pair as insert/delete partitions.
@@ -3778,6 +3788,28 @@ private[sources] object GraftLakeChanges {
     def namesOf(f: GraftLakeFile): Seq[String] =
       GraftLakeFieldIds.resolve(f.cols, idToName)
     val parts = Vector.newBuilder[InputPartition]
+    // One leg of one touched file per partition. Parquet-backed files
+    // ship PATH + position selection and decode in the TASK (the
+    // manifest's row count decides emptiness), so feed planning is
+    // metadata-only; memory files materialize here as before. Cost
+    // stays ∝ the files each commit touched, either way.
+    def emit(f: GraftLakeFile, ct: String, v: Long, drop: Set[Long],
+        keepOnly: Option[Set[Long]]): Unit = {
+      val n = keepOnly.map(_.size.toLong).getOrElse(f.numRows - drop.size)
+      if (n > 0) {
+        if (f.path.isDefined)
+          parts += GraftLakeChangePartition(f.id, Vector.empty, ct, v,
+            namesOf(f), f.types, f.path, drop, keepOnly)
+        else {
+          val rows = f.loadRows.zipWithIndex.collect {
+            case (r, p) if keepOnly.map(_.contains(p.toLong))
+              .getOrElse(!drop.contains(p.toLong)) => (p.toLong, r)
+          }
+          parts += GraftLakeChangePartition(f.id, rows, ct, v,
+            namesOf(f), f.types)
+        }
+      }
+    }
     for (i <- 1 until history.length) {
       val (prev, _) = history(i - 1)
       val (cur, dataChange) = history(i)
@@ -3785,50 +3817,29 @@ private[sources] object GraftLakeChanges {
         val v = (fromVersion + i).toLong
         val prevIds = prev.files.map(_.id).toSet
         val curIds = cur.files.map(_.id).toSet
+        // a commit can introduce a file TOGETHER with a deletion vector
+        // (rollback past a compaction restores the pre-compaction file
+        // plus its DV): only the file's LIVE-in-cur rows are inserts —
+        // emitting the DV'd positions would resurrect dead rows
+        // downstream (ADVICE r11).
         cur.files.filterNot(f => prevIds.contains(f.id)).foreach { f =>
-          // a commit can introduce a file TOGETHER with a deletion vector
-          // (rollback past a compaction restores the pre-compaction file
-          // plus its DV): only the file's LIVE-in-cur rows are inserts —
-          // emitting the DV'd positions would resurrect dead rows
-          // downstream (ADVICE r11).
-          val dead = cur.dvs.getOrElse(f.id, Set.empty[Long])
-          val live = f.loadRows.zipWithIndex
-            .collect { case (r, p) if !dead.contains(p.toLong) =>
-              (p.toLong, r) }
-          if (live.nonEmpty)
-            parts += GraftLakeChangePartition(f.id, live, "insert", v,
-              namesOf(f), f.types)
+          emit(f, "insert", v, cur.dvs.getOrElse(f.id, Set.empty), None)
         }
         prev.files.filterNot(f => curIds.contains(f.id)).foreach { f =>
-          val dead = prev.dvs.getOrElse(f.id, Set.empty)
-          val live = f.loadRows.zipWithIndex
-            .collect { case (r, p) if !dead.contains(p.toLong) =>
-              (p.toLong, r) }
-          if (live.nonEmpty)
-            parts += GraftLakeChangePartition(f.id, live, "delete", v,
-              namesOf(f), f.types)
+          emit(f, "delete", v, prev.dvs.getOrElse(f.id, Set.empty), None)
         }
         cur.files.filter(f => prevIds.contains(f.id)).foreach { f =>
           val prevDead = prev.dvs.getOrElse(f.id, Set.empty[Long])
           val curDead = cur.dvs.getOrElse(f.id, Set.empty[Long])
-          // loaded at most once per TOUCHED file (feed cost stays ∝ the
-          // files a commit changed, parquet storage included)
-          lazy val frows = f.loadRows
           val grown = curDead -- prevDead
-          if (grown.nonEmpty)
-            parts += GraftLakeChangePartition(f.id,
-              grown.toVector.sorted.map(p => (p, frows(p.toInt))),
-              "delete", v, namesOf(f), f.types)
-          // a deletion vector that SHRANK (rollback undoing a MERGE/DELETE)
-          // resurrects the previously position-deleted rows: without the
-          // insert leg a CDC replica applying the feed would permanently
-          // miss them — the self-heal contract rollback's docstring
-          // promises (ADVICE r11).
+          if (grown.nonEmpty) emit(f, "delete", v, Set.empty, Some(grown))
+          // a deletion vector that SHRANK (rollback undoing a MERGE/
+          // DELETE) resurrects the previously position-deleted rows:
+          // without the insert leg a CDC replica applying the feed would
+          // permanently miss them — the self-heal contract rollback's
+          // docstring promises (ADVICE r11).
           val shrunk = prevDead -- curDead
-          if (shrunk.nonEmpty)
-            parts += GraftLakeChangePartition(f.id,
-              shrunk.toVector.sorted.map(p => (p, frows(p.toInt))),
-              "insert", v, namesOf(f), f.types)
+          if (shrunk.nonEmpty) emit(f, "insert", v, Set.empty, Some(shrunk))
         }
       }
     }
@@ -3848,6 +3859,18 @@ class GraftLakeChangeReaderFactory(fullSchema: StructType,
   override def createReader(
       p: InputPartition): PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[GraftLakeChangePartition]
+    // parquet-backed leg: decode HERE (executor-side) and apply the
+    // partition's position selection — original in-file positions stay
+    // the `_pos` values either way
+    val rows: Vector[(Long, InternalRow)] = cp.path match {
+      case Some(pq) =>
+        val all = GraftParquetIO.read(pq, cp.types)
+        all.zipWithIndex.collect {
+          case (r, pos) if cp.keepOnly.map(_.contains(pos.toLong))
+            .getOrElse(!cp.drop.contains(pos.toLong)) => (pos.toLong, r)
+        }
+      case None => cp.rows
+    }
     val fileUtf8 = UTF8String.fromString(cp.fileId)
     val typeUtf8 = UTF8String.fromString(cp.changeType)
     val extract: Array[(InternalRow, Long) => Any] =
@@ -3878,8 +3901,8 @@ class GraftLakeChangeReaderFactory(fullSchema: StructType,
       private var cur: InternalRow = _
       override def next(): Boolean = {
         i += 1
-        if (i < cp.rows.length) {
-          val (pos, r) = cp.rows(i)
+        if (i < rows.length) {
+          val (pos, r) = rows(i)
           cur = new GenericInternalRow(extract.map(_(r, pos)): Array[Any])
           true
         } else false

@@ -2786,6 +2786,44 @@ class LakehouseSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("parquet change-feed planning ships paths, not rows (task-side decode)") {
+    // the feed's planning cost must be metadata-sized: a parquet-backed
+    // leg carries its file PATH and a position selection, never
+    // driver-materialized rows — decode happens in the task
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_cdf_paths"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet', " +
+      "'graft.mode' = 'merge-on-read')")
+    spark.range(0, 50).selectExpr("id AS k", "concat('v', id) AS s")
+      .coalesce(1).writeTo(t).append()
+    spark.sql(s"DELETE FROM $t WHERE k % 10 = 0") // DV-growth delete leg
+    import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, TableCatalog}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val cat = new graft.sources.GraftLakeCatalog()
+    cat.initialize("graftlake", CaseInsensitiveStringMap.empty())
+    val changes = cat.asInstanceOf[TableCatalog]
+      .loadTable(Identifier.of(Array("spec_cdf_paths"), "changes"))
+    val opts = new CaseInsensitiveStringMap(
+      java.util.Map.of("graft.changes.from", "0"))
+    val parts = changes.asInstanceOf[SupportsRead]
+      .newScanBuilder(opts).build().toBatch.planInputPartitions()
+    val cps = parts.collect {
+      case c: graft.sources.GraftLakeChangePartition => c }
+    assert(cps.length == 2, s"insert leg + DV-growth delete leg: ${
+      cps.map(c => (c.changeType, c.version)).toSeq}")
+    cps.foreach(c => assert(c.path.isDefined && c.rows.isEmpty,
+      s"${c.changeType} leg must ship a path, not rows"))
+    // ... and the feed still renders exactly the right rows
+    val feed = spark.read.option("graft.changes.from", "0").table(s"$t.changes")
+      .groupBy("_change_type").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(feed == Map("insert" -> 50L, "delete" -> 5L), feed.toString)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("fanout write: partition-pure files, keyed scans plan per-key file lists") {
     // Driver-decode elimination for SPJ scans: partitioned writes split
     // each task batch per evaluated partition key and stamp the key in
