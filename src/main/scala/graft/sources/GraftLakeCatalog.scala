@@ -1346,6 +1346,14 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     lakeDir.map(new GraftLakeLog(_))
   private[sources] def deleteStorage(): Unit =
     lakeDir.foreach(GraftParquetIO.deleteRecursively)
+  /** Task-side write recipe for parquet storage (None = memory): the
+    * table dir plus the CURRENT schema identity, captured when the
+    * write is built — adoption re-validates the ids at commit, so a
+    * concurrent ALTER still aborts loudly (see [[adoptFile]]). */
+  private def fileWriteInfo: Option[GraftLakeFileWriteInfo] =
+    lakeDir.map(d => synchronized(GraftLakeFileWriteInfo(
+      d.getAbsolutePath, schemaNow.fieldNames.toSeq,
+      schemaNow.fields.map(_.dataType).toSeq, colIds, partSpec)))
   /** Current per-file sizes in bytes (0 for in-memory storage) — the
     * write-amplification spec's probe. */
   private[graft] def fileBytes: Map[String, Long] =
@@ -1678,9 +1686,15 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     lakeDir.foreach { dir =>
       val live = (history.flatMap(_._1.files) ++ files)
         .flatMap(_.path).toSet ++ livePinnedPaths() ++ branchStagedPaths
+      val tmpCutoff =
+        System.currentTimeMillis() - GraftLakeTable.PinStaleMillis
       Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(_.isFile) // never the _graft_log dir
         .filterNot(f => live.contains(f.getAbsolutePath))
+        // in-flight task-written temp files belong to a CONCURRENT
+        // write that hasn't committed yet — only reap abandoned ones
+        .filterNot(f => f.getName.startsWith("tmp_") &&
+          f.lastModified() >= tmpCutoff)
         .foreach(_.delete())
       // durable log follows the vacuum: expired manifest lists go, and
       // a vacuumed data file's manifest goes with it
@@ -1823,13 +1837,13 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     * to main until fast_forward. Files are materialized eagerly (parquet
     * storage writes real bytes) but referenced only by the branch. */
   private def appendToBranch(
-      name: String, batches: Vector[Vector[InternalRow]]): Unit =
+      name: String, pendings: Vector[GraftLakePending]): Unit =
     synchronized {
       val b = branchRefs.getOrElse(name, throw new IllegalArgumentException(
         s"no branch '$name' on $tableName — CALL system.create_branch " +
           "first"))
       val head = b.staged.lastOption.map(_._1).getOrElse(snapshotAt(b.base))
-      val snap = GraftLakeSnapshot(head.files ++ mkFiles(batches), head.dvs)
+      val snap = GraftLakeSnapshot(head.files ++ mkFiles(pendings), head.dvs)
       branchRefs += name -> b.copy(staged = b.staged :+ (snap, true))
       persistRefs()
     }
@@ -1898,14 +1912,123 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     * value range, so min/max pruning keeps everything; Iceberg ships
     * this as rewrite_data_files with a sort strategy). One maintenance
     * commit: the relation is unchanged, the change feed stays silent.
-    * At cluster scale this is a distributed
-    * `repartitionByRange(cols).sortWithinPartitions(cols)` write; the
-    * driver-side sort here mirrors this table's driver-resident write
-    * path. Returns (files before, files after). */
+    * Parquet-storage tables run the DISTRIBUTED rewrite
+    * ([[clusterDistributed]]): a real range-shuffled sort whose tasks
+    * write the output files themselves; the driver-side sort below
+    * serves memory-storage tables only. Returns (files before, files
+    * after). */
   private[sources] def clusterBy(colNames: Seq[String],
-      targetFiles: Int, strategy: String = "sort"): (Int, Int) =
-    synchronized {
+      targetFiles: Int, strategy: String = "sort",
+      qualName: Option[String] = None): (Int, Int) = {
     require(targetFiles >= 1, s"target_files must be >= 1, got $targetFiles")
+    val distributable = synchronized(lakeDir.isDefined) &&
+      qualName.isDefined &&
+      org.apache.spark.sql.SparkSession.getActiveSession.isDefined
+    if (distributable)
+      clusterDistributed(qualName.get, colNames, targetFiles, strategy)
+    else clusterDriver(colNames, targetFiles, strategy)
+  }
+
+  /** The DISTRIBUTED cluster rewrite (parquet storage): the table is
+    * re-read through its own DSv2 scan (executor-side columnar decode;
+    * current-schema normalization and DV filtering come with the scan),
+    * globally sorted by the cluster key through a range shuffle,
+    * EXACT-chunked into ceil(live/target)-row files by global row index
+    * (`zipWithIndex` + a chunk partitioner — the distributed equivalent
+    * of the driver leg's `grouped(chunk)`), and written by the
+    * task-side file writer — the driver never holds a row. This is
+    * Iceberg's rewrite_data_files shape: an optimistic Spark action
+    * whose commit re-validates the pinned version; a concurrent commit
+    * aborts it loudly and the temps are unlinked. Z-order rank codes
+    * are computed distributed too: dense-rank over each column's
+    * DISTINCT values joined back (at true cluster scale the
+    * single-partition window over distincts becomes range-sampled
+    * boundaries — same code space, sampled edges). */
+  private def clusterDistributed(qual: String, colNames: Seq[String],
+      targetFiles: Int, strategy: String): (Int, Int) = {
+    import org.apache.spark.sql.{functions => F}
+    val spark = org.apache.spark.sql.SparkSession.active
+    val (v0, before, totalLive, fw, sortIds) = synchronized {
+      val names = schemaNow.fieldNames.toSeq
+      colNames.foreach(n => require(names.contains(n),
+        s"unknown cluster column $n; table has ${names.mkString(", ")}"))
+      (currentVersion, files.length,
+        files.map(f =>
+          f.numRows - dvs.getOrElse(f.id, Set.empty).size).sum,
+        fileWriteInfo.get,
+        if (strategy == "sort")
+          colNames.map(c => colIds(names.indexOf(c)))
+        else Nil)
+    }
+    val df0 = spark.table(qual)
+    val sortedDf = strategy match {
+      case "sort" => df0.orderBy(colNames.map(F.col): _*)
+      case "zorder" =>
+        require(colNames.length >= 2 && colNames.length <= 4,
+          s"zorder interleaves 2-4 columns, got ${colNames.length}")
+        val k = colNames.length
+        var g = df0
+        colNames.zipWithIndex.foreach { case (c, ci) =>
+          val distinct = df0.select(F.col(c).as(s"_zv$ci")).distinct()
+          val nd = distinct.count()
+          val w = org.apache.spark.sql.expressions.Window
+            .orderBy(s"_zv$ci")
+          // 16-bit RANK code, identical to the driver leg's
+          // r * 65535 / (n-1) integer division (floor of positives)
+          val code =
+            if (nd <= 1L) F.lit(0L)
+            else F.floor((F.dense_rank().over(w).cast("long") - 1L) *
+              F.lit(65535L) / F.lit(nd - 1L)).cast("long")
+          val ranked = distinct.withColumn(s"_zc$ci", code)
+          // null-safe join key: NULL is a rankable distinct value
+          g = g.join(ranked, g(c) <=> ranked(s"_zv$ci"), "inner")
+            .drop(s"_zv$ci")
+        }
+        val zkey = (0 until k).flatMap { c =>
+          (0 until 16).map { b =>
+            F.shiftleft(
+              F.shiftright(F.col(s"_zc$c"), b).bitwiseAND(F.lit(1L)),
+              b * k + c)
+          }
+        }.reduce(_.bitwiseOR(_))
+        g.withColumn("_zkey", zkey).orderBy("_zkey")
+          .select(fw.names.map(F.col): _*)
+    }
+    val nChunks =
+      math.min(targetFiles.toLong, math.max(1L, totalLive)).toInt
+    val chunk = math.max(1L, math.ceil(totalLive.toDouble / nChunks).toLong)
+    val metas =
+      if (totalLive == 0L) Vector.empty[GraftLakeFileMeta]
+      else sortedDf.queryExecution.toRdd.zipWithIndex()
+        .map { case (r, i) => (i, r.copy()) }
+        .repartitionAndSortWithinPartitions(
+          new GraftChunkPartitioner(nChunks, chunk))
+        .mapPartitionsWithIndex { (pid, it) =>
+          val tf = new GraftLakeTaskFiles(fw)
+          it.foreach { case (_, r) => tf.add(r) }
+          Iterator((pid, tf.finish()))
+        }
+        .collect().sortBy(_._1).toVector
+        .flatMap(_._2).map(_.copy(sorted = sortIds))
+    commitHook()
+    synchronized {
+      if (currentVersion != v0) {
+        metas.foreach(m => new java.io.File(m.tmpPath).delete())
+        throw new IllegalStateException(
+          s"write conflict on $tableName: a concurrent commit landed " +
+            "while the cluster rewrite was running — retry the CALL " +
+            "against the current state")
+      }
+      files = metas.map(adoptFile)
+      dvs = Map.empty
+      recordCommit(dataChange = false) // maintenance: relation unchanged
+      (before, files.length)
+    }
+  }
+
+  private def clusterDriver(colNames: Seq[String],
+      targetFiles: Int, strategy: String): (Int, Int) =
+    synchronized {
     val names = schemaNow.fieldNames.toSeq
     val curTypes = schemaNow.fields.map(_.dataType).toSeq
     colNames.foreach(n => require(names.contains(n),
@@ -1991,7 +2114,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     val sortIds =
       if (strategy == "sort") colNames.map(c => colIds(names.indexOf(c)))
       else Nil
-    files = mkFiles(sorted.grouped(chunk.toInt).toVector, sortIds)
+    files = mkRowFiles(sorted.grouped(chunk.toInt).toVector, sortIds)
     dvs = Map.empty
     recordCommit(dataChange = false) // maintenance: relation unchanged
     (before, files.length)
@@ -2059,7 +2182,57 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       }
     }
 
-  private def mkFiles(batches: Vector[Vector[InternalRow]],
+  /** Row-batch convenience for the driver-resident callers (memory
+    * storage, maintenance rewrites, delta inserts, cluster). */
+  private def mkRowFiles(batches: Vector[Vector[InternalRow]],
+      sortedBy: Seq[Int] = Nil): Vector[GraftLakeFile] =
+    mkFiles(batches.map(GraftLakePendingRows(_)), sortedBy)
+
+  /** ADOPT a task-written parquet file: validate the write's pinned
+    * field ids against the current schema (the concurrent-ALTER guard
+    * the row path enforces by arity), claim the next file number by
+    * no-replace rename (a cross-writer collision is the same
+    * stale-snapshot conflict as the row path's), and register the
+    * task-collected manifest block verbatim. */
+  private def adoptFile(m: GraftLakeFileMeta): GraftLakeFile = {
+    if (m.cols != colIds) {
+      new java.io.File(m.tmpPath).delete()
+      throw new IllegalStateException(
+        s"write to $tableName carries field ids ${m.cols.mkString(",")} " +
+          s"but the table now has ${colIds.mkString(",")}: a concurrent " +
+          "ALTER TABLE landed mid-statement — retry against the current " +
+          "schema")
+    }
+    fileSeq += 1
+    val id = s"$tableName#f$fileSeq"
+    val target = new java.io.File(lakeDir.get, s"f$fileSeq.parquet")
+    try java.nio.file.Files.move(new java.io.File(m.tmpPath).toPath,
+      target.toPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"write conflict on $tableName: data file f$fileSeq.parquet " +
+            "was already written by another writer — this writer's " +
+            "snapshot is stale; reopen the table and retry the statement",
+          e)
+    }
+    val gf = GraftLakeFile(id, Vector.empty, m.cols,
+      Some(target.getAbsolutePath), m.types, m.bytes, m.stats, m.nRows,
+      m.nulls, m.sums, m.dsums, m.sorted, m.nstats, m.nnulls, m.blooms,
+      m.pkey, m.pnames)
+    log.foreach(_.writeFileManifest(gf))
+    gf
+  }
+
+  private def mkFiles(pendings: Vector[GraftLakePending],
+      sortedBy: Seq[Int] = Nil): Vector[GraftLakeFile] =
+    pendings.flatMap {
+      case GraftLakePendingFile(meta) => Vector(adoptFile(meta))
+      case GraftLakePendingRows(rows) => mkFilesFromRows(Vector(rows),
+        sortedBy)
+    }
+
+  private def mkFilesFromRows(batches: Vector[Vector[InternalRow]],
       sortedBy: Seq[Int] = Nil): Vector[GraftLakeFile] = {
     // FANOUT WRITE (partitioned tables): split every task batch by its
     // evaluated partition-key tuple so each committed file is
@@ -2153,11 +2326,11 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
   private[graft] def deletionVectors: Map[String, Set[Long]] =
     synchronized(dvs)
 
-  private def appendFiles(batches: Vector[Vector[InternalRow]]): Unit =
-    synchronized { files = files ++ mkFiles(batches); recordCommit(true) }
-  private def truncateTo(batches: Vector[Vector[InternalRow]]): Unit =
+  private def appendFiles(pendings: Vector[GraftLakePending]): Unit =
+    synchronized { files = files ++ mkFiles(pendings); recordCommit(true) }
+  private def truncateTo(pendings: Vector[GraftLakePending]): Unit =
     synchronized {
-      files = mkFiles(batches); dvs = Map.empty; recordCommit(true)
+      files = mkFiles(pendings); dvs = Map.empty; recordCommit(true)
     }
   /** The group-replacing (copy-on-write) commit: drop exactly `removed`
     * (and their deletion vectors), add the new files; everything else is
@@ -2167,7 +2340,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     * this write re-derives from its snapshot — the classic lost update.
     * Abort loudly instead (Iceberg's validateDataFilesExist contract). */
   private def replaceGroups(removed: Set[String],
-      batches: Vector[Vector[InternalRow]]): Unit = {
+      pendings: Vector[GraftLakePending]): Unit = {
     commitHook()
     synchronized {
       val gone = removed -- files.map(_.id).toSet
@@ -2175,7 +2348,8 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
         s"write conflict on $tableName: scanned group(s) ${gone.mkString(", ")} " +
           "were replaced by a concurrent commit after this operation's " +
           "snapshot — retry the statement against the current state")
-      files = files.filterNot(f => removed.contains(f.id)) ++ mkFiles(batches)
+      files = files.filterNot(f => removed.contains(f.id)) ++
+        mkFiles(pendings)
       dvs = dvs.filterNot { case (id, _) => removed.contains(id) }
       recordCommit(true)
     }
@@ -2192,7 +2366,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     * shape of the lost update. Both abort loudly for retry. */
   private def applyDelta(expected: Map[String, Set[Long]])(
       deleted: Map[String, Set[Long]],
-      batches: Vector[Vector[InternalRow]]): Unit = {
+      pendings: Vector[GraftLakePending]): Unit = {
     commitHook()
     synchronized {
       val gone = deleted.keySet -- files.map(_.id).toSet
@@ -2210,7 +2384,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       dvs = (dvs.keySet ++ deleted.keySet).map(id =>
         id -> (dvs.getOrElse(id, Set.empty) ++
           deleted.getOrElse(id, Set.empty))).toMap
-      files = files ++ mkFiles(batches)
+      files = files ++ mkFiles(pendings)
       recordCommit(true)
     }
   }
@@ -2400,12 +2574,12 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           require(branch.isEmpty || !truncateRequested,
             s"branch writes to $tableName support APPEND only — " +
               "truncate/overwrite targets main")
-          new GraftLakeBatchWrite(batches => branch match {
-            case Some(b) => appendToBranch(b, batches)
+          new GraftLakeBatchWrite(pendings => branch match {
+            case Some(b) => appendToBranch(b, pendings)
             case None =>
-              if (truncateRequested) truncateTo(batches)
-              else appendFiles(batches)
-          })
+              if (truncateRequested) truncateTo(pendings)
+              else appendFiles(pendings)
+          }, fileWrite = fileWriteInfo)
         }
       }
     }
@@ -2453,7 +2627,8 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
                   "the conf (or publish first) before UPDATE/DELETE/MERGE"))
             override def toBatch: DeltaBatchWrite =
               new GraftLakeDeltaBatchWrite(applyDelta(snap.dvs),
-                opSchema.fields.map(_.dataType), onDone = pinPaths(snap))
+                opSchema.fields.map(_.dataType), onDone = pinPaths(snap),
+                fileWrite = fileWriteInfo)
           }
         }
     }
@@ -2497,9 +2672,10 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
                   "the conf (or publish first) before UPDATE/DELETE/MERGE"))
             override def toBatch: BatchWrite =
               new GraftLakeBatchWrite(
-                batches => replaceGroups(state.scanned, batches),
+                pendings => replaceGroups(state.scanned, pendings),
                 rowLevel = Some(opSchema.fields.map(_.dataType)),
-                onDone = pinPaths(snap))
+                onDone = pinPaths(snap),
+                fileWrite = fileWriteInfo)
           }
         }
     }
@@ -4051,25 +4227,77 @@ class GraftLakeReaderFactory(fullSchema: StructType,
   }
 }
 
-/** Tasks buffer copies of their rows; the driver applies the per-task
-  * batches via `apply` exactly once at commit (each non-empty batch
-  * becomes one file). `rowLevel` (the table's column types) enables
-  * row-level mode: rows arrive as [__row_operation, data..., metadata...]
-  * — DELETEs are dropped, writes keep the data slice. */
+/** What a committed write hands the table: either driver-resident ROWS
+  * (memory storage; each non-empty batch becomes one file) or an
+  * already-written TASK-SIDE parquet file plus its manifest block
+  * (parquet storage) — the commit then only renames and registers, so
+  * the DATA PLANE never passes through the driver (the shape that
+  * failed loudly at sf1×16: 24M buffered rows tripped
+  * spark.driver.maxResultSize before this split existed). */
+sealed trait GraftLakePending
+final case class GraftLakePendingRows(rows: Vector[InternalRow])
+    extends GraftLakePending
+final case class GraftLakePendingFile(meta: GraftLakeFileMeta)
+    extends GraftLakePending
+
+/** A task-written parquet file awaiting adoption: the temp path, the
+  * WRITE-TIME schema identity (field ids + physical types + parquet
+  * labels, pinned when the write was built — the driver validates ids
+  * against the current schema at commit, the concurrent-ALTER guard),
+  * the partition-key tuple (fanout split runs task-side), and the full
+  * stats block the manifest records. */
+final case class GraftLakeFileMeta(tmpPath: String, cols: Seq[Int],
+    types: Seq[DataType], pnames: Seq[String],
+    pkey: Option[Vector[Any]], nRows: Long, bytes: Long,
+    stats: Map[Int, (Any, Any)], nulls: Map[Int, Long],
+    sums: Map[Int, Long], dsums: Map[Int, java.math.BigDecimal],
+    nstats: Map[(Int, String), (Any, Any)],
+    nnulls: Map[(Int, String), Long],
+    blooms: Map[Int, Array[Long]],
+    sorted: Seq[Int] = Nil)
+
+/** Everything a task needs to WRITE REAL FILES itself: the table dir
+  * (shared storage), the build-time schema identity, and the partition
+  * transforms for the task-side fanout split. */
+final case class GraftLakeFileWriteInfo(dir: String, names: Seq[String],
+    types: Seq[DataType], colIds: Seq[Int],
+    partSpec: Seq[GraftPartTransform])
+
+/** The driver applies the per-task commits via `apply` exactly once.
+  * `rowLevel` (the operation's column types) enables row-level mode:
+  * rows arrive as [__row_operation, data..., metadata...] — DELETEs are
+  * dropped, writes keep the data slice. With `fileWrite` set (parquet
+  * storage), tasks write their own parquet files and ship METADATA-ONLY
+  * commit messages; without it, tasks buffer rows (memory storage). */
 class GraftLakeBatchWrite(
-    apply: Vector[Vector[InternalRow]] => Unit,
+    apply: Vector[GraftLakePending] => Unit,
     rowLevel: Option[Array[DataType]] = None,
-    onDone: () => Unit = () => ())
+    onDone: () => Unit = () => (),
+    fileWrite: Option[GraftLakeFileWriteInfo] = None)
     extends BatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    // standalone class: the factory ships to tasks and must not capture
-    // this BatchWrite (whose `apply` closes over the driver-side table)
-    new GraftLakeWriterFactory(rowLevel)
+    // standalone classes: the factory ships to tasks and must not
+    // capture this BatchWrite (whose `apply` closes over the table)
+    fileWrite match {
+      case Some(fw) => new GraftLakeFileWriterFactory(fw, rowLevel)
+      case None => new GraftLakeWriterFactory(rowLevel)
+    }
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    try apply(messages.toVector.map(_.asInstanceOf[GraftLakeCommit].rows))
+    try apply(messages.toVector.flatMap {
+      case GraftLakeCommit(rows) => Vector(GraftLakePendingRows(rows))
+      case GraftLakeFilesCommit(fs) => fs.map(GraftLakePendingFile(_))
+      case other => throw new IllegalStateException(
+        s"unexpected commit message $other")
+    })
     finally onDone()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = onDone()
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    try messages.foreach {
+      // a committed task's files never got adopted — unlink them
+      case GraftLakeFilesCommit(fs) =>
+        fs.foreach(m => new java.io.File(m.tmpPath).delete())
+      case _ => ()
+    } finally onDone()
 }
 
 class GraftLakeWriterFactory(rowLevel: Option[Array[DataType]])
@@ -4079,22 +4307,8 @@ class GraftLakeWriterFactory(rowLevel: Option[Array[DataType]])
     new DataWriter[InternalRow] {
       private val buf = Vector.newBuilder[InternalRow]
       // rows are reused buffers — copy before retaining
-      override def write(row: InternalRow): Unit = rowLevel match {
-        case Some(types) if row.numFields > types.length =>
-          // [__row_operation, data(0..n-1), metadata...]: keep non-DELETE
-          // data slices; trailing metadata (`_file`) is scan lineage the
-          // replaced-group commit no longer needs
-          if (row.getInt(0) != 1) { // 1 = DELETE_OPERATION
-            val r = row.copy()
-            buf += new GenericInternalRow(
-              Array.tabulate[Any](types.length) { i =>
-                // typed extract from the copied row's buffer: UTF8String
-                // etc. keep that buffer alive — GC-safe
-                r.get(i + 1, types(i))
-              })
-          }
-        case _ => buf += row.copy()
-      }
+      override def write(row: InternalRow): Unit =
+        GraftLakeRowSlice(rowLevel, row).foreach(buf += _)
       override def commit(): WriterCommitMessage =
         GraftLakeCommit(buf.result())
       override def abort(): Unit = ()
@@ -4102,36 +4316,153 @@ class GraftLakeWriterFactory(rowLevel: Option[Array[DataType]])
     }
 }
 
+/** Row-level slice shared by both writer kinds: under `rowLevel`, rows
+  * arrive [__row_operation, data(0..n-1), metadata...] — DELETEs drop,
+  * writes keep the copied data slice (typed extract from the copied
+  * row's buffer keeps UTF8String memory alive — GC-safe). */
+private[sources] object GraftLakeRowSlice {
+  def apply(rowLevel: Option[Array[DataType]],
+      row: InternalRow): Option[InternalRow] = rowLevel match {
+    case Some(types) if row.numFields > types.length =>
+      if (row.getInt(0) != 1) { // 1 = DELETE_OPERATION
+        val r = row.copy()
+        Some(new GenericInternalRow(
+          Array.tabulate[Any](types.length)(i => r.get(i + 1, types(i)))))
+      } else None
+    case _ => Some(row.copy())
+  }
+}
+
+/** TASK-SIDE parquet writer: buffers rows per partition-key tuple (the
+  * fanout split), then at task commit writes one temp parquet per key
+  * into the table dir, collects the manifest stats block (min/max,
+  * nulls, sums, nested, blooms) right there, and ships METADATA ONLY.
+  * The driver's commit adopts each temp file by rename — write
+  * bandwidth scales with executors, not with one driver heap. */
+/** The shared task-side file buffer: groups ALREADY-COPIED rows by
+  * their evaluated partition-key tuple (the fanout split, run where the
+  * rows are), then at task commit writes one temp parquet per key into
+  * the table dir and collects the full manifest stats block right
+  * there. Used by both the append/CoW writer and the MoR delta
+  * writer's insert side. */
+private[sources] final class GraftLakeTaskFiles(fw: GraftLakeFileWriteInfo) {
+  private val groups = scala.collection.mutable.LinkedHashMap
+    .empty[Option[Vector[Any]],
+      scala.collection.mutable.Builder[InternalRow, Vector[InternalRow]]]
+  private val partIdx = fw.partSpec.map(t => fw.names.indexOf(t.srcCol))
+  private val written = scala.collection.mutable.Buffer.empty[String]
+  def add(r: InternalRow): Unit = {
+    val key =
+      if (fw.partSpec.isEmpty) None
+      else Some(Vector.tabulate(fw.partSpec.length) { i =>
+        fw.partSpec(i).eval(
+          r.get(partIdx(i), fw.types(partIdx(i))), fw.types(partIdx(i)))
+      })
+    groups.getOrElseUpdate(key, Vector.newBuilder[InternalRow]) += r
+  }
+  def finish(): Vector[GraftLakeFileMeta] =
+    groups.toVector.flatMap { case (key, b) =>
+      val rows = b.result()
+      if (rows.isEmpty) None
+      else {
+        require(rows.head.numFields == fw.colIds.length,
+          s"write carries ${rows.head.numFields} columns but the " +
+            s"write schema has ${fw.colIds.length}")
+        val tmp = new java.io.File(fw.dir,
+          s"tmp_${java.util.UUID.randomUUID()}.parquet")
+        val bytes = GraftParquetIO.write(tmp.getAbsolutePath,
+          fw.names, fw.types, rows)
+        written += tmp.getAbsolutePath
+        val (nstats, nnulls) =
+          GraftLakeStats.collectNested(rows, fw.colIds, fw.types)
+        Some(GraftLakeFileMeta(tmp.getAbsolutePath, fw.colIds,
+          fw.types, fw.names, key, rows.length.toLong, bytes,
+          GraftLakeStats.collect(rows, fw.colIds, fw.types),
+          GraftLakeStats.nullCounts(rows, fw.colIds),
+          GraftLakeStats.intSums(rows, fw.colIds, fw.types),
+          GraftLakeStats.decSums(rows, fw.colIds, fw.types),
+          nstats, nnulls,
+          GraftLakeStats.bloomCollect(rows, fw.colIds, fw.types)))
+      }
+    }
+  def abort(): Unit =
+    written.foreach(p => new java.io.File(p).delete())
+}
+
+class GraftLakeFileWriterFactory(fw: GraftLakeFileWriteInfo,
+    rowLevel: Option[Array[DataType]])
+    extends DataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val tf = new GraftLakeTaskFiles(fw)
+      override def write(row: InternalRow): Unit =
+        GraftLakeRowSlice(rowLevel, row).foreach(tf.add)
+      override def commit(): WriterCommitMessage =
+        GraftLakeFilesCommit(tf.finish())
+      override def abort(): Unit = tf.abort()
+      override def close(): Unit = ()
+    }
+}
+
+/** Exact-chunk partitioner for maintenance rewrites: global row index
+  * `idx` lands in output file `idx / chunk` — the distributed
+  * equivalent of the driver leg's `grouped(chunk)`. */
+private[sources] class GraftChunkPartitioner(n: Int, chunk: Long)
+    extends org.apache.spark.Partitioner {
+  override def numPartitions: Int = n
+  override def getPartition(key: Any): Int =
+    math.min(n - 1L, key.asInstanceOf[Long] / chunk).toInt
+}
+
 final case class GraftLakeCommit(rows: Vector[InternalRow])
     extends WriterCommitMessage
 
-/** Merge-on-read batch write: tasks report (file, pos) deletes and
-  * inserted rows; the commit merges the deletes into the table's
-  * deletion vectors and appends the inserts as new files. */
+final case class GraftLakeFilesCommit(files: Vector[GraftLakeFileMeta])
+    extends WriterCommitMessage
+
+/** Merge-on-read batch write: tasks report (file, pos) deletes —
+  * intrinsically metadata-sized — and inserts; the commit merges the
+  * deletes into the table's deletion vectors and appends the inserts as
+  * new files. With `fileWrite` set (parquet storage) the INSERT side is
+  * task-side too: tasks write their own temp parquet and ship metadata,
+  * the same no-driver data plane as [[GraftLakeBatchWrite]]. */
 class GraftLakeDeltaBatchWrite(
-    apply: (Map[String, Set[Long]], Vector[Vector[InternalRow]]) => Unit,
+    apply: (Map[String, Set[Long]], Vector[GraftLakePending]) => Unit,
     types: Array[DataType],
-    onDone: () => Unit = () => ()) extends DeltaBatchWrite {
+    onDone: () => Unit = () => (),
+    fileWrite: Option[GraftLakeFileWriteInfo] = None)
+    extends DeltaBatchWrite {
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DeltaWriterFactory =
-    new GraftLakeDeltaWriterFactory(types)
+    new GraftLakeDeltaWriterFactory(types, fileWrite)
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     try {
       val ms = messages.toVector.map(_.asInstanceOf[GraftLakeDeltaCommit])
       val deleted = ms.flatMap(_.deleted)
         .groupBy(_._1).map { case (f, ps) => f -> ps.map(_._2).toSet }
-      apply(deleted, ms.map(_.inserted))
+      apply(deleted, ms.flatMap(m =>
+        m.insertedFiles.map(GraftLakePendingFile(_)) :+
+          GraftLakePendingRows(m.inserted)))
     } finally onDone()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = onDone()
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    try messages.foreach {
+      // a committed task's insert files never got adopted — unlink them
+      case GraftLakeDeltaCommit(_, _, fs) =>
+        fs.foreach(m => new java.io.File(m.tmpPath).delete())
+      case _ => ()
+    } finally onDone()
 }
 
-class GraftLakeDeltaWriterFactory(types: Array[DataType])
+class GraftLakeDeltaWriterFactory(types: Array[DataType],
+    fileWrite: Option[GraftLakeFileWriteInfo])
     extends DeltaWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new DeltaWriter[InternalRow] {
       private val dels = Vector.newBuilder[(String, Long)]
       private val ins = Vector.newBuilder[InternalRow]
+      private val tf = fileWrite.map(new GraftLakeTaskFiles(_))
       // `id` is the rowId projection in declared order: (_file, _pos)
       override def delete(meta: InternalRow, id: InternalRow): Unit =
         dels += ((id.getUTF8String(0).toString, id.getLong(1)))
@@ -4146,18 +4477,25 @@ class GraftLakeDeltaWriterFactory(types: Array[DataType])
           s"insert row has ${row.numFields} fields, expected " +
             s"${types.length} data columns")
         val r = row.copy()
-        ins += new GenericInternalRow(
+        val copied = new GenericInternalRow(
           Array.tabulate[Any](types.length)(i => r.get(i, types(i))))
+        tf match {
+          case Some(t) => t.add(copied)
+          case None => ins += copied
+        }
       }
       override def commit(): WriterCommitMessage =
-        GraftLakeDeltaCommit(dels.result(), ins.result())
-      override def abort(): Unit = ()
+        GraftLakeDeltaCommit(dels.result(), ins.result(),
+          tf.map(_.finish()).getOrElse(Vector.empty))
+      override def abort(): Unit = tf.foreach(_.abort())
       override def close(): Unit = ()
     }
 }
 
 final case class GraftLakeDeltaCommit(deleted: Vector[(String, Long)],
-    inserted: Vector[InternalRow]) extends WriterCommitMessage
+    inserted: Vector[InternalRow],
+    insertedFiles: Vector[GraftLakeFileMeta] = Vector.empty)
+    extends WriterCommitMessage
 
 /** The catalog's maintenance procedures — Spark 4's DSv2 `CALL`
   * statement (`CALL <catalog>.system.<proc>(...)`), the surface Iceberg
@@ -4263,7 +4601,10 @@ private[sources] object GraftLakeProcedures {
           val cols = input.getUTF8String(1).toString.split(",")
             .map(_.trim).filter(_.nonEmpty).toSeq
           require(cols.nonEmpty, "cluster needs at least one column")
-          val (b, a) = t.clusterBy(cols, input.getInt(2))
+          // the catalog-qualified name lets the rewrite re-read the
+          // table through its own DSv2 scan — the distributed leg
+          val (b, a) = t.clusterBy(cols, input.getInt(2), "sort",
+            Some(s"$catalog.${input.getUTF8String(0)}"))
           Array(new GenericInternalRow(Array[Any](b, a)))
         }
       })
@@ -4281,7 +4622,8 @@ private[sources] object GraftLakeProcedures {
             : Array[InternalRow] = {
           val cols = input.getUTF8String(1).toString.split(",")
             .map(_.trim).filter(_.nonEmpty).toSeq
-          val (b, a) = t.clusterBy(cols, input.getInt(2), "zorder")
+          val (b, a) = t.clusterBy(cols, input.getInt(2), "zorder",
+            Some(s"$catalog.${input.getUTF8String(0)}"))
           Array(new GenericInternalRow(Array[Any](b, a)))
         }
       })

@@ -2786,6 +2786,195 @@ class LakehouseSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("parquet writes are task-side: metadata-only commits, rename adoption, abort cleanup") {
+    // the data plane must not pass through the driver: a parquet-storage
+    // write's task commit message carries FILE METADATA (the temp file
+    // is already on shared storage with its stats block), the driver
+    // commit adopts by rename, and an aborted write unlinks its temps.
+    // (The pre-change shape failed for real: a 24M-row sf1 ingest
+    // tripped spark.driver.maxResultSize buffering rows to the driver.)
+    import org.apache.spark.sql.connector.write._
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_taskwrite"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_taskwrite").get
+    val winfo = new LogicalWriteInfo {
+      override def options(): CaseInsensitiveStringMap =
+        CaseInsensitiveStringMap.empty()
+      override def queryId(): String = "spec-taskwrite"
+      override def schema(): org.apache.spark.sql.types.StructType =
+        spark.table(t).schema
+    }
+    def oneTask(bw: BatchWrite, lo: Long, hi: Long): WriterCommitMessage = {
+      val w = bw.createBatchWriterFactory(null).createWriter(0, 0)
+      (lo until hi).foreach(i => w.write(new GenericInternalRow(
+        Array[Any](i, UTF8String.fromString(s"v$i")))))
+      w.commit()
+    }
+    val bw1 = table.newWriteBuilder(winfo).build().toBatch
+    val m1 = oneTask(bw1, 0, 50)
+    val fc = m1.asInstanceOf[graft.sources.GraftLakeFilesCommit]
+    assert(fc.files.length == 1, "one temp file per task (unpartitioned)")
+    val meta = fc.files.head
+    assert(new java.io.File(meta.tmpPath).isFile &&
+      meta.tmpPath.contains("tmp_"),
+      "the task wrote a real temp parquet before the driver saw anything")
+    assert(meta.nRows == 50 && meta.bytes > 0 &&
+      meta.stats.nonEmpty && meta.blooms.nonEmpty,
+      "the manifest stats block is task-collected")
+    bw1.commit(Array(m1))
+    assert(!new java.io.File(meta.tmpPath).exists(),
+      "adoption renames the temp file away")
+    assert(spark.table(t).count() == 50)
+    assert(table.filePaths.values.forall(p =>
+      new java.io.File(p).getName.matches("f\\d+\\.parquet")))
+    // abort: the committed task's temp file is unlinked, table untouched
+    val bw2 = table.newWriteBuilder(winfo).build().toBatch
+    val m2 = oneTask(bw2, 50, 60)
+    val tmp2 = m2.asInstanceOf[graft.sources.GraftLakeFilesCommit]
+      .files.head.tmpPath
+    assert(new java.io.File(tmp2).isFile)
+    bw2.abort(Array(m2))
+    assert(!new java.io.File(tmp2).exists(), "abort unlinks task temps")
+    assert(spark.table(t).count() == 50, "aborted write leaves no rows")
+    val dir = new java.io.File(table.filePaths.values.head).getParentFile
+    assert(!dir.listFiles().exists(_.getName.startsWith("tmp_")),
+      "no temp residue after commit + abort")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("distributed cluster rewrite: range shuffle + task writes, optimistic conflict, zorder parity") {
+    // parquet-storage cluster/cluster_zorder re-read the table through
+    // its own scan, sort with a real range shuffle, and write files
+    // task-side — an optimistic Spark action, not a driver loop. Pins:
+    // (1) exact stripes + sort-order claim survive the distributed leg,
+    // (2) distributed zorder prunes box predicates on EITHER column,
+    // (3) a concurrent commit mid-rewrite aborts the CALL loudly with
+    //     no temp residue and no partial adoption.
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_dcluster"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (x BIGINT, y BIGINT, v STRING) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    for (s <- 0 until 4) // row-major slabs: every file spans all of y
+      spark.range(s * 1024, (s + 1) * 1024)
+        .selectExpr("id DIV 64 AS x", "id % 64 AS y",
+          "concat('v', id) AS v")
+        .coalesce(1).writeTo(t).append()
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_dcluster").get
+    val dir = new java.io.File(table.filePaths.values.head).getParentFile
+    val before = spark.table(t).collect().map(_.toString).sorted.toSeq
+    def parts(pred: String): Int =
+      spark.table(t).where(pred).rdd.getNumPartitions
+    // (1) linear sort leg: exact quarter stripes on x, order claimed
+    val res = spark.sql(
+      s"CALL graftlake.system.cluster('spec_dcluster', 'x', 4)").head()
+    assert((res.getInt(0), res.getInt(1)) == (4, 4))
+    assert(parts("x >= 16 AND x < 32") == 1,
+      "exact chunking: a quarter-range predicate plans ONE stripe")
+    val q = spark.table(t).sortWithinPartitions("x")
+    q.collect()
+    assert(!q.queryExecution.executedPlan.toString.contains("Sort ["),
+      "distributed stripes claim their sort order — the sort is elided")
+    assert(spark.table(t).collect().map(_.toString).sorted.toSeq == before,
+      "the distributed rewrite must not change the relation")
+    // (2) zorder leg: box predicates prune on EITHER column
+    spark.sql(
+      s"CALL graftlake.system.cluster_zorder('spec_dcluster', 'x, y', 16)")
+    assert(parts("y >= 0 AND y < 16") <= 8,
+      "zorder: a y box must prune at least half the files")
+    assert(parts("x >= 0 AND x < 16") <= 8,
+      "zorder: an x box must prune at least half the files")
+    assert(spark.table(t).collect().map(_.toString).sorted.toSeq == before,
+      "zorder rewrite must not change the relation")
+    // (3) conflict: an append lands between the rewrite's read and its
+    // commit — the CALL must abort loudly, adopt nothing, leave no temps
+    @volatile var injected = false
+    table.commitHook = () => if (!injected) {
+      injected = true
+      spark.sql(s"INSERT INTO $t VALUES (999, 999, 'conc')")
+    }
+    val filesBefore = table.fileIds.toSet
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graftlake.system.cluster('spec_dcluster', 'x', 2)")
+    }
+    table.commitHook = () => ()
+    def conflictMsg(ex: Throwable): Boolean =
+      Option(ex.getMessage).exists(_.contains("write conflict")) ||
+        Option(ex.getCause).exists(conflictMsg)
+    assert(conflictMsg(e), s"expected a write-conflict abort, got $e")
+    assert((table.fileIds.toSet -- filesBefore).size == 1,
+      "no partial adoption: the concurrent append's file is the only " +
+        "new one")
+    assert(spark.table(t).count() == before.length + 1,
+      "the concurrent append's row is the only change")
+    assert(!dir.listFiles().exists(_.getName.startsWith("tmp_")),
+      "the aborted rewrite unlinked its temp files")
+    // and a clean retry succeeds against the new state
+    val res2 = spark.sql(
+      s"CALL graftlake.system.cluster('spec_dcluster', 'x', 2)").head()
+    assert(res2.getInt(1) == 2)
+    assert(spark.table(t).count() == before.length + 1)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("MoR delta inserts are task-side too: metadata-only messages, MERGE leaves no temp residue") {
+    // the merge-on-read writer's INSERT side must not buffer rows to
+    // the driver either: with parquet storage its commit message
+    // carries file METADATA (deletes are (file,pos) pairs — already
+    // metadata-sized), and a real MERGE leaves only adopted f*.parquet
+    // files behind.
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_taskdelta"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet', " +
+      "'graft.mode' = 'merge-on-read')")
+    spark.sql(s"INSERT INTO $t VALUES (1, 'a'), (2, 'b')")
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_taskdelta").get
+    val dir = new java.io.File(table.filePaths.values.head).getParentFile
+    // writer-level pin: file-write delta messages are metadata-only
+    val fw = graft.sources.GraftLakeFileWriteInfo(dir.getAbsolutePath,
+      Seq("k", "s"), Seq(LongType, StringType), Seq(0, 1), Nil)
+    val w = new graft.sources.GraftLakeDeltaWriterFactory(
+      Array[org.apache.spark.sql.types.DataType](LongType, StringType),
+      Some(fw)).createWriter(0, 0)
+    w.insert(new GenericInternalRow(
+      Array[Any](9L, UTF8String.fromString("z"))))
+    val m = w.commit().asInstanceOf[graft.sources.GraftLakeDeltaCommit]
+    assert(m.inserted.isEmpty && m.insertedFiles.length == 1,
+      "insert rows left the task as a FILE, not as driver-bound rows")
+    assert(m.insertedFiles.head.nRows == 1 &&
+      m.insertedFiles.head.stats.nonEmpty,
+      "the delta insert file ships its task-collected stats block")
+    new java.io.File(m.insertedFiles.head.tmpPath).delete()
+    // end-to-end: a MERGE through SQL adopts everything, no temp residue
+    spark.sql(s"MERGE INTO $t USING (SELECT 2 AS k, 'B' AS s UNION ALL " +
+      s"SELECT 3, 'c') src ON $t.k = src.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.table(t).orderBy("k").collect().map(_.getString(1))
+      .toSeq == Seq("a", "B", "c"))
+    assert(!dir.listFiles().exists(_.getName.startsWith("tmp_")),
+      "MERGE leaves only adopted files")
+    assert(table.deletionVectors.nonEmpty,
+      "merge-on-read: the matched row became a DV entry, not a rewrite")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("parquet change-feed planning ships paths, not rows (task-side decode)") {
     // the feed's planning cost must be metadata-sized: a parquet-backed
     // leg carries its file PATH and a position selection, never
