@@ -2019,7 +2019,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
             "while the cluster rewrite was running — retry the CALL " +
             "against the current state")
       }
-      files = metas.map(adoptFile)
+      files = metas.map(adoptFile(_))
       dvs = Map.empty
       recordCommit(dataChange = false) // maintenance: relation unchanged
       (before, files.length)
@@ -2121,11 +2121,55 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
   }
 
   /** Compact every file that carries a deletion vector. Returns how many
-    * files were rewritten (each as its own maintenance commit). */
-  private[sources] def compactAll(): Int = synchronized {
-    val ids = dvs.keys.toVector.sorted
-    ids.foreach(compactFile)
-    ids.size
+    * files were rewritten (each as its own maintenance commit). Parquet
+    * storage rewrites the files DISTRIBUTED — one task per DV'd file
+    * decodes its live rows and writes the replacement; the driver only
+    * adopts metadata (per-file commits, contract unchanged). */
+  private[sources] def compactAll(): Int = {
+    val distributable = synchronized(lakeDir.isDefined && dvs.nonEmpty) &&
+      org.apache.spark.sql.SparkSession.getActiveSession.isDefined
+    if (!distributable) synchronized {
+      val ids = dvs.keys.toVector.sorted
+      ids.foreach(compactFile)
+      ids.size
+    } else {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val (v0, targets, dir, i2n) = synchronized {
+        val ts = dvs.keys.toVector.sorted
+          .flatMap(id => files.find(_.id == id))
+          .map(f => (f, dvs.getOrElse(f.id, Set.empty[Long])))
+        (currentVersion, ts, lakeDir.get.getAbsolutePath, idToName)
+      }
+      val specs = targets.zipWithIndex.map { case ((f, dv), i) =>
+        GraftLakeTaskFiles.RewriteSpec(i, f.cols, f.types,
+          f.cols.map(cid => i2n.getOrElse(cid, s"_dropped_$cid")),
+          f.pkey, Vector(GraftLakeTaskFiles.RewriteSlice(
+            f.path.get, f.types, dv, 0, (f.numRows - dv.size).toInt)))
+      }
+      val metaByIdx =
+        if (specs.isEmpty) Map.empty[Int, GraftLakeFileMeta]
+        else spark.sparkContext
+          .parallelize(specs, math.max(1, specs.length))
+          .flatMap(GraftLakeTaskFiles.rewriteTask(dir))
+          .collect().toMap
+      synchronized {
+        if (currentVersion != v0) {
+          metaByIdx.values.foreach(m =>
+            new java.io.File(m.tmpPath).delete())
+          throw new IllegalStateException(
+            s"write conflict on $tableName: a concurrent commit landed " +
+              "while CALL system.compact was rewriting — retry against " +
+              "the current state")
+        }
+        targets.zipWithIndex.foreach { case ((f, _), i) =>
+          files = files.filterNot(_.id == f.id) ++ metaByIdx.get(i)
+            .map(adoptFile(_, requireCurrent = false)).toVector
+          dvs -= f.id
+          recordCommit(dataChange = false) // maintenance: per-file commit
+        }
+        targets.size
+      }
+    }
   }
 
   /** BIN-PACKING small-file compaction (Iceberg `rewrite_data_files`
@@ -2136,40 +2180,51 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     * sums are freshly collected per output file). Candidates are files
     * below the target or carrying a deletion vector (packing clears the
     * DV — the same read-debt amortization [[compactFile]] does, but
-    * batched). Files are packed ONLY within their schema GENERATION
-    * (identical cols+types manifests — the mkFiles-vs-rewriteFile
-    * lesson: rows keep their write-time layout, and stamping them under
-    * another generation's manifest would serve values under wrong field
-    * ids). Returns (files before, files after); a no-op packs nothing
-    * and commits nothing (idempotent). At cluster scale each bin is one
-    * task's rewrite — no global sort, no shuffle, cost ∝ bytes in
-    * undersized files. */
-  private[sources] def compactFiles(targetRows: Long): (Int, Int) =
-    synchronized {
-      require(targetRows >= 1, s"target_rows must be >= 1, got $targetRows")
+    * batched). Files are packed ONLY within their schema GENERATION and
+    * PARTITION key (identical cols+types+pkey manifests — the
+    * mkFiles-vs-rewriteFile lesson: rows keep their write-time layout,
+    * and stamping them under another generation's manifest would serve
+    * values under wrong field ids; mixing partition keys would break
+    * partition-pure files for keyed scans). Returns (files before,
+    * files after); a no-op packs nothing and commits nothing
+    * (idempotent). Parquet storage runs the rewrite DISTRIBUTED: the
+    * driver derives each bin's exact (file, live-row range) slices from
+    * manifest math alone (prefix sums of live counts — a bin boundary
+    * can land mid-file), one task per bin decodes and writes its output
+    * file, and the commit adopts metadata after re-validating the
+    * pinned version — no global sort, no shuffle, cost ∝ bytes in
+    * undersized files. The driver leg below serves memory storage. */
+  private[sources] def compactFiles(targetRows: Long): (Int, Int) = {
+    require(targetRows >= 1, s"target_rows must be >= 1, got $targetRows")
+    val distributable = synchronized(lakeDir.isDefined) &&
+      org.apache.spark.sql.SparkSession.getActiveSession.isDefined
+    if (distributable) compactFilesDistributed(targetRows)
+    else synchronized {
       val snap = GraftLakeSnapshot(files, dvs)
       def liveCount(f: GraftLakeFile): Long =
         f.numRows - snap.dvs.getOrElse(f.id, Set.empty).size
       val before = files.length
-      // pack within each (cols, types) generation, keeping file order
+      // pack within each (cols, types, pkey) group, keeping file order
       val packedIds = Set.newBuilder[String]
       val packedOut = Vector.newBuilder[GraftLakeFile]
-      files.groupBy(f => (f.cols, f.types)).foreach { case (_, gen) =>
-        val candidates = gen.filter(f =>
-          liveCount(f) < targetRows ||
-            snap.dvs.getOrElse(f.id, Set.empty).nonEmpty)
-        // one DV-free candidate has nothing to merge with — leave it
-        // (compacting a lone small file is pure write amplification)
-        val worthIt = candidates.length > 1 ||
-          candidates.exists(f => snap.dvs.getOrElse(f.id, Set.empty).nonEmpty)
-        if (candidates.nonEmpty && worthIt) {
-          val donor = candidates.head
-          val rows = candidates.flatMap(snap.liveRows)
-          packedIds ++= candidates.map(_.id)
-          rows.grouped(targetRows.toInt).foreach { chunk =>
-            packedOut ++= rewriteFile(donor, chunk.toVector)
+      files.groupBy(f => (f.cols, f.types, f.pkey)).foreach {
+        case (_, gen) =>
+          val candidates = gen.filter(f =>
+            liveCount(f) < targetRows ||
+              snap.dvs.getOrElse(f.id, Set.empty).nonEmpty)
+          // one DV-free candidate has nothing to merge with — leave it
+          // (compacting a lone small file is pure write amplification)
+          val worthIt = candidates.length > 1 ||
+            candidates.exists(f =>
+              snap.dvs.getOrElse(f.id, Set.empty).nonEmpty)
+          if (candidates.nonEmpty && worthIt) {
+            val donor = candidates.head
+            val rows = candidates.flatMap(snap.liveRows)
+            packedIds ++= candidates.map(_.id)
+            rows.grouped(targetRows.toInt).foreach { chunk =>
+              packedOut ++= rewriteFile(donor, chunk.toVector)
+            }
           }
-        }
       }
       val gone = packedIds.result()
       if (gone.isEmpty) (before, before)
@@ -2181,6 +2236,78 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
         (before, files.length)
       }
     }
+  }
+
+  /** The distributed bin-pack leg: planning is manifest math only (live
+    * counts and prefix sums), tasks decode exactly their bin's slices
+    * and write the output files, the driver adopts metadata under an
+    * optimistic version re-check. */
+  private def compactFilesDistributed(targetRows: Long): (Int, Int) = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val (v0, before, snapFiles, snapDvs, dir, i2n) = synchronized {
+      (currentVersion, files.length, files, dvs,
+        lakeDir.get.getAbsolutePath, idToName)
+    }
+    def dvOf(f: GraftLakeFile): Set[Long] =
+      snapDvs.getOrElse(f.id, Set.empty)
+    def liveCount(f: GraftLakeFile): Long = f.numRows - dvOf(f).size
+    val packedIds = Set.newBuilder[String]
+    val specsB = Vector.newBuilder[GraftLakeTaskFiles.RewriteSpec]
+    var idx = 0
+    snapFiles.groupBy(f => (f.cols, f.types, f.pkey)).foreach {
+      case ((cols, types, pkey), gen) =>
+        val candidates = gen.filter(f =>
+          liveCount(f) < targetRows || dvOf(f).nonEmpty)
+        val worthIt = candidates.length > 1 ||
+          candidates.exists(f => dvOf(f).nonEmpty)
+        if (candidates.nonEmpty && worthIt) {
+          packedIds ++= candidates.map(_.id)
+          val names =
+            cols.map(cid => i2n.getOrElse(cid, s"_dropped_$cid"))
+          val offsets = candidates.map(liveCount).scanLeft(0L)(_ + _)
+          val total = offsets.last
+          var start = 0L
+          while (start < total) {
+            val end = math.min(start + targetRows, total)
+            val slices = candidates.indices.toVector.flatMap { i =>
+              val lo = math.max(start, offsets(i))
+              val hi = math.min(end, offsets(i + 1))
+              if (lo >= hi) None
+              else Some(GraftLakeTaskFiles.RewriteSlice(
+                candidates(i).path.get, types, dvOf(candidates(i)),
+                (lo - offsets(i)).toInt, (hi - offsets(i)).toInt))
+            }
+            specsB += GraftLakeTaskFiles.RewriteSpec(idx, cols, types,
+              names, pkey, slices)
+            idx += 1
+            start = end
+          }
+        }
+    }
+    val specs = specsB.result()
+    val gone = packedIds.result()
+    if (gone.isEmpty) return (before, before)
+    val metas =
+      if (specs.isEmpty) Vector.empty[GraftLakeFileMeta]
+      else spark.sparkContext
+        .parallelize(specs, math.max(1, specs.length))
+        .flatMap(GraftLakeTaskFiles.rewriteTask(dir))
+        .collect().sortBy(_._1).toVector.map(_._2)
+    synchronized {
+      if (currentVersion != v0) {
+        metas.foreach(m => new java.io.File(m.tmpPath).delete())
+        throw new IllegalStateException(
+          s"write conflict on $tableName: a concurrent commit landed " +
+            "while CALL system.compact_files was rewriting — retry " +
+            "against the current state")
+      }
+      files = files.filterNot(f => gone.contains(f.id)) ++
+        metas.map(adoptFile(_, requireCurrent = false))
+      dvs = dvs.filterNot { case (id, _) => gone.contains(id) }
+      recordCommit(dataChange = false) // maintenance: relation unchanged
+      (before, files.length)
+    }
+  }
 
   /** Row-batch convenience for the driver-resident callers (memory
     * storage, maintenance rewrites, delta inserts, cluster). */
@@ -2193,9 +2320,13 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     * the row path enforces by arity), claim the next file number by
     * no-replace rename (a cross-writer collision is the same
     * stale-snapshot conflict as the row path's), and register the
-    * task-collected manifest block verbatim. */
-  private def adoptFile(m: GraftLakeFileMeta): GraftLakeFile = {
-    if (m.cols != colIds) {
+    * task-collected manifest block verbatim. Compaction REWRITES pass
+    * `requireCurrent = false`: their rows deliberately keep the source
+    * generation's layout (the mkFiles-vs-rewriteFile lesson), so the
+    * meta's own cols/types ARE the contract. */
+  private def adoptFile(m: GraftLakeFileMeta,
+      requireCurrent: Boolean = true): GraftLakeFile = {
+    if (requireCurrent && m.cols != colIds) {
       new java.io.File(m.tmpPath).delete()
       throw new IllegalStateException(
         s"write to $tableName carries field ids ${m.cols.mkString(",")} " +
@@ -4368,25 +4499,73 @@ private[sources] final class GraftLakeTaskFiles(fw: GraftLakeFileWriteInfo) {
         require(rows.head.numFields == fw.colIds.length,
           s"write carries ${rows.head.numFields} columns but the " +
             s"write schema has ${fw.colIds.length}")
-        val tmp = new java.io.File(fw.dir,
-          s"tmp_${java.util.UUID.randomUUID()}.parquet")
-        val bytes = GraftParquetIO.write(tmp.getAbsolutePath,
-          fw.names, fw.types, rows)
-        written += tmp.getAbsolutePath
-        val (nstats, nnulls) =
-          GraftLakeStats.collectNested(rows, fw.colIds, fw.types)
-        Some(GraftLakeFileMeta(tmp.getAbsolutePath, fw.colIds,
-          fw.types, fw.names, key, rows.length.toLong, bytes,
-          GraftLakeStats.collect(rows, fw.colIds, fw.types),
-          GraftLakeStats.nullCounts(rows, fw.colIds),
-          GraftLakeStats.intSums(rows, fw.colIds, fw.types),
-          GraftLakeStats.decSums(rows, fw.colIds, fw.types),
-          nstats, nnulls,
-          GraftLakeStats.bloomCollect(rows, fw.colIds, fw.types)))
+        val m = GraftLakeTaskFiles.writeOne(fw.dir, fw.names, fw.types,
+          fw.colIds, key, rows)
+        written += m.tmpPath
+        Some(m)
       }
     }
   def abort(): Unit =
     written.foreach(p => new java.io.File(p).delete())
+}
+
+private[sources] object GraftLakeTaskFiles {
+  /** Write ONE temp parquet into `dir` and collect its full manifest
+    * stats block — the task-side unit every distributed write and
+    * rewrite shares. `cols`/`types`/`names` are the rows' WRITE-TIME
+    * layout (the current schema for writes, the file's own generation
+    * for compaction rewrites). */
+  def writeOne(dir: String, names: Seq[String], types: Seq[DataType],
+      cols: Seq[Int], pkey: Option[Vector[Any]],
+      rows: Vector[InternalRow]): GraftLakeFileMeta = {
+    val tmp = new java.io.File(dir,
+      s"tmp_${java.util.UUID.randomUUID()}.parquet")
+    val bytes = GraftParquetIO.write(tmp.getAbsolutePath, names, types,
+      rows)
+    val (nstats, nnulls) = GraftLakeStats.collectNested(rows, cols, types)
+    GraftLakeFileMeta(tmp.getAbsolutePath, cols, types, names, pkey,
+      rows.length.toLong, bytes,
+      GraftLakeStats.collect(rows, cols, types),
+      GraftLakeStats.nullCounts(rows, cols),
+      GraftLakeStats.intSums(rows, cols, types),
+      GraftLakeStats.decSums(rows, cols, types),
+      nstats, nnulls,
+      GraftLakeStats.bloomCollect(rows, cols, types))
+  }
+
+  /** A compaction rewrite's task-side READ unit: one source file's
+    * LIVE rows (deletion-vector positions dropped), sliced
+    * [from, until) in live order — how a bin boundary lands mid-file
+    * without the driver ever seeing a row. */
+  final case class RewriteSlice(path: String, types: Seq[DataType],
+      dv: Set[Long], from: Int, until: Int)
+
+  /** One output file of a distributed compaction rewrite: ordered
+    * slices whose concatenation IS the file's rows, plus the
+    * generation layout (cols/types/names) and partition key the
+    * manifest must carry. */
+  final case class RewriteSpec(idx: Int, cols: Seq[Int],
+      types: Seq[DataType], names: Seq[String],
+      pkey: Option[Vector[Any]], slices: Vector[RewriteSlice])
+
+  /** Task body of a distributed rewrite: decode the slices' live rows
+    * in order, write one temp parquet with the GENERATION's layout,
+    * ship metadata. None for an all-dead output (fully deleted file). */
+  def rewriteTask(dir: String)(
+      spec: RewriteSpec): Option[(Int, GraftLakeFileMeta)] = {
+    val rows = spec.slices.flatMap { s =>
+      val all = GraftParquetIO.read(s.path, s.types)
+      val live =
+        if (s.dv.isEmpty) all
+        else all.zipWithIndex.collect {
+          case (r, i) if !s.dv.contains(i.toLong) => r
+        }
+      live.slice(s.from, s.until)
+    }
+    if (rows.isEmpty) None
+    else Some((spec.idx, writeOne(dir, spec.names, spec.types, spec.cols,
+      spec.pkey, rows)))
+  }
 }
 
 class GraftLakeFileWriterFactory(fw: GraftLakeFileWriteInfo,

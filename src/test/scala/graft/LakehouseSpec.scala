@@ -2927,6 +2927,70 @@ class LakehouseSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("distributed compaction: bin slices from manifest math, partition-pure packs, task rewrites") {
+    // parquet-storage compact_files/compact decode and rewrite in TASKS
+    // (the driver plans bins from live counts alone). Pins: (1) exact
+    // bin counts match the driver leg's grouped(chunk) semantics even
+    // when a bin boundary lands mid-file, (2) packing never mixes
+    // partition keys (the (cols,types,pkey) grouping), (3) CALL compact
+    // clears DVs with per-file commits, (4) lossless + silent + no
+    // temp residue.
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_dcompact"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, cat STRING, v STRING) " +
+      "PARTITIONED BY (cat) TBLPROPERTIES " +
+      "('graft.storage' = 'parquet', 'graft.mode' = 'merge-on-read')")
+    // 12 fragment appends per category — 24 tiny partition-pure files
+    for (i <- 0 until 12; c <- Seq("a", "b"))
+      spark.sql(s"INSERT INTO $t VALUES (${i * 2 +
+        (if (c == "a") 0 else 1)}, '$c', 'v$i$c')")
+    spark.sql(s"DELETE FROM $t WHERE k = 4") // one DV in category a
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_dcompact").get
+    assert(table.fileIds.length == 24 && table.deletionVectors.nonEmpty)
+    val dir = new java.io.File(table.filePaths.values.head).getParentFile
+    val sumBefore = spark.table(t)
+      .agg(org.apache.spark.sql.functions.sum("k")).head().getLong(0)
+    val vBefore = table.currentVersion
+    val res = spark.sql(
+      s"CALL graftlake.system.compact_files('spec_dcompact', 5)").head()
+    // per category: 11-12 live rows in 12 files → ceil(11/5)=3 + ceil(12/5)=3
+    assert((res.getInt(0), res.getInt(1)) == (24, 6),
+      s"expected 24 -> 6 packed files, got $res")
+    assert(table.deletionVectors.isEmpty, "packing absorbs the DV")
+    assert(table.currentVersion == vBefore + 1, "one silent commit")
+    // partition purity: every packed file serves exactly one category
+    val pure = spark.table(t).selectExpr("cat", "_file")
+      .groupBy("_file")
+      .agg(org.apache.spark.sql.functions.countDistinct("cat").as("nc"))
+      .collect().map(_.getLong(1))
+    assert(pure.length == 6 && pure.forall(_ == 1L),
+      "a packed file must never mix partition keys")
+    assert(spark.table(t).count() == 23 &&
+      spark.table(t).agg(org.apache.spark.sql.functions.sum("k"))
+        .head().getLong(0) == sumBefore,
+      "packing is lossless")
+    assert(!dir.listFiles().exists(_.getName.startsWith("tmp_")),
+      "no temp residue")
+    // CALL compact (DV-clearing rewrite) also runs task-side: new DVs,
+    // then per-file maintenance commits clear them
+    spark.sql(s"DELETE FROM $t WHERE k IN (7, 8)")
+    assert(table.deletionVectors.size == 2)
+    val v1 = table.currentVersion
+    val n = spark.sql(
+      s"CALL graftlake.system.compact('spec_dcompact')").head().getInt(0)
+    assert(n == 2, "two DV'd files rewritten")
+    assert(table.deletionVectors.isEmpty)
+    assert(table.currentVersion == v1 + 2, "one commit per rewritten file")
+    assert(spark.table(t).count() == 21 &&
+      spark.table(t).where("k IN (7, 8)").count() == 0)
+    assert(!dir.listFiles().exists(_.getName.startsWith("tmp_")),
+      "no temp residue after compact")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("MoR delta inserts are task-side too: metadata-only messages, MERGE leaves no temp residue") {
     // the merge-on-read writer's INSERT side must not buffer rows to
     // the driver either: with parquet storage its commit message
