@@ -1255,6 +1255,74 @@ object Lakehouse {
       .orderBy("o_orderkey", "commit_step", "change_type")
   }
 
+  /** Exactly-once STREAMING INGEST into a lake table —
+    * `writeStream.toTable` over the DSv2 STREAMING_WRITE surface
+    * (Delta/Iceberg's streaming-sink contract). Each micro-batch epoch
+    * lands as one atomic commit stamped (queryId, epochId) inside the
+    * commit record itself — a restarted query replaying its last epoch
+    * is a no-op, never a duplicate. The fixture proves it end-to-end:
+    * wave 1 (the events corpus as 3 landing files, maxFilesPerTrigger=1
+    * → 3 epochs) drains, THEN a wave-2 file lands and the SAME
+    * checkpoint restarts — the second drain must ingest only the new
+    * file. Any replayed epoch would double wave 1 in the aggregate and
+    * fail the oracle. Scale note: the ingest path is the task-side file
+    * writer (executors write parquet + stats, the driver adopts
+    * metadata), so sink bandwidth scales with executors — the 100 TB
+    * streaming-ingest shape. */
+  def streamLakeSink(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.events_ssink"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (event_id BIGINT, event_type STRING, " +
+      "user_id BIGINT, value DOUBLE)" + tblProps())
+    val tmp = sys.props("java.io.tmpdir")
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
+      "_pid" + ProcessHandle.current().pid()
+    val land = new File(tmp, s"graft_ssink_land_$tag")
+    val chk = new File(tmp, s"graft_ssink_chk_$tag")
+    Seq(land, chk).foreach(graft.streaming.StreamingOps.deleteRecursively)
+    val base = Tables(spark, sfDir, "events")
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        col("value"))
+    val schema = base.schema
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(land.getAbsolutePath)
+        .writeStream
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(t)
+      graft.streaming.StreamingOps.awaitDrained(q)
+    }
+    // wave 1: the corpus lands as 3 files -> 3 exactly-once epochs
+    base.repartition(3).write.mode("append").parquet(land.getAbsolutePath)
+    drain()
+    // wave 2 arrives AFTER the first drain; the checkpoint restart must
+    // ingest ONLY the new file (a replayed epoch would double wave 1)
+    base.filter(col("event_type") === "click").coalesce(1)
+      .write.mode("append").parquet(land.getAbsolutePath)
+    drain()
+    releasing(spark, spark.table(t)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_value"))
+      .orderBy("event_type"), t)
+  }
+
+  private val streamLakeSinkOracle =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT event_type, value FROM events
+      |  UNION ALL
+      |  SELECT event_type, value FROM events WHERE event_type = 'click'
+      |)
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   private val streamLakeCdfOracle =
     """WITH prev AS (
       |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
@@ -1338,6 +1406,9 @@ object Lakehouse {
     Query("stream_lake_cdf",
       "streaming change source: version offsets, checkpointed two-drain tail",
       streamLakeCdf, Some(streamLakeCdfOracle)),
+    Query("stream_lake_sink",
+      "exactly-once streaming ingest: epoch-stamped commits, restart-safe",
+      streamLakeSink, Some(streamLakeSinkOracle)),
     Query("ref_alter_add_column",
       "ALTER TABLE ADD COLUMNS: per-file manifests null-fill, no rewrite",
       alterAddColumn, Some(alterAddColumnOracle)),

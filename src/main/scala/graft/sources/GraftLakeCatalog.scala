@@ -1382,6 +1382,9 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
   // `ADD COLUMN ... DEFAULT`: files written before the add serve this
   // value for the id instead of NULL
   private var colDefaults: Map[Int, Any] = Map.empty
+  // streaming-epoch watermarks (query id → last committed epoch), the
+  // Delta txn contract: a restarted query's replayed epoch is a no-op
+  private var streamEpochs: Map[String, Long] = Map.empty
 
   /** Current (field id → name) mapping — what scans resolve per-file id
     * manifests through at planning time. */
@@ -1536,7 +1539,8 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
   private var commitSchemas
       : Vector[(StructType, Vector[Int], Map[Int, Any])] =
     Vector((tableSchema, tableSchema.indices.toVector, Map.empty))
-  private def recordCommit(dataChange: Boolean): Unit = {
+  private def recordCommit(dataChange: Boolean,
+      txn: Option[(String, Long)] = None): Unit = {
     val snap = GraftLakeSnapshot(files, dvs)
     // clamped monotonic: a wall clock stepping backwards (NTP, VM
     // suspend) must not break TIMESTAMP AS OF's sorted-times invariant
@@ -1548,7 +1552,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     // before propagating, so memory never claims a commit disk refused.
     try log.foreach(_.writeCommit(baseVersion + history.length, snap,
       dataChange, time, schemaNow, colIds, colDefaults, fileSeq,
-      nextColId))
+      nextColId, txn))
     catch {
       case e: IllegalStateException =>
         files = history.last._1.files
@@ -1697,8 +1701,11 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           f.lastModified() >= tmpCutoff)
         .foreach(_.delete())
       // durable log follows the vacuum: expired manifest lists go, and
-      // a vacuumed data file's manifest goes with it
+      // a vacuumed data file's manifest goes with it. Streaming-epoch
+      // stamps riding the dropped commits are consolidated FIRST so a
+      // long-stopped query can't replay its last epoch after an expire.
       log.foreach { lg =>
+        if (streamEpochs.nonEmpty) lg.writeTxns(streamEpochs)
         lg.dropCommitsBelow(baseVersion)
         lg.dropManifestsExcept(live.map(p => new java.io.File(p).getName))
       }
@@ -2459,6 +2466,30 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
 
   private def appendFiles(pendings: Vector[GraftLakePending]): Unit =
     synchronized { files = files ++ mkFiles(pendings); recordCommit(true) }
+  /** One streaming EPOCH lands as one atomic commit stamped with
+    * (queryId, epochId) — Delta's txn action, persisted inside the
+    * commit record itself so the stamp and the data are indivisible. A
+    * replayed epoch (restart from checkpoint re-offers the last batch)
+    * is detected by the watermark and dropped: its task-written temps
+    * are unlinked and NOTHING commits — exactly-once across restarts,
+    * including a crash between data-write and checkpoint-advance. */
+  private def commitEpoch(queryId: String, truncate: Boolean)(
+      epochId: Long, pendings: Vector[GraftLakePending]): Unit =
+    synchronized {
+      if (streamEpochs.get(queryId).exists(_ >= epochId))
+        pendings.foreach {
+          case GraftLakePendingFile(m) =>
+            new java.io.File(m.tmpPath).delete()
+          case _ => ()
+        }
+      else {
+        if (truncate) { // Complete-mode sink: each epoch replaces all
+          files = mkFiles(pendings); dvs = Map.empty
+        } else files = files ++ mkFiles(pendings)
+        recordCommit(dataChange = true, txn = Some(queryId -> epochId))
+        streamEpochs += queryId -> epochId
+      }
+    }
   private def truncateTo(pendings: Vector[GraftLakePending]): Unit =
     synchronized {
       files = mkFiles(pendings); dvs = Map.empty; recordCommit(true)
@@ -2589,6 +2620,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     partSpec.map(_.toV2).toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE)
 
   // `_file`: which group a row lives in — the handle both the runtime
@@ -2712,6 +2744,16 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
               else appendFiles(pendings)
           }, fileWrite = fileWriteInfo)
         }
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming
+              .StreamingWrite = {
+          require(branch.isEmpty,
+            s"streaming writes to $tableName target main — unset the " +
+              "branch option / spark.wap.branch")
+          new GraftLakeStreamingWrite(
+            commitEpoch(info.queryId(), truncateRequested),
+            fileWrite = fileWriteInfo)
+        }
       }
     }
 
@@ -2833,6 +2875,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       tagRefs = r.tagRefs
       branchRefs = r.branches.map { case (n, (base, staged)) =>
         n -> StagedBranch(base, staged) }
+      streamEpochs = r.txns
     case None =>
       log.foreach { lg =>
         lg.writeTable(tableName, partSpec, mergeOnRead)
@@ -4582,6 +4625,54 @@ class GraftLakeFileWriterFactory(fw: GraftLakeFileWriteInfo,
       override def abort(): Unit = tf.abort()
       override def close(): Unit = ()
     }
+}
+
+/** Exactly-once streaming sink (`writeStream.toTable`): each epoch's
+  * task output rides the same task-side file writers as batch, and the
+  * epoch commits atomically with its (queryId, epochId) stamp. A
+  * replayed epoch after a restart is dropped by the table's watermark
+  * (see GraftLakeTable.commitEpoch). */
+class GraftLakeStreamingWrite(
+    applyEpoch: (Long, Vector[GraftLakePending]) => Unit,
+    fileWrite: Option[GraftLakeFileWriteInfo])
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory =
+    new GraftLakeStreamingWriterFactory(fileWrite)
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    applyEpoch(epochId, messages.toVector.flatMap {
+      case GraftLakeCommit(rows) => Vector(GraftLakePendingRows(rows))
+      case GraftLakeFilesCommit(fs) => fs.map(GraftLakePendingFile(_))
+      case other => throw new IllegalStateException(
+        s"unexpected commit message $other")
+    })
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftLakeFilesCommit(fs) =>
+        fs.foreach(m => new java.io.File(m.tmpPath).delete())
+      case _ => ()
+    }
+}
+
+/** Streaming writer factory: delegates to the batch writers — a
+  * streaming task's rows are written exactly like a batch task's
+  * (task-side temp parquet under parquet storage, buffered rows under
+  * memory storage); the epoch id only matters at commit. */
+class GraftLakeStreamingWriterFactory(
+    fileWrite: Option[GraftLakeFileWriteInfo])
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = fileWrite match {
+    case Some(fw) =>
+      new GraftLakeFileWriterFactory(fw, None)
+        .createWriter(partitionId, taskId)
+    case None =>
+      new GraftLakeWriterFactory(None).createWriter(partitionId, taskId)
+  }
 }
 
 /** Exact-chunk partitioner for maintenance rewrites: global row index

@@ -138,9 +138,9 @@ private[sources] class GraftLakeLog(root: File) {
   def writeCommit(version: Int, snap: GraftLakeSnapshot,
       dataChange: Boolean, timeMillis: Long, schema: StructType,
       colIds: Seq[Int], defaults: Map[Int, Any], fileSeq: Int,
-      nextColId: Int): Unit = {
+      nextColId: Int, txn: Option[(String, Long)] = None): Unit = {
     import GraftLakeLog._
-    writeAtomic(s"v$version.json", JsonMethods.compact(JObject(
+    val fields: List[JField] = List(
       "files" -> JArray(snap.files.map(f => JString(f.id)).toList),
       "dvs" -> dvsJson(snap.dvs),
       "dataChange" -> JBool(dataChange),
@@ -150,8 +150,23 @@ private[sources] class GraftLakeLog(root: File) {
       "defaults" -> JObject(defaults.toList.map { case (k, v) =>
         k.toString -> enc(v) }),
       "fileSeq" -> JInt(BigInt(fileSeq)),
-      "nextColId" -> JInt(BigInt(nextColId)))), overwrite = false)
+      "nextColId" -> JInt(BigInt(nextColId))) ++
+      // streaming-epoch stamp (Delta's txn action): ATOMIC with the
+      // commit, so a replayed epoch after a restart is provably a
+      // duplicate even across a crash mid-commit
+      txn.map { case (app, epoch) => "txn" -> (JObject(
+        "app" -> JString(app), "epoch" -> JLong(epoch)): JValue) }.toList
+    writeAtomic(s"v$version.json",
+      JsonMethods.compact(JObject(fields: _*)), overwrite = false)
   }
+
+  /** Consolidated streaming-epoch watermarks, written at EXPIRE time:
+    * dropping v*.json files below the floor must not forget their txn
+    * stamps, or a long-stopped query restarting after an expire could
+    * replay its last epoch as new rows. */
+  def writeTxns(txns: Map[String, Long]): Unit =
+    writeAtomic("txns.json", JsonMethods.compact(JObject(
+      txns.toList.map { case (q, e) => q -> JLong(e) })))
 
   def writeRefs(tags: Map[String, Int],
       branches: Map[String, (Int, Vector[(GraftLakeSnapshot, Boolean)])])
@@ -270,7 +285,8 @@ private[sources] object GraftLakeLog {
       commitTimes: Vector[Long],
       commitSchemas: Vector[(StructType, Vector[Int], Map[Int, Any])],
       tagRefs: Map[String, Int],
-      branches: Map[String, (Int, Vector[(GraftLakeSnapshot, Boolean)])])
+      branches: Map[String, (Int, Vector[(GraftLakeSnapshot, Boolean)])],
+      txns: Map[String, Long])
 
   def restore(root: File): Restored = {
     val dir = new File(root, LogDir)
@@ -390,6 +406,25 @@ private[sources] object GraftLakeLog {
           }.toMap)
       }
 
+    // streaming-epoch watermarks: the expire-time consolidation file
+    // merged with every retained commit's txn stamp (max per query)
+    val txnsFile = new File(dir, "txns.json")
+    val consolidated: Map[String, Long] =
+      if (!txnsFile.isFile) Map.empty
+      else parse(txnsFile) match {
+        case JObject(fs) => fs.map { case (q, e) => q -> longOf(e) }.toMap
+        case _ => Map.empty
+      }
+    val txns = commits.foldLeft(consolidated) { case (acc, (_, c)) =>
+      (c \ "txn") match {
+        case o: JObject =>
+          val app = str(o, "app")
+          val epoch = longOf(o \ "epoch")
+          acc + (app -> math.max(epoch, acc.getOrElse(app, Long.MinValue)))
+        case _ => acc
+      }
+    }
+
     Restored(
       tableName = str(t, "name"),
       partSpec = partSpec,
@@ -411,6 +446,7 @@ private[sources] object GraftLakeLog {
       commitTimes = commitTimes,
       commitSchemas = commitSchemas,
       tagRefs = tags,
-      branches = branches)
+      branches = branches,
+      txns = txns)
   }
 }

@@ -310,4 +310,71 @@ class DurableCatalogSpec extends SparkTestBase {
     assert(df.where("label = 'v42'").collect().head.getLong(0) == 42L)
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
+
+  test("streaming epoch stamps: replay is a no-op, survives reopen and expire") {
+    // the exactly-once contract of writeStream.toTable: each epoch's
+    // (queryId, epochId) stamp is ATOMIC with its commit record, so a
+    // replayed epoch — same process, after a reopen, or after an expire
+    // consolidated the stamps into txns.json — never lands twice.
+    import org.apache.spark.sql.connector.write.LogicalWriteInfo
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    useCatalog()
+    val t = "graftdur.dur_sink"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    val winfo = new LogicalWriteInfo {
+      override def options(): CaseInsensitiveStringMap =
+        CaseInsensitiveStringMap.empty()
+      override def queryId(): String = "q-dur-sink"
+      override def schema(): org.apache.spark.sql.types.StructType =
+        spark.table(t).schema
+    }
+    def tbl() = graft.sources.GraftLakeCatalog
+      .tableFor("graftdur", "dur_sink").get
+    def commitEpoch(epoch: Long, lo: Long, hi: Long): Unit = {
+      val sw = tbl().newWriteBuilder(winfo).build().toStreaming
+      val w = sw.createStreamingWriterFactory(null)
+        .createWriter(0, 0, epoch)
+      (lo until hi).foreach(i => w.write(new GenericInternalRow(
+        Array[Any](i, UTF8String.fromString(s"v$i")))))
+      sw.commit(epoch, Array(w.commit()))
+    }
+    def count() = spark.table(t).count()
+    commitEpoch(0, 0, 10)
+    commitEpoch(1, 10, 20)
+    assert(count() == 20)
+    val dir = new java.io.File(tbl().filePaths.values.head).getParentFile
+    val v = tbl().currentVersion
+    // in-process replay (crash between data-commit and checkpoint): the
+    // duplicate epoch commits NOTHING and its task temps are unlinked
+    commitEpoch(1, 10, 20)
+    assert(count() == 20 && tbl().currentVersion == v,
+      "a replayed epoch must be a no-op commit")
+    assert(!dir.listFiles().exists(_.getName.startsWith("tmp_")),
+      "the replayed epoch's task temps are unlinked")
+    // replay across a REOPEN: the stamp is read back from the commit log
+    evict("dur_sink")
+    assert(count() == 20) // forces the reopen from _graft_log
+    commitEpoch(1, 10, 20)
+    assert(count() == 20, "replay after reopen must still be a no-op")
+    commitEpoch(2, 20, 25)
+    assert(count() == 25, "a genuinely new epoch still lands")
+    // bury the stamp: a batch append then expire drops every
+    // txn-carrying commit — the consolidation file must preserve it
+    spark.range(100, 105).selectExpr("id AS k", "concat('b', id) AS s")
+      .coalesce(1).writeTo(t).append()
+    spark.sql(s"CALL graftdur.system.expire_versions('dur_sink', 1)")
+    evict("dur_sink")
+    assert(count() == 30) // forces the reopen
+    commitEpoch(2, 20, 25)
+    assert(count() == 30,
+      "replay after expire+reopen must be a no-op (txns.json carries " +
+        "the watermark)")
+    commitEpoch(3, 25, 30)
+    assert(count() == 35)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }
