@@ -1978,15 +1978,23 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
         colNames.zipWithIndex.foreach { case (c, ci) =>
           val distinct = df0.select(F.col(c).as(s"_zv$ci")).distinct()
           val nd = distinct.count()
-          val w = org.apache.spark.sql.expressions.Window
-            .orderBy(s"_zv$ci")
-          // 16-bit RANK code, identical to the driver leg's
-          // r * 65535 / (n-1) integer division (floor of positives)
-          val code =
-            if (nd <= 1L) F.lit(0L)
-            else F.floor((F.dense_rank().over(w).cast("long") - 1L) *
-              F.lit(65535L) / F.lit(nd - 1L)).cast("long")
-          val ranked = distinct.withColumn(s"_zc$ci", code)
+          // exact DISTRIBUTED dense rank: the values are distinct, so a
+          // range-shuffled sort + zipWithIndex IS the rank — no
+          // single-partition window anywhere (dense_rank over an
+          // unpartitioned window would serialize the rank stage)
+          val vdt = distinct.schema.head.dataType
+          val rankedRdd = distinct.orderBy(s"_zv$ci").rdd.zipWithIndex()
+            .map { case (r, i) =>
+              org.apache.spark.sql.Row(r.get(0), i) }
+          val ranked = spark.createDataFrame(rankedRdd, StructType(Seq(
+            StructField(s"_zv$ci", vdt), StructField("_zr", LongType))))
+            // 16-bit RANK code, identical to the driver leg's
+            // r * 65535 / (n-1) integer division (floor of positives)
+            .withColumn(s"_zc$ci",
+              if (nd <= 1L) F.lit(0L)
+              else F.floor(F.col("_zr") * F.lit(65535L) /
+                F.lit(nd - 1L)).cast("long"))
+            .drop("_zr")
           // null-safe join key: NULL is a rankable distinct value
           g = g.join(ranked, g(c) <=> ranked(s"_zv$ci"), "inner")
             .drop(s"_zv$ci")
