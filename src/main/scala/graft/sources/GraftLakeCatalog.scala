@@ -2159,7 +2159,8 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
         GraftLakeTaskFiles.RewriteSpec(i, f.cols, f.types,
           f.cols.map(cid => i2n.getOrElse(cid, s"_dropped_$cid")),
           f.pkey, Vector(GraftLakeTaskFiles.RewriteSlice(
-            f.path.get, f.types, dv, 0, (f.numRows - dv.size).toInt)))
+            f.path.get, f.types, dv.toArray.sorted, 0,
+            (f.numRows - dv.size).toInt)))
       }
       val metaByIdx =
         if (specs.isEmpty) Map.empty[Int, GraftLakeFileMeta]
@@ -2289,7 +2290,8 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
               val hi = math.min(end, offsets(i + 1))
               if (lo >= hi) None
               else Some(GraftLakeTaskFiles.RewriteSlice(
-                candidates(i).path.get, types, dvOf(candidates(i)),
+                candidates(i).path.get, types,
+                dvOf(candidates(i)).toArray.sorted,
                 (lo - offsets(i)).toInt, (hi - offsets(i)).toInt))
             }
             specsB += GraftLakeTaskFiles.RewriteSpec(idx, cols, types,
@@ -3670,7 +3672,8 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
 
   private def filePartOf(f: GraftLakeFile): GraftLakeFilePartition =
     GraftLakeFilePartition(f.id, f.rows,
-      snapshot.dvs.getOrElse(f.id, Set.empty), namesOf(f),
+      snapshot.dvs.get(f.id).map(_.toArray.sorted)
+        .getOrElse(Array.empty[Long]), namesOf(f),
       f.path, f.types, f.pnames)
 
   /** Keyed planning WITHOUT touching rows: when every active file is
@@ -3724,9 +3727,14 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
           requiredSchema, namesOf, nameDefaults))
 }
 
+/** `deleted` is the file's deletion vector as a SORTED primitive
+  * array: the split ships to every scan task, and a boxed Set[Long]
+  * with ~1M positions serializes to ~20 MB per task (Spark's
+  * large-task warning at sf1); the array is 8 bytes/position and
+  * membership is a binary search. */
 final case class GraftLakeFilePartition(
     fileId: String, rows: Vector[InternalRow],
-    deleted: Set[Long], cols: Seq[String],
+    deleted: Array[Long], cols: Seq[String],
     path: Option[String] = None, types: Seq[DataType] = Nil,
     pnames: Seq[String] = Nil)
     extends InputPartition
@@ -3758,11 +3766,13 @@ final case class GraftLakeChangePartition(fileId: String,
     // alone (`rows` above stays empty then)
     path: Option[String] = None,
     // positions to EXCLUDE (the file's deletion vector at the emitting
-    // snapshot) — used by whole-file insert/delete legs
-    drop: Set[Long] = Set.empty,
+    // snapshot) — used by whole-file insert/delete legs. SORTED
+    // primitive array: ships per task, binary-search membership (a
+    // boxed Set[Long] at sf1 DV sizes was a ~20 MB task closure)
+    drop: Array[Long] = Array.empty,
     // positions to EMIT EXCLUSIVELY (DV growth/shrink legs); overrides
     // `drop` when set
-    keepOnly: Option[Set[Long]] = None) extends InputPartition
+    keepOnly: Option[Array[Long]] = None) extends InputPartition
 
 /** Change-feed scan over a commit-history slice: emits the row-level
   * diff of each consecutive snapshot pair as insert/delete partitions.
@@ -4157,7 +4167,8 @@ private[sources] object GraftLakeChanges {
       if (n > 0) {
         if (f.path.isDefined)
           parts += GraftLakeChangePartition(f.id, Vector.empty, ct, v,
-            namesOf(f), f.types, f.path, drop, keepOnly)
+            namesOf(f), f.types, f.path, drop.toArray.sorted,
+            keepOnly.map(_.toArray.sorted))
         else {
           val rows = f.loadRows.zipWithIndex.collect {
             case (r, p) if keepOnly.map(_.contains(p.toLong))
@@ -4224,8 +4235,11 @@ class GraftLakeChangeReaderFactory(fullSchema: StructType,
       case Some(pq) =>
         val all = GraftParquetIO.read(pq, cp.types)
         all.zipWithIndex.collect {
-          case (r, pos) if cp.keepOnly.map(_.contains(pos.toLong))
-            .getOrElse(!cp.drop.contains(pos.toLong)) => (pos.toLong, r)
+          case (r, pos) if cp.keepOnly
+            .map(ks => java.util.Arrays.binarySearch(ks, pos.toLong) >= 0)
+            .getOrElse(
+              java.util.Arrays.binarySearch(cp.drop, pos.toLong) < 0) =>
+            (pos.toLong, r)
         }
       case None => cp.rows
     }
@@ -4358,7 +4372,7 @@ class GraftLakeReaderFactory(fullSchema: StructType,
           n != GraftLakeTable.FileCol && n != GraftLakeTable.PosCol),
           "keyed partition asked for _file/_pos — file-grained fallback " +
             "should have been planned")
-        ("", rs, Set.empty[Long], fullSchema.fieldNames.toSeq,
+        ("", rs, Array.empty[Long], fullSchema.fieldNames.toSeq,
           Nil: Seq[DataType])
     }
     val identity = requiredSchema == fullSchema && deleted.isEmpty &&
@@ -4395,7 +4409,8 @@ class GraftLakeReaderFactory(fullSchema: StructType,
       private var pos = -1L
       override def next(): Boolean = {
         pos += 1
-        while (pos < rows.length && deleted.contains(pos)) pos += 1
+        while (pos < rows.length &&
+          java.util.Arrays.binarySearch(deleted, pos) >= 0) pos += 1
         if (pos < rows.length) {
           val r = rows(pos.toInt)
           cur = if (identity) r
@@ -4587,9 +4602,12 @@ private[sources] object GraftLakeTaskFiles {
   /** A compaction rewrite's task-side READ unit: one source file's
     * LIVE rows (deletion-vector positions dropped), sliced
     * [from, until) in live order — how a bin boundary lands mid-file
-    * without the driver ever seeing a row. */
+    * without the driver ever seeing a row. The DV ships as a SORTED
+    * primitive array: a boxed Set[Long] with ~1M positions serialized
+    * to ~20 MB per task closure (Spark's large-task warning at sf1);
+    * the array is 8 bytes/position and membership is a binary search. */
   final case class RewriteSlice(path: String, types: Seq[DataType],
-      dv: Set[Long], from: Int, until: Int)
+      dv: Array[Long], from: Int, until: Int)
 
   /** One output file of a distributed compaction rewrite: ordered
     * slices whose concatenation IS the file's rows, plus the
@@ -4609,7 +4627,8 @@ private[sources] object GraftLakeTaskFiles {
       val live =
         if (s.dv.isEmpty) all
         else all.zipWithIndex.collect {
-          case (r, i) if !s.dv.contains(i.toLong) => r
+          case (r, i) if java.util.Arrays.binarySearch(s.dv, i.toLong) < 0
+            => r
         }
       live.slice(s.from, s.until)
     }

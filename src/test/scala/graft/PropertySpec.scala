@@ -771,8 +771,8 @@ object PropertySpec extends Properties("graft.kernels") {
         Seq(StructField("k", LongType), StructField("_pos", LongType)))
       val reader = new GraftLakeReaderFactory(full, req)
         .createReader(
-          GraftLakeFilePartition("f", lakeRows(n), dead.map(_.toLong),
-            Seq("k")))
+          GraftLakeFilePartition("f", lakeRows(n),
+            dead.map(_.toLong).toArray.sorted, Seq("k")))
       val got = List.newBuilder[(Long, Long)]
       while (reader.next()) {
         val r = reader.get()
