@@ -1255,6 +1255,53 @@ object Lakehouse {
       .orderBy("o_orderkey", "commit_step", "change_type")
   }
 
+  /** PARTITION-SPEC EVOLUTION — `CALL system.set_partition_spec`
+    * changes the table's layout WITHOUT rewriting a file (Iceberg's
+    * ALTER TABLE ADD/REPLACE PARTITION FIELD): pre-evolution files keep
+    * their old-spec key stamps, new writes fanout under the new spec,
+    * and every read stays correct across the mixed set because pruning
+    * is stats-based, never layout-based. The fixture loads orders
+    * identity-partitioned by status, evolves to bucket(8, custkey),
+    * loads a second wave, then aggregates across both — the oracle is
+    * the plain relational answer, proving evolution is pure layout. */
+  def partitionEvolve(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.orders_evolve"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (o_orderkey BIGINT, o_custkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE) " +
+      "PARTITIONED BY (o_orderstatus)" + tblProps())
+    val base = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    // wave 1 under identity(o_orderstatus)
+    base.filter(col("o_orderkey") % 2 === 0).writeTo(t).append()
+    spark.sql(s"CALL graftlake.system.set_partition_spec(" +
+      "'orders_evolve', 'bucket:8:o_custkey')")
+    // wave 2 under bucket(8, o_custkey): the mixed-spec set must read
+    // as one relation
+    base.filter(col("o_orderkey") % 2 =!= 0).writeTo(t).append()
+    releasing(spark, spark.table(t)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("mn"),
+        max(col("o_orderkey")).as("mx"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("sum_price"))
+      .orderBy("o_orderstatus"), t)
+  }
+
+  private val partitionEvolveOracle =
+    """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      | CAST(min(o_orderkey) AS BIGINT) AS mn,
+      | CAST(max(o_orderkey) AS BIGINT) AS mx,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |   AS sum_price
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   /** Exactly-once STREAMING INGEST into a lake table —
     * `writeStream.toTable` over the DSv2 STREAMING_WRITE surface
     * (Delta/Iceberg's streaming-sink contract). Each micro-batch epoch
@@ -1409,6 +1456,9 @@ object Lakehouse {
     Query("stream_lake_sink",
       "exactly-once streaming ingest: epoch-stamped commits, restart-safe",
       streamLakeSink, Some(streamLakeSinkOracle)),
+    Query("ref_partition_evolve",
+      "partition-spec evolution: metadata-only relayout, mixed-spec reads",
+      partitionEvolve, Some(partitionEvolveOracle)),
     Query("ref_alter_add_column",
       "ALTER TABLE ADD COLUMNS: per-file manifests null-fill, no rewrite",
       alterAddColumn, Some(alterAddColumnOracle)),

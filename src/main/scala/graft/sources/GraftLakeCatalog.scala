@@ -406,7 +406,12 @@ final case class GraftLakeFile(id: String, rows: Vector[InternalRow],
     // positionally aligned with `cols`: the columnar reader projects by
     // label, and a post-write RENAME changes only the id→name mapping —
     // the file keeps its labels (parquet storage only; Nil in memory)
-    pnames: Seq[String] = Nil) {
+    pnames: Seq[String] = Nil,
+    // which PARTITION SPEC `pkey` was evaluated under (0 = the CREATE
+    // spec): partition-spec evolution never rewrites files, so the
+    // stamp tells keyed (SPJ) planning whether a file's tuple is
+    // meaningful under the CURRENT spec — Iceberg's per-file spec_id
+    pspecId: Int = 0) {
   /** Committed row count (manifest metadata — parquet-backed files keep
     * no rows in memory, so the count must be recorded at write time). */
   def numRows: Long = if (nRows >= 0) nRows else rows.length.toLong
@@ -1320,9 +1325,44 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     extends Table with SupportsRead with SupportsWrite
     with SupportsRowLevelOperations with SupportsMetadataColumns {
 
+  // PARTITION-SPEC EVOLUTION (Iceberg's spec evolution): the spec is
+  // metadata that can change without rewriting a single file. Files
+  // stamp the spec id their pkey was evaluated under; keyed (SPJ)
+  // planning only trusts stamps matching the CURRENT spec, and a
+  // rewrite (CALL system.cluster) restamps everything under it.
+  private var specNow: Seq[GraftPartTransform] = partSpec
+  private var specIdNow: Int = 0
+  private[sources] def partSpecNow: Seq[GraftPartTransform] =
+    synchronized(specNow)
+  private[sources] def partSpecIdNow: Int = synchronized(specIdNow)
+
+  /** EVOLVE the partition spec — a METADATA-ONLY commit, no file is
+    * touched (Iceberg's ALTER TABLE ... ADD/REPLACE PARTITION FIELD).
+    * New writes fanout + stamp under the new spec; existing files keep
+    * their old-spec stamps and serve every read correctly (pruning is
+    * stats-based, never layout-based), they just stop qualifying for
+    * metadata-keyed (SPJ) planning until a rewrite (CALL
+    * system.cluster) restamps them. Returns (old spec id, new id). */
+  private[sources] def evolvePartitionSpec(
+      spec: Seq[GraftPartTransform]): (Int, Int) = synchronized {
+    spec.foreach { t =>
+      require(schemaNow.fieldNames.contains(t.srcCol),
+        s"partition transform ${GraftLakeLog.encodePart(t)} references " +
+          s"unknown column ${t.srcCol}; table has " +
+          schemaNow.fieldNames.mkString(", "))
+    }
+    val before = specIdNow
+    specNow = spec
+    specIdNow += 1
+    recordCommit(dataChange = false) // metadata commit, feed silent
+    (before, specIdNow)
+  }
+
   // partition SOURCE columns (what DROP/retype guards protect; for
-  // identity transforms this is the partition column itself)
-  private val partCols: Seq[String] = partSpec.map(_.srcCol)
+  // identity transforms this is the partition column itself). Guards
+  // the CURRENT spec only: an old spec's pkey stamps are materialized
+  // values in manifests — they survive their source column's drop.
+  private def partCols: Seq[String] = partSpecNow.map(_.srcCol)
 
   // `graft.storage = parquet`: file groups land as REAL parquet files
   // under a per-table temp dir; driver state keeps only paths + DVs —
@@ -1353,7 +1393,8 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
   private def fileWriteInfo: Option[GraftLakeFileWriteInfo] =
     lakeDir.map(d => synchronized(GraftLakeFileWriteInfo(
       d.getAbsolutePath, schemaNow.fieldNames.toSeq,
-      schemaNow.fields.map(_.dataType).toSeq, colIds, partSpec)))
+      schemaNow.fields.map(_.dataType).toSeq, colIds, specNow,
+      specIdNow)))
   /** Current per-file sizes in bytes (0 for in-memory storage) — the
     * write-amplification spec's probe. */
   private[graft] def fileBytes: Map[String, Long] =
@@ -1361,6 +1402,10 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
   /** Current on-disk paths (parquet storage only). */
   private[graft] def filePaths: Map[String, String] =
     synchronized(files.flatMap(f => f.path.map(f.id -> _)).toMap)
+  /** (partition-pure?, spec id) per live file — the spec-evolution
+    * spec's probe for stamp state. */
+  private[graft] def fileStamps: Seq[(Boolean, Int)] =
+    synchronized(files.map(f => (f.pkey.isDefined, f.pspecId)))
   /** Test hook: invoked at the ENTRY of every data commit, before the
     * table lock — lets a concurrency spec latch two writers so both pin
     * their snapshots before either commit applies. */
@@ -1552,7 +1597,10 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     // before propagating, so memory never claims a commit disk refused.
     try log.foreach(_.writeCommit(baseVersion + history.length, snap,
       dataChange, time, schemaNow, colIds, colDefaults, fileSeq,
-      nextColId, txn))
+      nextColId, txn,
+      // stamp the current spec once evolution happened — restore reads
+      // the LAST commit's record, so expire can never lose it
+      if (specIdNow > 0) Some((specIdNow, specNow)) else None))
     catch {
       case e: IllegalStateException =>
         files = history.last._1.files
@@ -2160,7 +2208,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           f.cols.map(cid => i2n.getOrElse(cid, s"_dropped_$cid")),
           f.pkey, Vector(GraftLakeTaskFiles.RewriteSlice(
             f.path.get, f.types, dv.toArray.sorted, 0,
-            (f.numRows - dv.size).toInt)))
+            (f.numRows - dv.size).toInt)), pspecId = f.pspecId)
       }
       val metaByIdx =
         if (specs.isEmpty) Map.empty[Int, GraftLakeFileMeta]
@@ -2223,7 +2271,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       // pack within each (cols, types, pkey) group, keeping file order
       val packedIds = Set.newBuilder[String]
       val packedOut = Vector.newBuilder[GraftLakeFile]
-      files.groupBy(f => (f.cols, f.types, f.pkey)).foreach {
+      files.groupBy(f => (f.cols, f.types, f.pkey, f.pspecId)).foreach {
         case (_, gen) =>
           val candidates = gen.filter(f =>
             liveCount(f) < targetRows ||
@@ -2270,8 +2318,9 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     val packedIds = Set.newBuilder[String]
     val specsB = Vector.newBuilder[GraftLakeTaskFiles.RewriteSpec]
     var idx = 0
-    snapFiles.groupBy(f => (f.cols, f.types, f.pkey)).foreach {
-      case ((cols, types, pkey), gen) =>
+    snapFiles.groupBy(f =>
+      (f.cols, f.types, f.pkey, f.pspecId)).foreach {
+      case ((cols, types, pkey, psid), gen) =>
         val candidates = gen.filter(f =>
           liveCount(f) < targetRows || dvOf(f).nonEmpty)
         val worthIt = candidates.length > 1 ||
@@ -2295,7 +2344,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
                 (lo - offsets(i)).toInt, (hi - offsets(i)).toInt))
             }
             specsB += GraftLakeTaskFiles.RewriteSpec(idx, cols, types,
-              names, pkey, slices)
+              names, pkey, slices, pspecId = psid)
             idx += 1
             start = end
           }
@@ -2367,7 +2416,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     val gf = GraftLakeFile(id, Vector.empty, m.cols,
       Some(target.getAbsolutePath), m.types, m.bytes, m.stats, m.nRows,
       m.nulls, m.sums, m.dsums, m.sorted, m.nstats, m.nnulls, m.blooms,
-      m.pkey, m.pnames)
+      m.pkey, m.pnames, m.pspecId)
     log.foreach(_.writeFileManifest(gf))
     gf
   }
@@ -2391,10 +2440,10 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     // executors (Iceberg's fanout-writer + partition-tuple manifest
     // contract). Row order within a key is preserved (stable split).
     val keyedBatches: Vector[(Option[Vector[Any]], Vector[InternalRow])] =
-      if (partSpec.isEmpty)
+      if (specNow.isEmpty)
         batches.filter(_.nonEmpty).map(b => (None, b))
       else {
-        val idx = partSpec.map(t => schemaNow.fieldIndex(t.srcCol))
+        val idx = specNow.map(t => schemaNow.fieldIndex(t.srcCol))
         val tys = idx.map(schemaNow.fields(_).dataType)
         batches.filter(_.nonEmpty).flatMap { b =>
           val groups = scala.collection.mutable.LinkedHashMap
@@ -2402,8 +2451,8 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
               scala.collection.mutable.Builder[InternalRow,
                 Vector[InternalRow]]]
           b.foreach { r =>
-            val k = Vector.tabulate(partSpec.length)(i =>
-              partSpec(i).eval(r.get(idx(i), tys(i)), tys(i)))
+            val k = Vector.tabulate(specNow.length)(i =>
+              specNow(i).eval(r.get(idx(i), tys(i)), tys(i)))
             groups.getOrElseUpdate(k, Vector.newBuilder[InternalRow]) += r
           }
           groups.toVector.map { case (k, rs) => (Some(k), rs.result()) }
@@ -2451,7 +2500,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           val gf = GraftLakeFile(id, Vector.empty, colIds, Some(p), types,
             bytes, stats, rows.length.toLong, nulls, sums, dsums, sortedBy,
             nstats, nnulls, blooms, pkey,
-            pnames = schemaNow.fieldNames.toSeq)
+            pnames = schemaNow.fieldNames.toSeq, pspecId = specIdNow)
           log.foreach(_.writeFileManifest(gf)) // immutable once written
           gf
         // memory files record their write-time types too: compaction
@@ -2461,7 +2510,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
         case None => GraftLakeFile(id, rows, colIds, types = types,
           stats = stats, nulls = nulls, sums = sums, dsums = dsums,
           sortedBy = sortedBy, nstats = nstats, nnulls = nnulls,
-          blooms = blooms, pkey = pkey)
+          blooms = blooms, pkey = pkey, pspecId = specIdNow)
       }
     }
   }
@@ -2614,20 +2663,20 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           val gf = GraftLakeFile(id, Vector.empty, f.cols, Some(p), f.types,
             bytes, stats, rows.length.toLong, nulls, sums, dsums,
             nstats = nstats, nnulls = nnulls, blooms = blooms,
-            pkey = f.pkey, pnames = names)
+            pkey = f.pkey, pnames = names, pspecId = f.pspecId)
           log.foreach(_.writeFileManifest(gf))
           gf
         case None => GraftLakeFile(id, rows, f.cols, types = f.types,
           stats = stats, nulls = nulls, sums = sums, dsums = dsums,
           nstats = nstats, nnulls = nnulls, blooms = blooms,
-          pkey = f.pkey)
+          pkey = f.pkey, pspecId = f.pspecId)
       })
     }
 
   override def name(): String = tableName
   override def schema(): StructType = synchronized(schemaNow)
   override def partitioning(): Array[Transform] =
-    partSpec.map(_.toV2).toArray
+    partSpecNow.map(_.toV2).toArray
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE,
@@ -2684,8 +2733,9 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
         // TABLE schema is the version's own — use that for
         // schema-faithful travel across ALTERs.
         new GraftLakeScanBuilder(
-          asOf.map(snapshotAt).getOrElse(snapshot), schema(), partSpec,
-          None, () => fileIds.toSet, idToName, defaults)
+          asOf.map(snapshotAt).getOrElse(snapshot), schema(), partSpecNow,
+          None, () => fileIds.toSet, idToName, defaults,
+          pspecId = partSpecIdNow)
     }
   }
 
@@ -2693,9 +2743,10 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     * triple — the [[GraftLakePinnedTable]] read path. */
   private[sources] def scanBuilderAt(v: Int): ScanBuilder = {
     val (sch, ids, defs) = schemaInfoAt(v)
-    new GraftLakeScanBuilder(snapshotAt(v), sch, partSpec, None,
+    new GraftLakeScanBuilder(snapshotAt(v), sch, partSpecNow, None,
       () => fileIds.toSet,
-      ids.zip(sch.fieldNames).map { case (id, n) => id -> n }.toMap, defs)
+      ids.zip(sch.fieldNames).map { case (id, n) => id -> n }.toMap, defs,
+      pspecId = partSpecIdNow)
   }
 
   /** Scan builder over a BRANCH head — the audit read of
@@ -2704,8 +2755,9 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     * the schema — not to have moved), so the read resolves through the
     * current schema triple. */
   private[sources] def scanBuilderForBranch(name: String): ScanBuilder =
-    new GraftLakeScanBuilder(branchSnapshot(name), schema(), partSpec,
-      None, () => fileIds.toSet, idToName, defaults)
+    new GraftLakeScanBuilder(branchSnapshot(name), schema(), partSpecNow,
+      None, () => fileIds.toSet, idToName, defaults,
+      pspecId = partSpecIdNow)
 
   // ---- plain write path (append / truncate-overwrite) ---------------------
 
@@ -2733,13 +2785,15 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
         // — the writer-side half of the small-files story (Iceberg's
         // write.distribution-mode = hash)
         override def requiredDistribution()
-            : org.apache.spark.sql.connector.distributions.Distribution =
-          if (partSpec.isEmpty)
+            : org.apache.spark.sql.connector.distributions.Distribution = {
+          val spec = partSpecNow
+          if (spec.isEmpty)
             org.apache.spark.sql.connector.distributions.Distributions
               .unspecified()
           else org.apache.spark.sql.connector.distributions.Distributions
-            .clustered(partSpec.map(_.toV2).toArray[
+            .clustered(spec.map(_.toV2).toArray[
               org.apache.spark.sql.connector.expressions.Expression])
+        }
         override def requiredOrdering(): Array[
             org.apache.spark.sql.connector.expressions.SortOrder] =
           Array.empty
@@ -2794,8 +2848,9 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       override def representUpdateAsDeleteAndInsert(): Boolean = true
       override def newScanBuilder(
           options: CaseInsensitiveStringMap): ScanBuilder =
-        new GraftLakeScanBuilder(snap, opSchema, partSpec, None,
-          () => fileIds.toSet, opIds, opDefaults)
+        new GraftLakeScanBuilder(snap, opSchema, partSpecNow, None,
+          () => fileIds.toSet, opIds, opDefaults,
+          pspecId = partSpecIdNow)
       override def newWriteBuilder(
           info: LogicalWriteInfo): DeltaWriteBuilder =
         new DeltaWriteBuilder {
@@ -2833,8 +2888,9 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
         Array(Expressions.column(GraftLakeTable.FileCol))
       override def newScanBuilder(
           options: CaseInsensitiveStringMap): ScanBuilder =
-        new GraftLakeScanBuilder(snap, opSchema, partSpec, Some(state),
-          () => fileIds.toSet, opIds, opDefaults)
+        new GraftLakeScanBuilder(snap, opSchema, partSpecNow, Some(state),
+          () => fileIds.toSet, opIds, opDefaults,
+          pspecId = partSpecIdNow)
       // group-based ReplaceData: the written set replaces exactly the
       // groups the (runtime-filtered) scan read. Spark 4.1 prepends a
       // `__row_operation` INT to every row it hands the writer
@@ -2886,6 +2942,8 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       branchRefs = r.branches.map { case (n, (base, staged)) =>
         n -> StagedBranch(base, staged) }
       streamEpochs = r.txns
+      specIdNow = r.pspecId
+      if (r.pspecNow.nonEmpty || r.pspecId > 0) specNow = r.pspecNow
     case None =>
       log.foreach { lg =>
         lg.writeTable(tableName, partSpec, mergeOnRead)
@@ -2955,7 +3013,8 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
     rowLevel: Option[GroupScanState],
     currentIds: () => Set[String] = () => Set.empty,
     idToName: Map[Int, String] = Map.empty,
-    colDefaults: Map[Int, Any] = Map.empty)
+    colDefaults: Map[Int, Any] = Map.empty,
+    pspecId: Int = 0)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -3314,7 +3373,7 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
     case Some((schema, rows)) => new GraftLakeAggScan(schema, rows)
     case None =>
       new GraftLakeScan(snapshot, fullSchema, required, partSpec, rowLevel,
-        currentIds, idToName, skipPreds.toSeq, colDefaults)
+        currentIds, idToName, skipPreds.toSeq, colDefaults, pspecId)
   }
 }
 
@@ -3379,7 +3438,8 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
     currentIds: () => Set[String] = () => Set.empty,
     idToName: Map[Int, String] = Map.empty,
     skipPreds: Seq[Predicate] = Nil,
-    colDefaults: Map[Int, Any] = Map.empty)
+    colDefaults: Map[Int, Any] = Map.empty,
+    pspecId: Int = 0)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -3682,9 +3742,18 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
     * let tasks decode. Files from before the fanout write (or staged
     * through paths that bypass it) return None and the scan falls back
     * to the driver-normalized row grouping below. */
+  /** Every active file partition-pure AND stamped under the CURRENT
+    * spec: a tuple evaluated under an older spec is a different key
+    * space — trusting it would group (and SPJ-align) rows wrongly, so
+    * spec evolution demotes mixed scans to the row-evaluated path
+    * until a rewrite restamps the files. */
+  private def metaKeyed: Boolean =
+    active.nonEmpty &&
+      active.forall(f => f.pkey.isDefined && f.pspecId == pspecId)
+
   private def fileKeyGroups()
       : Option[Array[(InternalRow, Vector[GraftLakeFile])]] =
-    if (active.isEmpty || !active.forall(_.pkey.isDefined)) None
+    if (!metaKeyed) None
     else Some(active.groupBy(_.pkey.get).toArray
       .sortBy(_._1.map(String.valueOf).mkString("\u0000"))
       .map { case (k, fs) => (new GenericInternalRow(k.toArray): InternalRow,
@@ -3721,7 +3790,7 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
     // (every active file partition-pure) — the chained per-file batch
     // readers preserve the key grouping.
     new GraftLakeReaderFactory(fullSchema, requiredSchema, nameDefaults,
-      (fileGrained || active.forall(_.pkey.isDefined)) &&
+      (fileGrained || metaKeyed) &&
         !sys.props.get("graft.lake.columnar").contains("off") &&
         GraftLakeColumnar.eligible(active, snapshot.dvs,
           requiredSchema, namesOf, nameDefaults))
@@ -4451,14 +4520,15 @@ final case class GraftLakeFileMeta(tmpPath: String, cols: Seq[Int],
     nstats: Map[(Int, String), (Any, Any)],
     nnulls: Map[(Int, String), Long],
     blooms: Map[Int, Array[Long]],
-    sorted: Seq[Int] = Nil)
+    sorted: Seq[Int] = Nil,
+    pspecId: Int = 0)
 
 /** Everything a task needs to WRITE REAL FILES itself: the table dir
   * (shared storage), the build-time schema identity, and the partition
   * transforms for the task-side fanout split. */
 final case class GraftLakeFileWriteInfo(dir: String, names: Seq[String],
     types: Seq[DataType], colIds: Seq[Int],
-    partSpec: Seq[GraftPartTransform])
+    partSpec: Seq[GraftPartTransform], pspecId: Int = 0)
 
 /** The driver applies the per-task commits via `apply` exactly once.
   * `rowLevel` (the operation's column types) enables row-level mode:
@@ -4566,7 +4636,7 @@ private[sources] final class GraftLakeTaskFiles(fw: GraftLakeFileWriteInfo) {
           s"write carries ${rows.head.numFields} columns but the " +
             s"write schema has ${fw.colIds.length}")
         val m = GraftLakeTaskFiles.writeOne(fw.dir, fw.names, fw.types,
-          fw.colIds, key, rows)
+          fw.colIds, key, rows, fw.pspecId)
         written += m.tmpPath
         Some(m)
       }
@@ -4583,7 +4653,7 @@ private[sources] object GraftLakeTaskFiles {
     * for compaction rewrites). */
   def writeOne(dir: String, names: Seq[String], types: Seq[DataType],
       cols: Seq[Int], pkey: Option[Vector[Any]],
-      rows: Vector[InternalRow]): GraftLakeFileMeta = {
+      rows: Vector[InternalRow], pspecId: Int = 0): GraftLakeFileMeta = {
     val tmp = new java.io.File(dir,
       s"tmp_${java.util.UUID.randomUUID()}.parquet")
     val bytes = GraftParquetIO.write(tmp.getAbsolutePath, names, types,
@@ -4596,7 +4666,8 @@ private[sources] object GraftLakeTaskFiles {
       GraftLakeStats.intSums(rows, cols, types),
       GraftLakeStats.decSums(rows, cols, types),
       nstats, nnulls,
-      GraftLakeStats.bloomCollect(rows, cols, types))
+      GraftLakeStats.bloomCollect(rows, cols, types),
+      pspecId = pspecId)
   }
 
   /** A compaction rewrite's task-side READ unit: one source file's
@@ -4615,7 +4686,8 @@ private[sources] object GraftLakeTaskFiles {
     * manifest must carry. */
   final case class RewriteSpec(idx: Int, cols: Seq[Int],
       types: Seq[DataType], names: Seq[String],
-      pkey: Option[Vector[Any]], slices: Vector[RewriteSlice])
+      pkey: Option[Vector[Any]], slices: Vector[RewriteSlice],
+      pspecId: Int = 0)
 
   /** Task body of a distributed rewrite: decode the slices' live rows
     * in order, write one temp parquet with the GENERATION's layout,
@@ -4634,7 +4706,7 @@ private[sources] object GraftLakeTaskFiles {
     }
     if (rows.isEmpty) None
     else Some((spec.idx, writeOne(dir, spec.names, spec.types, spec.cols,
-      spec.pkey, rows)))
+      spec.pkey, rows, spec.pspecId)))
   }
 }
 
@@ -4817,7 +4889,8 @@ private[sources] object GraftLakeProcedures {
   val names: Seq[String] =
     Seq("rollback", "expire_versions", "expire_before", "compact",
       "compact_files", "cluster", "cluster_zorder", "create_branch",
-      "create_tag", "fast_forward", "publish_squashed", "drop_ref")
+      "create_tag", "fast_forward", "publish_squashed", "drop_ref",
+      "set_partition_spec")
 
   def byName(catalog: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -4921,6 +4994,26 @@ private[sources] object GraftLakeProcedures {
             .map(_.trim).filter(_.nonEmpty).toSeq
           val (b, a) = t.clusterBy(cols, input.getInt(2), "zorder",
             Some(s"$catalog.${input.getUTF8String(0)}"))
+          Array(new GenericInternalRow(Array[Any](b, a)))
+        }
+      })
+      // PARTITION-SPEC EVOLUTION: replace the table's partition spec
+      // (comma-separated `identity:<col>`, `days:<col>`,
+      // `bucket:<n>:<col>`; empty string = unpartitioned) — a
+      // metadata-only commit, no file rewritten (Iceberg's ALTER TABLE
+      // ADD/REPLACE PARTITION FIELD)
+      case "set_partition_spec" => Some(new Proc(catalog,
+        "set_partition_spec",
+        Array(in("table", StringType), in("spec", StringType)),
+        StructType(Seq(
+          StructField("previous_spec_id", IntegerType, nullable = false),
+          StructField("spec_id", IntegerType, nullable = false)))) {
+        override def run(t: GraftLakeTable, input: InternalRow)
+            : Array[InternalRow] = {
+          val spec = input.getUTF8String(1).toString.split(",")
+            .map(_.trim).filter(_.nonEmpty).toSeq
+            .map(GraftLakeLog.parsePart)
+          val (b, a) = t.evolvePartitionSpec(spec)
           Array(new GenericInternalRow(Array[Any](b, a)))
         }
       })

@@ -121,9 +121,11 @@ private[sources] class GraftLakeLog(root: File) {
         s"$id:$leaf" -> JArray(List(enc(lo), enc(hi))) }),
       "nnulls" -> JObject(f.nnulls.toList.map { case ((id, leaf), v) =>
         s"$id:$leaf" -> JLong(v) }),
-      // partition-pure key tuple (fanout write), absent when None
+      // partition-pure key tuple (fanout write), absent when None,
+      // plus the partition-spec id the tuple was evaluated under
       "pkey" -> f.pkey.map(k => JArray(k.map(enc).toList): JValue)
         .getOrElse(JNothing),
+      "pspecId" -> JInt(BigInt(f.pspecId)),
       // bloom bit-words as base64 of big-endian longs — compact and
       // byte-exact (a corrupted bloom would be a correctness bug: a
       // bloom MISS is treated as proof of absence)
@@ -138,7 +140,8 @@ private[sources] class GraftLakeLog(root: File) {
   def writeCommit(version: Int, snap: GraftLakeSnapshot,
       dataChange: Boolean, timeMillis: Long, schema: StructType,
       colIds: Seq[Int], defaults: Map[Int, Any], fileSeq: Int,
-      nextColId: Int, txn: Option[(String, Long)] = None): Unit = {
+      nextColId: Int, txn: Option[(String, Long)] = None,
+      pspec: Option[(Int, Seq[GraftPartTransform])] = None): Unit = {
     import GraftLakeLog._
     val fields: List[JField] = List(
       "files" -> JArray(snap.files.map(f => JString(f.id)).toList),
@@ -151,6 +154,14 @@ private[sources] class GraftLakeLog(root: File) {
         k.toString -> enc(v) }),
       "fileSeq" -> JInt(BigInt(fileSeq)),
       "nextColId" -> JInt(BigInt(nextColId))) ++
+      // current partition spec (id + transforms): present on every
+      // commit once evolution happened, so restore reads the LAST
+      // commit's spec and expire can never lose it
+      pspec.map { case (sid, ts) => List[JField](
+        "pspecId" -> JInt(BigInt(sid)),
+        "pspec" -> JArray(ts.map(t => JString(GraftLakeLog.encodePart(t)))
+          .toList))
+      }.getOrElse(Nil) ++
       // streaming-epoch stamp (Delta's txn action): ATOMIC with the
       // commit, so a replayed epoch after a restart is provably a
       // duplicate even across a crash mid-commit
@@ -209,6 +220,22 @@ private[sources] object GraftLakeLog {
   val LogDir = "_graft_log"
   private val CommitName = "^v(\\d+)\\.json$".r
   private val ManifestName = "^(f\\d+)\\.manifest\\.json$".r
+
+  /** String codec for partition transforms — the one spelling shared
+    * by table.json, commit records, and CALL set_partition_spec. */
+  def encodePart(t: GraftPartTransform): String = t match {
+    case IdentityPart(c) => s"identity:$c"
+    case DaysPart(c) => s"days:$c"
+    case BucketPart(n, c) => s"bucket:$n:$c"
+  }
+  def parsePart(s: String): GraftPartTransform = s.split(":", 3) match {
+    case Array("identity", c) => IdentityPart(c)
+    case Array("days", c) => DaysPart(c)
+    case Array("bucket", n, c) => BucketPart(n.toInt, c)
+    case _ => throw new IllegalArgumentException(
+      s"bad partition transform '$s' (identity:<col>, days:<col>, " +
+        "bucket:<n>:<col>)")
+  }
 
   /** Does `root` hold a reopenable table? */
   def exists(root: File): Boolean =
@@ -286,7 +313,9 @@ private[sources] object GraftLakeLog {
       commitSchemas: Vector[(StructType, Vector[Int], Map[Int, Any])],
       tagRefs: Map[String, Int],
       branches: Map[String, (Int, Vector[(GraftLakeSnapshot, Boolean)])],
-      txns: Map[String, Long])
+      txns: Map[String, Long],
+      pspecId: Int = 0,
+      pspecNow: Seq[GraftPartTransform] = Nil)
 
   def restore(root: File): Restored = {
     val dir = new File(root, LogDir)
@@ -308,12 +337,7 @@ private[sources] object GraftLakeLog {
 
     val t = parse(new File(dir, "table.json"))
     val partSpec: Seq[GraftPartTransform] = arr(t, "partSpec").map {
-      case JString(s) => s.split(":", 3) match {
-        case Array("identity", c) => IdentityPart(c)
-        case Array("days", c) => DaysPart(c)
-        case Array("bucket", n, c) => BucketPart(n.toInt, c)
-        case _ => throw new IllegalStateException(s"bad partSpec '$s'")
-      }
+      case JString(s) => parsePart(s)
       case other => throw new IllegalStateException(s"bad partSpec $other")
     }
 
@@ -352,6 +376,10 @@ private[sources] object GraftLakeLog {
           pkey = (m \ "pkey") match {
             case JArray(vs) => Some(vs.map(dec).toVector)
             case _ => None
+          },
+          pspecId = (m \ "pspecId") match {
+            case JNothing => 0
+            case v => intOf(v)
           },
           blooms = objFields(m, "blooms").map { case (k, JString(b64)) =>
             val bytes = java.util.Base64.getDecoder.decode(b64)
@@ -406,6 +434,17 @@ private[sources] object GraftLakeLog {
           }.toMap)
       }
 
+    // current partition spec: the LAST commit carrying a pspec record
+    // wins (evolution stamps every subsequent commit); tables that
+    // never evolved fall back to table.json's spec at id 0
+    val (pspecIdNow, pspecNow) = commits.reverse.collectFirst {
+      case (_, c) if (c \ "pspecId") != JNothing =>
+        (intOf(c \ "pspecId"), arr(c, "pspec").map {
+          case JString(ps) => parsePart(ps)
+          case other => throw new IllegalStateException(s"bad pspec $other")
+        }: Seq[GraftPartTransform])
+    }.getOrElse((0, partSpec))
+
     // streaming-epoch watermarks: the expire-time consolidation file
     // merged with every retained commit's txn stamp (max per query)
     val txnsFile = new File(dir, "txns.json")
@@ -447,6 +486,8 @@ private[sources] object GraftLakeLog {
       commitSchemas = commitSchemas,
       tagRefs = tags,
       branches = branches,
-      txns = txns)
+      txns = txns,
+      pspecId = pspecIdNow,
+      pspecNow = pspecNow)
   }
 }

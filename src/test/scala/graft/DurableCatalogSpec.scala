@@ -377,4 +377,33 @@ class DurableCatalogSpec extends SparkTestBase {
     assert(count() == 35)
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
+
+  test("an evolved partition spec survives reopen; new writes stamp it") {
+    useCatalog()
+    val t = "graftdur.dur_pspec"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, cat STRING) " +
+      "PARTITIONED BY (cat) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    spark.range(0, 20).selectExpr("id AS k",
+      "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS cat")
+      .writeTo(t).append()
+    spark.sql(s"CALL graftdur.system.set_partition_spec(" +
+      "'dur_pspec', 'bucket:2:k')")
+    evict("dur_pspec")
+    assert(spark.table(t).count() == 20) // reopen from _graft_log
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftdur", "dur_pspec").get
+    assert(table.partitioning().head.name() == "bucket",
+      "the evolved spec must survive the reopen")
+    spark.range(20, 40).selectExpr("id AS k", "'c' AS cat")
+      .writeTo(t).append()
+    assert(table.fileStamps.exists { case (pure, sid) =>
+      pure && sid == 1 },
+      "post-reopen writes stamp the evolved spec id")
+    assert(table.fileStamps.exists(_._2 == 0),
+      "pre-evolution files keep their original stamp")
+    assert(spark.table(t).count() == 40)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }

@@ -2991,6 +2991,73 @@ class LakehouseSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("partition-spec evolution: metadata-only commit, stamps gate keyed planning, rewrite restamps") {
+    // CALL system.set_partition_spec changes the layout WITHOUT
+    // rewriting a file (Iceberg spec evolution): old files keep their
+    // old-spec stamps and serve reads correctly; new writes fanout
+    // under the new spec; metadata-keyed (SPJ) planning is gated on
+    // uniform current-spec stamps until CALL cluster restamps; the
+    // drop-column guard follows the CURRENT spec; everything survives
+    // a durable reopen.
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_evolve"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, cat STRING, v DOUBLE) " +
+      "PARTITIONED BY (cat) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    spark.range(0, 100)
+      .selectExpr("id AS k", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' " +
+        "END AS cat", "CAST(id AS DOUBLE) AS v")
+      .writeTo(t).append()
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_evolve").get
+    val filesBefore = table.fileIds.toVector
+    assert(table.fileStamps.forall { case (pure, sid) => pure && sid == 0 })
+    val vBefore = table.currentVersion
+    val feedBefore = spark.read.table(s"$t.changes").count()
+    // evolve identity(cat) -> bucket(4, k): pure metadata
+    val res = spark.sql(s"CALL graftlake.system.set_partition_spec(" +
+      "'spec_evolve', 'bucket:4:k')").head()
+    assert((res.getInt(0), res.getInt(1)) == (0, 1))
+    assert(table.fileIds.toVector == filesBefore,
+      "spec evolution must not touch a single file")
+    assert(table.currentVersion == vBefore + 1 &&
+      spark.read.table(s"$t.changes").count() == feedBefore,
+      "one metadata commit, silent in the change feed")
+    assert(table.partitioning().head.name() == "bucket",
+      "the table reports the NEW spec")
+    // new writes land under the new spec; old files keep old stamps
+    spark.range(100, 200)
+      .selectExpr("id AS k", "'c' AS cat", "CAST(id AS DOUBLE) AS v")
+      .writeTo(t).append()
+    val stamps = table.fileStamps
+    assert(stamps.exists(_._2 == 0) && stamps.exists(_._2 == 1),
+      "old-spec and new-spec files coexist")
+    assert(spark.table(t).count() == 200 &&
+      spark.table(t).where("cat = 'a'").count() == 50 &&
+      spark.table(t).where("k >= 150").count() == 50,
+      "reads stay correct across the mixed-spec set")
+    // guard follows the CURRENT spec: cat is droppable now, k is not
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $t DROP COLUMN k")
+    }
+    assert(Option(e.getMessage).exists(_.contains("k")) ||
+      Option(e.getCause).exists(c =>
+        Option(c.getMessage).exists(_.contains("k"))))
+    spark.sql(s"ALTER TABLE $t DROP COLUMN cat") // old spec's source: ok
+    assert(spark.table(t).count() == 200)
+    // a rewrite RESTAMPS everything under the current spec -> the
+    // metadata-keyed planning gate opens again
+    spark.sql(s"CALL graftlake.system.cluster('spec_evolve', 'k', 4)")
+    assert(table.fileStamps.forall { case (pure, sid) =>
+      pure && sid == 1 },
+      "the cluster rewrite restamps every file under the current spec")
+    assert(spark.table(t).count() == 200 &&
+      spark.table(t).where("k < 100").count() == 100)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("MoR delta inserts are task-side too: metadata-only messages, MERGE leaves no temp residue") {
     // the merge-on-read writer's INSERT side must not buffer rows to
     // the driver either: with parquet storage its commit message
