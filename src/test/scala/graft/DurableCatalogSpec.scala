@@ -378,6 +378,50 @@ class DurableCatalogSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("two streaming queries into one table keep independent epoch watermarks") {
+    // the exactly-once stamp is PER QUERY ID (Delta's txn appId): two
+    // writers' epoch counters must not suppress each other, and each
+    // writer's own replay must still be a no-op.
+    import org.apache.spark.sql.connector.write.LogicalWriteInfo
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    useCatalog()
+    val t = "graftdur.dur_2sink"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    def winfo(qid: String) = new LogicalWriteInfo {
+      override def options(): CaseInsensitiveStringMap =
+        CaseInsensitiveStringMap.empty()
+      override def queryId(): String = qid
+      override def schema(): org.apache.spark.sql.types.StructType =
+        spark.table(t).schema
+    }
+    def tbl() = graft.sources.GraftLakeCatalog
+      .tableFor("graftdur", "dur_2sink").get
+    def commitEpoch(qid: String, epoch: Long, lo: Long, hi: Long): Unit = {
+      val sw = tbl().newWriteBuilder(winfo(qid)).build().toStreaming
+      val w = sw.createStreamingWriterFactory(null)
+        .createWriter(0, 0, epoch)
+      (lo until hi).foreach(i => w.write(new GenericInternalRow(
+        Array[Any](i, UTF8String.fromString(qid)))))
+      sw.commit(epoch, Array(w.commit()))
+    }
+    commitEpoch("qA", 0, 0, 10)
+    commitEpoch("qB", 0, 100, 105) // same epoch NUMBER, different query
+    assert(spark.table(t).count() == 15,
+      "qB's epoch 0 must not be suppressed by qA's")
+    commitEpoch("qA", 1, 10, 20)
+    commitEpoch("qB", 0, 100, 105) // qB replays ITS epoch 0: no-op
+    assert(spark.table(t).count() == 25)
+    commitEpoch("qB", 1, 105, 110)
+    assert(spark.table(t).count() == 30)
+    assert(spark.table(t).where("s = 'qA'").count() == 20 &&
+      spark.table(t).where("s = 'qB'").count() == 10)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("an evolved partition spec survives reopen; new writes stamp it") {
     useCatalog()
     val t = "graftdur.dur_pspec"
