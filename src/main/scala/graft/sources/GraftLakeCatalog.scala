@@ -3915,6 +3915,11 @@ class GraftLakeFilesTable(parent: GraftLakeTable)
     StructField("live_rows", LongType, nullable = false),
     StructField("dv_dead", LongType, nullable = false),
     StructField("size_bytes", LongType, nullable = false),
+    // partition-pure files render their key tuple; spec_id says which
+    // partition spec evaluated it (Iceberg files-table columns)
+    StructField("partition", StringType, nullable = true),
+    StructField("spec_id",
+      org.apache.spark.sql.types.IntegerType, nullable = false),
     StructField("columns", ArrayType(StringType), nullable = false),
     StructField("null_counts", ArrayType(LongType), nullable = false),
     StructField("min_values", ArrayType(StringType), nullable = false),
@@ -3947,6 +3952,9 @@ class GraftLakeFilesTable(parent: GraftLakeTable)
         UTF8String.fromString(f.id),
         f.path.map(UTF8String.fromString).orNull,
         f.numRows, f.numRows - dead, dead, f.bytes,
+        f.pkey.map(k => UTF8String.fromString(
+          k.map(String.valueOf).mkString("[", ", ", "]"))).orNull,
+        f.pspecId,
         new GenericArrayData(
           names.map(n => UTF8String.fromString(n): Any).toArray),
         new GenericArrayData(f.cols.map(id =>

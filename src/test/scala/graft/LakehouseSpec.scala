@@ -3034,6 +3034,13 @@ class LakehouseSpec extends SparkTestBase {
     val stamps = table.fileStamps
     assert(stamps.exists(_._2 == 0) && stamps.exists(_._2 == 1),
       "old-spec and new-spec files coexist")
+    // the .files metadata table surfaces the per-file spec id +
+    // partition tuple (Iceberg files-table columns)
+    val metaRows = spark.read.table(s"$t.files")
+      .select("spec_id", "partition").collect()
+    assert(metaRows.map(_.getInt(0)).toSet == Set(0, 1))
+    assert(metaRows.forall(r => !r.isNullAt(1)),
+      "every fanout-written file renders its partition tuple")
     assert(spark.table(t).count() == 200 &&
       spark.table(t).where("cat = 'a'").count() == 50 &&
       spark.table(t).where("k >= 150").count() == 50,
