@@ -105,8 +105,16 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog
     util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    tables.keySet().asScala.filter(_.namespace().sameElements(namespace))
-      .toArray
+    (tables.keySet().asScala.filter(_.namespace().sameElements(namespace))
+      ++
+      // the registry is a CACHE: durable tables not yet reopened this
+      // JVM must still list (disk is the source of truth)
+      warehouse.toSeq.flatMap { w =>
+        val dir = namespace.foldLeft(w)((d, p) => new java.io.File(d, p))
+        Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(d => d.isDirectory && GraftLakeLog.exists(d))
+          .map(d => Identifier.of(namespace, d.getName))
+      }).toSet.toArray
 
   override def loadTable(ident: Identifier): Table =
     lookup(ident).getOrElse {
@@ -251,6 +259,11 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog
     loc.filter(GraftLakeLog.exists).foreach { root =>
       throw new TableAlreadyExistsException(ident.toString)
     }
+    // a MEMORY-mode create must not shadow a durable table either: the
+    // registry may simply not have reopened it yet (fresh JVM)
+    if (storage != "parquet" &&
+      tableRoot(ident).exists(GraftLakeLog.exists))
+      throw new TableAlreadyExistsException(ident.toString)
     val t = new GraftLakeTable(ident.toString, schema, partSpec,
       mergeOnRead = mode == "merge-on-read", storage = storage,
       location = loc)
@@ -1352,9 +1365,17 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           schemaNow.fieldNames.mkString(", "))
     }
     val before = specIdNow
+    val prevSpec = specNow
     specNow = spec
     specIdNow += 1
-    recordCommit(dataChange = false) // metadata commit, feed silent
+    // a lost cross-writer CAS reverts files/dvs/schema inside
+    // recordCommit — the spec must roll back too, or memory would fan
+    // out under a spec id the log never recorded
+    try recordCommit(dataChange = false) // metadata commit, feed silent
+    catch {
+      case e: Throwable =>
+        specNow = prevSpec; specIdNow = before; throw e
+    }
     (before, specIdNow)
   }
 
@@ -2403,16 +2424,25 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     fileSeq += 1
     val id = s"$tableName#f$fileSeq"
     val target = new java.io.File(lakeDir.get, s"f$fileSeq.parquet")
-    try java.nio.file.Files.move(new java.io.File(m.tmpPath).toPath,
-      target.toPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // CLAIM the file number with O_CREAT|O_EXCL FIRST: ATOMIC_MOVE on
+    // Linux is a bare rename(2) that silently REPLACES an existing
+    // target, so relying on the move to detect a cross-writer collision
+    // would let a stale writer clobber a committed writer's data file.
+    // The claim is the real CAS; the move then replaces only our own
+    // zero-byte claim.
+    try java.nio.file.Files.createFile(target.toPath)
     catch {
       case e: java.nio.file.FileAlreadyExistsException =>
+        new java.io.File(m.tmpPath).delete()
         throw new IllegalStateException(
           s"write conflict on $tableName: data file f$fileSeq.parquet " +
             "was already written by another writer — this writer's " +
             "snapshot is stale; reopen the table and retry the statement",
           e)
     }
+    java.nio.file.Files.move(new java.io.File(m.tmpPath).toPath,
+      target.toPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val gf = GraftLakeFile(id, Vector.empty, m.cols,
       Some(target.getAbsolutePath), m.types, m.bytes, m.stats, m.nRows,
       m.nulls, m.sums, m.dsums, m.sorted, m.nstats, m.nnulls, m.blooms,
@@ -3468,11 +3498,15 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
   private def namesOf(f: GraftLakeFile): Seq[String] =
     GraftLakeFieldIds.resolve(f.cols, idToName)
 
-  // file-grained partitions whenever per-row file lineage is required;
-  // keyed partitions interleave files and cannot synthesize _file/_pos
+  // file-grained partitions whenever per-row file lineage is required
+  // (keyed partitions interleave files and cannot synthesize
+  // _file/_pos), or when the CURRENT spec references a column this
+  // scan's schema lacks — a VERSION AS OF pinned before the column was
+  // added must not crash keyGroups on fieldIndex (spec evolution)
   private val fileGrained = partSpec.isEmpty || rowLevel.isDefined ||
     requiredSchema.fieldNames.exists(n =>
-      n == GraftLakeTable.FileCol || n == GraftLakeTable.PosCol)
+      n == GraftLakeTable.FileCol || n == GraftLakeTable.PosCol) ||
+    !partSpec.forall(t => fullSchema.fieldNames.contains(t.srcCol))
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this

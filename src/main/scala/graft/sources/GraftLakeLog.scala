@@ -90,11 +90,8 @@ private[sources] class GraftLakeLog(root: File) {
       mergeOnRead: Boolean): Unit =
     writeAtomic("table.json", JsonMethods.compact(JObject(
       "name" -> JString(tableName),
-      "partSpec" -> JArray(partSpec.map {
-        case IdentityPart(c) => JString(s"identity:$c")
-        case DaysPart(c) => JString(s"days:$c")
-        case BucketPart(n, c) => JString(s"bucket:$n:$c")
-      }.toList),
+      "partSpec" -> JArray(partSpec.map(t =>
+        JString(GraftLakeLog.encodePart(t))).toList),
       "mergeOnRead" -> JBool(mergeOnRead))))
 
   def writeFileManifest(f: GraftLakeFile): Unit = {
@@ -398,10 +395,31 @@ private[sources] object GraftLakeLog {
       dvsOf(j \ "dvs"))
 
     // commits, in version order; baseVersion = lowest retained
-    val commits = listing.flatMap(f => f.getName match {
-      case CommitName(v) => Some(v.toInt -> parse(f))
+    // A ZERO-BYTE commit file is an unfilled O_EXCL claim: the writer
+    // died (or is mid-commit) between claiming v<N>.json and atomically
+    // filling it — the commit was never logically made. Such claims can
+    // only be the TAIL of the log (a later version requires its writer
+    // to have committed the earlier one first), so drop trailing empty
+    // files instead of letting JSON parsing brick every future reopen;
+    // an empty file below a filled one is real corruption and still
+    // fails the contiguity check below.
+    val allCommitFiles = listing.flatMap(f => f.getName match {
+      case CommitName(v) => Some(v.toInt -> f)
       case _ => None
     }).sortBy(_._1)
+    val commitFiles = allCommitFiles.reverse
+      .dropWhile(_._2.length() == 0L).reverse
+    // RECLAIM abandoned claims: leaving the empty file would make the
+    // next writer's O_EXCL claim of that version conflict forever. Only
+    // claims older than the stale window are deleted — a LIVE writer's
+    // claim→fill is milliseconds, so a young empty tail is left alone
+    // (this reopen still ignores it; the writer's atomic fill lands
+    // whether or not the claim file exists).
+    allCommitFiles.drop(commitFiles.length).foreach { case (_, f) =>
+      if (f.length() == 0L &&
+        f.lastModified() < System.currentTimeMillis() - 60000L) f.delete()
+    }
+    val commits = commitFiles.map { case (v, f) => v -> parse(f) }
     require(commits.nonEmpty, s"no retained commits under $dir")
     require(commits.last._1 - commits.head._1 == commits.length - 1,
       s"commit log under $dir is not contiguous: " +

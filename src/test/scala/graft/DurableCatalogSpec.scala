@@ -422,6 +422,66 @@ class DurableCatalogSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("crash recovery: an unfilled commit claim neither bricks reopen nor blocks writes") {
+    // a writer dying between the O_EXCL claim of v<N>.json and its
+    // atomic fill leaves a zero-byte file: the commit never logically
+    // happened. Reopen must serve the previous version (not throw on
+    // JSON parse), and — once the claim is stale — the next writer must
+    // be able to commit that version number again.
+    useCatalog()
+    val t = "graftdur.dur_claim"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    spark.range(0, 10).selectExpr("id AS k").coalesce(1)
+      .writeTo(t).append()
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftdur", "dur_claim").get
+    val v = table.currentVersion
+    val logDir = new java.io.File(
+      new java.io.File(table.filePaths.values.head).getParentFile,
+      "_graft_log")
+    val claim = new java.io.File(logDir, s"v${v + 1}.json")
+    java.nio.file.Files.createFile(claim.toPath)
+    claim.setLastModified(System.currentTimeMillis() - 120000L) // stale
+    evict("dur_claim")
+    assert(spark.table(t).count() == 10,
+      "reopen must drop the unfilled tail claim, not brick")
+    assert(!claim.exists(),
+      "a STALE abandoned claim is reclaimed at reopen")
+    spark.range(10, 20).selectExpr("id AS k").coalesce(1)
+      .writeTo(t).append() // re-commits version v+1
+    assert(spark.table(t).count() == 20)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("registry-as-cache invariants: memory CREATE cannot shadow, listTables sees disk") {
+    useCatalog()
+    val t = "graftdur.dur_shadow"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    spark.range(0, 5).selectExpr("id AS k").coalesce(1)
+      .writeTo(t).append()
+    evict("dur_shadow")
+    // a default (memory-storage) CREATE on a fresh registry must refuse
+    // to shadow the durable table at the same warehouse root
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $t (k BIGINT)")
+    }
+    assert(Option(e.getMessage).exists(m =>
+      m.contains("already exists") || m.contains("TABLE_OR_VIEW")), s"$e")
+    assert(spark.table(t).count() == 5, "the durable table is intact")
+    // listTables serves from disk too: evict and list
+    evict("dur_shadow")
+    val listed = spark.sql("SHOW TABLES IN graftdur").collect()
+      .map(_.getString(1))
+    assert(listed.contains("dur_shadow"),
+      s"durable tables must list without a prior read, got " +
+        listed.mkString(", "))
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("an evolved partition spec survives reopen; new writes stamp it") {
     useCatalog()
     val t = "graftdur.dur_pspec"

@@ -2847,6 +2847,27 @@ class LakehouseSpec extends SparkTestBase {
     val dir = new java.io.File(table.filePaths.values.head).getParentFile
     assert(!dir.listFiles().exists(_.getName.startsWith("tmp_")),
       "no temp residue after commit + abort")
+    // cross-writer file-number claim: adoption must CAS the target with
+    // O_EXCL, never rename over it — ATOMIC_MOVE alone on Linux is a
+    // bare rename(2) that silently replaces a committed writer's file
+    val nextN = dir.listFiles().map(_.getName)
+      .collect { case n if n.matches("f\\d+\\.parquet") =>
+        n.stripPrefix("f").stripSuffix(".parquet").toInt }.max + 1
+    val squatter = new java.io.File(dir, s"f$nextN.parquet")
+    java.nio.file.Files.write(squatter.toPath, Array[Byte](1, 2, 3))
+    val bw3 = table.newWriteBuilder(winfo).build().toBatch
+    val m3 = oneTask(bw3, 60, 70)
+    val e2 = intercept[Exception] { bw3.commit(Array(m3)) }
+    def conflict(ex: Throwable): Boolean =
+      Option(ex.getMessage).exists(_.contains("write conflict")) ||
+        Option(ex.getCause).exists(conflict)
+    assert(conflict(e2), s"expected a claim conflict, got $e2")
+    assert(java.nio.file.Files.readAllBytes(squatter.toPath)
+      .sameElements(Array[Byte](1, 2, 3)),
+      "the committed writer's file must never be clobbered")
+    assert(!dir.listFiles().exists(_.getName.startsWith("tmp_")),
+      "the losing adoption unlinks its temp")
+    squatter.delete()
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
@@ -3054,11 +3075,21 @@ class LakehouseSpec extends SparkTestBase {
         Option(c.getMessage).exists(_.contains("k"))))
     spark.sql(s"ALTER TABLE $t DROP COLUMN cat") // old spec's source: ok
     assert(spark.table(t).count() == 200)
+    // time travel to a version pinned BEFORE a column the current spec
+    // references must demote to file-grained planning, not crash
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (w BIGINT)")
+    spark.sql(s"CALL graftlake.system.set_partition_spec(" +
+      "'spec_evolve', 'identity:w')")
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF 1").count() == 100,
+      "a pre-evolution AS-OF read survives a spec over a newer column")
+    spark.sql(s"CALL graftlake.system.set_partition_spec(" +
+      "'spec_evolve', 'bucket:4:k')")
     // a rewrite RESTAMPS everything under the current spec -> the
     // metadata-keyed planning gate opens again
     spark.sql(s"CALL graftlake.system.cluster('spec_evolve', 'k', 4)")
-    assert(table.fileStamps.forall { case (pure, sid) =>
-      pure && sid == 1 },
+    assert(table.fileStamps.forall(_._1) &&
+      table.fileStamps.map(_._2).toSet ==
+        Set(table.fileStamps.map(_._2).max),
       "the cluster rewrite restamps every file under the current spec")
     assert(spark.table(t).count() == 200 &&
       spark.table(t).where("k < 100").count() == 100)
