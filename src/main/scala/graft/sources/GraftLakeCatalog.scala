@@ -256,13 +256,12 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog
       if (storage != "parquet") None
       else Option(properties.get("graft.location"))
         .map(new java.io.File(_)).orElse(tableRoot(ident))
-    loc.filter(GraftLakeLog.exists).foreach { root =>
-      throw new TableAlreadyExistsException(ident.toString)
-    }
-    // a MEMORY-mode create must not shadow a durable table either: the
-    // registry may simply not have reopened it yet (fresh JVM)
-    if (storage != "parquet" &&
-      tableRoot(ident).exists(GraftLakeLog.exists))
+    // a CREATE must never shadow an existing durable table — neither
+    // at its own root (explicit graft.location) nor at the identifier's
+    // warehouse-derived root (the registry may simply not have reopened
+    // it yet in this JVM): check BOTH, for every storage mode
+    if ((loc.toSeq ++ tableRoot(ident).toSeq)
+        .exists(GraftLakeLog.exists))
       throw new TableAlreadyExistsException(ident.toString)
     val t = new GraftLakeTable(ident.toString, schema, partSpec,
       mergeOnRead = mode == "merge-on-read", storage = storage,
@@ -1768,6 +1767,12 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
         // write that hasn't committed yet — only reap abandoned ones
         .filterNot(f => f.getName.startsWith("tmp_") &&
           f.lastModified() >= tmpCutoff)
+        // a YOUNG zero-byte f<N>.parquet is a concurrent writer's
+        // data-file CLAIM mid-commit — vacuuming it would let a third
+        // writer re-claim the number and be clobbered by the first
+        // writer's fill; stale ones are abandoned and reaped
+        .filterNot(f => f.length() == 0L &&
+          !GraftLakeLog.staleClaim(f))
         .foreach(_.delete())
       // durable log follows the vacuum: expired manifest lists go, and
       // a vacuumed data file's manifest goes with it. Streaming-epoch
@@ -2430,16 +2435,24 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     // would let a stale writer clobber a committed writer's data file.
     // The claim is the real CAS; the move then replaces only our own
     // zero-byte claim.
-    try java.nio.file.Files.createFile(target.toPath)
-    catch {
-      case e: java.nio.file.FileAlreadyExistsException =>
-        new java.io.File(m.tmpPath).delete()
-        throw new IllegalStateException(
-          s"write conflict on $tableName: data file f$fileSeq.parquet " +
-            "was already written by another writer — this writer's " +
-            "snapshot is stale; reopen the table and retry the statement",
-          e)
-    }
+    def claim(retriable: Boolean): Unit =
+      try java.nio.file.Files.createFile(target.toPath)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException
+            if retriable && GraftLakeLog.staleClaim(target) =>
+          // an abandoned zero-byte claim (its writer died between
+          // claim and fill, >1h ago): reclaim the file number
+          target.delete()
+          claim(retriable = false)
+        case e: java.nio.file.FileAlreadyExistsException =>
+          new java.io.File(m.tmpPath).delete()
+          throw new IllegalStateException(
+            s"write conflict on $tableName: data file " +
+              s"f$fileSeq.parquet was already written by another " +
+              "writer — this writer's snapshot is stale; reopen the " +
+              "table and retry the statement", e)
+      }
+    claim(retriable = true)
     java.nio.file.Files.move(new java.io.File(m.tmpPath).toPath,
       target.toPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)

@@ -71,14 +71,23 @@ private[sources] class GraftLakeLog(root: File) {
       // analog of Iceberg's metadata-swap CAS). The claimed file is
       // filled by the atomic replace just below; the claim→fill window
       // is commit-latency-sized and a reopen validates contiguity.
-      try Files.createFile(target)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          throw new IllegalStateException(
-            s"write conflict on ${root.getName}: $name was already " +
-              "committed by another writer — this writer's snapshot is " +
-              "stale; reopen the table and retry the statement")
-      }
+      def claim(retriable: Boolean): Unit =
+        try Files.createFile(target)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException
+              if retriable && GraftLakeLog.staleClaim(target.toFile) =>
+            // an ABANDONED claim (zero bytes, older than any plausible
+            // claim→fill latency): its writer died mid-commit — reclaim
+            // the version number instead of conflicting forever
+            target.toFile.delete()
+            claim(retriable = false)
+          case _: java.nio.file.FileAlreadyExistsException =>
+            throw new IllegalStateException(
+              s"write conflict on ${root.getName}: $name was already " +
+                "committed by another writer — this writer's snapshot " +
+                "is stale; reopen the table and retry the statement")
+        }
+      claim(retriable = true)
     }
     val tmp = new File(dir, name + ".tmp")
     Files.write(tmp.toPath, content.getBytes(StandardCharsets.UTF_8))
@@ -234,9 +243,28 @@ private[sources] object GraftLakeLog {
         "bucket:<n>:<col>)")
   }
 
-  /** Does `root` hold a reopenable table? */
-  def exists(root: File): Boolean =
-    new File(new File(root, LogDir), "table.json").isFile
+  /** An ABANDONED commit/data-file claim: zero bytes and older than
+    * any plausible claim→fill latency (the same 1-hour judgment the
+    * pin-stale vacuum uses). Claims younger than this are treated as
+    * IN-FLIGHT: never deleted, never reclaimed — which is what bounds
+    * the reclaim-vs-slow-fill race to a writer stalled a full hour
+    * mid-commit, outside the design envelope. */
+  private[sources] def staleClaim(f: File): Boolean =
+    f.isFile && f.length() == 0L &&
+      f.lastModified() < System.currentTimeMillis() - StaleClaimMillis
+  private[sources] val StaleClaimMillis: Long = 60L * 60 * 1000
+
+  /** Does `root` hold a reopenable table? Requires at least one FILLED
+    * commit record: a torn CREATE (table.json written, v0.json claim
+    * never filled) never became a table — it must neither reopen nor
+    * block a fresh CREATE of the same identifier. */
+  def exists(root: File): Boolean = {
+    val d = new File(root, LogDir)
+    new File(d, "table.json").isFile &&
+      Option(d.listFiles()).getOrElse(Array.empty).exists(f =>
+        CommitName.pattern.matcher(f.getName).matches() &&
+          f.length() > 0L)
+  }
 
   // ---- tagged catalyst-value codec -----------------------------------------
   // Stats / defaults hold INTERNAL values (UTF8String, Decimal, raw
@@ -411,15 +439,22 @@ private[sources] object GraftLakeLog {
       .dropWhile(_._2.length() == 0L).reverse
     // RECLAIM abandoned claims: leaving the empty file would make the
     // next writer's O_EXCL claim of that version conflict forever. Only
-    // claims older than the stale window are deleted — a LIVE writer's
+    // claims past the 1-hour stale window are deleted — a LIVE writer's
     // claim→fill is milliseconds, so a young empty tail is left alone
     // (this reopen still ignores it; the writer's atomic fill lands
     // whether or not the claim file exists).
     allCommitFiles.drop(commitFiles.length).foreach { case (_, f) =>
-      if (f.length() == 0L &&
-        f.lastModified() < System.currentTimeMillis() - 60000L) f.delete()
+      if (staleClaim(f)) f.delete()
     }
-    val commits = commitFiles.map { case (v, f) => v -> parse(f) }
+    val commits = commitFiles.map { case (v, f) =>
+      // name the file on a parse failure: a zero-byte commit BELOW a
+      // filled one (real corruption) must not die as an anonymous
+      // Jackson error
+      try v -> parse(f)
+      catch { case e: Throwable => throw new IllegalStateException(
+        s"corrupt commit record ${f.getAbsolutePath} " +
+          s"(${f.length()} bytes): ${e.getMessage}", e) }
+    }
     require(commits.nonEmpty, s"no retained commits under $dir")
     require(commits.last._1 - commits.head._1 == commits.length - 1,
       s"commit log under $dir is not contiguous: " +

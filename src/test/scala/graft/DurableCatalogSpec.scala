@@ -443,7 +443,8 @@ class DurableCatalogSpec extends SparkTestBase {
       "_graft_log")
     val claim = new java.io.File(logDir, s"v${v + 1}.json")
     java.nio.file.Files.createFile(claim.toPath)
-    claim.setLastModified(System.currentTimeMillis() - 120000L) // stale
+    claim.setLastModified(
+      System.currentTimeMillis() - 2L * 60 * 60 * 1000) // stale (>1h)
     evict("dur_claim")
     assert(spark.table(t).count() == 10,
       "reopen must drop the unfilled tail claim, not brick")
@@ -452,6 +453,49 @@ class DurableCatalogSpec extends SparkTestBase {
     spark.range(10, 20).selectExpr("id AS k").coalesce(1)
       .writeTo(t).append() // re-commits version v+1
     assert(spark.table(t).count() == 20)
+    // a stale abandoned DATA-FILE claim (zero-byte f<N>.parquet from a
+    // writer that died between claim and fill) is reclaimed at the next
+    // claim instead of conflicting forever
+    val dataDir = new java.io.File(
+      graft.sources.GraftLakeCatalog.tableFor("graftdur", "dur_claim")
+        .get.filePaths.values.head).getParentFile
+    val nextN = dataDir.listFiles().map(_.getName)
+      .collect { case n if n.matches("f\\d+\\.parquet") =>
+        n.stripPrefix("f").stripSuffix(".parquet").toInt }.max + 1
+    val fclaim = new java.io.File(dataDir, s"f$nextN.parquet")
+    java.nio.file.Files.createFile(fclaim.toPath)
+    fclaim.setLastModified(
+      System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+    spark.range(20, 25).selectExpr("id AS k").coalesce(1)
+      .writeTo(t).append()
+    assert(spark.table(t).count() == 25,
+      "a stale data-file claim must be reclaimed, not conflict forever")
+    // a TORN CREATE (table.json without any filled commit) neither
+    // reopens, nor lists, nor blocks a fresh CREATE
+    val t2 = "graftdur.dur_torn"
+    spark.sql(s"DROP TABLE IF EXISTS $t2")
+    val tornRoot = new java.io.File(dataDir.getParentFile, "dur_torn")
+    val tornLog = new java.io.File(tornRoot, "_graft_log")
+    tornLog.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(tornLog, "table.json").toPath,
+      """{"name":"graftdur.dur_torn","partSpec":[],"mergeOnRead":false}""")
+    val tornClaim = new java.io.File(tornLog, "v0.json")
+    java.nio.file.Files.createFile(tornClaim.toPath) // unfilled claim
+    tornClaim.setLastModified(
+      System.currentTimeMillis() - 2L * 60 * 60 * 1000) // abandoned
+    val listed = spark.sql("SHOW TABLES IN graftdur").collect()
+      .map(_.getString(1))
+    assert(!listed.contains("dur_torn"),
+      "a torn CREATE must not list as a table")
+    // a fresh CREATE reclaims the abandoned v0 claim and succeeds
+    spark.sql(s"CREATE TABLE $t2 (k BIGINT) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet', " +
+      s"'graft.location' = '${tornRoot.getAbsolutePath}')")
+    spark.range(0, 3).selectExpr("id AS k").coalesce(1)
+      .writeTo(t2).append()
+    assert(spark.table(t2).count() == 3)
+    spark.sql(s"DROP TABLE IF EXISTS $t2")
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
