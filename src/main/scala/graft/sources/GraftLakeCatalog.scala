@@ -3703,7 +3703,7 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
   }
 
   override def outputPartitioning(): Partitioning =
-    if (fileGrained) new UnknownPartitioning(active.length.max(1))
+    if (!keyedPlanning) new UnknownPartitioning(active.length.max(1))
     else new KeyGroupedPartitioning(
       partSpec.map(_.toV2).toArray[
         org.apache.spark.sql.connector.expressions.Expression],
@@ -3791,12 +3791,20 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
     * to the driver-normalized row grouping below. */
   /** Every active file partition-pure AND stamped under the CURRENT
     * spec: a tuple evaluated under an older spec is a different key
-    * space — trusting it would group (and SPJ-align) rows wrongly, so
-    * spec evolution demotes mixed scans to the row-evaluated path
-    * until a rewrite restamps the files. */
+    * space — trusting it would group (and SPJ-align) rows wrongly. */
   private def metaKeyed: Boolean =
     active.nonEmpty &&
       active.forall(f => f.pkey.isDefined && f.pspecId == pspecId)
+
+  /** May this scan report KeyGroupedPartitioning at all? Metadata-keyed
+    * when stamps are uniform; the ROW-evaluated keyed fallback (which
+    * materializes and groups rows on the DRIVER) is acceptable only for
+    * memory-backed tables — a parquet table whose stamps don't qualify
+    * (pre-fanout files, or a spec evolution awaiting its rewrite)
+    * reports UnknownPartitioning instead, so joins SHUFFLE rather than
+    * pulling the lake through the driver at plan time. */
+  private def keyedPlanning: Boolean = !fileGrained &&
+    (metaKeyed || active.forall(_.path.isEmpty))
 
   private def fileKeyGroups()
       : Option[Array[(InternalRow, Vector[GraftLakeFile])]] =
@@ -3807,7 +3815,7 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
         fs) })
 
   override def planInputPartitions(): Array[InputPartition] =
-    if (fileGrained)
+    if (!keyedPlanning)
       // parquet-backed files ship only their PATH to tasks; the reader
       // decodes real columnar bytes executor-side (memory-backed files
       // ship their rows, as before)
@@ -3837,7 +3845,7 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
     // (every active file partition-pure) — the chained per-file batch
     // readers preserve the key grouping.
     new GraftLakeReaderFactory(fullSchema, requiredSchema, nameDefaults,
-      (fileGrained || metaKeyed) &&
+      (!keyedPlanning || metaKeyed) &&
         !sys.props.get("graft.lake.columnar").contains("off") &&
         GraftLakeColumnar.eligible(active, snapshot.dvs,
           requiredSchema, namesOf, nameDefaults))

@@ -119,10 +119,15 @@ class PlanSpec extends SparkTestBase {
     pinned.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       Seq(tA, tB).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+      // parquet storage: SPJ must plan from MANIFEST key stamps (the
+      // evolution legs below assert the stamp gating — memory tables
+      // would stay keyed through driver-side row grouping instead)
       spark.sql(s"CREATE TABLE $tA (k BIGINT, a DOUBLE) " +
-        "PARTITIONED BY (bucket(8, k))")
+        "PARTITIONED BY (bucket(8, k)) " +
+        "TBLPROPERTIES ('graft.storage' = 'parquet')")
       spark.sql(s"CREATE TABLE $tB (k BIGINT, b STRING) " +
-        "PARTITIONED BY (bucket(8, k))")
+        "PARTITIONED BY (bucket(8, k)) " +
+        "TBLPROPERTIES ('graft.storage' = 'parquet')")
       spark.range(0, 400).selectExpr("id AS k", "CAST(id AS DOUBLE) AS a")
         .writeTo(tA).append()
       spark.range(0, 400, 2).selectExpr("id AS k", "concat('x', id) AS b")
@@ -134,6 +139,29 @@ class PlanSpec extends SparkTestBase {
       assert(!p.contains("Exchange hashpartitioning"),
         s"bucket-transform SPJ must not shuffle either side:\n$p")
       assert(joined.count() == 200, "SPJ result stays exact")
+      // PARTITION-SPEC EVOLUTION demotes SPJ instead of lying: after
+      // evolving one side, its files are stamped under an old spec —
+      // the scan must report UnknownPartitioning (a parquet table never
+      // falls back to driver-side row grouping), so the join SHUFFLES
+      // and stays correct; a rewrite under the current spec restamps
+      // and re-earns the zero-exchange plan.
+      spark.sql(
+        s"CALL graftlake.system.set_partition_spec('spj_tf_b', " +
+          "'identity:b')")
+      spark.sql(
+        s"CALL graftlake.system.set_partition_spec('spj_tf_b', " +
+          "'bucket:8:k')")
+      val mixed = spark.table(tA).join(spark.table(tB), "k")
+      val pMixed = plan(mixed)
+      assert(pMixed.contains("Exchange hashpartitioning"),
+        s"old-spec stamps must demote SPJ to a shuffle:\n$pMixed")
+      assert(mixed.count() == 200, "the demoted join stays exact")
+      spark.sql(s"CALL graftlake.system.cluster('spj_tf_b', 'k', 8)")
+      val restamped = spark.table(tA).join(spark.table(tB), "k")
+      val pRe = plan(restamped)
+      assert(!pRe.contains("Exchange hashpartitioning"),
+        s"the restamping rewrite re-earns zero-exchange SPJ:\n$pRe")
+      assert(restamped.count() == 200)
     } finally {
       prev.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
