@@ -3144,6 +3144,70 @@ class LakehouseSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("streaming ingest into a PARTITIONED lake table: epochs land partition-pure") {
+    // the streaming sink composes with hidden partitioning: each
+    // epoch's task output fanout-splits per evaluated key, so committed
+    // files stay partition-pure and stamped — and the epoch stamps keep
+    // a re-drain from duplicating anything.
+    import org.apache.spark.sql.streaming.Trigger
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_psink"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, cat STRING) " +
+      "PARTITIONED BY (cat) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_psink_").toFile
+    val land = new java.io.File(tmp, "land")
+    val chk = new java.io.File(tmp, "chk")
+    spark.range(0, 120)
+      .selectExpr("id AS k",
+        "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 THEN 'b' " +
+          "ELSE 'c' END AS cat")
+      .repartition(2).write.parquet(land.getAbsolutePath)
+    val schema = spark.read.parquet(land.getAbsolutePath).schema
+    def drain(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(land.getAbsolutePath)
+        .writeStream
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .trigger(Trigger.AvailableNow())
+        .toTable(t)
+      graft.streaming.StreamingOps.awaitDrained(q)
+    }
+    drain()
+    assert(spark.table(t).count() == 120)
+    // partition purity: every committed file serves exactly one cat
+    val purity = spark.table(t).selectExpr("cat", "_file")
+      .groupBy("_file")
+      .agg(org.apache.spark.sql.functions.countDistinct("cat").as("nc"))
+      .collect().map(_.getLong(1))
+    assert(purity.nonEmpty && purity.forall(_ == 1L),
+      "streaming epochs must land partition-pure files")
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_psink").get
+    assert(table.fileStamps.forall(_._1),
+      "every streamed file carries its partition-key stamp")
+    // a re-drain from the same checkpoint ingests nothing new (plain
+    // awaitTermination: zero input rows is exactly what we assert, so
+    // awaitDrained's accidental-resume guard doesn't apply)
+    val v = table.currentVersion
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(land.getAbsolutePath)
+      .writeStream
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .trigger(Trigger.AvailableNow())
+      .toTable(t)
+      .awaitTermination()
+    assert(spark.table(t).count() == 120 && table.currentVersion == v,
+      "an idle re-drain must not duplicate or commit")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    graft.streaming.StreamingOps.deleteRecursively(tmp)
+  }
+
   test("parquet change-feed planning ships paths, not rows (task-side decode)") {
     // the feed's planning cost must be metadata-sized: a parquet-backed
     // leg carries its file PATH and a position selection, never
