@@ -326,8 +326,13 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + sec3(v) }
       .mkString("{", ",", "}")
     // "slowest", NOT "queries": the truncated 30-entry map must not be
-    // mistakable for the complete per-query map in the marker line / file
+    // mistakable for the complete per-query map in the marker line / file.
+    // verdicts ride in THIS line too (VERDICT r16 task 6): the driver's
+    // tail had cut the marker line's verdicts block, so the
+    // self-adjudication only survived in bench.json — putting it in the
+    // final compact line (it is empty on a clean run, and a couple hundred
+    // bytes per anomaly otherwise) keeps it inside the captured tail
     println(
-      s"""{"metric":"total","value":${sec3(total)},"unit":"sec",$partial${errs}"n_queries":${results.size},"slowest":$top,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${sec3(total)},"unit":"sec",$partial$errs$verdictsJson"n_queries":${results.size},"slowest":$top,"sf":"$sfDir"}""")
   }
 }

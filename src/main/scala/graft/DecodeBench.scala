@@ -58,6 +58,42 @@ object DecodeBench {
     legs("row")
     sys.props -= "graft.lake.columnar"
     spark.sql(s"DROP TABLE IF EXISTS $t")
+
+    // ---- DV'd merge-on-read table (VERDICT r16 task 1) ---------------------
+    // The decode win must survive row-level ops: a hot MoR table is
+    // mostly DV'd between compactions. Same data, ~10% of positions
+    // position-deleted, batches selection-filtered at decode.
+    val td = "graftlake.decode_bench_dv"
+    spark.sql(s"DROP TABLE IF EXISTS $td")
+    spark.sql(s"CREATE TABLE $td (o_orderkey BIGINT, o_custkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE, o_orderpriority STRING, " +
+      "o_orderdate TIMESTAMP) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet', " +
+      "'graft.mode' = 'merge-on-read')")
+    (1 to 16).map(_ => base).reduce(_ union _)
+      .repartition(16).writeTo(td).append()
+    spark.sql(s"DELETE FROM $td WHERE o_orderkey % 10 = 0")
+    val nd = spark.table(td).count()
+    def legDv(): Double = {
+      val t0 = System.nanoTime()
+      spark.sql(s"SELECT o_orderstatus, sum(o_totalprice), " +
+        "sum(o_orderkey + o_custkey), count(1), min(o_orderpriority), " +
+        s"min(o_orderdate) FROM $td GROUP BY o_orderstatus").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    sys.props("graft.lake.columnar") = "off"; legDv()
+    sys.props -= "graft.lake.columnar"; legDv()
+    def legsDv(label: String): Unit = {
+      val ts = (1 to reps).map(_ => legDv())
+      println(f"""{"path":"$label","rows":$nd,"best":${ts.min}%.3f,"median":${
+        ts.sorted.apply(reps / 2)}%.3f,"all":[${
+        ts.map(v => f"$v%.3f").mkString(",")}]}""")
+    }
+    legsDv("columnar_dv")
+    sys.props("graft.lake.columnar") = "off"
+    legsDv("row_dv")
+    sys.props -= "graft.lake.columnar"
+    spark.sql(s"DROP TABLE IF EXISTS $td")
     spark.stop()
   }
 }

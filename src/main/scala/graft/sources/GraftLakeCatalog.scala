@@ -82,11 +82,55 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog
     warehouse.map(w => (ident.namespace() :+ ident.name())
       .foldLeft(w)((d, p) => new java.io.File(d, p)))
 
+  // ---- identifier → external-location pointers (ADVICE r16) ---------------
+  // A table created with an explicit `graft.location` OUTSIDE the
+  // warehouse is durable at that location, but discovery (reopen,
+  // listTables) probes only the warehouse-derived root — without a
+  // persisted mapping the table is unreachable after a JVM restart yet
+  // its identifier still refuses re-CREATE. The mapping is one tiny
+  // file at the identifier's warehouse-derived root holding the real
+  // location; resolution follows it, and a dangling pointer (target
+  // manually deleted) simply resolves to nothing.
+  private val PointerName = "_graft_pointer.json"
+  private def pointerFile(ident: Identifier): Option[java.io.File] =
+    tableRoot(ident).map(new java.io.File(_, PointerName))
+  private def writePointer(ident: Identifier, loc: java.io.File): Unit =
+    pointerFile(ident).foreach { p =>
+      p.getParentFile.mkdirs()
+      val tmp = new java.io.File(p.getParentFile, PointerName + ".tmp")
+      java.nio.file.Files.write(tmp.toPath,
+        org.json4s.jackson.JsonMethods.compact(org.json4s.JObject(
+          "location" -> org.json4s.JString(loc.getAbsolutePath)))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp.toPath, p.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  private def readPointer(f: java.io.File): Option[java.io.File] =
+    if (!f.isFile) None
+    else org.json4s.jackson.JsonMethods.parse(
+        java.nio.file.Files.readString(f.toPath)) \ "location" match {
+      case org.json4s.JString(p) => Some(new java.io.File(p))
+      case _ => None
+    }
+
+  /** The durable root an identifier resolves to: its warehouse-derived
+    * directory, or — when that holds only a location pointer — the
+    * pointed-to external root. Only roots actually holding a table log
+    * resolve. */
+  private def durableRoot(ident: Identifier): Option[java.io.File] =
+    tableRoot(ident).flatMap { root =>
+      if (GraftLakeLog.exists(root)) Some(root)
+      else pointerFile(ident).flatMap(readPointer)
+        .filter(GraftLakeLog.exists)
+    }
+
   /** Registry miss → disk: restore the table from its durable log (if
-    * the catalog has a warehouse and the root holds one). putIfAbsent
-    * keeps concurrent reopeners convergent — losers adopt the winner. */
+    * the catalog has a warehouse and the identifier resolves to one —
+    * directly or through a location pointer). putIfAbsent keeps
+    * concurrent reopeners convergent — losers adopt the winner. */
   private def reopenFromDisk(ident: Identifier): Option[GraftLakeTable] =
-    tableRoot(ident).filter(GraftLakeLog.exists).map { root =>
+    durableRoot(ident).map { root =>
       val r = GraftLakeLog.restore(root)
       val t = new GraftLakeTable(r.tableName, r.schemaNow, r.partSpec,
         r.mergeOnRead, storage = "parquet", location = Some(root),
@@ -112,7 +156,11 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog
       warehouse.toSeq.flatMap { w =>
         val dir = namespace.foldLeft(w)((d, p) => new java.io.File(d, p))
         Option(dir.listFiles()).getOrElse(Array.empty)
-          .filter(d => d.isDirectory && GraftLakeLog.exists(d))
+          .filter(d => d.isDirectory && (GraftLakeLog.exists(d) ||
+            // a location POINTER whose external target holds a table
+            // lists too — same discovery contract as in-warehouse roots
+            readPointer(new java.io.File(d, PointerName))
+              .exists(GraftLakeLog.exists)))
           .map(d => Identifier.of(namespace, d.getName))
       }).toSet.toArray
 
@@ -257,17 +305,31 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog
       else Option(properties.get("graft.location"))
         .map(new java.io.File(_)).orElse(tableRoot(ident))
     // a CREATE must never shadow an existing durable table — neither
-    // at its own root (explicit graft.location) nor at the identifier's
-    // warehouse-derived root (the registry may simply not have reopened
-    // it yet in this JVM): check BOTH, for every storage mode
-    if ((loc.toSeq ++ tableRoot(ident).toSeq)
+    // at its own root (explicit graft.location), nor at the
+    // identifier's warehouse-derived root, nor at a location POINTER's
+    // external target (the registry may simply not have reopened it
+    // yet in this JVM): check all three, for every storage mode
+    if ((loc.toSeq ++ tableRoot(ident).toSeq ++
+        pointerFile(ident).flatMap(readPointer).toSeq)
         .exists(GraftLakeLog.exists))
       throw new TableAlreadyExistsException(ident.toString)
+    // reaching here proves any existing pointer's target holds no table
+    // — it is a DANGLING pointer (target manually removed); clear it so
+    // it cannot shadow or mislead discovery for the new table
+    pointerFile(ident).filter(_.isFile).foreach(_.delete())
     val t = new GraftLakeTable(ident.toString, schema, partSpec,
       mergeOnRead = mode == "merge-on-read", storage = storage,
       location = loc)
     if (tables.putIfAbsent(ident, t) != null)
       throw new TableAlreadyExistsException(ident.toString)
+    // a durable root OUTSIDE the warehouse gets its identifier→location
+    // pointer persisted (ADVICE r16) so reopen/listTables can find it
+    // after a restart; written AFTER the table's own log exists — a
+    // crash in between leaves a pointer to a live table, and a crash
+    // before leaves a discoverable-by-nothing root exactly as today
+    for (l <- loc; r <- tableRoot(ident)
+         if l.getCanonicalFile != r.getCanonicalFile)
+      writePointer(ident, l)
     t
   }
 
@@ -296,6 +358,12 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog
       case Some(t) =>
         tables.remove(ident)
         t.deleteStorage() // durable log dies with the root dir
+        // an external-location pointer (and the otherwise-empty derived
+        // root holding it) dies with the table
+        pointerFile(ident).filter(_.isFile).foreach { p =>
+          p.delete()
+          p.getParentFile.delete() // only succeeds when empty
+        }
         true
       case None => false
     }
@@ -347,6 +415,12 @@ object GraftLakeCatalog {
     * with the same configured name (sessions, micro-batch clones). */
   private val registries = new ConcurrentHashMap[
     String, ConcurrentHashMap[Identifier, GraftLakeTable]]()
+
+  /** Test hook: log JSONs parsed by durable-log restores since the
+    * last [[resetLogReads]] — the bounded-open spec's probe (reopen
+    * must parse O(manifest groups), not O(data files)). */
+  private[graft] def logReadCount: Long = GraftLakeLog.logReads.get()
+  private[graft] def resetLogReads(): Unit = GraftLakeLog.logReads.set(0L)
 
   /** Test hook: the live table for `catalog.name`, so specs can assert
     * on FILE IDENTITY (which groups a row-level statement carried vs
@@ -677,9 +751,22 @@ private[graft] object GraftLakeStats {
     case l: java.lang.Long => mix(l.longValue())
     case i: java.lang.Integer => mix(i.longValue()) // == the widened Long
     case u: UTF8String =>
-      mix(u.hashCode().toLong ^ (u.numBytes().toLong << 32))
+      // VERSION-PINNED byte hash (ADVICE r16): bloom bits live in
+      // DURABLE manifests, and a bloom MISS is proof of absence — so
+      // the hash must never drift. FNV-1a over the raw UTF-8 bytes is
+      // defined entirely in this repo (a Spark upgrade changing
+      // UTF8String.hashCode can no longer fabricate false negatives);
+      // manifests carry bloomVersion and restore drops mismatched bits.
+      mix(fnv1a(u.getBytes))
     case other => throw new IllegalArgumentException(
       s"unbloomable value ${other.getClass}")
+  }
+
+  private def fnv1a(b: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < b.length) { h ^= (b(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
   }
 
   private def bloomPositions(h: Long, bits: Int): Iterator[Int] = {
@@ -1426,6 +1513,10 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     * spec's probe for stamp state. */
   private[graft] def fileStamps: Seq[(Boolean, Int)] =
     synchronized(files.map(f => (f.pkey.isDefined, f.pspecId)))
+  /** Total bloom'd columns across live files — the bloom-generation
+    * spec's probe (restore drops foreign-generation bits). */
+  private[graft] def fileBloomColumnCount: Int =
+    synchronized(files.map(_.blooms.size).sum)
   /** Test hook: invoked at the ENTRY of every data commit, before the
     * table lock — lets a concurrency spec latch two writers so both pin
     * their snapshots before either commit applies. */
@@ -1612,9 +1703,14 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     // (Delta stamps the same way)
     val time = math.max(System.currentTimeMillis(), commitTimes.last)
     // durable manifest list FIRST: the version-file claim is the
-    // cross-writer arbiter (O_EXCL — see GraftLakeLog.writeAtomic). A
-    // loser reverts its in-memory mutation to the last DURABLE state
-    // before propagating, so memory never claims a commit disk refused.
+    // cross-writer arbiter (O_EXCL — see GraftLakeLog.writeAtomic). ANY
+    // failure of the durable write — conflict (IllegalStateException)
+    // or I/O (disk-full, permissions; ADVICE r16) — reverts the
+    // in-memory mutation to the last DURABLE state before propagating,
+    // so memory never claims a commit disk refused and a phantom change
+    // cannot ride the next successful commit. (writeAtomic itself
+    // deletes this writer's own unfilled claim on a failed fill, so the
+    // version number is immediately reusable.)
     try log.foreach(_.writeCommit(baseVersion + history.length, snap,
       dataChange, time, schemaNow, colIds, colDefaults, fileSeq,
       nextColId, txn,
@@ -1622,7 +1718,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       // the LAST commit's record, so expire can never lose it
       if (specIdNow > 0) Some((specIdNow, specNow)) else None))
     catch {
-      case e: IllegalStateException =>
+      case scala.util.control.NonFatal(e) =>
         files = history.last._1.files
         dvs = history.last._1.dvs
         val (ps, pids, pdefs) = commitSchemas.last
@@ -1632,6 +1728,9 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     history = history :+ (snap, dataChange)
     commitTimes = commitTimes :+ time
     commitSchemas = commitSchemas :+ ((schemaNow, colIds, colDefaults))
+    // post-commit maintenance: bundle loose file manifests into groups
+    // so a reopen parses O(groups), not O(files) — never fails a commit
+    log.foreach(_.groupManifests())
   }
 
   /** The (schema, field ids, exists-defaults) a RETAINED version was
@@ -3847,7 +3946,7 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
     new GraftLakeReaderFactory(fullSchema, requiredSchema, nameDefaults,
       (!keyedPlanning || metaKeyed) &&
         !sys.props.get("graft.lake.columnar").contains("off") &&
-        GraftLakeColumnar.eligible(active, snapshot.dvs,
+        GraftLakeColumnar.eligible(active,
           requiredSchema, namesOf, nameDefaults))
 }
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.connector.read.PartitionReader
 import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
 import org.apache.spark.sql.execution.vectorized.{ConstantColumnVector, OnHeapColumnVector}
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+import org.apache.spark.sql.vectorized.{ColumnarArray, ColumnarBatch, ColumnarMap, ColumnVector}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** VECTORIZED decode for parquet-backed lake scans (VERDICT r15 task 1).
@@ -32,20 +32,32 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - schema evolution: a column ADDed after the file was written has
   *    no chunk to decode — it rides as a [[ConstantColumnVector]]
   *    serving the EXISTS-default (or null), per batch, zero copies;
+  *  - type widening (VERDICT r16 task 2): a file written before a
+  *    widening ALTER COLUMN TYPE decodes at its PHYSICAL type and is
+  *    served through a zero-copy [[WidenedVector]] view presenting the
+  *    logical type (INT→BIGINT, FLOAT→DOUBLE — the engine's full
+  *    widening surface), so ONE pre-ALTER file no longer demotes the
+  *    whole scan off the columnar path;
+  *  - deletion vectors (VERDICT r16 task 1): a position-deleted file
+  *    decodes batches normally, then each batch is SELECTION-FILTERED —
+  *    surviving row ordinals land in a shared selection array and every
+  *    data vector is served through a zero-copy [[SelectedVector]] view
+  *    that remaps row ids through it. A hot merge-on-read table is
+  *    mostly DV'd between compactions; the decode win must survive
+  *    row-level ops, not just freshly-compacted tables;
   *  - `_file` is a constant vector, `_pos` an `OnHeapColumnVector`
-  *    refilled with the batch's run of ordinal positions (files are
-  *    written by a single sequential writer, so parquet read order IS
-  *    `_pos` order).
+  *    refilled with the batch's run of SURVIVING ordinal positions
+  *    (files are written by a single sequential writer, so parquet read
+  *    order IS `_pos` order, and positions skip DV'd rows exactly like
+  *    the row path).
   *
-  * Scans that need per-row work stay on the row path (the factory
-  *  falls back whenever [[eligible]] says no): files with deletion
-  * vectors (batch-level selection would need row copies anyway — DV
-  * maintenance compacts them away), type-WIDENED reads (physical ≠
-  * logical type needs per-value conversion), nested columns (served
-  * row-wise by the custom reader), and in-memory storage. Eligibility
-  * is decided ONCE per scan over the whole active file set, because
-  * Spark requires every partition of a scan to agree on columnar vs
-  * row output. */
+  * Scans that need per-row work the batch cannot express stay on the
+  * row path (the factory falls back whenever [[eligible]] says no):
+  * NESTED type evolution (widening is top-level-only by the ALTER
+  * surface), physical/logical mismatches outside the widening pairs,
+  * and in-memory storage. Eligibility is decided ONCE per scan over the
+  * whole active file set, because Spark requires every partition of a
+  * scan to agree on columnar vs row output. */
 object GraftLakeColumnar {
 
   /** Decode batch size — Spark's own default parquet batch capacity. */
@@ -72,12 +84,24 @@ object GraftLakeColumnar {
     case other => primVectorizable(other)
   }
 
-  /** Scan-level eligibility: EVERY active file must be parquet-backed,
-    * DV-free, and serve every required data column either from a
-    * physically-identical chunk or as a constant (absent → default) —
-    * and at least one required column must actually decode from each
-    * file (a zero-column projection has no batch to drive). */
-  def eligible(files: Seq[GraftLakeFile], dvs: Map[String, Set[Long]],
+  /** The widening pairs ALTER COLUMN TYPE allows (top-level only): a
+    * pre-ALTER file's physical chunk decodes at `phys` and a zero-copy
+    * view presents `logical`. */
+  private def widenable(phys: DataType, logical: DataType): Boolean =
+    (phys, logical) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+
+  /** Scan-level eligibility: EVERY active file must be parquet-backed
+    * and serve every required data column from a physically-identical
+    * chunk, a WIDENABLE chunk (Int→Long / Float→Double view), or a
+    * constant (absent → default) — and at least one required column
+    * must actually decode from each file (a zero-column projection has
+    * no batch to drive). Deletion vectors do NOT disqualify: batches
+    * are selection-filtered per file (see [[SelectedVector]]). */
+  def eligible(files: Seq[GraftLakeFile],
       required: StructType, namesOf: GraftLakeFile => Seq[String],
       defaults: Map[String, Any]): Boolean = {
     val dataFields = required.fields.filterNot(f =>
@@ -85,13 +109,13 @@ object GraftLakeColumnar {
     dataFields.nonEmpty &&
     dataFields.forall(f => vectorizable(f.dataType)) &&
     files.forall { f =>
-      f.path.isDefined && f.pnames.length == f.cols.length &&
-      dvs.getOrElse(f.id, Set.empty).isEmpty && {
+      f.path.isDefined && f.pnames.length == f.cols.length && {
         val names = namesOf(f)
         dataFields.exists(fld => names.contains(fld.name)) &&
         dataFields.forall { fld =>
           val i = names.indexOf(fld.name)
-          if (i >= 0) f.types(i) == fld.dataType
+          if (i >= 0) f.types(i) == fld.dataType ||
+            widenable(f.types(i), fld.dataType)
           // absent column: a constant vector serves it — null for any
           // type, a non-null EXISTS-default only if primitive
           else defaults.getOrElse(fld.name, null) == null ||
@@ -123,6 +147,74 @@ object GraftLakeColumnar {
         s"columnar constant for ${other.sql}")
     }
     c
+  }
+
+  /** Zero-copy WIDENING view: presents the post-ALTER logical type over
+    * a chunk decoded at its write-time physical type. Only the widening
+    * pairs exist (INT→BIGINT, FLOAT→DOUBLE), so only the widened getter
+    * is reachable; everything else delegates raw (nulls) or refuses. */
+  private final class WidenedVector(base: ColumnVector, to: DataType)
+      extends ColumnVector(to) {
+    override def close(): Unit = () // base is owned by the parquet reader
+    override def hasNull: Boolean = base.hasNull
+    override def numNulls(): Int = base.numNulls()
+    override def isNullAt(rowId: Int): Boolean = base.isNullAt(rowId)
+    override def getLong(rowId: Int): Long = base.getInt(rowId).toLong
+    override def getDouble(rowId: Int): Double =
+      base.getFloat(rowId).toDouble
+    private def refuse: Nothing = throw new UnsupportedOperationException(
+      s"widened view to ${to.sql} serves only the widened getter")
+    override def getBoolean(rowId: Int): Boolean = refuse
+    override def getByte(rowId: Int): Byte = refuse
+    override def getShort(rowId: Int): Short = refuse
+    override def getInt(rowId: Int): Int = refuse
+    override def getFloat(rowId: Int): Float = refuse
+    override def getArray(rowId: Int): ColumnarArray = refuse
+    override def getMap(rowId: Int): ColumnarMap = refuse
+    override def getDecimal(rowId: Int, p: Int, s: Int): Decimal = refuse
+    override def getUTF8String(rowId: Int): UTF8String = refuse
+    override def getBinary(rowId: Int): Array[Byte] = refuse
+    override def getChild(ordinal: Int): ColumnVector = refuse
+  }
+
+  /** Zero-copy SELECTION view for deletion-vector filtering: row id i
+    * of this vector is row `sel(i)` of the base batch. The selection
+    * array is SHARED by every wrapped column of the file and refilled
+    * per batch with the surviving ordinals; struct children remap
+    * through the same array (Spark's final `getStruct` builds a
+    * ColumnarRow over THIS vector, whose field reads come back through
+    * [[getChild]]). Array/map reads remap only the top-level row id —
+    * their element data lives in child vectors addressed by offsets the
+    * base vector resolves itself. */
+  private final class SelectedVector(base: ColumnVector, sel: Array[Int])
+      extends ColumnVector(base.dataType()) {
+    private[this] var kids: Map[Int, ColumnVector] = Map.empty
+    override def close(): Unit = () // base is owned by the parquet reader
+    override def hasNull: Boolean = base.hasNull
+    override def numNulls(): Int = base.numNulls()
+    override def isNullAt(rowId: Int): Boolean = base.isNullAt(sel(rowId))
+    override def getBoolean(rowId: Int): Boolean = base.getBoolean(sel(rowId))
+    override def getByte(rowId: Int): Byte = base.getByte(sel(rowId))
+    override def getShort(rowId: Int): Short = base.getShort(sel(rowId))
+    override def getInt(rowId: Int): Int = base.getInt(sel(rowId))
+    override def getLong(rowId: Int): Long = base.getLong(sel(rowId))
+    override def getFloat(rowId: Int): Float = base.getFloat(sel(rowId))
+    override def getDouble(rowId: Int): Double = base.getDouble(sel(rowId))
+    override def getArray(rowId: Int): ColumnarArray =
+      base.getArray(sel(rowId))
+    override def getMap(rowId: Int): ColumnarMap = base.getMap(sel(rowId))
+    override def getDecimal(rowId: Int, p: Int, s: Int): Decimal =
+      base.getDecimal(sel(rowId), p, s)
+    override def getUTF8String(rowId: Int): UTF8String =
+      base.getUTF8String(sel(rowId))
+    override def getBinary(rowId: Int): Array[Byte] =
+      base.getBinary(sel(rowId))
+    override def getChild(ordinal: Int): ColumnVector =
+      kids.getOrElse(ordinal, {
+        val k = new SelectedVector(base.getChild(ordinal), sel)
+        kids = kids.updated(ordinal, k)
+        k
+      })
   }
 
   /** Executor-side columnar reader for one parquet-backed file group.
@@ -162,8 +254,14 @@ object GraftLakeColumnar {
       else null
     val outIdxToBatch = present.zipWithIndex
       .map { case ((oi, _), j) => oi -> j }.toMap
+    val oiToFile = present.toMap
     val mine = Vector.newBuilder[ColumnVector] // vectors this reader owns
     if (posVec != null) mine += posVec
+    // the file's DELETION VECTOR, already sorted ascending (see
+    // GraftLakeFilePartition.deleted): batches are selection-filtered
+    // against it below, walking `di` monotonically with read order
+    val dv: Array[Long] = fp.deleted
+    val sel: Array[Int] = if (dv.isEmpty) null else new Array[Int](BatchSize)
     val out: Array[ColumnVector] =
       required.fields.zipWithIndex.map { case (fld, oi) =>
         if (fld.name == GraftLakeTable.FileCol) {
@@ -173,7 +271,12 @@ object GraftLakeColumnar {
           c
         } else if (fld.name == GraftLakeTable.PosCol) posVec
         else outIdxToBatch.get(oi) match {
-          case Some(j) => decoded.column(j)
+          case Some(j) =>
+            val raw = decoded.column(j)
+            // physical ≠ logical on a pre-widening file: serve the
+            // logical type through the zero-copy widening view
+            if (fp.types(oiToFile(oi)) == fld.dataType) raw
+            else new WidenedVector(raw, fld.dataType)
           case None =>
             val c = constant(fld.dataType,
               defaults.getOrElse(fld.name, null))
@@ -182,22 +285,59 @@ object GraftLakeColumnar {
         }
       }
     val owned = mine.result()
-    val batch = new ColumnarBatch(out)
+    // DV'd files serve the FILTERED view: data vectors remap through
+    // the shared selection array; constants are selection-invariant and
+    // `_pos` is filled directly with surviving ordinals
+    val served: Array[ColumnVector] =
+      if (sel == null) out
+      else out.map {
+        case c: ConstantColumnVector => c
+        case v if v eq posVec => v
+        case v => new SelectedVector(v, sel)
+      }
+    val batch = new ColumnarBatch(served)
     new PartitionReader[ColumnarBatch] {
       private var base = 0L
-      override def next(): Boolean =
-        if (!vec.nextBatch()) false
-        else {
+      private var di = 0 // monotone cursor into dv (read order = pos order)
+      override def next(): Boolean = {
+        while (vec.nextBatch()) {
           val n = decoded.numRows()
-          if (posVec != null) {
-            posVec.reset()
-            var i = 0
-            while (i < n) { posVec.putLong(i, base + i); i += 1 }
-          }
+          val lo = base
           base += n
-          batch.setNumRows(n)
-          true
+          if (dv.isEmpty) {
+            if (posVec != null) {
+              posVec.reset()
+              var i = 0
+              while (i < n) { posVec.putLong(i, lo + i); i += 1 }
+            }
+            batch.setNumRows(n)
+            return true
+          }
+          // deleted positions inside this batch's [lo, lo + n) range
+          val d0 = di
+          while (di < dv.length && dv(di) < lo + n) di += 1
+          val live = n - (di - d0)
+          if (live > 0) {
+            if (posVec != null) posVec.reset()
+            var i = 0
+            var d = d0
+            var o = 0
+            while (i < n) {
+              if (d < di && dv(d) == lo + i) d += 1
+              else {
+                sel(o) = i
+                if (posVec != null) posVec.putLong(o, lo + i)
+                o += 1
+              }
+              i += 1
+            }
+            batch.setNumRows(live)
+            return true
+          }
+          // whole batch deleted — decode the next one
         }
+        false
+      }
       override def get(): ColumnarBatch = batch
       override def close(): Unit = {
         vec.close() // closes the decoded batch's vectors

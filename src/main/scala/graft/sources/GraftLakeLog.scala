@@ -63,6 +63,10 @@ private[sources] class GraftLakeLog(root: File) {
   private def writeAtomic(name: String, content: String,
       overwrite: Boolean = true): Unit = {
     val target = new File(dir, name).toPath
+    // identity of THIS writer's claim (the file's inode): the fill
+    // below verifies it before the replacing move — see A4 note there
+    var claimKey: AnyRef = null
+    var claimed = false
     if (!overwrite) {
       // OPTIMISTIC COMMIT CLAIM: version files are immutable, and
       // O_CREAT|O_EXCL is the cross-process arbiter — the second writer
@@ -88,11 +92,69 @@ private[sources] class GraftLakeLog(root: File) {
                 "is stale; reopen the table and retry the statement")
         }
       claim(retriable = true)
+      claimed = true
+      // the claim's inode IS the writer token (ADVICE r16): a reclaimer
+      // deletes this file and creates its own, so a changed/absent key
+      // proves the claim is no longer ours. fileKey can be null on
+      // exotic filesystems — verification is then skipped (the O_EXCL
+      // claim alone still covers the sub-hour envelope, as before).
+      claimKey = try Files.readAttributes(target,
+          classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+        catch { case _: java.io.IOException => null }
     }
-    val tmp = new File(dir, name + ".tmp")
-    Files.write(tmp.toPath, content.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp.toPath, target,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    try {
+      val tmp = new File(dir, name + ".tmp")
+      Files.write(tmp.toPath, content.getBytes(StandardCharsets.UTF_8))
+      if (claimed && claimKey != null) {
+        // VERIFY-BEFORE-FILL (ADVICE r16): ATOMIC_MOVE is a plain
+        // rename(2) — it replaces silently. A writer stalled PAST the
+        // 1-hour stale window between claim and fill can have its
+        // version reclaimed by another writer; blindly filling would
+        // clobber the reclaimer's committed record. Re-read the
+        // target's inode: ours → fill proceeds (the move is atomic, and
+        // any reclaim in the microsecond gap after this check requires
+        // the reclaimer to have observed a >1h-old claim that this
+        // running writer refreshes implicitly by existing — the
+        // residual window is the check-to-move instant, down from the
+        // full stall duration); changed or gone → the claim was
+        // reclaimed, fail as the conflict it is.
+        val nowKey = try Files.readAttributes(target,
+            classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+          catch { case _: java.io.IOException => null }
+        if (nowKey != claimKey) {
+          Files.deleteIfExists(tmp.toPath)
+          // the claim at `target` is the RECLAIMER's now — the cleanup
+          // below must not touch it
+          claimed = false
+          throw new IllegalStateException(
+            s"write conflict on ${root.getName}: this writer's claim of " +
+              s"$name was reclaimed as stale by another writer — the " +
+              "commit was not made; reopen the table and retry")
+        }
+      }
+      Files.move(tmp.toPath, target,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    } catch {
+      case e: Throwable =>
+        // a FAILED fill (disk full, permissions, the reclaim conflict
+        // above) must not leave OUR zero-byte claim behind: it would
+        // block every writer's commit of this version for the full
+        // stale window (ADVICE r16). Deleted only when still provably
+        // OURS — unfilled (length 0) and, when the filesystem supports
+        // file keys, the same inode we claimed (a reclaimer's fresh
+        // claim or filled commit must survive).
+        if (claimed && target.toFile.length() == 0L) {
+          val stillOurs = claimKey == null || {
+            try claimKey == Files.readAttributes(target,
+              classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+            catch { case _: java.io.IOException => false }
+          }
+          if (stillOurs)
+            try Files.deleteIfExists(target)
+            catch { case _: java.io.IOException => () }
+        }
+        throw e
+    }
   }
 
   def writeTable(tableName: String, partSpec: Seq[GraftPartTransform],
@@ -134,7 +196,11 @@ private[sources] class GraftLakeLog(root: File) {
       "pspecId" -> JInt(BigInt(f.pspecId)),
       // bloom bit-words as base64 of big-endian longs — compact and
       // byte-exact (a corrupted bloom would be a correctness bug: a
-      // bloom MISS is treated as proof of absence)
+      // bloom MISS is treated as proof of absence). bloomv pins the
+      // HASH FUNCTION generation (ADVICE r16): restore drops blooms
+      // written under any other generation — conservative no-pruning
+      // instead of silent false negatives.
+      "bloomv" -> JInt(BigInt(GraftLakeLog.BloomHashVersion)),
       "blooms" -> JObject(f.blooms.toList.map { case (id, words) =>
         val bb = java.nio.ByteBuffer.allocate(words.length * 8)
         words.foreach(bb.putLong)
@@ -211,19 +277,107 @@ private[sources] class GraftLakeLog(root: File) {
       }
     }
 
-  /** Vacuum companion: a data file deleted by expire loses its manifest. */
+  /** Vacuum companion: a data file deleted by expire loses its
+    * manifest — both loose manifests and members bundled inside
+    * manifest GROUPS (the group is rewritten without them; a group
+    * emptied entirely is deleted). */
   def dropManifestsExcept(liveParquetNames: Set[String]): Unit =
     Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
       f.getName match {
         case GraftLakeLog.ManifestName(base)
             if !liveParquetNames.contains(s"$base.parquet") => f.delete()
+        case GraftLakeLog.GroupName(_, _) if f.length() > 0L =>
+          JsonMethods.parse(Files.readString(f.toPath)) match {
+            case JArray(ms) =>
+              val live = ms.filter(m => (m \ "file") match {
+                case JString(p) => liveParquetNames.contains(p)
+                case _ => true
+              })
+              if (live.isEmpty) f.delete()
+              else if (live.length < ms.length)
+                writeAtomic(f.getName,
+                  JsonMethods.compact(JArray(live)))
+            case _ => ()
+          }
         case _ => ()
       }
     }
+
+  /** MANIFEST GROUPING (VERDICT r16 task 3): restore used to parse one
+    * JSON per data file — O(files) serial driver work at open; at
+    * millions of files that is the planning bottleneck Iceberg bounds
+    * with manifest grouping. Called after every successful commit:
+    * bundles each full run of [[GraftLakeLog.GroupSize]] loose
+    * manifests (oldest first, by file number) into one
+    * `g<first>-<last>.json` holding the members' manifest objects as a
+    * JSON array, then deletes the loose files — restore reads
+    * O(groups + ungrouped tail) JSONs instead of O(files).
+    *
+    * Crash/concurrency envelope: the group name is DETERMINISTIC for a
+    * given member run, and the O_EXCL claim arbitrates concurrent
+    * groupers (the loser skips — grouping is idempotent maintenance).
+    * A crash between fill and member deletion leaves both; restore
+    * dedups by file id. A crash between claim and fill leaves a
+    * zero-byte group; restore skips it, members still serve, and the
+    * stale-claim reclaim frees the name later. A reader that listed a
+    * loose manifest just before the grouper deleted it retries its
+    * whole restore (see [[GraftLakeLog.restore]]). Grouping failures
+    * never fail the commit that triggered them. */
+  def groupManifests(): Unit =
+    try {
+      val loose = Option(dir.listFiles()).getOrElse(Array.empty)
+        .flatMap(f => f.getName match {
+          case GraftLakeLog.ManifestName(base) =>
+            Some(base.stripPrefix("f").toInt -> f)
+          case _ => None
+        }).sortBy(_._1)
+      loose.grouped(GraftLakeLog.GroupSize)
+        .filter(_.length == GraftLakeLog.GroupSize).foreach { g =>
+          val target = new File(dir, s"g${g.head._1}-${g.last._1}.json")
+          val claimed =
+            try { Files.createFile(target.toPath); true }
+            catch {
+              case _: java.nio.file.FileAlreadyExistsException
+                  if GraftLakeLog.staleClaim(target) =>
+                target.delete()
+                try { Files.createFile(target.toPath); true }
+                catch { case _: java.io.IOException => false }
+              case _: java.io.IOException => false
+            }
+          if (claimed) {
+            // raw concatenation: members are immutable compact JSON
+            // objects — no re-encode, byte-exact bundling
+            val content = g.map(m => Files.readString(m._2.toPath))
+              .mkString("[", ",", "]")
+            val tmp = new File(dir, target.getName + ".tmp")
+            Files.write(tmp.toPath,
+              content.getBytes(StandardCharsets.UTF_8))
+            Files.move(tmp.toPath, target.toPath,
+              StandardCopyOption.ATOMIC_MOVE,
+              StandardCopyOption.REPLACE_EXISTING)
+            g.foreach(_._2.delete())
+          }
+        }
+    } catch { case scala.util.control.NonFatal(_) => () }
 }
 
 private[sources] object GraftLakeLog {
   val LogDir = "_graft_log"
+  /** Manifests per group file (see [[GraftLakeLog.groupManifests]]);
+    * sys-prop override is a test knob, not a user surface. */
+  val GroupSize: Int =
+    Integer.getInteger("graft.lake.manifest.group", 64).intValue()
+  /** TEST HOOK: log JSON files parsed by restore since the last reset —
+    * the bounded-open spec's probe (reads must scale with manifest
+    * GROUPS, not with data files). */
+  val logReads = new java.util.concurrent.atomic.AtomicLong
+  private[sources] val GroupName = "^g(\\d+)-(\\d+)\\.json$".r
+  /** Generation of the in-repo bloom hash (GraftLakeStats.bloomHash):
+    * bump ONLY when that function changes; restore ignores persisted
+    * bloom bits stamped with any other generation. Generation 2 =
+    * FNV-1a over raw UTF-8 bytes (generation 1, unstamped, derived
+    * string hashes from UTF8String.hashCode — an external detail). */
+  val BloomHashVersion = 2
   private val CommitName = "^v(\\d+)\\.json$".r
   private val ManifestName = "^(f\\d+)\\.manifest\\.json$".r
 
@@ -342,23 +496,97 @@ private[sources] object GraftLakeLog {
       pspecId: Int = 0,
       pspecNow: Seq[GraftPartTransform] = Nil)
 
-  def restore(root: File): Restored = {
-    val dir = new File(root, LogDir)
-    def parse(f: File): JValue =
-      JsonMethods.parse(Files.readString(f.toPath))
-    def str(j: JValue, k: String): String =
-      (j \ k).asInstanceOf[JString].s
-    def intOf(j: JValue): Int = j.values.toString.toInt
-    def longOf(j: JValue): Long = j.values.toString.toLong
-    def arr(j: JValue, k: String): List[JValue] = (j \ k) match {
-      case JArray(vs) => vs
+  private def str(j: JValue, k: String): String =
+    (j \ k).asInstanceOf[JString].s
+  private def intOf(j: JValue): Int = j.values.toString.toInt
+  private def longOf(j: JValue): Long = j.values.toString.toLong
+  private def arr(j: JValue, k: String): List[JValue] = (j \ k) match {
+    case JArray(vs) => vs
+    case _ => Nil
+  }
+  private def objFields(j: JValue, k: String): List[(String, JValue)] =
+    (j \ k) match {
+      case JObject(fs) => fs
       case _ => Nil
     }
-    def objFields(j: JValue, k: String): List[(String, JValue)] =
-      (j \ k) match {
-        case JObject(fs) => fs
-        case _ => Nil
+
+  /** One manifest OBJECT (loose file or group member) → file object. */
+  private def fileOfManifest(root: File, m: JValue): GraftLakeFile = {
+    def statPairs(k: String): List[(String, (Any, Any))] =
+      objFields(m, k).map { case (kk, JArray(List(lo, hi))) =>
+        kk -> ((dec(lo), dec(hi)))
       }
+    GraftLakeFile(
+      id = str(m, "id"),
+      rows = Vector.empty,
+      cols = arr(m, "cols").map(intOf),
+      path = Some(new File(root, str(m, "file")).getAbsolutePath),
+      types = arr(m, "types").map(j =>
+        DataType.fromJson(j.asInstanceOf[JString].s)),
+      bytes = longOf(m \ "bytes"),
+      stats = statPairs("stats").map { case (k, v) => k.toInt -> v }.toMap,
+      nRows = longOf(m \ "rows"),
+      nulls = objFields(m, "nulls").map { case (k, v) =>
+        k.toInt -> longOf(v) }.toMap,
+      sums = objFields(m, "sums").map { case (k, v) =>
+        k.toInt -> longOf(v) }.toMap,
+      dsums = objFields(m, "dsums").map { case (k, JString(s)) =>
+        k.toInt -> new java.math.BigDecimal(s) }.toMap,
+      sortedBy = arr(m, "sortedBy").map(intOf),
+      nstats = statPairs("nstats").map { case (k, v) =>
+        val Array(id, leaf) = k.split(":", 2)
+        (id.toInt, leaf) -> v }.toMap,
+      nnulls = objFields(m, "nnulls").map { case (k, v) =>
+        val Array(id, leaf) = k.split(":", 2)
+        (id.toInt, leaf) -> longOf(v) }.toMap,
+      pkey = (m \ "pkey") match {
+        case JArray(vs) => Some(vs.map(dec).toVector)
+        case _ => None
+      },
+      pspecId = (m \ "pspecId") match {
+        case JNothing => 0
+        case v => intOf(v)
+      },
+      // blooms from another hash generation are DROPPED (see
+      // writeFileManifest): the file scans unpruned, never wrongly
+      blooms = (if ((m \ "bloomv") match {
+          case JNothing => false
+          case v => intOf(v) == BloomHashVersion
+        }) objFields(m, "blooms") else Nil)
+        .map { case (k, JString(b64)) =>
+        val bytes = java.util.Base64.getDecoder.decode(b64)
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        val words = new Array[Long](bytes.length / 8)
+        var w = 0
+        while (w < words.length) { words(w) = bb.getLong; w += 1 }
+        k.toInt -> words
+      }.toMap,
+      pnames = arr(m, "pnames").map(_.asInstanceOf[JString].s))
+  }
+
+  def restore(root: File): Restored = {
+    // BOUNDED RETRY for the grouping race: a concurrent writer's
+    // groupManifests() may delete a loose manifest this restore just
+    // listed (its content now lives in a group file). Re-listing picks
+    // the group up; the loop converges because grouping strictly
+    // shrinks the loose set.
+    var attempt = 0
+    while (true) {
+      try return restoreOnce(root)
+      catch {
+        case _: java.nio.file.NoSuchFileException if attempt < 3 =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def restoreOnce(root: File): Restored = {
+    val dir = new File(root, LogDir)
+    def parse(f: File): JValue = {
+      logReads.incrementAndGet()
+      JsonMethods.parse(Files.readString(f.toPath))
+    }
 
     val t = parse(new File(dir, "table.json"))
     val partSpec: Seq[GraftPartTransform] = arr(t, "partSpec").map {
@@ -366,57 +594,24 @@ private[sources] object GraftLakeLog {
       case other => throw new IllegalStateException(s"bad partSpec $other")
     }
 
-    // file manifests → shared file objects
+    // file manifests → shared file objects: manifest GROUPS first (one
+    // parse per GroupSize files — the O(files) → O(groups) planning
+    // bound, VERDICT r16 task 3), then the loose ungrouped tail. A
+    // loose manifest whose id a group already covered is the
+    // crash-between-fill-and-delete leftover — same bytes, either wins.
     val listing = Option(dir.listFiles()).getOrElse(Array.empty)
-    val fileById = listing.collect {
-      case f if ManifestName.pattern.matcher(f.getName).matches() =>
-        val m = parse(f)
-        def statPairs(k: String): List[(String, (Any, Any))] =
-          objFields(m, k).map { case (kk, JArray(List(lo, hi))) =>
-            kk -> ((dec(lo), dec(hi)))
-          }
-        val gf = GraftLakeFile(
-          id = str(m, "id"),
-          rows = Vector.empty,
-          cols = arr(m, "cols").map(intOf),
-          path = Some(new File(root, str(m, "file")).getAbsolutePath),
-          types = arr(m, "types").map(j =>
-            DataType.fromJson(j.asInstanceOf[JString].s)),
-          bytes = longOf(m \ "bytes"),
-          stats = statPairs("stats").map { case (k, v) => k.toInt -> v }.toMap,
-          nRows = longOf(m \ "rows"),
-          nulls = objFields(m, "nulls").map { case (k, v) =>
-            k.toInt -> longOf(v) }.toMap,
-          sums = objFields(m, "sums").map { case (k, v) =>
-            k.toInt -> longOf(v) }.toMap,
-          dsums = objFields(m, "dsums").map { case (k, JString(s)) =>
-            k.toInt -> new java.math.BigDecimal(s) }.toMap,
-          sortedBy = arr(m, "sortedBy").map(intOf),
-          nstats = statPairs("nstats").map { case (k, v) =>
-            val Array(id, leaf) = k.split(":", 2)
-            (id.toInt, leaf) -> v }.toMap,
-          nnulls = objFields(m, "nnulls").map { case (k, v) =>
-            val Array(id, leaf) = k.split(":", 2)
-            (id.toInt, leaf) -> longOf(v) }.toMap,
-          pkey = (m \ "pkey") match {
-            case JArray(vs) => Some(vs.map(dec).toVector)
-            case _ => None
-          },
-          pspecId = (m \ "pspecId") match {
-            case JNothing => 0
-            case v => intOf(v)
-          },
-          blooms = objFields(m, "blooms").map { case (k, JString(b64)) =>
-            val bytes = java.util.Base64.getDecoder.decode(b64)
-            val bb = java.nio.ByteBuffer.wrap(bytes)
-            val words = new Array[Long](bytes.length / 8)
-            var w = 0
-            while (w < words.length) { words(w) = bb.getLong; w += 1 }
-            k.toInt -> words
-          }.toMap,
-          pnames = arr(m, "pnames").map(_.asInstanceOf[JString].s))
-        gf.id -> gf
-    }.toMap
+    val grouped = listing.iterator
+      .filter(f => GroupName.pattern.matcher(f.getName).matches() &&
+        f.length() > 0L) // zero bytes = unfilled group claim: skip
+      .flatMap(f => parse(f) match {
+        case JArray(ms) => ms.map(fileOfManifest(root, _))
+        case other => throw new IllegalStateException(
+          s"corrupt manifest group ${f.getAbsolutePath}: $other")
+      })
+    val loose = listing.iterator
+      .filter(f => ManifestName.pattern.matcher(f.getName).matches())
+      .map(f => fileOfManifest(root, parse(f)))
+    val fileById = (grouped ++ loose).map(gf => gf.id -> gf).toMap
 
     def snapOf(j: JValue): GraftLakeSnapshot = GraftLakeSnapshot(
       arr(j, "files").map(f => fileById(f.asInstanceOf[JString].s)).toVector,

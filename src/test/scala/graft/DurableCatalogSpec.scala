@@ -526,6 +526,187 @@ class DurableCatalogSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("an external graft.location table survives restart via its pointer") {
+    // ADVICE r16: a table created OUTSIDE the warehouse used to be
+    // durable on disk but unreachable after a JVM restart (reopen and
+    // listTables only probed warehouse-derived roots) while re-CREATE
+    // at the identifier stayed refused — effectively bricked. The
+    // identifier→location pointer persisted under the warehouse closes
+    // all three: reopen follows it, listTables sees it, DROP clears it.
+    useCatalog()
+    val t = "graftdur.dur_ext"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    val ext = java.nio.file.Files
+      .createTempDirectory("graft_ext_").toFile
+    val extRoot = new java.io.File(ext, "dur_ext_data")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet', " +
+      s"'graft.location' = '${extRoot.getAbsolutePath}')")
+    spark.range(0, 10).selectExpr("id AS k", "concat('x', id) AS s")
+      .coalesce(1).writeTo(t).append()
+    spark.sql(s"DELETE FROM $t WHERE k = 7")
+    assert(extRoot.isDirectory, "data lives at the external location")
+    evict("dur_ext")
+    // reopen must find the table THROUGH the pointer
+    assert(spark.table(t).count() == 9,
+      "an external-location table must reopen after a restart")
+    assert(spark.table(t).where("s = 'x3'").count() == 1)
+    evict("dur_ext")
+    val listed = spark.sql("SHOW TABLES IN graftdur").collect()
+      .map(_.getString(1))
+    assert(listed.contains("dur_ext"),
+      s"external-location tables must list from the pointer, got " +
+        listed.mkString(", "))
+    // the identifier is still GUARDED: a blind re-CREATE must refuse
+    val e = intercept[Exception](spark.sql(s"CREATE TABLE $t (x BIGINT) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')"))
+    assert(e.getMessage.toLowerCase.contains("already exists"), s"$e")
+    // DROP deletes the external root AND frees the identifier for good
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    assert(!extRoot.exists(), "DROP must delete the external root")
+    assert(!new java.io.File(new java.io.File(wh, "dur_ext"),
+      "_graft_pointer.json").exists(), "DROP must clear the pointer")
+    spark.sql(s"CREATE TABLE $t (k BIGINT)") // name genuinely free again
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("a failed durable commit reverts memory and frees the version claim") {
+    // ADVICE r16: recordCommit used to roll back in-memory state only
+    // on the CAS conflict; an I/O failure from the durable write left
+    // memory mutated (a phantom change riding the next commit) and the
+    // claimed-but-unfilled v<N>.json blocking commits for the stale
+    // window. Fault injection: a DIRECTORY squatting on the commit
+    // record's tmp path makes the fill fail with a real IOException
+    // after the claim succeeded.
+    useCatalog()
+    val t = "graftdur.dur_iofail"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet', " +
+      "'graft.mode' = 'merge-on-read')")
+    spark.range(0, 10).selectExpr("id AS k").coalesce(1)
+      .writeTo(t).append() // v1
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftdur", "dur_iofail").get
+    val v = table.currentVersion
+    val logDir = new java.io.File(
+      new java.io.File(table.filePaths.values.head).getParentFile,
+      "_graft_log")
+    val squatter = new java.io.File(logDir, s"v${v + 1}.json.tmp")
+    assert(squatter.mkdir())
+    // a MoR DELETE mints no data file — it reaches the commit write
+    // directly, which must now fail on the squatted tmp path
+    intercept[Exception](spark.sql(s"DELETE FROM $t WHERE k = 3"))
+    assert(spark.table(t).count() == 10,
+      "the failed commit's DV must be reverted from memory")
+    assert(table.currentVersion == v, "no phantom version in memory")
+    assert(!new java.io.File(logDir, s"v${v + 1}.json").exists(),
+      "the failed writer's own unfilled claim must be deleted")
+    // clear the fault: the SAME writer retries the SAME version — no
+    // stale-claim window, no phantom rows from the failed attempt
+    assert(squatter.delete())
+    spark.sql(s"DELETE FROM $t WHERE k = 3")
+    assert(spark.table(t).count() == 9 && table.currentVersion == v + 1)
+    evict("dur_iofail")
+    assert(spark.table(t).count() == 9,
+      "the durable log agrees with memory after the recovered failure")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("bloom bits from a foreign hash generation are dropped, not trusted") {
+    // ADVICE r16: persisted bloom bits are proof-of-absence on '='
+    // pruning, so bits hashed under another generation (e.g. a Spark
+    // upgrade changing UTF8String.hashCode in the pre-pin era) must be
+    // IGNORED at restore — conservative full scan, never a silent
+    // false negative.
+    useCatalog()
+    val t = "graftdur.dur_bloomv"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    spark.range(0, 50).selectExpr("id AS k", "concat('w', id) AS s")
+      .coalesce(1).writeTo(t).append()
+    val logDir = new java.io.File(new java.io.File(
+      graft.sources.GraftLakeCatalog.tableFor("graftdur", "dur_bloomv")
+        .get.filePaths.values.head).getParentFile, "_graft_log")
+    // forge a manifest from a FOREIGN generation: same bits, bloomv=1
+    logDir.listFiles().filter(_.getName.endsWith(".manifest.json"))
+      .foreach { m =>
+        val doctored = java.nio.file.Files.readString(m.toPath)
+          .replace("\"bloomv\":2", "\"bloomv\":1")
+        assert(doctored.contains("\"bloomv\":1"),
+          "the manifest must carry the generation stamp")
+        java.nio.file.Files.writeString(m.toPath, doctored)
+      }
+    evict("dur_bloomv")
+    // point probes stay CORRECT (blooms dropped -> no pruning, not
+    // wrong pruning) for both present and absent keys
+    assert(spark.table(t).where("s = 'w17'").count() == 1,
+      "a foreign-generation bloom must not fabricate a false negative")
+    assert(spark.table(t).where("s = 'nope'").count() == 0)
+    val reopened = graft.sources.GraftLakeCatalog
+      .tableFor("graftdur", "dur_bloomv").get
+    assert(reopened.fileBloomColumnCount == 0,
+      "restore must DROP foreign-generation bloom bits")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("reopen parses manifest GROUPS, not one JSON per data file") {
+    // VERDICT r16 task 3: restore was O(files) serial driver JSON — the
+    // planning bottleneck at millions of files. Commits now bundle
+    // loose manifests into 64-member group files; reopen reads
+    // O(groups + ungrouped tail + commits).
+    useCatalog()
+    val t = "graftdur.dur_groups"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    // 130 data files in ONE commit (one file per write task)
+    spark.range(0, 13000).selectExpr("id AS k", "concat('v', id) AS s")
+      .repartition(130).writeTo(t).append()
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftdur", "dur_groups").get
+    assert(table.filePaths.size == 130, "precondition: 130 data files")
+    val logDir = new java.io.File(
+      new java.io.File(table.filePaths.values.head).getParentFile,
+      "_graft_log")
+    def names(p: String) = logDir.listFiles().map(_.getName)
+      .filter(_.matches(p)).sorted.toSeq
+    assert(names("g\\d+-\\d+\\.json").size == 2,
+      s"130 manifests bundle into two 64-member groups, got " +
+        names("g\\d+-\\d+\\.json").mkString(", "))
+    assert(names("f\\d+\\.manifest\\.json").size == 2,
+      "the ungrouped tail stays loose")
+    evict("dur_groups")
+    graft.sources.GraftLakeCatalog.resetLogReads()
+    assert(spark.table(t).count() == 13000) // forces the reopen
+    val reads = graft.sources.GraftLakeCatalog.logReadCount
+    assert(reads > 0 && reads <= 12,
+      s"reopen must read O(groups), not O(files): $reads JSON parses " +
+        "for 130 files")
+    // grouped manifests serve pruning and stats exactly like loose ones
+    val reopened = graft.sources.GraftLakeCatalog
+      .tableFor("graftdur", "dur_groups").get
+    assert(reopened.fileBloomColumnCount > 0,
+      "bloom bits round-trip through groups")
+    assert(spark.table(t).where("k = 7777").count() == 1 &&
+      spark.table(t).where("s = 'v13001'").count() == 0)
+    assert(spark.table(t).agg(org.apache.spark.sql.functions.sum("k"))
+      .collect().head.getLong(0) == (0L until 13000L).sum)
+    // post-reopen writes keep journaling + grouping on
+    spark.range(13000, 13100).selectExpr("id AS k", "concat('v', id) AS s")
+      .coalesce(1).writeTo(t).append()
+    assert(spark.table(t).count() == 13100)
+    // a CoW UPDATE rewrites one file whose manifest lives in a group —
+    // the replaced file's manifest goes dead inside the group, the new
+    // file's manifest is loose, and the relation stays exact
+    spark.sql(s"UPDATE $t SET s = 'hit' WHERE k = 64")
+    evict("dur_groups")
+    assert(spark.table(t).where("s = 'hit'").count() == 1 &&
+      spark.table(t).count() == 13100)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("an evolved partition spec survives reopen; new writes stamp it") {
     useCatalog()
     val t = "graftdur.dur_pspec"
