@@ -1359,6 +1359,54 @@ object Lakehouse {
       .orderBy("event_type"), t)
   }
 
+  /** STREAMING UPSERT via EQUALITY DELETES (VERDICT r16 task 4) — the
+    * Flink→Iceberg CDC-writer shape: each micro-batch epoch commits its
+    * rows as new data files PLUS an equality-delete keys file that
+    * logically deletes every prior row with a matching key, with ZERO
+    * read-side probe of existing data at write time (position deletes
+    * would need a key lookup per batch — the read amplification that
+    * makes MoR writers slow; equality deletes defer it to the scan and
+    * to compaction). Shares [[mergeIntoSqlOracle]]: the surviving
+    * relation must equal the full-outer upsert the MERGE queries
+    * produce. The spec side (LakehouseSpec) pins the zero-probe
+    * property and the compaction resolution the oracle can't see. */
+  def streamUpsertEqDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.orders_eqd"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    // parquet storage explicitly: the keys files are real parquet the
+    // scan tasks read (memory storage has no upsert surface)
+    spark.sql(s"CREATE TABLE $t " +
+      "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    val base = Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    base.filter(col("o_orderkey") % 3 =!= 0).writeTo(t).append() // prev
+    val tmp = sys.props("java.io.tmpdir")
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
+      "_pid" + ProcessHandle.current().pid()
+    val land = new File(tmp, s"graft_eqd_land_$tag")
+    val chk = new File(tmp, s"graft_eqd_chk_$tag")
+    Seq(land, chk).foreach(graft.streaming.StreamingOps.deleteRecursively)
+    // the upsert batch arrives as 3 landing files → 3 epochs, each
+    // committing (data files + equality-delete keys file) atomically
+    base.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .repartition(3).write.mode("append").parquet(land.getAbsolutePath)
+    val q = spark.readStream
+      .schema(spark.table(t).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(land.getAbsolutePath)
+      .writeStream
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .option("graft.upsert.key", "o_orderkey")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(t)
+    graft.streaming.StreamingOps.awaitDrained(q)
+    releasing(spark, spark.table(t).orderBy("o_orderkey"), t)
+  }
+
   private val streamLakeSinkOracle =
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
       | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -1456,6 +1504,9 @@ object Lakehouse {
     Query("stream_lake_sink",
       "exactly-once streaming ingest: epoch-stamped commits, restart-safe",
       streamLakeSink, Some(streamLakeSinkOracle)),
+    Query("stream_upsert_eqdelete",
+      "streaming upsert via equality deletes: zero read-probe at write",
+      streamUpsertEqDelete, Some(mergeIntoSqlOracle)),
     Query("ref_partition_evolve",
       "partition-spec evolution: metadata-only relayout, mixed-spec reads",
       partitionEvolve, Some(partitionEvolveOracle)),

@@ -1396,13 +1396,70 @@ private[sources] object GraftLakeFieldIds {
   * deletion vectors (per-file sets of dead row positions — always empty
   * for a copy-on-write table). */
 final case class GraftLakeSnapshot(files: Vector[GraftLakeFile],
-    dvs: Map[String, Set[Long]]) {
-  def liveRows(f: GraftLakeFile): Vector[InternalRow] =
-    dvs.get(f.id) match {
+    dvs: Map[String, Set[Long]],
+    eqs: Vector[GraftEqDelete] = Vector.empty) {
+  def liveRows(f: GraftLakeFile): Vector[InternalRow] = {
+    val afterDv = dvs.get(f.id) match {
       case None => f.loadRows
       case Some(dead) => f.loadRows.zipWithIndex
         .collect { case (r, i) if !dead.contains(i.toLong) => r }
     }
+    val applicable = eqs.filter(_.appliesTo(f))
+    if (applicable.isEmpty) afterDv
+    else applicable.foldLeft(afterDv) { (rows, e) =>
+      val i = f.cols.indexOf(e.colId)
+      if (i < 0) rows // file predates the key column: nothing can match
+      else {
+        val probe = e.loadValues()
+        val t = f.types(i)
+        rows.filterNot(r => !r.isNullAt(i) &&
+          probe.contains(GraftEqDelete.canon(r.get(i, t))))
+      }
+    }
+  }
+}
+
+/** One EQUALITY DELETE (VERDICT r16 task 4 — the Flink→Iceberg
+  * streaming-upsert shape): all rows whose `colId` value appears in the
+  * keys file at `path` are logically deleted from every data file whose
+  * file NUMBER is ≤ `belowSeq` (the sequence-number applicability rule:
+  * files minted after the delete — including every rewrite, whose rows
+  * were read through the delete — are untouched). Written WITHOUT any
+  * read-side probe of existing data; `CALL system.compact` resolves it
+  * into rewrites. Keys are read EXECUTOR-side by the scan tasks; the
+  * driver only ships the path. */
+final case class GraftEqDelete(colId: Int, path: String, belowSeq: Int,
+    valueType: DataType) {
+  def appliesTo(f: GraftLakeFile): Boolean =
+    GraftEqDelete.seqOf(f.id) <= belowSeq
+  /** The probe set, read from the keys parquet (small: one upsert
+    * epoch's keys) and canonicalized. */
+  def loadValues(): Set[Any] =
+    GraftParquetIO.read(path, Seq(valueType)).iterator
+      .filterNot(_.isNullAt(0))
+      .map(r => GraftEqDelete.canon(r.get(0, valueType))).toSet
+}
+
+object GraftEqDelete {
+  /** File number inside a lake file id (`<table>#f<N>`). */
+  def seqOf(fileId: String): Int = fileId.split("#f").last.toInt
+  /** Canonical probe representation across the widening pairs: a
+    * pre-widening file's Int values must match post-widening Long keys
+    * (same rule the bloom/stat comparators use). */
+  def canon(v: Any): Any = v match {
+    case i: java.lang.Integer => java.lang.Long.valueOf(i.longValue())
+    case f: java.lang.Float => java.lang.Double.valueOf(f.doubleValue())
+    case other => other
+  }
+  /** Key-column types the upsert surface accepts: exact-equality
+    * internal representations (Int/Long/String/Date/Timestamp). */
+  def keyCapable(dt: DataType): Boolean = dt match {
+    case LongType | org.apache.spark.sql.types.IntegerType | StringType |
+         org.apache.spark.sql.types.DateType |
+         org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType => true
+    case _ => false
+  }
 }
 
 /** In-memory batch table: plain scans, appends, truncation, and the
@@ -1525,6 +1582,9 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
   // the committed table state; replaced atomically under this lock
   private var files: Vector[GraftLakeFile] = Vector.empty
   private var dvs: Map[String, Set[Long]] = Map.empty
+  // unresolved EQUALITY DELETES (streaming upsert); resolved away by
+  // CALL system.compact, pruned when no current file is applicable
+  private var eqs: Vector[GraftEqDelete] = Vector.empty
   private var fileSeq = 0
   // current schema; evolves via ALTER TABLE (applySchemaChanges below).
   // `colIds(i)` is the STABLE FIELD ID of schemaNow.fields(i) — the
@@ -1697,7 +1757,11 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     Vector((tableSchema, tableSchema.indices.toVector, Map.empty))
   private def recordCommit(dataChange: Boolean,
       txn: Option[(String, Long)] = None): Unit = {
-    val snap = GraftLakeSnapshot(files, dvs)
+    // prune equality deletes no current file is subject to (all their
+    // applicable files were rewritten/compacted away) — the keys file
+    // then ages out of retention and vacuums normally
+    eqs = eqs.filter(e => files.exists(e.appliesTo))
+    val snap = GraftLakeSnapshot(files, dvs, eqs)
     // clamped monotonic: a wall clock stepping backwards (NTP, VM
     // suspend) must not break TIMESTAMP AS OF's sorted-times invariant
     // (Delta stamps the same way)
@@ -1721,6 +1785,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       case scala.util.control.NonFatal(e) =>
         files = history.last._1.files
         dvs = history.last._1.dvs
+        eqs = history.last._1.eqs
         val (ps, pids, pdefs) = commitSchemas.last
         schemaNow = ps; colIds = pids; colDefaults = pdefs
         throw e
@@ -1805,6 +1870,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     val snap = snapshotAt(v)
     files = snap.files
     dvs = snap.dvs
+    eqs = snap.eqs
     recordCommit(dataChange = true)
   }
 
@@ -1856,7 +1922,11 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     // and so does a file pinned by an active row-level operation.
     lakeDir.foreach { dir =>
       val live = (history.flatMap(_._1.files) ++ files)
-        .flatMap(_.path).toSet ++ livePinnedPaths() ++ branchStagedPaths
+        .flatMap(_.path).toSet ++ livePinnedPaths() ++ branchStagedPaths ++
+        // equality-delete keys files referenced by any retained
+        // snapshot (scan tasks still read them) stay; dropped ones age
+        // out like any other unreferenced file
+        (history.flatMap(_._1.eqs) ++ eqs).map(_.path).toSet
       val tmpCutoff =
         System.currentTimeMillis() - GraftLakeTable.PinStaleMillis
       Option(dir.listFiles()).getOrElse(Array.empty)
@@ -2023,7 +2093,8 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
         s"no branch '$name' on $tableName — CALL system.create_branch " +
           "first"))
       val head = b.staged.lastOption.map(_._1).getOrElse(snapshotAt(b.base))
-      val snap = GraftLakeSnapshot(head.files ++ mkFiles(pendings), head.dvs)
+      val snap = GraftLakeSnapshot(head.files ++ mkFiles(pendings),
+        head.dvs, head.eqs)
       branchRefs += name -> b.copy(staged = b.staged :+ (snap, true))
       persistRefs()
     }
@@ -2222,7 +2293,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     colNames.foreach(n => require(names.contains(n),
       s"unknown cluster column $n; table has ${names.mkString(", ")}"))
     val i2n = colIds.zip(names).toMap
-    val snap = GraftLakeSnapshot(files, dvs)
+    val snap = GraftLakeSnapshot(files, dvs, eqs)
     def normalized(f: GraftLakeFile): Vector[InternalRow] = {
       val rows = snap.liveRows(f)
       GraftLakeReaders.normalizer(schemaNow,
@@ -2308,32 +2379,46 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     (before, files.length)
   }
 
-  /** Compact every file that carries a deletion vector. Returns how many
-    * files were rewritten (each as its own maintenance commit). Parquet
-    * storage rewrites the files DISTRIBUTED — one task per DV'd file
-    * decodes its live rows and writes the replacement; the driver only
-    * adopts metadata (per-file commits, contract unchanged). */
+  /** Compact every file that carries a deletion vector — or is subject
+    * to an unresolved EQUALITY DELETE (the streaming-upsert read debt;
+    * resolving it here is what restores columnar scans and the change
+    * feed). Returns how many files were rewritten (each as its own
+    * maintenance commit). Parquet storage rewrites the files
+    * DISTRIBUTED — one task per affected file decodes its live rows
+    * (DV positions dropped, equality-delete keys probed task-side) and
+    * writes the replacement; the driver only adopts metadata (per-file
+    * commits, contract unchanged). */
   private[sources] def compactAll(): Int = {
-    val distributable = synchronized(lakeDir.isDefined && dvs.nonEmpty) &&
-      org.apache.spark.sql.SparkSession.getActiveSession.isDefined
+    val distributable =
+      synchronized(lakeDir.isDefined && (dvs.nonEmpty || eqs.nonEmpty)) &&
+        org.apache.spark.sql.SparkSession.getActiveSession.isDefined
     if (!distributable) synchronized {
-      val ids = dvs.keys.toVector.sorted
+      val ids = files.filter(f => dvs.contains(f.id) ||
+        eqs.exists(_.appliesTo(f))).map(_.id).sorted
       ids.foreach(compactFile)
       ids.size
     } else {
       val spark = org.apache.spark.sql.SparkSession.active
       val (v0, targets, dir, i2n) = synchronized {
-        val ts = dvs.keys.toVector.sorted
-          .flatMap(id => files.find(_.id == id))
-          .map(f => (f, dvs.getOrElse(f.id, Set.empty[Long])))
+        val ts = files
+          .filter(f => dvs.contains(f.id) || eqs.exists(_.appliesTo(f)))
+          .sortBy(_.id)
+          .map(f => (f, dvs.getOrElse(f.id, Set.empty[Long]),
+            // equality probes this file is subject to, resolved to the
+            // file's own column POSITION (tasks read the keys parquet
+            // themselves — the driver ships only paths)
+            eqs.filter(_.appliesTo(f)).flatMap { e =>
+              val i = f.cols.indexOf(e.colId)
+              if (i < 0) None else Some((i, e.path, e.valueType))
+            }))
         (currentVersion, ts, lakeDir.get.getAbsolutePath, idToName)
       }
-      val specs = targets.zipWithIndex.map { case ((f, dv), i) =>
+      val specs = targets.zipWithIndex.map { case ((f, dv, eqProbes), i) =>
         GraftLakeTaskFiles.RewriteSpec(i, f.cols, f.types,
           f.cols.map(cid => i2n.getOrElse(cid, s"_dropped_$cid")),
           f.pkey, Vector(GraftLakeTaskFiles.RewriteSlice(
             f.path.get, f.types, dv.toArray.sorted, 0,
-            (f.numRows - dv.size).toInt)), pspecId = f.pspecId)
+            (f.numRows - dv.size).toInt, eqProbes)), pspecId = f.pspecId)
       }
       val metaByIdx =
         if (specs.isEmpty) Map.empty[Int, GraftLakeFileMeta]
@@ -2350,7 +2435,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
               "while CALL system.compact was rewriting — retry against " +
               "the current state")
         }
-        targets.zipWithIndex.foreach { case ((f, _), i) =>
+        targets.zipWithIndex.foreach { case ((f, _, _), i) =>
           files = files.filterNot(_.id == f.id) ++ metaByIdx.get(i)
             .map(adoptFile(_, requireCurrent = false)).toVector
           dvs -= f.id
@@ -2389,7 +2474,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       org.apache.spark.sql.SparkSession.getActiveSession.isDefined
     if (distributable) compactFilesDistributed(targetRows)
     else synchronized {
-      val snap = GraftLakeSnapshot(files, dvs)
+      val snap = GraftLakeSnapshot(files, dvs, eqs)
       def liveCount(f: GraftLakeFile): Long =
         f.numRows - snap.dvs.getOrElse(f.id, Set.empty).size
       val before = files.length
@@ -2434,6 +2519,11 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
   private def compactFilesDistributed(targetRows: Long): (Int, Int) = {
     val spark = org.apache.spark.sql.SparkSession.active
     val (v0, before, snapFiles, snapDvs, dir, i2n) = synchronized {
+      // the bin-packing slicer's offsets assume live = rows − DV; an
+      // unresolved equality delete would skew them — resolve it first
+      require(eqs.isEmpty,
+        s"$tableName carries unresolved equality deletes — run " +
+          "CALL system.compact before compact_files")
       (currentVersion, files.length, files, dvs,
         lakeDir.get.getAbsolutePath, idToName)
     }
@@ -2658,7 +2748,9 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
   }
 
   private[graft] def snapshot: GraftLakeSnapshot =
-    synchronized(GraftLakeSnapshot(files, dvs))
+    synchronized(GraftLakeSnapshot(files, dvs, eqs))
+  /** Current unresolved equality deletes — the upsert specs' probe. */
+  private[graft] def eqDeletes: Vector[GraftEqDelete] = synchronized(eqs)
   /** Current file ids, in commit order — the spec's carry-vs-rewrite probe. */
   private[graft] def fileIds: Seq[String] = snapshot.files.map(_.id)
   /** Current deletion vectors — the spec's no-rewrite merge-on-read probe. */
@@ -2674,23 +2766,75 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     * is detected by the watermark and dropped: its task-written temps
     * are unlinked and NOTHING commits — exactly-once across restarts,
     * including a crash between data-write and checkpoint-advance. */
-  private def commitEpoch(queryId: String, truncate: Boolean)(
-      epochId: Long, pendings: Vector[GraftLakePending]): Unit =
+  private def commitEpoch(queryId: String, truncate: Boolean,
+      upsertKey: Option[String] = None)(
+      epochId: Long, pendings: Vector[GraftLakePending],
+      keyMetas: Vector[GraftLakeFileMeta] = Vector.empty): Unit =
     synchronized {
-      if (streamEpochs.get(queryId).exists(_ >= epochId))
+      if (streamEpochs.get(queryId).exists(_ >= epochId)) {
         pendings.foreach {
           case GraftLakePendingFile(m) =>
             new java.io.File(m.tmpPath).delete()
           case _ => ()
         }
-      else {
-        if (truncate) { // Complete-mode sink: each epoch replaces all
-          files = mkFiles(pendings); dvs = Map.empty
-        } else files = files ++ mkFiles(pendings)
+        keyMetas.foreach(m => new java.io.File(m.tmpPath).delete())
+      } else {
+        upsertKey match {
+          case Some(keyName) =>
+            // STREAMING UPSERT via EQUALITY DELETES (VERDICT r16 task
+            // 4): the epoch's keys logically delete every matching row
+            // in files minted BEFORE this epoch (belowSeq is captured
+            // before any adoption, so the epoch's own files — data AND
+            // keys — are never subject to their own delete). ZERO
+            // read-side probe of existing data: the keys files were
+            // written task-side, and nothing here opens a data file.
+            val belowSeq = fileSeq
+            val ki = schemaNow.fieldNames.indexOf(keyName)
+            require(ki >= 0, s"upsert key $keyName not in ${tableName}'s " +
+              s"schema (${schemaNow.fieldNames.mkString(", ")})")
+            val keyId = colIds(ki)
+            val keyType = schemaNow.fields(ki).dataType
+            eqs = eqs ++ keyMetas.map(m =>
+              GraftEqDelete(keyId, adoptEqFile(m), belowSeq, keyType))
+            files = files ++ mkFiles(pendings)
+          case None =>
+            if (truncate) { // Complete-mode sink: each epoch replaces all
+              files = mkFiles(pendings); dvs = Map.empty
+            } else files = files ++ mkFiles(pendings)
+        }
         recordCommit(dataChange = true, txn = Some(queryId -> epochId))
         streamEpochs += queryId -> epochId
       }
     }
+
+  /** Adopt a task-written EQUALITY-DELETE keys file: claim the next
+    * file number (same O_EXCL protocol as data files, shared counter so
+    * numbers never collide), rename into place as `e<N>.parquet`, and
+    * return the durable path. No manifest — the keys file is referenced
+    * by commit records, not by the file listing. */
+  private def adoptEqFile(m: GraftLakeFileMeta): String = {
+    fileSeq += 1
+    val target = new java.io.File(lakeDir.get, s"e$fileSeq.parquet")
+    def claim(retriable: Boolean): Unit =
+      try java.nio.file.Files.createFile(target.toPath)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException
+            if retriable && GraftLakeLog.staleClaim(target) =>
+          target.delete()
+          claim(retriable = false)
+        case e: java.nio.file.FileAlreadyExistsException =>
+          new java.io.File(m.tmpPath).delete()
+          throw new IllegalStateException(
+            s"write conflict on $tableName: keys file e$fileSeq.parquet " +
+              "was already written by another writer — this writer's " +
+              "snapshot is stale; reopen the table and retry", e)
+      }
+    claim(retriable = true)
+    java.nio.file.Files.move(new java.io.File(m.tmpPath).toPath,
+      target.toPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    target.getAbsolutePath
+  }
   private def truncateTo(pendings: Vector[GraftLakePending]): Unit =
     synchronized {
       files = mkFiles(pendings); dvs = Map.empty; recordCommit(true)
@@ -2763,12 +2907,17 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     * arity-PRESERVING evolution (DROP one + ADD another) would silently
     * serve old values under the wrong field id (ADVICE r12 high). */
   private[graft] def compactFile(fileId: String): Unit = synchronized {
-    if (dvs.contains(fileId)) files.find(_.id == fileId).foreach { f =>
-      val live = GraftLakeSnapshot(files, dvs).liveRows(f)
-      files = files.filterNot(_.id == fileId) ++ rewriteFile(f, live)
-      dvs -= fileId
-      recordCommit(dataChange = false) // maintenance: relation unchanged
-    }
+    if (dvs.contains(fileId) || eqs.exists(e =>
+        files.exists(f => f.id == fileId && e.appliesTo(f))))
+      files.find(_.id == fileId).foreach { f =>
+        // liveRows applies BOTH the DV and any equality deletes — the
+        // rewrite's rows are clean, its new file number exceeds every
+        // belowSeq, and recordCommit prunes resolved eq records
+        val live = GraftLakeSnapshot(files, dvs, eqs).liveRows(f)
+        files = files.filterNot(_.id == fileId) ++ rewriteFile(f, live)
+        dvs -= fileId
+        recordCommit(dataChange = false) // maintenance: relation unchanged
+      }
   }
 
   /** Rewrite `rows` as a new file under `f`'s write-time manifest —
@@ -2956,9 +3105,31 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           require(branch.isEmpty,
             s"streaming writes to $tableName target main — unset the " +
               "branch option / spark.wap.branch")
+          // `graft.upsert.key`: streaming UPSERT by equality delete —
+          // each epoch's keys logically delete prior matches, with no
+          // read-side probe of existing data (the Flink→Iceberg CDC
+          // writer shape). Requires parquet storage (keys files are
+          // real files read by scan tasks).
+          val upsert = Option(info.options.get("graft.upsert.key"))
+            .map { keyName =>
+              require(!truncateRequested,
+                "graft.upsert.key is append-mode only")
+              val fw = fileWriteInfo.getOrElse(throw
+                new UnsupportedOperationException(
+                  s"graft.upsert.key needs graft.storage = parquet on " +
+                    tableName))
+              val ki = fw.names.indexOf(keyName)
+              require(ki >= 0, s"upsert key $keyName not in " +
+                s"$tableName's schema (${fw.names.mkString(", ")})")
+              require(GraftEqDelete.keyCapable(fw.types(ki)),
+                s"upsert key $keyName: ${fw.types(ki).sql} is not an " +
+                  "equality-probe type (INT/BIGINT/STRING/DATE/TIMESTAMP)")
+              GraftUpsertInfo(ki, keyName, fw.colIds(ki), fw.types(ki))
+            }
           new GraftLakeStreamingWrite(
-            commitEpoch(info.queryId(), truncateRequested),
-            fileWrite = fileWriteInfo)
+            commitEpoch(info.queryId(), truncateRequested,
+              upsert.map(_.keyName)),
+            fileWrite = fileWriteInfo, upsert = upsert)
         }
       }
     }
@@ -3071,6 +3242,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     case Some(r) =>
       files = r.files
       dvs = r.dvs
+      eqs = r.history.last._1.eqs
       fileSeq = r.fileSeq
       schemaNow = r.schemaNow
       colIds = r.colIds
@@ -3252,6 +3424,11 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
     // (every file decides it exactly) — then restricting to the
     // surviving files IS the filter and the manifests still answer
     if (rowLevel.isDefined || residualPreds.nonEmpty) return None
+    // an unresolved EQUALITY DELETE hides an unknown number of rows per
+    // file (only a key probe can tell) — manifests cannot answer any
+    // aggregate exactly until CALL system.compact resolves it
+    if (snapshot.eqs.exists(e => snapshot.files.exists(e.appliesTo)))
+      return None
     val nameToId = idToName.map(_.swap)
     // under a fully-decided WHERE, the aggregate's input is exactly the
     // all-kept files (decided files that may-match are all-kept)
@@ -3880,7 +4057,14 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
     GraftLakeFilePartition(f.id, f.rows,
       snapshot.dvs.get(f.id).map(_.toArray.sorted)
         .getOrElse(Array.empty[Long]), namesOf(f),
-      f.path, f.types, f.pnames)
+      f.path, f.types, f.pnames,
+      // equality-delete probes, resolved to the file's own column
+      // POSITION — the task reads the keys parquet itself (metadata-only
+      // planning; a file predating the key column has nothing to match)
+      snapshot.eqs.filter(_.appliesTo(f)).flatMap { e =>
+        val i = f.cols.indexOf(e.colId)
+        if (i < 0) None else Some((i, e.path, e.valueType))
+      })
 
   /** Keyed planning WITHOUT touching rows: when every active file is
     * PARTITION-PURE (fanout-written, key stamped in the manifest), the
@@ -3946,6 +4130,10 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
     new GraftLakeReaderFactory(fullSchema, requiredSchema, nameDefaults,
       (!keyedPlanning || metaKeyed) &&
         !sys.props.get("graft.lake.columnar").contains("off") &&
+        // unresolved equality deletes need a per-row key probe the
+        // batch path doesn't express (yet) — row fallback until
+        // CALL system.compact resolves them
+        !snapshot.eqs.exists(e => active.exists(e.appliesTo)) &&
         GraftLakeColumnar.eligible(active,
           requiredSchema, namesOf, nameDefaults))
 }
@@ -3959,7 +4147,10 @@ final case class GraftLakeFilePartition(
     fileId: String, rows: Vector[InternalRow],
     deleted: Array[Long], cols: Seq[String],
     path: Option[String] = None, types: Seq[DataType] = Nil,
-    pnames: Seq[String] = Nil)
+    pnames: Seq[String] = Nil,
+    // unresolved equality deletes this file is subject to: (column
+    // position in the FILE layout, keys parquet path, key value type)
+    eqProbes: Seq[(Int, String, DataType)] = Nil)
     extends InputPartition
 
 final case class GraftLakeKeyedPartition(
@@ -4415,6 +4606,17 @@ private[sources] object GraftLakeChanges {
       val (cur, dataChange) = history(i)
       if (dataChange) {
         val v = (fromVersion + i).toLong
+        // an EQUALITY-DELETE commit's delete leg is row-content-defined
+        // (only a key probe against every prior file can enumerate it)
+        // — the feed refuses the range rather than silently dropping
+        // the deletes; compaction resolves the debt and the feed's
+        // maintenance-commit skip then replays cleanly above it
+        val newEqs = cur.eqs.filterNot(e =>
+          prev.eqs.exists(_.path == e.path))
+        if (newEqs.nonEmpty) throw new UnsupportedOperationException(
+          s"change feed version $v carries an unresolved equality " +
+            "delete (streaming upsert) — run CALL system.compact and " +
+            "read the feed from a version at or above the compaction")
         val prevIds = prev.files.map(_.id).toSet
         val curIds = cur.files.map(_.id).toSet
         // a commit can introduce a file TOGETHER with a deletion vector
@@ -4635,13 +4837,30 @@ class GraftLakeReaderFactory(fullSchema: StructType,
           }
         }
       }
+    // unresolved equality deletes: probe sets are read HERE (task-side,
+    // one small keys parquet per upsert epoch) and rows matching any
+    // probe are skipped IN PLACE — like the DV check below, the skip
+    // happens during iteration so `_pos` keeps original file ordinals
+    val eqSkip: InternalRow => Boolean = p match {
+      case fp: GraftLakeFilePartition if fp.eqProbes.nonEmpty =>
+        val probes = fp.eqProbes.map { case (ci, path, vt) =>
+          (ci, fp.types(ci), GraftParquetIO.read(path, Seq(vt)).iterator
+            .filterNot(_.isNullAt(0))
+            .map(r => GraftEqDelete.canon(r.get(0, vt))).toSet)
+        }
+        r => probes.exists { case (ci, t, set) =>
+          !r.isNullAt(ci) && set.contains(GraftEqDelete.canon(r.get(ci, t)))
+        }
+      case _ => _ => false
+    }
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
       private var pos = -1L
       override def next(): Boolean = {
         pos += 1
         while (pos < rows.length &&
-          java.util.Arrays.binarySearch(deleted, pos) >= 0) pos += 1
+          (java.util.Arrays.binarySearch(deleted, pos) >= 0 ||
+            eqSkip(rows(pos.toInt)))) pos += 1
         if (pos < rows.length) {
           val r = rows(pos.toInt)
           cur = if (identity) r
@@ -4840,7 +5059,13 @@ private[sources] object GraftLakeTaskFiles {
     * to ~20 MB per task closure (Spark's large-task warning at sf1);
     * the array is 8 bytes/position and membership is a binary search. */
   final case class RewriteSlice(path: String, types: Seq[DataType],
-      dv: Array[Long], from: Int, until: Int)
+      dv: Array[Long], from: Int, until: Int,
+      // equality-delete probes: (column position in this file, keys
+      // parquet path, key value type) — applied task-side after the DV
+      // filter. Only whole-file slices carry probes (compactAll); the
+      // bin-packing slicer refuses under unresolved equality deletes
+      // because its offsets assume DV-only live counts.
+      eqProbes: Seq[(Int, String, DataType)] = Nil)
 
   /** One output file of a distributed compaction rewrite: ordered
     * slices whose concatenation IS the file's rows, plus the
@@ -4864,7 +5089,16 @@ private[sources] object GraftLakeTaskFiles {
           case (r, i) if java.util.Arrays.binarySearch(s.dv, i.toLong) < 0
             => r
         }
-      live.slice(s.from, s.until)
+      val sliced = live.slice(s.from, s.until)
+      // equality-delete resolution: probe sets read HERE, in the task
+      s.eqProbes.foldLeft(sliced) { case (rs, (ci, path, vt)) =>
+        val probe = GraftParquetIO.read(path, Seq(vt)).iterator
+          .filterNot(_.isNullAt(0))
+          .map(r => GraftEqDelete.canon(r.get(0, vt))).toSet
+        val t = s.types(ci)
+        rs.filterNot(r => !r.isNullAt(ci) &&
+          probe.contains(GraftEqDelete.canon(r.get(ci, t))))
+      }
     }
     if (rows.isEmpty) None
     else Some((spec.idx, writeOne(dir, spec.names, spec.types, spec.cols,
@@ -4894,47 +5128,99 @@ class GraftLakeFileWriterFactory(fw: GraftLakeFileWriteInfo,
   * replayed epoch after a restart is dropped by the table's watermark
   * (see GraftLakeTable.commitEpoch). */
 class GraftLakeStreamingWrite(
-    applyEpoch: (Long, Vector[GraftLakePending]) => Unit,
-    fileWrite: Option[GraftLakeFileWriteInfo])
+    applyEpoch: (Long, Vector[GraftLakePending],
+      Vector[GraftLakeFileMeta]) => Unit,
+    fileWrite: Option[GraftLakeFileWriteInfo],
+    upsert: Option[GraftUpsertInfo] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming
         .StreamingDataWriterFactory =
-    new GraftLakeStreamingWriterFactory(fileWrite)
+    new GraftLakeStreamingWriterFactory(fileWrite, upsert)
   override def commit(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit =
-    applyEpoch(epochId, messages.toVector.flatMap {
+      messages: Array[WriterCommitMessage]): Unit = {
+    val pendings = messages.toVector.flatMap {
       case GraftLakeCommit(rows) => Vector(GraftLakePendingRows(rows))
       case GraftLakeFilesCommit(fs) => fs.map(GraftLakePendingFile(_))
+      case GraftLakeUpsertCommit(fs, _) => fs.map(GraftLakePendingFile(_))
       case other => throw new IllegalStateException(
         s"unexpected commit message $other")
-    })
+    }
+    val keyMetas = messages.toVector.flatMap {
+      case GraftLakeUpsertCommit(_, ks) => ks
+      case _ => Vector.empty
+    }
+    applyEpoch(epochId, pendings, keyMetas)
+  }
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
       case GraftLakeFilesCommit(fs) =>
         fs.foreach(m => new java.io.File(m.tmpPath).delete())
+      case GraftLakeUpsertCommit(fs, ks) =>
+        (fs ++ ks).foreach(m => new java.io.File(m.tmpPath).delete())
       case _ => ()
     }
 }
 
+/** Upsert-epoch identity: the key column's slot in the write schema
+  * plus its durable identity (name, field id, type) — what the writer
+  * needs to also produce the keys file, and the commit needs to mint
+  * the equality delete. */
+final case class GraftUpsertInfo(keyIdx: Int, keyName: String,
+    keyId: Int, keyType: DataType)
+
 /** Streaming writer factory: delegates to the batch writers — a
   * streaming task's rows are written exactly like a batch task's
   * (task-side temp parquet under parquet storage, buffered rows under
-  * memory storage); the epoch id only matters at commit. */
+  * memory storage); the epoch id only matters at commit. Upsert mode
+  * additionally writes the task's KEYS as their own temp parquet (the
+  * equality-delete file) — one extra small file per task, no read of
+  * anything. */
 class GraftLakeStreamingWriterFactory(
-    fileWrite: Option[GraftLakeFileWriteInfo])
+    fileWrite: Option[GraftLakeFileWriteInfo],
+    upsert: Option[GraftUpsertInfo] = None)
     extends org.apache.spark.sql.connector.write.streaming
       .StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
-      epochId: Long): DataWriter[InternalRow] = fileWrite match {
-    case Some(fw) =>
+      epochId: Long): DataWriter[InternalRow] = (fileWrite, upsert) match {
+    case (Some(fw), Some(u)) =>
+      new DataWriter[InternalRow] {
+        private val tf = new GraftLakeTaskFiles(fw)
+        private val keys = Vector.newBuilder[InternalRow]
+        override def write(row: InternalRow): Unit = {
+          require(!row.isNullAt(u.keyIdx),
+            s"upsert key ${u.keyName} must be non-null")
+          val r = row.copy()
+          keys += new GenericInternalRow(
+            Array[Any](r.get(u.keyIdx, u.keyType)))
+          tf.add(new GenericInternalRow(Array.tabulate[Any](
+            fw.types.length)(i => r.get(i, fw.types(i)))))
+        }
+        override def commit(): WriterCommitMessage = {
+          val ks = keys.result()
+          GraftLakeUpsertCommit(tf.finish(),
+            if (ks.isEmpty) Vector.empty
+            else Vector(GraftLakeTaskFiles.writeOne(fw.dir,
+              Seq(u.keyName), Seq(u.keyType), Seq(u.keyId), None, ks)))
+        }
+        override def abort(): Unit = tf.abort()
+        override def close(): Unit = ()
+      }
+    case (Some(fw), None) =>
       new GraftLakeFileWriterFactory(fw, None)
         .createWriter(partitionId, taskId)
-    case None =>
+    case (None, Some(u)) => throw new UnsupportedOperationException(
+      s"graft.upsert.key (${u.keyName}) needs parquet storage")
+    case (None, None) =>
       new GraftLakeWriterFactory(None).createWriter(partitionId, taskId)
   }
 }
+
+/** An upsert epoch's task output: the data files plus the task's
+  * equality-delete KEYS file(s). */
+final case class GraftLakeUpsertCommit(files: Vector[GraftLakeFileMeta],
+    keys: Vector[GraftLakeFileMeta]) extends WriterCommitMessage
 
 /** Exact-chunk partitioner for maintenance rewrites: global row index
   * `idx` lands in output file `idx / chunk` — the distributed

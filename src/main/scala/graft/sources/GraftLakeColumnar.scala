@@ -240,6 +240,7 @@ object GraftLakeColumnar {
     present.foreach { case (_, fi) => requestCols.add(fp.pnames(fi)) }
     // rebase CORRECTED: these files are written by this engine with
     // proleptic-Gregorian day/micro values — no legacy calendar exists
+    GraftParquetIO.reads.incrementAndGet() // same no-probe-counter as row IO
     val vec = new VectorizedParquetRecordReader(
       null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, BatchSize)
     var initialized = false

@@ -218,6 +218,14 @@ private[sources] class GraftLakeLog(root: File) {
     val fields: List[JField] = List(
       "files" -> JArray(snap.files.map(f => JString(f.id)).toList),
       "dvs" -> dvsJson(snap.dvs),
+      // unresolved equality deletes (streaming upsert): the FULL
+      // current vector rides every commit, like dvs — the last
+      // retained commit alone fully describes them
+      "eqs" -> JArray(snap.eqs.map(e => JObject(
+        "col" -> JInt(BigInt(e.colId)),
+        "file" -> JString(new File(e.path).getName),
+        "below" -> JInt(BigInt(e.belowSeq)),
+        "type" -> JString(e.valueType.json))).toList),
       "dataChange" -> JBool(dataChange),
       "time" -> JLong(timeMillis),
       "schema" -> JString(schema.json),
@@ -615,7 +623,12 @@ private[sources] object GraftLakeLog {
 
     def snapOf(j: JValue): GraftLakeSnapshot = GraftLakeSnapshot(
       arr(j, "files").map(f => fileById(f.asInstanceOf[JString].s)).toVector,
-      dvsOf(j \ "dvs"))
+      dvsOf(j \ "dvs"),
+      arr(j, "eqs").map { e =>
+        GraftEqDelete(intOf(e \ "col"),
+          new File(root, str(e, "file")).getAbsolutePath,
+          intOf(e \ "below"), DataType.fromJson(str(e, "type")))
+      }.toVector)
 
     // commits, in version order; baseVersion = lowest retained
     // A ZERO-BYTE commit file is an unfilled O_EXCL claim: the writer

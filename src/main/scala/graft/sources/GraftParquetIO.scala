@@ -236,9 +236,15 @@ object GraftParquetIO {
       s"graft.storage=parquet cannot read ${other.sql}")
   }
 
+  /** TEST HOOK: files opened by this reader since JVM start — the
+    * zero-read-probe-at-write spec's counter (a streaming upsert must
+    * open NO existing data file). */
+  val reads = new java.util.concurrent.atomic.AtomicLong
+
   /** Read a file group back, in write order, as InternalRows typed by
     * the file's write-time column types. */
   def read(path: String, types: Seq[DataType]): Vector[InternalRow] = {
+    reads.incrementAndGet()
     val reader = ParquetReader
       .builder(new GroupReadSupport(), new Path(path))
       .withConf(new Configuration()).build()
