@@ -497,7 +497,10 @@ final case class GraftLakeFile(id: String, rows: Vector[InternalRow],
     // spec): partition-spec evolution never rewrites files, so the
     // stamp tells keyed (SPJ) planning whether a file's tuple is
     // meaningful under the CURRENT spec — Iceberg's per-file spec_id
-    pspecId: Int = 0) {
+    pspecId: Int = 0,
+    // per-column HLL registers (field id → 512 bytes): merged at plan
+    // time into the distinctCount CBO reads — see GraftLakeStats.ndv*
+    ndv: Map[Int, Array[Byte]] = Map.empty) {
   /** Committed row count (manifest metadata — parquet-backed files keep
     * no rows in memory, so the count must be recorded at write time). */
   def numRows: Long = if (nRows >= 0) nRows else rows.length.toLong
@@ -811,6 +814,93 @@ private[graft] object GraftLakeStats {
         } catch { case _: IllegalArgumentException => true }
       case _ => true
     }
+
+  // ---- per-column NDV sketches (HLL, VERDICT r16 task 5) -------------------
+  // CostBasedJoinReorder needs per-column distinct counts; Hive tables
+  // get them from ANALYZE, lake tables should get them FOR FREE from
+  // write-time manifests (Iceberg's theta-sketch puffin files play this
+  // role). A 512-register HyperLogLog per supported column per file
+  // (~512 bytes, ±~5%) merges associatively at plan time — so the scan
+  // can report distinctCount through DSv2 Statistics.columnStats() and
+  // Spark's transformV2Stats feeds the optimizer without any ANALYZE.
+  // Estimates steer costs only — never correctness — so the hash needs
+  // no generation pinning the way bloom bits do.
+
+  private val NdvP = 9
+  private val NdvM = 1 << NdvP // 512 registers
+
+  private def ndvCapable(dt: DataType): Boolean = dt match {
+    case LongType | org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.DoubleType |
+         org.apache.spark.sql.types.FloatType | StringType |
+         org.apache.spark.sql.types.DateType |
+         org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType |
+         org.apache.spark.sql.types.BooleanType => true
+    case _ => false
+  }
+
+  private def ndvHash(v: Any): Long = v match {
+    case l: java.lang.Long => mix(l.longValue())
+    case i: java.lang.Integer => mix(i.longValue()) // == widened Long
+    // + 0.0 folds -0.0 into 0.0 (SQL-equal values must hash equal);
+    // Float widens to Double first for the same cross-widening reason
+    case d: java.lang.Double =>
+      mix(java.lang.Double.doubleToLongBits(d.doubleValue() + 0.0))
+    case f: java.lang.Float =>
+      mix(java.lang.Double.doubleToLongBits(f.doubleValue() + 0.0))
+    case b: java.lang.Boolean => mix(if (b.booleanValue()) 1L else 0L)
+    case u: UTF8String => mix(fnv1a(u.getBytes))
+    case other => throw new IllegalArgumentException(
+      s"un-sketchable value ${other.getClass}")
+  }
+
+  /** Per-column HLL registers over the file's non-null values. */
+  def ndvCollect(rows: Vector[InternalRow], colIds: Seq[Int],
+      types: Seq[DataType]): Map[Int, Array[Byte]] =
+    colIds.zipWithIndex.flatMap { case (id, i) =>
+      if (!ndvCapable(types(i))) None
+      else {
+        val regs = new Array[Byte](NdvM)
+        rows.foreach { r =>
+          if (!r.isNullAt(i)) {
+            val h = ndvHash(r.get(i, types(i)))
+            val idx = (h >>> (64 - NdvP)).toInt
+            val w = h << NdvP
+            val rank = (if (w == 0L) 64 - NdvP
+              else java.lang.Long.numberOfLeadingZeros(w)) + 1
+            if (rank > regs(idx)) regs(idx) = rank.toByte
+          }
+        }
+        Some(id -> regs)
+      }
+    }.toMap
+
+  /** Register-wise max — the associative HLL union. */
+  def ndvMerge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](a.length)
+    var i = 0
+    while (i < a.length) {
+      out(i) = if (a(i) >= b(i)) a(i) else b(i); i += 1
+    }
+    out
+  }
+
+  /** Standard HLL estimate with the small-range correction. */
+  def ndvEstimate(regs: Array[Byte]): Long = {
+    val m = regs.length.toDouble
+    var sum = 0.0
+    var zeros = 0
+    regs.foreach { r =>
+      sum += java.lang.Math.pow(2.0, -r.toDouble)
+      if (r == 0) zeros += 1
+    }
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val e = alpha * m * m / sum
+    val est =
+      if (e <= 2.5 * m && zeros > 0) m * math.log(m / zeros) else e
+    math.max(1L, math.round(est))
+  }
 
   /** Per-column null counts over EVERY column (type-independent): the
     * IS [NOT] NULL pruning input and the COUNT(col) pushdown's
@@ -2648,7 +2738,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     val gf = GraftLakeFile(id, Vector.empty, m.cols,
       Some(target.getAbsolutePath), m.types, m.bytes, m.stats, m.nRows,
       m.nulls, m.sums, m.dsums, m.sorted, m.nstats, m.nnulls, m.blooms,
-      m.pkey, m.pnames, m.pspecId)
+      m.pkey, m.pnames, m.pspecId, m.ndv)
     log.foreach(_.writeFileManifest(gf))
     gf
   }
@@ -2711,6 +2801,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       val (nstats, nnulls) = GraftLakeStats.collectNested(rows, colIds,
         types)
       val blooms = GraftLakeStats.bloomCollect(rows, colIds, types)
+      val ndv = GraftLakeStats.ndvCollect(rows, colIds, types)
       lakeDir match {
         case Some(dir) =>
           val p = new java.io.File(dir, s"f$fileSeq.parquet")
@@ -2732,7 +2823,8 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           val gf = GraftLakeFile(id, Vector.empty, colIds, Some(p), types,
             bytes, stats, rows.length.toLong, nulls, sums, dsums, sortedBy,
             nstats, nnulls, blooms, pkey,
-            pnames = schemaNow.fieldNames.toSeq, pspecId = specIdNow)
+            pnames = schemaNow.fieldNames.toSeq, pspecId = specIdNow,
+            ndv = ndv)
           log.foreach(_.writeFileManifest(gf)) // immutable once written
           gf
         // memory files record their write-time types too: compaction
@@ -2742,7 +2834,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
         case None => GraftLakeFile(id, rows, colIds, types = types,
           stats = stats, nulls = nulls, sums = sums, dsums = dsums,
           sortedBy = sortedBy, nstats = nstats, nnulls = nnulls,
-          blooms = blooms, pkey = pkey, pspecId = specIdNow)
+          blooms = blooms, pkey = pkey, pspecId = specIdNow, ndv = ndv)
       }
     }
   }
@@ -2935,6 +3027,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       val (nstats, nnulls) = GraftLakeStats.collectNested(rows, f.cols,
         f.types)
       val blooms = GraftLakeStats.bloomCollect(rows, f.cols, f.types)
+      val ndv = GraftLakeStats.ndvCollect(rows, f.cols, f.types)
       Vector(lakeDir match {
         case Some(dir) =>
           val p = new java.io.File(dir, s"f$fileSeq.parquet")
@@ -2954,13 +3047,13 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           val gf = GraftLakeFile(id, Vector.empty, f.cols, Some(p), f.types,
             bytes, stats, rows.length.toLong, nulls, sums, dsums,
             nstats = nstats, nnulls = nnulls, blooms = blooms,
-            pkey = f.pkey, pnames = names, pspecId = f.pspecId)
+            pkey = f.pkey, pnames = names, pspecId = f.pspecId, ndv = ndv)
           log.foreach(_.writeFileManifest(gf))
           gf
         case None => GraftLakeFile(id, rows, f.cols, types = f.types,
           stats = stats, nulls = nulls, sums = sums, dsums = dsums,
           nstats = nstats, nnulls = nnulls, blooms = blooms,
-          pkey = f.pkey, pspecId = f.pspecId)
+          pkey = f.pkey, pspecId = f.pspecId, ndv = ndv)
       })
     }
 
@@ -3815,11 +3908,78 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
     val size =
       if (diskBytes > 0) diskBytes
       else liveRows * math.max(1L, fullSchema.defaultSize.toLong)
+    // PER-COLUMN stats for the optimizer (VERDICT r16 task 5): HLL
+    // registers from the write-time manifests merge associatively into
+    // distinctCount, null counts sum, min/max reduce — Spark's
+    // transformV2Stats turns these into catalyst ColumnStat, so
+    // CostBasedJoinReorder works on lake tables WITHOUT ANALYZE (the
+    // Iceberg sketch-in-metadata shape). Post-pruning (`active`), so a
+    // filtered scan reports the surviving files' stats. Estimates only:
+    // a DV'd/eq-deleted row still counts here, which CBO tolerates.
+    val nameToId = idToName.map(_.swap)
+    val colStats = new java.util.HashMap[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    if (active.nonEmpty) fullSchema.fields.foreach { fld =>
+      nameToId.get(fld.name).foreach { id =>
+        val allCarry = active.forall(_.cols.contains(id))
+        val ndvOpt =
+          if (allCarry && active.forall(_.ndv.contains(id)))
+            Some(GraftLakeStats.ndvEstimate(
+              active.map(_.ndv(id)).reduce(GraftLakeStats.ndvMerge)))
+          else None
+        val nullsOpt =
+          if (allCarry && active.forall(_.nulls.contains(id)))
+            Some(active.map(_.nulls(id)).sum)
+          else None
+        // min/max only for types whose INTERNAL value is the number
+        // the estimator compares (strings/binary are not consulted)
+        val numeric = fld.dataType match {
+          case LongType | org.apache.spark.sql.types.IntegerType |
+               org.apache.spark.sql.types.DoubleType |
+               org.apache.spark.sql.types.FloatType |
+               org.apache.spark.sql.types.DateType |
+               org.apache.spark.sql.types.TimestampType |
+               org.apache.spark.sql.types.TimestampNTZType => true
+          case _ => false
+        }
+        val mmOpt: Option[(Any, Any)] =
+          if (!numeric || !allCarry ||
+            !active.forall(_.stats.get(id).exists(_._1 != null))) None
+          else {
+            val mms = active.map(_.stats(id))
+            Some((
+              GraftLakeStats.widen(mms.map(_._1).reduce((a, b) =>
+                if (GraftLakeStats.lt(b, a)) b else a), fld.dataType),
+              GraftLakeStats.widen(mms.map(_._2).reduce((a, b) =>
+                if (GraftLakeStats.lt(a, b)) b else a), fld.dataType)))
+          }
+        if (ndvOpt.isDefined || nullsOpt.isDefined || mmOpt.isDefined)
+          colStats.put(Expressions.column(fld.name),
+            new org.apache.spark.sql.connector.read.colstats
+              .ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                ndvOpt.map(java.util.OptionalLong.of)
+                  .getOrElse(java.util.OptionalLong.empty())
+              override def nullCount(): java.util.OptionalLong =
+                nullsOpt.map(java.util.OptionalLong.of)
+                  .getOrElse(java.util.OptionalLong.empty())
+              override def min(): java.util.Optional[Object] =
+                mmOpt.map(v => java.util.Optional.of(v._1.asInstanceOf[
+                  Object])).getOrElse(java.util.Optional.empty[Object]())
+              override def max(): java.util.Optional[Object] =
+                mmOpt.map(v => java.util.Optional.of(v._2.asInstanceOf[
+                  Object])).getOrElse(java.util.Optional.empty[Object]())
+            })
+      }
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(size)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(liveRows)
+      override def columnStats(): java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
   }
 
@@ -4902,7 +5062,8 @@ final case class GraftLakeFileMeta(tmpPath: String, cols: Seq[Int],
     nnulls: Map[(Int, String), Long],
     blooms: Map[Int, Array[Long]],
     sorted: Seq[Int] = Nil,
-    pspecId: Int = 0)
+    pspecId: Int = 0,
+    ndv: Map[Int, Array[Byte]] = Map.empty)
 
 /** Everything a task needs to WRITE REAL FILES itself: the table dir
   * (shared storage), the build-time schema identity, and the partition
@@ -5048,7 +5209,8 @@ private[sources] object GraftLakeTaskFiles {
       GraftLakeStats.decSums(rows, cols, types),
       nstats, nnulls,
       GraftLakeStats.bloomCollect(rows, cols, types),
-      pspecId = pspecId)
+      pspecId = pspecId,
+      ndv = GraftLakeStats.ndvCollect(rows, cols, types))
   }
 
   /** A compaction rewrite's task-side READ unit: one source file's

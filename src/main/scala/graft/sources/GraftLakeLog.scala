@@ -201,6 +201,13 @@ private[sources] class GraftLakeLog(root: File) {
       // written under any other generation — conservative no-pruning
       // instead of silent false negatives.
       "bloomv" -> JInt(BigInt(GraftLakeLog.BloomHashVersion)),
+      // per-column HLL registers (CBO distinctCount input): estimates
+      // only, so no generation pin — a drifted sketch costs plan
+      // quality, never answers
+      "ndv" -> JObject(f.ndv.toList.map { case (id, regs) =>
+        id.toString ->
+          JString(java.util.Base64.getEncoder.encodeToString(regs))
+      }),
       "blooms" -> JObject(f.blooms.toList.map { case (id, words) =>
         val bb = java.nio.ByteBuffer.allocate(words.length * 8)
         words.foreach(bb.putLong)
@@ -569,7 +576,10 @@ private[sources] object GraftLakeLog {
         while (w < words.length) { words(w) = bb.getLong; w += 1 }
         k.toInt -> words
       }.toMap,
-      pnames = arr(m, "pnames").map(_.asInstanceOf[JString].s))
+      pnames = arr(m, "pnames").map(_.asInstanceOf[JString].s),
+      ndv = objFields(m, "ndv").map { case (k, JString(b64)) =>
+        k.toInt -> java.util.Base64.getDecoder.decode(b64)
+      }.toMap)
   }
 
   def restore(root: File): Restored = {
