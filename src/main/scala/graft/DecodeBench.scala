@@ -94,6 +94,70 @@ object DecodeBench {
     legsDv("row_dv")
     sys.props -= "graft.lake.columnar"
     spark.sql(s"DROP TABLE IF EXISTS $td")
+
+    // ---- WRITE phase A/B (VERDICT r16 task 7) ------------------------------
+    // Same 16x orders ingest, timed: native ParquetWriteSupport path
+    // (default) vs the legacy Group writer
+    // (-Dgraft.lake.write.columnar=off equivalent, toggled in-process).
+    val tw = "graftlake.decode_bench_w"
+    def ingest(label: String): Unit = {
+      val ts = (1 to math.max(2, reps / 2)).map { _ =>
+        spark.sql(s"DROP TABLE IF EXISTS $tw")
+        spark.sql(s"CREATE TABLE $tw (o_orderkey BIGINT, o_custkey " +
+          "BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, " +
+          "o_orderpriority STRING, o_orderdate TIMESTAMP) " +
+          "TBLPROPERTIES ('graft.storage' = 'parquet')")
+        val t0 = System.nanoTime()
+        (1 to 16).map(_ => base).reduce(_ union _)
+          .repartition(16).writeTo(tw).append()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"""{"path":"$label","rows":$n,"best":${ts.min}%.3f,"median":${
+        ts.sorted.apply(ts.length / 2)}%.3f,"all":[${
+        ts.map(v => f"$v%.3f").mkString(",")}]}""")
+    }
+    ingest("write_native_warm"); ingest("write_native")
+    sys.props("graft.lake.write.columnar") = "off"
+    ingest("write_groups")
+    sys.props -= "graft.lake.write.columnar"
+    spark.sql(s"DROP TABLE IF EXISTS $tw")
+
+    // PURE writer A/B: the end-to-end ingest above is dominated by the
+    // source scan + repartition shuffle; this leg times ONLY
+    // GraftParquetIO.write on a fixed in-memory row set (the task-side
+    // writer's actual work), isolating ParquetWriteSupport vs the
+    // per-row Group object trees.
+    {
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      import org.apache.spark.sql.types._
+      import org.apache.spark.unsafe.types.UTF8String
+      val names = Seq("k", "ck", "status", "price", "prio", "ts")
+      val types = Seq(LongType, LongType, StringType, DoubleType,
+        StringType, TimestampType)
+      val nrows = 1000000
+      val rows = Vector.tabulate(nrows)(i => new GenericInternalRow(
+        Array[Any](i.toLong, (i * 31 % 99991).toLong,
+          UTF8String.fromString(if (i % 3 == 0) "O" else "F"),
+          i * 0.37, UTF8String.fromString(s"P-${i % 5}"),
+          1700000000000000L + i.toLong)))
+      val dir = java.nio.file.Files.createTempDirectory("wbench_").toFile
+      def wleg(label: String): Unit = {
+        val ts = (1 to reps).map { r =>
+          val p = new java.io.File(dir, s"$label$r.parquet").getAbsolutePath
+          val t0 = System.nanoTime()
+          graft.sources.GraftParquetIO.write(p, names, types, rows)
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"""{"path":"$label","rows":$nrows,"best":${
+          ts.min}%.3f,"median":${ts.sorted.apply(reps / 2)}%.3f,"all":[${
+          ts.map(v => f"$v%.3f").mkString(",")}]}""")
+      }
+      wleg("purewrite_native_warm"); wleg("purewrite_native")
+      sys.props("graft.lake.write.columnar") = "off"
+      wleg("purewrite_groups")
+      sys.props -= "graft.lake.write.columnar"
+      graft.sources.GraftParquetIO.deleteRecursively(dir)
+    }
     spark.stop()
   }
 }

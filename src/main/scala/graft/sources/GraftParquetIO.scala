@@ -163,9 +163,67 @@ object GraftParquetIO {
     }
 
   /** Write one file group; returns its size in bytes (the currency of
-    * the write-amplification assertions). */
+    * the write-amplification assertions).
+    *
+    * DEFAULT: the NATIVE row writer (VERDICT r16 task 7) — Spark's own
+    * [[org.apache.spark.sql.execution.datasources.parquet
+    * .ParquetWriteSupport]] streams InternalRows straight into parquet
+    * column writers through a RecordConsumer, no per-row `Group` object
+    * tree (the write-side twin of the vectorized decode). Encodings are
+    * the standard modern shapes (3-level LIST/MAP, INT64-micros
+    * timestamps) and both readers — the positional Group reader below
+    * and the vectorized batch reader — serve files from either writer;
+    * the only physical divergence is DECIMAL(≤9), which the native
+    * writer stores as INT32 ([[readValue]] dispatches on the file's own
+    * primitive type, so mixed-writer tables read exactly).
+    * `-Dgraft.lake.write.columnar=off` pins the legacy Group writer —
+    * the A/B knob DecodeBench's write phase measures. */
   def write(path: String, names: Seq[String], types: Seq[DataType],
-      rows: Vector[InternalRow]): Long = {
+      rows: Vector[InternalRow]): Long =
+    if (sys.props.get("graft.lake.write.columnar").contains("off"))
+      writeGroups(path, names, types, rows)
+    else writeNative(path, names, types, rows)
+
+  private def writeNative(path: String, names: Seq[String],
+      types: Seq[DataType], rows: Vector[InternalRow]): Long = {
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+    import org.apache.spark.sql.internal.SQLConf
+    val schema = StructType(names.zip(types).map { case (n, t) =>
+      StructField(n, t) })
+    val conf = new Configuration()
+    ParquetWriteSupport.setSchema(schema, conf)
+    // executor-side: no session — pin every init-read setting in the
+    // Hadoop conf explicitly (values = this engine's write contract)
+    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false")
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      "TIMESTAMP_MICROS")
+    // proleptic-Gregorian values only — this engine never writes
+    // legacy-calendar ordinals (same CORRECTED the readers assume)
+    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED")
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "true")
+    // read by the schema converter even though no VARIANT column exists
+    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key, "false")
+    val writer = new RowWriterBuilder(new Path(path))
+      .withConf(conf).build()
+    try rows.foreach(writer.write) finally writer.close()
+    new java.io.File(path).length()
+  }
+
+  private class RowWriterBuilder(path: Path)
+      extends org.apache.parquet.hadoop.ParquetWriter.Builder[
+        InternalRow, RowWriterBuilder](path) {
+    override def self(): RowWriterBuilder = this
+    override def getWriteSupport(conf: Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport[InternalRow] =
+      new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetWriteSupport()
+  }
+
+  /** The legacy parquet-mr `Group` writer (row-at-a-time object trees):
+    * kept as the A/B baseline and a production fallback knob. */
+  private def writeGroups(path: String, names: Seq[String],
+      types: Seq[DataType], rows: Vector[InternalRow]): Long = {
     val schema = messageType(names, types)
     val factory = new SimpleGroupFactory(schema)
     val writer = ExampleParquetWriter.builder(new Path(path))
@@ -191,7 +249,19 @@ object GraftParquetIO {
     case FloatType => g.getFloat(i, 0)
     case BooleanType => g.getBoolean(i, 0)
     case StringType => UTF8String.fromBytes(g.getBinary(i, 0).getBytes)
-    case d: DecimalType => Decimal(g.getLong(i, 0), d.precision, d.scale)
+    case d: DecimalType =>
+      // dispatch on the FILE's primitive: the legacy Group writer
+      // stores every ≤18-precision decimal as INT64; the native writer
+      // (Spark's converter) stores ≤9 as INT32 — both are this table's
+      // own files and must read exactly
+      g.getType.getType(i).asPrimitiveType().getPrimitiveTypeName match {
+        case INT32 =>
+          Decimal(g.getInteger(i, 0).toLong, d.precision, d.scale)
+        case INT64 => Decimal(g.getLong(i, 0), d.precision, d.scale)
+        case _ => // FIXED_LEN_BYTE_ARRAY / BINARY (defensive)
+          Decimal(new java.math.BigDecimal(new java.math.BigInteger(
+            g.getBinary(i, 0).getBytes), d.scale), d.precision, d.scale)
+      }
     case ArrayType(et, _) =>
       val lg = g.getGroup(i, 0)
       val n = lg.getFieldRepetitionCount(0)
