@@ -1524,13 +1524,18 @@ final case class GraftEqDelete(colId: Int, path: String, belowSeq: Int,
     GraftEqDelete.seqOf(f.id) <= belowSeq
   /** The probe set, read from the keys parquet (small: one upsert
     * epoch's keys) and canonicalized. */
-  def loadValues(): Set[Any] =
-    GraftParquetIO.read(path, Seq(valueType)).iterator
-      .filterNot(_.isNullAt(0))
-      .map(r => GraftEqDelete.canon(r.get(0, valueType))).toSet
+  def loadValues(): Set[Any] = GraftEqDelete.loadProbe(path, valueType)
 }
 
 object GraftEqDelete {
+  /** THE probe-set loader — the one reading of a keys file every
+    * consumer shares (scan-task skip, compaction rewrite, driver-side
+    * liveRows), so canonicalization/null semantics cannot diverge. */
+  def loadProbe(path: String, valueType: DataType): Set[Any] =
+    GraftParquetIO.read(path, Seq(valueType)).iterator
+      .filterNot(_.isNullAt(0))
+      .map(r => canon(r.get(0, valueType))).toSet
+
   /** File number inside a lake file id (`<table>#f<N>`). */
   def seqOf(fileId: String): Int = fileId.split("#f").last.toInt
   /** Canonical probe representation across the widening pairs: a
@@ -2880,15 +2885,21 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
             // keys — are never subject to their own delete). ZERO
             // read-side probe of existing data: the keys files were
             // written task-side, and nothing here opens a data file.
+            // EVERY fallible step (adoption can throw on a concurrent
+            // ALTER or a cross-writer claim) runs BEFORE any state
+            // assignment — a failure must not leave a phantom equality
+            // delete riding the table's next successful commit.
             val belowSeq = fileSeq
             val ki = schemaNow.fieldNames.indexOf(keyName)
             require(ki >= 0, s"upsert key $keyName not in ${tableName}'s " +
               s"schema (${schemaNow.fieldNames.mkString(", ")})")
             val keyId = colIds(ki)
             val keyType = schemaNow.fields(ki).dataType
-            eqs = eqs ++ keyMetas.map(m =>
+            val newFiles = mkFiles(pendings)
+            val newEqs = keyMetas.map(m =>
               GraftEqDelete(keyId, adoptEqFile(m), belowSeq, keyType))
-            files = files ++ mkFiles(pendings)
+            eqs = eqs ++ newEqs
+            files = files ++ newFiles
           case None =>
             if (truncate) { // Complete-mode sink: each epoch replaces all
               files = mkFiles(pendings); dvs = Map.empty
@@ -3154,6 +3165,8 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       // `INSERT INTO` too, captured at plan time on the planning thread.
       private val branch = Option(info.options.get("graft.branch"))
         .orElse(GraftLakeTable.wapBranch)
+      private val upsertKeyName =
+        Option(info.options.get("graft.upsert.key"))
       private var truncateRequested = false
       override def truncate(): WriteBuilder = {
         truncateRequested = true; this
@@ -3171,11 +3184,17 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
         override def requiredDistribution()
             : org.apache.spark.sql.connector.distributions.Distribution = {
           val spec = partSpecNow
-          if (spec.isEmpty)
+          // upsert epochs additionally cluster by the KEY: every copy
+          // of a key lands in ONE task, so the writer's duplicate-key
+          // detection is complete across the whole micro-batch
+          val exprs = upsertKeyName.map(k =>
+            org.apache.spark.sql.connector.expressions.Expressions
+              .identity(k)).toSeq ++ spec.map(_.toV2)
+          if (exprs.isEmpty)
             org.apache.spark.sql.connector.distributions.Distributions
               .unspecified()
           else org.apache.spark.sql.connector.distributions.Distributions
-            .clustered(spec.map(_.toV2).toArray[
+            .clustered(exprs.toArray[
               org.apache.spark.sql.connector.expressions.Expression])
         }
         override def requiredOrdering(): Array[
@@ -3203,7 +3222,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           // read-side probe of existing data (the Flink→Iceberg CDC
           // writer shape). Requires parquet storage (keys files are
           // real files read by scan tasks).
-          val upsert = Option(info.options.get("graft.upsert.key"))
+          val upsert = upsertKeyName
             .map { keyName =>
               require(!truncateRequested,
                 "graft.upsert.key is append-mode only")
@@ -3916,6 +3935,34 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
     // Iceberg sketch-in-metadata shape). Post-pruning (`active`), so a
     // filtered scan reports the surviving files' stats. Estimates only:
     // a DV'd/eq-deleted row still counts here, which CBO tolerates.
+    // MEMOIZED per active-set identity: Spark may ask for statistics
+    // more than once while planning, and the merge is O(files ×
+    // columns × registers) driver work that would repeat verbatim.
+    val colStats = colStatsMemo match {
+      case Some((key, cached)) if key eq active => cached
+      case _ =>
+        val computed = computeColStats()
+        colStatsMemo = Some((active, computed))
+        computed
+    }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(size)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(liveRows)
+      override def columnStats(): java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
+    }
+  }
+
+  private var colStatsMemo: Option[(Seq[GraftLakeFile],
+    java.util.Map[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics])] =
+    None
+
+  private def computeColStats(): java.util.Map[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
     val nameToId = idToName.map(_.swap)
     val colStats = new java.util.HashMap[NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
@@ -3972,15 +4019,7 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
             })
       }
     }
-    new org.apache.spark.sql.connector.read.Statistics {
-      override def sizeInBytes(): java.util.OptionalLong =
-        java.util.OptionalLong.of(size)
-      override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.of(liveRows)
-      override def columnStats(): java.util.Map[NamedReference,
-        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
-        colStats
-    }
+    colStats
   }
 
   // Runtime (DPP-style) filterable attributes: the row-level group
@@ -5004,9 +5043,7 @@ class GraftLakeReaderFactory(fullSchema: StructType,
     val eqSkip: InternalRow => Boolean = p match {
       case fp: GraftLakeFilePartition if fp.eqProbes.nonEmpty =>
         val probes = fp.eqProbes.map { case (ci, path, vt) =>
-          (ci, fp.types(ci), GraftParquetIO.read(path, Seq(vt)).iterator
-            .filterNot(_.isNullAt(0))
-            .map(r => GraftEqDelete.canon(r.get(0, vt))).toSet)
+          (ci, fp.types(ci), GraftEqDelete.loadProbe(path, vt))
         }
         r => probes.exists { case (ci, t, set) =>
           !r.isNullAt(ci) && set.contains(GraftEqDelete.canon(r.get(ci, t)))
@@ -5195,11 +5232,18 @@ private[sources] object GraftLakeTaskFiles {
     * for compaction rewrites). */
   def writeOne(dir: String, names: Seq[String], types: Seq[DataType],
       cols: Seq[Int], pkey: Option[Vector[Any]],
-      rows: Vector[InternalRow], pspecId: Int = 0): GraftLakeFileMeta = {
+      rows: Vector[InternalRow], pspecId: Int = 0,
+      // equality-delete KEYS files get no manifest, so their stats
+      // block would be discarded — skip the collection pass entirely
+      collectStats: Boolean = true): GraftLakeFileMeta = {
     val tmp = new java.io.File(dir,
       s"tmp_${java.util.UUID.randomUUID()}.parquet")
     val bytes = GraftParquetIO.write(tmp.getAbsolutePath, names, types,
       rows)
+    if (!collectStats)
+      return GraftLakeFileMeta(tmp.getAbsolutePath, cols, types, names,
+        pkey, rows.length.toLong, bytes, Map.empty, Map.empty, Map.empty,
+        Map.empty, Map.empty, Map.empty, Map.empty, pspecId = pspecId)
     val (nstats, nnulls) = GraftLakeStats.collectNested(rows, cols, types)
     GraftLakeFileMeta(tmp.getAbsolutePath, cols, types, names, pkey,
       rows.length.toLong, bytes,
@@ -5254,9 +5298,7 @@ private[sources] object GraftLakeTaskFiles {
       val sliced = live.slice(s.from, s.until)
       // equality-delete resolution: probe sets read HERE, in the task
       s.eqProbes.foldLeft(sliced) { case (rs, (ci, path, vt)) =>
-        val probe = GraftParquetIO.read(path, Seq(vt)).iterator
-          .filterNot(_.isNullAt(0))
-          .map(r => GraftEqDelete.canon(r.get(0, vt))).toSet
+        val probe = GraftEqDelete.loadProbe(path, vt)
         val t = s.types(ci)
         rs.filterNot(r => !r.isNullAt(ci) &&
           probe.contains(GraftEqDelete.canon(r.get(ci, t))))
@@ -5350,21 +5392,34 @@ class GraftLakeStreamingWriterFactory(
       new DataWriter[InternalRow] {
         private val tf = new GraftLakeTaskFiles(fw)
         private val keys = Vector.newBuilder[InternalRow]
+        // complete across the epoch, not just this task: the upsert
+        // Write clusters its input by key (requiredDistribution), so
+        // every copy of a key arrives HERE
+        private val seen = scala.collection.mutable.HashSet.empty[Any]
         override def write(row: InternalRow): Unit = {
           require(!row.isNullAt(u.keyIdx),
             s"upsert key ${u.keyName} must be non-null")
-          val r = row.copy()
-          keys += new GenericInternalRow(
-            Array[Any](r.get(u.keyIdx, u.keyType)))
-          tf.add(new GenericInternalRow(Array.tabulate[Any](
-            fw.types.length)(i => r.get(i, fw.types(i)))))
+          val r = row.copy() // one materialization, like the plain path
+          val k = GraftEqDelete.canon(r.get(u.keyIdx, u.keyType))
+          // shuffling destroys the batch's row order, so "last wins"
+          // is undefined here — a key-unique epoch is the contract
+          // (Flink's upsert writers get per-key order from keyed
+          // streams; an upstream dedup-by-sequence provides the same)
+          require(seen.add(k),
+            s"duplicate upsert key $k within one epoch — " +
+              "equality-delete upsert requires key-unique micro-batches" +
+              " (dedup upstream, e.g. last-by-sequence, before the sink)")
+          keys += new GenericInternalRow(Array[Any](r.get(u.keyIdx,
+            u.keyType)))
+          tf.add(r)
         }
         override def commit(): WriterCommitMessage = {
           val ks = keys.result()
           GraftLakeUpsertCommit(tf.finish(),
             if (ks.isEmpty) Vector.empty
             else Vector(GraftLakeTaskFiles.writeOne(fw.dir,
-              Seq(u.keyName), Seq(u.keyType), Seq(u.keyId), None, ks)))
+              Seq(u.keyName), Seq(u.keyType), Seq(u.keyId), None, ks,
+              collectStats = false)))
         }
         override def abort(): Unit = tf.abort()
         override def close(): Unit = ()

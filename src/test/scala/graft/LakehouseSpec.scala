@@ -3545,4 +3545,57 @@ class LakehouseSpec extends SparkTestBase {
         leftoverKeys.map(_.getName).mkString(", "))
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
+
+  test("equality-delete upsert refuses duplicate keys in one epoch, leaves no phantom state") {
+    // review finding (r17): shuffling destroys batch order, so
+    // last-wins is undefined for within-epoch duplicates — the sink
+    // clusters by key and fails LOUDLY instead of silently committing
+    // both copies; and a failed epoch must leave neither data files
+    // nor a phantom equality delete behind.
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_eqd_dup"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    spark.range(0, 10).selectExpr("id AS k", "concat('old', id) AS s")
+      .coalesce(1).writeTo(t).append()
+    def table() = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_eqd_dup").get
+    val v0 = table().currentVersion
+    val land = java.nio.file.Files.createTempDirectory("eqdup_l_").toFile
+    val chk = java.nio.file.Files.createTempDirectory("eqdup_c_").toFile
+    // one landing file holding the SAME key twice
+    spark.createDataFrame(Seq((5L, "a"), (5L, "b"), (6L, "c")))
+      .toDF("k", "s").coalesce(1)
+      .write.mode("append").parquet(land.getAbsolutePath)
+    val q = spark.readStream.schema(spark.table(t).schema)
+      .parquet(land.getAbsolutePath)
+      .writeStream
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .option("graft.upsert.key", "k")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(t)
+    val e = intercept[Exception](
+      graft.streaming.StreamingOps.awaitDrained(q))
+    def msgs(x: Throwable): String = {
+      var c: Throwable = x; val sb = new StringBuilder
+      var seen = List.empty[Throwable]
+      while (c != null && !seen.exists(_ eq c)) {
+        sb.append(Option(c.getMessage).getOrElse("")); seen ::= c
+        c = c.getCause
+      }
+      sb.toString
+    }
+    assert(msgs(e).contains("duplicate upsert key"),
+      s"duplicate keys must fail loudly, got: $e")
+    assert(table().currentVersion == v0,
+      "the failed epoch must not commit")
+    assert(table().eqDeletes.isEmpty,
+      "no phantom equality delete may survive the failure")
+    assert(spark.table(t).count() == 10 &&
+      spark.table(t).where("s = 'a' OR s = 'b' OR s = 'c'").count() == 0,
+      "the failed epoch's rows must not be visible")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }
