@@ -4326,13 +4326,12 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
     // columnar too when their planning is the per-key FILE-LIST shape
     // (every active file partition-pure) — the chained per-file batch
     // readers preserve the key grouping.
+    // unresolved equality deletes stay columnar too: the batch reader
+    // loads each probe's keys parquet task-side and key-checks rows
+    // into the same selection view the DV filter uses
     new GraftLakeReaderFactory(fullSchema, requiredSchema, nameDefaults,
       (!keyedPlanning || metaKeyed) &&
         !sys.props.get("graft.lake.columnar").contains("off") &&
-        // unresolved equality deletes need a per-row key probe the
-        // batch path doesn't express (yet) — row fallback until
-        // CALL system.compact resolves them
-        !snapshot.eqs.exists(e => active.exists(e.appliesTo)) &&
         GraftLakeColumnar.eligible(active,
           requiredSchema, namesOf, nameDefaults))
 }
