@@ -3500,10 +3500,14 @@ class LakehouseSpec extends SparkTestBase {
       (250L until 350L).map(k => (k, s"new$k"))).sortBy(_._1)
     assert(state() == expected, "surviving state must be the exact upsert")
     assert(spark.table(t).count() == 350)
-    // scans under unresolved equality deletes take the row path
-    assert(!spark.table(t).queryExecution.executedPlan.toString
+    // scans under unresolved equality deletes STAY COLUMNAR: the batch
+    // reader loads each probe's keys parquet task-side and key-checks
+    // rows into the same selection view the DV filter uses (the r17
+    // contract — a hot CDC table must keep vectorized decode between
+    // compactions, not demote every scan to the row path)
+    assert(spark.table(t).queryExecution.executedPlan.toString
       .contains("ColumnarToRow"),
-      "unresolved equality deletes must force the row fallback")
+      "unresolved equality deletes must stay on the columnar path")
     // time travel: the pre-upsert version is untouched by the deletes
     assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF $preVersion")
       .collect().head.getLong(0) == 300)
@@ -3596,6 +3600,103 @@ class LakehouseSpec extends SparkTestBase {
     assert(spark.table(t).count() == 10 &&
       spark.table(t).where("s = 'a' OR s = 'b' OR s = 'c'").count() == 0,
       "the failed epoch's rows must not be visible")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("columnar eq-delete probes: out-of-projection key, widened Int key, DV composition") {
+    // Pins the three legs of the r17 columnar equality-delete reader
+    // (GraftLakeColumnar.reader) that shipped with the selection-view
+    // probe design:
+    //  1. probe column REUSED from the projection vs requested as an
+    //     EXTRA trailing parquet column when the projection omits it;
+    //  2. widened-key canonicalization — a file written with INT k
+    //     before ALTER COLUMN k TYPE BIGINT probes correctly against
+    //     BIGINT keys (Int value canonicalizes to Long);
+    //  3. eq-probe + deletion-vector composition in ONE selection view
+    //     on the same file (MoR DELETE first, then the upsert epoch).
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_eqd_col"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k INT, s STRING, v BIGINT) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet', " +
+      "'graft.mode' = 'merge-on-read')")
+    spark.range(0, 100)
+      .selectExpr("cast(id AS int) AS k", "concat('old', id) AS s",
+        "id * 10 AS v")
+      .coalesce(1).writeTo(t).append()
+    def table() = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_eqd_col").get
+    val preFileIds = table().fileIds.toSet
+    // widen the KEY column: the existing file keeps INT k physically
+    spark.sql(s"ALTER TABLE $t ALTER COLUMN k TYPE BIGINT")
+    assert(table().fileIds.toSet == preFileIds,
+      "the widen must not rewrite any file")
+    // MoR position deletes on the SAME file the eq probes will hit
+    spark.sql(s"DELETE FROM $t WHERE k IN (5, 6)")
+    assert(table().fileIds.toSet == preFileIds,
+      "a merge-on-read delete must land as a DV, not a rewrite")
+
+    // one upsert epoch: replace k in [10, 20), insert k in [200, 210)
+    val land = java.nio.file.Files.createTempDirectory("eqdc_l_").toFile
+    val chk = java.nio.file.Files.createTempDirectory("eqdc_c_").toFile
+    spark.range(0, 20).selectExpr(
+        "(CASE WHEN id < 10 THEN id + 10 ELSE id + 190 END) AS k",
+        "concat('new', CASE WHEN id < 10 THEN id + 10 ELSE id + 190 END) AS s",
+        "id AS v")
+      .coalesce(1).write.mode("append").parquet(land.getAbsolutePath)
+    val q = spark.readStream.schema(spark.table(t).schema)
+      .parquet(land.getAbsolutePath)
+      .writeStream
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .option("graft.upsert.key", "k")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(t)
+    graft.streaming.StreamingOps.awaitDrained(q)
+    assert(table().eqDeletes.nonEmpty,
+      "the epoch must land as an unresolved equality delete")
+    assert(preFileIds.subsetOf(table().fileIds.toSet),
+      "no committed file may be rewritten by the upsert")
+
+    val expected = (
+      (0L until 100L).filterNot(k => k == 5L || k == 6L).map { k =>
+        if (k >= 10L && k < 20L) (k, s"new$k", k - 10L)
+        else (k, s"old$k", k * 10L)
+      } ++
+      (200L until 210L).map(k => (k, s"new$k", k - 190L))).sortBy(_._1)
+    // FULL projection: the probe column (k) is reused from the
+    // projection's decoded chunk; DV + eq hits compose in one view
+    val full = spark.table(t)
+    assert(full.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"),
+      "unresolved equality deletes must stay on the columnar path")
+    assert(full.orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      == expected, "full-projection state under DV + widened eq probes")
+    // projection WITHOUT the key column: the probe requests k as an
+    // extra trailing parquet column, never exposed in the output batch
+    val noKey = spark.table(t).select("s", "v")
+    assert(noKey.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"),
+      "the out-of-projection probe leg must stay columnar")
+    assert(noKey.orderBy("v", "s").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+      == expected.map(x => (x._2, x._3)).sortBy(p => (p._2, p._1)),
+      "projection omitting the key column must probe identically")
+    // single-column projections on either side of the probe column
+    assert(spark.table(t).select("s").orderBy("s").collect()
+      .map(_.getString(0)).toSeq == expected.map(_._2).sorted,
+      "a one-column projection away from the key must stay exact")
+    assert(spark.table(t).groupBy().sum("k").collect().head.getLong(0)
+      == expected.map(_._1).sum,
+      "a key-only projection must reuse the probe chunk and stay exact")
+
+    // compaction resolves; the relation is unchanged
+    spark.sql(s"CALL graftlake.system.compact('spec_eqd_col')")
+    assert(table().eqDeletes.isEmpty)
+    assert(spark.table(t).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      == expected, "compaction must not change the relation")
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 }
