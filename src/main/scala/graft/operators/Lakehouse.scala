@@ -1407,6 +1407,78 @@ object Lakehouse {
     releasing(spark, spark.table(t).orderBy("o_orderkey"), t)
   }
 
+  /** Change feed ACROSS an equality-delete commit (VERDICT r17 task 2)
+    * — the CDC-writer's primary consumer reading the CDC-writer's own
+    * commit shape. A streaming upsert lands one equality-delete epoch
+    * (data files + keys parquet, zero read-probe at write); the feed
+    * then enumerates the epoch's delete leg by probing each prior
+    * applicable file's live rows against the keys parquet TASK-side
+    * (the driver ships probe specs only) and emits the epoch's data
+    * files as inserts. No compaction runs — the point is serving the
+    * feed while the delete debt is still unresolved. At 100 TB the
+    * feed's cost stays ∝ churn × prior-file count, never table size,
+    * and the probe work distributes across scan tasks. */
+  def changeFeedUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.orders_eqdcf"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t " +
+      "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    val base = Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    base.filter(col("o_orderkey") % 3 =!= 0).writeTo(t).append()
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "orders_eqdcf").get
+    val loadedV = table.currentVersion
+    val tmp = sys.props("java.io.tmpdir")
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
+      "_pid" + ProcessHandle.current().pid()
+    val land = new File(tmp, s"graft_eqdcf_land_$tag")
+    val chk = new File(tmp, s"graft_eqdcf_chk_$tag")
+    Seq(land, chk).foreach(graft.streaming.StreamingOps.deleteRecursively)
+    base.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .coalesce(1).write.mode("append").parquet(land.getAbsolutePath)
+    val q = spark.readStream
+      .schema(spark.table(t).schema)
+      .parquet(land.getAbsolutePath)
+      .writeStream
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .option("graft.upsert.key", "o_orderkey")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(t)
+    graft.streaming.StreamingOps.awaitDrained(q)
+    require(table.eqDeletes.nonEmpty,
+      "the feed must be read UNDER the unresolved equality delete")
+    releasing(spark, spark.read
+      .option("graft.changes.from", loadedV.toString)
+      .option("graft.changes.to", table.currentVersion.toString)
+      .table(t)
+      .select(col("_change_type").as("change_type"), col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      .orderBy("o_orderkey", "change_type"), t)
+  }
+
+  /** Delete pre-images = prev ∩ batch keys; inserts = the batch. */
+  private val changeFeedUpsertOracle =
+    """WITH prev AS (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderkey % 3 <> 0),
+      |batch AS (
+      |  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderkey % 2 = 0)
+      |SELECT * FROM (
+      |  SELECT 'delete' AS change_type,
+      |    o_orderkey, o_orderstatus, o_totalprice
+      |  FROM prev WHERE o_orderkey % 2 = 0
+      |  UNION ALL
+      |  SELECT 'insert' AS change_type,
+      |    o_orderkey, o_orderstatus, o_totalprice
+      |  FROM batch)
+      |ORDER BY o_orderkey, change_type""".stripMargin
+
   private val streamLakeSinkOracle =
     """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
       | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
@@ -1507,6 +1579,9 @@ object Lakehouse {
     Query("stream_upsert_eqdelete",
       "streaming upsert via equality deletes: zero read-probe at write",
       streamUpsertEqDelete, Some(mergeIntoSqlOracle)),
+    Query("ref_change_feed_upsert",
+      "change feed across an UNRESOLVED equality-delete commit: probed delete leg",
+      changeFeedUpsert, Some(changeFeedUpsertOracle)),
     Query("ref_partition_evolve",
       "partition-spec evolution: metadata-only relayout, mixed-spec reads",
       partitionEvolve, Some(partitionEvolveOracle)),

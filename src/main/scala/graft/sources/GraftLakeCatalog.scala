@@ -4384,7 +4384,16 @@ final case class GraftLakeChangePartition(fileId: String,
     drop: Array[Long] = Array.empty,
     // positions to EMIT EXCLUSIVELY (DV growth/shrink legs); overrides
     // `drop` when set
-    keepOnly: Option[Array[Long]] = None) extends InputPartition
+    keepOnly: Option[Array[Long]] = None,
+    // EQUALITY-DELETE probe specs (key column position in the FILE
+    // layout, keys parquet path, key type), applied AFTER the position
+    // selection. `eqDrop`: rows whose key hits ANY of these sets were
+    // already dead at the emitting snapshot — exclude them. `eqKeep`:
+    // the new-epoch delete leg — emit ONLY rows whose key hits this
+    // set. Tasks load the keys parquets themselves (driver ships paths
+    // only, same no-data-plane rule as the scan's eqProbes).
+    eqDrop: Seq[(Int, String, DataType)] = Nil,
+    eqKeep: Option[(Int, String, DataType)] = None) extends InputPartition
 
 /** Change-feed scan over a commit-history slice: emits the row-level
   * diff of each consecutive snapshot pair as insert/delete partitions.
@@ -4396,7 +4405,12 @@ final case class GraftLakeChangePartition(fileId: String,
   *    deletes (a CoW group rewrite = that delete + the new file's
   *    insert, which is exactly the update-as-delete+insert contract);
   *  - a surviving file whose deletion vector GREW → the newly dead
-  *    positions as deletes (the merge-on-read delta shape).
+  *    positions as deletes (the merge-on-read delta shape);
+  *  - a commit carrying a NEW equality-delete epoch (streaming upsert)
+  *    → per prior applicable file, a delete partition whose TASK
+  *    enumerates the leg by probing the file's live rows against the
+  *    epoch's keys parquet (the delete is row-content-defined, so the
+  *    driver ships probe specs, never rows).
   * Commits flagged dataChange = false (DV compaction) are skipped:
   * they reorganize storage without changing the relation. */
 class GraftLakeChangeFeedScanBuilder(
@@ -4782,64 +4796,125 @@ private[sources] object GraftLakeChanges {
     // metadata-only; memory files materialize here as before. Cost
     // stays ∝ the files each commit touched, either way.
     def emit(f: GraftLakeFile, ct: String, v: Long, drop: Set[Long],
-        keepOnly: Option[Set[Long]]): Unit = {
+        keepOnly: Option[Set[Long]],
+        eqDrop: Seq[(Int, String, DataType)] = Nil,
+        eqKeep: Option[(Int, String, DataType)] = None): Unit = {
       val n = keepOnly.map(_.size.toLong).getOrElse(f.numRows - drop.size)
       if (n > 0) {
         if (f.path.isDefined)
+          // eq probes ride as SPECS; the task loads the keys parquets
+          // and filters after its position selection (a probe-only
+          // partition may legitimately yield zero rows)
           parts += GraftLakeChangePartition(f.id, Vector.empty, ct, v,
             namesOf(f), f.types, f.path, drop.toArray.sorted,
-            keepOnly.map(_.toArray.sorted))
+            keepOnly.map(_.toArray.sorted), eqDrop, eqKeep)
         else {
+          // memory files: rows are driver-resident already, so the
+          // probes apply here with the same canon/null-never-matches
+          // semantics as the task-side parquet leg
+          val dropSets = eqDrop.map { case (ci, p, vt) =>
+            (ci, GraftEqDelete.loadProbe(p, vt)) }
+          val keepSet = eqKeep.map { case (ci, p, vt) =>
+            (ci, GraftEqDelete.loadProbe(p, vt)) }
+          def keyAt(r: InternalRow, ci: Int): Any =
+            if (r.isNullAt(ci)) null
+            else GraftEqDelete.canon(r.get(ci, f.types(ci)))
           val rows = f.loadRows.zipWithIndex.collect {
             case (r, p) if keepOnly.map(_.contains(p.toLong))
-              .getOrElse(!drop.contains(p.toLong)) => (p.toLong, r)
+              .getOrElse(!drop.contains(p.toLong)) &&
+              dropSets.forall { case (ci, s) =>
+                val k = keyAt(r, ci); k == null || !s.contains(k) } &&
+              keepSet.forall { case (ci, s) =>
+                val k = keyAt(r, ci); k != null && s.contains(k) } =>
+              (p.toLong, r)
           }
-          parts += GraftLakeChangePartition(f.id, rows, ct, v,
-            namesOf(f), f.types)
+          if (rows.nonEmpty)
+            parts += GraftLakeChangePartition(f.id, rows, ct, v,
+              namesOf(f), f.types)
         }
       }
     }
+    // probe spec for epoch `e` against file `f`: key column resolved to
+    // the FILE's layout position; a file predating the key column has
+    // nothing to match (same rule as GraftLakeSnapshot.liveRows)
+    def probeOf(f: GraftLakeFile, e: GraftEqDelete)
+        : Option[(Int, String, DataType)] = {
+      val i = f.cols.indexOf(e.colId)
+      if (i < 0) None else Some((i, e.path, e.valueType))
+    }
+    // rows already equality-deleted AT snapshot `s`: exclude them from
+    // every leg — a downstream replica applying the feed deleted them
+    // when the epoch's own delete leg was emitted
+    def eqDeadAt(s: GraftLakeSnapshot, f: GraftLakeFile)
+        : Seq[(Int, String, DataType)] =
+      s.eqs.filter(_.appliesTo(f)).flatMap(probeOf(f, _))
     for (i <- 1 until history.length) {
       val (prev, _) = history(i - 1)
       val (cur, dataChange) = history(i)
       if (dataChange) {
         val v = (fromVersion + i).toLong
-        // an EQUALITY-DELETE commit's delete leg is row-content-defined
-        // (only a key probe against every prior file can enumerate it)
-        // — the feed refuses the range rather than silently dropping
-        // the deletes; compaction resolves the debt and the feed's
-        // maintenance-commit skip then replays cleanly above it
+        // an EQUALITY-DELETE commit's delete leg is row-content-defined:
+        // only a key probe against every prior applicable file can
+        // enumerate it. The feed SERVES it (VERDICT r17 task 2) by
+        // shipping probe specs — each prior file with seq ≤ belowSeq
+        // emits a delete partition whose task keeps exactly the rows
+        // whose key hits the epoch's keys parquet, minus rows already
+        // dead (DV or earlier epochs). Epochs process in commit order,
+        // each excluding its predecessors' hits, so a key upserted
+        // twice across epochs in one range deletes exactly once per
+        // live pre-image. The upsert's own data files have seq >
+        // belowSeq (captured pre-adoption) and never self-delete.
         val newEqs = cur.eqs.filterNot(e =>
           prev.eqs.exists(_.path == e.path))
-        if (newEqs.nonEmpty) throw new UnsupportedOperationException(
-          s"change feed version $v carries an unresolved equality " +
-            "delete (streaming upsert) — run CALL system.compact and " +
-            "read the feed from a version at or above the compaction")
         val prevIds = prev.files.map(_.id).toSet
         val curIds = cur.files.map(_.id).toSet
+        // epochs target only files SURVIVING into cur: a file removed
+        // by this same commit emits its whole live set through the
+        // removed-file delete leg below, probe hits included
+        newEqs.zipWithIndex.foreach { case (e, j) =>
+          prev.files.filter(f => curIds.contains(f.id) && e.appliesTo(f))
+            .foreach { f =>
+              probeOf(f, e).foreach { keep =>
+                val earlier = eqDeadAt(prev, f) ++
+                  newEqs.take(j).filter(_.appliesTo(f))
+                    .flatMap(probeOf(f, _))
+                emit(f, "delete", v, prev.dvs.getOrElse(f.id, Set.empty),
+                  None, earlier, Some(keep))
+              }
+            }
+        }
         // a commit can introduce a file TOGETHER with a deletion vector
         // (rollback past a compaction restores the pre-compaction file
         // plus its DV): only the file's LIVE-in-cur rows are inserts —
         // emitting the DV'd positions would resurrect dead rows
-        // downstream (ADVICE r11).
+        // downstream (ADVICE r11). Rows equality-deleted at the
+        // emitting snapshot are excluded from every leg the same way:
+        // the replica already applied the epoch's own delete leg.
         cur.files.filterNot(f => prevIds.contains(f.id)).foreach { f =>
-          emit(f, "insert", v, cur.dvs.getOrElse(f.id, Set.empty), None)
+          emit(f, "insert", v, cur.dvs.getOrElse(f.id, Set.empty), None,
+            eqDeadAt(cur, f))
         }
         prev.files.filterNot(f => curIds.contains(f.id)).foreach { f =>
-          emit(f, "delete", v, prev.dvs.getOrElse(f.id, Set.empty), None)
+          emit(f, "delete", v, prev.dvs.getOrElse(f.id, Set.empty), None,
+            eqDeadAt(prev, f))
         }
         cur.files.filter(f => prevIds.contains(f.id)).foreach { f =>
           val prevDead = prev.dvs.getOrElse(f.id, Set.empty[Long])
           val curDead = cur.dvs.getOrElse(f.id, Set.empty[Long])
           val grown = curDead -- prevDead
-          if (grown.nonEmpty) emit(f, "delete", v, Set.empty, Some(grown))
+          // exclusion at CUR (not prev): if one commit ever carried
+          // both DV growth and a new epoch, a row hit by both emits
+          // once — through the epoch's delete leg
+          if (grown.nonEmpty) emit(f, "delete", v, Set.empty, Some(grown),
+            eqDeadAt(cur, f))
           // a deletion vector that SHRANK (rollback undoing a MERGE/
           // DELETE) resurrects the previously position-deleted rows:
           // without the insert leg a CDC replica applying the feed would
           // permanently miss them — the self-heal contract rollback's
           // docstring promises (ADVICE r11).
           val shrunk = prevDead -- curDead
-          if (shrunk.nonEmpty) emit(f, "insert", v, Set.empty, Some(shrunk))
+          if (shrunk.nonEmpty) emit(f, "insert", v, Set.empty, Some(shrunk),
+            eqDeadAt(cur, f))
         }
       }
     }
@@ -4864,12 +4939,27 @@ class GraftLakeChangeReaderFactory(fullSchema: StructType,
     // the `_pos` values either way
     val rows: Vector[(Long, InternalRow)] = cp.path match {
       case Some(pq) =>
+        // equality-delete probe sets load HERE, task-side: the keys
+        // parquets are one upsert epoch each (small); canonicalization
+        // and null-never-matches follow GraftEqDelete.loadProbe, the
+        // same semantics every other probe consumer shares
+        val dropSets = cp.eqDrop.map { case (ci, p, vt) =>
+          (ci, GraftEqDelete.loadProbe(p, vt)) }
+        val keepSet = cp.eqKeep.map { case (ci, p, vt) =>
+          (ci, GraftEqDelete.loadProbe(p, vt)) }
+        def keyAt(r: InternalRow, ci: Int): Any =
+          if (r.isNullAt(ci)) null
+          else GraftEqDelete.canon(r.get(ci, cp.types(ci)))
         val all = GraftParquetIO.read(pq, cp.types)
         all.zipWithIndex.collect {
           case (r, pos) if cp.keepOnly
             .map(ks => java.util.Arrays.binarySearch(ks, pos.toLong) >= 0)
             .getOrElse(
-              java.util.Arrays.binarySearch(cp.drop, pos.toLong) < 0) =>
+              java.util.Arrays.binarySearch(cp.drop, pos.toLong) < 0) &&
+            dropSets.forall { case (ci, s) =>
+              val k = keyAt(r, ci); k == null || !s.contains(k) } &&
+            keepSet.forall { case (ci, s) =>
+              val k = keyAt(r, ci); k != null && s.contains(k) } =>
             (pos.toLong, r)
         }
       case None => cp.rows

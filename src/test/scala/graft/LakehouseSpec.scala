@@ -3511,11 +3511,32 @@ class LakehouseSpec extends SparkTestBase {
     // time travel: the pre-upsert version is untouched by the deletes
     assert(spark.sql(s"SELECT count(*) FROM $t VERSION AS OF $preVersion")
       .collect().head.getLong(0) == 300)
-    // the change feed refuses to cross the upsert commit
-    val e = intercept[Exception](spark.read
-      .option("graft.changes.from", "0").table(s"$t.changes").collect())
-    assert(e.getMessage != null && e.getMessage.contains("equality"),
-      s"feed across an eq-delete commit must refuse loudly: $e")
+    // the change feed SERVES the upsert commits (VERDICT r17 task 2):
+    // each epoch emits its data files as inserts plus a TASK-PROBED
+    // delete leg — prior files' live rows whose key appears in the
+    // epoch's keys parquet (the delete is row-content-defined, so the
+    // driver ships probe specs, never rows)
+    def feedSlice(from: Int): Seq[(Long, String, Long, String)] =
+      spark.read.option("graft.changes.from", from.toString)
+        .table(s"$t.changes")
+        .selectExpr("_commit_version", "_change_type", "k", "s")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getString(3))).toSeq
+    val feedRows = feedSlice(preVersion)
+    val expFeed = (
+      (100L until 200L).map(k => ("insert", k, s"new$k")) ++
+      (100L until 200L).map(k => ("delete", k, s"old$k")) ++
+      (250L until 350L).map(k => ("insert", k, s"new$k")) ++
+      (250L until 300L).map(k => ("delete", k, s"old$k"))).sorted
+    assert(feedRows.map(x => (x._2, x._3, x._4)).sorted == expFeed,
+      "the feed must carry the exact upsert churn: epoch inserts plus " +
+        "the probe-enumerated delete pre-images")
+    // a key's delete rides the SAME commit as its replacing insert
+    // (wave ORDER is filesystem-dependent; per-epoch atomicity is not)
+    assert(feedRows.groupBy(_._3).values
+      .forall(g => g.map(_._1).distinct.length == 1),
+      "delete and insert legs of one epoch must share a commit version")
 
     // durable round-trip: evict, reopen from _graft_log, same answers
     graft.sources.GraftLakeCatalog.evict("grafteqd", "spec_eqd")
@@ -3536,6 +3557,54 @@ class LakehouseSpec extends SparkTestBase {
       .option("graft.changes.from", compactV.toString)
       .table(s"$t.changes")
     assert(feed.count() == 0, "the feed reads cleanly above the compaction")
+
+    // STREAMING tail exactly-once across an upsert commit: drain 1
+    // covers the two resolved epochs (compaction skipped as a
+    // non-data-change commit), a THIRD epoch lands, drain 2 resumes
+    // from the checkpoint and ships exactly its churn — the
+    // accumulated sink equals the batch feed over the same range
+    val fsink = java.nio.file.Files.createTempDirectory("eqd_fsink_")
+      .toFile
+    val fchk = java.nio.file.Files.createTempDirectory("eqd_fchk_")
+      .toFile
+    def drainFeed(): Unit = {
+      val fq = spark.readStream
+        .option("graft.stream.startingVersion", preVersion.toString)
+        .table(s"$t.changes")
+        .selectExpr("_commit_version", "_change_type", "k", "s")
+        .writeStream.format("parquet")
+        .option("path", fsink.getAbsolutePath)
+        .option("checkpointLocation", fchk.getAbsolutePath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      graft.streaming.StreamingOps.awaitDrained(fq)
+    }
+    drainFeed()
+    spark.range(0, 10).selectExpr("id AS k", "concat('upd', id) AS s")
+      .coalesce(1).write.mode("append").parquet(land.getAbsolutePath)
+    val q3 = spark.readStream.schema(spark.table(t).schema)
+      .option("maxFilesPerTrigger", "1").parquet(land.getAbsolutePath)
+      .writeStream
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .option("graft.upsert.key", "k")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(t)
+    graft.streaming.StreamingOps.awaitDrained(q3)
+    assert(table().eqDeletes.nonEmpty, "the third epoch lands unresolved")
+    drainFeed() // checkpoint resume: the epoch-3 churn, exactly once
+    val tail = spark.read.parquet(fsink.getAbsolutePath)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(tail.sorted == feedSlice(preVersion).sorted,
+      "the checkpointed tail must accumulate the exact batch feed — " +
+        "no loss, no duplicates, across compaction AND an upsert commit")
+    val expected3 = expected.map { case (k, s) =>
+      (k, if (k < 10) s"upd$k" else s) }
+    assert(state() == expected3, "the third epoch's state must be exact")
+    // resolve epoch 3 so the retention leg below sees only
+    // unreferenced keys files
+    spark.sql(s"CALL grafteqd.system.compact('spec_eqd')")
+    assert(table().eqDeletes.isEmpty)
 
     // retention: once no retained snapshot references the keys files,
     // vacuum deletes them like any other unreferenced file
