@@ -2848,6 +2848,89 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     synchronized(GraftLakeSnapshot(files, dvs, eqs))
   /** Current unresolved equality deletes — the upsert specs' probe. */
   private[graft] def eqDeletes: Vector[GraftEqDelete] = synchronized(eqs)
+
+  /** Per-file LIVE row counts under unresolved equality deletes —
+    * rows − DV − live probe matches (VERDICT r17 task 3). The scan-less
+    * COUNT pays ONE distributed key-probe pass per (file, DV,
+    * epoch-set) signature — each task drives the vectorized reader
+    * projected to the key column only ([[GraftLakeColumnar.countLive]])
+    * — and memoizes the result, so every later COUNT answers from
+    * metadata until the file's read debt changes (a growing DV or a new
+    * epoch re-keys the signature; compaction makes the memo moot).
+    * Memory-backed files count driver-side where their rows already
+    * live. Returns None when a parquet probe job cannot run (no active
+    * session). Only counts cross the driver — never rows. */
+  private val eqLiveMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private[sources] def eqLiveCounts(snap: GraftLakeSnapshot,
+      targets: Vector[GraftLakeFile]): Option[Map[String, Long]] = {
+    def probesOf(f: GraftLakeFile): Seq[(Int, String, DataType)] =
+      snap.eqs.filter(_.appliesTo(f)).flatMap { e =>
+        val i = f.cols.indexOf(e.colId)
+        if (i < 0) None else Some((i, e.path, e.valueType))
+      }
+    def sig(f: GraftLakeFile): String = {
+      val dv = snap.dvs.getOrElse(f.id, Set.empty[Long])
+      s"${f.id}|${dv.size}:${dv.hashCode}|" +
+        probesOf(f).map(_._2).sorted.mkString(",")
+    }
+    val missing = targets.filterNot(f => eqLiveMemo.containsKey(sig(f)))
+    val (probeable, direct) =
+      missing.partition(f => f.path.isDefined && probesOf(f).nonEmpty)
+    direct.foreach { f =>
+      // no applicable probe (file predates every key column) → pure
+      // metadata math; memory files count from driver-resident rows
+      val n =
+        if (probesOf(f).isEmpty)
+          f.numRows - snap.dvs.getOrElse(f.id, Set.empty).size.toLong
+        else snap.liveRows(f).size.toLong
+      eqLiveMemo.put(sig(f), n)
+    }
+    if (probeable.nonEmpty) {
+      val spark = org.apache.spark.sql.SparkSession.getActiveSession
+        .getOrElse(return None)
+      val i2n = idToName
+      val specs = probeable.map { f =>
+        val probes = probesOf(f)
+        (f.id, GraftLakeFilePartition(f.id, Vector.empty,
+          snap.dvs.get(f.id).map(_.toArray.sorted)
+            .getOrElse(Array.empty[Long]),
+          GraftLakeFieldIds.resolve(f.cols, i2n),
+          f.path, f.types, f.pnames, probes),
+          // project the first probe's key column — the narrowest
+          // decode that still drives every probe
+          GraftLakeFieldIds.resolve(f.cols, i2n)(probes.head._1))
+      }
+      val counted = spark.sparkContext
+        .parallelize(specs, specs.length)
+        .map { case (id, fp, keyName) =>
+          // key-column-only vectorized count; a file predating the
+          // write-time-label manifest (no columnar alignment) falls
+          // back to the row decode — still task-side
+          val n = if (fp.pnames.length == fp.cols.length)
+            GraftLakeColumnar.countLive(fp, keyName)
+          else {
+            val sets = fp.eqProbes.map { case (ci, p, vt) =>
+              (ci, GraftEqDelete.loadProbe(p, vt)) }
+            var live = 0L
+            GraftParquetIO.read(fp.path.get, fp.types).zipWithIndex
+              .foreach { case (r, pos) =>
+                val dead = java.util.Arrays.binarySearch(
+                  fp.deleted, pos.toLong) >= 0 ||
+                  sets.exists { case (ci, s) => !r.isNullAt(ci) &&
+                    s.contains(GraftEqDelete.canon(
+                      r.get(ci, fp.types(ci)))) }
+                if (!dead) live += 1
+              }
+            live
+          }
+          (id, n)
+        }
+        .collect().toMap
+      probeable.foreach(f => eqLiveMemo.put(sig(f), counted(f.id)))
+    }
+    Some(targets.map(f => f.id -> eqLiveMemo.get(sig(f)).longValue()).toMap)
+  }
   /** Current file ids, in commit order — the spec's carry-vs-rewrite probe. */
   private[graft] def fileIds: Seq[String] = snapshot.files.map(_.id)
   /** Current deletion vectors — the spec's no-rewrite merge-on-read probe. */
@@ -3130,7 +3213,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
         new GraftLakeScanBuilder(
           asOf.map(snapshotAt).getOrElse(snapshot), schema(), partSpecNow,
           None, () => fileIds.toSet, idToName, defaults,
-          pspecId = partSpecIdNow)
+          pspecId = partSpecIdNow, eqLive = eqLiveCounts)
     }
   }
 
@@ -3141,7 +3224,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     new GraftLakeScanBuilder(snapshotAt(v), sch, partSpecNow, None,
       () => fileIds.toSet,
       ids.zip(sch.fieldNames).map { case (id, n) => id -> n }.toMap, defs,
-      pspecId = partSpecIdNow)
+      pspecId = partSpecIdNow, eqLive = eqLiveCounts)
   }
 
   /** Scan builder over a BRANCH head — the audit read of
@@ -3152,7 +3235,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
   private[sources] def scanBuilderForBranch(name: String): ScanBuilder =
     new GraftLakeScanBuilder(branchSnapshot(name), schema(), partSpecNow,
       None, () => fileIds.toSet, idToName, defaults,
-      pspecId = partSpecIdNow)
+      pspecId = partSpecIdNow, eqLive = eqLiveCounts)
 
   // ---- plain write path (append / truncate-overwrite) ---------------------
 
@@ -3440,7 +3523,12 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
     currentIds: () => Set[String] = () => Set.empty,
     idToName: Map[Int, String] = Map.empty,
     colDefaults: Map[Int, Any] = Map.empty,
-    pspecId: Int = 0)
+    pspecId: Int = 0,
+    // the parent table's memoized live-count service (rows − DV − eq
+    // matches per file) — lets COUNT(*) push down under unresolved
+    // equality deletes; the default refuses, preserving scan fallback
+    eqLive: (GraftLakeSnapshot, Vector[GraftLakeFile]) =>
+      Option[Map[String, Long]] = (_, _) => None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -3536,10 +3624,20 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
     // (every file decides it exactly) — then restricting to the
     // surviving files IS the filter and the manifests still answer
     if (rowLevel.isDefined || residualPreds.nonEmpty) return None
-    // an unresolved EQUALITY DELETE hides an unknown number of rows per
-    // file (only a key probe can tell) — manifests cannot answer any
-    // aggregate exactly until CALL system.compact resolves it
-    if (snapshot.eqs.exists(e => snapshot.files.exists(e.appliesTo)))
+    // an unresolved EQUALITY DELETE hides a content-defined number of
+    // rows per file, so VALUE-derived aggregates (MIN/MAX/SUM/
+    // COUNT(col)/AVG) refuse until CALL system.compact resolves it.
+    // COUNT(*) still pushes (VERDICT r17 task 3): each affected file's
+    // contribution is its memoized live count — rows − DV − live probe
+    // matches, computed once by a distributed key-column pass — so
+    // the first COUNT pays one narrow probe job and every later COUNT
+    // is metadata-only.
+    val eqAffected: Set[String] = snapshot.files.iterator
+      .filter(f => snapshot.eqs.exists(_.appliesTo(f)))
+      .map(_.id).toSet
+    if (eqAffected.nonEmpty && !agg.aggregateExpressions().forall(
+        _.isInstanceOf[org.apache.spark.sql.connector.expressions
+          .aggregate.CountStar]))
       return None
     val nameToId = idToName.map(_.swap)
     // under a fully-decided WHERE, the aggregate's input is exactly the
@@ -3722,15 +3820,30 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
         else None // result overflows the SQL sum type: let the scan decide
       }
     }
+    // live counts for the eq-affected candidates, computed ONCE for
+    // all groups (the one-time distributed probe pass, memoized by the
+    // parent table) — only forced when the aggregation survives every
+    // other admissibility check
+    lazy val eqLiveMap: Option[Map[String, Long]] = {
+      val affected = candidates.filter(f => eqAffected.contains(f.id))
+      if (affected.isEmpty) Some(Map.empty)
+      else eqLive(snapshot, affected)
+    }
     // per-aggregate (name, type, per-group evaluator), or bail out
     val aggCols: Seq[Option[(String, DataType,
         Vector[GraftLakeFile] => Option[Any])]] =
       agg.aggregateExpressions().toSeq.map {
         case _: CountStar =>
           Some(("COUNT(*)", LongType: DataType,
-            (fs: Vector[GraftLakeFile]) => Some(fs.map(f => f.numRows -
-              snapshot.dvs.getOrElse(f.id, Set.empty).size.toLong)
-              .sum: Any)))
+            (fs: Vector[GraftLakeFile]) => {
+              val (eqd, plain) =
+                fs.partition(f => eqAffected.contains(f.id))
+              val base = plain.map(f => f.numRows -
+                snapshot.dvs.getOrElse(f.id, Set.empty).size.toLong).sum
+              if (eqd.isEmpty) Some(base: Any)
+              else eqLiveMap.map(m =>
+                (base + eqd.map(f => m(f.id)).sum): Any)
+            }))
         case c: Count if !c.isDistinct => colId(c.column()).map(id =>
           (s"COUNT(${idToName(id)})", LongType: DataType,
             (fs: Vector[GraftLakeFile]) => countCol(fs, id)))
@@ -3774,13 +3887,22 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
       }
     if (aggCols.exists(_.isEmpty)) return None
     val evals = aggCols.flatten
+    // force the probe pass NOW, after every cheap admissibility check:
+    // if it cannot run (no active session) the whole pushdown refuses
+    // BEFORE group-liveness decisions depend on it
+    if (candidates.exists(f => eqAffected.contains(f.id)) &&
+        eqLiveMap.isEmpty) return None
 
-    // a group whose every row is deletion-vector-dead has NO live rows:
-    // SQL emits no group for it (the ungrouped single row stays — an
-    // empty table still answers COUNT(*) = 0 / MIN = NULL)
+    // a group whose every row is deletion-vector-dead (or equality-
+    // deleted) has NO live rows: SQL emits no group for it (the
+    // ungrouped single row stays — an empty table still answers
+    // COUNT(*) = 0 / MIN = NULL)
     val liveGroups = grouped.get.filter { case (_, fs) =>
-      groupIds.get.isEmpty || fs.exists(f =>
-        f.numRows > snapshot.dvs.getOrElse(f.id, Set.empty).size)
+      groupIds.get.isEmpty || fs.exists { f =>
+        if (eqAffected.contains(f.id))
+          eqLiveMap.exists(_.getOrElse(f.id, 0L) > 0)
+        else f.numRows > snapshot.dvs.getOrElse(f.id, Set.empty).size
+      }
     }
     // evaluate every aggregate for every group; any refusal kills all
     val maybeRows: Seq[Option[InternalRow]] =

@@ -395,4 +395,22 @@ object GraftLakeColumnar {
       }
     }
   }
+
+  /** LIVE-row count of one parquet file under its DV + equality-delete
+    * probes (the scan-less COUNT's one-time probe pass, VERDICT r17
+    * task 3): drives [[reader]] — the exact batch/selection semantics
+    * every scan uses — projected to a single key column at the FILE's
+    * own physical type, so only key chunks decode (further probes ride
+    * as trailing requests the reader adds itself). The caller memoizes
+    * per (file, DV, epoch-set); this stays a per-task, data-plane-free
+    * helper. */
+  def countLive(fp: GraftLakeFilePartition, keyName: String): Long = {
+    val i = fp.cols.indexOf(keyName)
+    require(i >= 0, s"count key $keyName absent from file ${fp.fileId}")
+    val required = StructType(Seq(StructField(keyName, fp.types(i))))
+    val r = reader(fp, required, Map.empty)
+    var n = 0L
+    try { while (r.next()) n += r.get().numRows() } finally r.close()
+    n
+  }
 }

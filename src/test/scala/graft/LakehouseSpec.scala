@@ -1198,6 +1198,86 @@ class LakehouseSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $tm")
   }
 
+  test("COUNT(*) pushes down under unresolved equality deletes via memoized probe counts") {
+    // VERDICT r17 task 3: an unresolved upsert epoch hides a content-
+    // defined number of rows per file, so the manifest alone cannot
+    // answer COUNT(*) — but one distributed key-column probe pass can,
+    // and its per-file live counts memoize until the read debt changes.
+    // First COUNT pays the narrow probe job; the second opens NO file.
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_agg_eqd"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING, b BIGINT) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    for (b <- 0 until 3)
+      spark.range(b * 100L, (b + 1) * 100L)
+        .selectExpr("id AS k", "concat('s', id) AS s", s"$b AS b")
+        .coalesce(1).writeTo(t).append()
+    val land = java.nio.file.Files.createTempDirectory("eqagg_l_").toFile
+    val chk = java.nio.file.Files.createTempDirectory("eqagg_c_").toFile
+    // epoch A: replace k in [50,150), insert [300,350) — all b = 9
+    spark.range(0, 150).selectExpr(
+        "(CASE WHEN id < 100 THEN id + 50 ELSE id + 200 END) AS k",
+        "'new' AS s", "9L AS b")
+      .coalesce(1).write.mode("append").parquet(land.getAbsolutePath)
+    // epoch B: replace ALL of b = 2 (k in [200,300)) — that group dies
+    spark.range(200, 300).selectExpr("id AS k", "'new' AS s", "9L AS b")
+      .coalesce(1).write.mode("append").parquet(land.getAbsolutePath)
+    val q = spark.readStream.schema(spark.table(t).schema)
+      .option("maxFilesPerTrigger", "1").parquet(land.getAbsolutePath)
+      .writeStream
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .option("graft.upsert.key", "k")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(t)
+    graft.streaming.StreamingOps.awaitDrained(q)
+    def table() = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_agg_eqd").get
+    assert(table().eqDeletes.nonEmpty, "the epochs must stay unresolved")
+
+    // 300 − 100 (epoch A hits) − 100 (epoch B hits) + 150 + 100 = 350
+    val cnt = spark.sql(s"SELECT count(*) AS c FROM $t")
+    assert(cnt.queryExecution.executedPlan.toString
+      .contains("GraftLakeAggScan"),
+      "COUNT(*) must stay scan-less under unresolved equality deletes")
+    assert(cnt.collect().head.getLong(0) == 350L)
+    // memoization: the SECOND count opens no file at all (the first
+    // paid the one-time probe pass — keys parquets + key chunks)
+    val reads0 = graft.sources.GraftParquetIO.reads.get()
+    val cnt2 = spark.sql(s"SELECT count(*) AS c FROM $t")
+    assert(cnt2.collect().head.getLong(0) == 350L)
+    assert(cnt2.queryExecution.executedPlan.toString
+      .contains("GraftLakeAggScan"))
+    assert(graft.sources.GraftParquetIO.reads.get() == reads0,
+      "a repeated COUNT must answer from the memoized live counts " +
+        "without opening any file")
+
+    // grouped COUNT over single-valued files: per-group live counts,
+    // and the fully-equality-deleted group (b = 2) emits NO row
+    val g = spark.sql(s"SELECT b, count(*) AS c FROM $t GROUP BY b")
+    assert(g.queryExecution.executedPlan.toString
+      .contains("GraftLakeAggScan"),
+      "grouped COUNT must push down with eq-aware group liveness")
+    assert(g.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      .toSeq == Seq((0L, 50L), (1L, 50L), (9L, 250L)),
+      "the fully-deleted group must vanish like SQL says")
+    // VALUE-derived aggregates still refuse (a deleted row could hold
+    // the extreme) and fall back to an exact scan
+    val mn = spark.sql(s"SELECT min(k) AS mn FROM $t")
+    assert(!mn.queryExecution.executedPlan.toString
+      .contains("GraftLakeAggScan"),
+      "MIN must refuse the stats answer under equality deletes")
+    assert(mn.collect().head.getLong(0) == 0L)
+    // compaction resolves the debt: pure manifest math resumes
+    spark.sql(s"CALL graftlake.system.compact('spec_agg_eqd')")
+    val after = spark.sql(s"SELECT count(*) AS c FROM $t")
+    assert(after.collect().head.getLong(0) == 350L)
+    assert(after.queryExecution.executedPlan.toString
+      .contains("GraftLakeAggScan"))
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("manifest skipping prunes files before read and stays exact") {
     val (_, stats) = Lakehouse.statsManifest(spark, Sf)
     val keep = Lakehouse.survivingFiles(stats, "1995-01-01", "1995-12-31")
