@@ -2713,22 +2713,17 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     fileSeq += 1
     val id = s"$tableName#f$fileSeq"
     val target = new java.io.File(lakeDir.get, s"f$fileSeq.parquet")
-    // CLAIM the file number with O_CREAT|O_EXCL FIRST: ATOMIC_MOVE on
-    // Linux is a bare rename(2) that silently REPLACES an existing
-    // target, so relying on the move to detect a cross-writer collision
-    // would let a stale writer clobber a committed writer's data file.
-    // The claim is the real CAS; the move then replaces only our own
-    // zero-byte claim.
-    def claim(retriable: Boolean): Unit =
-      try java.nio.file.Files.createFile(target.toPath)
+    // CLAIM the file number FIRST, through the commit arbiter (O_EXCL
+    // on POSIX, conditional PUT on object stores — GraftCommitArbiter):
+    // ATOMIC_MOVE on Linux is a bare rename(2) that silently REPLACES
+    // an existing target, so relying on the move to detect a
+    // cross-writer collision would let a stale writer clobber a
+    // committed writer's data file. The claim is the real CAS; the
+    // fill then replaces only our own claim (verified still ours).
+    val arbiter = GraftCommitArbiter.active
+    val token = try arbiter.claim(target)
       catch {
-        case _: java.nio.file.FileAlreadyExistsException
-            if retriable && GraftLakeLog.staleClaim(target) =>
-          // an abandoned zero-byte claim (its writer died between
-          // claim and fill, >1h ago): reclaim the file number
-          target.delete()
-          claim(retriable = false)
-        case e: java.nio.file.FileAlreadyExistsException =>
+        case e: GraftClaimConflict =>
           new java.io.File(m.tmpPath).delete()
           throw new IllegalStateException(
             s"write conflict on $tableName: data file " +
@@ -2736,10 +2731,18 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
               "writer — this writer's snapshot is stale; reopen the " +
               "table and retry the statement", e)
       }
-    claim(retriable = true)
-    java.nio.file.Files.move(new java.io.File(m.tmpPath).toPath,
-      target.toPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try arbiter.fill(target, token, new java.io.File(m.tmpPath))
+    catch {
+      case e: GraftClaimConflict =>
+        new java.io.File(m.tmpPath).delete()
+        throw new IllegalStateException(
+          s"write conflict on $tableName: the claim of " +
+            s"f$fileSeq.parquet was reclaimed as stale by another " +
+            "writer — reopen the table and retry the statement", e)
+      case e: Throwable =>
+        arbiter.release(target, token)
+        throw e
+    }
     val gf = GraftLakeFile(id, Vector.empty, m.cols,
       Some(target.getAbsolutePath), m.types, m.bytes, m.stats, m.nRows,
       m.nulls, m.sums, m.dsums, m.sorted, m.nstats, m.nnulls, m.blooms,
@@ -3001,24 +3004,28 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
   private def adoptEqFile(m: GraftLakeFileMeta): String = {
     fileSeq += 1
     val target = new java.io.File(lakeDir.get, s"e$fileSeq.parquet")
-    def claim(retriable: Boolean): Unit =
-      try java.nio.file.Files.createFile(target.toPath)
+    val arbiter = GraftCommitArbiter.active
+    val token = try arbiter.claim(target)
       catch {
-        case _: java.nio.file.FileAlreadyExistsException
-            if retriable && GraftLakeLog.staleClaim(target) =>
-          target.delete()
-          claim(retriable = false)
-        case e: java.nio.file.FileAlreadyExistsException =>
+        case e: GraftClaimConflict =>
           new java.io.File(m.tmpPath).delete()
           throw new IllegalStateException(
             s"write conflict on $tableName: keys file e$fileSeq.parquet " +
               "was already written by another writer — this writer's " +
               "snapshot is stale; reopen the table and retry", e)
       }
-    claim(retriable = true)
-    java.nio.file.Files.move(new java.io.File(m.tmpPath).toPath,
-      target.toPath, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try arbiter.fill(target, token, new java.io.File(m.tmpPath))
+    catch {
+      case e: GraftClaimConflict =>
+        new java.io.File(m.tmpPath).delete()
+        throw new IllegalStateException(
+          s"write conflict on $tableName: the claim of " +
+            s"e$fileSeq.parquet was reclaimed as stale by another " +
+            "writer — reopen the table and retry", e)
+      case e: Throwable =>
+        arbiter.release(target, token)
+        throw e
+    }
     target.getAbsolutePath
   }
   private def truncateTo(pendings: Vector[GraftLakePending]): Unit =

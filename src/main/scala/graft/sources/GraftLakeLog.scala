@@ -12,6 +12,129 @@ import org.json4s.jackson.JsonMethods
 import org.apache.spark.sql.types.{DataType, Decimal, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
+/** A lost commit CAS: another writer owns (or reclaimed) the target.
+  * Callers wrap it with table context — the reason string stays
+  * store-level. */
+private[graft] final class GraftClaimConflict(msg: String)
+    extends Exception(msg)
+
+/** Cross-writer commit arbitration — THE seam between the lake's
+  * optimistic-commit protocol and the store's atomicity primitive
+  * (VERDICT r17 task 4). Every immutable object the log commits (a
+  * v<N>.json version record, an f<N>.parquet data-file number, an
+  * e<N>.parquet keys file, a g*.json manifest group) is arbitrated
+  * through exactly three operations:
+  *
+  *  - `claim(target)`  — exclusively reserve the name; the SECOND
+  *    writer of the same name must lose here, loudly. A stale
+  *    abandoned claim ([[GraftLakeLog.staleClaim]]) is reclaimed at
+  *    most once. Returns an opaque ownership token.
+  *  - `fill(target, token, src)` — publish the content atomically,
+  *    CONDITIONAL on the claim still being the one `token` represents
+  *    (a writer stalled past the stale window can have its claim
+  *    reclaimed; blind publish would clobber the reclaimer's commit).
+  *  - `release(target, token)` — best-effort removal of our own
+  *    UNFILLED claim after a failed fill; must never touch a
+  *    reclaimer's claim or a filled object.
+  *
+  * POSIX contract (the default, [[PosixCommitArbiter]]): claim =
+  * O_CREAT|O_EXCL zero-byte file, token = the claim's inode (fileKey),
+  * fill = re-verify inode + atomic rename(2) over the claim.
+  *
+  * Object-store contract (S3-class, documented for the cluster port —
+  * not instantiable in this sandbox): claim = conditional PUT
+  * (`If-None-Match: *`) of a zero-length marker, token = the returned
+  * ETag / version-id; fill = conditional PUT (`If-Match: <token>`) of
+  * the content — one round trip, no rename needed because the
+  * conditional PUT IS the single-winner CAS; release = conditional
+  * DELETE (`If-Match: <token>`). Stores without conditional writes
+  * need a catalog-level swap (DynamoDB/REST catalog pointer CAS)
+  * behind this same trait. Everything above this seam — stale-claim
+  * reclamation policy, conflict semantics, revert-on-failure — is
+  * store-agnostic. */
+private[graft] trait GraftCommitArbiter {
+  def claim(target: File): AnyRef
+  def fill(target: File, token: AnyRef, src: File): Unit
+  def release(target: File, token: AnyRef): Unit
+}
+
+private[graft] object GraftCommitArbiter {
+  /** The process-wide arbiter. A cluster deployment swaps this for the
+    * store's implementation at startup; specs inject deterministic
+    * race-losers and restore the default. */
+  @volatile var active: GraftCommitArbiter = PosixCommitArbiter
+}
+
+/** O_CREAT|O_EXCL + verify-inode + rename(2): the POSIX instance of
+  * the [[GraftCommitArbiter]] contract (the pre-seam protocol,
+  * verbatim — existing cross-writer specs pass through unchanged). */
+private[graft] object PosixCommitArbiter extends GraftCommitArbiter {
+  override def claim(target: File): AnyRef = {
+    def once(retriable: Boolean): Unit =
+      try Files.createFile(target.toPath)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException
+            if retriable && GraftLakeLog.staleClaim(target) =>
+          // an ABANDONED claim (zero bytes, older than any plausible
+          // claim→fill latency): its writer died mid-commit — reclaim
+          // the name instead of conflicting forever
+          target.delete()
+          once(retriable = false)
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new GraftClaimConflict(
+            s"${target.getName} is already claimed or committed")
+      }
+    once(retriable = true)
+    // the claim's inode IS the writer token (ADVICE r16): a reclaimer
+    // deletes this file and creates its own, so a changed/absent key
+    // proves the claim is no longer ours. fileKey can be null on
+    // exotic filesystems — verification is then skipped (the O_EXCL
+    // claim alone still covers the sub-hour envelope, as before).
+    try Files.readAttributes(target.toPath,
+        classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+    catch { case _: java.io.IOException => null }
+  }
+
+  override def fill(target: File, token: AnyRef, src: File): Unit = {
+    if (token != null) {
+      // VERIFY-BEFORE-FILL (ADVICE r16): ATOMIC_MOVE is a plain
+      // rename(2) — it replaces silently. A writer stalled PAST the
+      // 1-hour stale window between claim and fill can have its name
+      // reclaimed by another writer; blindly filling would clobber the
+      // reclaimer's committed record. Re-read the target's inode: ours
+      // → fill proceeds (the move is atomic, and any reclaim in the
+      // microsecond gap after this check requires the reclaimer to
+      // have observed a >1h-old claim that this running writer
+      // refreshes implicitly by existing — the residual window is the
+      // check-to-move instant, down from the full stall duration);
+      // changed or gone → the claim was reclaimed, fail as the
+      // conflict it is.
+      val nowKey = try Files.readAttributes(target.toPath,
+          classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+        catch { case _: java.io.IOException => null }
+      if (nowKey != token) throw new GraftClaimConflict(
+        s"claim of ${target.getName} was reclaimed as stale")
+    }
+    Files.move(src.toPath, target.toPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  override def release(target: File, token: AnyRef): Unit =
+    // deleted only when still provably OURS — unfilled (length 0) and,
+    // when the filesystem supports file keys, the same inode we
+    // claimed (a reclaimer's fresh claim or filled commit survives)
+    if (target.length() == 0L) {
+      val stillOurs = token == null || {
+        try token == Files.readAttributes(target.toPath,
+          classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
+        catch { case _: java.io.IOException => false }
+      }
+      if (stillOurs)
+        try Files.deleteIfExists(target.toPath)
+        catch { case _: java.io.IOException => () }
+    }
+}
+
 /** DURABLE table metadata for `graft.storage = parquet` lake tables
   * (VERDICT r15 task 2): commit history + file manifests persisted as
   * FILES under the table root, so the table's whole state — data,
@@ -62,66 +185,39 @@ private[sources] class GraftLakeLog(root: File) {
 
   private def writeAtomic(name: String, content: String,
       overwrite: Boolean = true): Unit = {
-    val target = new File(dir, name).toPath
-    // identity of THIS writer's claim (the file's inode): the fill
-    // below verifies it before the replacing move — see A4 note there
-    var claimKey: AnyRef = null
-    var claimed = false
-    if (!overwrite) {
-      // OPTIMISTIC COMMIT CLAIM: version files are immutable, and
-      // O_CREAT|O_EXCL is the cross-process arbiter — the second writer
-      // of the same version number loses HERE, loudly, instead of
-      // silently clobbering the first one's commit (the file-layer
-      // analog of Iceberg's metadata-swap CAS). The claimed file is
-      // filled by the atomic replace just below; the claim→fill window
-      // is commit-latency-sized and a reopen validates contiguity.
-      def claim(retriable: Boolean): Unit =
-        try Files.createFile(target)
-        catch {
-          case _: java.nio.file.FileAlreadyExistsException
-              if retriable && GraftLakeLog.staleClaim(target.toFile) =>
-            // an ABANDONED claim (zero bytes, older than any plausible
-            // claim→fill latency): its writer died mid-commit — reclaim
-            // the version number instead of conflicting forever
-            target.toFile.delete()
-            claim(retriable = false)
-          case _: java.nio.file.FileAlreadyExistsException =>
-            throw new IllegalStateException(
-              s"write conflict on ${root.getName}: $name was already " +
-                "committed by another writer — this writer's snapshot " +
-                "is stale; reopen the table and retry the statement")
-        }
-      claim(retriable = true)
-      claimed = true
-      // the claim's inode IS the writer token (ADVICE r16): a reclaimer
-      // deletes this file and creates its own, so a changed/absent key
-      // proves the claim is no longer ours. fileKey can be null on
-      // exotic filesystems — verification is then skipped (the O_EXCL
-      // claim alone still covers the sub-hour envelope, as before).
-      claimKey = try Files.readAttributes(target,
-          classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
-        catch { case _: java.io.IOException => null }
+    val target = new File(dir, name)
+    val arbiter = GraftCommitArbiter.active
+    if (overwrite) {
+      // mutable objects (table.json, refs.json, group rewrites): plain
+      // temp + atomic replace, no arbitration — last writer wins by
+      // design and a crash can tear nothing
+      val tmp = new File(dir, name + ".tmp")
+      Files.write(tmp.toPath, content.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp.toPath, target.toPath,
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      return
     }
+    // OPTIMISTIC COMMIT CLAIM: version files are immutable, and the
+    // arbiter's claim is the cross-process CAS — the second writer of
+    // the same version number loses HERE, loudly, instead of silently
+    // clobbering the first one's commit (the file-layer analog of
+    // Iceberg's metadata-swap CAS). The claimed object is filled just
+    // below; the claim→fill window is commit-latency-sized and a
+    // reopen validates contiguity.
+    val token = try arbiter.claim(target)
+      catch {
+        case e: GraftClaimConflict => throw new IllegalStateException(
+          s"write conflict on ${root.getName}: $name was already " +
+            "committed by another writer — this writer's snapshot " +
+            "is stale; reopen the table and retry the statement", e)
+      }
+    var claimed = true
     try {
       val tmp = new File(dir, name + ".tmp")
       Files.write(tmp.toPath, content.getBytes(StandardCharsets.UTF_8))
-      if (claimed && claimKey != null) {
-        // VERIFY-BEFORE-FILL (ADVICE r16): ATOMIC_MOVE is a plain
-        // rename(2) — it replaces silently. A writer stalled PAST the
-        // 1-hour stale window between claim and fill can have its
-        // version reclaimed by another writer; blindly filling would
-        // clobber the reclaimer's committed record. Re-read the
-        // target's inode: ours → fill proceeds (the move is atomic, and
-        // any reclaim in the microsecond gap after this check requires
-        // the reclaimer to have observed a >1h-old claim that this
-        // running writer refreshes implicitly by existing — the
-        // residual window is the check-to-move instant, down from the
-        // full stall duration); changed or gone → the claim was
-        // reclaimed, fail as the conflict it is.
-        val nowKey = try Files.readAttributes(target,
-            classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
-          catch { case _: java.io.IOException => null }
-        if (nowKey != claimKey) {
+      try arbiter.fill(target, token, tmp)
+      catch {
+        case e: GraftClaimConflict =>
           Files.deleteIfExists(tmp.toPath)
           // the claim at `target` is the RECLAIMER's now — the cleanup
           // below must not touch it
@@ -129,30 +225,16 @@ private[sources] class GraftLakeLog(root: File) {
           throw new IllegalStateException(
             s"write conflict on ${root.getName}: this writer's claim of " +
               s"$name was reclaimed as stale by another writer — the " +
-              "commit was not made; reopen the table and retry")
-        }
+              "commit was not made; reopen the table and retry", e)
       }
-      Files.move(tmp.toPath, target,
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     } catch {
       case e: Throwable =>
         // a FAILED fill (disk full, permissions, the reclaim conflict
-        // above) must not leave OUR zero-byte claim behind: it would
+        // above) must not leave OUR unfilled claim behind: it would
         // block every writer's commit of this version for the full
-        // stale window (ADVICE r16). Deleted only when still provably
-        // OURS — unfilled (length 0) and, when the filesystem supports
-        // file keys, the same inode we claimed (a reclaimer's fresh
-        // claim or filled commit must survive).
-        if (claimed && target.toFile.length() == 0L) {
-          val stillOurs = claimKey == null || {
-            try claimKey == Files.readAttributes(target,
-              classOf[java.nio.file.attribute.BasicFileAttributes]).fileKey()
-            catch { case _: java.io.IOException => false }
-          }
-          if (stillOurs)
-            try Files.deleteIfExists(target)
-            catch { case _: java.io.IOException => () }
-        }
+        // stale window (ADVICE r16). The arbiter releases only what is
+        // provably still OURS.
+        if (claimed) arbiter.release(target, token)
         throw e
     }
   }

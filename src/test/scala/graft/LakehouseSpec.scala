@@ -3848,4 +3848,120 @@ class LakehouseSpec extends SparkTestBase {
       == expected, "compaction must not change the relation")
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
+
+  test("commit arbitration is pluggable: injected arbiter loses the CAS deterministically") {
+    // VERDICT r17 task 4: every immutable log object (v<N>.json,
+    // f<N>.parquet, e<N>.parquet) commits through GraftCommitArbiter —
+    // claim / conditional fill / release — with the POSIX O_EXCL
+    // implementation as default and a documented conditional-PUT
+    // contract for object stores. This spec swaps in arbiters that
+    // lose each leg of the race DETERMINISTICALLY and pins the
+    // protocol above the seam: loud abort, full in-memory revert, no
+    // clobber of the winner's object, clean retry once the race ends.
+    import graft.sources.{GraftClaimConflict, GraftCommitArbiter, PosixCommitArbiter}
+    // warehouse-backed: the reopen leg below must rediscover the root
+    val wh = java.nio.file.Files.createTempDirectory("arb_wh_")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graftarb",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftarb.warehouse", wh)
+    val t = "graftarb.spec_arbiter"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    spark.range(0, 10).selectExpr("id AS k", "'a' AS s")
+      .coalesce(1).writeTo(t).append()
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftarb", "spec_arbiter").get
+    val v0 = table.currentVersion
+    def msgs(x: Throwable): String = {
+      var c: Throwable = x; val sb = new StringBuilder
+      var seen = List.empty[Throwable]
+      while (c != null && !seen.exists(_ eq c)) {
+        sb.append(Option(c.getMessage).getOrElse("")); seen ::= c
+        c = c.getCause
+      }
+      sb.toString
+    }
+    val posix = PosixCommitArbiter
+    try {
+      // (1) LOSE THE CLAIM — the object-store analog of a failed
+      // conditional PUT (If-None-Match: *): the version record's claim
+      // refuses once; the commit must abort loudly and revert
+      var claimRefusals = 0
+      GraftCommitArbiter.active = new GraftCommitArbiter {
+        override def claim(target: java.io.File): AnyRef = {
+          if (target.getName.matches("v\\d+\\.json") &&
+              claimRefusals == 0) {
+            claimRefusals += 1
+            throw new GraftClaimConflict(
+              s"${target.getName}: conditional PUT lost (injected)")
+          }
+          posix.claim(target)
+        }
+        override def fill(target: java.io.File, token: AnyRef,
+            src: java.io.File): Unit = posix.fill(target, token, src)
+        override def release(target: java.io.File, token: AnyRef): Unit =
+          posix.release(target, token)
+      }
+      val e1 = intercept[Exception] {
+        spark.range(10, 20).selectExpr("id AS k", "'b' AS s")
+          .coalesce(1).writeTo(t).append()
+      }
+      assert(msgs(e1).contains("write conflict"), s"got: $e1")
+      assert(claimRefusals == 1, "the injected arbiter decided the race")
+      assert(table.currentVersion == v0 && spark.table(t).count() == 10,
+        "a lost CAS must revert the in-memory commit entirely")
+
+      // (2) RECLAIMED MID-FILL — the conditional-PUT-with-stale-ETag
+      // analog: the claim succeeds, then the 'other writer' replaces
+      // it before our fill; the verify-before-fill must detect the
+      // foreign claim, abort, and leave the winner's object untouched
+      var reclaimed: Option[java.io.File] = None
+      GraftCommitArbiter.active = new GraftCommitArbiter {
+        override def claim(target: java.io.File): AnyRef =
+          posix.claim(target)
+        override def fill(target: java.io.File, token: AnyRef,
+            src: java.io.File): Unit = {
+          if (target.getName.matches("v\\d+\\.json") &&
+              reclaimed.isEmpty) {
+            // simulate the reclaimer: same name, NEW identity. The
+            // replacement inode must be allocated while the old claim
+            // still exists (delete-then-create would let the
+            // filesystem recycle the same inode and defeat the
+            // identity check this leg is pinning).
+            val fresh = new java.io.File(target.getParentFile,
+              target.getName + ".reclaim")
+            java.nio.file.Files.createFile(fresh.toPath)
+            java.nio.file.Files.move(fresh.toPath, target.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            reclaimed = Some(target)
+          }
+          posix.fill(target, token, src)
+        }
+        override def release(target: java.io.File, token: AnyRef): Unit =
+          posix.release(target, token)
+      }
+      val e2 = intercept[Exception] {
+        spark.range(10, 20).selectExpr("id AS k", "'b' AS s")
+          .coalesce(1).writeTo(t).append()
+      }
+      assert(msgs(e2).contains("reclaimed"), s"got: $e2")
+      assert(table.currentVersion == v0 && spark.table(t).count() == 10)
+      assert(reclaimed.exists(f => f.isFile && f.length() == 0L),
+        "the reclaiming winner's claim must survive the loser's abort")
+      reclaimed.foreach(_.delete()) // the simulated winner walks away
+    } finally GraftCommitArbiter.active = posix
+    // (3) default restored: the same append commits cleanly
+    spark.range(10, 20).selectExpr("id AS k", "'b' AS s")
+      .coalesce(1).writeTo(t).append()
+    assert(spark.table(t).count() == 20)
+    assert(table.currentVersion > v0)
+    // and the durable log replays the final state (no torn records)
+    graft.sources.GraftLakeCatalog.evict("graftarb", "spec_arbiter")
+    assert(spark.table(t).count() == 20,
+      "the reopened log must reflect exactly the committed state")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
 }
