@@ -2576,16 +2576,20 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       // pack within each (cols, types, pkey) group, keeping file order
       val packedIds = Set.newBuilder[String]
       val packedOut = Vector.newBuilder[GraftLakeFile]
+      def eqDebt(f: GraftLakeFile): Boolean =
+        snap.eqs.exists(_.appliesTo(f))
       files.groupBy(f => (f.cols, f.types, f.pkey, f.pspecId)).foreach {
         case (_, gen) =>
           val candidates = gen.filter(f =>
             liveCount(f) < targetRows ||
-              snap.dvs.getOrElse(f.id, Set.empty).nonEmpty)
-          // one DV-free candidate has nothing to merge with — leave it
-          // (compacting a lone small file is pure write amplification)
+              snap.dvs.getOrElse(f.id, Set.empty).nonEmpty || eqDebt(f))
+          // one debt-free candidate has nothing to merge with — leave
+          // it (compacting a lone small file is pure write
+          // amplification); DV or equality-delete debt makes a lone
+          // rewrite worthwhile (liveRows resolves both)
           val worthIt = candidates.length > 1 ||
             candidates.exists(f =>
-              snap.dvs.getOrElse(f.id, Set.empty).nonEmpty)
+              snap.dvs.getOrElse(f.id, Set.empty).nonEmpty || eqDebt(f))
           if (candidates.nonEmpty && worthIt) {
             val donor = candidates.head
             val rows = candidates.flatMap(snap.liveRows)
@@ -2613,18 +2617,31 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     * optimistic version re-check. */
   private def compactFilesDistributed(targetRows: Long): (Int, Int) = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val (v0, before, snapFiles, snapDvs, dir, i2n) = synchronized {
-      // the bin-packing slicer's offsets assume live = rows − DV; an
-      // unresolved equality delete would skew them — resolve it first
-      require(eqs.isEmpty,
-        s"$tableName carries unresolved equality deletes — run " +
-          "CALL system.compact before compact_files")
-      (currentVersion, files.length, files, dvs,
-        lakeDir.get.getAbsolutePath, idToName)
-    }
+    val (v0, before, snapFiles, snapDvs, snapEqs, dir, i2n) =
+      synchronized {
+        (currentVersion, files.length, files, dvs, eqs,
+          lakeDir.get.getAbsolutePath, idToName)
+      }
     def dvOf(f: GraftLakeFile): Set[Long] =
       snapDvs.getOrElse(f.id, Set.empty)
-    def liveCount(f: GraftLakeFile): Long = f.numRows - dvOf(f).size
+    def probesOf(f: GraftLakeFile): Seq[(Int, String, DataType)] =
+      snapEqs.filter(_.appliesTo(f)).flatMap { e =>
+        val i = f.cols.indexOf(e.colId)
+        if (i < 0) None else Some((i, e.path, e.valueType))
+      }
+    // bin offsets must index the FULLY-live order (rows − DV − probe
+    // matches): files under unresolved equality deletes price their
+    // bins from the memoized probe counts — the same one-time key-pass
+    // the scan-less COUNT pays (VERDICT r17 tasks 2-3); packing them
+    // also RESOLVES their read debt, like DVs, so they qualify as
+    // candidates even at target size
+    val affected = snapFiles.filter(f => probesOf(f).nonEmpty)
+    val eqLiveMap: Map[String, Long] =
+      if (affected.isEmpty) Map.empty
+      else eqLiveCounts(GraftLakeSnapshot(snapFiles, snapDvs, snapEqs),
+        affected).getOrElse(Map.empty) // active session is a given here
+    def liveCount(f: GraftLakeFile): Long =
+      eqLiveMap.getOrElse(f.id, f.numRows - dvOf(f).size)
     val packedIds = Set.newBuilder[String]
     val specsB = Vector.newBuilder[GraftLakeTaskFiles.RewriteSpec]
     var idx = 0
@@ -2632,9 +2649,11 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       (f.cols, f.types, f.pkey, f.pspecId)).foreach {
       case ((cols, types, pkey, psid), gen) =>
         val candidates = gen.filter(f =>
-          liveCount(f) < targetRows || dvOf(f).nonEmpty)
+          liveCount(f) < targetRows || dvOf(f).nonEmpty ||
+            probesOf(f).nonEmpty)
         val worthIt = candidates.length > 1 ||
-          candidates.exists(f => dvOf(f).nonEmpty)
+          candidates.exists(f =>
+            dvOf(f).nonEmpty || probesOf(f).nonEmpty)
         if (candidates.nonEmpty && worthIt) {
           packedIds ++= candidates.map(_.id)
           val names =
@@ -2651,7 +2670,8 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
               else Some(GraftLakeTaskFiles.RewriteSlice(
                 candidates(i).path.get, types,
                 dvOf(candidates(i)).toArray.sorted,
-                (lo - offsets(i)).toInt, (hi - offsets(i)).toInt))
+                (lo - offsets(i)).toInt, (hi - offsets(i)).toInt,
+                probesOf(candidates(i))))
             }
             specsB += GraftLakeTaskFiles.RewriteSpec(idx, cols, types,
               names, pkey, slices, pspecId = psid)
@@ -5476,19 +5496,19 @@ private[sources] object GraftLakeTaskFiles {
   }
 
   /** A compaction rewrite's task-side READ unit: one source file's
-    * LIVE rows (deletion-vector positions dropped), sliced
-    * [from, until) in live order — how a bin boundary lands mid-file
-    * without the driver ever seeing a row. The DV ships as a SORTED
-    * primitive array: a boxed Set[Long] with ~1M positions serialized
-    * to ~20 MB per task closure (Spark's large-task warning at sf1);
-    * the array is 8 bytes/position and membership is a binary search. */
+    * LIVE rows (deletion-vector positions dropped, equality-delete
+    * probes applied), sliced [from, until) in fully-live order — how a
+    * bin boundary lands mid-file without the driver ever seeing a row.
+    * The DV ships as a SORTED primitive array: a boxed Set[Long] with
+    * ~1M positions serialized to ~20 MB per task closure (Spark's
+    * large-task warning at sf1); the array is 8 bytes/position and
+    * membership is a binary search. */
   final case class RewriteSlice(path: String, types: Seq[DataType],
       dv: Array[Long], from: Int, until: Int,
       // equality-delete probes: (column position in this file, keys
       // parquet path, key value type) — applied task-side after the DV
-      // filter. Only whole-file slices carry probes (compactAll); the
-      // bin-packing slicer refuses under unresolved equality deletes
-      // because its offsets assume DV-only live counts.
+      // filter and BEFORE the slice, so bin offsets planned from
+      // eq-aware live counts (rows − DV − probe matches) land exactly
       eqProbes: Seq[(Int, String, DataType)] = Nil)
 
   /** One output file of a distributed compaction rewrite: ordered
@@ -5513,14 +5533,17 @@ private[sources] object GraftLakeTaskFiles {
           case (r, i) if java.util.Arrays.binarySearch(s.dv, i.toLong) < 0
             => r
         }
-      val sliced = live.slice(s.from, s.until)
-      // equality-delete resolution: probe sets read HERE, in the task
-      s.eqProbes.foldLeft(sliced) { case (rs, (ci, path, vt)) =>
+      // equality-delete resolution: probe sets read HERE, in the task,
+      // BEFORE the slice — [from, until) indexes the fully-live order
+      // (post-DV, post-probe), which is what the bin-packing planner's
+      // eq-aware live counts measure
+      val probed = s.eqProbes.foldLeft(live) { case (rs, (ci, path, vt)) =>
         val probe = GraftEqDelete.loadProbe(path, vt)
         val t = s.types(ci)
         rs.filterNot(r => !r.isNullAt(ci) &&
           probe.contains(GraftEqDelete.canon(r.get(ci, t))))
       }
+      probed.slice(s.from, s.until)
     }
     if (rows.isEmpty) None
     else Some((spec.idx, writeOne(dir, spec.names, spec.types, spec.cols,
