@@ -1494,17 +1494,12 @@ final case class GraftLakeSnapshot(files: Vector[GraftLakeFile],
       case Some(dead) => f.loadRows.zipWithIndex
         .collect { case (r, i) if !dead.contains(i.toLong) => r }
     }
-    val applicable = eqs.filter(_.appliesTo(f))
-    if (applicable.isEmpty) afterDv
-    else applicable.foldLeft(afterDv) { (rows, e) =>
-      val i = f.cols.indexOf(e.colId)
-      if (i < 0) rows // file predates the key column: nothing can match
-      else {
-        val probe = e.loadValues()
+    eqs.flatMap(_.probeFor(f)).foldLeft(afterDv) {
+      case (rows, (i, path, vt)) =>
+        val probe = GraftEqDelete.loadProbe(path, vt)
         val t = f.types(i)
         rows.filterNot(r => !r.isNullAt(i) &&
           probe.contains(GraftEqDelete.canon(r.get(i, t))))
-      }
     }
   }
 }
@@ -1522,6 +1517,21 @@ final case class GraftEqDelete(colId: Int, path: String, belowSeq: Int,
     valueType: DataType) {
   def appliesTo(f: GraftLakeFile): Boolean =
     GraftEqDelete.seqOf(f.id) <= belowSeq
+  /** THE applicability rule every consumer shares (review r18): the
+    * probe spec of this epoch against `f` — (key column position in
+    * the FILE layout, keys path, value type) — or None when the epoch
+    * cannot touch the file: wrong sequence range, or the file PREDATES
+    * the key column (no row can match a key it never stored). Scan
+    * planning, compaction candidates, live counts, the change feed,
+    * and the retention prune all decide through this one method, so
+    * "applicable" can never mean different things to different
+    * consumers. */
+  def probeFor(f: GraftLakeFile): Option[(Int, String, DataType)] =
+    if (!appliesTo(f)) None
+    else {
+      val i = f.cols.indexOf(colId)
+      if (i < 0) None else Some((i, path, valueType))
+    }
   /** The probe set, read from the keys parquet (small: one upsert
     * epoch's keys) and canonicalized. */
   def loadValues(): Set[Any] = GraftEqDelete.loadProbe(path, valueType)
@@ -1853,9 +1863,10 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
   private def recordCommit(dataChange: Boolean,
       txn: Option[(String, Long)] = None): Unit = {
     // prune equality deletes no current file is subject to (all their
-    // applicable files were rewritten/compacted away) — the keys file
-    // then ages out of retention and vacuums normally
-    eqs = eqs.filter(e => files.exists(e.appliesTo))
+    // MATCHABLE files were rewritten/compacted away — a file predating
+    // the key column never counts, review r18) — the keys file then
+    // ages out of retention and vacuums normally
+    eqs = eqs.filter(e => files.exists(f => e.probeFor(f).isDefined))
     val snap = GraftLakeSnapshot(files, dvs, eqs)
     // clamped monotonic: a wall clock stepping backwards (NTP, VM
     // suspend) must not break TIMESTAMP AS OF's sorted-times invariant
@@ -2489,23 +2500,21 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
         org.apache.spark.sql.SparkSession.getActiveSession.isDefined
     if (!distributable) synchronized {
       val ids = files.filter(f => dvs.contains(f.id) ||
-        eqs.exists(_.appliesTo(f))).map(_.id).sorted
+        eqs.exists(_.probeFor(f).isDefined)).map(_.id).sorted
       ids.foreach(compactFile)
       ids.size
     } else {
       val spark = org.apache.spark.sql.SparkSession.active
       val (v0, targets, dir, i2n) = synchronized {
         val ts = files
-          .filter(f => dvs.contains(f.id) || eqs.exists(_.appliesTo(f)))
+          .filter(f => dvs.contains(f.id) ||
+            eqs.exists(_.probeFor(f).isDefined))
           .sortBy(_.id)
           .map(f => (f, dvs.getOrElse(f.id, Set.empty[Long]),
             // equality probes this file is subject to, resolved to the
             // file's own column POSITION (tasks read the keys parquet
             // themselves — the driver ships only paths)
-            eqs.filter(_.appliesTo(f)).flatMap { e =>
-              val i = f.cols.indexOf(e.colId)
-              if (i < 0) None else Some((i, e.path, e.valueType))
-            }))
+            eqs.flatMap(_.probeFor(f))))
         (currentVersion, ts, lakeDir.get.getAbsolutePath, idToName)
       }
       val specs = targets.zipWithIndex.map { case ((f, dv, eqProbes), i) =>
@@ -2577,7 +2586,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       val packedIds = Set.newBuilder[String]
       val packedOut = Vector.newBuilder[GraftLakeFile]
       def eqDebt(f: GraftLakeFile): Boolean =
-        snap.eqs.exists(_.appliesTo(f))
+        snap.eqs.exists(_.probeFor(f).isDefined)
       files.groupBy(f => (f.cols, f.types, f.pkey, f.pspecId)).foreach {
         case (_, gen) =>
           val candidates = gen.filter(f =>
@@ -2625,10 +2634,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     def dvOf(f: GraftLakeFile): Set[Long] =
       snapDvs.getOrElse(f.id, Set.empty)
     def probesOf(f: GraftLakeFile): Seq[(Int, String, DataType)] =
-      snapEqs.filter(_.appliesTo(f)).flatMap { e =>
-        val i = f.cols.indexOf(e.colId)
-        if (i < 0) None else Some((i, e.path, e.valueType))
-      }
+      snapEqs.flatMap(_.probeFor(f))
     // bin offsets must index the FULLY-live order (rows − DV − probe
     // matches): files under unresolved equality deletes price their
     // bins from the memoized probe counts — the same one-time key-pass
@@ -2884,20 +2890,31 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     * live. Returns None when a parquet probe job cannot run (no active
     * session). Only counts cross the driver — never rows. */
   private val eqLiveMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
   private[sources] def eqLiveCounts(snap: GraftLakeSnapshot,
       targets: Vector[GraftLakeFile]): Option[Map[String, Long]] = {
     def probesOf(f: GraftLakeFile): Seq[(Int, String, DataType)] =
-      snap.eqs.filter(_.appliesTo(f)).flatMap { e =>
-        val i = f.cols.indexOf(e.colId)
-        if (i < 0) None else Some((i, e.path, e.valueType))
-      }
+      snap.eqs.flatMap(_.probeFor(f))
+    // signature of the file's CURRENT read debt: an MD5 over the full
+    // sorted DV (content, not Set.hashCode — a collision would serve a
+    // wrong count forever, review r18) plus the applicable keys paths.
+    // The memo keys on FILE ID and stores (signature, count), so a
+    // growing DV REPLACES the entry instead of accreting stale ones —
+    // one live entry per file, bounded by the table's file count.
     def sig(f: GraftLakeFile): String = {
-      val dv = snap.dvs.getOrElse(f.id, Set.empty[Long])
-      s"${f.id}|${dv.size}:${dv.hashCode}|" +
-        probesOf(f).map(_._2).sorted.mkString(",")
+      val dv = snap.dvs.getOrElse(f.id, Set.empty[Long]).toArray.sorted
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val buf = java.nio.ByteBuffer.allocate(8)
+      dv.foreach { p =>
+        buf.clear(); buf.putLong(p); md.update(buf.array()) }
+      probesOf(f).map(_._2).sorted
+        .foreach(p => md.update(p.getBytes("UTF-8")))
+      md.digest().map("%02x".format(_)).mkString
     }
-    val missing = targets.filterNot(f => eqLiveMemo.containsKey(sig(f)))
+    def hit(f: GraftLakeFile): Option[Long] =
+      Option(eqLiveMemo.get(f.id)).collect {
+        case (s, n) if s == sig(f) => n }
+    val missing = targets.filterNot(f => hit(f).isDefined)
     val (probeable, direct) =
       missing.partition(f => f.path.isDefined && probesOf(f).nonEmpty)
     direct.foreach { f =>
@@ -2907,10 +2924,15 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
         if (probesOf(f).isEmpty)
           f.numRows - snap.dvs.getOrElse(f.id, Set.empty).size.toLong
         else snap.liveRows(f).size.toLong
-      eqLiveMemo.put(sig(f), n)
+      eqLiveMemo.put(f.id, (sig(f), n))
     }
     if (probeable.nonEmpty) {
+      // same session-resolution order as the maintenance callers
+      // (SparkSession.active): active thread session, then the default
+      // — a default-but-not-active thread must not silently refuse and
+      // leave callers pricing eq files at DV-only counts (review r18)
       val spark = org.apache.spark.sql.SparkSession.getActiveSession
+        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
         .getOrElse(return None)
       val i2n = idToName
       val specs = probeable.map { f =>
@@ -2950,9 +2972,10 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           (id, n)
         }
         .collect().toMap
-      probeable.foreach(f => eqLiveMemo.put(sig(f), counted(f.id)))
+      probeable.foreach(f =>
+        eqLiveMemo.put(f.id, (sig(f), counted(f.id))))
     }
-    Some(targets.map(f => f.id -> eqLiveMemo.get(sig(f)).longValue()).toMap)
+    Some(targets.map(f => f.id -> eqLiveMemo.get(f.id)._2).toMap)
   }
   /** Current file ids, in commit order — the spec's carry-vs-rewrite probe. */
   private[graft] def fileIds: Seq[String] = snapshot.files.map(_.id)
@@ -3121,7 +3144,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     * serve old values under the wrong field id (ADVICE r12 high). */
   private[graft] def compactFile(fileId: String): Unit = synchronized {
     if (dvs.contains(fileId) || eqs.exists(e =>
-        files.exists(f => f.id == fileId && e.appliesTo(f))))
+        files.exists(f => f.id == fileId && e.probeFor(f).isDefined)))
       files.find(_.id == fileId).foreach { f =>
         // liveRows applies BOTH the DV and any equality deletes — the
         // rewrite's rows are clean, its new file number exceeds every
@@ -3660,7 +3683,7 @@ class GraftLakeScanBuilder(snapshot: GraftLakeSnapshot,
     // the first COUNT pays one narrow probe job and every later COUNT
     // is metadata-only.
     val eqAffected: Set[String] = snapshot.files.iterator
-      .filter(f => snapshot.eqs.exists(_.appliesTo(f)))
+      .filter(f => snapshot.eqs.exists(_.probeFor(f).isDefined))
       .map(_.id).toSet
     if (eqAffected.nonEmpty && !agg.aggregateExpressions().forall(
         _.isInstanceOf[org.apache.spark.sql.connector.expressions
@@ -4409,10 +4432,7 @@ class GraftLakeScan(snapshot: GraftLakeSnapshot, fullSchema: StructType,
       // equality-delete probes, resolved to the file's own column
       // POSITION — the task reads the keys parquet itself (metadata-only
       // planning; a file predating the key column has nothing to match)
-      snapshot.eqs.filter(_.appliesTo(f)).flatMap { e =>
-        val i = f.cols.indexOf(e.colId)
-        if (i < 0) None else Some((i, e.path, e.valueType))
-      })
+      snapshot.eqs.flatMap(_.probeFor(f)))
 
   /** Keyed planning WITHOUT touching rows: when every active file is
     * PARTITION-PURE (fanout-written, key stamped in the manifest), the
@@ -4983,20 +5003,12 @@ private[sources] object GraftLakeChanges {
         }
       }
     }
-    // probe spec for epoch `e` against file `f`: key column resolved to
-    // the FILE's layout position; a file predating the key column has
-    // nothing to match (same rule as GraftLakeSnapshot.liveRows)
-    def probeOf(f: GraftLakeFile, e: GraftEqDelete)
-        : Option[(Int, String, DataType)] = {
-      val i = f.cols.indexOf(e.colId)
-      if (i < 0) None else Some((i, e.path, e.valueType))
-    }
     // rows already equality-deleted AT snapshot `s`: exclude them from
     // every leg — a downstream replica applying the feed deleted them
     // when the epoch's own delete leg was emitted
     def eqDeadAt(s: GraftLakeSnapshot, f: GraftLakeFile)
         : Seq[(Int, String, DataType)] =
-      s.eqs.filter(_.appliesTo(f)).flatMap(probeOf(f, _))
+      s.eqs.flatMap(_.probeFor(f))
     for (i <- 1 until history.length) {
       val (prev, _) = history(i - 1)
       val (cur, dataChange) = history(i)
@@ -5021,16 +5033,14 @@ private[sources] object GraftLakeChanges {
         // by this same commit emits its whole live set through the
         // removed-file delete leg below, probe hits included
         newEqs.zipWithIndex.foreach { case (e, j) =>
-          prev.files.filter(f => curIds.contains(f.id) && e.appliesTo(f))
-            .foreach { f =>
-              probeOf(f, e).foreach { keep =>
-                val earlier = eqDeadAt(prev, f) ++
-                  newEqs.take(j).filter(_.appliesTo(f))
-                    .flatMap(probeOf(f, _))
-                emit(f, "delete", v, prev.dvs.getOrElse(f.id, Set.empty),
-                  None, earlier, Some(keep))
-              }
+          prev.files.filter(f => curIds.contains(f.id)).foreach { f =>
+            e.probeFor(f).foreach { keep =>
+              val earlier = eqDeadAt(prev, f) ++
+                newEqs.take(j).flatMap(_.probeFor(f))
+              emit(f, "delete", v, prev.dvs.getOrElse(f.id, Set.empty),
+                None, earlier, Some(keep))
             }
+          }
         }
         // a commit can introduce a file TOGETHER with a deletion vector
         // (rollback past a compaction restores the pre-compaction file
