@@ -80,13 +80,15 @@ object Relational {
       | CAST(count(*) AS BIGINT) AS n_events
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  /** HLL-sketch distinct (approx_count_distinct): the 100 TB path — one pass,
-    * constant memory, no distinct shuffle. ORACLE-GATED VIA ERROR BAND
-    * (VERDICT r17 task 6): sketch values are engine-specific, so the row
-    * carries the EXACT count (DuckDB re-derives it) plus a boolean —
-    * |approx − exact| within the configured band — that the oracle pins
-    * TRUE. The exact leg rides the same one query, so the driver's hash
-    * compare verifies both the grouping and the sketch's accuracy claim.
+  /** HLL-sketch distinct (approx_count_distinct). The PRODUCTION shape —
+    * the sketch alone — is the 100 TB path: one pass, constant memory, no
+    * distinct shuffle. ORACLE-GATED VIA ERROR BAND (VERDICT r17 task 6):
+    * sketch values are engine-specific, so the row carries the EXACT
+    * count (DuckDB re-derives it) plus a boolean — |approx − exact|
+    * within the configured band — that the oracle pins TRUE. NOTE the
+    * exact countDistinct leg (a distinct shuffle) rides this query ONLY
+    * for oracle gating, so the bench timing here measures sketch + gate,
+    * not the sketch path's standalone cost profile (advice r18).
     */
   def approxDistinctUsers(spark: SparkSession, sfDir: String): DataFrame =
     Tables(spark, sfDir, "events")
@@ -114,19 +116,39 @@ object Relational {
     * (`hll_union_agg`) — never from rescanning the facts. This is the only
     * way distinct counts stay incremental at 100 TB: exact distinct state
     * is as large as the data, while a sketch is ~KB per group and unions
-    * associatively like a sum. No DuckDB oracle (sketch bytes are
-    * library-specific); RelationalSpec bounds the estimate against the
-    * exact count per group.
+    * associatively like a sum. ORACLE-GATED VIA ERROR BAND (VERDICT r18
+    * task 3, same pattern as `agg_approx_distinct`): sketch bytes are
+    * library-specific, so the row carries the EXACT per-month distinct
+    * (DuckDB re-derives it) plus a within-band boolean the oracle pins
+    * TRUE. NOTE the exact leg (a distinct shuffle) rides ONLY for oracle
+    * gating — the production shape is the sketch path alone, and its
+    * bench cost profile here includes the gating leg. RelationalSpec
+    * additionally bounds the estimate against the exact count per group.
     */
   def sketchDistinctMerge(spark: SparkSession, sfDir: String): DataFrame = {
     val daily = Tables(spark, sfDir, "events")
       .groupBy(date_trunc("DAY", col("ts")).as("d"), col("event_type"))
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
-    daily
+    val monthly = daily
       .groupBy(date_trunc("MONTH", col("d")).as("month"), col("event_type"))
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"))
+    // oracle-gating leg only: exact per-month distinct, joined back so
+    // |approx − exact| ≤ 10% (default lgK=12 ⇒ ~1.6% rsd; >3σ band)
+    val exact = Tables(spark, sfDir, "events")
+      .groupBy(date_trunc("MONTH", col("ts")).as("month"), col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    monthly.join(exact, Seq("month", "event_type"))
+      .select(col("month"), col("event_type"), col("n_exact"),
+        (abs(col("approx_users") - col("n_exact")) <=
+          col("n_exact") * 0.10).as("within_band"))
       .orderBy("month", "event_type")
   }
+
+  private val sketchDistinctMergeOracle =
+    """SELECT date_trunc('month', ts) AS month, event_type,
+      | CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+      | TRUE AS within_band
+      |FROM events GROUP BY 1, 2 ORDER BY month, event_type""".stripMargin
 
   /** Rollup over (nation, mktsegment) after a broadcast dim join — subtotal
     * grades via coalesce sentinels (portable across engines, no grouping_id).
@@ -2182,14 +2204,18 @@ object Relational {
       | round(quantile_cont(l_quantity, 0.75), 6) AS p75
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  /** t-digest sketch percentiles (`approx_percentile`) — the 100 TB path
-    * for unbounded-cardinality columns: one pass, bounded memory, no
+  /** t-digest sketch percentiles (`approx_percentile`). The PRODUCTION
+    * shape — the digest alone — is the 100 TB path for
+    * unbounded-cardinality columns: one pass, bounded memory, no
     * per-group sort, mirroring the `agg_approx_distinct` ⟷
     * `agg_distinct_users` pairing. ORACLE-GATED VIA RANK BAND (VERDICT
     * r17 task 6): the digest guarantees rank error ≤ 1/accuracy, so each
     * approx value must land between the EXACT interpolated percentiles
     * at q ± 0.005 (5× the 1/1000 guarantee) — a boolean the oracle pins
-    * TRUE, alongside the exact medians DuckDB re-derives itself.
+    * TRUE, alongside the exact medians DuckDB re-derives itself. NOTE
+    * the exact `percentile` legs (per-group sorts) ride this query ONLY
+    * for oracle gating, so the bench timing here measures digest + gate,
+    * not the digest path's standalone cost profile (advice r18).
     */
   def approxPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
     def band(q: Double, name: String) = Seq(
@@ -3244,8 +3270,9 @@ object Relational {
     Query("agg_distinct_users",
       "exact countDistinct per group", distinctUsers, Some(distinctUsersOracle)),
     Query("agg_sketch_merge",
-      "mergeable HLL distinct state: daily sketches unioned to monthly",
-      sketchDistinctMerge, None),
+      "mergeable HLL distinct state: daily sketches unioned to monthly, " +
+        "oracle-gated by exact-count error band",
+      sketchDistinctMerge, Some(sketchDistinctMergeOracle)),
     Query("agg_approx_distinct",
       "HLL approx_count_distinct, oracle-gated by exact-count error band",
       approxDistinctUsers, Some(approxDistinctOracle)),

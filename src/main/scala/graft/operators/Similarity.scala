@@ -78,8 +78,13 @@ object Similarity {
 
   /** Sign-LSH bucketed ANN: top-10 by exact cosine among candidates from
     * the probe's bucket and all buckets at hamming distance ≤ 2
-    * (multiprobe). No oracle (bucketing prunes differently from exhaustive
-    * search); SimilaritySpec measures recall against `sim_topk_bruteforce`.
+    * (multiprobe). Fully deterministic (seeded literal hyperplanes,
+    * left-to-right dot-product fold identical to DuckDB's, 6dp rounding
+    * before the ordering), so the same bucket-prune logic is a DuckDB
+    * oracle with the plane literals embedded in the SQL (VERDICT r18
+    * task 4 — the same device `sim_ann_lsh_multi` has used since it
+    * landed); SimilaritySpec additionally measures recall against
+    * `sim_topk_bruteforce`.
     */
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
     // signature: bit k = sign(v · plane_k), each dot a codegen'd DotProduct
@@ -101,6 +106,27 @@ object Similarity {
         round(Dedup.cosine(col("e"), col("probe")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
+  }
+
+  private val annLshOracle: String = {
+    val planeRows = planes.zipWithIndex
+      .map { case (p, k) => s"($k, [${p.mkString(", ")}])" }
+      .mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       | FROM embeddings),
+       |planes(k, p) AS (VALUES
+       |$planeRows),
+       |sigs AS (
+       |  SELECT vec_id, CAST(sum(CASE WHEN list_dot_product(v, p) > 0
+       |                        THEN 1 << k ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM e CROSS JOIN planes GROUP BY vec_id),
+       |sb AS (SELECT e.vec_id, e.v, s.bucket FROM e JOIN sigs s USING (vec_id)),
+       |probe AS (SELECT v AS pv, bucket AS pbucket FROM sb WHERE vec_id = 0)
+       |SELECT sb.vec_id,
+       |  round(list_cosine_similarity(pv, sb.v), 6) AS cos_sim
+       |FROM sb CROSS JOIN probe
+       |WHERE sb.vec_id <> 0 AND bit_count(xor(sb.bucket, pbucket)) <= 2
+       |ORDER BY cos_sim DESC, sb.vec_id LIMIT 10""".stripMargin
   }
 
   // ---- IVF ---------------------------------------------------------------
@@ -1148,8 +1174,9 @@ object Similarity {
       "batch-probe ANN: probe set × bucket equi-join, per-probe top-5",
       annLshMulti, Some(annLshMultiOracle)),
     Query("sim_ann_lsh",
-      "sign-LSH bucketed ANN top-10 with hamming≤2 multiprobe (no oracle)",
-      annLsh, None),
+      "sign-LSH bucketed ANN top-10 with hamming≤2 multiprobe, " +
+        "plane literals embedded in the oracle SQL",
+      annLsh, Some(annLshOracle)),
     Query("sim_ann_ivf",
       "IVF-flat ANN: nearest-centroid lists, nprobe=2, exact re-rank",
       annIvf, Some(annIvfOracle)),

