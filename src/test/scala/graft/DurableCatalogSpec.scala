@@ -235,18 +235,24 @@ class DurableCatalogSpec extends SparkTestBase {
       "the reopened log must replay the same linear history")
   }
 
-  test("two catalogs over one warehouse: version-file CAS rejects the stale writer") {
+  /** The cross-writer CAS contract, parameterized by ARBITER (VERDICT
+    * r18 task 8): the same stale-writer race must lose identically
+    * whether exclusivity comes from O_EXCL claims (POSIX / conditional
+    * PUT) or from the directory-pointer rename CAS (the documented
+    * route for stores without conditional writes). */
+  private def crossWriterCas(arbiter: graft.sources.GraftCommitArbiter,
+      tag: String): Unit = {
     // the cross-driver shape the in-JVM registry cannot arbitrate: two
     // catalog instances (separate registries) share one durable root.
     // The second writer of the same version number must lose at the
-    // O_EXCL version-file claim — loudly, with its in-memory state
+    // version-file claim — loudly, with its in-memory state
     // reverted — and converge after a reopen.
     useCatalog()
     spark.conf.set("spark.sql.catalog.graftdur2",
       classOf[graft.sources.GraftLakeCatalog].getName)
     spark.conf.set("spark.sql.catalog.graftdur2.warehouse", wh)
-    val t1 = "graftdur.dur_two"
-    val t2 = "graftdur2.dur_two"
+    val t1 = s"graftdur.dur_two_$tag"
+    val t2 = s"graftdur2.dur_two_$tag"
     spark.sql(s"DROP TABLE IF EXISTS $t1")
     spark.sql(s"CREATE TABLE $t1 (k BIGINT) " +
       "TBLPROPERTIES ('graft.storage' = 'parquet', " +
@@ -283,15 +289,77 @@ class DurableCatalogSpec extends SparkTestBase {
     assert(spark.table(t1).count() == 10,
       "the losing writer must not half-apply its commit")
     // reopen converges driver 1 onto the true history; retry succeeds
-    graft.sources.GraftLakeCatalog.evict("graftdur", "dur_two")
+    graft.sources.GraftLakeCatalog.evict("graftdur", s"dur_two_$tag")
     assert(spark.table(t1).count() == 20)
     spark.sql(s"DELETE FROM $t1 WHERE k = 3") // v3 now succeeds
     spark.range(20, 30).selectExpr("id AS k").coalesce(1)
       .writeTo(t1).append() // v4
     assert(spark.table(t1).count() == 29)
-    graft.sources.GraftLakeCatalog.evict("graftdur2", "dur_two")
+    graft.sources.GraftLakeCatalog.evict("graftdur2", s"dur_two_$tag")
     assert(spark.table(t2).count() == 29, "both drivers converge")
     spark.sql(s"DROP TABLE IF EXISTS $t1")
+  }
+
+  test("two catalogs over one warehouse: version-file CAS rejects the stale writer") {
+    crossWriterCas(graft.sources.PosixCommitArbiter, "posix")
+  }
+
+  test("dir-swap arbiter primitives: lock CAS, filled-name conflict, stale reclaim, lost fill") {
+    import graft.sources.{DirSwapCommitArbiter => arb, GraftClaimConflict}
+    val dir = java.nio.file.Files.createTempDirectory("dirswap_").toFile
+    def mkSrc(n: String): java.io.File = {
+      val f = new java.io.File(dir, n)
+      java.nio.file.Files.write(f.toPath, "content".getBytes("UTF-8"))
+      f
+    }
+    // (1) in-flight exclusivity: the second claim of a name loses at
+    // the directory-rename CAS while the first holds the lock
+    val v1 = new java.io.File(dir, "v1.json")
+    val tok1 = arb.claim(v1)
+    assert(v1.isFile && v1.length() == 0L, "in-flight placeholder")
+    intercept[GraftClaimConflict](arb.claim(v1))
+    // (2) fill publishes atomically, drops the lock; the FILLED name
+    // conflicts forever after
+    arb.fill(v1, tok1, mkSrc("s1"))
+    assert(v1.length() > 0L)
+    assert(!new java.io.File(dir, "v1.json.lock.d").exists())
+    intercept[GraftClaimConflict](arb.claim(v1))
+    // (3) stale reclaim: an abandoned claim older than the window is
+    // reclaimed AT MOST ONCE, and the stalled original's fill loses —
+    // its owner marker died with the reclaimed lock
+    val v2 = new java.io.File(dir, "v2.json")
+    val stalled = arb.claim(v2)
+    val old = System.currentTimeMillis() - 61L * 60 * 1000
+    assert(v2.setLastModified(old))
+    new java.io.File(dir, "v2.json.lock.d").setLastModified(old)
+    val reclaimer = arb.claim(v2) // wins by reclaiming
+    intercept[GraftClaimConflict](arb.fill(v2, stalled, mkSrc("s2")))
+    arb.fill(v2, reclaimer, mkSrc("s3"))
+    assert(v2.length() > 0L, "the reclaimer's commit survives")
+    // (4) release removes only an UNFILLED claim of our own; the name
+    // is immediately reusable
+    val v3 = new java.io.File(dir, "v3.json")
+    val tok3 = arb.claim(v3)
+    arb.release(v3, tok3)
+    assert(!v3.exists() && !new java.io.File(dir, "v3.json.lock.d").exists())
+    val tok4 = arb.claim(v3)
+    arb.fill(v3, tok4, mkSrc("s4"))
+    assert(v3.length() > 0L)
+    // ... and release never touches a filled object
+    arb.release(v3, tok4)
+    assert(v3.length() > 0L)
+  }
+
+  test("two catalogs, dir-swap arbiter: the rename-CAS route rejects the stale writer") {
+    // the SAME contract through DirSwapCommitArbiter — proof the
+    // non-conditional-store route (catalog swap via atomic directory
+    // rename) arbitrates cross-writer races identically (VERDICT r18
+    // task 8)
+    val prev = graft.sources.GraftCommitArbiter.active
+    graft.sources.GraftCommitArbiter.active =
+      graft.sources.DirSwapCommitArbiter
+    try crossWriterCas(graft.sources.DirSwapCommitArbiter, "dirswap")
+    finally graft.sources.GraftCommitArbiter.active = prev
   }
 
   test("columnar decode works on a reopened table (manifest labels round-trip)") {
