@@ -65,6 +65,87 @@ object MaintBench {
     val after = spark.table(t).count()
     println(s"""{"rows_after":$after}""")
     spark.sql(s"DROP TABLE IF EXISTS $t")
+
+    // ---- equality-delete maintenance at scale (VERDICT r18 task 6) ----
+    // The probed eq-debt paths (change feed delete legs, scan-less
+    // COUNT, eq-aware bin-pack) gate on small spec fixtures; this leg
+    // proves their cost SHAPE at 12M rows: the key-column probe pass is
+    // one task per file, the live-count memo amortizes the second COUNT
+    // to metadata, and compaction resolves the debt distributed.
+    val te = "graftlake.maint_eqd"
+    spark.sql(s"DROP TABLE IF EXISTS $te")
+    spark.sql(s"CREATE TABLE $te (o_orderkey BIGINT, o_custkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet', " +
+      "'graft.mode' = 'merge-on-read')")
+    timed(s"eqd_ingest_x$copies") {
+      (1 to copies).map(_ => base).reduce(_ union _)
+        .repartition(16).writeTo(te).append()
+    }
+    def table() = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "maint_eqd").get
+    val preUpsert = table().currentVersion
+    val land = java.nio.file.Files.createTempDirectory("maint_eqd_l_")
+      .toFile
+    val chk = java.nio.file.Files.createTempDirectory("maint_eqd_c_")
+      .toFile
+    // three CDC waves, disjoint key sets (~0.1% churn each): every wave
+    // lands as ONE upsert epoch whose keys file applies to all 16
+    // ingest files plus the earlier epochs' data files
+    val waveKeys = (0 until 3).map(w =>
+      base.filter(s"o_orderkey % 1024 = $w").count())
+    timed("eqd_upsert_3epochs") {
+      for (w <- 0 until 3) {
+        base.filter(s"o_orderkey % 1024 = $w")
+          .selectExpr("o_orderkey", "o_custkey", "o_orderstatus",
+            "CAST(-1.0 AS DOUBLE) AS o_totalprice")
+          .coalesce(1).write.mode("append").parquet(land.getAbsolutePath)
+        val q = spark.readStream.schema(spark.table(te).schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(land.getAbsolutePath)
+          .writeStream
+          .option("checkpointLocation", chk.getAbsolutePath)
+          .option("graft.upsert.key", "o_orderkey")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(te)
+        graft.streaming.StreamingOps.awaitDrained(q)
+      }
+    }
+    require(table().eqDeletes.size == 3, "three unresolved epochs")
+    // the feed crosses all three unresolved epochs: inserts ride the
+    // epoch data files; deletes are TASK-PROBED per (epoch × prior file)
+    timed("eqd_change_feed") {
+      val feed = spark.read
+        .option("graft.changes.from", preUpsert.toString)
+        .table(s"$te.changes")
+      println(s"""{"eqd_feed_rows":${feed.count()}}""")
+    }
+    // first COUNT pays the one-task-per-file key-column probe pass and
+    // memoizes per (file, DV, epoch-set); the second answers from
+    // metadata — the gap IS the memo's amortization
+    var counted = 0L
+    timed("eqd_count_first_probe") {
+      counted = spark.sql(s"SELECT count(*) FROM $te")
+        .collect().head.getLong(0)
+    }
+    timed("eqd_count_memoized") {
+      require(spark.sql(s"SELECT count(*) FROM $te")
+        .collect().head.getLong(0) == counted)
+    }
+    // bin-pack compaction prices bins from the memoized live counts,
+    // applies the probes task-side, and RESOLVES the debt
+    timed("eqd_binpack_resolve") {
+      spark.sql(s"CALL graftlake.system.compact('maint_eqd')")
+    }
+    require(table().eqDeletes.isEmpty, "compaction must resolve the debt")
+    val eqdAfter = spark.table(te).count()
+    // each epoch replaced `copies` stored rows per key with one row
+    val eqdExpected = n - (copies - 1).toLong * waveKeys.sum
+    println(s"""{"eqd_rows_after":$eqdAfter,"eqd_expected":$eqdExpected,""" +
+      s""""eqd_count_probe":$counted}""")
+    require(eqdAfter == eqdExpected && counted == eqdExpected,
+      s"eq-debt leg state drifted: $eqdAfter vs $eqdExpected")
+    spark.sql(s"DROP TABLE IF EXISTS $te")
     spark.stop()
   }
 }
