@@ -28,13 +28,19 @@ def main() -> None:
             print(f"WARN {p}: dropping {sorted(extra)} (not in every leg)")
     merged = {}
     for q in sorted(common):
-        fields = traces[0][q].keys()
-        merged[q] = {
-            f: round(statistics.median(t[q][f] for t in traces), 3)
-            if isinstance(traces[0][q][f], float)
-            else int(statistics.median(t[q][f] for t in traces))
-            for f in fields
-        }
+        # non-numeric diagnostics (e.g. a streaming query's per-batch
+        # [id, ms, rows] list) come verbatim from the median-wall leg
+        med_leg = sorted(traces, key=lambda t: t[q]["wall_sec"])[
+            len(traces) // 2]
+        row = {}
+        for f, v0 in traces[0][q].items():
+            if isinstance(v0, float):
+                row[f] = round(statistics.median(t[q][f] for t in traces), 3)
+            elif isinstance(v0, int):
+                row[f] = int(statistics.median(t[q][f] for t in traces))
+            else:
+                row[f] = med_leg[q][f]
+        merged[q] = row
     with open(out, "w") as fh:
         json.dump(merged, fh, indent=0, sort_keys=True)
     walls = [sum(t[q]["wall_sec"] for q in common) for t in traces]
