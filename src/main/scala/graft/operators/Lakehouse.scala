@@ -1461,6 +1461,75 @@ object Lakehouse {
       .orderBy("o_orderkey", "change_type"), t)
   }
 
+  /** TWO WRITERS, ONE TABLE — the optimistic-commit auto-rebase
+    * (Iceberg's commit-retry contract) exercised end-to-end on real
+    * data. Two catalog INSTANCES (separate registries, the cross-driver
+    * shape) share one durable warehouse root. Writer B appends while
+    * STALE — its commit loses the version-record CAS to writer A's
+    * commit, refreshes from `_graft_log`, and lands rebased; writer A
+    * then commits a merge-on-read DELETE while stale the same way (its
+    * delta re-validates against the refreshed state: A's target files
+    * are untouched by B's append, so snapshot isolation admits it). No
+    * manual evict/retry anywhere — the `require`s pin that both writers
+    * actually lost a race and rebased, and that the final history is
+    * one linear, contiguous version chain. At 100 TB this is the normal
+    * state of a shared table: ingest jobs, CDC writers, and maintenance
+    * commit concurrently, and appends/compatible deltas must never need
+    * a coordinator beyond the log's CAS. */
+  def lakeConcurrentWriters(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = sys.props("java.io.tmpdir")
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
+      "_pid" + ProcessHandle.current().pid()
+    val wh = new File(tmp, s"graft_cw_wh_$tag")
+    graft.streaming.StreamingOps.deleteRecursively(wh)
+    Seq("gcw", "gcw2").foreach { c =>
+      spark.conf.set(s"spark.sql.catalog.$c",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$c.warehouse",
+        wh.getAbsolutePath)
+      graft.sources.GraftLakeCatalog.evict(c, "cw_orders")
+    }
+    val tA = "gcw.cw_orders"
+    val tB = "gcw2.cw_orders"
+    spark.sql(s"CREATE TABLE $tA " +
+      "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet', " +
+      "'graft.mode' = 'merge-on-read')")
+    val base = Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    // v1 (writer A): keys ≡ 0 (mod 3)
+    base.filter(col("o_orderkey") % 3 === 0).writeTo(tA).append()
+    // writer B reopens from disk at v1 — its own registry, own state
+    require(spark.table(tB).count() > 0, "writer B reopens at v1")
+    val tableB = graft.sources.GraftLakeCatalog
+      .tableFor("gcw2", "cw_orders").get
+    // v2 (writer A): keys ≡ 2 (mod 3) — B is now STALE
+    base.filter(col("o_orderkey") % 3 === 2).writeTo(tA).append()
+    // v3 (writer B, stale): the append loses the CAS and rebases
+    val rebB = tableB.rebases
+    base.filter(col("o_orderkey") % 3 === 1).writeTo(tB).append()
+    require(tableB.rebases > rebB,
+      "writer B's stale append must land via rebase, not by luck")
+    // v4 (writer A, stale at v2): a MoR DELETE over its OWN v1 files —
+    // B's commit only appended, so the delta re-validates and rebases
+    val tableA = graft.sources.GraftLakeCatalog
+      .tableFor("gcw", "cw_orders").get
+    val rebA = tableA.rebases
+    spark.sql(s"DELETE FROM $tA WHERE o_orderkey % 6 = 0")
+    require(tableA.rebases > rebA,
+      "writer A's stale delete must land via rebase")
+    require(tableA.currentVersion == 4 && tableB.currentVersion == 3,
+      "one linear history: create, A, A, B-rebased, A-rebased — " +
+        "B simply hasn't observed v4 yet")
+    releasing(spark, spark.table(tA)
+      .orderBy("o_orderkey"), tA, tB)
+  }
+
+  private val lakeConcurrentWritersOracle =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |WHERE o_orderkey % 6 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Delete pre-images = prev ∩ batch keys; inserts = the batch. */
   private val changeFeedUpsertOracle =
     """WITH prev AS (
@@ -1582,6 +1651,9 @@ object Lakehouse {
     Query("ref_change_feed_upsert",
       "change feed across an UNRESOLVED equality-delete commit: probed delete leg",
       changeFeedUpsert, Some(changeFeedUpsertOracle)),
+    Query("lake_concurrent_writers",
+      "optimistic-commit auto-rebase: two stale writers land without manual retry",
+      lakeConcurrentWriters, Some(lakeConcurrentWritersOracle)),
     Query("ref_partition_evolve",
       "partition-spec evolution: metadata-only relayout, mixed-spec reads",
       partitionEvolve, Some(partitionEvolveOracle)),

@@ -235,18 +235,20 @@ class DurableCatalogSpec extends SparkTestBase {
       "the reopened log must replay the same linear history")
   }
 
-  /** The cross-writer CAS contract, parameterized by ARBITER (VERDICT
-    * r18 task 8): the same stale-writer race must lose identically
-    * whether exclusivity comes from O_EXCL claims (POSIX / conditional
-    * PUT) or from the directory-pointer rename CAS (the documented
-    * route for stores without conditional writes). */
+  /** The cross-writer commit contract, parameterized by ARBITER
+    * (VERDICT r18 task 8): identical whether exclusivity comes from
+    * O_EXCL claims (POSIX / conditional PUT) or from the
+    * directory-pointer rename CAS. Since the auto-rebase landed
+    * (Iceberg's commit-retry contract), a stale writer whose change is
+    * COMPATIBLE under snapshot isolation — an append, or a row-level
+    * delta whose target files the winner left untouched — refreshes
+    * from the log and lands WITHOUT manual intervention; only a
+    * genuine lost update (the winner touched the same rows) stays a
+    * loud conflict, with the loser's in-memory mutation reverted. */
   private def crossWriterCas(arbiter: graft.sources.GraftCommitArbiter,
       tag: String): Unit = {
     // the cross-driver shape the in-JVM registry cannot arbitrate: two
-    // catalog instances (separate registries) share one durable root.
-    // The second writer of the same version number must lose at the
-    // version-file claim — loudly, with its in-memory state
-    // reverted — and converge after a reopen.
+    // catalog instances (separate registries) share one durable root
     useCatalog()
     spark.conf.set("spark.sql.catalog.graftdur2",
       classOf[graft.sources.GraftLakeCatalog].getName)
@@ -272,31 +274,47 @@ class DurableCatalogSpec extends SparkTestBase {
       }
       out
     }
-    // driver 1 is now STALE at v1. A MoR DELETE mints no data file, so
-    // it reaches the pure version-file CAS — and must lose there, with
-    // its in-memory DV mutation reverted.
-    val e1 = intercept[Exception](spark.sql(s"DELETE FROM $t1 WHERE k = 3"))
-    assert(msgs(e1).exists(_.contains("write conflict")),
-      s"stale DV-only commit must fail the version CAS: $e1")
-    assert(spark.table(t1).count() == 10,
-      "the losing writer's deletion vector must be reverted")
-    // ... and a stale APPEND loses at the data-file claim instead
-    val e2 = intercept[Exception](
-      spark.range(20, 30).selectExpr("id AS k").coalesce(1)
-        .writeTo(t1).append())
-    assert(msgs(e2).exists(_.contains("write conflict")),
-      s"stale cross-driver append must fail the file claim: $e2")
-    assert(spark.table(t1).count() == 10,
-      "the losing writer must not half-apply its commit")
-    // reopen converges driver 1 onto the true history; retry succeeds
-    graft.sources.GraftLakeCatalog.evict("graftdur", s"dur_two_$tag")
-    assert(spark.table(t1).count() == 20)
-    spark.sql(s"DELETE FROM $t1 WHERE k = 3") // v3 now succeeds
+    val table1 = graft.sources.GraftLakeCatalog
+      .tableFor("graftdur", s"dur_two_$tag").get
+    val rebases0 = table1.rebases
+    // driver 1 is now STALE at v1. Its MoR DELETE loses the version
+    // CAS, AUTO-REBASES (the winner only appended — both validations
+    // hold on the refreshed state), and lands: no evict, no re-run.
+    spark.sql(s"DELETE FROM $t1 WHERE k = 3")
+    assert(table1.rebases > rebases0,
+      "the stale delete must have rebased, not won the race outright")
+    assert(spark.table(t1).count() == 19,
+      "the rebased delete lands on the WINNER's state: 20 rows - 1")
+    // ... and a stale APPEND rebases past the data-file collision the
+    // same way (driver 2 is the stale one now)
     spark.range(20, 30).selectExpr("id AS k").coalesce(1)
-      .writeTo(t1).append() // v4
-    assert(spark.table(t1).count() == 29)
+      .writeTo(t2).append()
+    assert(spark.table(t2).count() == 29,
+      "the stale cross-driver append must rebase and land")
+    // GENUINE lost update stays loud: driver 2 (current) grows f1's
+    // deletion vector; driver 1's delta against the same file was
+    // derived from rows that may now be dead — the MoR lost update.
+    spark.sql(s"DELETE FROM ${t2} WHERE k = 5")
+    val e1 = intercept[Exception](spark.sql(s"DELETE FROM $t1 WHERE k = 6"))
+    assert(msgs(e1).exists(m => m.contains("write conflict") &&
+        m.contains("deletion vector")),
+      s"concurrent DVs on one file must stay a loud conflict: $e1")
+    assert(spark.table(t1).count() == 28,
+      "the losing delta must be reverted (29 - winner's k=5 only)")
+    // the loud loss already refreshed driver 1 onto the winner's
+    // state — the STATEMENT re-run (what the error asks for) succeeds
+    // without an evict
+    spark.sql(s"DELETE FROM $t1 WHERE k = 6")
+    assert(spark.table(t1).count() == 27)
+    // both drivers converge on one linear history
+    graft.sources.GraftLakeCatalog.evict("graftdur", s"dur_two_$tag")
     graft.sources.GraftLakeCatalog.evict("graftdur2", s"dur_two_$tag")
-    assert(spark.table(t2).count() == 29, "both drivers converge")
+    assert(spark.table(t1).count() == 27)
+    assert(spark.table(t2).count() == 27, "both drivers converge")
+    val versions = spark.table(s"$t1.history")
+      .orderBy("version").collect().map(_.getInt(0)).toSeq
+    assert(versions == (0 to versions.max).toSeq,
+      s"rebases must keep the history linear and contiguous: $versions")
     spark.sql(s"DROP TABLE IF EXISTS $t1")
   }
 
@@ -360,6 +378,147 @@ class DurableCatalogSpec extends SparkTestBase {
       graft.sources.DirSwapCommitArbiter
     try crossWriterCas(graft.sources.DirSwapCommitArbiter, "dirswap")
     finally graft.sources.GraftCommitArbiter.active = prev
+  }
+
+  test("a crashed writer's orphan data-file object is skipped, never tripped over") {
+    // a writer that died after claiming (or even filling) f<N>.parquet
+    // but before committing leaves an object no version references. A
+    // later writer restoring from the log starts below that number —
+    // without the rebase it would collide with the orphan FOREVER. The
+    // mint loop must skip past it: fileSeq only moves forward across
+    // refreshes, so each retry tries the next name.
+    useCatalog()
+    val t = "graftdur.dur_orphan"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    spark.range(0, 10).selectExpr("id AS k").coalesce(1)
+      .writeTo(t).append()
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftdur", "dur_orphan").get
+    val dir = new java.io.File(table.filePaths.values.head).getParentFile
+    val maxSeq = dir.listFiles().map(_.getName)
+      .collect { case n if n.matches("f\\d+\\.parquet") =>
+        n.stripPrefix("f").stripSuffix(".parquet").toInt }.max
+    // the orphan: a FILLED (non-empty) object at the next file number —
+    // a filled name conflicts forever, exactly like a committed file
+    val orphan = new java.io.File(dir, s"f${maxSeq + 1}.parquet")
+    java.nio.file.Files.write(orphan.toPath,
+      "crashed writer's bytes".getBytes("UTF-8"))
+    val rebases0 = table.rebases
+    spark.range(10, 20).selectExpr("id AS k").coalesce(1)
+      .writeTo(t).append()
+    assert(table.rebases > rebases0,
+      "the mint must have rebased past the orphan, not won outright")
+    assert(spark.table(t).count() == 20)
+    assert(new java.io.File(dir, s"f${maxSeq + 2}.parquet").isFile,
+      "the appended file lands at the NEXT number past the orphan")
+    assert(orphan.length() > 0L, "the orphan object is never clobbered")
+    // the log replays cleanly around the orphan
+    evict("dur_orphan")
+    assert(spark.table(t).count() == 20)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("zombie streaming driver: a cross-writer replayed epoch is dropped, not double-applied") {
+    // driver failover re-runs an epoch from the checkpoint on a NEW
+    // driver while the old one may still be committing — the classic
+    // zombie. The stamp check at commit entry sees only the zombie's
+    // STALE watermark; the rebase loop re-checks it AFTER the refresh
+    // that follows the lost CAS, so the duplicate epoch is dropped
+    // exactly-once-style instead of landing twice.
+    import org.apache.spark.sql.connector.write.LogicalWriteInfo
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    useCatalog()
+    spark.conf.set("spark.sql.catalog.graftdur2",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftdur2.warehouse", wh)
+    val t1 = "graftdur.dur_zombie"
+    val t2 = "graftdur2.dur_zombie"
+    spark.sql(s"DROP TABLE IF EXISTS $t1")
+    spark.sql(s"CREATE TABLE $t1 (k BIGINT) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    spark.range(0, 10).selectExpr("id AS k").coalesce(1)
+      .writeTo(t1).append() // v1
+    assert(spark.table(t2).count() == 10) // driver 2 reopens at v1
+    def epochTo(cat: String, epoch: Long, lo: Long, hi: Long): Unit = {
+      val tbl = graft.sources.GraftLakeCatalog
+        .tableFor(cat, "dur_zombie").get
+      val winfo = new LogicalWriteInfo {
+        override def options(): CaseInsensitiveStringMap =
+          CaseInsensitiveStringMap.empty()
+        override def queryId(): String = "q-zombie"
+        override def schema(): org.apache.spark.sql.types.StructType =
+          spark.table(t1).schema
+      }
+      val sw = tbl.newWriteBuilder(winfo).build().toStreaming
+      val w = sw.createStreamingWriterFactory(null)
+        .createWriter(0, 0, epoch)
+      (lo until hi).foreach(i =>
+        w.write(new GenericInternalRow(Array[Any](i))))
+      sw.commit(epoch, Array(w.commit()))
+    }
+    // the new driver (1) commits epoch 0; the zombie (2) replays it
+    epochTo("graftdur", 0, 100, 110) // v2
+    val vAfter = graft.sources.GraftLakeCatalog
+      .tableFor("graftdur", "dur_zombie").get.currentVersion
+    epochTo("graftdur2", 0, 100, 110) // zombie: stale watermark, loses CAS
+    val tableB = graft.sources.GraftLakeCatalog
+      .tableFor("graftdur2", "dur_zombie").get
+    assert(tableB.currentVersion == vAfter,
+      "the zombie's duplicate epoch must not mint a version")
+    assert(spark.table(t2).count() == 20,
+      "epoch 0 lands exactly once across both drivers")
+    // a genuinely NEW epoch from the survivor still lands (rebased)
+    epochTo("graftdur2", 1, 200, 205)
+    assert(spark.table(t2).count() == 25)
+    graft.sources.GraftLakeCatalog.evict("graftdur", "dur_zombie")
+    assert(spark.table(t1).count() == 25, "one linear history, no dupes")
+    spark.sql(s"DROP TABLE IF EXISTS $t1")
+  }
+
+  test("streaming epoch rebases across a concurrent batch append") {
+    // compaction/ingest racing a streaming sink is the normal
+    // production state: the sink's epoch must land WITHOUT manual
+    // intervention when the concurrent commit is compatible (an
+    // append), preserving both writers' rows.
+    import org.apache.spark.sql.connector.write.LogicalWriteInfo
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    useCatalog()
+    spark.conf.set("spark.sql.catalog.graftdur2",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftdur2.warehouse", wh)
+    val t1 = "graftdur.dur_sink_race"
+    val t2 = "graftdur2.dur_sink_race"
+    spark.sql(s"DROP TABLE IF EXISTS $t1")
+    spark.sql(s"CREATE TABLE $t1 (k BIGINT) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    spark.range(0, 10).selectExpr("id AS k").coalesce(1)
+      .writeTo(t1).append() // v1 via driver 1
+    // driver 2 (the batch ingest) commits v2; driver 1's sink is stale
+    spark.range(10, 20).selectExpr("id AS k").coalesce(1)
+      .writeTo(t2).append()
+    val tableA = graft.sources.GraftLakeCatalog
+      .tableFor("graftdur", "dur_sink_race").get
+    val rebases0 = tableA.rebases
+    val winfo = new LogicalWriteInfo {
+      override def options(): CaseInsensitiveStringMap =
+        CaseInsensitiveStringMap.empty()
+      override def queryId(): String = "q-race"
+      override def schema(): org.apache.spark.sql.types.StructType =
+        spark.table(t1).schema
+    }
+    val sw = tableA.newWriteBuilder(winfo).build().toStreaming
+    val w = sw.createStreamingWriterFactory(null).createWriter(0, 0, 0)
+    (100L until 105L).foreach(i =>
+      w.write(new GenericInternalRow(Array[Any](i))))
+    sw.commit(0, Array(w.commit()))
+    assert(tableA.rebases > rebases0, "the stale epoch must rebase")
+    assert(spark.table(t1).count() == 25,
+      "both the batch append and the epoch survive: 10 + 10 + 5")
+    spark.sql(s"DROP TABLE IF EXISTS $t1")
   }
 
   test("columnar decode works on a reopened table (manifest labels round-trip)") {

@@ -2929,7 +2929,9 @@ class LakehouseSpec extends SparkTestBase {
       "no temp residue after commit + abort")
     // cross-writer file-number claim: adoption must CAS the target with
     // O_EXCL, never rename over it — ATOMIC_MOVE alone on Linux is a
-    // bare rename(2) that silently replaces a committed writer's file
+    // bare rename(2) that silently replaces a committed writer's file.
+    // The auto-rebase consumes the loss: the adoption re-claims the
+    // NEXT number and the commit lands, with the squatter untouched.
     val nextN = dir.listFiles().map(_.getName)
       .collect { case n if n.matches("f\\d+\\.parquet") =>
         n.stripPrefix("f").stripSuffix(".parquet").toInt }.max + 1
@@ -2937,16 +2939,18 @@ class LakehouseSpec extends SparkTestBase {
     java.nio.file.Files.write(squatter.toPath, Array[Byte](1, 2, 3))
     val bw3 = table.newWriteBuilder(winfo).build().toBatch
     val m3 = oneTask(bw3, 60, 70)
-    val e2 = intercept[Exception] { bw3.commit(Array(m3)) }
-    def conflict(ex: Throwable): Boolean =
-      Option(ex.getMessage).exists(_.contains("write conflict")) ||
-        Option(ex.getCause).exists(conflict)
-    assert(conflict(e2), s"expected a claim conflict, got $e2")
+    val rebases0 = table.rebases
+    bw3.commit(Array(m3))
+    assert(table.rebases > rebases0,
+      "the adoption must have lost the claim once and rebased")
     assert(java.nio.file.Files.readAllBytes(squatter.toPath)
       .sameElements(Array[Byte](1, 2, 3)),
       "the committed writer's file must never be clobbered")
+    assert(new java.io.File(dir, s"f${nextN + 1}.parquet").isFile,
+      "the rebased adoption lands at the next free number")
+    assert(spark.table(t).count() == 60, "the rebased commit's rows land")
     assert(!dir.listFiles().exists(_.getName.startsWith("tmp_")),
-      "the losing adoption unlinks its temp")
+      "a successful (rebased) adoption consumes its temp")
     squatter.delete()
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
@@ -2997,12 +3001,32 @@ class LakehouseSpec extends SparkTestBase {
       "zorder: an x box must prune at least half the files")
     assert(spark.table(t).collect().map(_.toString).sorted.toSeq == before,
       "zorder rewrite must not change the relation")
-    // (3) conflict: an append lands between the rewrite's read and its
-    // commit — the CALL must abort loudly, adopt nothing, leave no temps
+    // (3a) compatible conflict: an APPEND lands between the rewrite's
+    // read and its commit — the maintenance rebase carries it through:
+    // the CALL lands its stripes PLUS the appended file, no temps left
     @volatile var injected = false
     table.commitHook = () => if (!injected) {
       injected = true
       spark.sql(s"INSERT INTO $t VALUES (999, 999, 'conc')")
+    }
+    val res3 = spark.sql(
+      s"CALL graftlake.system.cluster('spec_dcluster', 'x', 2)").head()
+    table.commitHook = () => ()
+    assert(res3.getInt(1) == 3,
+      "rebased rewrite: 2 stripes + the concurrent append's file")
+    assert(spark.table(t).count() == before.length + 1,
+      "both the rewrite and the concurrent append survive")
+    assert(spark.table(t).where("v = 'conc'").count() == 1,
+      "the appended row rides through the rebase unclustered")
+    assert(!dir.listFiles().exists(_.getName.startsWith("tmp_")),
+      "the rebased rewrite leaves no temp files")
+    // (3b) genuine conflict: a row-level DELETE rewrites a file the
+    // cluster read — landing anyway would resurrect the deleted row.
+    // The CALL must abort loudly, adopt nothing, leave no temps.
+    injected = false
+    table.commitHook = () => if (!injected) {
+      injected = true
+      spark.sql(s"DELETE FROM $t WHERE x = 999")
     }
     val filesBefore = table.fileIds.toSet
     val e = intercept[Exception] {
@@ -3013,18 +3037,102 @@ class LakehouseSpec extends SparkTestBase {
       Option(ex.getMessage).exists(_.contains("write conflict")) ||
         Option(ex.getCause).exists(conflictMsg)
     assert(conflictMsg(e), s"expected a write-conflict abort, got $e")
-    assert((table.fileIds.toSet -- filesBefore).size == 1,
-      "no partial adoption: the concurrent append's file is the only " +
-        "new one")
-    assert(spark.table(t).count() == before.length + 1,
-      "the concurrent append's row is the only change")
+    assert(spark.table(t).count() == before.length,
+      "the concurrent delete's change is the only one")
+    assert(spark.table(t).where("v = 'conc'").count() == 0)
+    assert(table.fileIds.toSet.subsetOf(filesBefore) &&
+      table.fileIds.size == filesBefore.size - 1,
+      "the delete only removed the appended file; the aborted cluster " +
+        "adopted nothing")
     assert(!dir.listFiles().exists(_.getName.startsWith("tmp_")),
       "the aborted rewrite unlinked its temp files")
     // and a clean retry succeeds against the new state
     val res2 = spark.sql(
       s"CALL graftlake.system.cluster('spec_dcluster', 'x', 2)").head()
     assert(res2.getInt(1) == 2)
-    assert(spark.table(t).count() == before.length + 1)
+    assert(spark.table(t).count() == before.length)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("maintenance rebases over a concurrent append; a touched target stays loud") {
+    // the compaction-vs-ingest race (Iceberg RewriteDataFiles
+    // semantics): a concurrent APPEND landing mid-maintenance must not
+    // kill the rewrite — compact/compact_files re-validate ONLY the
+    // files they sliced and carry the appended file through verbatim.
+    // A concurrent touch of a sliced file (a second DV on it) is the
+    // real conflict and aborts loudly with the temps unlinked.
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_maint_rebase"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet', " +
+      "'graft.mode' = 'merge-on-read')")
+    for (b <- 0 until 3)
+      spark.range(b * 100L, (b + 1) * 100L)
+        .selectExpr("id AS k", "concat('v', id) AS s")
+        .coalesce(1).writeTo(t).append()
+    spark.sql(s"DELETE FROM $t WHERE k = 5") // DV on f1 → compactable
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_maint_rebase").get
+    val dir = new java.io.File(table.filePaths.values.head).getParentFile
+    // (1) CALL system.compact rebases over an injected concurrent append
+    @volatile var injected = false
+    table.commitHook = () => if (!injected) {
+      injected = true
+      spark.sql(s"INSERT INTO $t VALUES (1000, 'conc')")
+    }
+    spark.sql(s"CALL graftlake.system.compact('spec_maint_rebase')")
+    table.commitHook = () => ()
+    assert(spark.table(t).count() == 300,
+      "3×100 − 1 deleted + 1 concurrent append — both commits survive")
+    assert(spark.table(t).where("k = 5").count() == 0 &&
+      spark.table(t).where("s = 'conc'").count() == 1)
+    assert(!dir.listFiles().exists(_.getName.startsWith("tmp_")))
+    // (2) compact_files rebases over an append the same way
+    spark.sql(s"DELETE FROM $t WHERE k = 6") // fresh DV → candidates exist
+    injected = false
+    table.commitHook = () => if (!injected) {
+      injected = true
+      spark.sql(s"INSERT INTO $t VALUES (1001, 'conc2')")
+    }
+    spark.sql(
+      s"CALL graftlake.system.compact_files('spec_maint_rebase', 1000)")
+    table.commitHook = () => ()
+    assert(spark.table(t).count() == 300,
+      "299 + conc2 — the pack and the append both survive")
+    assert(spark.table(t).where("s = 'conc2'").count() == 1)
+    // (3) a concurrent DV on a SLICED file is the genuine conflict
+    spark.sql(s"DELETE FROM $t WHERE k = 7") // make f-files candidates
+    injected = false
+    table.commitHook = () => if (!injected) {
+      injected = true
+      // touches a file the pack sliced: its live offsets are now stale
+      spark.sql(s"DELETE FROM $t WHERE k = 8")
+    }
+    val e = intercept[Exception] {
+      spark.sql(
+        s"CALL graftlake.system.compact_files('spec_maint_rebase', 1000)")
+    }
+    table.commitHook = () => ()
+    def msgs(x: Throwable): String = {
+      var c: Throwable = x; val sb = new StringBuilder
+      var seen = List.empty[Throwable]
+      while (c != null && !seen.exists(_ eq c)) {
+        sb.append(Option(c.getMessage).getOrElse("")); seen ::= c
+        c = c.getCause
+      }
+      sb.toString
+    }
+    assert(msgs(e).contains("write conflict"), s"got: $e")
+    assert(spark.table(t).count() == 298,
+      "the injected delete is the only change; the pack adopted nothing")
+    assert(!dir.listFiles().exists(_.getName.startsWith("tmp_")),
+      "the aborted pack unlinked its temps")
+    // the statement re-run the error asks for succeeds
+    spark.sql(
+      s"CALL graftlake.system.compact_files('spec_maint_rebase', 1000)")
+    assert(spark.table(t).count() == 298)
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
@@ -3924,8 +4032,11 @@ class LakehouseSpec extends SparkTestBase {
     // implementation as default and a documented conditional-PUT
     // contract for object stores. This spec swaps in arbiters that
     // lose each leg of the race DETERMINISTICALLY and pins the
-    // protocol above the seam: loud abort, full in-memory revert, no
-    // clobber of the winner's object, clean retry once the race ends.
+    // protocol above the seam. Since the auto-rebase (commit-retry)
+    // landed: a TRANSIENT loss is consumed by a refresh-and-retry and
+    // the append lands; a SUSTAINED loss exhausts MaxCommitRebases and
+    // aborts loudly with a full in-memory revert and no clobber of the
+    // winner's object.
     import graft.sources.{GraftClaimConflict, GraftCommitArbiter, PosixCommitArbiter}
     // warehouse-backed: the reopen leg below must rediscover the root
     val wh = java.nio.file.Files.createTempDirectory("arb_wh_")
@@ -3953,9 +4064,9 @@ class LakehouseSpec extends SparkTestBase {
     }
     val posix = PosixCommitArbiter
     try {
-      // (1) LOSE THE CLAIM — the object-store analog of a failed
-      // conditional PUT (If-None-Match: *): the version record's claim
-      // refuses once; the commit must abort loudly and revert
+      // (1a) LOSE THE CLAIM ONCE — the object-store analog of one
+      // failed conditional PUT (If-None-Match: *): the auto-rebase
+      // refreshes from the log and the retry lands the commit
       var claimRefusals = 0
       GraftCommitArbiter.active = new GraftCommitArbiter {
         override def claim(target: java.io.File): AnyRef = {
@@ -3972,19 +4083,54 @@ class LakehouseSpec extends SparkTestBase {
         override def release(target: java.io.File, token: AnyRef): Unit =
           posix.release(target, token)
       }
+      val rebases0 = table.rebases
+      spark.range(10, 20).selectExpr("id AS k", "'b' AS s")
+        .coalesce(1).writeTo(t).append()
+      assert(claimRefusals == 1, "the injected arbiter decided the race")
+      assert(table.rebases == rebases0 + 1,
+        "one transient CAS loss costs exactly one rebase")
+      assert(table.currentVersion == v0 + 1 &&
+          spark.table(t).count() == 20,
+        "the rebased append must land as the very next version")
+
+      // (1b) LOSE THE CLAIM SUSTAINED — refusal on every attempt
+      // exhausts the bounded retries; the commit must then abort
+      // loudly and revert the in-memory mutation entirely
+      var sustained = 0
+      GraftCommitArbiter.active = new GraftCommitArbiter {
+        override def claim(target: java.io.File): AnyRef = {
+          if (target.getName.matches("v\\d+\\.json")) {
+            sustained += 1
+            throw new GraftClaimConflict(
+              s"${target.getName}: conditional PUT lost (injected)")
+          }
+          posix.claim(target)
+        }
+        override def fill(target: java.io.File, token: AnyRef,
+            src: java.io.File): Unit = posix.fill(target, token, src)
+        override def release(target: java.io.File, token: AnyRef): Unit =
+          posix.release(target, token)
+      }
       val e1 = intercept[Exception] {
-        spark.range(10, 20).selectExpr("id AS k", "'b' AS s")
+        spark.range(20, 30).selectExpr("id AS k", "'b' AS s")
           .coalesce(1).writeTo(t).append()
       }
       assert(msgs(e1).contains("write conflict"), s"got: $e1")
-      assert(claimRefusals == 1, "the injected arbiter decided the race")
-      assert(table.currentVersion == v0 && spark.table(t).count() == 10,
-        "a lost CAS must revert the in-memory commit entirely")
+      assert(sustained == graft.sources.GraftLakeTable
+          .MaxCommitRebases + 1,
+        s"sustained contention must exhaust the bounded retries, " +
+          s"got $sustained attempts")
+      assert(table.currentVersion == v0 + 1 &&
+          spark.table(t).count() == 20,
+        "an exhausted CAS loss must revert the in-memory commit entirely")
 
       // (2) RECLAIMED MID-FILL — the conditional-PUT-with-stale-ETag
       // analog: the claim succeeds, then the 'other writer' replaces
-      // it before our fill; the verify-before-fill must detect the
-      // foreign claim, abort, and leave the winner's object untouched
+      // it before our fill. The verify-before-fill detects the foreign
+      // claim; the rebase retries, but the winner's fresh claim holds
+      // the version name for the whole stale window, so every retry
+      // loses the claim too — exhaustion, loud abort, and the winner's
+      // object untouched.
       var reclaimed: Option[java.io.File] = None
       GraftCommitArbiter.active = new GraftCommitArbiter {
         override def claim(target: java.io.File): AnyRef =
@@ -4012,23 +4158,24 @@ class LakehouseSpec extends SparkTestBase {
           posix.release(target, token)
       }
       val e2 = intercept[Exception] {
-        spark.range(10, 20).selectExpr("id AS k", "'b' AS s")
+        spark.range(30, 40).selectExpr("id AS k", "'b' AS s")
           .coalesce(1).writeTo(t).append()
       }
-      assert(msgs(e2).contains("reclaimed"), s"got: $e2")
-      assert(table.currentVersion == v0 && spark.table(t).count() == 10)
+      assert(msgs(e2).contains("write conflict"), s"got: $e2")
+      assert(table.currentVersion == v0 + 1 &&
+        spark.table(t).count() == 20)
       assert(reclaimed.exists(f => f.isFile && f.length() == 0L),
         "the reclaiming winner's claim must survive the loser's abort")
       reclaimed.foreach(_.delete()) // the simulated winner walks away
     } finally GraftCommitArbiter.active = posix
     // (3) default restored: the same append commits cleanly
-    spark.range(10, 20).selectExpr("id AS k", "'b' AS s")
+    spark.range(30, 40).selectExpr("id AS k", "'b' AS s")
       .coalesce(1).writeTo(t).append()
-    assert(spark.table(t).count() == 20)
-    assert(table.currentVersion > v0)
+    assert(spark.table(t).count() == 30)
+    assert(table.currentVersion > v0 + 1)
     // and the durable log replays the final state (no torn records)
     graft.sources.GraftLakeCatalog.evict("graftarb", "spec_arbiter")
-    assert(spark.table(t).count() == 20,
+    assert(spark.table(t).count() == 30,
       "the reopened log must reflect exactly the committed state")
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
