@@ -146,6 +146,83 @@ object MaintBench {
     require(eqdAfter == eqdExpected && counted == eqdExpected,
       s"eq-debt leg state drifted: $eqdAfter vs $eqdExpected")
     spark.sql(s"DROP TABLE IF EXISTS $te")
+
+    // ---- cross-writer auto-rebase at scale (round 19) ----
+    // Two catalog instances (separate registries — the cross-driver
+    // shape) share one durable warehouse at 12M rows. The claims this
+    // leg prices: (a) a second driver's REOPEN restores from the log in
+    // O(manifests), not O(data); (b) a STALE writer's commit lands via
+    // refresh-and-rebase at a cost ≈ one reopen over the current
+    // append, because the data plane never re-runs — only the metadata
+    // commit loops; (c) distributed maintenance racing a cross-writer
+    // append rebases rather than aborting, carrying the appended file
+    // through.
+    val wh = java.nio.file.Files.createTempDirectory("maint_cw_wh_")
+      .toFile
+    Seq("gmw", "gmw2").foreach { c =>
+      spark.conf.set(s"spark.sql.catalog.$c",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$c.warehouse",
+        wh.getAbsolutePath)
+    }
+    val tc1 = "gmw.maint_race"
+    val tc2 = "gmw2.maint_race"
+    spark.sql(s"CREATE TABLE $tc1 (o_orderkey BIGINT, o_custkey BIGINT, " +
+      "o_orderstatus STRING, o_totalprice DOUBLE) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet', " +
+      "'graft.mode' = 'merge-on-read')")
+    timed(s"cw_ingest_x$copies") {
+      (1 to copies).map(_ => base).reduce(_ union _)
+        .repartition(16).writeTo(tc1).append()
+    }
+    timed("cw_reopen_second_driver") {
+      require(spark.table(tc2).count() == n, "driver 2 reopens at v1")
+    }
+    val slice = base.filter("o_orderkey % 4099 = 1")
+      .selectExpr("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice").coalesce(1)
+    // driver 2 commits while current — the baseline append cost
+    timed("cw_append_current") { slice.writeTo(tc2).append() }
+    // driver 1 is now stale: same append must lose the CAS, refresh
+    // from the log, and land rebased — the delta vs the baseline is
+    // the refresh cost (log-sized, data-free)
+    val t1 = graft.sources.GraftLakeCatalog
+      .tableFor("gmw", "maint_race").get
+    val reb0 = t1.rebases
+    timed("cw_append_stale_rebased") { slice.writeTo(tc1).append() }
+    require(t1.rebases > reb0, "the stale append must have rebased")
+    // driver 2 is stale now: a MoR DELETE whose targets the winner's
+    // append never touched re-validates and rebases the same way
+    val t2 = graft.sources.GraftLakeCatalog
+      .tableFor("gmw2", "maint_race").get
+    val reb2 = t2.rebases
+    val total = spark.table(tc1).count()
+    // snapshot isolation: the stale delete removes only the rows ITS
+    // snapshot (driver 2's, pre-rebase) can see — count matches there
+    val matches = spark.table(tc2)
+      .where("o_orderkey % 97 = 0").count()
+    timed("cw_delete_stale_rebased") {
+      spark.sql(s"DELETE FROM $tc2 WHERE o_orderkey % 97 = 0")
+    }
+    require(t2.rebases > reb2, "the stale delete must have rebased")
+    // distributed compaction racing a cross-writer append: the rewrite
+    // re-validates only its sliced files and carries the append through
+    @volatile var injected = false
+    t2.commitHook = () => if (!injected) {
+      injected = true
+      slice.writeTo(tc1).append()
+    }
+    timed("cw_compact_races_append") {
+      spark.sql(s"CALL gmw2.system.compact('maint_race')")
+    }
+    t2.commitHook = () => ()
+    val cwAfter = spark.table(tc2).count()
+    val cwExpected = total - matches + slice.count()
+    println(s"""{"cw_rows_after":$cwAfter,"cw_expected":$cwExpected,""" +
+      s""""cw_rebases_w1":${t1.rebases},"cw_rebases_w2":${t2.rebases}}""")
+    require(cwAfter == cwExpected,
+      s"cross-writer leg state drifted: $cwAfter vs $cwExpected")
+    spark.sql(s"DROP TABLE IF EXISTS $tc1")
     spark.stop()
   }
 }

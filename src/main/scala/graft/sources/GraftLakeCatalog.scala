@@ -3501,17 +3501,33 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     * arity-PRESERVING evolution (DROP one + ADD another) would silently
     * serve old values under the wrong field id (ADVICE r12 high). */
   private[graft] def compactFile(fileId: String): Unit = synchronized {
-    if (dvs.contains(fileId) || eqs.exists(e =>
-        files.exists(f => f.id == fileId && e.probeFor(f).isDefined)))
-      files.find(_.id == fileId).foreach { f =>
-        // liveRows applies BOTH the DV and any equality deletes — the
-        // rewrite's rows are clean, its new file number exceeds every
-        // belowSeq, and recordCommit prunes resolved eq records
-        val live = GraftLakeSnapshot(files, dvs, eqs).liveRows(f)
-        files = files.filterNot(_.id == fileId) ++ rewriteFile(f, live)
-        dvs -= fileId
-        recordCommit(dataChange = false) // maintenance: relation unchanged
+    // cross-writer rebase by RE-DERIVATION: every attempt reads the
+    // file, its DV, and the applicable equality deletes from the
+    // CURRENT state, so a refresh after a CAS loss makes re-running the
+    // whole block the validation — if a concurrent writer compacted the
+    // file away first, the guard finds nothing and this is a no-op
+    var tries = 0
+    while (true) {
+      try {
+        if (dvs.contains(fileId) || eqs.exists(e =>
+            files.exists(f => f.id == fileId && e.probeFor(f).isDefined)))
+          files.find(_.id == fileId).foreach { f =>
+            // liveRows applies BOTH the DV and any equality deletes — the
+            // rewrite's rows are clean, its new file number exceeds every
+            // belowSeq, and recordCommit prunes resolved eq records
+            val live = GraftLakeSnapshot(files, dvs, eqs).liveRows(f)
+            files = files.filterNot(_.id == fileId) ++ rewriteFile(f, live)
+            dvs -= fileId
+            recordCommit(dataChange = false) // maintenance: relation unchanged
+          }
+        return
+      } catch {
+        case e: Exception if isCasLoss(e) && log.isDefined &&
+            tries < GraftLakeTable.MaxCommitRebases =>
+          tries += 1
+          refreshFromLog()
       }
+    }
   }
 
   /** Rewrite `rows` as a new file under `f`'s write-time manifest —
