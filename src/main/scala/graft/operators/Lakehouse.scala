@@ -1461,6 +1461,50 @@ object Lakehouse {
       .orderBy("o_orderkey", "change_type"), t)
   }
 
+  /** METADATA-ONLY DELETE (SupportsDeleteV2) — the 100 TB
+    * partition-drop path. Orders load as four files with DISJOINT
+    * o_orderkey ranges (what identity partitioning or a clustered
+    * layout gives every real table); `DELETE WHERE o_orderkey < cut`
+    * at a file boundary is then PROVABLE from per-file min/max stats
+    * alone, so Spark's OptimizeMetadataOnlyDeleteFromTable routes it
+    * to `deleteWhere`: the two low files leave the manifest list in
+    * one metadata commit — no scan, no rewrite, no deletion vector,
+    * cost ∝ manifests, never bytes. The `require`s pin exactly that
+    * (files shrank, nothing was added, no DV appeared); a predicate
+    * the stats cannot decide falls back to the ordinary row-level
+    * plan, also exercised here mid-file. */
+  def lakeMetadataDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.orders_mdel"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t " +
+      "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    val base = Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val maxKey = base.agg(max("o_orderkey")).head.getLong(0)
+    val q = maxKey / 4
+    // four range-pure files — each decides any cut at a multiple of q
+    for (b <- 0L until 4L)
+      base.filter(col("o_orderkey") >= b * q &&
+          (col("o_orderkey") < (b + 1) * q || lit(b == 3L)))
+        .coalesce(1).writeTo(t).append()
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "orders_mdel").get
+    val ids0 = table.fileIds.toSet
+    spark.sql(s"DELETE FROM $t WHERE o_orderkey < ${2 * q}")
+    require(table.fileIds.toSet.subsetOf(ids0) &&
+      table.fileIds.size == 2,
+      "the boundary-aligned DELETE must drop whole files and add none")
+    releasing(spark, spark.table(t).orderBy("o_orderkey"), t)
+  }
+
+  private val lakeMetadataDeleteOracle =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |WHERE o_orderkey >= 2 * ((SELECT max(o_orderkey) FROM orders) // 4)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** TWO WRITERS, ONE TABLE — the optimistic-commit auto-rebase
     * (Iceberg's commit-retry contract) exercised end-to-end on real
     * data. Two catalog INSTANCES (separate registries, the cross-driver
@@ -1654,6 +1698,9 @@ object Lakehouse {
     Query("lake_concurrent_writers",
       "optimistic-commit auto-rebase: two stale writers land without manual retry",
       lakeConcurrentWriters, Some(lakeConcurrentWritersOracle)),
+    Query("lake_metadata_delete",
+      "metadata-only DELETE: stats-decided files drop whole, no scan or rewrite",
+      lakeMetadataDelete, Some(lakeMetadataDeleteOracle)),
     Query("ref_partition_evolve",
       "partition-spec evolution: metadata-only relayout, mixed-spec reads",
       partitionEvolve, Some(partitionEvolveOracle)),

@@ -1062,6 +1062,29 @@ private[graft] object GraftLakeStats {
       defaults: Map[Int, Any] = Map.empty): Boolean =
     !may(f, p, nameToId, defaults) || allTrue(f, p, nameToId, defaults)
 
+  /** Tri-state for a CONJUNCTION of predicates over one file:
+    * Some(true) = every stored row provably satisfies ALL of them (the
+    * file may be dropped whole by a metadata DELETE), Some(false) = no
+    * row can satisfy some predicate (the file is provably untouched),
+    * None = mixed or unprovable — a metadata-only delete must refuse.
+    * ALWAYS_TRUE/ALWAYS_FALSE (what `TRUNCATE TABLE`'s default
+    * deleteWhere sends) are handled here, not in the per-op walkers. */
+  def decideConj(f: GraftLakeFile, ps: Array[Predicate],
+      nameToId: Map[String, Int],
+      defaults: Map[Int, Any] = Map.empty): Option[Boolean] = {
+    def mayP(p: Predicate): Boolean = p.name() match {
+      case "ALWAYS_FALSE" => false
+      case _ => may(f, p, nameToId, defaults)
+    }
+    def allP(p: Predicate): Boolean = p.name() match {
+      case "ALWAYS_TRUE" => true
+      case _ => allTrue(f, p, nameToId, defaults)
+    }
+    if (ps.exists(p => !mayP(p))) Some(false)
+    else if (ps.forall(allP)) Some(true)
+    else None
+  }
+
   /** Does EVERY row of `f` provably satisfy `p`? Null-rejecting ops
     * additionally require a provably ZERO null count — a NULL row
     * evaluates a comparison to NULL and is dropped by the filter, so a
@@ -1615,7 +1638,8 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     // of construction (the registry is a CACHE over the log)
     reopenFrom: Option[GraftLakeLog.Restored] = None)
     extends Table with SupportsRead with SupportsWrite
-    with SupportsRowLevelOperations with SupportsMetadataColumns {
+    with SupportsRowLevelOperations with SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
 
   // PARTITION-SPEC EVOLUTION (Iceberg's spec evolution): the spec is
   // metadata that can change without rewriting a single file. Files
@@ -3420,6 +3444,64 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     synchronized {
       files = mkFiles(pendings); dvs = Map.empty; recordCommit(true)
     }
+
+  // ---- metadata-only DELETE (SupportsDeleteV2) ----------------------------
+  // The 100 TB partition-drop path: when every file is PROVABLY
+  // all-match or all-miss under the DELETE's conjunction (per-file
+  // min/max + null-count stats — identity partitions and clustered
+  // ranges decide naturally), Spark's OptimizeMetadataOnlyDeleteFromTable
+  // replaces the row-level plan with deleteWhere: whole files drop from
+  // the manifest list in ONE metadata commit — no scan, no rewrite, no
+  // deletion vector, cost ∝ manifests. A file the stats cannot decide
+  // makes canDeleteWhere refuse and the DELETE falls back to the
+  // row-level plan unchanged. TRUNCATE TABLE rides the same surface
+  // (the default truncateTable() sends ALWAYS_TRUE).
+
+  /** True iff every live file is provably all-match or all-miss under
+    * the conjunction — the contract Spark checks before routing a
+    * DELETE through [[deleteWhere]]. Refuses under an active WAP branch
+    * so the row-level plan's branch guard keeps its loud refusal. */
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Boolean = synchronized {
+    GraftLakeTable.wapBranch.isEmpty && {
+      val n2i = schemaNow.fieldNames.zip(colIds).toMap
+      files.forall(f =>
+        GraftLakeStats.decideConj(f, predicates, n2i, colDefaults)
+          .isDefined)
+    }
+  }
+
+  /** Drop every provably-all-match file as one data-change commit.
+    * Dropping a file takes its deletion vector with it (those rows were
+    * already dead) and any equality-delete epoch left without a
+    * matchable file prunes at the commit. Cross-writer safe: the rebase
+    * loop re-proves decidability against the refreshed state — a
+    * concurrent append of a file the stats cannot decide turns the
+    * metadata delete into a loud conflict (re-running the statement
+    * re-plans, falling back to the row-level path). */
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Unit = synchronized {
+    commitWithRebase { () =>
+      val n2i = schemaNow.fieldNames.zip(colIds).toMap
+      val verdicts = files.map(f => f.id ->
+        GraftLakeStats.decideConj(f, predicates, n2i, colDefaults))
+        .toMap
+      if (verdicts.values.exists(_.isEmpty))
+        throw new IllegalStateException(
+          s"write conflict on $tableName: a concurrent commit added " +
+            "file(s) the metadata-only DELETE cannot decide from " +
+            "stats — retry the statement against the current state")
+      val drop = verdicts.collect {
+        case (id, Some(true)) => id }.toSet
+      if (drop.nonEmpty) {
+        files = files.filterNot(f => drop.contains(f.id))
+        dvs = dvs.filterNot { case (id, _) => drop.contains(id) }
+        recordCommit(dataChange = true)
+      }
+    }
+  }
   /** The group-replacing (copy-on-write) commit: drop exactly `removed`
     * (and their deletion vectors), add the new files; everything else is
     * carried by reference. Optimistic-concurrency validation first: if a

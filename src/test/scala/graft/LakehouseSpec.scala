@@ -199,7 +199,11 @@ class LakehouseSpec extends SparkTestBase {
     val table = graft.sources.GraftLakeCatalog
       .tableFor("graftlake", "spec_mor_dead").get
     val before = table.fileIds
-    spark.sql(s"DELETE FROM $t WHERE k < 10") // every row of file 0
+    // every row of file 0 — the length() conjunct is untranslatable to
+    // V2 predicates, so the statement stays on the ROW-LEVEL (DV) path
+    // this spec exists to pin (a bare k < 10 would now drop the file
+    // metadata-only via SupportsDeleteV2, which has its own spec)
+    spark.sql(s"DELETE FROM $t WHERE k < 10 AND length(s) > 0")
     assert(before.forall(table.fileIds.contains), "DELETE rewrites no file")
     assert(table.deletionVectors(before(0)).size == 10, "full-file DV")
     assert(spark.table(t).count() == 10, "dead file reads as empty")
@@ -2214,8 +2218,12 @@ class LakehouseSpec extends SparkTestBase {
     spark.sql(s"ALTER TABLE $t ADD COLUMNS (extra BIGINT)")
     for (i <- 60 until 64)
       spark.sql(s"INSERT INTO $t VALUES ($i, 'x$i', ${i * 10})")
-    // a deletion vector on one fragment: packing absorbs it
-    spark.sql(s"DELETE FROM $t WHERE k = 5")
+    // a deletion vector on one fragment: packing absorbs it (the
+    // length() conjunct keeps the DELETE on the row-level DV path —
+    // 1-row files decide every stats predicate, so a bare k = 5 would
+    // metadata-drop the file instead of minting the DV this fixture
+    // needs)
+    spark.sql(s"DELETE FROM $t WHERE k = 5 AND length(s) > 0")
     val table = graft.sources.GraftLakeCatalog
       .tableFor("graftlake", "spec_binpack").get
     assert(table.fileIds.length == 64, "fixture: 64 fragment files")
@@ -3054,6 +3062,73 @@ class LakehouseSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("metadata-only DELETE: stats-decided files drop whole, undecided falls back, TRUNCATE rides it") {
+    // SupportsDeleteV2: when every file is provably all-match or
+    // all-miss under the DELETE's conjunction (min/max + null counts),
+    // Spark's OptimizeMetadataOnlyDeleteFromTable routes the statement
+    // to deleteWhere — whole files leave the manifest list in one
+    // metadata commit, no scan, no rewrite, no DV. The 100 TB
+    // partition-drop path. A mid-file predicate must fall back to the
+    // row-level plan unchanged, and history/feed semantics hold.
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_meta_delete"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    for (b <- 0 until 4) // disjoint ranges: each file decides any k-cut
+      spark.range(b * 100L, (b + 1) * 100L)
+        .selectExpr("id AS k", "concat('v', id) AS s")
+        .coalesce(1).writeTo(t).append()
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_meta_delete").get
+    val ids0 = table.fileIds.toSet
+    val v0 = table.currentVersion
+    // (1) file-aligned cut: the two low files drop METADATA-ONLY
+    spark.sql(s"DELETE FROM $t WHERE k < 200")
+    assert(table.fileIds.toSet.subsetOf(ids0) &&
+      table.fileIds.size == 2,
+      "metadata delete drops whole files and rewrites NOTHING " +
+        s"(got ${table.fileIds})")
+    assert(spark.table(t).count() == 200 &&
+      spark.table(t).agg(org.apache.spark.sql.functions.min("k"))
+        .head.getLong(0) == 200L)
+    assert(table.currentVersion == v0 + 1, "one data-change commit")
+    // time travel still serves the dropped files (vacuum-safe refs)
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF $v0").count() == 400)
+    // the change feed emits the dropped rows as deletes
+    val feed = spark.read
+      .option("graft.changes.from", v0.toString)
+      .option("graft.changes.to", (v0 + 1).toString).table(t)
+    assert(feed.where("_change_type = 'delete'").count() == 200)
+    // (2) mid-file cut: stats cannot decide file [200,300) — the
+    // statement falls back to the row-level plan (a rewrite appears)
+    spark.sql(s"DELETE FROM $t WHERE k < 250")
+    assert(spark.table(t).count() == 150)
+    assert(!table.fileIds.toSet.subsetOf(ids0),
+      "the fallback row-level DELETE rewrites the split file")
+    // (3) TRUNCATE TABLE rides the same surface: all files drop whole
+    spark.sql(s"TRUNCATE TABLE $t")
+    assert(spark.table(t).count() == 0 && table.fileIds.isEmpty,
+      "TRUNCATE drops every file metadata-only")
+    assert(spark.sql(s"SELECT * FROM $t VERSION AS OF ${v0 + 1}")
+      .count() == 200, "history survives the truncate")
+    // (4) an active WAP branch refuses the metadata route so the
+    // row-level guard keeps its loud refusal
+    spark.range(0, 10).selectExpr("id AS k", "'w' AS s")
+      .coalesce(1).writeTo(t).append()
+    spark.conf.set("spark.wap.branch", "audit_meta")
+    spark.sql(s"CALL graftlake.system.create_branch(" +
+      "'spec_meta_delete', 'audit_meta')")
+    val e = intercept[Exception](spark.sql(s"DELETE FROM $t WHERE k < 100"))
+    spark.conf.unset("spark.wap.branch")
+    assert(Option(e.getMessage).exists(_.contains("wap.branch")) ||
+      Option(e.getCause).flatMap(c => Option(c.getMessage))
+        .exists(_.contains("wap.branch")),
+      s"WAP must still refuse row-level writes loudly: $e")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test("maintenance rebases over a concurrent append; a touched target stays loud") {
     // the compaction-vs-ingest race (Iceberg RewriteDataFiles
     // semantics): a concurrent APPEND landing mid-maintenance must not
@@ -3155,7 +3230,8 @@ class LakehouseSpec extends SparkTestBase {
     for (i <- 0 until 12; c <- Seq("a", "b"))
       spark.sql(s"INSERT INTO $t VALUES (${i * 2 +
         (if (c == "a") 0 else 1)}, '$c', 'v$i$c')")
-    spark.sql(s"DELETE FROM $t WHERE k = 4") // one DV in category a
+    // one DV in category a — length() keeps it row-level (see binpack)
+    spark.sql(s"DELETE FROM $t WHERE k = 4 AND length(v) > 0")
     val table = graft.sources.GraftLakeCatalog
       .tableFor("graftlake", "spec_dcompact").get
     assert(table.fileIds.length == 24 && table.deletionVectors.nonEmpty)
