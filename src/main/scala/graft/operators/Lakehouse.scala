@@ -1505,6 +1505,47 @@ object Lakehouse {
       |WHERE o_orderkey >= 2 * ((SELECT max(o_orderkey) FROM orders) // 4)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** ATOMIC CTAS + RTAS (StagingTableCatalog). `CREATE TABLE AS
+    * SELECT` stages the whole table (log + data files) in a hidden
+    * sibling directory and publishes with ONE atomic rename — a failed
+    * query leaves no half-loaded visible table, which is what the
+    * non-atomic fallback (create, write, drop-on-failure) cannot
+    * guarantee on a crash. `REPLACE TABLE AS SELECT` publishes by
+    * pointer swing: readers serve the OLD table until one atomic log
+    * rename flips visibility to the staged replacement — the
+    * schema-changing reload pattern (recompute a derivative table from
+    * scratch, swap atomically) every warehouse pipeline runs daily. */
+  def lakeCtasReplace(spark: SparkSession, sfDir: String): DataFrame = {
+    val tmp = sys.props("java.io.tmpdir")
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
+      "_pid" + ProcessHandle.current().pid()
+    val wh = new File(tmp, s"graft_ctas_wh_$tag")
+    graft.streaming.StreamingOps.deleteRecursively(wh)
+    spark.conf.set("spark.sql.catalog.gctas",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gctas.warehouse", wh.getAbsolutePath)
+    graft.sources.GraftLakeCatalog.evict("gctas", "orders_ctas")
+    val t = "gctas.orders_ctas"
+    Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .createOrReplaceTempView("ctas_src_orders")
+    spark.sql(s"CREATE TABLE $t TBLPROPERTIES " +
+      "('graft.storage' = 'parquet') AS " +
+      "SELECT o_orderkey, o_orderstatus, o_totalprice " +
+      "FROM ctas_src_orders WHERE o_orderkey % 2 = 0")
+    // the reload: new schema, new contents, one atomic flip
+    spark.sql(s"REPLACE TABLE $t TBLPROPERTIES " +
+      "('graft.storage' = 'parquet') AS " +
+      "SELECT o_orderkey, o_orderstatus " +
+      "FROM ctas_src_orders WHERE o_orderkey % 3 = 0")
+    releasing(spark, spark.table(t).orderBy("o_orderkey"), t)
+  }
+
+  private val lakeCtasReplaceOracle =
+    """SELECT o_orderkey, o_orderstatus FROM orders
+      |WHERE o_orderkey % 3 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   /** TWO WRITERS, ONE TABLE — the optimistic-commit auto-rebase
     * (Iceberg's commit-retry contract) exercised end-to-end on real
     * data. Two catalog INSTANCES (separate registries, the cross-driver
@@ -1701,6 +1742,9 @@ object Lakehouse {
     Query("lake_metadata_delete",
       "metadata-only DELETE: stats-decided files drop whole, no scan or rewrite",
       lakeMetadataDelete, Some(lakeMetadataDeleteOracle)),
+    Query("lake_ctas_replace",
+      "atomic CTAS + REPLACE TABLE AS SELECT: staged publish, one-rename flip",
+      lakeCtasReplace, Some(lakeCtasReplaceOracle)),
     Query("ref_partition_evolve",
       "partition-spec evolution: metadata-only relayout, mixed-spec reads",
       partitionEvolve, Some(partitionEvolveOracle)),

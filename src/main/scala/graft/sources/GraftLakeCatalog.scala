@@ -59,7 +59,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * isolation by DROP/CREATE-ing their own table names.
   */
 class GraftLakeCatalog extends TableCatalog with ProcedureCatalog
-    with FunctionCatalog {
+    with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   // `spark.sql.catalog.<name>.warehouse = /path`: the DURABLE root.
@@ -156,6 +157,9 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog
       warehouse.toSeq.flatMap { w =>
         val dir = namespace.foldLeft(w)((d, p) => new java.io.File(d, p))
         Option(dir.listFiles()).getOrElse(Array.empty)
+          // an in-flight (or crashed) staged CTAS/RTAS directory holds
+          // a real log but is not a table until its publish rename
+          .filterNot(_.getName.startsWith(".graft_staged_"))
           .filter(d => d.isDirectory && (GraftLakeLog.exists(d) ||
             // a location POINTER whose external target holds a table
             // lists too — same discovery contract as in-warehouse roots
@@ -249,13 +253,12 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog
     }
   }
 
-  override def createTable(
-      ident: Identifier, schema: StructType, partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = {
-    // identity + HIDDEN transforms (`days(ts)`, `bucket(n, key)`) —
-    // the Iceberg partition-transform surface. Anything else is
-    // rejected loudly rather than silently ignored.
-    val partSpec: Seq[GraftPartTransform] = partitions.toSeq.map { t =>
+  // identity + HIDDEN transforms (`days(ts)`, `bucket(n, key)`) —
+  // the Iceberg partition-transform surface. Anything else is
+  // rejected loudly rather than silently ignored.
+  private def parsePartSpec(schema: StructType,
+      partitions: Array[Transform]): Seq[GraftPartTransform] =
+    partitions.toSeq.map { t =>
       def ref: String = {
         val r = t.references()(0).fieldNames()
         require(r.length == 1,
@@ -290,6 +293,11 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog
           s"unsupported partition transform ${t.describe()}")
       }
     }
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val partSpec = parsePartSpec(schema, partitions)
     val mode = properties.getOrDefault("graft.mode", "copy-on-write")
     require(mode == "copy-on-write" || mode == "merge-on-read",
       s"unknown graft.mode '$mode'")
@@ -332,6 +340,169 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog
       writePointer(ident, l)
     t
   }
+
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) ----------------------------
+  // Without this surface Spark falls back to non-atomic CTAS: CREATE,
+  // write, DROP-on-failure — a crash mid-write leaves a half-loaded
+  // visible table. Staged creation writes the whole table (log + data)
+  // in a HIDDEN sibling directory first (manifests store root-relative
+  // paths, so the directory is relocatable), then publishes with one
+  // atomic primitive:
+  //  - CTAS: rename(stagedDir → tableRoot) — the table either exists
+  //    complete or not at all; a concurrent CREATE wins the rename CAS.
+  //  - RTAS (REPLACE TABLE [AS SELECT]): the staged dir is permanent;
+  //    publish = write the identifier→location POINTER, then atomically
+  //    rename the old root's `_graft_log` away (durableRoot prefers a
+  //    root log over the pointer, so THAT rename is the visibility
+  //    flip: before it readers serve the old table, after it the
+  //    pointer serves the new one; a crash between leaves the old table
+  //    intact and the staged dir an invisible orphan).
+  // Aborts delete the staged storage; nothing was ever discoverable
+  // (listTables skips `.graft_staged_` names).
+
+  private def stagedSibling(root: java.io.File): java.io.File = {
+    root.getParentFile.mkdirs()
+    new java.io.File(root.getParentFile,
+      s".graft_staged_${root.getName}_${java.util.UUID.randomUUID()
+        .toString.take(8)}")
+  }
+
+  /** Retire the CURRENT durable state of `ident` (RTAS publish /
+    * replace-with-memory): atomically rename the root's log away (the
+    * visibility flip when no pointer supersedes it), then best-effort
+    * delete the dead log, the root's orphaned data files, and — when
+    * `alsoPointerTarget` — the pointer's external target storage. */
+  private def retireDurable(ident: Identifier,
+      alsoPointerTarget: Boolean): Unit = {
+    tableRoot(ident).foreach { root =>
+      val log = new java.io.File(root, GraftLakeLog.LogDir)
+      if (log.isDirectory) {
+        val dead = new java.io.File(root, GraftLakeLog.LogDir +
+          s".replaced_${java.util.UUID.randomUUID().toString.take(8)}")
+        if (log.renameTo(dead)) {
+          GraftParquetIO.deleteRecursively(dead)
+          Option(root.listFiles()).getOrElse(Array.empty)
+            .filter(_.getName.endsWith(".parquet")).foreach(_.delete())
+        }
+      }
+    }
+    if (alsoPointerTarget)
+      pointerFile(ident).foreach { p =>
+        readPointer(p).filter(GraftLakeLog.exists)
+          .foreach(GraftParquetIO.deleteRecursively)
+        p.delete()
+      }
+  }
+
+  private def stageInternal(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String],
+      mustExist: Option[Boolean])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val partSpec = parsePartSpec(schema, partitions)
+    val mode = properties.getOrDefault("graft.mode", "copy-on-write")
+    require(mode == "copy-on-write" || mode == "merge-on-read",
+      s"unknown graft.mode '$mode'")
+    val storage = properties.getOrDefault("graft.storage", "memory")
+    require(storage == "memory" || storage == "parquet",
+      s"unknown graft.storage '$storage'")
+    def existsNow: Boolean = tables.containsKey(ident) ||
+      (tableRoot(ident).toSeq ++
+        pointerFile(ident).flatMap(readPointer).toSeq)
+        .exists(GraftLakeLog.exists)
+    mustExist match {
+      case Some(false) if existsNow =>
+        throw new TableAlreadyExistsException(ident.toString)
+      case Some(true) if !existsNow => throw new NoSuchTableException(ident)
+      case _ => ()
+    }
+    val replacing = mustExist != Some(false)
+    if (storage != "parquet") {
+      val t = new GraftLakeTable(ident.toString, schema, partSpec,
+        mergeOnRead = mode == "merge-on-read", storage = storage)
+      new GraftStagedTable(t,
+        commit = () => {
+          if (replacing) {
+            // a replaced durable table must not resurrect on reopen
+            retireDurable(ident, alsoPointerTarget = true)
+            tables.put(ident, t)
+          } else if (tables.putIfAbsent(ident, t) != null)
+            throw new TableAlreadyExistsException(ident.toString)
+        },
+        abort = () => ())
+    } else {
+      val finalRoot = Option(properties.get("graft.location"))
+        .map(new java.io.File(_)).orElse(tableRoot(ident)).getOrElse(
+          throw new IllegalStateException(
+            s"staged parquet table $ident needs a warehouse or an " +
+              "explicit graft.location"))
+      val staged = stagedSibling(finalRoot)
+      val t = new GraftLakeTable(ident.toString, schema, partSpec,
+        mergeOnRead = mode == "merge-on-read", storage = "parquet",
+        location = Some(staged))
+      def reopenAt(root: java.io.File): GraftLakeTable = {
+        val r = GraftLakeLog.restore(root)
+        new GraftLakeTable(r.tableName, r.schemaNow, r.partSpec,
+          r.mergeOnRead, storage = "parquet", location = Some(root),
+          reopenFrom = Some(r))
+      }
+      new GraftStagedTable(t,
+        commit = () => {
+          if (!replacing ||
+              !(tableRoot(ident).toSeq ++
+                pointerFile(ident).flatMap(readPointer).toSeq)
+                .exists(GraftLakeLog.exists)) {
+            // CTAS (or replace-of-nothing): one atomic rename publishes
+            // the complete table; losing the rename CAS to a concurrent
+            // CREATE aborts with the staged storage removed
+            try java.nio.file.Files.move(staged.toPath, finalRoot.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            catch {
+              case e: java.nio.file.FileSystemException =>
+                GraftParquetIO.deleteRecursively(staged)
+                throw new TableAlreadyExistsException(ident.toString)
+            }
+            val nt = reopenAt(finalRoot)
+            tables.put(ident, nt)
+            for (r <- tableRoot(ident)
+                 if finalRoot.getCanonicalFile != r.getCanonicalFile)
+              writePointer(ident, finalRoot)
+          } else {
+            // RTAS: pointer first (inert while the old root log lives),
+            // then retire the old state — the log rename inside is the
+            // atomic visibility flip to the pointer route. A previously
+            // RTAS'd table has no root log, so there the pointer
+            // OVERWRITE is itself the flip; its old target dies after.
+            val oldTarget = pointerFile(ident).flatMap(readPointer)
+              .filter(GraftLakeLog.exists)
+            writePointer(ident, staged)
+            retireDurable(ident, alsoPointerTarget = false)
+            oldTarget.filter(_.getCanonicalFile !=
+                staged.getCanonicalFile)
+              .foreach(GraftParquetIO.deleteRecursively)
+            tables.put(ident, reopenAt(staged))
+          }
+        },
+        abort = () => t.deleteStorage())
+    }
+  }
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageInternal(ident, schema, partitions, properties, Some(false))
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageInternal(ident, schema, partitions, properties, Some(true))
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stageInternal(ident, schema, partitions, properties, None)
 
   /** Schema evolution: top-level ADD COLUMN (nullable, optionally with
     * a DEFAULT literal), RENAME COLUMN, DROP COLUMN and widening ALTER
@@ -408,6 +579,31 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog
       GraftLakeFunctions.names.map(Identifier.of(Array.empty[String], _))
         .toArray
     else Array.empty
+}
+
+/** A staged (not-yet-published) table: every read/write surface
+  * delegates to the underlying [[GraftLakeTable]] — Spark's atomic
+  * CTAS/RTAS exec writes the query result through it — and
+  * commit/abort run the catalog-supplied publish or discard. */
+private class GraftStagedTable(t: GraftLakeTable, commit: () => Unit,
+    abort: () => Unit)
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with SupportsRead with SupportsWrite {
+  override def name(): String = t.name()
+  override def schema(): StructType = t.schema()
+  override def partitioning(): Array[Transform] = t.partitioning()
+  override def properties(): util.Map[String, String] = t.properties()
+  override def capabilities(): util.Set[TableCapability] =
+    t.capabilities()
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    t.newScanBuilder(options)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    t.newWriteBuilder(info)
+  override def commitStagedChanges(): Unit = commit()
+  override def abortStagedChanges(): Unit = abort()
 }
 
 object GraftLakeCatalog {

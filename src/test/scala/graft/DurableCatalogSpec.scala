@@ -380,6 +380,73 @@ class DurableCatalogSpec extends SparkTestBase {
     finally graft.sources.GraftCommitArbiter.active = prev
   }
 
+  test("atomic CTAS/RTAS: staged publish, failures leave nothing, REPLACE flips atomically") {
+    // StagingTableCatalog: CTAS stages the WHOLE table (log + data) in
+    // a hidden sibling dir and publishes with one atomic rename — a
+    // failing query leaves NO table and no residue, never the
+    // half-loaded visible table of the non-atomic fallback. REPLACE
+    // TABLE AS SELECT publishes by pointer swing: readers serve the old
+    // table until one atomic log rename, then the new one.
+    useCatalog()
+    val t = "graftdur.dur_ctas"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t TBLPROPERTIES " +
+      "('graft.storage' = 'parquet') AS " +
+      "SELECT id AS k, concat('v', id) AS s FROM range(100)")
+    assert(spark.table(t).count() == 100)
+    evict("dur_ctas")
+    assert(spark.table(t).count() == 100, "CTAS result survives reopen")
+    val whDir = new java.io.File(wh)
+    def stagedResidue(): Seq[String] =
+      Option(whDir.listFiles())
+        .getOrElse(Array.empty).map(_.getName).toSeq
+        .filter(n => n.startsWith(".graft_staged_dur_ctas") ||
+          n.startsWith(".graft_staged_dur_corp"))
+    assert(stagedResidue().isEmpty, "published CTAS leaves no staged dir")
+    // a FAILING CTAS must leave nothing: no table, no staged residue
+    val tf = "graftdur.dur_ctas_fail"
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $tf TBLPROPERTIES " +
+        "('graft.storage' = 'parquet') AS " +
+        "SELECT IF(id < 50, id, raise_error('boom')) AS k FROM range(100)")
+    }
+    intercept[Exception](spark.table(tf).count())
+    assert(stagedResidue().isEmpty, "aborted CTAS removes its staged dir")
+    assert(!spark.sql("SHOW TABLES IN graftdur").collect()
+      .map(_.getString(1)).contains("dur_ctas_fail"))
+    // RTAS: new schema, new contents; the old table serves until the
+    // atomic flip, and the replacement survives a reopen (pointer route)
+    spark.sql(s"REPLACE TABLE $t TBLPROPERTIES " +
+      "('graft.storage' = 'parquet') AS " +
+      "SELECT id AS k2 FROM range(7)")
+    assert(spark.table(t).columns.toSeq == Seq("k2") &&
+      spark.table(t).count() == 7)
+    evict("dur_ctas")
+    assert(spark.table(t).count() == 7,
+      "the replaced table reopens through its location pointer")
+    // replace AGAIN (pointer → pointer): the old staged target retires
+    spark.sql(s"REPLACE TABLE $t TBLPROPERTIES " +
+      "('graft.storage' = 'parquet') AS " +
+      "SELECT id AS k3 FROM range(3)")
+    evict("dur_ctas")
+    assert(spark.table(t).columns.toSeq == Seq("k3") &&
+      spark.table(t).count() == 3)
+    assert(stagedResidue().size == 1,
+      "exactly the LIVE pointer target remains; prior targets retired")
+    // CREATE OR REPLACE on a missing table creates
+    val tc = "graftdur.dur_corp"
+    spark.sql(s"DROP TABLE IF EXISTS $tc")
+    spark.sql(s"CREATE OR REPLACE TABLE $tc TBLPROPERTIES " +
+      "('graft.storage' = 'parquet') AS SELECT 1 AS x")
+    assert(spark.table(tc).count() == 1)
+    // DROP cleans the pointer and its target storage
+    spark.sql(s"DROP TABLE $t")
+    assert(stagedResidue().isEmpty, "DROP retires the pointer target")
+    assert(!spark.sql("SHOW TABLES IN graftdur").collect()
+      .map(_.getString(1)).contains("dur_ctas"))
+    spark.sql(s"DROP TABLE IF EXISTS $tc")
+  }
+
   test("a crashed writer's orphan data-file object is skipped, never tripped over") {
     // a writer that died after claiming (or even filling) f<N>.parquet
     // but before committing leaves an object no version references. A
