@@ -57,6 +57,52 @@ object Curation {
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  // ---- deterministic epoch shuffle + shard export ------------------------
+
+  /** Reproducible EPOCH SHUFFLE and SHARD ASSIGNMENT — the training
+    * export's last step: every epoch the corpus must be read in a fresh
+    * pseudo-random order, identical across re-runs, retries, and
+    * cluster sizes. `rand(seed)` CANNOT provide that in Spark: it is
+    * evaluated per partition-and-row-position, so a task retry or a
+    * different input split re-deals the epoch. The scalable answer is a
+    * KEYED hash permutation: order by md5(seed ‖ doc_id) — a pure
+    * function of the data, stable under any partitioning. Sharding
+    * hash-assigns each document to one of 8 output shards from the same
+    * key (shards are near-equal by uniformity — no sequential bin-pack
+    * pass), and the within-shard position is a window over the shard:
+    * 8 independent partitions, NO global single-partition sort. At
+    * 100 TB this is one shuffle on the shard key; a trainer reading
+    * shard files in (shard, pos) order replays the exact permutation. */
+  def epochShuffle(spark: SparkSession, sfDir: String): DataFrame = {
+    val key = conv(substring(md5(concat(lit("epoch7:"),
+      col("doc_id").cast(StringType))), 1, 8), 16, 10).cast(LongType)
+    val tokens = greatest(lit(1), length(col("text")) -
+      length(translate(col("text"), " ", "")) + 1).cast(LongType)
+    Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), key.as("k"), tokens.as("tokens"))
+      .withColumn("shard", pmod(col("k"), lit(8L)))
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy(col("shard"))
+          .orderBy(col("k"), col("doc_id"))).cast(LongType))
+      .select(col("shard"), col("pos"), col("doc_id"), col("tokens"))
+      .orderBy("shard", "pos")
+  }
+
+  private val epochShuffleOracle =
+    """WITH keyed AS (
+      |  SELECT doc_id,
+      |    CAST(concat('0x',
+      |      substr(md5('epoch7:' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) AS k,
+      |    greatest(1, length(text) - length(replace(text, ' ', '')) + 1)
+      |      AS tokens
+      |  FROM documents)
+      |SELECT k % 8 AS shard,
+      |  row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) AS pos,
+      |  doc_id, CAST(tokens AS BIGINT) AS tokens
+      |FROM keyed
+      |ORDER BY shard, pos""".stripMargin
+
   /** Stratified deterministic sampling — downsample over-represented
     * strata (here: keep 1/2 of English, 1/10 of everything else), the
     * language/source rebalancing step of corpus curation. Same md5-bucket
@@ -759,6 +805,9 @@ object Curation {
        |LIMIT 100""".stripMargin
 
   val queries: Seq[Query] = Seq(
+    Query("curation_epoch_shuffle",
+      "deterministic epoch shuffle + shard export: keyed-hash permutation, no rand(seed)",
+      epochShuffle, Some(epochShuffleOracle)),
     Query("curation_split",
       "deterministic md5-hash 80/10/10 train/valid/test split",
       trainTestSplit, Some(trainTestSplitOracle)),

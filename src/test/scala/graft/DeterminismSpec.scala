@@ -59,7 +59,9 @@ class DeterminismSpec extends SparkTestBase {
     "graph_label_propagation", // sync rounds + integer argmax tiebreaks
     "win_running_distinct",  // stacked windows, first-occurrence tiebreaks
     "agg_exchange_reuse",    // reused exchange + double share divisions
-    "curation_span_corrupt") // hash noise + ordered struct-sort reassembly
+    "curation_span_corrupt", // hash noise + ordered struct-sort reassembly
+    "curation_epoch_shuffle") // keyed-hash permutation — THE claim is
+                              // partition-independence (rand(seed) isn't)
 
   private def rowsAt(name: String, partitions: Int): Seq[Seq[Any]] = {
     val key = "spark.sql.shuffle.partitions"
