@@ -416,7 +416,13 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog
       case _ => ()
     }
     val replacing = mustExist != Some(false)
-    if (storage != "parquet") {
+    // registry-only staging: memory tables, and parquet tables with no
+    // durable root (no warehouse, no graft.location — their storage is
+    // a per-table temp dir nothing can rediscover, so the registry put
+    // IS the publish; exactly createTable's contract for them)
+    val durableRootOpt = Option(properties.get("graft.location"))
+      .map(new java.io.File(_)).orElse(tableRoot(ident))
+    if (storage != "parquet" || durableRootOpt.isEmpty) {
       val t = new GraftLakeTable(ident.toString, schema, partSpec,
         mergeOnRead = mode == "merge-on-read", storage = storage)
       new GraftStagedTable(t,
@@ -428,13 +434,9 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog
           } else if (tables.putIfAbsent(ident, t) != null)
             throw new TableAlreadyExistsException(ident.toString)
         },
-        abort = () => ())
+        abort = () => if (storage == "parquet") t.deleteStorage())
     } else {
-      val finalRoot = Option(properties.get("graft.location"))
-        .map(new java.io.File(_)).orElse(tableRoot(ident)).getOrElse(
-          throw new IllegalStateException(
-            s"staged parquet table $ident needs a warehouse or an " +
-              "explicit graft.location"))
+      val finalRoot = durableRootOpt.get
       val staged = stagedSibling(finalRoot)
       val t = new GraftLakeTable(ident.toString, schema, partSpec,
         mergeOnRead = mode == "merge-on-read", storage = "parquet",
