@@ -1505,6 +1505,42 @@ object Lakehouse {
       |WHERE o_orderkey >= 2 * ((SELECT max(o_orderkey) FROM orders) // 4)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** The `.partitions` METADATA TABLE (Iceberg's partitions summary):
+    * one row per partition tuple with file count, stored/live rows and
+    * bytes — what an operator reads before choosing compaction targets
+    * or auditing skew, answered from MANIFESTS alone (control-plane
+    * cost, zero data reads; the fanout writer's partition-pure files
+    * make per-key aggregation exact). Staged here: an identity-
+    * partitioned orders table, a merge-on-read DELETE carving deletion
+    * vectors, then the summary — live counts reflect the DVs while
+    * stored counts don't, the read-debt audit at a glance. */
+  def lakePartitionsTable(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.orders_parts"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t " +
+      "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE) " +
+      "PARTITIONED BY (o_orderstatus) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet', " +
+      "'graft.mode' = 'merge-on-read')")
+    Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .writeTo(t).append()
+    spark.sql(s"DELETE FROM $t WHERE o_orderkey % 10 = 0")
+    releasing(spark, spark.table(s"$t.partitions")
+      .select(col("partition"), col("n_rows"), col("n_live_rows"))
+      .orderBy("partition"), t)
+  }
+
+  private val lakePartitionsTableOracle =
+    """SELECT concat('[', o_orderstatus, ']') AS partition,
+      |  count(*) AS n_rows,
+      |  count(*) FILTER (WHERE o_orderkey % 10 <> 0) AS n_live_rows
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY partition""".stripMargin
+
   /** ATOMIC CTAS + RTAS (StagingTableCatalog). `CREATE TABLE AS
     * SELECT` stages the whole table (log + data files) in a hidden
     * sibling directory and publishes with ONE atomic rename — a failed
@@ -1745,6 +1781,9 @@ object Lakehouse {
     Query("lake_ctas_replace",
       "atomic CTAS + REPLACE TABLE AS SELECT: staged publish, one-rename flip",
       lakeCtasReplace, Some(lakeCtasReplaceOracle)),
+    Query("lake_partitions_table",
+      ".partitions metadata table: per-key file/row/live summary from manifests",
+      lakePartitionsTable, Some(lakePartitionsTableOracle)),
     Query("ref_partition_evolve",
       "partition-spec evolution: metadata-only relayout, mixed-spec reads",
       partitionEvolve, Some(partitionEvolveOracle)),

@@ -199,6 +199,11 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog
       else if (ident.name() == "refs")
         parent.map(new GraftLakeRefsTable(_))
           .getOrElse(throw new NoSuchTableException(ident))
+      // `<table>.partitions`: per-partition file/row/byte summary of
+      // the current snapshot (Iceberg's partitions metadata table)
+      else if (ident.name() == "partitions")
+        parent.map(new GraftLakePartitionsTable(_))
+          .getOrElse(throw new NoSuchTableException(ident))
       else throw new NoSuchTableException(ident)
     }
 
@@ -5445,6 +5450,59 @@ class GraftLakeRefsTable(parent: GraftLakeTable)
   * feed also skips), and the snapshot's file/row/byte footprint. The
   * table's floor rises when `expire_versions` runs: expired commits
   * disappear here exactly when time travel to them starts failing. */
+/** `<catalog>.<table>.partitions` — the per-partition summary of the
+  * current (or AS-OF) snapshot (Iceberg's partitions metadata table):
+  * one row per distinct partition tuple with its file count, stored /
+  * live row counts and byte size; unpartitioned files (or pre-spec
+  * files without a stamp) aggregate under the NULL partition. This is
+  * the table an operator reads before choosing compaction targets or
+  * auditing skew — control-plane-sized, planned as a driver-local
+  * scan, never touching data. */
+class GraftLakePartitionsTable(parent: GraftLakeTable)
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.types.{IntegerType, StructField}
+
+  private val partitionsSchema = StructType(Seq(
+    StructField("partition", StringType, nullable = true),
+    StructField("spec_id", IntegerType, nullable = false),
+    StructField("n_files", IntegerType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("n_live_rows", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false)))
+
+  override def name(): String = parent.name() + ".partitions"
+  override def schema(): StructType = partitionsSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder = () => {
+    val asOf = Option(options.get("graft.snapshot-version"))
+      .map(_.trim.toInt)
+    val snap = asOf.map(parent.snapshotAt).getOrElse(parent.snapshot)
+    val partRows: Array[InternalRow] = snap.files
+      .groupBy(f => (f.pkey, f.pspecId)).toSeq
+      .sortBy { case ((k, sid), _) =>
+        (k.map(_.map(String.valueOf).mkString(",")).getOrElse(""), sid) }
+      .map { case ((pkey, sid), fs) =>
+        val stored = fs.map(_.numRows).sum
+        val dead = fs.map(f =>
+          snap.dvs.getOrElse(f.id, Set.empty).size.toLong).sum
+        new GenericInternalRow(Array[Any](
+          pkey.map(k => UTF8String.fromString(
+            k.map(String.valueOf).mkString("[", ", ", "]"))).orNull,
+          sid, fs.length, stored, stored - dead,
+          fs.map(_.bytes).sum)): InternalRow
+      }.toArray
+    new org.apache.spark.sql.connector.read.LocalScan {
+      override def readSchema(): StructType = partitionsSchema
+      override def rows(): Array[InternalRow] = partRows
+      override def description(): String =
+        s"GraftLakePartitions[${parent.name()}]"
+    }
+  }
+}
+
 class GraftLakeHistoryTable(parent: GraftLakeTable)
     extends Table with SupportsRead {
   import org.apache.spark.sql.types.{BooleanType, IntegerType, StructField, TimestampType}

@@ -3062,6 +3062,45 @@ class LakehouseSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test(".partitions metadata table: per-key summary, NULL partition, AS-OF composition") {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.spec_parts_meta"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, cat STRING) " +
+      "PARTITIONED BY (cat) TBLPROPERTIES " +
+      "('graft.storage' = 'parquet', 'graft.mode' = 'merge-on-read')")
+    spark.range(0, 100)
+      .selectExpr("id AS k", "IF(id % 2 = 0, 'a', 'b') AS cat")
+      .writeTo(t).append()
+    val v1 = graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_parts_meta").get.currentVersion
+    spark.sql(s"DELETE FROM $t WHERE cat = 'a' AND k < 20 AND length(cat) > 0")
+    val rows = spark.table(s"$t.partitions")
+      .orderBy("partition").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("[a]", "[b]"))
+    val a = rows(0)
+    assert(a.getLong(3) == 50 && a.getLong(4) == 40,
+      s"stored 50, live 40 after the DV carve: $a")
+    assert(rows(1).getLong(3) == 50 && rows(1).getLong(4) == 50)
+    // AS-OF composes: the pre-delete snapshot shows full live counts
+    val asOf = spark.read.option("graft.snapshot-version", v1.toString)
+      .table(s"$t.partitions").orderBy("partition").collect()
+    assert(asOf.map(r => (r.getString(0), r.getLong(4))).toSeq ==
+      Seq(("[a]", 50L), ("[b]", 50L)))
+    // an UNPARTITIONED table aggregates under the NULL partition
+    val tu = "graftlake.spec_parts_meta_u"
+    spark.sql(s"DROP TABLE IF EXISTS $tu")
+    spark.sql(s"CREATE TABLE $tu (k BIGINT) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    spark.range(0, 30).selectExpr("id AS k").coalesce(1)
+      .writeTo(tu).append()
+    val u = spark.table(s"$tu.partitions").collect()
+    assert(u.length == 1 && u(0).isNullAt(0) && u(0).getLong(3) == 30)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"DROP TABLE IF EXISTS $tu")
+  }
+
   test("metadata-only DELETE: stats-decided files drop whole, undecided falls back, TRUNCATE rides it") {
     // SupportsDeleteV2: when every file is provably all-match or
     // all-miss under the DELETE's conjunction (min/max + null counts),
