@@ -1505,6 +1505,51 @@ object Lakehouse {
       |WHERE o_orderkey >= 2 * ((SELECT max(o_orderkey) FROM orders) // 4)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** CHECK CONSTRAINTS (DSv2 SUPPORT_TABLE_CONSTRAINT) — the schema
+    * contract a warehouse load declares once and every writer then
+    * cannot break. The engine owns declaration + persistence; Spark's
+    * analyzer reads `Table.constraints()` and injects the predicate as
+    * a row assertion into EVERY V2 write plan, so a violating INSERT /
+    * UPDATE / MERGE fails the job and the atomic commit reverts — at
+    * 100 TB this is a per-row codegen'd check riding the write's
+    * existing pass, zero extra scans. Staged here: orders loads under
+    * `CHECK (o_totalprice > 0)`, a violating batch is refused whole
+    * (the `require` pins the revert), and the clean reload succeeds. */
+  def lakeCheckConstraint(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graftlake",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftlake.orders_checked"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t " +
+      "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE, " +
+      "CONSTRAINT price_pos CHECK (o_totalprice > 0)) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    val base = Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    base.writeTo(t).append()
+    // a poisoned batch (one negated price) must be refused WHOLE — the
+    // commit is atomic, so the valid rows of the batch revert with it
+    val poisoned = base.limit(100)
+      .withColumn("o_totalprice", -col("o_totalprice"))
+    val refused =
+      try { poisoned.writeTo(t).append(); false }
+      catch { case e: Throwable =>
+        var c: Throwable = e; var hit = false
+        while (c != null && !hit) {
+          hit = Option(c.getMessage)
+            .exists(_.contains("CHECK_CONSTRAINT_VIOLATION"))
+          c = c.getCause
+        }
+        hit
+      }
+    require(refused, "the poisoned batch must fail the CHECK loudly")
+    releasing(spark, spark.table(t).orderBy("o_orderkey"), t)
+  }
+
+  private val lakeCheckConstraintOracle =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   /** The `.partitions` METADATA TABLE (Iceberg's partitions summary):
     * one row per partition tuple with file count, stored/live rows and
     * bytes — what an operator reads before choosing compaction targets
@@ -1784,6 +1829,9 @@ object Lakehouse {
     Query("lake_partitions_table",
       ".partitions metadata table: per-key file/row/live summary from manifests",
       lakePartitionsTable, Some(lakePartitionsTableOracle)),
+    Query("lake_check_constraint",
+      "CHECK constraints: declared once, every violating write refused whole",
+      lakeCheckConstraint, Some(lakeCheckConstraintOracle)),
     Query("ref_partition_evolve",
       "partition-spec evolution: metadata-only relayout, mixed-spec reads",
       partitionEvolve, Some(partitionEvolveOracle)),

@@ -147,7 +147,10 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog
   // opt in to `ADD COLUMN ... DEFAULT <literal>`: the analyzer refuses
   // to route default clauses to a catalog that doesn't declare support
   override def capabilities(): util.Set[TableCatalogCapability] =
-    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+    util.EnumSet.of(TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      // CHECK constraints: declared at CREATE/ALTER, persisted in the
+      // log, enforced by the analyzer on every V2 write
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     (tables.keySet().asScala.filter(_.namespace().sameElements(namespace))
@@ -493,6 +496,49 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog
     }
   }
 
+  // TableInfo overloads: the default chain DROPS constraints before
+  // reaching the (schema, partitions, properties) variants — these
+  // carry them through to the created / staged table
+  override def createTable(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table = {
+    val t = createTable(ident, info.schema(), info.partitions(),
+      info.properties())
+    if (info.constraints().nonEmpty)
+      try t.asInstanceOf[GraftLakeTable]
+        .installConstraints(info.constraints().toSeq)
+      catch { case e: Throwable => dropTable(ident); throw e }
+    t
+  }
+
+  private def stagedWithConstraints(
+      staged: org.apache.spark.sql.connector.catalog.StagedTable,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (info.constraints().nonEmpty)
+      try staged.asInstanceOf[GraftStagedTable].underlying
+        .installConstraints(info.constraints().toSeq)
+      catch { case e: Throwable => staged.abortStagedChanges(); throw e }
+    staged
+  }
+
+  override def stageCreate(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stagedWithConstraints(stageInternal(ident, info.schema(),
+      info.partitions(), info.properties(), Some(false)), info)
+
+  override def stageReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stagedWithConstraints(stageInternal(ident, info.schema(),
+      info.partitions(), info.properties(), Some(true)), info)
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stagedWithConstraints(stageInternal(ident, info.schema(),
+      info.partitions(), info.properties(), None), info)
+
   override def stageCreate(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String])
@@ -596,6 +642,7 @@ private class GraftStagedTable(t: GraftLakeTable, commit: () => Unit,
     abort: () => Unit)
     extends org.apache.spark.sql.connector.catalog.StagedTable
     with SupportsRead with SupportsWrite {
+  private[sources] def underlying: GraftLakeTable = t
   override def name(): String = t.name()
   override def schema(): StructType = t.schema()
   override def partitioning(): Array[Transform] = t.partitioning()
@@ -1965,6 +2012,54 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
   // Delta txn contract: a restarted query's replayed epoch is a no-op
   private var streamEpochs: Map[String, Long] = Map.empty
 
+  // table-level CHECK constraints. ENFORCEMENT is Spark's: the
+  // analyzer's ResolveTableConstraints reads [[constraints]] on every
+  // V2 write and injects the predicate as a row-level assertion that
+  // fails the job (and therefore the atomic commit) on violation — the
+  // engine only owns declaration, persistence, and schema-evolution
+  // guards. Only CHECK is accepted: it is row-local, so a write
+  // validates it without any cross-partition coordination; PRIMARY
+  // KEY / UNIQUE / FOREIGN KEY would need a global index no lake
+  // format maintains, and declaring them unenforced would silently
+  // lie to the optimizer.
+  private var checks: Vector[
+    org.apache.spark.sql.connector.catalog.constraints.Check] =
+    Vector.empty
+  override def constraints(): Array[
+      org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    synchronized(checks.toArray)
+  private def persistConstraints(): Unit =
+    log.foreach(_.writeConstraints(checks.map(c =>
+      (c.name, c.predicateSql, c.enforced, c.rely,
+        c.validationStatus.name))))
+  private[sources] def installConstraints(
+      cs: Seq[org.apache.spark.sql.connector.catalog.constraints
+        .Constraint]): Unit = synchronized {
+    cs.foreach {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        require(!checks.exists(_.name == c.name),
+          s"constraint ${c.name} already exists on $tableName")
+        checks :+= c
+      case other => throw new UnsupportedOperationException(
+        s"only CHECK constraints are supported on $tableName (row-local," +
+          " enforceable at write time); PRIMARY KEY / UNIQUE / FOREIGN " +
+          s"KEY need a global index the lake does not maintain: " +
+          other.toDDL)
+    }
+    persistConstraints()
+  }
+  private def constraintsFromRestore(
+      cs: Seq[(String, String, Boolean, Boolean, String)]): Vector[
+        org.apache.spark.sql.connector.catalog.constraints.Check] =
+    cs.map { case (name, sql, enforced, rely, status) =>
+      import org.apache.spark.sql.connector.catalog.constraints.Constraint
+      Constraint.check(name).predicateSql(sql)
+        .enforced(enforced).rely(rely)
+        .validationStatus(
+          Constraint.ValidationStatus.valueOf(status))
+        .build()
+    }.toVector
+
   /** Current (field id → name) mapping — what scans resolve per-file id
     * manifests through at planning time. */
   private[sources] def idToName: Map[Int, String] = synchronized(
@@ -1988,6 +2083,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       var ids = colIds
       var next = nextColId
       var defs = colDefaults
+      var cks = checks
       def indexOf(fieldNames: Array[String], what: String): Int = {
         require(fieldNames.length == 1,
           s"nested $what unsupported: ${fieldNames.mkString(".")}")
@@ -2054,6 +2150,16 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
             s"cannot drop partition column ${fields(i).name}")
           require(fields.length > 1,
             s"cannot drop the last column of $tableName")
+          // a CHECK referencing the column would dangle (conservative
+          // word-boundary match — a false positive only demands the
+          // constraint drop first, never a silent dangle)
+          val colPat = ("(?s).*\\b" +
+            java.util.regex.Pattern.quote(fields(i).name) + "\\b.*")
+          cks.find(_.predicateSql.matches(colPat)).foreach(c =>
+            throw new IllegalArgumentException(
+              s"cannot drop column ${fields(i).name}: CHECK constraint " +
+                s"${c.name} references it (${c.predicateSql}) — DROP " +
+                "the constraint first"))
           defs -= ids(i)
           fields = fields.patch(i, Nil, 1)
           ids = ids.patch(i, Nil, 1)
@@ -2078,6 +2184,24 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           // widen a stored default alongside its column
           defs.get(ids(i)).foreach(v =>
             defs += ids(i) -> GraftLakeStats.widen(v, nw))
+        case add: TableChange.AddConstraint =>
+          add.constraint() match {
+            case c: org.apache.spark.sql.connector.catalog.constraints
+                .Check =>
+              require(!cks.exists(_.name == c.name),
+                s"constraint ${c.name} already exists on $tableName")
+              cks :+= c
+            case other => throw new UnsupportedOperationException(
+              s"only CHECK constraints are supported on $tableName " +
+                "(row-local, enforceable at write time); PRIMARY KEY / " +
+                "UNIQUE / FOREIGN KEY need a global index the lake " +
+                s"does not maintain: ${other.toDDL}")
+          }
+        case drop: TableChange.DropConstraint =>
+          val i = cks.indexWhere(_.name == drop.name())
+          if (i >= 0) cks = cks.patch(i, Nil, 1)
+          else if (!drop.ifExists()) throw new IllegalArgumentException(
+            s"no constraint ${drop.name()} on $tableName")
         case other => throw new UnsupportedOperationException(
           s"unsupported ALTER TABLE change: $other")
       }
@@ -2085,6 +2209,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       colIds = ids
       nextColId = next
       colDefaults = defs
+      if (cks != checks) { checks = cks; persistConstraints() }
       // ALTER TABLE is a COMMIT (dataChange = false: the relation's
       // data is untouched, the change feed stays silent) — exactly
       // Delta's metadata commits. Recording it is what gives time
@@ -2233,6 +2358,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     streamEpochs = r.txns
     specIdNow = r.pspecId
     if (r.pspecNow.nonEmpty || r.pspecId > 0) specNow = r.pspecNow
+    checks = constraintsFromRestore(r.constraints)
     rebases += 1
   }
 
@@ -4162,6 +4288,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       streamEpochs = r.txns
       specIdNow = r.pspecId
       if (r.pspecNow.nonEmpty || r.pspecId > 0) specNow = r.pspecNow
+      checks = constraintsFromRestore(r.constraints)
     case None =>
       log.foreach { lg =>
         lg.writeTable(tableName, partSpec, mergeOnRead)

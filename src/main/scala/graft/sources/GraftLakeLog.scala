@@ -479,6 +479,21 @@ private[sources] class GraftLakeLog(root: File) {
           }.toList)) }))))
   }
 
+  /** Table-level CHECK constraints — mutable metadata like refs.json
+    * (last writer wins, atomic replace): (name, predicate SQL,
+    * enforced, rely, validation status) per constraint. */
+  def writeConstraints(
+      cs: Seq[(String, String, Boolean, Boolean, String)]): Unit = {
+    import GraftLakeLog._
+    writeAtomic("constraints.json", JsonMethods.compact(JArray(
+      cs.toList.map { case (name, sql, enforced, rely, status) => JObject(
+        "name" -> JString(name),
+        "sql" -> JString(sql),
+        "enforced" -> JBool(enforced),
+        "rely" -> JBool(rely),
+        "status" -> JString(status)) })))
+  }
+
   /** Expire: drop the manifest-list files of versions below `floor`. */
   def dropCommitsBelow(floor: Int): Unit =
     Option(dir.listFiles()).getOrElse(Array.empty).foreach { f =>
@@ -705,7 +720,8 @@ private[sources] object GraftLakeLog {
       branches: Map[String, (Int, Vector[(GraftLakeSnapshot, Boolean)])],
       txns: Map[String, Long],
       pspecId: Int = 0,
-      pspecNow: Seq[GraftPartTransform] = Nil)
+      pspecNow: Seq[GraftPartTransform] = Nil,
+      constraints: Seq[(String, String, Boolean, Boolean, String)] = Nil)
 
   private def str(j: JValue, k: String): String =
     (j \ k).asInstanceOf[JString].s
@@ -931,6 +947,18 @@ private[sources] object GraftLakeLog {
       }
     }
 
+    // table-level CHECK constraints (absent file = none ever added)
+    val consFile = new File(dir, "constraints.json")
+    val cons: Seq[(String, String, Boolean, Boolean, String)] =
+      if (!consFile.isFile) Nil
+      else parse(consFile) match {
+        case JArray(cs) => cs.map(c => (str(c, "name"), str(c, "sql"),
+          (c \ "enforced").asInstanceOf[JBool].value,
+          (c \ "rely").asInstanceOf[JBool].value,
+          str(c, "status")))
+        case _ => Nil
+      }
+
     Restored(
       tableName = str(t, "name"),
       partSpec = partSpec,
@@ -955,6 +983,7 @@ private[sources] object GraftLakeLog {
       branches = branches,
       txns = txns,
       pspecId = pspecIdNow,
-      pspecNow = pspecNow)
+      pspecNow = pspecNow,
+      constraints = cons)
   }
 }

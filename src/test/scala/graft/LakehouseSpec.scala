@@ -3062,6 +3062,75 @@ class LakehouseSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("CHECK constraints: declared, persisted, enforced on every write path") {
+    // SUPPORT_TABLE_CONSTRAINT: the engine owns declaration (CREATE /
+    // ALTER ADD/DROP CONSTRAINT — CHECK only; PK/UNIQUE/FK are refused
+    // loudly, a global index the lake does not maintain), persistence
+    // (constraints.json, reopen-faithful) and evolution guards (DROP
+    // COLUMN refuses while a CHECK references it). ENFORCEMENT is
+    // Spark's analyzer reading Table.constraints(): every V2 write —
+    // INSERT, UPDATE, MERGE, CoW and MoR — injects the predicate as a
+    // row assertion; a violation fails the job and the atomic commit
+    // reverts, and ALTER ADD over violating existing data is itself
+    // rejected by Spark's validation scan.
+    spark.conf.set("spark.sql.catalog.graftck",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val whc = java.nio.file.Files.createTempDirectory("graft_ck_wh_")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graftck.warehouse", whc)
+    val t = "graftck.spec_check"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING, " +
+      "CONSTRAINT k_pos CHECK (k > 0)) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet', " +
+      "'graft.mode' = 'merge-on-read')")
+    spark.sql(s"INSERT INTO $t VALUES (5, 'a'), (6, 'b')")
+    def state(): Seq[String] =
+      spark.table(t).orderBy("k").collect().map(_.toString).toSeq
+    val good = state()
+    // INSERT / UPDATE / MERGE violations all fail the commit atomically
+    intercept[Exception](spark.sql(s"INSERT INTO $t VALUES (-1, 'x')"))
+    intercept[Exception](spark.sql(s"UPDATE $t SET k = -9 WHERE k = 5"))
+    intercept[Exception](spark.sql(s"MERGE INTO $t u USING " +
+      "(SELECT 6 AS k) b ON u.k = b.k " +
+      "WHEN MATCHED THEN UPDATE SET u.k = -1"))
+    assert(state() == good, "every violating write must revert entirely")
+    // persists across a reopen
+    graft.sources.GraftLakeCatalog.evict("graftck", "spec_check")
+    assert(spark.table(t).count() == 2)
+    intercept[Exception](spark.sql(s"INSERT INTO $t VALUES (-2, 'x')"))
+    // ALTER ADD over violating existing data: Spark validates and
+    // refuses; the constraint is NOT installed
+    val e1 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t ADD CONSTRAINT s_a CHECK (s = 'a')"))
+    assert(Option(e1.getMessage)
+      .exists(_.contains("CONSTRAINT_VIOLATION")), s"got: $e1")
+    spark.sql(s"INSERT INTO $t VALUES (7, 'zz')") // s_a never installed
+    // DROP COLUMN refuses while a CHECK references the column
+    val e2 = intercept[Exception](spark.sql(s"ALTER TABLE $t DROP COLUMN k"))
+    def msgs(x: Throwable): String = {
+      var c: Throwable = x; val sb = new StringBuilder
+      var seen = List.empty[Throwable]
+      while (c != null && !seen.exists(_ eq c)) {
+        sb.append(Option(c.getMessage).getOrElse("")); seen ::= c
+        c = c.getCause
+      }
+      sb.toString
+    }
+    assert(msgs(e2).contains("k_pos"), s"got: $e2")
+    // PK/UNIQUE/FK are refused loudly, never silently declared
+    val e3 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t ADD CONSTRAINT pk PRIMARY KEY (k)"))
+    assert(msgs(e3).contains("global index"), s"got: $e3")
+    // DROP CONSTRAINT restores writability and persists
+    spark.sql(s"ALTER TABLE $t DROP CONSTRAINT k_pos")
+    spark.sql(s"INSERT INTO $t VALUES (-3, 'now ok')")
+    graft.sources.GraftLakeCatalog.evict("graftck", "spec_check")
+    spark.sql(s"INSERT INTO $t VALUES (-4, 'still ok')")
+    assert(spark.table(t).count() == 5)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test(".partitions metadata table: per-key summary, NULL partition, AS-OF composition") {
     spark.conf.set("spark.sql.catalog.graftlake",
       classOf[graft.sources.GraftLakeCatalog].getName)
