@@ -445,6 +445,19 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog
         abort = () => if (storage == "parquet") t.deleteStorage())
     } else {
       val finalRoot = durableRootOpt.get
+      // REPLACE of an existing durable table publishes by POINTER SWING
+      // — the pointer lives at the warehouse-derived root. Without a
+      // warehouse there is no pointer home: the commit would fall into
+      // the CTAS rename branch, fail on the non-empty target, and
+      // delete the freshly computed replacement. Refuse HERE, before
+      // any work runs.
+      if (replacing && tableRoot(ident).isEmpty &&
+          GraftLakeLog.exists(finalRoot))
+        throw new UnsupportedOperationException(
+          s"REPLACE TABLE $ident at graft.location " +
+            s"'${finalRoot.getAbsolutePath}' needs a warehouse-backed " +
+            "catalog (the identifier→location pointer is the atomic " +
+            "publish primitive) — DROP and re-CREATE instead")
       val staged = stagedSibling(finalRoot)
       val t = new GraftLakeTable(ident.toString, schema, partSpec,
         mergeOnRead = mode == "merge-on-read", storage = "parquet",
@@ -644,6 +657,12 @@ private class GraftStagedTable(t: GraftLakeTable, commit: () => Unit,
     with SupportsRead with SupportsWrite {
   private[sources] def underlying: GraftLakeTable = t
   override def name(): String = t.name()
+  // the CTAS exec re-analyzes its AppendData over THIS relation, and
+  // ResolveTableConstraints reads constraints() off it — inheriting the
+  // empty default would let the FOUNDING load skip every CHECK
+  override def constraints(): Array[
+      org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    t.constraints()
   override def schema(): StructType = t.schema()
   override def partitioning(): Array[Transform] = t.partitioning()
   override def properties(): util.Map[String, String] = t.properties()
@@ -2362,24 +2381,36 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     rebases += 1
   }
 
+  /** THE retry skeleton every rebase path shares: run `body`; on a CAS
+    * loss, refresh from the log and re-run, bounded by
+    * [[GraftLakeTable.MaxCommitRebases]]. Any FINAL failure — a
+    * non-CAS error, or an exhausted retry budget — runs `cleanup` once
+    * before propagating. */
+  private def retryCas[T](cleanup: => Unit = ())(body: => T): T = {
+    var tries = 0
+    while (true) {
+      try return body
+      catch {
+        case e: Exception if isCasLoss(e) && log.isDefined &&
+            tries < GraftLakeTable.MaxCommitRebases =>
+          tries += 1
+          refreshFromLog()
+        case e: Throwable =>
+          cleanup
+          throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Run `attempt` (validate → mutate → recordCommit); on a CAS loss,
     * refresh and re-run, bounded. recordCommit reverts the in-memory
     * mutation before propagating, so every iteration starts from a
     * durable state. `attempt` must NOT mint files — minted artifacts
     * (exclusively-claimed numbers, durable manifests) are created once
     * by [[mintWithRebase]] and re-applied verbatim on every retry. */
-  private def commitWithRebase(attempt: () => Unit): Unit = {
-    var tries = 0
-    while (true) {
-      try { attempt(); return }
-      catch {
-        case e: Exception if isCasLoss(e) && log.isDefined &&
-            tries < GraftLakeTable.MaxCommitRebases =>
-          tries += 1
-          refreshFromLog()
-      }
-    }
-  }
+  private def commitWithRebase(attempt: () => Unit): Unit =
+    retryCas()(attempt())
 
   /** Mint pendings into claimed, durable files, retrying each pending
     * past CAS losses (a winner took the number this writer was about
@@ -2393,25 +2424,11 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     val out = Vector.newBuilder[GraftLakeFile]
     var i = 0
     while (i < pendings.length) {
-      var tries = 0
-      var minted: Vector[GraftLakeFile] = null
-      while (minted == null) {
-        try minted = mkFiles(Vector(pendings(i)), sortedBy)
-        catch {
-          case e: Exception if isCasLoss(e) && log.isDefined &&
-              tries < GraftLakeTable.MaxCommitRebases =>
-            tries += 1
-            refreshFromLog()
-          case e: Throwable =>
-            pendings.drop(i).foreach {
-              case GraftLakePendingFile(m) =>
-                new java.io.File(m.tmpPath).delete()
-              case _ => ()
-            }
-            throw e
-        }
-      }
-      out ++= minted
+      out ++= retryCas(cleanup = pendings.drop(i).foreach {
+        case GraftLakePendingFile(m) =>
+          new java.io.File(m.tmpPath).delete()
+        case _ => ()
+      })(mkFiles(Vector(pendings(i)), sortedBy))
       i += 1
     }
     out.result()
@@ -2832,7 +2849,15 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           else Nil,
           GraftLakeSnapshot(files, dvs, eqs), colIds, specIdNow)
       }
-    val df0 = spark.table(qual)
+    // PIN the rewrite's read to the captured version: spark.table would
+    // plan its scan lazily at action time against the then-current
+    // snapshot, so a commit landing between the pin and the action
+    // would smuggle its rows INTO the stripes while the rebase
+    // admission also carries its file — double-counted rows. The
+    // read-option pin serves the CURRENT schema over the old snapshot,
+    // which is exactly the normalization the rewrite wants.
+    val df0 = spark.read.option("graft.snapshot-version", v0.toString)
+      .table(qual)
     val sortedDf = strategy match {
       case "sort" => df0.orderBy(colNames.map(F.col): _*)
       case "zorder" =>
@@ -3641,6 +3666,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
             val keyId = colIds(ki)
             val keyType = schemaNow.fields(ki).dataType
             val newFiles = mintWithRebase(pendings)
+            val ownIds = newFiles.map(_.id).toSet
             val newEqs = keyMetas.map(m =>
               GraftEqDelete(keyId, adoptEqFileRebased(m), belowSeq,
                 keyType))
@@ -3652,6 +3678,28 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
               // minted artifacts become unreferenced claimed objects,
               // exactly like an aborted write.
               if (!streamEpochs.get(queryId).exists(_ >= epochId)) {
+                // SEQUENCE GUARD: the epoch's keys delete files with
+                // seq ≤ belowSeq, captured pre-mint. A rebase winner
+                // that MINTED files (append, compaction rewrite) put
+                // rows ABOVE that threshold which this epoch's delete
+                // could never cover — if any carried the upserted key,
+                // the one-row-per-key invariant would silently break
+                // (Iceberg assigns delete sequence at COMMIT; our
+                // file-number sequence is fixed at mint). Refuse
+                // loudly: the streaming query fails, the restart
+                // replays the epoch from the checkpoint with a fresh
+                // belowSeq over the winner's files — self-healing.
+                // Winners that only touched DVs or removed files
+                // rebase fine.
+                val foreign = files.filter(f =>
+                  !ownIds.contains(f.id) &&
+                    f.id.split("#f").last.toInt > belowSeq)
+                if (foreign.nonEmpty) throw new IllegalStateException(
+                  s"write conflict on $tableName: concurrent commit(s) " +
+                    s"added ${foreign.map(_.id).mkString(", ")} above " +
+                    "this upsert epoch's delete sequence — the epoch " +
+                    "must replay against the current state (streaming " +
+                    "restart re-offers it from the checkpoint)")
                 eqs = eqs ++ newEqs
                 files = files ++ newFiles
                 recordCommit(dataChange = true,
@@ -3711,22 +3759,9 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     * number refreshes and re-adopts the same task temp under the next
     * free number. Final failure unlinks the temp. */
   private def adoptFileRebased(m: GraftLakeFileMeta,
-      requireCurrent: Boolean = true): GraftLakeFile = {
-    var tries = 0
-    while (true) {
-      try return adoptFile(m, requireCurrent)
-      catch {
-        case e: Exception if isCasLoss(e) && log.isDefined &&
-            tries < GraftLakeTable.MaxCommitRebases =>
-          tries += 1
-          refreshFromLog()
-        case e: Throwable =>
-          new java.io.File(m.tmpPath).delete()
-          throw e
-      }
-    }
-    throw new IllegalStateException("unreachable")
-  }
+      requireCurrent: Boolean = true): GraftLakeFile =
+    retryCas(cleanup = new java.io.File(m.tmpPath).delete())(
+      adoptFile(m, requireCurrent))
 
   /** Maintenance-rebase admission (Iceberg RewriteDataFiles semantics):
     * a rewrite derived from an older snapshot may still land iff every
@@ -3753,22 +3788,9 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     * the keys-file number refreshes and re-adopts under the next free
     * number (the temp survives a conflicting attempt — only a
     * successful fill consumes it). Final failure unlinks the temp. */
-  private def adoptEqFileRebased(m: GraftLakeFileMeta): String = {
-    var tries = 0
-    while (true) {
-      try return adoptEqFile(m)
-      catch {
-        case e: Exception if isCasLoss(e) && log.isDefined &&
-            tries < GraftLakeTable.MaxCommitRebases =>
-          tries += 1
-          refreshFromLog()
-        case e: Throwable =>
-          new java.io.File(m.tmpPath).delete()
-          throw e
-      }
-    }
-    throw new IllegalStateException("unreachable")
-  }
+  private def adoptEqFileRebased(m: GraftLakeFileMeta): String =
+    retryCas(cleanup = new java.io.File(m.tmpPath).delete())(
+      adoptEqFile(m))
   private def truncateTo(pendings: Vector[GraftLakePending]): Unit =
     synchronized {
       files = mkFiles(pendings); dvs = Map.empty; recordCommit(true)
@@ -3917,27 +3939,18 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     // CURRENT state, so a refresh after a CAS loss makes re-running the
     // whole block the validation — if a concurrent writer compacted the
     // file away first, the guard finds nothing and this is a no-op
-    var tries = 0
-    while (true) {
-      try {
-        if (dvs.contains(fileId) || eqs.exists(e =>
-            files.exists(f => f.id == fileId && e.probeFor(f).isDefined)))
-          files.find(_.id == fileId).foreach { f =>
-            // liveRows applies BOTH the DV and any equality deletes — the
-            // rewrite's rows are clean, its new file number exceeds every
-            // belowSeq, and recordCommit prunes resolved eq records
-            val live = GraftLakeSnapshot(files, dvs, eqs).liveRows(f)
-            files = files.filterNot(_.id == fileId) ++ rewriteFile(f, live)
-            dvs -= fileId
-            recordCommit(dataChange = false) // maintenance: relation unchanged
-          }
-        return
-      } catch {
-        case e: Exception if isCasLoss(e) && log.isDefined &&
-            tries < GraftLakeTable.MaxCommitRebases =>
-          tries += 1
-          refreshFromLog()
-      }
+    retryCas() {
+      if (dvs.contains(fileId) || eqs.exists(e =>
+          files.exists(f => f.id == fileId && e.probeFor(f).isDefined)))
+        files.find(_.id == fileId).foreach { f =>
+          // liveRows applies BOTH the DV and any equality deletes — the
+          // rewrite's rows are clean, its new file number exceeds every
+          // belowSeq, and recordCommit prunes resolved eq records
+          val live = GraftLakeSnapshot(files, dvs, eqs).liveRows(f)
+          files = files.filterNot(_.id == fileId) ++ rewriteFile(f, live)
+          dvs -= fileId
+          recordCommit(dataChange = false) // maintenance: relation unchanged
+        }
     }
   }
 
@@ -5584,7 +5597,11 @@ class GraftLakeRefsTable(parent: GraftLakeTable)
   * files without a stamp) aggregate under the NULL partition. This is
   * the table an operator reads before choosing compaction targets or
   * auditing skew — control-plane-sized, planned as a driver-local
-  * scan, never touching data. */
+  * scan, never touching data. `n_live_rows` is DELETION-VECTOR-aware
+  * only (stored − DV dead), the same contract as `.files`' live_rows:
+  * unresolved EQUALITY-DELETE debt is row-content-defined and would
+  * need the scan-less COUNT's key-probe pass — `SELECT count(*)` pays
+  * it and is the exact answer on an upsert-debt table. */
 class GraftLakePartitionsTable(parent: GraftLakeTable)
     extends Table with SupportsRead {
   import org.apache.spark.sql.types.{IntegerType, StructField}

@@ -248,7 +248,16 @@ class DurableCatalogSpec extends SparkTestBase {
   private def crossWriterCas(arbiter: graft.sources.GraftCommitArbiter,
       tag: String): Unit = {
     // the cross-driver shape the in-JVM registry cannot arbitrate: two
-    // catalog instances (separate registries) share one durable root
+    // catalog instances (separate registries) share one durable root.
+    // The helper installs the arbiter itself so the parameter cannot
+    // silently diverge from the active one.
+    val prevArbiter = graft.sources.GraftCommitArbiter.active
+    graft.sources.GraftCommitArbiter.active = arbiter
+    try crossWriterCasBody(tag)
+    finally graft.sources.GraftCommitArbiter.active = prevArbiter
+  }
+
+  private def crossWriterCasBody(tag: String): Unit = {
     useCatalog()
     spark.conf.set("spark.sql.catalog.graftdur2",
       classOf[graft.sources.GraftLakeCatalog].getName)
