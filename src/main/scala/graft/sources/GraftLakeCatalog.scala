@@ -161,8 +161,10 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog
         val dir = namespace.foldLeft(w)((d, p) => new java.io.File(d, p))
         Option(dir.listFiles()).getOrElse(Array.empty)
           // an in-flight (or crashed) staged CTAS/RTAS directory holds
-          // a real log but is not a table until its publish rename
-          .filterNot(_.getName.startsWith(".graft_staged_"))
+          // a real log but is not a table until its publish rename;
+          // aborted-and-being-deleted dirs are invisible the same way
+          .filterNot(d => d.getName.startsWith(".graft_staged_") ||
+            d.getName.startsWith(".graft_aborted_"))
           .filter(d => d.isDirectory && (GraftLakeLog.exists(d) ||
             // a location POINTER whose external target holds a table
             // lists too — same discovery contract as in-warehouse roots
@@ -505,7 +507,21 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog
             tables.put(ident, reopenAt(staged))
           }
         },
-        abort = () => t.deleteStorage())
+        abort = () => {
+          // Spark's abort can fire while straggler write tasks are
+          // still creating temp files — a bare recursive delete races
+          // them and the staged dir survives with a late temp inside.
+          // Rename-then-delete closes the race: the atomic rename
+          // removes the PATH, so any straggler's create-by-path fails
+          // cleanly into its own task abort, and the renamed dir
+          // deletes without new arrivals.
+          val dead = new java.io.File(staged.getParentFile,
+            s".graft_aborted_${java.util.UUID.randomUUID()
+              .toString.take(8)}")
+          if (staged.isDirectory && staged.renameTo(dead))
+            GraftParquetIO.deleteRecursively(dead)
+          else t.deleteStorage()
+        })
     }
   }
 

