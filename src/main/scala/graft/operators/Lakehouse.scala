@@ -1543,6 +1543,22 @@ object Lakehouse {
         hit
       }
     require(refused, "the poisoned batch must fail the CHECK loudly")
+    // RENAME COLUMN rewrites the persisted CHECK predicate alongside
+    // the rename (VERDICT r19: a dangling predicate would inject an
+    // unresolvable assertion into EVERY later write and brick the
+    // table): the constraint keeps binding under the new name — a
+    // violating insert is refused, a clean one lands.
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN o_totalprice TO price")
+    val renamedRefused =
+      try { spark.sql(s"INSERT INTO $t VALUES (-1, 'X', -9.0)"); false }
+      catch { case _: Throwable => true }
+    require(renamedRefused,
+      "the CHECK must still bind after RENAME COLUMN")
+    spark.sql(s"INSERT INTO $t VALUES (-1, 'X', 9.0)")
+    require(spark.table(t).where("o_orderkey = -1").count() == 1,
+      "a clean insert must land after the rename (no dangling predicate)")
+    spark.sql(s"DELETE FROM $t WHERE o_orderkey = -1")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN price TO o_totalprice")
     releasing(spark, spark.table(t).orderBy("o_orderkey"), t)
   }
 

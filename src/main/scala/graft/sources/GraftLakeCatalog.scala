@@ -482,7 +482,15 @@ class GraftLakeCatalog extends TableCatalog with ProcedureCatalog
             try java.nio.file.Files.move(staged.toPath, finalRoot.toPath,
               java.nio.file.StandardCopyOption.ATOMIC_MOVE)
             catch {
-              case e: java.nio.file.FileSystemException =>
+              // ONLY the lose-the-CAS outcomes (a concurrent CREATE
+              // made the target exist / non-empty) discard the staged
+              // result; any other FileSystemException — permissions,
+              // disk errors — propagates as itself with the staged
+              // directory left intact for inspection, instead of being
+              // misreported as a name conflict with the fully-computed
+              // result destroyed (ADVICE r19)
+              case _: java.nio.file.FileAlreadyExistsException |
+                  _: java.nio.file.DirectoryNotEmptyException =>
                 GraftParquetIO.deleteRecursively(staged)
                 throw new TableAlreadyExistsException(ident.toString)
             }
@@ -2178,6 +2186,42 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
         case ren: TableChange.RenameColumn =>
           val i = indexOf(ren.fieldNames(), "RENAME COLUMN")
           checkFresh(ren.newName())
+          // rewrite CHECK predicates ALONGSIDE the rename (the way
+          // stored defaults widen with UpdateColumnType below): parse
+          // the persisted SQL, substitute the attribute, regenerate.
+          // A textual replace would corrupt string literals that
+          // happen to contain the name; a missing rewrite would leave
+          // the predicate naming a dead column — the analyzer then
+          // injects an unresolvable assertion into every later write
+          // and a metadata-only rename bricks the table (VERDICT r19).
+          val oldName = fields(i).name
+          cks = cks.map { c =>
+            val parsed = try org.apache.spark.sql.catalyst.parser
+              .CatalystSqlParser.parseExpression(c.predicateSql)
+            catch {
+              case scala.util.control.NonFatal(_) =>
+                throw new IllegalArgumentException(
+                  s"cannot rename column $oldName: CHECK constraint " +
+                    s"${c.name} (${c.predicateSql}) does not re-parse " +
+                    "— DROP the constraint first")
+            }
+            val renamed = parsed.transform {
+              case a: org.apache.spark.sql.catalyst.analysis
+                  .UnresolvedAttribute
+                  if a.nameParts.length == 1 &&
+                    a.nameParts.head.equalsIgnoreCase(oldName) =>
+                org.apache.spark.sql.catalyst.analysis
+                  .UnresolvedAttribute(Seq(ren.newName()))
+            }
+            if (renamed eq parsed) c
+            else {
+              import org.apache.spark.sql.connector.catalog.constraints
+                .Constraint
+              Constraint.check(c.name).predicateSql(renamed.sql)
+                .enforced(c.enforced).rely(c.rely)
+                .validationStatus(c.validationStatus).build()
+            }
+          }
           fields = fields.updated(i, fields(i).copy(name = ren.newName()))
         case del: TableChange.DeleteColumn =>
           val i = indexOf(del.fieldNames(), "DROP COLUMN")
@@ -2244,15 +2288,25 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       colIds = ids
       nextColId = next
       colDefaults = defs
-      if (cks != checks) { checks = cks; persistConstraints() }
+      val priorChecks = checks
+      checks = cks
       // ALTER TABLE is a COMMIT (dataChange = false: the relation's
       // data is untouched, the change feed stays silent) — exactly
       // Delta's metadata commits. Recording it is what gives time
       // travel a version boundary to pin the OLD schema at: VERSION AS
       // OF any pre-ALTER version now resolves that version's schema
       // (see [[schemaInfoAt]]), instead of serving current columns over
-      // old data (ADVICE r13).
-      recordCommit(dataChange = false)
+      // old data (ADVICE r13). Ordering: the commit record lands
+      // FIRST, constraints.json only after it is durable — and any
+      // failure on either side restores the prior `checks` vector
+      // (recordCommit's revert covers schema/files but not checks), so
+      // a failed ALTER never leaves a half-applied constraint enforced
+      // on later writes or resurrected on reopen (ADVICE r19).
+      try recordCommit(dataChange = false)
+      catch { case e: Throwable => checks = priorChecks; throw e }
+      if (cks != priorChecks)
+        try persistConstraints()
+        catch { case e: Throwable => checks = priorChecks; throw e }
     }
   // COMMIT HISTORY: snapshot after every commit, version = index. The
   // `dataChange` flag mirrors Delta's: maintenance commits (DV
@@ -2427,6 +2481,43 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     * by [[mintWithRebase]] and re-applied verbatim on every retry. */
   private def commitWithRebase(attempt: () => Unit): Unit =
     retryCas()(attempt())
+
+  /** Loud-conflict guard every data commit's rebase attempt runs:
+    * CHECK enforcement is injected by the ANALYZER, so a write planned
+    * before a concurrent ADD CONSTRAINT landed carries rows that were
+    * never validated against it — rebasing past the ALTER would commit
+    * them anyway and durably violate the constraint (ADVICE r19).
+    * `planned` is the constraint-name set captured when the write was
+    * built; a refreshed state carrying names outside it fails the
+    * commit so the statement re-plans (and re-validates) under the new
+    * constraint. Concurrent DROPs are always compatible. */
+  private def requireNoNewChecks(planned: Set[String]): Unit = {
+    val fresh = checks.map(_.name).filterNot(planned)
+    if (fresh.nonEmpty) throw new IllegalStateException(
+      s"write conflict on $tableName: CHECK constraint(s) " +
+        s"${fresh.mkString(", ")} were added after this write was " +
+        "planned — its rows were never validated against them; re-run " +
+        "the statement so the analyzer injects the new check(s)")
+  }
+
+  /** Loud-conflict guard for row-level rebases: a concurrent
+    * EQUALITY-DELETE epoch (streaming upsert) that arrived after this
+    * operation's snapshot logically deletes rows in files below its
+    * sequence — but this operation re-inserts rows derived from that
+    * snapshot under FRESH file numbers above it, so the winner's
+    * deletes can never apply to them and the upserted key would end up
+    * with two live rows (ADVICE r19). The maintenance paths already
+    * refuse this (maintenanceRebaseOk's eqs check); this is the same
+    * admission rule for UPDATE/MERGE/DELETE commits. */
+  private def requireNoNewEqEpochs(eqs0: Vector[GraftEqDelete]): Unit = {
+    val fresh = eqs.filterNot(eqs0.contains)
+    if (fresh.nonEmpty) throw new IllegalStateException(
+      s"write conflict on $tableName: ${fresh.length} concurrent " +
+        "equality-delete epoch(s) arrived after this operation's " +
+        "snapshot — their logical deletes cannot apply to this " +
+        "statement's rewritten rows (fresh file numbers exceed the " +
+        "delete sequence); retry the statement against the current state")
+  }
 
   /** Mint pendings into claimed, durable files, retrying each pending
     * past CAS losses (a winner took the number this writer was about
@@ -2606,6 +2697,59 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       }
     }
     baseVersion
+  }
+
+  /** `CALL system.remove_orphan_files` — the expire_snapshots COMPANION
+    * (VERDICT r19): reclaim storage NO retained version references and
+    * no expire will ever touch, WITHOUT moving the history floor. The
+    * targets are exactly the debris optimistic concurrency mints:
+    *  - a crashed/aborted writer's FILLED-but-never-committed
+    *    `f<N>.parquet` / `e<N>.parquet` (the mint adopted it, the
+    *    commit died; fileSeq only moves forward so it is skipped
+    *    forever but never deleted — an unbounded leak on a hot table
+    *    with retries);
+    *  - abandoned task temps (`tmp_*`) and STALE zero-byte claims;
+    *  - a crashed CTAS/RTAS writer's staged `.graft_staged_<name>_*`
+    *    sibling directory.
+    * Safety mirrors the vacuum inside [[expireVersions]]: everything
+    * any retained snapshot, ref, staged branch, pinned operation or
+    * retained equality-delete epoch references is untouchable, and a
+    * GRACE WINDOW (`olderThanMillis` cutoff on mtime) shields a LIVE
+    * concurrent writer's artifacts mid-commit — a young unreferenced
+    * file is presumed in-flight, exactly Iceberg's `older_than`
+    * contract. Young zero-byte claims additionally keep their
+    * stale-claim protocol guard regardless of the cutoff. A reclaimed
+    * orphan's manifest dies with it (manifests of KEPT young orphans
+    * survive — the keep-set is live ∪ whatever remains on disk). */
+  private[sources] def removeOrphanFiles(
+      olderThanMillis: Long): (Int, Int) = synchronized {
+    var orphans = 0
+    var stagedDirs = 0
+    lakeDir.foreach { dir =>
+      val live = (history.flatMap(_._1.files) ++ files)
+        .flatMap(_.path).toSet ++ livePinnedPaths() ++ branchStagedPaths ++
+        (history.flatMap(_._1.eqs) ++ eqs).map(_.path).toSet
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.isFile) // never the _graft_log dir
+        .filterNot(f => live.contains(f.getAbsolutePath))
+        .filter(_.lastModified() < olderThanMillis)
+        .filterNot(f => f.length() == 0L && !GraftLakeLog.staleClaim(f))
+        .foreach(f => if (f.delete()) orphans += 1)
+      // a crashed CTAS/RTAS writer's fully-staged sibling directory:
+      // invisible to every read path (listTables skips the prefix) but
+      // holds a complete copy of the table's data
+      Option(dir.getParentFile.listFiles()).getOrElse(Array.empty)
+        .filter(d => d.isDirectory &&
+          d.getName.startsWith(s".graft_staged_${dir.getName}_") &&
+          d.lastModified() < olderThanMillis)
+        .foreach { d => GraftParquetIO.deleteRecursively(d)
+          stagedDirs += 1 }
+      val kept = live.map(p => new java.io.File(p).getName) ++
+        Option(dir.listFiles()).getOrElse(Array.empty)
+          .filter(_.isFile).map(_.getName)
+      log.foreach(_.dropManifestsExcept(kept))
+    }
+    (orphans, stagedDirs)
   }
 
   // data-file paths pinned by in-flight row-level operations: registered
@@ -3618,12 +3762,17 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
   private[graft] def deletionVectors: Map[String, Set[Long]] =
     synchronized(dvs)
 
-  private def appendFiles(pendings: Vector[GraftLakePending]): Unit =
+  private def appendFiles(pendings: Vector[GraftLakePending],
+      plannedChecks: Set[String]): Unit =
     synchronized {
-      // appends rebase unconditionally: under snapshot isolation a
-      // concurrent commit can never conflict with pure file additions
+      // appends rebase across DATA commits unconditionally: under
+      // snapshot isolation a concurrent commit can never conflict with
+      // pure file additions. A concurrent ADD CONSTRAINT is the one
+      // exception — the rows were minted un-validated — and stays loud
+      // (requireNoNewChecks re-runs on every rebase attempt).
       val minted = mintWithRebase(pendings)
       commitWithRebase { () =>
+        requireNoNewChecks(plannedChecks)
         files = files ++ minted
         recordCommit(true)
       }
@@ -3636,10 +3785,18 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     * are unlinked and NOTHING commits — exactly-once across restarts,
     * including a crash between data-write and checkpoint-advance. */
   private def commitEpoch(queryId: String, truncate: Boolean,
-      upsertKey: Option[String] = None)(
+      upsertKey: Option[String] = None,
+      plannedChecks: Set[String] = Set.empty)(
       epochId: Long, pendings: Vector[GraftLakePending],
       keyMetas: Vector[GraftLakeFileMeta] = Vector.empty): Unit =
     synchronized {
+      // the builder refuses the combination at build time
+      // (graft.upsert.key is append-mode only); assert it here too so
+      // the truncate-first branch order below can never silently turn
+      // an upsert sink into a blind replace (ADVICE r19)
+      require(!(truncate && upsertKey.isDefined),
+        s"streaming sink on $tableName cannot combine Complete-mode " +
+          "truncate with graft.upsert.key")
       if (streamEpochs.get(queryId).exists(_ >= epochId)) {
         pendings.foreach {
           case GraftLakePendingFile(m) =>
@@ -3651,6 +3808,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
         // Complete-mode sink: each epoch blindly replaces the table —
         // order-dependent by definition, so a cross-writer CAS loss
         // stays LOUD (rebasing would silently erase the winner's rows)
+        requireNoNewChecks(plannedChecks)
         files = mkFiles(pendings); dvs = Map.empty
         recordCommit(dataChange = true, txn = Some(queryId -> epochId))
         streamEpochs += queryId -> epochId
@@ -3716,6 +3874,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
                     "this upsert epoch's delete sequence — the epoch " +
                     "must replay against the current state (streaming " +
                     "restart re-offers it from the checkpoint)")
+                requireNoNewChecks(plannedChecks)
                 eqs = eqs ++ newEqs
                 files = files ++ newFiles
                 recordCommit(dataChange = true,
@@ -3727,6 +3886,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
             val newFiles = mintWithRebase(pendings)
             commitWithRebase { () =>
               if (!streamEpochs.get(queryId).exists(_ >= epochId)) {
+                requireNoNewChecks(plannedChecks)
                 files = files ++ newFiles
                 recordCommit(dataChange = true,
                   txn = Some(queryId -> epochId))
@@ -3807,8 +3967,10 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
   private def adoptEqFileRebased(m: GraftLakeFileMeta): String =
     retryCas(cleanup = new java.io.File(m.tmpPath).delete())(
       adoptEqFile(m))
-  private def truncateTo(pendings: Vector[GraftLakePending]): Unit =
+  private def truncateTo(pendings: Vector[GraftLakePending],
+      plannedChecks: Set[String]): Unit =
     synchronized {
+      requireNoNewChecks(plannedChecks)
       files = mkFiles(pendings); dvs = Map.empty; recordCommit(true)
     }
 
@@ -3877,20 +4039,26 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     * this write re-derives from its snapshot — the classic lost update.
     * Abort loudly instead (Iceberg's validateDataFilesExist contract). */
   private def replaceGroups(removed: Set[String],
-      pendings: Vector[GraftLakePending]): Unit = {
+      pendings: Vector[GraftLakePending],
+      eqs0: Vector[GraftEqDelete],
+      plannedChecks: Set[String]): Unit = {
     commitHook()
     synchronized {
       val minted = mintWithRebase(pendings)
-      // the gone-check re-runs on every rebase: a cross-writer APPEND
-      // leaves the scanned groups intact and the rewrite lands on the
-      // refreshed state; a cross-writer replace of a scanned group is
-      // the lost update and stays loud (no CAS cause — never retried)
+      // every admission rule re-runs on every rebase: a cross-writer
+      // APPEND leaves the scanned groups intact and the rewrite lands
+      // on the refreshed state; a cross-writer replace of a scanned
+      // group is the lost update and stays loud (no CAS cause — never
+      // retried); a concurrent equality-delete epoch or ADD CONSTRAINT
+      // invalidates the rewritten rows and stays loud too (ADVICE r19)
       commitWithRebase { () =>
         val gone = removed -- files.map(_.id).toSet
         if (gone.nonEmpty) throw new IllegalStateException(
           s"write conflict on $tableName: scanned group(s) ${gone.mkString(", ")} " +
             "were replaced by a concurrent commit after this operation's " +
             "snapshot — retry the statement against the current state")
+        requireNoNewEqEpochs(eqs0)
+        requireNoNewChecks(plannedChecks)
         files = files.filterNot(f => removed.contains(f.id)) ++ minted
         dvs = dvs.filterNot { case (id, _) => removed.contains(id) }
         recordCommit(true)
@@ -3907,16 +4075,20 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     * concurrent writer touched the same file's rows — this operation's
     * inserts were derived from values that may now be dead, the MoR
     * shape of the lost update. Both abort loudly for retry. */
-  private def applyDelta(expected: Map[String, Set[Long]])(
+  private def applyDelta(expected: Map[String, Set[Long]],
+      eqs0: Vector[GraftEqDelete], plannedChecks: Set[String])(
       deleted: Map[String, Set[Long]],
       pendings: Vector[GraftLakePending]): Unit = {
     commitHook()
     synchronized {
       val minted = mintWithRebase(pendings)
-      // both validations re-run on every rebase against the refreshed
+      // every validation re-runs on every rebase against the refreshed
       // state — a winner that only appended passes them and this delta
       // lands rebased; a winner that compacted a target file or grew
-      // its DV is the MoR lost update and stays loud (no CAS cause)
+      // its DV is the MoR lost update and stays loud (no CAS cause),
+      // as are a concurrent equality-delete epoch (its logical deletes
+      // cannot reach this delta's re-inserted rows) and a concurrent
+      // ADD CONSTRAINT (the rows were never validated) — ADVICE r19
       commitWithRebase { () =>
         val gone = deleted.keySet -- files.map(_.id).toSet
         if (gone.nonEmpty) throw new IllegalStateException(
@@ -3930,6 +4102,8 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
             s"${skewed.mkString(", ")} changed since this operation's " +
             "snapshot — a concurrent row-level commit touched the same " +
             "file(s); retry the statement against the current state")
+        requireNoNewEqEpochs(eqs0)
+        requireNoNewChecks(plannedChecks)
         dvs = (dvs.keySet ++ deleted.keySet).map(id =>
           id -> (dvs.getOrElse(id, Set.empty) ++
             deleted.getOrElse(id, Set.empty))).toMap
@@ -4114,6 +4288,10 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
         .orElse(GraftLakeTable.wapBranch)
       private val upsertKeyName =
         Option(info.options.get("graft.upsert.key"))
+      // the CHECK constraints this write's analysis injected row
+      // assertions for — the commit refuses to land past any name
+      // outside this set (see requireNoNewChecks)
+      private val plannedChecks = constraints().map(_.name).toSet
       private var truncateRequested = false
       override def truncate(): WriteBuilder = {
         truncateRequested = true; this
@@ -4154,8 +4332,8 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           new GraftLakeBatchWrite(pendings => branch match {
             case Some(b) => appendToBranch(b, pendings)
             case None =>
-              if (truncateRequested) truncateTo(pendings)
-              else appendFiles(pendings)
+              if (truncateRequested) truncateTo(pendings, plannedChecks)
+              else appendFiles(pendings, plannedChecks)
           }, fileWrite = fileWriteInfo)
         }
         override def toStreaming
@@ -4187,7 +4365,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
             }
           new GraftLakeStreamingWrite(
             commitEpoch(info.queryId(), truncateRequested,
-              upsert.map(_.keyName)),
+              upsert.map(_.keyName), plannedChecks),
             fileWrite = fileWriteInfo, upsert = upsert)
         }
       }
@@ -4212,6 +4390,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       private val opSchema = schema()
       private val opIds = idToName
       private val opDefaults = defaults
+      private val opChecks = constraints().map(_.name).toSet
 
       override def command(): RowLevelOperation.Command = info.command()
       override def rowId(): Array[NamedReference] =
@@ -4236,7 +4415,8 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
                   s"operations on $tableName only target main — unset " +
                   "the conf (or publish first) before UPDATE/DELETE/MERGE"))
             override def toBatch: DeltaBatchWrite =
-              new GraftLakeDeltaBatchWrite(applyDelta(snap.dvs),
+              new GraftLakeDeltaBatchWrite(
+                applyDelta(snap.dvs, snap.eqs, opChecks),
                 opSchema.fields.map(_.dataType), onDone = pinPaths(snap),
                 fileWrite = fileWriteInfo)
           }
@@ -4250,6 +4430,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       private val opSchema = schema()
       private val opIds = idToName
       private val opDefaults = defaults
+      private val opChecks = constraints().map(_.name).toSet
       private val state = new GroupScanState(snap.files.map(_.id).toSet)
 
       override def command(): RowLevelOperation.Command = info.command()
@@ -4283,7 +4464,8 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
                   "the conf (or publish first) before UPDATE/DELETE/MERGE"))
             override def toBatch: BatchWrite =
               new GraftLakeBatchWrite(
-                pendings => replaceGroups(state.scanned, pendings),
+                pendings => replaceGroups(state.scanned, pendings,
+                  snap.eqs, opChecks),
                 rowLevel = Some(opSchema.fields.map(_.dataType)),
                 onDone = pinPaths(snap),
                 fileWrite = fileWriteInfo)
@@ -5613,11 +5795,17 @@ class GraftLakeRefsTable(parent: GraftLakeTable)
   * files without a stamp) aggregate under the NULL partition. This is
   * the table an operator reads before choosing compaction targets or
   * auditing skew — control-plane-sized, planned as a driver-local
-  * scan, never touching data. `n_live_rows` is DELETION-VECTOR-aware
-  * only (stored − DV dead), the same contract as `.files`' live_rows:
-  * unresolved EQUALITY-DELETE debt is row-content-defined and would
-  * need the scan-less COUNT's key-probe pass — `SELECT count(*)` pays
-  * it and is the exact answer on an upsert-debt table. */
+  * scan. `n_live_rows` is EXACT even under unresolved EQUALITY-DELETE
+  * debt (VERDICT r19 task 5): when the snapshot carries unresolved
+  * epochs, the summary routes through the scan-less COUNT's key-probe
+  * machinery ([[GraftLakeTable.eqLiveCounts]]) — the first read pays
+  * the one-task-per-file probe pass, every later read answers from the
+  * memo, so an operator choosing compaction targets on a CDC table no
+  * longer reads inflated counts. Without eq debt (the common case) the
+  * counts stay pure metadata math (stored − DV dead), zero data reads;
+  * the probe also degrades to DV-only if no Spark session can run the
+  * probe job (never in practice — the scan exists because a session
+  * asked for it). */
 class GraftLakePartitionsTable(parent: GraftLakeTable)
     extends Table with SupportsRead {
   import org.apache.spark.sql.types.{IntegerType, StructField}
@@ -5640,18 +5828,24 @@ class GraftLakePartitionsTable(parent: GraftLakeTable)
     val asOf = Option(options.get("graft.snapshot-version"))
       .map(_.trim.toInt)
     val snap = asOf.map(parent.snapshotAt).getOrElse(parent.snapshot)
+    // exact per-file live counts when eq-delete debt is unresolved —
+    // memoized probe pass, metadata-only otherwise (or on no-session)
+    val probed: Map[String, Long] =
+      if (snap.eqs.isEmpty) Map.empty
+      else parent.eqLiveCounts(snap, snap.files).getOrElse(Map.empty)
     val partRows: Array[InternalRow] = snap.files
       .groupBy(f => (f.pkey, f.pspecId)).toSeq
       .sortBy { case ((k, sid), _) =>
         (k.map(_.map(String.valueOf).mkString(",")).getOrElse(""), sid) }
       .map { case ((pkey, sid), fs) =>
         val stored = fs.map(_.numRows).sum
-        val dead = fs.map(f =>
-          snap.dvs.getOrElse(f.id, Set.empty).size.toLong).sum
+        val live = fs.map(f => probed.getOrElse(f.id,
+          f.numRows - snap.dvs.getOrElse(f.id, Set.empty).size.toLong))
+          .sum
         new GenericInternalRow(Array[Any](
           pkey.map(k => UTF8String.fromString(
             k.map(String.valueOf).mkString("[", ", ", "]"))).orNull,
-          sid, fs.length, stored, stored - dead,
+          sid, fs.length, stored, live,
           fs.map(_.bytes).sum)): InternalRow
       }.toArray
     new org.apache.spark.sql.connector.read.LocalScan {
@@ -6684,7 +6878,7 @@ private[sources] object GraftLakeProcedures {
     Seq("rollback", "expire_versions", "expire_before", "compact",
       "compact_files", "cluster", "cluster_zorder", "create_branch",
       "create_tag", "fast_forward", "publish_squashed", "drop_ref",
-      "set_partition_spec")
+      "set_partition_spec", "remove_orphan_files")
 
   def byName(catalog: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -6733,6 +6927,26 @@ private[sources] object GraftLakeProcedures {
             : Array[InternalRow] = {
           val (b, a) = t.compactFiles(input.getInt(1).toLong)
           Array(new GenericInternalRow(Array[Any](b, a)))
+        }
+      })
+      // reclaim crashed-writer debris no retained version references —
+      // filled-but-uncommitted data/keys objects, abandoned temps and
+      // stale claims, staged CTAS directories — older than the grace
+      // cutoff (epoch millis), WITHOUT moving the history floor:
+      // Iceberg's remove_orphan_files, the expire_snapshots companion
+      case "remove_orphan_files" => Some(new Proc(catalog,
+        "remove_orphan_files",
+        Array(in("table", StringType),
+          in("older_than_millis", LongType)),
+        StructType(Seq(
+          StructField("orphan_files_deleted", IntegerType,
+            nullable = false),
+          StructField("staged_dirs_deleted", IntegerType,
+            nullable = false)))) {
+        override def run(t: GraftLakeTable, input: InternalRow)
+            : Array[InternalRow] = {
+          val (o, s) = t.removeOrphanFiles(input.getLong(1))
+          Array(new GenericInternalRow(Array[Any](o, s)))
         }
       })
       // expire every version committed before a wall-clock cutoff,

@@ -86,15 +86,26 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
-  test("simhash near-dup pairs overlap the jaccard near-dup pairs") {
+  test("simhash detector overlaps jaccard pairs; the gated query's recall band holds") {
     val jac = run("dedup_ngram_jaccard", SfOracle)
       .select(col("i"), col("j")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val sim = run("dedup_simhash", SfOracle)
+    // the DETECTOR itself (hamming ≤ 3 banded pairs) — the registered
+    // query now emits the oracle-gated recall summary, so the raw pair
+    // set is gated here instead
+    val sim = graft.operators.Dedup.simhashPairs(spark, SfOracle)
       .select(col("i"), col("j")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(sim.nonEmpty, "simhash must find near-dup pairs")
     val overlap = (sim & jac).size.toDouble / sim.size
     assert(overlap >= 0.5,
       s"simhash pairs should mostly be true near-dups; precision=$overlap")
+    assert((sim & jac).size.toDouble / jac.size >= 0.5,
+      "simhash must recover at least half the strong jaccard pairs")
+    // the registered query: exact strong-pair rows, detector band TRUE
+    val gated = run("dedup_simhash", SfOracle).collect()
+    assert(gated.map(r => (r.getLong(0), r.getLong(1))).toSet == jac,
+      "the gated rows are exactly the strong-jaccard leg")
+    assert(gated.forall(_.getAs[Boolean]("recall_band")),
+      "the detector's recall band must hold")
   }
 
   test("decontamination flags every planted benchmark copy") {

@@ -331,6 +331,107 @@ class DurableCatalogSpec extends SparkTestBase {
     crossWriterCas(graft.sources.PosixCommitArbiter, "posix")
   }
 
+  test("a stale driver's append refuses to rebase past a cross-driver ADD CONSTRAINT") {
+    // ADVICE r19 (medium): appends rebase unconditionally, but CHECK
+    // enforcement is injected at analysis time — a stale driver whose
+    // INSERT was planned before another driver's ADD CONSTRAINT landed
+    // carries rows that were never validated against it. The rebase
+    // loop now compares the refreshed constraint set against what the
+    // write was planned under and keeps the conflict LOUD; the re-run
+    // plans under the new constraint and enforces it.
+    useCatalog()
+    spark.conf.set("spark.sql.catalog.graftdur2",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftdur2.warehouse", wh)
+    val t1 = "graftdur.dur_ck_race"
+    val t2 = "graftdur2.dur_ck_race"
+    spark.sql(s"DROP TABLE IF EXISTS $t1")
+    spark.sql(s"CREATE TABLE $t1 (k BIGINT) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    spark.range(1, 6).selectExpr("id AS k").coalesce(1)
+      .writeTo(t1).append() // v1 via driver 1
+    // driver 2 reopens from disk and commits the constraint (v2);
+    // driver 1 is now STALE and its analysis knows nothing of it
+    assert(spark.table(t2).count() == 5)
+    spark.sql(s"ALTER TABLE $t2 ADD CONSTRAINT k_pos CHECK (k > 0)")
+    def msgs(x: Throwable): String = {
+      var c: Throwable = x; val sb = new StringBuilder
+      var seen = List.empty[Throwable]
+      while (c != null && !seen.exists(_ eq c)) {
+        sb.append(Option(c.getMessage).getOrElse("")); seen ::= c
+        c = c.getCause
+      }
+      sb.toString
+    }
+    // the stale append loses the version CAS, refreshes, finds k_pos
+    // absent from its plan-time set — and stays loud instead of
+    // committing never-validated rows
+    val e = intercept[Exception](
+      spark.sql(s"INSERT INTO $t1 VALUES (-5)"))
+    assert(msgs(e).contains("were added after this write was planned"),
+      s"expected the planned-checks conflict, got: $e")
+    assert(spark.table(t1).count() == 5,
+      "the refused append must leave no rows behind")
+    // the loud loss refreshed driver 1 — the re-run now plans WITH the
+    // constraint: a violating insert is refused by the injected
+    // assertion, a clean one lands
+    val e2 = intercept[Exception](
+      spark.sql(s"INSERT INTO $t1 VALUES (-5)"))
+    assert(msgs(e2).contains("CHECK_CONSTRAINT_VIOLATION") ||
+      msgs(e2).contains("k_pos"), s"got: $e2")
+    spark.sql(s"INSERT INTO $t1 VALUES (9)")
+    assert(spark.table(t1).count() == 6)
+    spark.sql(s"DROP TABLE IF EXISTS $t1")
+  }
+
+  test("a failed ALTER ADD CONSTRAINT leaves nothing half-applied") {
+    // ADVICE r19 (low): constraints.json used to persist BEFORE the
+    // version commit, and the commit's CAS-loss revert restored
+    // files/schema but not `checks` — a failed ALTER stayed enforced on
+    // later writes and resurrected on reopen. Ordering is now
+    // commit-record first, constraint file only after it is durable,
+    // with the prior vector restored on any failure.
+    useCatalog()
+    spark.conf.set("spark.sql.catalog.graftdur2",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftdur2.warehouse", wh)
+    val t1 = "graftdur.dur_ck_revert"
+    val t2 = "graftdur2.dur_ck_revert"
+    spark.sql(s"DROP TABLE IF EXISTS $t1")
+    spark.sql(s"CREATE TABLE $t1 (k BIGINT) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    spark.range(1, 4).selectExpr("id AS k").coalesce(1)
+      .writeTo(t1).append() // v1 via driver 1
+    // driver 2 advances the log (v2); driver 1 is stale, so its ALTER's
+    // metadata commit loses the version CAS and the STATEMENT fails
+    // (applySchemaChanges has no rebase loop — ALTER re-runs are cheap)
+    spark.range(10, 13).selectExpr("id AS k").coalesce(1)
+      .writeTo(t2).append()
+    val table1 = graft.sources.GraftLakeCatalog
+      .tableFor("graftdur", "dur_ck_revert").get
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $t1 ADD CONSTRAINT k_pos CHECK (k > 0)"))
+    // nothing half-applied: not enforced in memory, not on disk
+    assert(table1.constraints().isEmpty,
+      "the failed ALTER must restore the prior (empty) constraint set")
+    spark.sql(s"INSERT INTO $t1 VALUES (-1)") // no phantom enforcement
+    graft.sources.GraftLakeCatalog.evict("graftdur", "dur_ck_revert")
+    spark.sql(s"INSERT INTO $t1 VALUES (-2)") // nor resurrected on reopen
+    assert(graft.sources.GraftLakeCatalog
+      .tableFor("graftdur", "dur_ck_revert").get.constraints().isEmpty,
+      "a reopen must not resurrect the failed ALTER's constraint")
+    assert(spark.table(t1).count() == 8)
+    // the statement re-run against the refreshed state: k > 0 is now
+    // violated by the -1/-2 rows, so Spark's validation scan refuses —
+    // still nothing installed; after deleting them it installs cleanly
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $t1 ADD CONSTRAINT k_pos CHECK (k > 0)"))
+    spark.sql(s"DELETE FROM $t1 WHERE k < 0")
+    spark.sql(s"ALTER TABLE $t1 ADD CONSTRAINT k_pos CHECK (k > 0)")
+    intercept[Exception](spark.sql(s"INSERT INTO $t1 VALUES (-3)"))
+    spark.sql(s"DROP TABLE IF EXISTS $t1")
+  }
+
   test("dir-swap arbiter primitives: lock CAS, filled-name conflict, stale reclaim, lost fill") {
     import graft.sources.{DirSwapCommitArbiter => arb, GraftClaimConflict}
     val dir = java.nio.file.Files.createTempDirectory("dirswap_").toFile
@@ -502,6 +603,89 @@ class DurableCatalogSpec extends SparkTestBase {
     // the log replays cleanly around the orphan
     evict("dur_orphan")
     assert(spark.table(t).count() == 20)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("remove_orphan_files reclaims crashed-writer debris, touches nothing referenced") {
+    // VERDICT r19: a crashed writer's minted-but-uncommitted object is
+    // SKIPPED forever (fileSeq only moves forward) but was never
+    // deleted, and expire_versions only vacuums alongside a floor move
+    // — on a hot table with retries that is an unbounded storage leak.
+    // The Iceberg companion procedure: reclaim unreferenced debris
+    // older than a grace window without expiring any history.
+    useCatalog()
+    val t = "graftdur.dur_orphan_gc"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet', " +
+      "'graft.mode' = 'merge-on-read')")
+    spark.range(0, 10).selectExpr("id AS k").coalesce(1)
+      .writeTo(t).append() // v1
+    spark.range(10, 20).selectExpr("id AS k").coalesce(1)
+      .writeTo(t).append() // v2
+    spark.sql(s"CALL graftdur.system.compact_files('dur_orphan_gc', 100)")
+    // v3: the pre-compaction originals are now referenced ONLY by
+    // retained HISTORY — orphan GC must not touch them (time travel)
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftdur", "dur_orphan_gc").get
+    val dir = new java.io.File(table.filePaths.values.head).getParentFile
+    val maxSeq = dir.listFiles().map(_.getName)
+      .collect { case n if n.matches("f\\d+\\.parquet") =>
+        n.stripPrefix("f").stripSuffix(".parquet").toInt }.max
+    // plant the debris: a FILLED crashed-writer object, an abandoned
+    // temp, and a crashed CTAS writer's fully-staged sibling directory
+    val orphan = new java.io.File(dir, s"f${maxSeq + 1}.parquet")
+    java.nio.file.Files.write(orphan.toPath,
+      "crashed writer's bytes".getBytes("UTF-8"))
+    val temp = new java.io.File(dir, "tmp_crashed_task")
+    java.nio.file.Files.write(temp.toPath, "temp".getBytes("UTF-8"))
+    val staged = new java.io.File(dir.getParentFile,
+      s".graft_staged_${dir.getName}_deadbeef")
+    staged.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(staged, "f1.parquet").toPath,
+      "staged".getBytes("UTF-8"))
+    val filesBefore = dir.listFiles().map(_.getName).toSet
+    // (1) within the grace window NOTHING goes: a young unreferenced
+    // file is presumed to belong to a live concurrent writer
+    val r0 = spark.sql("CALL graftdur.system.remove_orphan_files(" +
+      s"'dur_orphan_gc', ${System.currentTimeMillis() - 3600 * 1000L})")
+      .head()
+    assert((r0.getInt(0), r0.getInt(1)) == (0, 0),
+      s"grace window must shield young debris: $r0")
+    assert(orphan.isFile && temp.isFile && staged.isDirectory)
+    // (2) past the grace window the debris goes — and ONLY the debris
+    // (the planted orphan + temp, plus any dangling checksum sidecars
+    // Hadoop's local FS left behind for already-renamed task temps)
+    val crcs = filesBefore.filter(_.endsWith(".crc"))
+    val r1 = spark.sql("CALL graftdur.system.remove_orphan_files(" +
+      s"'dur_orphan_gc', ${System.currentTimeMillis() + 60 * 1000L})")
+      .head()
+    assert((r1.getInt(0), r1.getInt(1)) == (2 + crcs.size, 1),
+      s"expected ${2 + crcs.size} orphan files + 1 staged dir: $r1")
+    assert(!orphan.isFile && !temp.isFile && !staged.isDirectory)
+    assert(dir.listFiles().map(_.getName).toSet ==
+      filesBefore - orphan.getName - temp.getName -- crcs,
+      "every referenced object survives")
+    // current reads, TIME TRAVEL below the compaction, and the history
+    // floor are all unaffected (no version expired)
+    assert(spark.table(t).count() == 20)
+    assert(spark.read.option("graft.snapshot-version", "2").table(t)
+      .count() == 20, "pre-compaction version still readable")
+    val versions = spark.table(s"$t.history")
+      .orderBy("version").collect().map(_.getInt(0)).toSeq
+    assert(versions.head == 0, "the floor must not move")
+    // (3) writes keep flowing after the reclaim: nothing references
+    // the deleted name, so the number is safely mintable again
+    spark.range(20, 25).selectExpr("id AS k").coalesce(1)
+      .writeTo(t).append()
+    assert(spark.table(t).count() == 25)
+    // and the whole state survives a reopen (manifest pruning was
+    // consistent: kept files kept their manifests)
+    evict("dur_orphan_gc")
+    assert(spark.table(t).count() == 25)
+    assert(spark.read.option("graft.snapshot-version", "2").table(t)
+      .count() == 20)
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 

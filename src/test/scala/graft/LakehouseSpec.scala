@@ -3131,6 +3131,196 @@ class LakehouseSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("RENAME COLUMN rewrites CHECK predicates; widening and defaults keep them binding") {
+    // VERDICT r19: RenameColumn used to leave a CHECK's persisted
+    // predicateSql naming the dead column — the analyzer then injects
+    // an unresolvable assertion into every later write and a
+    // metadata-only rename bricks the table. The fix rewrites the
+    // predicate alongside the rename (parse → substitute → regenerate,
+    // the way stored defaults widen with UpdateColumnType), so the
+    // constraint keeps binding under the NEW name.
+    spark.conf.set("spark.sql.catalog.graftck",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val whc = java.nio.file.Files.createTempDirectory("graft_ck_wh_")
+      .toFile.getAbsolutePath
+    spark.conf.set("spark.sql.catalog.graftck.warehouse", whc)
+    val t = "graftck.spec_ck_rename"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (amount BIGINT, s STRING, " +
+      "CONSTRAINT amount_pos CHECK (amount > 0)) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet', " +
+      "'graft.mode' = 'merge-on-read')")
+    spark.sql(s"INSERT INTO $t VALUES (5, 'a'), (6, 'b')")
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN amount TO price")
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftck", "spec_ck_rename").get
+    val sql1 = table.constraints()(0)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.constraints
+        .Check].predicateSql
+    assert(sql1.contains("price") && !sql1.contains("amount"),
+      s"the predicate must be rewritten to the new name: $sql1")
+    // violating refused under the NEW name, clean write lands — the
+    // write path is NOT bricked
+    intercept[Exception](spark.sql(s"INSERT INTO $t VALUES (-1, 'x')"))
+    spark.sql(s"INSERT INTO $t VALUES (7, 'c')")
+    intercept[Exception](
+      spark.sql(s"UPDATE $t SET price = -2 WHERE price = 5"))
+    assert(spark.table(t).count() == 3)
+    // the REWRITTEN predicate is what persisted: a reopen enforces it
+    graft.sources.GraftLakeCatalog.evict("graftck", "spec_ck_rename")
+    intercept[Exception](spark.sql(s"INSERT INTO $t VALUES (-3, 'x')"))
+    spark.sql(s"INSERT INTO $t VALUES (8, 'd')")
+    // renaming a column NO check references leaves constraints alone
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN s TO label")
+    intercept[Exception](spark.sql(s"INSERT INTO $t VALUES (-4, 'x')"))
+    assert(spark.table(t).count() == 4)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+
+    // (2) CHECK over a column later widened INT→BIGINT stays binding
+    // (the next dangle-shaped corner after the rename, VERDICT r19 #6)
+    val t2 = "graftck.spec_ck_widen"
+    spark.sql(s"DROP TABLE IF EXISTS $t2")
+    spark.sql(s"CREATE TABLE $t2 (v INT, " +
+      "CONSTRAINT v_pos CHECK (v > 0)) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    spark.sql(s"INSERT INTO $t2 VALUES (1)")
+    spark.sql(s"ALTER TABLE $t2 ALTER COLUMN v TYPE BIGINT")
+    spark.sql(s"INSERT INTO $t2 VALUES (6000000000)") // needs BIGINT
+    intercept[Exception](spark.sql(s"INSERT INTO $t2 VALUES (-5)"))
+    graft.sources.GraftLakeCatalog.evict("graftck", "spec_ck_widen")
+    intercept[Exception](spark.sql(s"INSERT INTO $t2 VALUES (-6)"))
+    assert(spark.table(t2).count() == 2)
+
+    // (3) ADD CONSTRAINT validates THROUGH exists-defaults: back-filled
+    // rows read the stored default, so a satisfiable check installs and
+    // a violated one is refused — never silently installed
+    spark.sql(s"ALTER TABLE $t2 ADD COLUMN d INT DEFAULT 5")
+    spark.sql(s"ALTER TABLE $t2 ADD CONSTRAINT d_pos CHECK (d > 0)")
+    intercept[Exception](
+      spark.sql(s"INSERT INTO $t2 VALUES (9, -1)"))
+    spark.sql(s"INSERT INTO $t2 (v) VALUES (10)") // current default 5
+    assert(spark.table(t2).where("v = 10 AND d = 5").count() == 1)
+    spark.sql(s"ALTER TABLE $t2 ADD COLUMN e INT DEFAULT -1")
+    val eAdd = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t2 ADD CONSTRAINT e_pos CHECK (e > 0)"))
+    assert(Option(eAdd.getMessage)
+      .exists(_.contains("CONSTRAINT_VIOLATION")), s"got: $eAdd")
+    spark.sql(s"INSERT INTO $t2 VALUES (11, 1, -7)") // e_pos never installed
+    assert(spark.table(t2).count() == 4)
+    spark.sql(s"DROP TABLE IF EXISTS $t2")
+  }
+
+  test("a CHECK added mid-flight fails the racing write loudly; rebase never launders it") {
+    // ADVICE r19 (medium): CHECK enforcement is injected at ANALYSIS
+    // time, so a write planned before a concurrent ADD CONSTRAINT
+    // carries rows that were never validated — rebasing past the ALTER
+    // would commit them anyway. Every data commit's rebase attempt now
+    // re-checks the constraint set against what the write was planned
+    // under and refuses loudly, so the statement re-plans (and
+    // re-validates) under the new constraint.
+    spark.conf.set("spark.sql.catalog.graftck",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    def msgs(x: Throwable): String = {
+      var c: Throwable = x; val sb = new StringBuilder
+      var seen = List.empty[Throwable]
+      while (c != null && !seen.exists(_ eq c)) {
+        sb.append(Option(c.getMessage).getOrElse("")); seen ::= c
+        c = c.getCause
+      }
+      sb.toString
+    }
+    for ((mode, tag) <- Seq("merge-on-read" -> "mor",
+        "copy-on-write" -> "cow")) {
+      val t = s"graftck.spec_ck_race_$tag"
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+        "TBLPROPERTIES ('graft.storage' = 'parquet', " +
+        s"'graft.mode' = '$mode')")
+      spark.range(0, 10).selectExpr("id AS k", "'v' AS s")
+        .coalesce(1).writeTo(t).append()
+      val table = graft.sources.GraftLakeCatalog
+        .tableFor("graftck", s"spec_ck_race_$tag").get
+      @volatile var injected = false
+      table.commitHook = () => if (!injected) {
+        injected = true
+        spark.sql(s"ALTER TABLE $t ADD CONSTRAINT k_cap CHECK (k < 100)")
+      }
+      val e = intercept[Exception](
+        spark.sql(s"UPDATE $t SET s = 'u' WHERE k = 3"))
+      table.commitHook = () => ()
+      assert(msgs(e).contains("were added after this write was planned"),
+        s"[$tag] expected the planned-checks conflict, got: $e")
+      assert(spark.table(t).where("s = 'u'").count() == 0,
+        s"[$tag] the racing write must revert entirely")
+      assert(table.constraints().map(_.name).toSeq == Seq("k_cap"),
+        s"[$tag] the concurrent ALTER's constraint is the winner")
+      // the re-run plans under the new constraint and lands; a re-run
+      // that VIOLATES it is refused by the injected assertion
+      spark.sql(s"UPDATE $t SET s = 'u' WHERE k = 3")
+      assert(spark.table(t).where("s = 'u'").count() == 1)
+      intercept[Exception](
+        spark.sql(s"UPDATE $t SET k = 500 WHERE k = 3"))
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
+  test("a concurrent equality-delete epoch fails a racing row-level write loudly") {
+    // ADVICE r19 (medium): a batch UPDATE/MERGE rebasing past a
+    // concurrent streaming-upsert epoch re-inserts its snapshot's rows
+    // under fresh file numbers ABOVE the epoch's delete sequence — the
+    // upsert's logical deletes can never apply to them and the
+    // one-row-per-key invariant silently breaks. The delta and
+    // group-replace commits now run the same new-eq-epoch admission
+    // rule the maintenance paths always had, keeping the race loud.
+    spark.conf.set("spark.sql.catalog.graftck",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftck.spec_eq_race"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet', " +
+      "'graft.mode' = 'merge-on-read')")
+    spark.range(0, 20).selectExpr("id AS k", "concat('old', id) AS s")
+      .coalesce(1).writeTo(t).append()
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftck", "spec_eq_race").get
+    val land = java.nio.file.Files.createTempDirectory("eqr_l_").toFile
+    val chk = java.nio.file.Files.createTempDirectory("eqr_c_").toFile
+    spark.range(5, 8).selectExpr("id AS k", "concat('up', id) AS s")
+      .coalesce(1).write.mode("append").parquet(land.getAbsolutePath)
+    @volatile var injected = false
+    table.commitHook = () => if (!injected) {
+      injected = true
+      val q = spark.readStream.schema(spark.table(t).schema)
+        .parquet(land.getAbsolutePath)
+        .writeStream
+        .option("checkpointLocation", chk.getAbsolutePath)
+        .option("graft.upsert.key", "k")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(t)
+      graft.streaming.StreamingOps.awaitDrained(q)
+    }
+    val e = intercept[Exception](
+      spark.sql(s"UPDATE $t SET s = 'touched' WHERE k = 10"))
+    table.commitHook = () => ()
+    def conflictMsg(ex: Throwable): Boolean =
+      Option(ex.getMessage)
+        .exists(_.contains("equality-delete epoch")) ||
+        Option(ex.getCause).exists(conflictMsg)
+    assert(conflictMsg(e),
+      s"expected the new-eq-epoch conflict, got: $e")
+    // only the upsert's change landed; every key has exactly one row
+    assert(spark.table(t).where("s = 'touched'").count() == 0)
+    assert(spark.table(t).where("s like 'up%'").count() == 3)
+    val dup = spark.table(t).groupBy("k").count()
+      .where("count > 1").count()
+    assert(dup == 0, "one row per key must hold after the refused race")
+    // the statement re-run lands against the refreshed state
+    spark.sql(s"UPDATE $t SET s = 'touched' WHERE k = 10")
+    assert(spark.table(t).where("s = 'touched'").count() == 1)
+    assert(spark.table(t).count() == 20)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
   test(".partitions metadata table: per-key summary, NULL partition, AS-OF composition") {
     spark.conf.set("spark.sql.catalog.graftlake",
       classOf[graft.sources.GraftLakeCatalog].getName)
@@ -3166,6 +3356,35 @@ class LakehouseSpec extends SparkTestBase {
       .writeTo(tu).append()
     val u = spark.table(s"$tu.partitions").collect()
     assert(u.length == 1 && u(0).isNullAt(0) && u(0).getLong(3) == 30)
+    // UNRESOLVED EQ-DELETE DEBT (VERDICT r19 task 5): a streaming
+    // upsert epoch logically deletes rows by KEY — live counts must
+    // route through the key-probe machinery (memoized), matching
+    // per-partition COUNT(*) exactly instead of serving inflated
+    // DV-only numbers to a compaction planner
+    val land = java.nio.file.Files.createTempDirectory("pm_eq_l_").toFile
+    val chk = java.nio.file.Files.createTempDirectory("pm_eq_c_").toFile
+    // upsert keys 0..9 (cat 'a': even ids 0..8 → 5 keys replaced;
+    // cat 'b': odd ids 1..9 → 5 keys replaced); all land in cat 'c'
+    spark.range(0, 10)
+      .selectExpr("id AS k", "'c' AS cat")
+      .coalesce(1).write.mode("append").parquet(land.getAbsolutePath)
+    val q = spark.readStream.schema(spark.table(t).schema)
+      .parquet(land.getAbsolutePath)
+      .writeStream
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .option("graft.upsert.key", "k")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(t)
+    graft.streaming.StreamingOps.awaitDrained(q)
+    assert(graft.sources.GraftLakeCatalog
+      .tableFor("graftlake", "spec_parts_meta").get.eqDeletes.nonEmpty,
+      "precondition: the epoch's debt must be unresolved")
+    val exact = spark.table(t).groupBy("cat").count().collect()
+      .map(r => s"[${r.getString(0)}]" -> r.getLong(1)).toMap
+    val probedRows = spark.table(s"$t.partitions").collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(probedRows == exact,
+      s"eq-debt live counts must match COUNT(*): $probedRows vs $exact")
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(s"DROP TABLE IF EXISTS $tu")
   }
