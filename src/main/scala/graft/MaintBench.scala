@@ -223,6 +223,105 @@ object MaintBench {
     require(cwAfter == cwExpected,
       s"cross-writer leg state drifted: $cwAfter vs $cwExpected")
     spark.sql(s"DROP TABLE IF EXISTS $tc1")
+
+    // ---- N-writer sustained contention (VERDICT r19 task 4) ----
+    // FOUR concurrent drivers — two appenders, one CDC MERGE loop, one
+    // compactor — race one 12M-row table. This is the regime the
+    // 2-writer leg above never reaches: sustained mixed contention
+    // where appends rebase silently past CAS losses while the MERGE ×
+    // compaction races abort LOUDLY (replaced groups / DV skew) and
+    // are retried as statement re-runs — exactly what the conflict
+    // message prescribes. Claims: convergence to the exact row count,
+    // a linear contiguous history, and loud aborts that always retry
+    // clean (no wedged writer, no lost update).
+    val whn = java.nio.file.Files.createTempDirectory("maint_nw_wh_")
+      .toFile
+    (1 to 4).foreach { i =>
+      spark.conf.set(s"spark.sql.catalog.gnw$i",
+        classOf[graft.sources.GraftLakeCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.gnw$i.warehouse",
+        whn.getAbsolutePath)
+    }
+    spark.sql("CREATE TABLE gnw1.maint_nw (o_orderkey BIGINT, " +
+      "o_custkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet', " +
+      "'graft.mode' = 'merge-on-read')")
+    timed(s"nw_ingest_x$copies") {
+      (1 to copies).map(_ => base).reduce(_ union _)
+        .repartition(16).writeTo("gnw1.maint_nw").append()
+    }
+    // prime the other drivers' reopen outside the contention timer
+    (2 to 4).foreach(i => spark.table(s"gnw$i.maint_nw").count())
+    val loudRetries = new java.util.concurrent.atomic.AtomicInteger
+    def retrying(body: => Unit): Unit = {
+      var done = false
+      var tries = 0
+      def conflict(c: Throwable): Boolean = c != null &&
+        (Option(c.getMessage).exists(_.contains("write conflict")) ||
+          conflict(c.getCause))
+      while (!done) {
+        try { body; done = true }
+        catch {
+          case e: Exception if tries < 8 && conflict(e) =>
+            tries += 1
+            loudRetries.incrementAndGet()
+        }
+      }
+    }
+    val appendRows = 3000L
+    def appender(w: Int): Runnable = () =>
+      for (it <- 0 until 3) {
+        val df = spark.range(0L, appendRows).selectExpr(
+          s"-(1000000 * $w + 10000 * $it + id + 1) AS o_orderkey",
+          "id AS o_custkey", "'A' AS o_orderstatus",
+          "CAST(1.0 AS DOUBLE) AS o_totalprice").coalesce(1)
+        retrying(df.writeTo(s"gnw$w.maint_nw").append())
+      }
+    val mergeSrc = base.filter("o_orderkey % 1024 = 7")
+      .selectExpr("o_orderkey")
+    mergeSrc.createOrReplaceTempView("nw_cdc_src")
+    val mergeKeys = mergeSrc.count()
+    val merger: Runnable = () =>
+      for (it <- 0 until 4)
+        retrying(spark.sql(
+          "MERGE INTO gnw3.maint_nw t USING nw_cdc_src s " +
+            "ON t.o_orderkey = s.o_orderkey " +
+            s"WHEN MATCHED THEN UPDATE SET t.o_totalprice = ${-1.0 - it}"))
+    val compactor: Runnable = () =>
+      for (_ <- 0 until 3)
+        retrying(spark.sql("CALL gnw4.system.compact('maint_nw')"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val futs = Seq(appender(1), appender(2), merger, compactor)
+      .map(pool.submit(_))
+    timed("nw_contention_2app_1cdc_1compact") { futs.foreach(_.get()) }
+    pool.shutdown()
+    val nwRebases = (1 to 4).map(i => graft.sources.GraftLakeCatalog
+      .tableFor(s"gnw$i", "maint_nw").get.rebases).sum
+    // evict FIRST: a registry entry is a cache over the shared log, and
+    // each writer's entry is only as fresh as its own last refresh — the
+    // convergence read must come from the durable state all four raced to
+    (1 to 4).foreach(i =>
+      graft.sources.GraftLakeCatalog.evict(s"gnw$i", "maint_nw"))
+    val nwAfter = spark.table("gnw1.maint_nw").count()
+    val nwExpected = n + 2L * 3L * appendRows
+    // the LAST merge's value must have stuck on every matched key —
+    // a rebased/retried compaction that resurrected pre-merge rows
+    // would break this (the lost update the loud aborts exist to stop)
+    val nwMerged = spark.table("gnw1.maint_nw")
+      .where("o_totalprice = -4.0").count()
+    println(s"""{"nw_rows_after":$nwAfter,"nw_expected":$nwExpected,""" +
+      s""""nw_merged":$nwMerged,"nw_merge_keys":${mergeKeys * copies},""" +
+      s""""nw_rebases":$nwRebases,"nw_loud_retries":${loudRetries.get()}}""")
+    require(nwAfter == nwExpected,
+      s"N-writer contention drifted: $nwAfter vs $nwExpected")
+    require(nwMerged == mergeKeys * copies,
+      s"merge updates lost under contention: $nwMerged vs ${mergeKeys * copies}")
+    val vers = spark.table("gnw1.maint_nw.history")
+      .orderBy("version").collect().map(_.getInt(0)).toSeq
+    require(vers == (vers.head to vers.max).toSeq,
+      s"history must stay linear and contiguous: $vers")
+    println(s"""{"nw_versions":${vers.length}}""")
+    spark.sql("DROP TABLE IF EXISTS gnw1.maint_nw")
     spark.stop()
   }
 }
