@@ -256,9 +256,17 @@ object MaintBench {
     def retrying(body: => Unit): Unit = {
       var done = false
       var tries = 0
-      def conflict(c: Throwable): Boolean = c != null &&
-        (Option(c.getMessage).exists(_.contains("write conflict")) ||
-          conflict(c.getCause))
+      def conflict(c: Throwable): Boolean = {
+        var cur = c
+        var seen = List.empty[Throwable]
+        while (cur != null && !seen.exists(_ eq cur)) {
+          if (Option(cur.getMessage).exists(_.contains("write conflict")))
+            return true
+          seen ::= cur
+          cur = cur.getCause
+        }
+        false
+      }
       while (!done) {
         try { body; done = true }
         catch {

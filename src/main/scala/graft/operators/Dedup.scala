@@ -385,7 +385,11 @@ object Dedup {
       .filter(col("jaccard") >= 0.9)
     val detected = simhashPairs(spark, sfDir)
       .select(col("i"), col("j"), lit(1L).as("d"))
+    // the strong-pair ⋈ detector relation feeds BOTH the recall
+    // aggregate and the output rows — checkpoint it or the dominant
+    // shingle self-join and the whole detector run twice (review r20)
     val joined = strong.join(detected, Seq("i", "j"), "left")
+      .localCheckpoint(true)
     val recall = joined.agg(
       (coalesce(sum(col("d")), lit(0L)).cast(DoubleType) /
         count(lit(1))).as("recall"))
@@ -961,15 +965,19 @@ object Dedup {
     * continuously-fed corpus keeps itself deduplicated — the batch LSH
     * queries assume a complete corpus; a feed cannot wait for one.
     *
-    * Contract: a document is flagged against EARLIER BATCHES only (its
-    * bands join the index after its batch's probe) — same-batch pairs are
-    * the compaction pass's job ([[minhashLsh]] over the batch). The
-    * candidate pairs accumulate in a results area; exact-Jaccard
-    * verification runs once at the end over the static corpus — banding
+    * Contract: a document is flagged against every EARLIER ARRIVAL —
+    * earlier batches via the index probe, earlier WAVES of its own
+    * batch via an arrival-ordered (file-mtime-sequenced) intra-batch
+    * self-join. A trigger may therefore admit several arrival waves at
+    * once (amortizing the per-trigger fixed cost) with the SAME output
+    * as one-wave-per-trigger; same-WAVE pairs remain the compaction
+    * pass's job ([[minhashLsh]] over the batch). The candidate pairs
+    * accumulate in a results area; exact-Jaccard verification runs
+    * once at the end over the candidate docs only — banding
     * determinism makes the verified output independent of batch
     * boundaries, so the oracle is the cross-chunk restriction of the
-    * exact-Jaccard pair set (the [[minhashLsh]] recall argument applies
-    * verbatim).
+    * exact-Jaccard pair set (the [[minhashLsh]] recall argument
+    * applies verbatim).
     *
     * Scale shape: per batch, one band computation over the batch (tiny)
     * and one equi-join against the bucket-keyed index — at 100 TB the
@@ -995,7 +1003,12 @@ object Dedup {
         java.nio.file.Files.walk(tmp.toPath).iterator().asScala.toSeq
           .sortBy(-_.getNameCount)
           .foreach(java.nio.file.Files.deleteIfExists(_))
-        dst.setLastModified(base + g * 1000L)
+        // the ARRIVAL ORDER the admission stream sequences on — a
+        // filesystem that cannot stamp distinct mtimes must fail the
+        // staging loudly, not silently collapse waves into ties that
+        // the strict '<' intra-batch join would skip (review r20)
+        require(dst.setLastModified(base + g * 1000L),
+          s"cannot stamp arrival mtime on $dst")
       }
     }
     // run-unique scratch (index + candidate results), reaped on JVM exit —

@@ -2073,8 +2073,50 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     synchronized(checks.toArray)
   private def persistConstraints(): Unit =
     log.foreach(_.writeConstraints(checks.map(c =>
-      (c.name, c.predicateSql, c.enforced, c.rely,
+      (c.name, canonicalCheckSql(c.predicateSql), c.enforced, c.rely,
         c.validationStatus.name))))
+
+  /** CHECK predicates PERSIST with column references as FIELD-ID
+    * placeholders (`__gcol_<id>__`) — the same device that makes file
+    * manifests rename-proof. The durable form is RENAME-INVARIANT: a
+    * rename changes only the in-memory (analyzer-facing) predicate
+    * text, never these bytes, so no crash window between the schema
+    * commit and a constraint rewrite can leave a predicate naming a
+    * dead column (review r20). It also gives the rebase admission
+    * guard a rename-stable identity to compare (see
+    * [[requireNoNewChecks]]). Attributes that match no current column
+    * (qualified names; a pre-id legacy file) pass through verbatim. */
+  private def canonicalCheckSql(sql: String): String = {
+    val n2i = schemaNow.fieldNames.zip(colIds)
+    transformCheckAttrs(sql, name =>
+      n2i.collectFirst { case (n, id) if n.equalsIgnoreCase(name) =>
+        s"__gcol_${id}__" })
+  }
+  /** Inverse of [[canonicalCheckSql]] under the CURRENT schema: id
+    * placeholders resolve to the id's current name; anything else —
+    * including a pre-placeholder legacy predicate — is untouched. */
+  private def resolveCheckSql(sql: String): String = {
+    val i2n = colIds.zip(schemaNow.fieldNames).toMap
+    transformCheckAttrs(sql, name =>
+      if (name.startsWith("__gcol_") && name.endsWith("__"))
+        name.stripPrefix("__gcol_").stripSuffix("__")
+          .toIntOption.flatMap(i2n.get)
+      else None)
+  }
+  private def transformCheckAttrs(
+      sql: String, f: String => Option[String]): String = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(sql)
+    val out = parsed.transform {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+        f(a.nameParts.head)
+          .map(n => UnresolvedAttribute(Seq(n)): org.apache.spark.sql
+            .catalyst.expressions.Expression)
+          .getOrElse(a)
+    }
+    if (out eq parsed) sql else out.sql
+  }
   private[sources] def installConstraints(
       cs: Seq[org.apache.spark.sql.connector.catalog.constraints
         .Constraint]): Unit = synchronized {
@@ -2096,7 +2138,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
         org.apache.spark.sql.connector.catalog.constraints.Check] =
     cs.map { case (name, sql, enforced, rely, status) =>
       import org.apache.spark.sql.connector.catalog.constraints.Constraint
-      Constraint.check(name).predicateSql(sql)
+      Constraint.check(name).predicateSql(resolveCheckSql(sql))
         .enforced(enforced).rely(rely)
         .validationStatus(
           Constraint.ValidationStatus.valueOf(status))
@@ -2296,17 +2338,29 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       // travel a version boundary to pin the OLD schema at: VERSION AS
       // OF any pre-ALTER version now resolves that version's schema
       // (see [[schemaInfoAt]]), instead of serving current columns over
-      // old data (ADVICE r13). Ordering: the commit record lands
-      // FIRST, constraints.json only after it is durable — and any
-      // failure on either side restores the prior `checks` vector
-      // (recordCommit's revert covers schema/files but not checks), so
-      // a failed ALTER never leaves a half-applied constraint enforced
-      // on later writes or resurrected on reopen (ADVICE r19).
-      try recordCommit(dataChange = false)
-      catch { case e: Throwable => checks = priorChecks; throw e }
+      // old data (ADVICE r13). Ordering: constraints.json FIRST (an
+      // atomic replace — a failed write leaves the old file intact and
+      // aborts the statement before anything commits), then the
+      // metadata commit; a commit failure restores both the in-memory
+      // vector and the file (recordCommit's own revert covers
+      // schema/files but not checks — ADVICE r19). The crash window
+      // between the two writes is harmless for renames because the
+      // persisted form is field-id-based and therefore identical
+      // bytes; for ADD CONSTRAINT it can only leave a validated
+      // constraint visibly installed, never a dangling one.
       if (cks != priorChecks)
         try persistConstraints()
         catch { case e: Throwable => checks = priorChecks; throw e }
+      try recordCommit(dataChange = false)
+      catch {
+        case e: Throwable =>
+          checks = priorChecks
+          if (cks != priorChecks)
+            try persistConstraints()
+            catch { case _: Throwable => () } // double failure: the
+              // statement still errors; memory holds the prior vector
+          throw e
+      }
     }
   // COMMIT HISTORY: snapshot after every commit, version = index. The
   // `dataChange` flag mirrors Delta's: maintenance commits (DV
@@ -2487,18 +2541,30 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     * before a concurrent ADD CONSTRAINT landed carries rows that were
     * never validated against it — rebasing past the ALTER would commit
     * them anyway and durably violate the constraint (ADVICE r19).
-    * `planned` is the constraint-name set captured when the write was
-    * built; a refreshed state carrying names outside it fails the
-    * commit so the statement re-plans (and re-validates) under the new
-    * constraint. Concurrent DROPs are always compatible. */
-  private def requireNoNewChecks(planned: Set[String]): Unit = {
-    val fresh = checks.map(_.name).filterNot(planned)
+    * `planned` is the (name, field-id-canonical predicate) set
+    * captured when the write was built (see [[plannedCheckSet]]); a
+    * refreshed state carrying a constraint IDENTITY outside it fails
+    * the commit so the statement re-plans (and re-validates) under the
+    * new predicate. Comparing the canonical PREDICATE — not the name
+    * alone — means a concurrent DROP + re-ADD under the same name (the
+    * natural way to tighten a check) is still a loud conflict, while a
+    * concurrent RENAME COLUMN (id-stable, semantics unchanged) rebases
+    * fine (review r20). Concurrent DROPs are always compatible. */
+  private def requireNoNewChecks(planned: Set[(String, String)]): Unit = {
+    val fresh = checks
+      .map(c => (c.name, canonicalCheckSql(c.predicateSql)))
+      .filterNot(planned)
     if (fresh.nonEmpty) throw new IllegalStateException(
       s"write conflict on $tableName: CHECK constraint(s) " +
-        s"${fresh.mkString(", ")} were added after this write was " +
-        "planned — its rows were never validated against them; re-run " +
-        "the statement so the analyzer injects the new check(s)")
+        s"${fresh.map(_._1).mkString(", ")} were added after this " +
+        "write was planned — its rows were never validated against " +
+        "them; re-run the statement so the analyzer injects the new " +
+        "check(s)")
   }
+  /** The constraint identities a write is planned under — captured at
+    * builder/operation construction, compared by every rebase. */
+  private def plannedCheckSet: Set[(String, String)] = synchronized(
+    checks.map(c => (c.name, canonicalCheckSql(c.predicateSql))).toSet)
 
   /** Loud-conflict guard for row-level rebases: a concurrent
     * EQUALITY-DELETE epoch (streaming upsert) that arrived after this
@@ -3763,7 +3829,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     synchronized(dvs)
 
   private def appendFiles(pendings: Vector[GraftLakePending],
-      plannedChecks: Set[String]): Unit =
+      plannedChecks: Set[(String, String)]): Unit =
     synchronized {
       // appends rebase across DATA commits unconditionally: under
       // snapshot isolation a concurrent commit can never conflict with
@@ -3786,7 +3852,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     * including a crash between data-write and checkpoint-advance. */
   private def commitEpoch(queryId: String, truncate: Boolean,
       upsertKey: Option[String] = None,
-      plannedChecks: Set[String] = Set.empty)(
+      plannedChecks: Set[(String, String)] = Set.empty)(
       epochId: Long, pendings: Vector[GraftLakePending],
       keyMetas: Vector[GraftLakeFileMeta] = Vector.empty): Unit =
     synchronized {
@@ -3968,7 +4034,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     retryCas(cleanup = new java.io.File(m.tmpPath).delete())(
       adoptEqFile(m))
   private def truncateTo(pendings: Vector[GraftLakePending],
-      plannedChecks: Set[String]): Unit =
+      plannedChecks: Set[(String, String)]): Unit =
     synchronized {
       requireNoNewChecks(plannedChecks)
       files = mkFiles(pendings); dvs = Map.empty; recordCommit(true)
@@ -4041,7 +4107,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
   private def replaceGroups(removed: Set[String],
       pendings: Vector[GraftLakePending],
       eqs0: Vector[GraftEqDelete],
-      plannedChecks: Set[String]): Unit = {
+      plannedChecks: Set[(String, String)]): Unit = {
     commitHook()
     synchronized {
       val minted = mintWithRebase(pendings)
@@ -4076,7 +4142,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     * inserts were derived from values that may now be dead, the MoR
     * shape of the lost update. Both abort loudly for retry. */
   private def applyDelta(expected: Map[String, Set[Long]],
-      eqs0: Vector[GraftEqDelete], plannedChecks: Set[String])(
+      eqs0: Vector[GraftEqDelete], plannedChecks: Set[(String, String)])(
       deleted: Map[String, Set[Long]],
       pendings: Vector[GraftLakePending]): Unit = {
     commitHook()
@@ -4291,7 +4357,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       // the CHECK constraints this write's analysis injected row
       // assertions for — the commit refuses to land past any name
       // outside this set (see requireNoNewChecks)
-      private val plannedChecks = constraints().map(_.name).toSet
+      private val plannedChecks = plannedCheckSet
       private var truncateRequested = false
       override def truncate(): WriteBuilder = {
         truncateRequested = true; this
@@ -4390,7 +4456,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       private val opSchema = schema()
       private val opIds = idToName
       private val opDefaults = defaults
-      private val opChecks = constraints().map(_.name).toSet
+      private val opChecks = plannedCheckSet
 
       override def command(): RowLevelOperation.Command = info.command()
       override def rowId(): Array[NamedReference] =
@@ -4430,7 +4496,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       private val opSchema = schema()
       private val opIds = idToName
       private val opDefaults = defaults
-      private val opChecks = constraints().map(_.name).toSet
+      private val opChecks = plannedCheckSet
       private val state = new GroupScanState(snap.files.map(_.id).toSet)
 
       override def command(): RowLevelOperation.Command = info.command()

@@ -354,15 +354,7 @@ class DurableCatalogSpec extends SparkTestBase {
     // driver 1 is now STALE and its analysis knows nothing of it
     assert(spark.table(t2).count() == 5)
     spark.sql(s"ALTER TABLE $t2 ADD CONSTRAINT k_pos CHECK (k > 0)")
-    def msgs(x: Throwable): String = {
-      var c: Throwable = x; val sb = new StringBuilder
-      var seen = List.empty[Throwable]
-      while (c != null && !seen.exists(_ eq c)) {
-        sb.append(Option(c.getMessage).getOrElse("")); seen ::= c
-        c = c.getCause
-      }
-      sb.toString
-    }
+    def msgs(x: Throwable): String = causeMessages(x)
     // the stale append loses the version CAS, refreshes, finds k_pos
     // absent from its plan-time set — and stays loud instead of
     // committing never-validated rows

@@ -3042,8 +3042,7 @@ class LakehouseSpec extends SparkTestBase {
     }
     table.commitHook = () => ()
     def conflictMsg(ex: Throwable): Boolean =
-      Option(ex.getMessage).exists(_.contains("write conflict")) ||
-        Option(ex.getCause).exists(conflictMsg)
+      causeMessages(ex).contains("write conflict")
     assert(conflictMsg(e), s"expected a write-conflict abort, got $e")
     assert(spark.table(t).count() == before.length,
       "the concurrent delete's change is the only one")
@@ -3108,15 +3107,7 @@ class LakehouseSpec extends SparkTestBase {
     spark.sql(s"INSERT INTO $t VALUES (7, 'zz')") // s_a never installed
     // DROP COLUMN refuses while a CHECK references the column
     val e2 = intercept[Exception](spark.sql(s"ALTER TABLE $t DROP COLUMN k"))
-    def msgs(x: Throwable): String = {
-      var c: Throwable = x; val sb = new StringBuilder
-      var seen = List.empty[Throwable]
-      while (c != null && !seen.exists(_ eq c)) {
-        sb.append(Option(c.getMessage).getOrElse("")); seen ::= c
-        c = c.getCause
-      }
-      sb.toString
-    }
+    def msgs(x: Throwable): String = causeMessages(x)
     assert(msgs(e2).contains("k_pos"), s"got: $e2")
     // PK/UNIQUE/FK are refused loudly, never silently declared
     val e3 = intercept[Exception](
@@ -3220,15 +3211,7 @@ class LakehouseSpec extends SparkTestBase {
     // re-validates) under the new constraint.
     spark.conf.set("spark.sql.catalog.graftck",
       classOf[graft.sources.GraftLakeCatalog].getName)
-    def msgs(x: Throwable): String = {
-      var c: Throwable = x; val sb = new StringBuilder
-      var seen = List.empty[Throwable]
-      while (c != null && !seen.exists(_ eq c)) {
-        sb.append(Option(c.getMessage).getOrElse("")); seen ::= c
-        c = c.getCause
-      }
-      sb.toString
-    }
+    def msgs(x: Throwable): String = causeMessages(x)
     for ((mode, tag) <- Seq("merge-on-read" -> "mor",
         "copy-on-write" -> "cow")) {
       val t = s"graftck.spec_ck_race_$tag"
@@ -3262,6 +3245,89 @@ class LakehouseSpec extends SparkTestBase {
         spark.sql(s"UPDATE $t SET k = 500 WHERE k = 3"))
       spark.sql(s"DROP TABLE IF EXISTS $t")
     }
+  }
+
+  test("constraint identity is (name, field-id predicate): redefinition trips the guard, rename does not") {
+    // review r20: the rebase guard used to compare NAMES only — a
+    // concurrent DROP + re-ADD under the same name (the natural way to
+    // tighten a check) would launder never-validated rows through the
+    // rebase. Identity is now the field-id-CANONICAL predicate, which
+    // also makes a concurrent RENAME COLUMN (id-stable, semantics
+    // unchanged) rebase silently instead of conflicting.
+    spark.conf.set("spark.sql.catalog.graftck",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftck.spec_ck_ident"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (k BIGINT, s STRING, " +
+      "CONSTRAINT k_cap CHECK (k < 100)) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet', " +
+      "'graft.mode' = 'merge-on-read')")
+    spark.range(0, 10).selectExpr("id AS k", "'v' AS s")
+      .coalesce(1).writeTo(t).append()
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftck", "spec_ck_ident").get
+    // (1) same-name redefinition mid-flight: loud conflict
+    @volatile var injected = false
+    table.commitHook = () => if (!injected) {
+      injected = true
+      spark.sql(s"ALTER TABLE $t DROP CONSTRAINT k_cap")
+      spark.sql(s"ALTER TABLE $t ADD CONSTRAINT k_cap CHECK (k < 50)")
+    }
+    val e = intercept[Exception](
+      spark.sql(s"UPDATE $t SET s = 'u' WHERE k = 3"))
+    table.commitHook = () => ()
+    assert(causeMessages(e).contains("were added after this write was planned"),
+      s"a same-name redefinition must stay a loud conflict: $e")
+    assert(spark.table(t).where("s = 'u'").count() == 0)
+    // the re-run validates under the TIGHTENED predicate and lands
+    spark.sql(s"UPDATE $t SET s = 'u' WHERE k = 3")
+    assert(spark.table(t).where("s = 'u'").count() == 1)
+    // (2) rename mid-flight: id-stable identity, the write lands
+    injected = false
+    table.commitHook = () => if (!injected) {
+      injected = true
+      spark.sql(s"ALTER TABLE $t RENAME COLUMN s TO label")
+    }
+    spark.sql(s"UPDATE $t SET k = 47 WHERE k = 4")
+    table.commitHook = () => ()
+    assert(spark.table(t).where("k = 47").count() == 1,
+      "a concurrent rename must not conflict a racing write")
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+  }
+
+  test("CHECK predicates persist by field id: rename-invariant bytes, legacy files still load") {
+    spark.conf.set("spark.sql.catalog.graftck",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    val t = "graftck.spec_ck_persist"
+    spark.sql(s"DROP TABLE IF EXISTS $t")
+    spark.sql(s"CREATE TABLE $t (amount BIGINT, " +
+      "CONSTRAINT pos_chk CHECK (amount > 0)) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    spark.sql(s"INSERT INTO $t VALUES (5)")
+    val table = graft.sources.GraftLakeCatalog
+      .tableFor("graftck", "spec_ck_persist").get
+    val cj = new java.io.File(new java.io.File(
+      new java.io.File(table.filePaths.values.head).getParentFile,
+      "_graft_log"), "constraints.json")
+    val bytes0 = java.nio.file.Files.readString(cj.toPath)
+    assert(bytes0.contains("__gcol_0__") && !bytes0.contains("amount"),
+      s"the durable predicate must reference the FIELD ID: $bytes0")
+    // a rename leaves the durable bytes IDENTICAL — there is no
+    // crash window in which the file could name a dead column
+    spark.sql(s"ALTER TABLE $t RENAME COLUMN amount TO price")
+    assert(java.nio.file.Files.readString(cj.toPath) == bytes0,
+      "rename must not change the persisted constraint bytes")
+    graft.sources.GraftLakeCatalog.evict("graftck", "spec_ck_persist")
+    intercept[Exception](spark.sql(s"INSERT INTO $t VALUES (-1)"))
+    spark.sql(s"INSERT INTO $t VALUES (6)")
+    // legacy plain-name files (pre-placeholder format) load verbatim
+    java.nio.file.Files.writeString(cj.toPath, bytes0
+      .replace("__gcol_0__", "price"))
+    graft.sources.GraftLakeCatalog.evict("graftck", "spec_ck_persist")
+    intercept[Exception](spark.sql(s"INSERT INTO $t VALUES (-2)"))
+    spark.sql(s"INSERT INTO $t VALUES (7)")
+    assert(spark.table(t).count() == 3)
+    spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
   test("a concurrent equality-delete epoch fails a racing row-level write loudly") {
@@ -3303,9 +3369,7 @@ class LakehouseSpec extends SparkTestBase {
       spark.sql(s"UPDATE $t SET s = 'touched' WHERE k = 10"))
     table.commitHook = () => ()
     def conflictMsg(ex: Throwable): Boolean =
-      Option(ex.getMessage)
-        .exists(_.contains("equality-delete epoch")) ||
-        Option(ex.getCause).exists(conflictMsg)
+      causeMessages(ex).contains("equality-delete epoch")
     assert(conflictMsg(e),
       s"expected the new-eq-epoch conflict, got: $e")
     // only the upsert's change landed; every key has exactly one row
@@ -3517,15 +3581,7 @@ class LakehouseSpec extends SparkTestBase {
         s"CALL graftlake.system.compact_files('spec_maint_rebase', 1000)")
     }
     table.commitHook = () => ()
-    def msgs(x: Throwable): String = {
-      var c: Throwable = x; val sb = new StringBuilder
-      var seen = List.empty[Throwable]
-      while (c != null && !seen.exists(_ eq c)) {
-        sb.append(Option(c.getMessage).getOrElse("")); seen ::= c
-        c = c.getCause
-      }
-      sb.toString
-    }
+    def msgs(x: Throwable): String = causeMessages(x)
     assert(msgs(e).contains("write conflict"), s"got: $e")
     assert(spark.table(t).count() == 298,
       "the injected delete is the only change; the pack adopted nothing")
@@ -4310,15 +4366,7 @@ class LakehouseSpec extends SparkTestBase {
       .toTable(t)
     val e = intercept[Exception](
       graft.streaming.StreamingOps.awaitDrained(q))
-    def msgs(x: Throwable): String = {
-      var c: Throwable = x; val sb = new StringBuilder
-      var seen = List.empty[Throwable]
-      while (c != null && !seen.exists(_ eq c)) {
-        sb.append(Option(c.getMessage).getOrElse("")); seen ::= c
-        c = c.getCause
-      }
-      sb.toString
-    }
+    def msgs(x: Throwable): String = causeMessages(x)
     assert(msgs(e).contains("duplicate upsert key"),
       s"duplicate keys must fail loudly, got: $e")
     assert(table().currentVersion == v0,
@@ -4456,15 +4504,7 @@ class LakehouseSpec extends SparkTestBase {
     val table = graft.sources.GraftLakeCatalog
       .tableFor("graftarb", "spec_arbiter").get
     val v0 = table.currentVersion
-    def msgs(x: Throwable): String = {
-      var c: Throwable = x; val sb = new StringBuilder
-      var seen = List.empty[Throwable]
-      while (c != null && !seen.exists(_ eq c)) {
-        sb.append(Option(c.getMessage).getOrElse("")); seen ::= c
-        c = c.getCause
-      }
-      sb.toString
-    }
+    def msgs(x: Throwable): String = causeMessages(x)
     val posix = PosixCommitArbiter
     // the active arbiter is a JVM-wide seam and ScalaTest runs SUITES
     // in parallel: an unscoped injection would refuse ANOTHER suite's

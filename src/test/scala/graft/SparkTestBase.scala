@@ -23,4 +23,19 @@ trait SparkTestBase extends AnyFunSuite {
 
   def run(name: String, sf: String = Sf): org.apache.spark.sql.DataFrame =
     SparkEntry.queries(name)(spark, sf)
+
+  /** All messages down the cause chain, concatenated (cycle-guarded) —
+    * the one walker the conflict/constraint specs share instead of
+    * per-test copies (review r20). */
+  def causeMessages(x: Throwable): String = {
+    var c: Throwable = x
+    val sb = new StringBuilder
+    var seen = List.empty[Throwable]
+    while (c != null && !seen.exists(_ eq c)) {
+      sb.append(Option(c.getMessage).getOrElse("")).append('\n')
+      seen ::= c
+      c = c.getCause
+    }
+    sb.toString
+  }
 }
