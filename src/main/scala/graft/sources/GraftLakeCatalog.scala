@@ -2084,8 +2084,11 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     * commit and a constraint rewrite can leave a predicate naming a
     * dead column (review r20). It also gives the rebase admission
     * guard a rename-stable identity to compare (see
-    * [[requireNoNewChecks]]). Attributes that match no current column
-    * (qualified names; a pre-id legacy file) pass through verbatim. */
+    * [[requireNoNewChecks]]). A NESTED reference (`s.leaf`) keys on its
+    * ROOT column — only top-level columns carry ids, and a rename can
+    * only touch the root — so `s.leaf > 0` persists as
+    * `__gcol_<id(s)>__.leaf > 0`. Attributes whose root matches no
+    * current column (a pre-id legacy file) pass through verbatim. */
   private def canonicalCheckSql(sql: String): String = {
     val n2i = schemaNow.fieldNames.zip(colIds)
     transformCheckAttrs(sql, name =>
@@ -2103,16 +2106,20 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           .toIntOption.flatMap(i2n.get)
       else None)
   }
+  /** Rewrite the ROOT part of every attribute `f` maps (tail parts —
+    * nested field steps — ride along untouched). CHECK predicates
+    * resolve against the row schema alone, so a multi-part name is a
+    * struct access rooted at a column, never a table qualification. */
   private def transformCheckAttrs(
       sql: String, f: String => Option[String]): String = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       .parseExpression(sql)
     val out = parsed.transform {
-      case a: UnresolvedAttribute if a.nameParts.length == 1 =>
+      case a: UnresolvedAttribute =>
         f(a.nameParts.head)
-          .map(n => UnresolvedAttribute(Seq(n)): org.apache.spark.sql
-            .catalyst.expressions.Expression)
+          .map(n => UnresolvedAttribute(a.nameParts.updated(0, n))
+            : org.apache.spark.sql.catalyst.expressions.Expression)
           .getOrElse(a)
     }
     if (out eq parsed) sql else out.sql
@@ -2247,13 +2254,16 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
                     s"${c.name} (${c.predicateSql}) does not re-parse " +
                     "— DROP the constraint first")
             }
+            // head-part match: a one-part attr IS the column; a
+            // multi-part attr is a nested access ROOTED at it
+            // (`s.leaf` under RENAME s) — the tail rides along
             val renamed = parsed.transform {
               case a: org.apache.spark.sql.catalyst.analysis
                   .UnresolvedAttribute
-                  if a.nameParts.length == 1 &&
-                    a.nameParts.head.equalsIgnoreCase(oldName) =>
+                  if a.nameParts.head.equalsIgnoreCase(oldName) =>
                 org.apache.spark.sql.catalyst.analysis
-                  .UnresolvedAttribute(Seq(ren.newName()))
+                  .UnresolvedAttribute(
+                    a.nameParts.updated(0, ren.newName()))
             }
             if (renamed eq parsed) c
             else {

@@ -3199,6 +3199,40 @@ class LakehouseSpec extends SparkTestBase {
     spark.sql(s"INSERT INTO $t2 VALUES (11, 1, -7)") // e_pos never installed
     assert(spark.table(t2).count() == 4)
     spark.sql(s"DROP TABLE IF EXISTS $t2")
+
+    // (4) a CHECK rooted at a NESTED reference survives renaming the
+    // ROOT struct column: `s.leaf > 0` must follow RENAME COLUMN s —
+    // the rewrite and the field-id persistence both key on the HEAD
+    // part (only roots carry ids / can be renamed), so the tail rides
+    // along instead of dangling (review r20: the one-part-only rewrite
+    // left exactly this corner of the r19 brick open)
+    val t3 = "graftck.spec_ck_nested"
+    spark.sql(s"DROP TABLE IF EXISTS $t3")
+    spark.sql(s"CREATE TABLE $t3 (k BIGINT, s STRUCT<leaf: BIGINT>, " +
+      "CONSTRAINT leaf_pos CHECK (s.leaf > 0)) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    spark.sql(s"INSERT INTO $t3 VALUES (1, named_struct('leaf', 5L))")
+    intercept[Exception](
+      spark.sql(s"INSERT INTO $t3 VALUES (2, named_struct('leaf', -1L))"))
+    spark.sql(s"ALTER TABLE $t3 RENAME COLUMN s TO payload")
+    val t3sql = graft.sources.GraftLakeCatalog
+      .tableFor("graftck", "spec_ck_nested").get.constraints()(0)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.constraints
+        .Check].predicateSql
+    assert(t3sql.contains("payload") && !t3sql.matches("(?s).*\\bs\\b.*"),
+      s"nested predicate must follow the root rename: $t3sql")
+    intercept[Exception](
+      spark.sql(s"INSERT INTO $t3 VALUES (3, named_struct('leaf', -2L))"))
+    spark.sql(s"INSERT INTO $t3 VALUES (4, named_struct('leaf', 6L))")
+    // reopen: the persisted (field-id) form resolves under the new name
+    graft.sources.GraftLakeCatalog.evict("graftck", "spec_ck_nested")
+    intercept[Exception](
+      spark.sql(s"INSERT INTO $t3 VALUES (5, named_struct('leaf', -3L))"))
+    assert(spark.table(t3).count() == 2)
+    // DROP COLUMN still refuses while the nested check references it
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $t3 DROP COLUMN payload"))
+    spark.sql(s"DROP TABLE IF EXISTS $t3")
   }
 
   test("a CHECK added mid-flight fails the racing write loudly; rebase never launders it") {
