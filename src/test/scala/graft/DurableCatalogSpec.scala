@@ -377,12 +377,13 @@ class DurableCatalogSpec extends SparkTestBase {
   }
 
   test("a failed ALTER ADD CONSTRAINT leaves nothing half-applied") {
-    // ADVICE r19 (low): constraints.json used to persist BEFORE the
-    // version commit, and the commit's CAS-loss revert restored
-    // files/schema but not `checks` — a failed ALTER stayed enforced on
-    // later writes and resurrected on reopen. Ordering is now
-    // commit-record first, constraint file only after it is durable,
-    // with the prior vector restored on any failure.
+    // ADVICE r19 (low): constraints.json persisted BEFORE the version
+    // commit, and the commit's CAS-loss revert restored files/schema
+    // but not `checks` — a failed ALTER stayed enforced on later
+    // writes and resurrected on reopen. The ordering is still
+    // constraints-file-first (the field-id persisted form makes the
+    // crash window between the two writes harmless), but a commit
+    // failure now restores BOTH the in-memory vector and the file.
     useCatalog()
     spark.conf.set("spark.sql.catalog.graftdur2",
       classOf[graft.sources.GraftLakeCatalog].getName)
