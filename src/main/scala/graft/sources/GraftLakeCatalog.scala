@@ -2106,23 +2106,46 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           .toIntOption.flatMap(i2n.get)
       else None)
   }
+  /** Does the predicate contain a higher-order-function lambda?
+    * `Expression.sql` regenerates `x -> x > 0` as
+    * `lambdafunction((x > 0), x)` — a spelling the analyzer does NOT
+    * re-bind as a lambda (the parameter resolves as a COLUMN, silently
+    * changing the predicate's meaning, or bricking writes when no such
+    * column exists — review r20b). Lambda-bearing predicates therefore
+    * NEVER round-trip through regeneration: they persist verbatim, and
+    * a rename touching one is refused like DROP COLUMN. */
+  private def checkSqlHasLambda(sql: String): Boolean =
+    try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(sql).exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.LambdaFunction])
+    catch { case scala.util.control.NonFatal(_) => false }
+
   /** Rewrite the ROOT part of every attribute `f` maps (tail parts —
     * nested field steps — ride along untouched). CHECK predicates
     * resolve against the row schema alone, so a multi-part name is a
-    * struct access rooted at a column, never a table qualification. */
+    * struct access rooted at a column, never a table qualification.
+    * A lambda-bearing predicate passes through VERBATIM (see
+    * [[checkSqlHasLambda]] — regeneration would corrupt it, and its
+    * parameters shadow same-named columns anyway). */
   private def transformCheckAttrs(
       sql: String, f: String => Option[String]): String = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Expression,
+      LambdaFunction}
     val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       .parseExpression(sql)
+    if (parsed.exists(_.isInstanceOf[LambdaFunction])) return sql
+    var changed = false
     val out = parsed.transform {
       case a: UnresolvedAttribute =>
-        f(a.nameParts.head)
-          .map(n => UnresolvedAttribute(a.nameParts.updated(0, n))
-            : org.apache.spark.sql.catalyst.expressions.Expression)
-          .getOrElse(a)
+        f(a.nameParts.head) match {
+          case Some(n) =>
+            changed = true
+            (UnresolvedAttribute(a.nameParts.updated(0, n)): Expression)
+          case None => a
+        }
     }
-    if (out eq parsed) sql else out.sql
+    if (!changed) sql else out.sql
   }
   private[sources] def installConstraints(
       cs: Seq[org.apache.spark.sql.connector.catalog.constraints
@@ -2245,33 +2268,44 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           // and a metadata-only rename bricks the table (VERDICT r19).
           val oldName = fields(i).name
           cks = cks.map { c =>
-            val parsed = try org.apache.spark.sql.catalyst.parser
-              .CatalystSqlParser.parseExpression(c.predicateSql)
-            catch {
-              case scala.util.control.NonFatal(_) =>
+            // lambda-bearing predicates persist verbatim (regeneration
+            // corrupts the lambda binding — [[checkSqlHasLambda]]): a
+            // rename that textually touches one is refused like DROP
+            // COLUMN (conservative word boundary; a false positive —
+            // e.g. a shadowing lambda parameter — just demands a
+            // re-declare, never a silent dangle or rebind)
+            if (checkSqlHasLambda(c.predicateSql)) {
+              val pat = ("(?s).*\\b" +
+                java.util.regex.Pattern.quote(oldName) + "\\b.*")
+              if (c.predicateSql.matches(pat))
                 throw new IllegalArgumentException(
                   s"cannot rename column $oldName: CHECK constraint " +
-                    s"${c.name} (${c.predicateSql}) does not re-parse " +
-                    "— DROP the constraint first")
-            }
-            // head-part match: a one-part attr IS the column; a
-            // multi-part attr is a nested access ROOTED at it
-            // (`s.leaf` under RENAME s) — the tail rides along
-            val renamed = parsed.transform {
-              case a: org.apache.spark.sql.catalyst.analysis
-                  .UnresolvedAttribute
-                  if a.nameParts.head.equalsIgnoreCase(oldName) =>
-                org.apache.spark.sql.catalyst.analysis
-                  .UnresolvedAttribute(
-                    a.nameParts.updated(0, ren.newName()))
-            }
-            if (renamed eq parsed) c
-            else {
-              import org.apache.spark.sql.connector.catalog.constraints
-                .Constraint
-              Constraint.check(c.name).predicateSql(renamed.sql)
-                .enforced(c.enforced).rely(c.rely)
-                .validationStatus(c.validationStatus).build()
+                    s"${c.name} (${c.predicateSql}) contains a lambda " +
+                    "that mentions it — DROP the constraint first and " +
+                    "re-declare it under the new name")
+              c
+            } else {
+              // the shared walker: head-part match (a one-part attr
+              // IS the column; a multi-part attr is a nested access
+              // ROOTED at it — the tail rides along)
+              val renamed = try transformCheckAttrs(c.predicateSql,
+                name => if (name.equalsIgnoreCase(oldName))
+                  Some(ren.newName()) else None)
+              catch {
+                case scala.util.control.NonFatal(_) =>
+                  throw new IllegalArgumentException(
+                    s"cannot rename column $oldName: CHECK constraint " +
+                      s"${c.name} (${c.predicateSql}) does not re-parse " +
+                      "— DROP the constraint first")
+              }
+              if (renamed == c.predicateSql) c
+              else {
+                import org.apache.spark.sql.connector.catalog.constraints
+                  .Constraint
+                Constraint.check(c.name).predicateSql(renamed)
+                  .enforced(c.enforced).rely(c.rely)
+                  .validationStatus(c.validationStatus).build()
+              }
             }
           }
           fields = fields.updated(i, fields(i).copy(name = ren.newName()))
@@ -2348,29 +2382,34 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       // travel a version boundary to pin the OLD schema at: VERSION AS
       // OF any pre-ALTER version now resolves that version's schema
       // (see [[schemaInfoAt]]), instead of serving current columns over
-      // old data (ADVICE r13). Ordering: constraints.json FIRST (an
-      // atomic replace — a failed write leaves the old file intact and
-      // aborts the statement before anything commits), then the
-      // metadata commit; a commit failure restores both the in-memory
-      // vector and the file (recordCommit's own revert covers
-      // schema/files but not checks — ADVICE r19). The crash window
-      // between the two writes is harmless for renames because the
-      // persisted form is field-id-based and therefore identical
-      // bytes; for ADD CONSTRAINT it can only leave a validated
-      // constraint visibly installed, never a dangling one.
-      if (cks != priorChecks)
-        try persistConstraints()
-        catch { case e: Throwable => checks = priorChecks; throw e }
+      // old data (ADVICE r13). Ordering: the VERSION CAS FIRST,
+      // constraints.json only after the claim is won (review r20b).
+      // The CAS is the only cross-driver staleness detector — a stale
+      // driver's ALTER would otherwise overwrite the file from its
+      // stale in-memory vector BEFORE losing the claim, durably
+      // erasing a concurrent driver's constraint even though its own
+      // statement then fails. A won claim proves this driver's state
+      // (incl. the vector the change built on — refreshFromLog
+      // reloads `checks` from disk) was current. A CAS loss refreshes
+      // before propagating so the statement RE-RUN plans and
+      // re-validates against the current state; recordCommit's own
+      // revert restores the schema triple, this catch the checks.
+      // The crash/IO window between the won commit and the file
+      // write: a RENAME persists identical bytes (field-id form); a
+      // failed ADD/DROP persist leaves the durable set one errored
+      // statement behind while this driver's memory stays correct —
+      // the next successful constraint ALTER (or the statement
+      // re-run) converges the file. Never restore memory after the
+      // win: the committed version was validated under the NEW
+      // vector, and memory is what this driver enforces with.
       try recordCommit(dataChange = false)
       catch {
         case e: Throwable =>
           checks = priorChecks
-          if (cks != priorChecks)
-            try persistConstraints()
-            catch { case _: Throwable => () } // double failure: the
-              // statement still errors; memory holds the prior vector
+          if (isCasLoss(e) && log.isDefined) refreshFromLog()
           throw e
       }
+      if (cks != priorChecks) persistConstraints()
     }
   // COMMIT HISTORY: snapshot after every commit, version = index. The
   // `dataChange` flag mirrors Delta's: maintenance commits (DV
@@ -2740,12 +2779,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     // expire_snapshots: a file shared with a retained version survives —
     // and so does a file pinned by an active row-level operation.
     lakeDir.foreach { dir =>
-      val live = (history.flatMap(_._1.files) ++ files)
-        .flatMap(_.path).toSet ++ livePinnedPaths() ++ branchStagedPaths ++
-        // equality-delete keys files referenced by any retained
-        // snapshot (scan tasks still read them) stay; dropped ones age
-        // out like any other unreferenced file
-        (history.flatMap(_._1.eqs) ++ eqs).map(_.path).toSet
+      val live = liveDataPaths()
       val tmpCutoff =
         System.currentTimeMillis() - GraftLakeTable.PinStaleMillis
       Option(dir.listFiles()).getOrElse(Array.empty)
@@ -2797,14 +2831,32 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     * stale-claim protocol guard regardless of the cutoff. A reclaimed
     * orphan's manifest dies with it (manifests of KEPT young orphans
     * survive — the keep-set is live ∪ whatever remains on disk). */
+  /** THE definition of "reachable storage" both vacuums share — every
+    * data/keys object any retained snapshot, active row-level pin, or
+    * staged branch commit references. A single formula: a reference
+    * class added for one reclaim path can never be forgotten by the
+    * other (review r20b — the two copies had already begun to drift in
+    * comment text).
+    *  - retained snapshots' data files (history is the retained
+    *    window; the current state is its last entry) plus the
+    *    in-flight `files` vector;
+    *  - files pinned by active row-level operations (their scans
+    *    still read them past a concurrent expire);
+    *  - branch-staged commits (invisible to main history but
+    *    published later);
+    *  - equality-delete keys files of any retained snapshot (scan
+    *    tasks still probe them). */
+  private def liveDataPaths(): Set[String] =
+    (history.flatMap(_._1.files) ++ files)
+      .flatMap(_.path).toSet ++ livePinnedPaths() ++ branchStagedPaths ++
+      (history.flatMap(_._1.eqs) ++ eqs).map(_.path).toSet
+
   private[sources] def removeOrphanFiles(
       olderThanMillis: Long): (Int, Int) = synchronized {
     var orphans = 0
     var stagedDirs = 0
     lakeDir.foreach { dir =>
-      val live = (history.flatMap(_._1.files) ++ files)
-        .flatMap(_.path).toSet ++ livePinnedPaths() ++ branchStagedPaths ++
-        (history.flatMap(_._1.eqs) ++ eqs).map(_.path).toSet
+      val live = liveDataPaths()
       Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(_.isFile) // never the _graft_log dir
         .filterNot(f => live.contains(f.getAbsolutePath))

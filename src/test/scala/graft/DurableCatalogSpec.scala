@@ -425,6 +425,50 @@ class DurableCatalogSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $t1")
   }
 
+  test("a stale driver's failed ALTER cannot erase a concurrent driver's constraint") {
+    // review r20b: constraints.json used to be overwritten from the
+    // stale driver's in-memory vector BEFORE the version CAS ran — a
+    // concurrent driver's freshly-added constraint was durably erased
+    // by a statement that then FAILED. The file is now written only
+    // after the claim is won (the CAS is the staleness detector), and
+    // a CAS loss refreshes the loser so its re-run plans current.
+    useCatalog()
+    spark.conf.set("spark.sql.catalog.graftdur2",
+      classOf[graft.sources.GraftLakeCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftdur2.warehouse", wh)
+    val t1 = "graftdur.dur_ck_clobber"
+    val t2 = "graftdur2.dur_ck_clobber"
+    spark.sql(s"DROP TABLE IF EXISTS $t1")
+    spark.sql(s"CREATE TABLE $t1 (k BIGINT) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    spark.range(1, 4).selectExpr("id AS k").coalesce(1)
+      .writeTo(t1).append() // v1 via driver 1
+    // driver 2 reopens from disk and installs k_pos (v2)
+    assert(spark.table(t2).count() == 3)
+    spark.sql(s"ALTER TABLE $t2 ADD CONSTRAINT k_pos CHECK (k > 0)")
+    // stale driver 1 installs a DIFFERENT constraint: its version CAS
+    // loses before anything durable is touched, the statement fails
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $t1 ADD CONSTRAINT k_cap CHECK (k < 100)"))
+    // the loss refreshed driver 1 — its memory now carries the
+    // winner's constraint, and the RE-RUN lands on the current state
+    spark.sql(s"ALTER TABLE $t1 ADD CONSTRAINT k_cap CHECK (k < 100)")
+    // a FRESH reopen proves the durable story: the winner's constraint
+    // was never clobbered, and the re-run's landed alongside it
+    graft.sources.GraftLakeCatalog.evict("graftdur", "dur_ck_clobber")
+    assert(spark.table(t1).count() == 3) // reopen from disk
+    val names = graft.sources.GraftLakeCatalog
+      .tableFor("graftdur", "dur_ck_clobber").get
+      .constraints().map(_.name).toSeq.sorted
+    assert(names == Seq("k_cap", "k_pos"),
+      s"both constraints must survive the race on disk: $names")
+    intercept[Exception](spark.sql(s"INSERT INTO $t1 VALUES (-1)"))
+    intercept[Exception](spark.sql(s"INSERT INTO $t1 VALUES (200)"))
+    spark.sql(s"INSERT INTO $t1 VALUES (50)")
+    assert(spark.table(t1).count() == 4)
+    spark.sql(s"DROP TABLE IF EXISTS $t1")
+  }
+
   test("dir-swap arbiter primitives: lock CAS, filled-name conflict, stale reclaim, lost fill") {
     import graft.sources.{DirSwapCommitArbiter => arb, GraftClaimConflict}
     val dir = java.nio.file.Files.createTempDirectory("dirswap_").toFile

@@ -3233,6 +3233,65 @@ class LakehouseSpec extends SparkTestBase {
     intercept[Exception](
       spark.sql(s"ALTER TABLE $t3 DROP COLUMN payload"))
     spark.sql(s"DROP TABLE IF EXISTS $t3")
+
+    // (5) LAMBDA-bearing predicates: `Expression.sql` regenerates
+    // `x -> x > 0` as `lambdafunction((x > 0), x)`, a spelling the
+    // analyzer re-binds as a COLUMN reference, not a lambda variable
+    // (review r20b — at the prior HEAD the field-id canonicalization
+    // regenerated exactly this on persist, so a reopened lambda CHECK
+    // silently rebound or bricked the write path). Lambda predicates
+    // now persist VERBATIM — reopen must enforce identically — and a
+    // rename textually touching one is refused like DROP COLUMN
+    // (the lambda parameter here also SHADOWS column x: a rewrite
+    // would corrupt the element test, so conservative refusal is the
+    // only safe answer).
+    val t4 = "graftck.spec_ck_lambda"
+    spark.sql(s"DROP TABLE IF EXISTS $t4")
+    spark.sql(s"CREATE TABLE $t4 (x BIGINT, z BIGINT, " +
+      "arr ARRAY<BIGINT>, " +
+      "CONSTRAINT has_pos CHECK (exists(arr, x -> x > 0))) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    spark.sql(s"INSERT INTO $t4 VALUES (1, 1, array(-1L, 5L))")
+    intercept[Exception](
+      spark.sql(s"INSERT INTO $t4 VALUES (2, 2, array(-1L, -2L))"))
+    def lambdaSql(): String = graft.sources.GraftLakeCatalog
+      .tableFor("graftck", "spec_ck_lambda").get.constraints()(0)
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.constraints
+        .Check].predicateSql
+    val before = lambdaSql()
+    // reopen: the verbatim-persisted lambda must survive BYTE-FOR-BYTE
+    // and keep enforcing (the regeneration bug made exactly this walk
+    // fail with an unresolvable column)
+    graft.sources.GraftLakeCatalog.evict("graftck", "spec_ck_lambda")
+    assert(spark.table(t4).count() == 1) // reopen from disk
+    assert(lambdaSql() == before,
+      s"lambda predicate must round-trip verbatim: $before -> ${lambdaSql()}")
+    intercept[Exception](
+      spark.sql(s"INSERT INTO $t4 VALUES (3, 3, array(-4L))"))
+    spark.sql(s"INSERT INTO $t4 VALUES (4, 4, array(9L))")
+    // renaming a column the lambda predicate MENTIONS (even as a
+    // shadowing parameter — conservative) is refused loudly
+    val eRen = intercept[Exception](
+      spark.sql(s"ALTER TABLE $t4 RENAME COLUMN x TO y"))
+    assert(causeMessages(eRen).contains("contains a lambda"),
+      s"expected the lambda refusal, got: $eRen")
+    intercept[Exception](
+      spark.sql(s"ALTER TABLE $t4 RENAME COLUMN arr TO vals"))
+    // renaming an UNMENTIONED column proceeds, predicate untouched
+    spark.sql(s"ALTER TABLE $t4 RENAME COLUMN z TO w")
+    assert(lambdaSql() == before)
+    intercept[Exception](
+      spark.sql(s"INSERT INTO $t4 VALUES (5, 5, array(-6L))"))
+    // the prescribed path: DROP the constraint, rename, re-declare
+    spark.sql(s"ALTER TABLE $t4 DROP CONSTRAINT has_pos")
+    spark.sql(s"ALTER TABLE $t4 RENAME COLUMN x TO y")
+    spark.sql(s"ALTER TABLE $t4 ADD CONSTRAINT has_pos " +
+      "CHECK (exists(arr, e -> e > 0))")
+    intercept[Exception](
+      spark.sql(s"INSERT INTO $t4 VALUES (6, 6, array(-7L))"))
+    spark.sql(s"INSERT INTO $t4 VALUES (7, 7, array(3L))")
+    assert(spark.table(t4).count() == 3)
+    spark.sql(s"DROP TABLE IF EXISTS $t4")
   }
 
   test("a CHECK added mid-flight fails the racing write loudly; rebase never launders it") {
