@@ -100,22 +100,29 @@ object Dedup {
     // intersect self-join plus the size aggregate — at scale this is a
     // persisted/bucketed intermediate table, not a cache
     val sh = shingles(spark, sfDir).cache()
-    // single shuffle-join on the shingle key + map-side-combined count:
-    // the intersection sizes come straight off the self-join, no separate
-    // candidate materialization (that 3-way shape only pays off when a
-    // pre-filter — LSH — has already shrunk the pair space). SHUFFLE_HASH:
-    // a sort on the high-cardinality shingle key buys nothing (the probe is
-    // a pure equality lookup) and measured ~2.3× slower than hash join here.
-    val inter = sh.as("a").hint("SHUFFLE_HASH")
+    withJaccard(intersectCounts(sh), sizes(sh))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("i", "j")
+  }
+
+  /** (i, j, c) intersection counts over every ordered doc pair sharing
+    * a shingle — THE exact all-pairs leg [[ngramJaccard]],
+    * [[ngramContainment]] and [[simhashRecall]] all gate through (one
+    * definition, review r20b — three copies had grown). Single
+    * shuffle-join on the shingle key + map-side-combined count: the
+    * intersection sizes come straight off the self-join, no separate
+    * candidate materialization (that 3-way shape only pays off when a
+    * pre-filter — LSH — has already shrunk the pair space).
+    * SHUFFLE_HASH: a sort on the high-cardinality shingle key buys
+    * nothing (the probe is a pure equality lookup) and measured ~2.3×
+    * slower than hash join here. */
+  private def intersectCounts(sh: DataFrame): DataFrame =
+    sh.as("a").hint("SHUFFLE_HASH")
       .join(sh.as("b").hint("SHUFFLE_HASH"),
         col("a.shingle") === col("b.shingle")
           && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("c"))
-    withJaccard(inter, sizes(sh))
-      .filter(col("jaccard") >= 0.5)
-      .orderBy("i", "j")
-  }
 
   private def sizes(sh: DataFrame): DataFrame =
     sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -158,15 +165,22 @@ object Dedup {
     withJaccard(inter, sizes(sh))
   }
 
-  private val ngramJaccardOracle =
+  /** The oracle spelling of [[intersectCounts]] + [[sizes]]: word
+    * 3-shingles, per-doc sizes, ordered-pair intersection counts —
+    * one CTE prologue the three exact-leg oracles share (the
+    * admission oracle's cross-chunk variant differs in the pair
+    * condition and stays its own text). */
+  private val exactPairCte =
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
       | sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
       |        FROM tok, unnest(range(1, len(ts) - 1)) AS u(i)),
       | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       | inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
       |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |           GROUP BY 1, 2)
-      |SELECT i, j, c * 1.0 / (sa.n + sb.n - c) AS jaccard
+      |           GROUP BY 1, 2)""".stripMargin
+
+  private val ngramJaccardOracle = exactPairCte + "\n" +
+    """SELECT i, j, c * 1.0 / (sa.n + sb.n - c) AS jaccard
       |FROM inter JOIN sz sa ON i = sa.doc_id JOIN sz sb ON j = sb.doc_id
       |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
       |ORDER BY i, j""".stripMargin
@@ -194,13 +208,7 @@ object Dedup {
   def ngramContainment(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingles(spark, sfDir).cache()
     val sz = sizes(sh)
-    val inter = sh.as("a").hint("SHUFFLE_HASH")
-      .join(sh.as("b").hint("SHUFFLE_HASH"),
-        col("a.shingle") === col("b.shingle")
-          && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("c"))
-    inter
+    intersectCounts(sh)
       .join(broadcast(sz.as("na")), col("i") === col("na.doc_id"))
       .join(broadcast(sz.as("nb")), col("j") === col("nb.doc_id"))
       .select(col("i"), col("j"),
@@ -212,15 +220,8 @@ object Dedup {
       .orderBy("i", "j")
   }
 
-  private val ngramContainmentOracle =
-    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-      | sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
-      |        FROM tok, unnest(range(1, len(ts) - 1)) AS u(i)),
-      | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      | inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
-      |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |           GROUP BY 1, 2)
-      |SELECT i, j, CAST(c AS DOUBLE) / sa.n AS cont_i_in_j,
+  private val ngramContainmentOracle = exactPairCte + "\n" +
+    """SELECT i, j, CAST(c AS DOUBLE) / sa.n AS cont_i_in_j,
       |       CAST(c AS DOUBLE) / sb.n AS cont_j_in_i,
       |       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
       |FROM inter JOIN sz sa ON i = sa.doc_id JOIN sz sb ON j = sb.doc_id
@@ -375,13 +376,7 @@ object Dedup {
     */
   def simhashRecall(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingles(spark, sfDir).cache()
-    val inter = sh.as("a").hint("SHUFFLE_HASH")
-      .join(sh.as("b").hint("SHUFFLE_HASH"),
-        col("a.shingle") === col("b.shingle")
-          && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("c"))
-    val strong = withJaccard(inter, sizes(sh))
+    val strong = withJaccard(intersectCounts(sh), sizes(sh))
       .filter(col("jaccard") >= 0.9)
     val detected = simhashPairs(spark, sfDir)
       .select(col("i"), col("j"), lit(1L).as("d"))
@@ -399,15 +394,8 @@ object Dedup {
       .orderBy("i", "j")
   }
 
-  private val simhashRecallOracle =
-    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
-      | sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
-      |        FROM tok, unnest(range(1, len(ts) - 1)) AS u(i)),
-      | sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      | inter AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
-      |           FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |           GROUP BY 1, 2)
-      |SELECT i, j, c * 1.0 / (sa.n + sb.n - c) AS jaccard,
+  private val simhashRecallOracle = exactPairCte + "\n" +
+    """SELECT i, j, c * 1.0 / (sa.n + sb.n - c) AS jaccard,
       |       TRUE AS recall_band
       |FROM inter JOIN sz sa ON i = sa.doc_id JOIN sz sb ON j = sb.doc_id
       |WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.9
