@@ -2071,10 +2071,22 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
   override def constraints(): Array[
       org.apache.spark.sql.connector.catalog.constraints.Constraint] =
     synchronized(checks.toArray)
-  private def persistConstraints(): Unit =
-    log.foreach(_.writeConstraints(checks.map(c =>
+  /** True once this table has EVER tracked a constraint (in this JVM or
+    * in the restored log): from then on every commit record carries the
+    * full vector (empty = "all dropped"), so a rebase refresh reads the
+    * winner's constraints atomically with its version CAS (ADVICE r20).
+    * Kept false for never-constrained tables so their commit records —
+    * and the v0 record a create-WITH-constraints writes BEFORE
+    * installConstraints runs — never carry a spuriously-empty vector
+    * that would shadow constraints.json. */
+  private var everHadConstraints = false
+  private def canonicalChecks
+      : Vector[(String, String, Boolean, Boolean, String)] =
+    checks.map(c =>
       (c.name, canonicalCheckSql(c.predicateSql), c.enforced, c.rely,
-        c.validationStatus.name))))
+        c.validationStatus.name))
+  private def persistConstraints(): Unit =
+    log.foreach(_.writeConstraints(canonicalChecks))
 
   /** CHECK predicates PERSIST with column references as FIELD-ID
     * placeholders (`__gcol_<id>__`) — the same device that makes file
@@ -2161,6 +2173,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           s"KEY need a global index the lake does not maintain: " +
           other.toDDL)
     }
+    everHadConstraints = true
     persistConstraints()
   }
   private def constraintsFromRestore(
@@ -2275,9 +2288,15 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
             // e.g. a shadowing lambda parameter — just demands a
             // re-declare, never a silent dangle or rebind)
             if (checkSqlHasLambda(c.predicateSql)) {
-              val pat = ("(?s).*\\b" +
-                java.util.regex.Pattern.quote(oldName) + "\\b.*")
-              if (c.predicateSql.matches(pat))
+              // CASE_INSENSITIVE: analyzer resolution is case-insensitive
+              // by default, so a verbatim lambda predicate mentioning `k`
+              // must refuse a rename of column K too (ADVICE r20) — the
+              // non-lambda path below matches equalsIgnoreCase for the
+              // same reason
+              val pat = java.util.regex.Pattern.compile(
+                "\\b" + java.util.regex.Pattern.quote(oldName) + "\\b",
+                java.util.regex.Pattern.CASE_INSENSITIVE)
+              if (pat.matcher(c.predicateSql).find())
                 throw new IllegalArgumentException(
                   s"cannot rename column $oldName: CHECK constraint " +
                     s"${c.name} (${c.predicateSql}) contains a lambda " +
@@ -2316,11 +2335,13 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
           require(fields.length > 1,
             s"cannot drop the last column of $tableName")
           // a CHECK referencing the column would dangle (conservative
-          // word-boundary match — a false positive only demands the
+          // word-boundary match, case-insensitive to mirror the
+          // analyzer's resolution — a false positive only demands the
           // constraint drop first, never a silent dangle)
-          val colPat = ("(?s).*\\b" +
-            java.util.regex.Pattern.quote(fields(i).name) + "\\b.*")
-          cks.find(_.predicateSql.matches(colPat)).foreach(c =>
+          val colPat = java.util.regex.Pattern.compile(
+            "\\b" + java.util.regex.Pattern.quote(fields(i).name) + "\\b",
+            java.util.regex.Pattern.CASE_INSENSITIVE)
+          cks.find(c => colPat.matcher(c.predicateSql).find()).foreach(c =>
             throw new IllegalArgumentException(
               s"cannot drop column ${fields(i).name}: CHECK constraint " +
                 s"${c.name} references it (${c.predicateSql}) — DROP " +
@@ -2456,12 +2477,19 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     // cannot ride the next successful commit. (writeAtomic itself
     // deletes this writer's own unfilled claim on a failed fill, so the
     // version number is immediately reusable.)
+    if (checks.nonEmpty) everHadConstraints = true
     try log.foreach(_.writeCommit(baseVersion + history.length, snap,
       dataChange, time, schemaNow, colIds, colDefaults, fileSeq,
       nextColId, txn,
       // stamp the current spec once evolution happened — restore reads
       // the LAST commit's record, so expire can never lose it
-      if (specIdNow > 0) Some((specIdNow, specNow)) else None))
+      if (specIdNow > 0) Some((specIdNow, specNow)) else None,
+      // constraint vector rides the commit record once the table ever
+      // tracked one — atomic with the version CAS, so a concurrent
+      // driver's rebase refresh can never resurrect a pre-ALTER
+      // constraints.json and durably erase the winner's constraint
+      // (ADVICE r20)
+      if (everHadConstraints) Some(canonicalChecks) else None))
     catch {
       case scala.util.control.NonFatal(e) =>
         files = history.last._1.files
@@ -2551,6 +2579,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
     specIdNow = r.pspecId
     if (r.pspecNow.nonEmpty || r.pspecId > 0) specNow = r.pspecNow
     checks = constraintsFromRestore(r.constraints)
+    if (checks.nonEmpty) everHadConstraints = true
     rebases += 1
   }
 
@@ -4628,6 +4657,7 @@ class GraftLakeTable(tableName: String, tableSchema: StructType,
       specIdNow = r.pspecId
       if (r.pspecNow.nonEmpty || r.pspecId > 0) specNow = r.pspecNow
       checks = constraintsFromRestore(r.constraints)
+      if (checks.nonEmpty) everHadConstraints = true
     case None =>
       log.foreach { lg =>
         lg.writeTable(tableName, partSpec, mergeOnRead)

@@ -416,7 +416,9 @@ private[sources] class GraftLakeLog(root: File) {
       dataChange: Boolean, timeMillis: Long, schema: StructType,
       colIds: Seq[Int], defaults: Map[Int, Any], fileSeq: Int,
       nextColId: Int, txn: Option[(String, Long)] = None,
-      pspec: Option[(Int, Seq[GraftPartTransform])] = None): Unit = {
+      pspec: Option[(Int, Seq[GraftPartTransform])] = None,
+      constraints: Option[Seq[(String, String, Boolean, Boolean, String)]]
+        = None): Unit = {
     import GraftLakeLog._
     val fields: List[JField] = List(
       "files" -> JArray(snap.files.map(f => JString(f.id)).toList),
@@ -449,7 +451,21 @@ private[sources] class GraftLakeLog(root: File) {
       // commit, so a replayed epoch after a restart is provably a
       // duplicate even across a crash mid-commit
       txn.map { case (app, epoch) => "txn" -> (JObject(
-        "app" -> JString(app), "epoch" -> JLong(epoch)): JValue) }.toList
+        "app" -> JString(app), "epoch" -> JLong(epoch)): JValue) }.toList ++
+      // CHECK-constraint vector, ATOMIC with the version CAS (ADVICE
+      // r20): a rebase refresh derives constraints from the WON commit
+      // record, so the concurrent-refresh lost-update window on the
+      // separately-timed constraints.json cannot erase a winner's
+      // constraint. Carried on every commit once the table ever had
+      // one (empty array = "all dropped", distinct from absent =
+      // "never tracked / pre-carriage legacy record").
+      constraints.map(cs => "constraints" -> (JArray(
+        cs.toList.map { case (name, sql, enforced, rely, status) => JObject(
+          "name" -> JString(name),
+          "sql" -> JString(sql),
+          "enforced" -> JBool(enforced),
+          "rely" -> JBool(rely),
+          "status" -> JString(status)) }): JValue)).toList
     writeAtomic(s"v$version.json",
       JsonMethods.compact(JObject(fields: _*)), overwrite = false)
   }
@@ -947,17 +963,29 @@ private[sources] object GraftLakeLog {
       }
     }
 
-    // table-level CHECK constraints (absent file = none ever added)
-    val consFile = new File(dir, "constraints.json")
-    val cons: Seq[(String, String, Boolean, Boolean, String)] =
-      if (!consFile.isFile) Nil
-      else parse(consFile) match {
+    // table-level CHECK constraints. AUTHORITATIVE source: the newest
+    // retained commit record carrying a "constraints" vector — it was
+    // written atomically with that version's CAS, so a rebase refresh
+    // reads the WINNER's vector, never a constraints.json a concurrent
+    // ALTER has not persisted yet (ADVICE r20 lost-update race).
+    // Fallback for logs with no carrying commit (legacy records, or a
+    // table created WITH constraints before its first post-create
+    // commit): constraints.json (absent file = none ever added).
+    def consOf(j: JValue): Seq[(String, String, Boolean, Boolean, String)] =
+      j match {
         case JArray(cs) => cs.map(c => (str(c, "name"), str(c, "sql"),
           (c \ "enforced").asInstanceOf[JBool].value,
           (c \ "rely").asInstanceOf[JBool].value,
           str(c, "status")))
         case _ => Nil
       }
+    val consFile = new File(dir, "constraints.json")
+    val cons: Seq[(String, String, Boolean, Boolean, String)] =
+      commits.reverse.collectFirst {
+        case (_, c) if (c \ "constraints") != JNothing =>
+          consOf(c \ "constraints")
+      }.getOrElse(
+        if (!consFile.isFile) Nil else consOf(parse(consFile)))
 
     Restored(
       tableName = str(t, "name"),

@@ -380,10 +380,12 @@ class DurableCatalogSpec extends SparkTestBase {
     // ADVICE r19 (low): constraints.json persisted BEFORE the version
     // commit, and the commit's CAS-loss revert restored files/schema
     // but not `checks` — a failed ALTER stayed enforced on later
-    // writes and resurrected on reopen. The ordering is still
-    // constraints-file-first (the field-id persisted form makes the
-    // crash window between the two writes harmless), but a commit
-    // failure now restores BOTH the in-memory vector and the file.
+    // writes and resurrected on reopen. Since r20b the ordering is
+    // CAS-first (the version claim is the staleness detector; see the
+    // adjacent erase test), the vector persists only after the claim
+    // is won — and since r21 it ALSO rides the commit record itself,
+    // atomic with the CAS — while a commit failure restores the
+    // in-memory vector, so nothing is half-applied either way.
     useCatalog()
     spark.conf.set("spark.sql.catalog.graftdur2",
       classOf[graft.sources.GraftLakeCatalog].getName)
@@ -466,6 +468,54 @@ class DurableCatalogSpec extends SparkTestBase {
     intercept[Exception](spark.sql(s"INSERT INTO $t1 VALUES (200)"))
     spark.sql(s"INSERT INTO $t1 VALUES (50)")
     assert(spark.table(t1).count() == 4)
+    spark.sql(s"DROP TABLE IF EXISTS $t1")
+  }
+
+  test("constraints ride the commit record: a stale constraints.json cannot erase a committed constraint") {
+    // ADVICE r20 (medium): persisting constraints.json only after the
+    // won version CAS opens a CONCURRENT-REFRESH lost-update window — a
+    // loser's refreshFromLog can read the file before the winner's
+    // persistConstraints() runs, then re-run, win the next version, and
+    // persist a vector missing the winner's constraint. The closure:
+    // the canonical vector now rides EVERY commit record (atomic with
+    // the CAS) and restore prefers the newest commit's vector over the
+    // separately-timed file. This test pins the mechanism: clobber
+    // constraints.json to the pre-ALTER (empty) state — exactly what
+    // the racing loser would have persisted — and prove a fresh reopen
+    // still serves and enforces the committed constraint.
+    useCatalog()
+    val t1 = "graftdur.dur_ck_record"
+    spark.sql(s"DROP TABLE IF EXISTS $t1")
+    spark.sql(s"CREATE TABLE $t1 (k BIGINT) " +
+      "TBLPROPERTIES ('graft.storage' = 'parquet')")
+    spark.range(1, 4).selectExpr("id AS k").coalesce(1)
+      .writeTo(t1).append()
+    spark.sql(s"ALTER TABLE $t1 ADD CONSTRAINT k_pos CHECK (k > 0)")
+    // simulate the stale-file write the racing loser would make
+    val consFile = new java.io.File(
+      s"$wh/dur_ck_record/_graft_log/constraints.json")
+    assert(consFile.isFile, "ALTER must have persisted constraints.json")
+    java.nio.file.Files.writeString(consFile.toPath, "[]")
+    graft.sources.GraftLakeCatalog.evict("graftdur", "dur_ck_record")
+    assert(spark.table(t1).count() == 3) // reopen from disk
+    val names = graft.sources.GraftLakeCatalog
+      .tableFor("graftdur", "dur_ck_record").get
+      .constraints().map(_.name).toSeq
+    assert(names == Seq("k_pos"),
+      s"the committed constraint must survive a stale constraints.json: $names")
+    intercept[Exception](spark.sql(s"INSERT INTO $t1 VALUES (-1)"))
+    spark.sql(s"INSERT INTO $t1 VALUES (9)")
+    assert(spark.table(t1).count() == 4)
+    // and a DROP CONSTRAINT recorded later overrides the older vector:
+    // the NEWEST commit's record wins, not the first carrying one
+    spark.sql(s"ALTER TABLE $t1 DROP CONSTRAINT k_pos")
+    graft.sources.GraftLakeCatalog.evict("graftdur", "dur_ck_record")
+    assert(spark.table(t1).count() == 4)
+    assert(graft.sources.GraftLakeCatalog
+      .tableFor("graftdur", "dur_ck_record").get.constraints().isEmpty,
+      "the dropped constraint must stay dropped across reopen")
+    spark.sql(s"INSERT INTO $t1 VALUES (-7)") // no longer enforced
+    assert(spark.table(t1).count() == 5)
     spark.sql(s"DROP TABLE IF EXISTS $t1")
   }
 
