@@ -259,12 +259,28 @@ object Lakehouse {
     * registry fixture through REAL parquet file groups — the spec uses
     * it to prove both storage modes produce the identical relation). */
   private[graft] def tblProps(extra: (String, String)*): String = {
-    val all = extra ++
-      sys.props.get("graft.lake.storage").map("graft.storage" -> _)
+    // the global A/B override wins over a fixture's explicit storage
+    // choice (and must not duplicate the key — Spark rejects duplicate
+    // TBLPROPERTIES entries)
+    val over = sys.props.get("graft.lake.storage").map("graft.storage" -> _)
+    val all = extra.filterNot(kv => over.exists(_._1 == kv._1)) ++ over
     if (all.isEmpty) ""
     else all.map { case (k, v) => s"'$k' = '$v'" }
       .mkString(" TBLPROPERTIES (", ", ", ")")
   }
+
+  /** Storage prop for the fixtures the r21 A/B measured FASTER on real
+    * parquet file groups than on memory-backed rows: a memory-backed
+    * scan ships every row INSIDE each task closure (5-11 MB serialized
+    * task, driver-serialized per task — guide §5 "the driver should do
+    * almost no data work"), while parquet-backed partitions ship paths
+    * and decode columnar bytes executor-side. Interleaved A/B at sf0.1
+    * (dev/r21/ab_lake_{mem,pq}{1,2}.json, min-of-2): the 14 flipped
+    * queries total 30.6 → 20.1 s. Fixtures that LOST (partition fan-out
+    * writes many tiny files: join_spj_storage, ref_partition_transform,
+    * ref_cluster_files) and the metadata-table fixtures stay
+    * memory-backed. */
+  private val pqStore = "graft.storage" -> "parquet"
 
   /** Materialize `out` off the lake table (localCheckpoint pins the
     * computed rows in the block manager), then DROP the query's tables:
@@ -289,7 +305,7 @@ object Lakehouse {
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(s"CREATE TABLE $t " +
       "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)" +
-      tblProps())
+      tblProps(pqStore))
     Tables(spark, sfDir, "orders")
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
       .filter(col("o_orderkey") % 3 =!= 0)
@@ -351,7 +367,7 @@ object Lakehouse {
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(s"CREATE TABLE $t " +
       "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)" +
-      tblProps("graft.mode" -> "merge-on-read"))
+      tblProps("graft.mode" -> "merge-on-read", pqStore))
     Tables(spark, sfDir, "orders")
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
       .filter(col("o_orderkey") % 3 =!= 0)
@@ -420,7 +436,7 @@ object Lakehouse {
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(s"CREATE TABLE $t " +
       "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)" +
-      tblProps("graft.mode" -> "merge-on-read"))
+      tblProps("graft.mode" -> "merge-on-read", pqStore))
     Tables(spark, sfDir, "orders")
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
       .filter(col("o_orderkey") % 3 =!= 0)
@@ -644,7 +660,7 @@ object Lakehouse {
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(s"CREATE TABLE $t " +
       "(o_bucket BIGINT, o_orderkey BIGINT, o_orderstatus STRING, " +
-      "o_totalprice DOUBLE) PARTITIONED BY (o_bucket)" + tblProps())
+      "o_totalprice DOUBLE) PARTITIONED BY (o_bucket)" + tblProps(pqStore))
     Tables(spark, sfDir, "orders")
       .select(pmod(col("o_orderkey"), lit(8L)).as("o_bucket"),
         col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
@@ -692,7 +708,7 @@ object Lakehouse {
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(s"CREATE TABLE $t " +
       "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)" +
-      tblProps("graft.mode" -> "merge-on-read"))
+      tblProps("graft.mode" -> "merge-on-read", pqStore))
     Tables(spark, sfDir, "orders")
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
       .filter(col("o_orderkey") % 3 =!= 0)
@@ -742,7 +758,7 @@ object Lakehouse {
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(s"CREATE TABLE $t " +
       "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)" +
-      tblProps("graft.mode" -> "merge-on-read"))
+      tblProps("graft.mode" -> "merge-on-read", pqStore))
     val prev = Tables(spark, sfDir, "orders")
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
       .filter(col("o_orderkey") % 3 =!= 0)
@@ -815,7 +831,7 @@ object Lakehouse {
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(s"CREATE TABLE $t " +
       "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)" +
-      tblProps())
+      tblProps(pqStore))
     Tables(spark, sfDir, "orders")
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
       .filter(col("o_orderkey") % 3 =!= 0)
@@ -877,7 +893,7 @@ object Lakehouse {
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(s"CREATE TABLE $t " +
       "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)" +
-      tblProps())
+      tblProps(pqStore))
     Tables(spark, sfDir, "orders")
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
       .filter(col("o_orderkey") % 3 =!= 0)
@@ -920,7 +936,7 @@ object Lakehouse {
     val t = "graftlake.orders_defwiden"
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(s"CREATE TABLE $t " +
-      "(o_orderkey BIGINT, o_qty INT, o_totalprice DOUBLE)" + tblProps())
+      "(o_orderkey BIGINT, o_qty INT, o_totalprice DOUBLE)" + tblProps(pqStore))
     def base = Tables(spark, sfDir, "orders")
       .select(col("o_orderkey"),
         (col("o_orderkey") % 1000).cast("int").as("o_qty"),
@@ -1085,7 +1101,7 @@ object Lakehouse {
     val t = "graftlake.orders_wap"
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(s"CREATE TABLE $t (o_orderkey BIGINT, " +
-      "o_orderstatus STRING, o_totalprice DOUBLE)" + tblProps())
+      "o_orderstatus STRING, o_totalprice DOUBLE)" + tblProps(pqStore))
     val base = Tables(spark, sfDir, "orders")
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
     // the audited-good production state, tagged
@@ -1208,7 +1224,7 @@ object Lakehouse {
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(s"CREATE TABLE $t " +
       "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)" +
-      tblProps("graft.mode" -> "merge-on-read"))
+      tblProps("graft.mode" -> "merge-on-read", pqStore))
     val tmp = sys.props("java.io.tmpdir")
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
       "_pid" + ProcessHandle.current().pid()
@@ -1322,7 +1338,7 @@ object Lakehouse {
     val t = "graftlake.events_ssink"
     spark.sql(s"DROP TABLE IF EXISTS $t")
     spark.sql(s"CREATE TABLE $t (event_id BIGINT, event_type STRING, " +
-      "user_id BIGINT, value DOUBLE)" + tblProps())
+      "user_id BIGINT, value DOUBLE)" + tblProps(pqStore))
     val tmp = sys.props("java.io.tmpdir")
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
       "_pid" + ProcessHandle.current().pid()
