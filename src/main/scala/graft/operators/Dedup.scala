@@ -973,7 +973,20 @@ object Dedup {
     * probe prunes to the batch's bucket set; nothing ever rescans the
     * accumulated corpus.
     */
-  def streamMinhashDedup(spark: SparkSession, sfDir: String): DataFrame = {
+  def streamMinhashDedup(spark: SparkSession, sfDir: String): DataFrame =
+    // 4 waves per trigger (r21, the lever the contract comment names):
+    // the arrival-ordered intra-batch self-join makes the verified
+    // output independent of batch boundaries, so ONE trigger admits the
+    // whole staged arrival sequence and the per-trigger fixed cost
+    // (offset/commit log, plan analysis, job scheduling — measured
+    // ~1.0-1.8 s/trigger in bench.trace.json batch rows) is paid once,
+    // not twice. DedupSpec drives the SAME body at 2 waves/trigger and
+    // pins output equality, so the cross-trigger index-probe leg stays
+    // exercised and provably equivalent.
+    streamMinhashDedupWaves(spark, sfDir, filesPerTrigger = 4)
+
+  private[graft] def streamMinhashDedupWaves(spark: SparkSession,
+      sfDir: String, filesPerTrigger: Int): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     val chunks = Staging.stagedDir(
       "graft_dedup_chunks", sfDir, "4-mod-files;mtime-sequenced-v1") { d =>
@@ -1026,7 +1039,7 @@ object Dedup {
     // the index AND the batch's earlier waves (seq-ordered self-join).
     val q = spark.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", "2")
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
       .parquet(chunks.getAbsolutePath)
       .select(col("*"),
         col("_metadata.file_modification_time").as("arrival_ts"))

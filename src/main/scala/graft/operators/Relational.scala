@@ -630,7 +630,21 @@ object Relational {
     * for audits.
     */
   def profileColumns(spark: SparkSession, sfDir: String): DataFrame = {
-    Tables(spark, sfDir, "orders")
+    // the profile's cost is the Expand (rows × 5 copies for the 4 exact
+    // distinct-agg branches) + partial aggregation, which runs INSIDE the
+    // scan stage — and orders ships as ONE parquet split at harness sf,
+    // so the whole expand-aggregate ran on one core (3.1 s executor time
+    // in 1 task, r21 trace). When the scan has fewer splits than the
+    // cluster has slots, rebalance the narrow input rows first: one tiny
+    // round-robin exchange buys full-width parallelism for the expand.
+    // Scale-adaptive, not a local[32] constant: a 100 TB profile arrives
+    // in thousands of splits, leaves the condition false, and keeps its
+    // single-pass no-shuffle shape.
+    val o = Tables(spark, sfDir, "orders")
+    val par = spark.sparkContext.defaultParallelism
+    val balanced =
+      if (o.rdd.getNumPartitions < par) o.repartition(par) else o
+    balanced
       .agg(
         count(col("o_orderkey")).as("nn_k"),
         countDistinct(col("o_orderkey")).as("nd_k"),

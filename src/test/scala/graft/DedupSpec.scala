@@ -49,6 +49,22 @@ class DedupSpec extends SparkTestBase {
       s"missing=${expected -- onlineSet} extra=${onlineSet -- expected}")
   }
 
+  test("stream admission output is trigger-boundary independent (2-wave == registry 4-wave)") {
+    // the registry query admits all 4 staged waves in ONE trigger (r21:
+    // per-trigger fixed cost paid once); this leg re-drives the same body
+    // at 2 waves per trigger — TWO triggers, so the second batch probes a
+    // non-empty persisted band index — and pins row-for-row equality,
+    // proving the amortization never changes what the operator computes
+    // and keeping the cross-trigger index-probe path exercised
+    val registry = run("dedup_stream_admission", SfOracle).collect().toSeq
+    val twoWave = graft.operators.Dedup
+      .streamMinhashDedupWaves(spark, SfOracle, filesPerTrigger = 2)
+      .collect().toSeq
+    assert(twoWave == registry,
+      s"2-wave drain must equal the registry output; " +
+        s"missing=${registry.diff(twoWave)} extra=${twoWave.diff(registry)}")
+  }
+
   test("containment dominates jaccard and covers every high-jaccard pair") {
     val rows = run("dedup_containment", SfOracle).collect()
     assert(rows.nonEmpty)
