@@ -81,15 +81,22 @@ object StreamingOps {
     * 2.5%, i.e. noise. The pinned 2 stays (smaller per-batch store-commit
     * fan-out at equal measured cost).
     */
-  private def withStreamingPartitions[A](spark: SparkSession)(body: => A): A = {
+  private def withStreamingPartitions[A](spark: SparkSession,
+      queryCap: Int = 2)(body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     // dev-only override so the per-round A/B can sweep the cap without a
-    // recompile; production sizes this per query at first deploy (above)
+    // recompile; production sizes this per query at first deploy (above).
+    // `queryCap` is that per-query sizing: the stream-stream joins commit
+    // FOUR state stores per partition per side each batch, and their
+    // in-flight state is the smallest in the registry, so they take 1
+    // (r21 interleaved A/B, min-of-2 at sf0.1: full_outer 9.17→7.03,
+    // join 3.82→2.54, semi 6.72→5.82, left_outer 6.59→6.05; the
+    // aggregation-shaped queries measured WORSE at 1 and keep 2).
     val cap = sys.env.get("SPARK_GRAFT_STREAM_PARTS")
       .flatMap(s => scala.util.Try(s.toInt).toOption)
       .filter(_ > 0) // 0/negative would poison every streaming shuffle
-      .getOrElse(2)
+      .getOrElse(queryCap)
     // never RAISE the count: a session already below the state-volume
     // target must not be lifted to the cap (that would ADD fan-out)
     val target = math.min(cap, scala.util.Try(prev.toInt).getOrElse(cap))
@@ -474,7 +481,7 @@ object StreamingOps {
     val src = eventStream(spark, sfDir)
     val joined = signupPurchaseJoin(src, "inner", keepSentinels = false)
     val name = s"graft_stream_ssjoin_${sinkId.incrementAndGet()}"
-    withStreamingPartitions(spark) {
+    withStreamingPartitions(spark, queryCap = 1) {
       val q = joined.writeStream
         .outputMode("append")
         .format("memory")
@@ -743,7 +750,7 @@ object StreamingOps {
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      withStreamingPartitions(spark) {
+      withStreamingPartitions(spark, queryCap = 1) {
         val q = sessions.toDF().writeStream
           .outputMode("append")
           .format("memory")
@@ -1069,7 +1076,7 @@ object StreamingOps {
       .withColumn("ts", col("ts").cast("timestamp"))
     val joined = signupPurchaseJoin(src, "leftOuter", keepSentinels = true)
     val name = s"graft_stream_louter_${sinkId.incrementAndGet()}"
-    withStreamingPartitions(spark) {
+    withStreamingPartitions(spark, queryCap = 1) {
       val q = joined.writeStream
         .outputMode("append")
         .format("memory")
@@ -1107,7 +1114,7 @@ object StreamingOps {
       .withColumn("ts", col("ts").cast("timestamp"))
     val joined = signupPurchaseJoin(src, "left_semi", keepSentinels = true)
     val name = s"graft_stream_semi_${sinkId.incrementAndGet()}"
-    withStreamingPartitions(spark) {
+    withStreamingPartitions(spark, queryCap = 1) {
       val q = joined.writeStream
         .outputMode("append")
         .format("memory")
@@ -1161,7 +1168,7 @@ object StreamingOps {
       .withColumn("ts", col("ts").cast("timestamp"))
     val joined = signupPurchaseJoin(src, "fullOuter", keepSentinels = true)
     val name = s"graft_stream_fouter_${sinkId.incrementAndGet()}"
-    withStreamingPartitions(spark) {
+    withStreamingPartitions(spark, queryCap = 1) {
       val q = joined.writeStream
         .outputMode("append")
         .format("memory")
