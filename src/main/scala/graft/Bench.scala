@@ -46,6 +46,7 @@ object Bench {
     // setup (fingerprint-cached on disk), not part of any operator's cost
     graft.streaming.StreamingOps.chunkedEventsDir(spark, sfDir)
     graft.streaming.StreamingOps.chunkedEventsWithSentinelDir(spark, sfDir)
+    graft.operators.Dedup.stagedAdmissionChunks(spark, sfDir)
     // fixed name order: run-to-run and round-to-round comparability
     // (Map iteration order is hash-dependent)
     // a failed query must be DISTINCT in the output, not a silently-timed

@@ -985,10 +985,13 @@ object Dedup {
     // exercised and provably equivalent.
     streamMinhashDedupWaves(spark, sfDir, filesPerTrigger = 4)
 
-  private[graft] def streamMinhashDedupWaves(spark: SparkSession,
-      sfDir: String, filesPerTrigger: Int): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val chunks = Staging.stagedDir(
+  /** The admission stream's staged arrival waves — exposed so Bench's
+    * warmup can pre-stage them like the other chunked streaming fixtures
+    * (staging is one-time test setup, fingerprint-cached on disk, not
+    * part of the admission operator's cost). */
+  private[graft] def stagedAdmissionChunks(
+      spark: SparkSession, sfDir: String): java.io.File =
+    Staging.stagedDir(
       "graft_dedup_chunks", sfDir, "4-mod-files;mtime-sequenced-v1") { d =>
       val base = ((System.currentTimeMillis() / 60000) * 60000)
       (0 until 4).foreach { g =>
@@ -1012,6 +1015,11 @@ object Dedup {
           s"cannot stamp arrival mtime on $dst")
       }
     }
+
+  private[graft] def streamMinhashDedupWaves(spark: SparkSession,
+      sfDir: String, filesPerTrigger: Int): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val chunks = stagedAdmissionChunks(spark, sfDir)
     // run-unique scratch (index + candidate results), reaped on JVM exit —
     // same non-shared-path discipline as sim_index_stream_update's index
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_") +
