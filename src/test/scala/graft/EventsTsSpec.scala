@@ -90,4 +90,23 @@ class EventsTsSpec extends SparkTestBase {
       "stream and batch ts normalization diverged — the shared-oracle " +
         "batch/streaming consistency gate would silently break")
   }
+
+  test("Tables schema cache serves the footer-inferred schema per path") {
+    // r21: Tables caches inferred schemas per (path, nanos-flag) — the
+    // metastore role — so every registry query skips per-statement
+    // footer re-inference (~80 ms/call measured). This pins the cache's
+    // one correctness obligation: what it serves IS the footer schema
+    // of THAT path, never another sf dir's (the two harness dirs differ
+    // only in data, but the keying must hold regardless), and the
+    // cached read produces the same relation schema as a fresh
+    // inference read.
+    for (sf <- Seq(Sf, SfOracle); t <- Seq("orders", "events", "documents")) {
+      val cached = Tables(spark, sf, t).schema
+      val fresh = spark.read.parquet(s"$sf/$t.parquet")
+      val freshNorm =
+        if (t == "events") Tables.normalizeEventTs(fresh) else fresh
+      assert(cached == freshNorm.schema,
+        s"cached schema for $sf/$t diverged from footer inference")
+    }
+  }
 }
