@@ -104,6 +104,41 @@ object StreamingOps {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** Pin the state backend for the stream-stream joins while `body` runs:
+    * RocksDB provider + join state format v3 (Spark 4's single-store
+    * layout — ONE store per partition holding all four join-state column
+    * families as RocksDB virtual column families, vs format 2's FOUR
+    * separate stores per partition). A stream-stream join's per-batch cost
+    * at small in-flight state is store-commit fan-out (r21 DevDiag:
+    * commitTimeMs ~160-210 ms/batch across the 4 HDFS-backed stores), so
+    * collapsing 4 commits into 1 attacks the measured wall directly, and
+    * changelog checkpointing writes the batch's delta instead of
+    * snapshotting the whole store. The format is pinned by the first
+    * checkpoint, never changed on an existing one — every drain here uses
+    * a fresh per-query temp checkpoint, exactly the "sized/chosen once at
+    * first deploy" contract the partition cap documents above.
+    * Dev A/B knob: -Dgraft.stream.join.state=hdfs2 restores the previous
+    * backend without a recompile (SPARK_GRAFT_JAVA_OPTS passthrough).
+    */
+  private def withJoinStateBackend[A](spark: SparkSession)(body: => A): A = {
+    if (sys.props.get("graft.stream.join.state").contains("hdfs2")) body
+    else {
+      val confs = Seq(
+        "spark.sql.streaming.stateStore.providerClass" ->
+          ("org.apache.spark.sql.execution.streaming.state." +
+            "RocksDBStateStoreProvider"),
+        "spark.sql.streaming.join.stateFormatVersion" -> "3",
+        ("spark.sql.streaming.stateStore.rocksdb." +
+          "changelogCheckpointing.enabled") -> "true")
+      val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   /** Await an AvailableNow drain AND prove it ingested at least one row.
     * Every drain in the registry reads a non-empty source, so zero input
     * rows has exactly one cause worth failing loudly for: a FIXED
@@ -481,7 +516,7 @@ object StreamingOps {
     val src = eventStream(spark, sfDir)
     val joined = signupPurchaseJoin(src, "inner", keepSentinels = false)
     val name = s"graft_stream_ssjoin_${sinkId.incrementAndGet()}"
-    withStreamingPartitions(spark, queryCap = 1) {
+    withJoinStateBackend(spark) { withStreamingPartitions(spark, queryCap = 1) {
       val q = joined.writeStream
         .outputMode("append")
         .format("memory")
@@ -489,7 +524,7 @@ object StreamingOps {
         .trigger(Trigger.AvailableNow())
         .start()
       awaitDrained(q)
-    }
+    } }
     spark.table(name)
       .select(col("signup_id"), col("purchase_id"),
         col("s_user").as("user_id"),
@@ -1076,7 +1111,7 @@ object StreamingOps {
       .withColumn("ts", col("ts").cast("timestamp"))
     val joined = signupPurchaseJoin(src, "leftOuter", keepSentinels = true)
     val name = s"graft_stream_louter_${sinkId.incrementAndGet()}"
-    withStreamingPartitions(spark, queryCap = 1) {
+    withJoinStateBackend(spark) { withStreamingPartitions(spark, queryCap = 1) {
       val q = joined.writeStream
         .outputMode("append")
         .format("memory")
@@ -1084,7 +1119,7 @@ object StreamingOps {
         .trigger(Trigger.AvailableNow())
         .start()
       awaitDrained(q)
-    }
+    } }
     spark.table(name)
       .filter(col("s_user") >= 0)
       .select(col("signup_id"), col("purchase_id"),
@@ -1114,7 +1149,7 @@ object StreamingOps {
       .withColumn("ts", col("ts").cast("timestamp"))
     val joined = signupPurchaseJoin(src, "left_semi", keepSentinels = true)
     val name = s"graft_stream_semi_${sinkId.incrementAndGet()}"
-    withStreamingPartitions(spark, queryCap = 1) {
+    withJoinStateBackend(spark) { withStreamingPartitions(spark, queryCap = 1) {
       val q = joined.writeStream
         .outputMode("append")
         .format("memory")
@@ -1122,7 +1157,7 @@ object StreamingOps {
         .trigger(Trigger.AvailableNow())
         .start()
       awaitDrained(q)
-    }
+    } }
     spark.table(name)
       .filter(col("s_user") >= 0)
       .select(col("signup_id"), col("s_user").as("user_id"),
@@ -1168,7 +1203,7 @@ object StreamingOps {
       .withColumn("ts", col("ts").cast("timestamp"))
     val joined = signupPurchaseJoin(src, "fullOuter", keepSentinels = true)
     val name = s"graft_stream_fouter_${sinkId.incrementAndGet()}"
-    withStreamingPartitions(spark, queryCap = 1) {
+    withJoinStateBackend(spark) { withStreamingPartitions(spark, queryCap = 1) {
       val q = joined.writeStream
         .outputMode("append")
         .format("memory")
@@ -1176,7 +1211,7 @@ object StreamingOps {
         .trigger(Trigger.AvailableNow())
         .start()
       awaitDrained(q)
-    }
+    } }
     spark.table(name)
       .filter(coalesce(col("s_user"), col("p_user")) >= 0)
       .select(col("signup_id"), col("purchase_id"),
